@@ -1,0 +1,122 @@
+"""The ``func`` namespace: aggregate / scalar / boolean function builders.
+
+Mirrors the reference's public surface (reference:
+src/model/func/__init__.py:1-38, builders in src/model/func/_sql_functions.py,
+_logical.py, _cases.py, _temporal.py). Every builder returns a
+ColumnExpression node; compilation to pyspark Columns lives in expr.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from .keypath import defer_keypath_args
+from .expr import (
+    CasesExpression,
+    ColumnExpression,
+    SqlFunctionExpression,
+    SubqueryExpression,
+    to_expr,
+)
+
+
+@defer_keypath_args
+def count(expr: Optional[Any] = None) -> SqlFunctionExpression:
+    """COUNT(*) or COUNT(expr) (reference: _sql_functions.py:16-21)."""
+    args = [] if expr is None else [expr]
+    return SqlFunctionExpression("count", args)
+
+
+@defer_keypath_args
+def count_if(condition: Any) -> SqlFunctionExpression:
+    """Sugar for SUM(CASE WHEN cond THEN 1 ELSE 0 END)
+    (reference: _sql_functions.py:25-30)."""
+    return SqlFunctionExpression("countIf", [condition])
+
+
+@defer_keypath_args
+def distinct(expr: Any) -> SqlFunctionExpression:
+    """DISTINCT(expr) — compose as ``count(distinct(x))``
+    (reference: _sql_functions.py:34-38)."""
+    return SqlFunctionExpression("distinct", [expr])
+
+
+@defer_keypath_args
+def min(expr: Any) -> SqlFunctionExpression:  # noqa: A001 - mirrors reference
+    return SqlFunctionExpression("min", [expr])
+
+
+@defer_keypath_args
+def max(expr: Any) -> SqlFunctionExpression:  # noqa: A001
+    return SqlFunctionExpression("max", [expr])
+
+
+@defer_keypath_args
+def sum(expr: Any) -> SqlFunctionExpression:  # noqa: A001
+    return SqlFunctionExpression("sum", [expr])
+
+
+@defer_keypath_args
+def avg(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("avg", [expr])
+
+
+@defer_keypath_args
+def floor(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("floor", [expr])
+
+
+@defer_keypath_args
+def ceiling(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("ceiling", [expr])
+
+
+def now() -> SqlFunctionExpression:
+    """Materialized to a Python ``datetime.now()`` literal at compile time,
+    not engine-evaluated (reference: _sql_functions.py:89-95,
+    compilers/sql_function.py:47-53)."""
+    return SqlFunctionExpression("now", [])
+
+
+@defer_keypath_args
+def exists(model) -> SubqueryExpression:
+    """EXISTS(subquery) (reference: _sql_functions.py:99-103).
+
+    Compiled Spark-side as a broadcast-joined boolean marker."""
+    return SubqueryExpression("exists", model)
+
+
+@defer_keypath_args
+def and_(*conditions: Any) -> ColumnExpression:
+    """Variadic AND (reference: _logical.py:8-28)."""
+    if not conditions:
+        raise ValueError("and_() requires at least one condition")
+    return SqlFunctionExpression("and", list(conditions))
+
+
+@defer_keypath_args
+def or_(*conditions: Any) -> ColumnExpression:
+    if not conditions:
+        raise ValueError("or_() requires at least one condition")
+    return SqlFunctionExpression("or", list(conditions))
+
+
+@defer_keypath_args
+def not_(condition: Any) -> ColumnExpression:
+    """NOT, with the reference's comparison-flip rewrite
+    (``not_(a < b)`` -> ``a >= b``, compilers/sql_function.py:116-136)."""
+    return SqlFunctionExpression("not", [condition])
+
+
+@defer_keypath_args
+def cases(*cases: tuple, other: Any = None) -> CasesExpression:
+    """CASE WHEN chain; non-expression values are coerced to literals;
+    ``other`` defaults to NULL (reference: _cases.py:12-38)."""
+    return CasesExpression(list(cases), other)
+
+
+@defer_keypath_args
+def diff_seconds(ts1: Any, ts2: Any) -> SqlFunctionExpression:
+    """Whole seconds between two timestamps: ts1 - ts2
+    (reference: _temporal.py:6-10)."""
+    return SqlFunctionExpression("diffSeconds", [ts1, ts2])

@@ -1,0 +1,845 @@
+"""The ``Model`` — the single fundamental unit of the DSL.
+
+A Model is a table source + a chain of relational transforms + named
+attribute/measure/relation definitions (reference: src/model/model.py:45,
+fields at :74-97). Every transform method is copy-on-write (the reference's
+``@builder_method``, src/utils/builder.py:8-25) and resolves KeyPath
+arguments (``attr.x`` / ``msr.y`` / ``rel.r.z``) against the model.
+
+Execution: the Source tree compiles to a lazy pyspark DataFrame
+(sources.py); ``run()`` collects to pandas through Arrow. Spark's lazy
+logical plan plays the role the reference's CTE chain + remote warehouse
+play (SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+import copy
+import functools
+import warnings
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+from pyspark.sql import DataFrame
+
+from . import func
+from .connection import Connection
+from .expr import (
+    ColumnExpression,
+    ColumnNameExpression,
+    PyValueExpression,
+    RESERVED_NAME_RE,
+    column,
+    to_expr,
+)
+from .keypath import KeyPath, resolve_all_nested_keypaths, resolve_keypath
+from .match_steps import MatchStepsSource, ModelActivitySchema
+from .sources import (
+    AggregateSource,
+    CompileState,
+    FilterSource,
+    FoldSource,
+    JoinOneSource,
+    LimitSource,
+    PickSource,
+    SortSource,
+    Source,
+    SqlTextSource,
+    TableNameSource,
+    UnionSource,
+    compile_model_df,
+    strip_private_columns,
+)
+
+FUNNEL_COUNT_COLUMN_NAME = "entities"  # reference: src/model/model.py:42
+
+
+def builder_method(fn):
+    """Copy-on-write mutator: deepcopy self, resolve keypath args against the
+    copy, mutate it, return it (reference: src/utils/builder.py:8-25)."""
+
+    @functools.wraps(fn)
+    def wrapped(self, *args, **kwargs):
+        new = copy.deepcopy(self)
+        args = resolve_all_nested_keypaths(new, list(args))
+        kwargs = resolve_all_nested_keypaths(new, kwargs)
+        fn(new, *args, **kwargs)
+        return new
+
+    wrapped.mutate = fn  # in-place variant, used internally
+    return wrapped
+
+
+class IdentifiableMap:
+    """Ordered identifier -> item map (items carry ``.identifier``)."""
+
+    def __init__(self, items=None) -> None:
+        self._items: Dict[str, Any] = {}
+        for item in items or []:
+            self.add(item)
+
+    def add(self, item) -> None:
+        self._items[self._ident(item)] = item
+
+    @staticmethod
+    def _ident(item) -> str:
+        return item.identifier if hasattr(item, "identifier") else item._identifier
+
+    def get(self, key: str):
+        return self._items.get(key)
+
+    def keys(self):
+        return self._items.keys()
+
+    def __iter__(self):
+        return iter(self._items.values())
+
+    def __len__(self):
+        return len(self._items)
+
+    def __contains__(self, key: str):
+        return key in self._items
+
+    def __repr__(self):
+        return f"IdentifiableMap({list(self._items)})"
+
+
+class ModelNamespace:
+    """A joined sub-model addressable as ``rel.<name>.<attr>``
+    (reference: src/model/namespace.py:10)."""
+
+    def __init__(self, identifier: str, nested_model: "Model") -> None:
+        self._identifier = identifier
+        self._nested_model = nested_model
+        self._through_foreign_key_attr: Optional[ColumnExpression] = None
+
+    @property
+    def identifier(self) -> str:
+        return self._identifier
+
+    def __getattr__(self, name: str) -> ColumnExpression:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        result = self._nested_model._access_identifiable_map("_attributes", name)
+        return result.disambiguated(self._identifier)
+
+    def __getitem__(self, key: str) -> ColumnExpression:
+        return self.__getattr__(key)
+
+    def __repr__(self):
+        return (
+            f"Relation `{self._identifier}`: "
+            f"attributes: {', '.join(self._nested_model._attributes.keys())}"
+        )
+
+    def to_wire(self) -> dict:
+        return {
+            "type": "modelNamespace",
+            "identifier": self._identifier,
+            "nestedModel": self._nested_model.to_wire(),
+            "throughForeignKeyAttr": (
+                self._through_foreign_key_attr.to_wire()
+                if self._through_foreign_key_attr is not None
+                else None
+            ),
+        }
+
+    @classmethod
+    def from_wire(cls, data: dict) -> "ModelNamespace":
+        ns = cls(data["identifier"], Model.from_wire(data["nestedModel"]))
+        if data.get("throughForeignKeyAttr"):
+            ns._through_foreign_key_attr = ColumnExpression.from_wire(
+                data["throughForeignKeyAttr"]
+            )
+        return ns
+
+
+def _deep_equal(a: Optional[ColumnExpression], b: Optional[ColumnExpression]) -> bool:
+    if a is None or b is None:
+        return a is b
+    return a.to_wire() == b.to_wire()
+
+
+def _unwrap_name(value) -> Optional[str]:
+    """Accept a plain string or a trailing-property keypath as a name."""
+    if value is None or isinstance(value, str):
+        return value
+    if isinstance(value, KeyPath):
+        comps = value._components
+        if comps and hasattr(comps[-1], "name"):
+            return comps[-1].name
+    if isinstance(value, ColumnExpression):
+        return value.identifier
+    return None
+
+
+class Model:
+    """reference: src/model/model.py:45."""
+
+    def __init__(
+        self,
+        connection: Optional[Connection] = None,
+        table: Optional[str] = None,
+        *,
+        schema: Optional[str] = None,
+        sql_query: Optional[str] = None,
+    ) -> None:
+        self._connection = connection
+        self._source: Optional[Source] = None
+        if sql_query is not None:
+            self._source = SqlTextSource(sql_query)
+        elif table is not None:
+            self._source = TableNameSource(table, schema)
+        self._attributes: IdentifiableMap = IdentifiableMap()
+        self._measures: IdentifiableMap = IdentifiableMap()
+        self._namespaces: IdentifiableMap = IdentifiableMap()
+        # default PK (reference: src/model/model.py:82)
+        self._primary_key: ColumnExpression = column("id")
+        self._activity_schema: Optional[ModelActivitySchema] = None
+        self._custom_meta: Dict[str, Any] = {}
+        # Schema reflection is free on Spark (df.schema, no job) — the
+        # reference instead fires LIMIT-0 probe queries
+        # (src/run/db/reflection.py:17-84). Auto-attach one attribute per
+        # physical column so `attr.<col>` works out of the box.
+        if self._connection is not None and self._source is not None:
+            try:
+                state = CompileState(connection=self._connection)
+                for col_name in compile_model_df(self, state).columns:
+                    self._attributes.add(column(col_name))
+            except Exception:
+                pass  # raw-SQL sources may not be resolvable yet
+
+    # --- internal accessor for keypaths (reference: model.py:101-160) ---
+
+    def _access_identifiable_map(self, map_names, identifier: str):
+        map_names = [map_names] if isinstance(map_names, str) else map_names
+        for map_name in map_names:
+            result = getattr(self, map_name).get(identifier)
+            if result is not None:
+                return result
+        # fall back across maps with a helpful error (reference behavior)
+        hints = []
+        if self._attributes.get(identifier) is not None:
+            hints.append(f"an attribute named `{identifier}` exists (use attr.{identifier})")
+        if self._measures.get(identifier) is not None:
+            hints.append(f"a measure named `{identifier}` exists (use msr.{identifier})")
+        if self._namespaces.get(identifier) is not None:
+            hints.append(f"a relation named `{identifier}` exists (use rel.{identifier})")
+        name_kinds = " or ".join(m.strip("_").replace("namespaces", "relations") for m in map_names)
+        msg = f"No {name_kinds} named `{identifier}` was found in the model."
+        if hints:
+            msg += " " + "; ".join(hints)
+        raise AttributeError(msg)
+
+    def __deepcopy__(self, memo):
+        new = object.__new__(Model)
+        for k, v in self.__dict__.items():
+            if k == "_connection":
+                new.__dict__[k] = v  # sessions are shared, never copied
+            else:
+                new.__dict__[k] = copy.deepcopy(v, memo)
+        return new
+
+    # --- configuration builders ---
+
+    @builder_method
+    def with_connection(self, connection: Connection) -> "Model":
+        self._connection = connection
+
+    @builder_method
+    def with_source(self, table=None, *, schema=None, sql_query=None) -> "Model":
+        self._source = SqlTextSource(sql_query) if sql_query else TableNameSource(table, schema)
+
+    @builder_method
+    def with_attributes(self, *args, **kwargs) -> "Model":
+        """Attach named attribute definitions; free until referenced
+        (reference: model.py:235-251)."""
+        normalize = lambda e: e if isinstance(e, ColumnExpression) else column(e)
+        for e in args:
+            self._attributes.add(normalize(e))
+        for identifier, e in kwargs.items():
+            self._attributes.add(normalize(e).named(identifier))
+
+    @builder_method
+    def with_measures(self, *args, **kwargs) -> "Model":
+        """Attach measure definitions; only evaluated inside ``aggregate()``
+        (reference: model.py:265-279)."""
+        for e in args:
+            self._measures.add(to_expr(e))
+        for identifier, e in kwargs.items():
+            self._measures.add(to_expr(e).named(identifier))
+
+    @builder_method
+    def with_primary_key(self, expression) -> "Model":
+        self._primary_key = to_expr(expression)
+
+    @builder_method
+    def with_custom_meta(self, name: str, value) -> "Model":
+        self._custom_meta[name] = value
+
+    def get_custom_meta(self, name: str):
+        return self._custom_meta.get(name)
+
+    @builder_method
+    def with_join_one(
+        self,
+        joined: "Model",
+        *,
+        foreign_key=None,
+        condition=None,
+        named=None,
+        drop_unmatched: bool = False,
+        broadcast: bool = False,
+    ) -> "Model":
+        """Attach a many-to-one relation (reference: model.py:282-350).
+
+        Attaching is free: no JOIN enters the plan unless the relation is
+        referenced. ``broadcast=True`` hints Spark to broadcast the joined
+        side (small dims); AQE otherwise decides at runtime."""
+        if foreign_key is None and condition is None:
+            raise ValueError(
+                "`.with_join_one` must specify a join condition using "
+                "`foreign_key=` and/or `condition=`"
+            )
+        joined = resolve_keypath(self, joined)
+        relation_name = _unwrap_name(named)
+        if not relation_name:
+            relation_name = joined._source.default_identifier() if joined._source else None
+        if not relation_name:
+            raise ValueError(
+                "Join was not provided an identifier and a default could not "
+                "be inferred. Provide an explicit name using `named=`"
+            )
+        relation = ModelNamespace(relation_name, joined)
+        join_predicate = None
+        if foreign_key is not None:
+            foreign_key = resolve_keypath(self, foreign_key)
+            join_predicate = foreign_key == joined._primary_key.disambiguated(relation_name)
+        self._namespaces.add(relation)
+        if condition is not None:
+            condition = resolve_keypath(self, condition)
+            join_predicate = (
+                condition if join_predicate is None else func.and_(join_predicate, condition)
+            )
+        if foreign_key is not None and condition is None:
+            relation._through_foreign_key_attr = foreign_key
+        self._source = JoinOneSource(
+            base=self._source,
+            relation=relation,
+            join_condition=join_predicate,
+            drop_unmatched=drop_unmatched,
+            broadcast=broadcast,
+        )
+
+    @builder_method
+    def with_activity_schema(self, *, group, timestamp, event_key) -> "Model":
+        """(group, timestamp, event_key) defaults for event analysis
+        (reference: model.py:354-384)."""
+        self._activity_schema = ModelActivitySchema(
+            group=to_expr(group), timestamp=to_expr(timestamp), event_key=to_expr(event_key)
+        )
+
+    # --- relational transforms ---
+
+    @builder_method
+    def filter(self, condition) -> "Model":
+        self._source = FilterSource(self._source, to_expr(condition))
+
+    @builder_method
+    def pick(self, *columns) -> "Model":
+        cols = [to_expr(c) if not isinstance(c, str) else column(c) for c in columns]
+        self._source = PickSource(self._source, cols)
+        self._attributes = IdentifiableMap(
+            column(c.identifier) for c in cols if not c._is_star
+        )
+        self._namespaces = IdentifiableMap()
+        self._measures = IdentifiableMap()
+
+    @builder_method
+    def sort(self, sort, dir: str = "asc", nulls: str = "auto") -> "Model":
+        self._source = SortSource(self._source, to_expr(sort), dir, nulls)
+
+    @builder_method
+    def limit(self, count: int, *, offset: int = 0) -> "Model":
+        self._source = LimitSource(self._source, count, offset=offset)
+
+    @builder_method
+    def union_all(self, other: "Model") -> "Model":
+        self._source = UnionSource(self._source, other._source)
+        self._namespaces = IdentifiableMap()
+
+    @builder_method
+    def aggregate(self, *, measures=None, groups=None) -> "Model":
+        """GROUP BY groups, compute measures (reference: model.py:390-407).
+        Afterwards groups+measures become plain attributes and measures
+        reset."""
+        measures = measures or []
+        groups = groups or []
+        self._source = AggregateSource(self._source, groups=groups, measures=measures)
+        self._attributes = IdentifiableMap(column(c.identifier) for c in groups + measures)
+        self._measures = IdentifiableMap()
+        self._namespaces = IdentifiableMap()
+
+    def fold(
+        self,
+        ids: List[ColumnExpression],
+        values: List[ColumnExpression],
+        key_name: str = "key",
+        value_name: str = "value",
+    ) -> "Model":
+        """Unpivot/melt to long format (reference: model.py:939-995).
+        Semantics = the reference's pick×N → union_all chain; physical plan =
+        a single-scan native ``unpivot``."""
+        ids = resolve_all_nested_keypaths(self, ids)
+        values = resolve_all_nested_keypaths(self, values)
+        new = copy.deepcopy(self)
+        new._source = FoldSource(
+            new._source,
+            [to_expr(i) for i in ids],
+            [to_expr(v) for v in values],
+            key_name,
+            value_name,
+        )
+        new._attributes = IdentifiableMap(
+            [column(i.identifier) for i in ids] + [column(key_name), column(value_name)]
+        )
+        new._measures = IdentifiableMap()
+        new._namespaces = IdentifiableMap()
+        return new
+
+    # --- event analysis (reference: model.py:411-537) ---
+
+    def _require_normalized_activity_schema(self, group, timestamp, event_key, fn_name):
+        base = self._activity_schema
+        group = to_expr(group) if group is not None else (base.group if base else None)
+        timestamp = (
+            to_expr(timestamp) if timestamp is not None else (base.timestamp if base else None)
+        )
+        event_key = (
+            to_expr(event_key) if event_key is not None else (base.event_key if base else None)
+        )
+        if group is None or timestamp is None or event_key is None:
+            raise ValueError(
+                f"`{fn_name}` requires an activity schema: pass group=, timestamp=, "
+                "event_key= or configure them via `.with_activity_schema(...)`"
+            )
+        return ModelActivitySchema(group=group, timestamp=timestamp, event_key=event_key)
+
+    @staticmethod
+    def _normalize_steps(steps, activity_schema) -> List[ColumnExpression]:
+        """str -> (event_key == str).named(str); (key, name) tuples rename
+        (reference: src/utils/activity_schema.py:9-38)."""
+
+        def normalize(step):
+            if isinstance(step, ColumnExpression):
+                return step
+            if isinstance(step, str):
+                name = "".join(c if (c.isalnum() or c == "_") else "_" for c in step)
+                return (activity_schema.event_key == step).named(name)
+            step_key, step_name = step
+            return (activity_schema.event_key == step_key).named(step_name)
+
+        normalized = [normalize(s) for s in steps]
+        seen = set()
+        dupes = [s.identifier for s in normalized if s.identifier in seen or seen.add(s.identifier)]
+        if dupes:
+            raise ValueError(
+                f"Found non-unique steps: {', '.join(dupes)}. Provide unique names "
+                "via (<step value>, <unique identifier>) or `.named()`."
+            )
+        return normalized
+
+    @builder_method
+    def match_steps(
+        self,
+        steps,
+        *,
+        group=None,
+        timestamp=None,
+        event_key=None,
+        partition_start_events=None,
+        time_limit=None,
+    ) -> "Model":
+        """Match each entity's event stream against ordered step predicates
+        (reference: model.py:411-537). See match_steps.py for the engine."""
+        events_model = copy.deepcopy(self)
+        activity_schema = self._require_normalized_activity_schema(
+            group, timestamp, event_key, "match_steps"
+        )
+        if not steps:
+            raise ValueError("`match_steps` requires at least one step to match.")
+        step_conditions = self._normalize_steps(list(steps), activity_schema)
+        partition_start_events = [to_expr(p) for p in (partition_start_events or [])]
+
+        self._source = MatchStepsSource(
+            base=self._source,
+            activity_schema=activity_schema,
+            steps=step_conditions,
+            partition_start_events=partition_start_events,
+            time_limit=time_limit,
+        )
+
+        # keep only namespaces joined exactly on our group; reattach them
+        # (reference: model.py:462-477)
+        step_names = {s.identifier for s in step_conditions}
+        preserved = [
+            ns
+            for ns in self._namespaces
+            if ns._identifier not in step_names
+            and _deep_equal(ns._through_foreign_key_attr, activity_schema.group)
+        ]
+        self._namespaces = IdentifiableMap()
+        for ns in preserved:
+            Model.with_join_one.mutate(
+                self,
+                ns._nested_model,
+                foreign_key=column(activity_schema.group.identifier),
+                named=ns._identifier,
+            )
+        for step in step_conditions:
+            self._namespaces.add(ModelNamespace(step.identifier, events_model))
+
+        # reset attributes (reference: model.py:485-517)
+        self._attributes = IdentifiableMap([column(activity_schema.group.identifier)])
+        ts = activity_schema.timestamp
+        self._attributes.add(
+            func.cases(
+                *[
+                    (ts.disambiguated(step.identifier) != None, step.identifier)  # noqa: E711
+                    for step in reversed(step_conditions)
+                ],
+                other=None,
+            ).named("last_matched_step_name")
+        )
+        self._attributes.add(
+            func.cases(
+                *[
+                    (
+                        ts.disambiguated(step.identifier) != None,  # noqa: E711
+                        len(step_conditions) - 1 - i,
+                    )
+                    for i, step in enumerate(reversed(step_conditions))
+                ],
+                other=None,
+            ).named("last_matched_step_index")
+        )
+        for partition in partition_start_events:
+            self._attributes.add(column(partition.identifier))
+        self._primary_key = activity_schema.group
+
+        # reset measures (reference: model.py:520-533)
+        self._measures = IdentifiableMap()
+        self._measures.add(func.count().named(FUNNEL_COUNT_COLUMN_NAME))
+        for step in step_conditions:
+            self._measures.add(
+                func.count_if(
+                    ts.disambiguated(step.identifier) != None  # noqa: E711
+                ).named(f"{step.identifier}_count")
+            )
+        self._activity_schema = None
+
+    def funnel(
+        self,
+        steps,
+        *,
+        group=None,
+        timestamp=None,
+        event_key=None,
+        time_limit=None,
+        partition_start_events=None,
+        partition_matches=None,
+        top_of_funnel: Union[int, str] = 0,
+    ) -> "Model":
+        """Ordered-step conversion counts (reference: model.py:539-733).
+        Pure composition: match_steps → aggregate → fold → pick → sort."""
+        steps = resolve_all_nested_keypaths(self, steps)
+        group = resolve_all_nested_keypaths(self, group)
+        timestamp = resolve_all_nested_keypaths(self, timestamp)
+        event_key = resolve_all_nested_keypaths(self, event_key)
+        partition_start_events = resolve_all_nested_keypaths(self, partition_start_events or [])
+        partition_start_events = [to_expr(p) for p in partition_start_events]
+
+        activity_schema = self._require_normalized_activity_schema(
+            group, timestamp, event_key, "funnel"
+        )
+        top_index = top_of_funnel if isinstance(top_of_funnel, int) else None
+        top_name = top_of_funnel if isinstance(top_of_funnel, str) else "entities"
+        if top_index is not None and top_index < 0:
+            raise ValueError("Invalid `top_of_funnel` index. Cannot be negative.")
+        if top_index is not None and steps and top_index >= len(steps):
+            raise ValueError(
+                "There are not enough steps in the funnel to filter to the "
+                "provided `top_of_funnel` index"
+            )
+        if isinstance(top_of_funnel, str) and partition_start_events:
+            raise ValueError(
+                "`top_of_funnel` cannot be a string when partitioning with "
+                "`partition_start_events`."
+            )
+
+        if len(steps) == 0:
+            # top of funnel only: count distinct entities (reference :664-675)
+            return self.aggregate(
+                measures=[
+                    column(value=top_name).named("step"),
+                    func.count(func.distinct(activity_schema.group)).named(
+                        FUNNEL_COUNT_COLUMN_NAME
+                    ),
+                ]
+            )
+
+        normalized = self._normalize_steps(list(steps), activity_schema)
+        step_names = [s.identifier for s in normalized]
+        matched = self.match_steps(
+            steps,
+            group=group,
+            timestamp=timestamp,
+            event_key=event_key,
+            time_limit=time_limit,
+            partition_start_events=partition_start_events,
+        )
+        partition_outputs = [column(p.identifier) for p in partition_start_events]
+        partition_matches = resolve_all_nested_keypaths(matched, partition_matches or [])
+        all_partitions = partition_outputs + list(partition_matches)
+
+        aggregated = matched.aggregate(
+            groups=all_partitions, measures=list(matched._measures)
+        )
+        all_step_value_columns = [column(FUNNEL_COUNT_COLUMN_NAME).named(top_name)] + [
+            column(f"{sid}_count").named(sid) for sid in step_names
+        ]
+        folded = aggregated.fold(
+            ids=[column(g.identifier) for g in all_partitions],
+            values=(
+                all_step_value_columns
+                if top_index is None
+                else all_step_value_columns[(top_index + 1):]
+            ),
+            key_name="step",
+            value_name=FUNNEL_COUNT_COLUMN_NAME,
+        )
+        result = folded.pick(column("*"))
+        for p in all_partitions:
+            result = result.sort(column(p.identifier))
+        return result.sort(
+            func.cases(
+                *[
+                    (column("step") == step_name, idx)
+                    for idx, step_name in enumerate([top_name, *step_names])
+                ],
+                other=len(step_names) + 1,
+            ).named("step_index"),
+            dir="asc",
+        )
+
+    def funnel_conversion_rate(
+        self,
+        steps,
+        *,
+        group=None,
+        timestamp=None,
+        event_key=None,
+        time_limit=None,
+        partition_start_events=None,
+        partition_matches=None,
+    ) -> "Model":
+        """Conversion rate + started/converted counts + avg seconds
+        (reference: model.py:735-870)."""
+        steps = resolve_all_nested_keypaths(self, steps)
+        group = resolve_all_nested_keypaths(self, group)
+        timestamp = resolve_all_nested_keypaths(self, timestamp)
+        event_key = resolve_all_nested_keypaths(self, event_key)
+        partition_start_events = resolve_all_nested_keypaths(self, partition_start_events or [])
+        partition_start_events = [to_expr(p) for p in partition_start_events]
+        activity_schema = self._require_normalized_activity_schema(
+            group, timestamp, event_key, "funnel_conversion_rate"
+        )
+
+        if len(steps) == 0:
+            count_distinct = func.count(func.distinct(activity_schema.group))
+            result = self.aggregate(
+                groups=list(partition_start_events),
+                measures=[
+                    count_distinct.named("startedCount"),
+                    count_distinct.named("convertedCount"),
+                    column(value=0).named("avgSecondsToConvert"),
+                    column(value=1).named("rate"),
+                ],
+            )
+            for p in partition_start_events:
+                result = result.sort(column(p.identifier), dir="asc")
+            return result
+
+        matched = self.match_steps(
+            steps,
+            group=group,
+            timestamp=timestamp,
+            event_key=event_key,
+            time_limit=time_limit,
+            partition_start_events=partition_start_events,
+        )
+        partition_outputs = [column(p.identifier) for p in partition_start_events]
+        partition_matches = resolve_all_nested_keypaths(matched, partition_matches or [])
+        normalized = self._normalize_steps(list(steps), activity_schema)
+        first_ts = activity_schema.timestamp.disambiguated(normalized[0].identifier)
+        last_ts = activity_schema.timestamp.disambiguated(normalized[-1].identifier)
+
+        rate = (
+            func.count_if(last_ts != None) / func.count_if(first_ts != None)  # noqa: E711
+        ).named("rate")
+        avg_seconds = func.avg(func.diff_seconds(last_ts, first_ts)).named(
+            "avgSecondsToConvert"
+        )
+        started = func.count_if(first_ts != None).named("startedCount")  # noqa: E711
+        converted = func.count_if(last_ts != None).named("convertedCount")  # noqa: E711
+
+        all_partitions = partition_outputs + list(partition_matches)
+        matched = matched.filter(first_ts != None)  # noqa: E711
+        result = matched.aggregate(
+            groups=all_partitions,
+            measures=[rate, started, converted, avg_seconds],
+        )
+        for p in all_partitions:
+            result = result.sort(p, dir="asc")
+        return result
+
+    # --- execution (reference: model.py:999-1056) ---
+
+    def _compile_state(self) -> CompileState:
+        if self._connection is None:
+            raise ValueError("Model has no connection; use .with_connection(...)")
+        state = CompileState(connection=self._connection)
+        # global pre-scan: which (namespace, column) pairs are referenced
+        # anywhere — powers dead-join elision and match_steps' lazy
+        # full-row collection
+        for src in self._source.walk_sources():
+            for e in src.expressions():
+                if not isinstance(e, ColumnExpression):
+                    continue
+                for node in e.walk():
+                    if node._namespace:
+                        name = getattr(node, "name", None) or node.identifier
+                        state.global_ns_refs.add((node._namespace, name))
+        # attributes/measures defined but not yet consumed can also carry
+        # namespace references that will be resolved later
+        for e in list(self._attributes) + list(self._measures):
+            for node in e.walk():
+                if node._namespace:
+                    name = getattr(node, "name", None) or node.identifier
+                    state.global_ns_refs.add((node._namespace, name))
+        return state
+
+    def to_df(self) -> DataFrame:
+        """Compile to a lazy pyspark DataFrame (no execution)."""
+        state = self._compile_state()
+        df = compile_model_df(self, state)
+        df = strip_private_columns(df)
+        return _dedupe_output_columns(df)
+
+    def run(self) -> "RunResults":
+        return RunResults(self.to_df())
+
+    def sql(self) -> str:
+        """The compiled plan, as text (the reference returns rendered SQL;
+        on Spark the artifact is the optimized logical + physical plan)."""
+        df = self.to_df()
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), "extended"
+        )
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.to_df().explain(mode)
+
+    # --- serialization (wire format, reference: serializable version 7) ---
+
+    WIRE_VERSION = 7
+
+    def to_wire(self) -> dict:
+        return {
+            "type": "model",
+            "version": self.WIRE_VERSION,
+            "source": self._source.to_wire() if self._source else None,
+            "attributes": [a.to_wire() for a in self._attributes],
+            "measures": [m.to_wire() for m in self._measures],
+            "namespaces": [n.to_wire() for n in self._namespaces],
+            "primaryKey": self._primary_key.to_wire(),
+            "activitySchema": (
+                self._activity_schema.to_wire() if self._activity_schema else None
+            ),
+            "customMeta": self._custom_meta,
+        }
+
+    @classmethod
+    def from_wire(cls, data: dict, connection: Optional[Connection] = None) -> "Model":
+        model = cls(connection)
+        if data.get("source"):
+            model._source = Source.from_wire(data["source"])
+        model._attributes = IdentifiableMap(
+            ColumnExpression.from_wire(a) for a in data["attributes"]
+        )
+        model._measures = IdentifiableMap(
+            ColumnExpression.from_wire(m) for m in data["measures"]
+        )
+        model._namespaces = IdentifiableMap(
+            ModelNamespace.from_wire(n) for n in data["namespaces"]
+        )
+        model._primary_key = ColumnExpression.from_wire(data["primaryKey"])
+        if data.get("activitySchema"):
+            model._activity_schema = ModelActivitySchema.from_wire(data["activitySchema"])
+        model._custom_meta = data.get("customMeta", {})
+        return model
+
+    def __repr__(self):
+        lines = ["Model:"]
+        if self._source is not None:
+            lines.append(f"  source: {self._source.__TYPE_KEY__}")
+        lines.append(f"  attributes: {', '.join(self._attributes.keys()) or '(none)'}")
+        lines.append(f"  measures: {', '.join(self._measures.keys()) or '(none)'}")
+        lines.append(f"  relations: {', '.join(self._namespaces.keys()) or '(none)'}")
+        return "\n".join(lines)
+
+
+def _dedupe_output_columns(df: DataFrame) -> DataFrame:
+    """Duplicate output names renamed ``_2``, ``_3``, ... with a warning
+    (reference: src/run/execute/post_process.py:20-48)."""
+    seen: Dict[str, int] = {}
+    new_names = []
+    renamed = False
+    for c in df.columns:
+        if c in seen:
+            seen[c] += 1
+            new_names.append(f"{c}_{seen[c]}")
+            renamed = True
+        else:
+            seen[c] = 1
+            new_names.append(c)
+    if renamed:
+        warnings.warn("duplicate output column names were renamed with _N suffixes")
+        return df.toDF(*new_names)
+    return df
+
+
+class RunResults:
+    """Execution results (reference: src/run/run_results.py:13-101)."""
+
+    def __init__(self, spark_df: DataFrame) -> None:
+        self._spark_df = spark_df
+        self._pandas = None
+
+    @property
+    def spark_df(self) -> DataFrame:
+        return self._spark_df
+
+    @property
+    def df(self):
+        """pandas DataFrame (Arrow-accelerated collect)."""
+        if self._pandas is None:
+            self._pandas = self._spark_df.toPandas()
+        return self._pandas
+
+    @property
+    def py_records(self) -> List[dict]:
+        return self.df.to_dict("records")
+
+    @property
+    def sql_query(self) -> str:
+        return self._spark_df._jdf.queryExecution().toString()

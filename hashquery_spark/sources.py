@@ -1,0 +1,780 @@
+"""Relational source nodes and their compilation to lazy DataFrames.
+
+The reference compiles an immutable ``Source`` tree to a chain of SQL CTEs
+via SQLAlchemy (reference: src/model/source/source.py:7, compiler registry
+src/run/compile/source/compile_source.py:10-36). Here each Source compiles
+to a transformation on a lazy ``pyspark.sql.DataFrame`` — Spark's logical
+plan *is* the CTE chain, and Catalyst provides layer fusion, predicate
+pushdown, column pruning and join reordering that the reference left to the
+warehouse (SURVEY.md §4).
+
+Design notes for 100 TB scale:
+
+* Everything stays declarative DataFrame API — no RDDs, no collect().
+* Joins attach lazily: a ``with_join_one`` relation is only joined into the
+  plan if one of its columns is actually referenced downstream, replicating
+  the reference's dead-join elision (reference:
+  src/run/compile/source/compilers/join_one.py:54-67). An un-joined dim
+  table is never scanned.
+* ``broadcast=True`` (or "auto" + AQE) turns dim joins into broadcast hash
+  joins, avoiding a shuffle of the fact side.
+* Namespaced (joined) columns are physically prefixed ``__ns_{name}__{col}``
+  so multi-join disambiguation never relies on Spark alias scoping; Catalyst
+  prunes unused prefixed columns out of the scan.
+* ``fold`` compiles to native ``DataFrame.unpivot`` — one scan instead of
+  the reference's N-way self-union (reference: src/model/model.py:984-995).
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Set, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .connection import Connection
+from .expr import (
+    ColumnExpression,
+    ExprContext,
+    PyValueExpression,
+    RESERVED_NAME_RE,
+    StarExpression,
+    SubqueryExpression,
+    column,
+)
+
+NS_SEP = "__ns_"
+
+
+def ns_prefixed(namespace: str, col: str) -> str:
+    return f"{NS_SEP}{namespace}__{col}"
+
+
+# --------------------------------------------------------------------------
+# Compile state
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class NamespaceSlot:
+    """A joined relation that may or may not be physically attached yet."""
+
+    name: str
+    build_df: Callable[[], DataFrame]  # deferred: don't even read the source
+    condition: Optional[ColumnExpression]
+    how: str  # "left" | "inner"
+    broadcast: bool = False
+    attached: bool = False
+    # fast-path column aliases that resolve without attaching the join
+    # (used by match_steps for per-step timestamps)
+    colmap: Dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class CompileState:
+    """Global compile state for one Model execution."""
+
+    connection: Connection
+    now: datetime.datetime = field(default_factory=datetime.datetime.now)
+    first_day_of_week: int = 0
+    # (namespace, column) pairs referenced anywhere in the full source tree
+    global_ns_refs: Set[Tuple[str, str]] = field(default_factory=set)
+    name_counter: int = 0
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.connection.spark
+
+    def fresh_name(self, base: str) -> str:
+        self.name_counter += 1
+        return f"__{base}_{self.name_counter}__"
+
+
+@dataclass
+class FrameState:
+    """A DataFrame plus the semantic bookkeeping Spark doesn't track."""
+
+    df: DataFrame
+    state: CompileState
+    namespaces: Dict[str, NamespaceSlot] = field(default_factory=dict)
+    sort_exprs: List[Column] = field(default_factory=list)  # accumulated ORDER BY
+    sql_bindings: Dict[str, ColumnExpression] = field(default_factory=dict)
+
+    # --- expression compilation with lazy join / subquery attachment ---
+
+    def expr_ctx(self) -> ExprContext:
+        def ns_col(ns: str, col: str) -> str:
+            slot = self.namespaces.get(ns)
+            if slot is None:
+                raise KeyError(f"no joined relation named {ns!r} in scope")
+            if col in slot.colmap:
+                return slot.colmap[col]
+            return ns_prefixed(ns, col)
+
+        return ExprContext(
+            spark=self.state.spark,
+            df=self.df,
+            now=self.state.now,
+            ns_col=ns_col,
+            first_day_of_week=self.state.first_day_of_week,
+            sql_bindings=self.sql_bindings,
+        )
+
+    def prepare(self, exprs: List[ColumnExpression]) -> ExprContext:
+        """Attach any joins / subquery markers the expressions need, then
+        return a context ready to compile them against ``self.df``."""
+        needed: List[Tuple[str, str]] = []
+        subqueries: List[SubqueryExpression] = []
+        for e in exprs:
+            if not isinstance(e, ColumnExpression):
+                continue
+            for node in e.walk():
+                if node._namespace:
+                    name = getattr(node, "name", None) or node.identifier
+                    needed.append((node._namespace, name))
+                if isinstance(node, SubqueryExpression):
+                    subqueries.append(node)
+        for ns, colname in needed:
+            self._ensure_namespace(ns, colname)
+        for sub in subqueries:
+            self._attach_subquery(sub, self.expr_ctx())
+        ctx = self.expr_ctx()
+        ctx.subquery_cols = self._subquery_cols
+        return ctx
+
+    def _ensure_namespace(self, ns: str, colname: str) -> None:
+        slot = self.namespaces.get(ns)
+        if slot is None:
+            raise KeyError(f"no joined relation named {ns!r} in scope")
+        if slot.attached or colname in slot.colmap:
+            return
+        self._attach_join(slot)
+
+    def _attach_join(self, slot: NamespaceSlot) -> None:
+        """Physically add the (so-far elided) join into the plan."""
+        joined = slot.build_df()
+        if joined is None:
+            raise KeyError(
+                f"relation {slot.name!r} only exposes fast-path columns "
+                f"({sorted(slot.colmap)}); no joinable frame is available"
+            )
+        # prefix every column so disambiguation is purely lexical
+        joined = joined.select(
+            *[F.col(c).alias(ns_prefixed(slot.name, c)) for c in joined.columns]
+        )
+        if slot.broadcast:
+            joined = F.broadcast(joined)
+        cond_expr = slot.condition
+        if callable(cond_expr) and not isinstance(cond_expr, ColumnExpression):
+            # internal joins (match_steps step namespaces) build their ON
+            # clause directly as a pyspark Column
+            slot.attached = True
+            self.df = self.df.join(joined, on=cond_expr(), how=slot.how)
+            return
+        # the ON condition may itself reference other namespaces
+        sub_needs = [
+            (n._namespace, getattr(n, "name", None) or n.identifier)
+            for n in cond_expr.walk()
+            if n._namespace and n._namespace != slot.name
+        ]
+        for ns, colname in sub_needs:
+            self._ensure_namespace(ns, colname)
+        slot.attached = True  # set before compiling ON (self-references OK)
+        probe = self.df.crossJoin(joined.limit(0))
+        ctx = ExprContext(
+            spark=self.state.spark,
+            df=probe,
+            now=self.state.now,
+            ns_col=lambda ns, col: (
+                self.namespaces[ns].colmap.get(col) or ns_prefixed(ns, col)
+            ),
+            first_day_of_week=self.state.first_day_of_week,
+            sql_bindings=self.sql_bindings,
+        )
+        on = cond_expr.compile(ctx)
+        self.df = self.df.join(joined, on=on, how=slot.how)
+
+    # --- subquery (IN / EXISTS) join rewrites ---
+
+    @property
+    def _subquery_cols(self) -> dict:
+        if not hasattr(self, "_sq_cols"):
+            self._sq_cols = {}
+        return self._sq_cols
+
+    def _attach_subquery(self, sub: SubqueryExpression, ctx: ExprContext) -> None:
+        if id(sub) in self._subquery_cols:
+            return
+        sub_df = compile_model_df(sub.model, self.state)
+        if sub.kind == "in":
+            if len(sub_df.columns) != 1:
+                # default to the model's single attribute or primary key
+                sub_df = sub_df.select(sub_df.columns[0])
+            val_col = sub_df.columns[0]
+            marker = self.state.fresh_name("in_marker")
+            val_alias = self.state.fresh_name("in_val")
+            rhs = (
+                sub_df.select(F.col(val_col).alias(val_alias))
+                .where(F.col(val_alias).isNotNull())
+                .distinct()
+                .withColumn(marker, F.lit(True))
+            )
+            needle = sub.needle.compile(ctx)
+            # small distinct value sets broadcast; AQE handles the rest
+            self.df = self.df.join(F.broadcast(rhs), on=needle == F.col(val_alias), how="left")
+            # null semantics (reference: column_expression.py:513-544):
+            # a NULL needle matches iff the subquery contains a NULL
+            has_null_name = self.state.fresh_name("in_has_null")
+            has_null = sub_df.select(
+                F.max(F.when(F.col(val_col).isNull(), F.lit(1)).otherwise(F.lit(0))).alias(
+                    has_null_name
+                )
+            )
+            self.df = self.df.crossJoin(F.broadcast(has_null))
+            self._subquery_cols[id(sub)] = F.col(marker).isNotNull() | (
+                needle.isNull() & (F.col(has_null_name) == 1)
+            )
+        else:  # exists — uncorrelated: "subquery has >= 1 row"
+            flag_name = self.state.fresh_name("exists_flag")
+            flag = sub_df.limit(1).select(F.lit(1).alias(flag_name))
+            # left-join a 0-or-1 row frame on TRUE
+            self.df = self.df.join(F.broadcast(flag), on=F.lit(True), how="left")
+            self._subquery_cols[id(sub)] = F.col(flag_name).isNotNull()
+
+    # --- layer transitions ---
+
+    def flatten_namespaces(self) -> None:
+        """pick/aggregate/union flatten joined relations away
+        (reference: src/model/model.py:403-407, 881-887, 934-936)."""
+        self.namespaces = {}
+
+    def with_df(self, df: DataFrame) -> "FrameState":
+        self.df = df
+        return self
+
+
+# --------------------------------------------------------------------------
+# Source nodes
+# --------------------------------------------------------------------------
+
+
+class Source:
+    """Immutable relational transform node (reference:
+    src/model/source/source.py:7)."""
+
+    __TYPE_KEY__ = "abstract"
+
+    def compile(self, fs_factory, state: CompileState) -> FrameState:
+        raise NotImplementedError
+
+    def default_identifier(self) -> Optional[str]:
+        return None
+
+    def walk_sources(self):
+        yield self
+        for child in self.child_sources():
+            yield from child.walk_sources()
+
+    def child_sources(self) -> list:
+        return []
+
+    def expressions(self) -> List[ColumnExpression]:
+        return []
+
+    def to_wire(self) -> dict:
+        return {"type": self.__TYPE_KEY__}
+
+    @staticmethod
+    def from_wire(data: dict) -> "Source":
+        return _SOURCE_WIRE_REGISTRY[data["type"]]._from_wire(data)
+
+
+class TableNameSource(Source):
+    """Scan of a registered table (reference: src/model/source/table_name.py:6)."""
+
+    __TYPE_KEY__ = "tableName"
+
+    def __init__(self, table: str, schema: Optional[str] = None) -> None:
+        self.table = table
+        self.schema = schema
+
+    def default_identifier(self):
+        return self.table
+
+    def compile(self, state: CompileState) -> FrameState:
+        name = f"{self.schema}.{self.table}" if self.schema else self.table
+        return FrameState(df=state.connection.table(name), state=state)
+
+    def to_wire(self):
+        return {**super().to_wire(), "table": self.table, "schema": self.schema}
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(data["table"], data.get("schema"))
+
+
+class SqlTextSource(Source):
+    """Raw SQL as a source (reference: src/model/source/sql_text.py:6).
+    Trailing ``;`` and comments stripped like the reference
+    (compilers/sql_text.py:41-45)."""
+
+    __TYPE_KEY__ = "sqlText"
+
+    def __init__(self, query: str) -> None:
+        self.query = query
+
+    def default_identifier(self):
+        return None
+
+    def compile(self, state: CompileState) -> FrameState:
+        query = re.sub(r"--[^\n]*", "", self.query)
+        query = query.strip().rstrip(";").strip()
+        return FrameState(df=state.connection.sql(query), state=state)
+
+    def to_wire(self):
+        return {**super().to_wire(), "query": self.query}
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(data["query"])
+
+
+class FilterSource(Source):
+    """Row predicate (reference: src/model/source/filter.py:7). Spark needs
+    no WHERE/HAVING split — a filter after groupBy().agg() is naturally a
+    post-aggregation filter (compilers/filter.py:11-22)."""
+
+    __TYPE_KEY__ = "filter"
+
+    def __init__(self, base: Source, condition: ColumnExpression) -> None:
+        self.base = base
+        self.condition = condition
+
+    def child_sources(self):
+        return [self.base]
+
+    def expressions(self):
+        return [self.condition]
+
+    def default_identifier(self):
+        return self.base.default_identifier()
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        ctx = fs.prepare([self.condition])
+        fs.df = fs.df.filter(self.condition.compile(ctx))
+        return fs
+
+    def to_wire(self):
+        return {**super().to_wire(), "base": self.base.to_wire(), "condition": self.condition.to_wire()}
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(Source.from_wire(data["base"]), ColumnExpression.from_wire(data["condition"]))
+
+
+class PickSource(Source):
+    """Projection (reference: src/model/source/pick.py:7). Resets namespaces."""
+
+    __TYPE_KEY__ = "pick"
+
+    def __init__(self, base: Source, columns: List[ColumnExpression]) -> None:
+        self.base = base
+        self.columns = list(columns)
+
+    def child_sources(self):
+        return [self.base]
+
+    def expressions(self):
+        return list(self.columns)
+
+    def default_identifier(self):
+        return self.base.default_identifier()
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        ctx = fs.prepare(self.columns)
+        cols: List[Column] = []
+        for c in self.columns:
+            if isinstance(c, StarExpression):
+                cols.append(F.col("*"))
+            else:
+                cols.append(c.compile(ctx).alias(c.identifier))
+        fs.df = fs.df.select(*cols)
+        fs.flatten_namespaces()
+        fs.sort_exprs = []
+        return fs
+
+    def to_wire(self):
+        return {
+            **super().to_wire(),
+            "base": self.base.to_wire(),
+            "columns": [c.to_wire() for c in self.columns],
+        }
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(
+            Source.from_wire(data["base"]),
+            [ColumnExpression.from_wire(c) for c in data["columns"]],
+        )
+
+
+class SortSource(Source):
+    """ORDER BY one expression; consecutive sorts accumulate in call order,
+    matching SQLAlchemy's order_by chaining in the reference
+    (compilers/sort.py:12-42). "auto" nulls = first when asc, last when desc
+    — which is exactly Spark's default, but we set it explicitly."""
+
+    __TYPE_KEY__ = "sort"
+
+    def __init__(self, base: Source, sort: ColumnExpression, dir: str = "asc", nulls: str = "auto") -> None:
+        if dir not in ("asc", "desc"):
+            raise ValueError(f"Invalid sort direction: {dir}")
+        if nulls not in ("auto", "first", "last"):
+            raise ValueError(f"Invalid nulls ordering: {nulls}")
+        self.base = base
+        self.sort = sort
+        self.dir = dir
+        self.nulls = nulls
+
+    def child_sources(self):
+        return [self.base]
+
+    def expressions(self):
+        return [self.sort]
+
+    def default_identifier(self):
+        return self.base.default_identifier()
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        ctx = fs.prepare([self.sort])
+        col = self.sort.compile(ctx)
+        nulls = self.nulls
+        if nulls == "auto":
+            nulls = "first" if self.dir == "asc" else "last"
+        if self.dir == "asc":
+            col = col.asc_nulls_first() if nulls == "first" else col.asc_nulls_last()
+        else:
+            col = col.desc_nulls_first() if nulls == "first" else col.desc_nulls_last()
+        fs.sort_exprs = fs.sort_exprs + [col]
+        fs.df = fs.df.orderBy(*fs.sort_exprs)
+        return fs
+
+    def to_wire(self):
+        return {
+            **super().to_wire(),
+            "base": self.base.to_wire(),
+            "sort": self.sort.to_wire(),
+            "dir": self.dir,
+            "nulls": self.nulls,
+        }
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(Source.from_wire(data["base"]), ColumnExpression.from_wire(data["sort"]), data["dir"], data["nulls"])
+
+
+class LimitSource(Source):
+    """LIMIT n OFFSET m (reference: src/model/source/limit.py:6)."""
+
+    __TYPE_KEY__ = "limit"
+
+    def __init__(self, base: Source, limit: int, offset: int = 0) -> None:
+        self.base = base
+        self.limit = limit
+        self.offset = offset
+
+    def child_sources(self):
+        return [self.base]
+
+    def default_identifier(self):
+        return self.base.default_identifier()
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        df = fs.df
+        if self.offset:
+            df = df.offset(self.offset)
+        fs.df = df.limit(self.limit)
+        return fs
+
+    def to_wire(self):
+        return {**super().to_wire(), "base": self.base.to_wire(), "limit": self.limit, "offset": self.offset}
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(Source.from_wire(data["base"]), data["limit"], data.get("offset", 0))
+
+
+class UnionSource(Source):
+    """UNION ALL by column position (reference: src/model/source/union.py:6).
+    ``DataFrame.union`` is positional and ALL — an exact match; Catalyst's
+    CombineUnions folds consecutive unions (compilers/union.py:19-23)."""
+
+    __TYPE_KEY__ = "union"
+
+    def __init__(self, base: Source, union_source: Source) -> None:
+        self.base = base
+        self.union_source = union_source
+
+    def child_sources(self):
+        return [self.base, self.union_source]
+
+    def default_identifier(self):
+        return self.base.default_identifier()
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        other = self.union_source.compile(state)
+        fs.df = fs.df.union(other.df)
+        fs.flatten_namespaces()
+        fs.sort_exprs = []
+        return fs
+
+    def to_wire(self):
+        return {**super().to_wire(), "base": self.base.to_wire(), "unionSource": self.union_source.to_wire()}
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(Source.from_wire(data["base"]), Source.from_wire(data["unionSource"]))
+
+
+class AggregateSource(Source):
+    """GROUP BY groups, compute measures (reference:
+    src/model/source/aggregate.py:7). Spark's partial aggregation
+    (map-side combine) applies automatically; the shuffle is on the group
+    keys only."""
+
+    __TYPE_KEY__ = "aggregate"
+
+    def __init__(self, base: Source, groups: List[ColumnExpression], measures: List[ColumnExpression]) -> None:
+        self.base = base
+        self.groups = list(groups)
+        self.measures = list(measures)
+
+    def child_sources(self):
+        return [self.base]
+
+    def expressions(self):
+        return self.groups + self.measures
+
+    def default_identifier(self):
+        return self.base.default_identifier()
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        ctx = fs.prepare(self.groups + self.measures)
+        group_cols = [g.compile(ctx).alias(g.identifier) for g in self.groups]
+        measure_cols = [m.compile(ctx).alias(m.identifier) for m in self.measures]
+        if measure_cols:
+            fs.df = fs.df.groupBy(*group_cols).agg(*measure_cols)
+        elif group_cols:
+            fs.df = fs.df.select(*group_cols).distinct()
+        else:
+            raise ValueError("aggregate() requires at least one group or measure")
+        fs.flatten_namespaces()
+        fs.sort_exprs = []
+        return fs
+
+    def to_wire(self):
+        return {
+            **super().to_wire(),
+            "base": self.base.to_wire(),
+            "groups": [g.to_wire() for g in self.groups],
+            "measures": [m.to_wire() for m in self.measures],
+        }
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(
+            Source.from_wire(data["base"]),
+            [ColumnExpression.from_wire(g) for g in data["groups"]],
+            [ColumnExpression.from_wire(m) for m in data["measures"]],
+        )
+
+
+class JoinOneSource(Source):
+    """Many-to-one join of a named sub-model (reference:
+    src/model/source/join_one.py:8). LEFT OUTER by default, INNER when
+    ``drop_unmatched=True``; the join is only emitted if the relation is
+    actually referenced downstream (compilers/join_one.py:54-67) — including
+    the drop_unmatched filter, which the reference also elides."""
+
+    __TYPE_KEY__ = "joinOne"
+
+    def __init__(
+        self,
+        base: Source,
+        relation,  # ModelNamespace
+        join_condition: ColumnExpression,
+        drop_unmatched: bool = False,
+        broadcast: bool = False,
+    ) -> None:
+        self.base = base
+        self.relation = relation
+        self.join_condition = join_condition
+        self.drop_unmatched = drop_unmatched
+        self.broadcast = broadcast
+
+    def child_sources(self):
+        return [self.base]
+
+    def expressions(self):
+        # join_condition intentionally excluded from global ns-reference
+        # scans: a join must not justify itself (reference defers the ON
+        # compile to finalize for the same reason)
+        return []
+
+    def default_identifier(self):
+        return self.base.default_identifier()
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        name = self.relation._identifier
+        nested = self.relation._nested_model
+
+        def build_df() -> DataFrame:
+            return compile_model_df(nested, state)
+
+        fs.namespaces[name] = NamespaceSlot(
+            name=name,
+            build_df=build_df,
+            condition=self.join_condition,
+            how="inner" if self.drop_unmatched else "left",
+            broadcast=self.broadcast,
+        )
+        return fs
+
+    def to_wire(self):
+        return {
+            **super().to_wire(),
+            "base": self.base.to_wire(),
+            "relation": self.relation.to_wire(),
+            "joinCondition": self.join_condition.to_wire(),
+            "dropUnmatched": self.drop_unmatched,
+            "broadcast": self.broadcast,
+        }
+
+    @classmethod
+    def _from_wire(cls, data):
+        from .model import ModelNamespace
+
+        return cls(
+            Source.from_wire(data["base"]),
+            ModelNamespace.from_wire(data["relation"]),
+            ColumnExpression.from_wire(data["joinCondition"]),
+            data["dropUnmatched"],
+            data.get("broadcast", False),
+        )
+
+
+class FoldSource(Source):
+    """Unpivot/melt N value columns into (key, value) long format.
+
+    The reference composes this from pick × N -> union_all
+    (reference: src/model/model.py:939-995); Spark has a native ``unpivot``
+    which reads the input ONCE instead of N times — the semantic spec is the
+    union chain, the physical plan is the single-scan unpivot."""
+
+    __TYPE_KEY__ = "fold"
+
+    def __init__(
+        self,
+        base: Source,
+        ids: List[ColumnExpression],
+        values: List[ColumnExpression],
+        key_name: str = "key",
+        value_name: str = "value",
+    ) -> None:
+        self.base = base
+        self.ids = list(ids)
+        self.values = list(values)
+        self.key_name = key_name
+        self.value_name = value_name
+
+    def child_sources(self):
+        return [self.base]
+
+    def expressions(self):
+        return self.ids + self.values
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        ctx = fs.prepare(self.ids + self.values)
+        id_names = [i.identifier for i in self.ids]
+        value_names = [v.identifier for v in self.values]
+        pre = fs.df.select(
+            *[i.compile(ctx).alias(i.identifier) for i in self.ids],
+            *[v.compile(ctx).alias(v.identifier) for v in self.values],
+        )
+        fs.df = pre.unpivot(id_names, value_names, self.key_name, self.value_name)
+        fs.flatten_namespaces()
+        fs.sort_exprs = []
+        return fs
+
+    def to_wire(self):
+        return {
+            **super().to_wire(),
+            "base": self.base.to_wire(),
+            "ids": [i.to_wire() for i in self.ids],
+            "values": [v.to_wire() for v in self.values],
+            "keyName": self.key_name,
+            "valueName": self.value_name,
+        }
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(
+            Source.from_wire(data["base"]),
+            [ColumnExpression.from_wire(i) for i in data["ids"]],
+            [ColumnExpression.from_wire(v) for v in data["values"]],
+            data["keyName"],
+            data["valueName"],
+        )
+
+
+# --------------------------------------------------------------------------
+# Entry points
+# --------------------------------------------------------------------------
+
+
+def compile_model_df(model, state: CompileState) -> DataFrame:
+    """Compile a Model's source tree into a lazy DataFrame (no execution)."""
+    fs = model._source.compile(state)
+    return fs.df
+
+
+def strip_private_columns(df: DataFrame) -> DataFrame:
+    """Drop ``__dunder__`` internal columns from the final output
+    (reference: src/run/execute/post_process.py:8-17)."""
+    keep = [c for c in df.columns if not RESERVED_NAME_RE.match(c) and not c.startswith(NS_SEP)]
+    if len(keep) != len(df.columns):
+        return df.select(*keep)
+    return df
+
+
+_SOURCE_WIRE_REGISTRY: Dict[str, type] = {}
+
+
+def _register_wire(*classes):
+    for cls in classes:
+        _SOURCE_WIRE_REGISTRY[cls.__TYPE_KEY__] = cls
+
+
+_register_wire(
+    TableNameSource,
+    SqlTextSource,
+    FilterSource,
+    PickSource,
+    SortSource,
+    LimitSource,
+    UnionSource,
+    AggregateSource,
+    JoinOneSource,
+    FoldSource,
+)
