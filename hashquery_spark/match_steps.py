@@ -255,8 +255,11 @@ class MatchStepsSource(Source):
             )
 
         # ---- 4. per-step timestamps from the array (no join-back) ----
+        # try_element_at, not element_at: under ANSI mode (Spark 4 default)
+        # element_at with a NULL computed index wrongly returns the last
+        # element instead of NULL (observed on 4.1; try_element_at is correct)
         raw_ts = [
-            F.element_at(F.col(EVENTS_ARRAY_LABEL), F.col(_step_index_col(i)))["ts"]
+            F.try_element_at(F.col(EVENTS_ARRAY_LABEL), F.col(_step_index_col(i)))["ts"]
             for i in range(n_steps)
         ]
         journeys = journeys.withColumn(step_ts_label(0), raw_ts[0])
