@@ -1,38 +1,544 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` — one entry per implemented operator from SURVEY.md §2 plus
+the net-new training-data operators; each callable takes (spark, sf_dir)
+and returns a lazy DataFrame built through the hashquery_spark DSL.
+``oracle_sql()`` — the DuckDB-runnable ANSI SQL equivalent of each query.
+
+Determinism contract between the two engines:
+
+* Money/measure sums go through DECIMAL so aggregation order cannot change
+  the result; per-row double arithmetic is IEEE-identical everywhere.
+* Every hash is md5-derived (Spark ``conv(substr(md5(x),1,8),16,10)`` ==
+  DuckDB ``CAST('0x'||substr(md5(x),1,8) AS BIGINT)``).
+* Cosine similarities are rounded to 4 decimals before ranking; ranking is
+  totally ordered by (sim DESC, id ASC).
+* Aliases match between the Spark plan and the SQL text column-for-column.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
+
+from hashquery_spark import Connection, Model, column, func, attr, rel
+from hashquery_spark.ops import (
+    ann_brute_force,
+    decode_blob_metadata,
+    exact_dedup,
+    language_id,
+    lsh_ann,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    doc_fingerprint,
+    quality_score,
+    simhash,
+    token_count,
+    with_binary_column,
+)
+
+_CONNS: dict = {}
+
+
+def _conn(spark: SparkSession, sf_dir: str) -> Connection:
+    key = (id(spark), sf_dir)
+    if key not in _CONNS:
+        conn = Connection(spark)
+        conn.register_dir(sf_dir)
+        _CONNS[key] = conn
+    return _CONNS[key]
+
+
+def _events_model(spark, sf_dir) -> Model:
+    return Model(_conn(spark, sf_dir), "events").with_activity_schema(
+        group=attr.user_id, timestamp=attr.ts, event_key=attr.event_type
+    )
+
+
+# ===========================================================================
+# Reference-surface queries (SURVEY.md §2)
+# ===========================================================================
+
+
+def q_scan_filter_sort_limit(spark, sf_dir):
+    """Scan + filter + projection + multi-sort + limit/offset
+    (SURVEY §2.1 #1,3,4,5,6)."""
+    return (
+        Model(_conn(spark, sf_dir), "lineitem")
+        .filter(attr.l_quantity > 45)
+        .pick(
+            attr.l_orderkey,
+            attr.l_linenumber,
+            attr.l_extendedprice,
+            (attr.l_extendedprice * (1 - attr.l_discount)).named("revenue"),
+        )
+        .sort(column("l_extendedprice"), dir="desc")
+        .sort(column("l_orderkey"))
+        .sort(column("l_linenumber"))
+        .limit(100, offset=10)
+        .to_df()
+    )
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style grouped aggregate (SURVEY §2.1 #8, §2.3)."""
+    li = Model(_conn(spark, sf_dir), "lineitem")
+    return (
+        li.filter(attr.l_shipdate <= datetime(1998, 9, 1))
+        .aggregate(
+            groups=[attr.l_returnflag, attr.l_linestatus],
+            measures=[
+                func.sum(attr.l_quantity.cast("decimal(18,2)")).cast("double").named("sum_qty"),
+                func.sum(attr.l_extendedprice.cast("decimal(18,2)"))
+                .cast("double")
+                .named("sum_base_price"),
+                (
+                    func.sum(attr.l_discount.cast("decimal(18,6)")).cast("double")
+                    / func.count(attr.l_discount)
+                ).named("avg_disc"),
+                func.count().named("count_order"),
+            ],
+        )
+        .to_df()
+    )
+
+
+def q_agg_global(spark, sf_dir):
+    """Global (no groups) aggregate with count/min/max/count-distinct."""
+    return (
+        Model(_conn(spark, sf_dir), "lineitem")
+        .aggregate(
+            measures=[
+                func.count().named("n_rows"),
+                func.count(func.distinct(attr.l_partkey)).named("n_parts"),
+                func.min(attr.l_shipdate).named("min_ship"),
+                func.max(attr.l_shipdate).named("max_ship"),
+                func.sum(attr.l_quantity.cast("decimal(18,2)")).cast("double").named("sum_qty"),
+            ]
+        )
+        .to_df()
+    )
+
+
+def q_union_all(spark, sf_dir):
+    """UNION ALL by position, then aggregate (SURVEY §2.1 #7)."""
+    li = Model(_conn(spark, sf_dir), "lineitem")
+    hi = li.filter(attr.l_quantity > 45).pick(attr.l_returnflag, attr.l_quantity)
+    lo = li.filter(attr.l_quantity < 5).pick(attr.l_returnflag, attr.l_quantity)
+    return (
+        hi.union_all(lo)
+        .aggregate(
+            groups=[attr.l_returnflag],
+            measures=[
+                func.count().named("n"),
+                func.sum(column("l_quantity").cast("decimal(18,2)")).cast("double").named("qty"),
+            ],
+        )
+        .to_df()
+    )
+
+
+def q_join_one_left(spark, sf_dir):
+    """Lazy many-to-one LEFT join + group on joined attr (SURVEY §2.1 #9)."""
+    conn = _conn(spark, sf_dir)
+    customer = Model(conn, "customer").with_primary_key(column("c_custkey"))
+    return (
+        Model(conn, "orders")
+        .with_join_one(customer, foreign_key=attr.o_custkey, named="customer", broadcast=True)
+        .aggregate(
+            groups=[rel.customer.c_mktsegment],
+            measures=[
+                func.count().named("n_orders"),
+                func.sum(attr.o_totalprice.cast("decimal(18,2)")).cast("double").named("total"),
+            ],
+        )
+        .to_df()
+    )
+
+
+def q_join_drop_unmatched(spark, sf_dir):
+    """drop_unmatched=True compiles to an INNER join; dim side filtered."""
+    conn = _conn(spark, sf_dir)
+    rich = (
+        Model(conn, "customer")
+        .filter(attr.c_acctbal > 5000)
+        .with_primary_key(column("c_custkey"))
+    )
+    return (
+        Model(conn, "orders")
+        .with_join_one(rich, foreign_key=attr.o_custkey, named="cust", drop_unmatched=True)
+        .aggregate(
+            groups=[rel.cust.c_mktsegment],
+            measures=[func.count().named("n_orders")],
+        )
+        .to_df()
+    )
+
+
+def q_join_condition(spark, sf_dir):
+    """foreign_key + extra condition= (ANDed into the ON clause)."""
+    conn = _conn(spark, sf_dir)
+    customer = Model(conn, "customer").with_primary_key(column("c_custkey"))
+    return (
+        Model(conn, "orders")
+        .with_join_one(
+            customer,
+            foreign_key=attr.o_custkey,
+            condition=rel.customer.c_acctbal > 0,
+            named="customer",
+        )
+        .aggregate(
+            groups=[rel.customer.c_mktsegment],
+            measures=[func.count().named("n_orders")],
+        )
+        .to_df()
+    )
+
+
+def q_count_if_cases(spark, sf_dir):
+    """count_if sugar + CASE WHEN binning (SURVEY §2.3)."""
+    return (
+        Model(_conn(spark, sf_dir), "orders")
+        .aggregate(
+            groups=[
+                func.cases(
+                    (attr.o_totalprice < 100000, "small"),
+                    (attr.o_totalprice < 250000, "medium"),
+                    other="large",
+                ).named("bucket")
+            ],
+            measures=[
+                func.count().named("n"),
+                func.count_if(attr.o_orderpriority == "1-URGENT").named("n_urgent"),
+            ],
+        )
+        .to_df()
+    )
+
+
+def q_distinct_count(spark, sf_dir):
+    return (
+        Model(_conn(spark, sf_dir), "orders")
+        .aggregate(
+            groups=[attr.o_orderstatus],
+            measures=[
+                func.count().named("n"),
+                func.count(func.distinct(attr.o_custkey)).named("n_customers"),
+            ],
+        )
+        .to_df()
+    )
+
+
+def q_in_list_null_aware(spark, sf_dir):
+    """Null-aware IN list (SURVEY §2.4): x IN (a, NULL) → x IN (a) OR x IS NULL."""
+    return (
+        Model(_conn(spark, sf_dir), "orders")
+        .filter(attr.o_orderpriority.in_(["1-URGENT", "2-HIGH", None]))
+        .aggregate(groups=[attr.o_orderpriority], measures=[func.count().named("n")])
+        .to_df()
+    )
+
+
+def q_in_subquery(spark, sf_dir):
+    """Membership in a Model subquery — compiled as a broadcast semi-marker
+    join (SURVEY §2.4 IN (Model))."""
+    conn = _conn(spark, sf_dir)
+    big_orders = (
+        Model(conn, "orders").filter(attr.o_totalprice > 300000).pick(attr.o_orderkey)
+    )
+    return (
+        Model(conn, "lineitem")
+        .filter(attr.l_orderkey.in_(big_orders))
+        .aggregate(
+            groups=[attr.l_returnflag],
+            measures=[func.count().named("n")],
+        )
+        .to_df()
+    )
+
+
+def q_exists(spark, sf_dir):
+    """EXISTS(model) (SURVEY §2.3)."""
+    conn = _conn(spark, sf_dir)
+    any_late = Model(conn, "lineitem").filter(attr.l_shipdate > datetime(1998, 11, 1))
+    return (
+        Model(conn, "orders")
+        .filter(func.exists(any_late))
+        .aggregate(measures=[func.count().named("n")])
+        .to_df()
+    )
+
+
+def q_granularity_month(spark, sf_dir):
+    """DATE_TRUNC month granularity (SURVEY §2.5)."""
+    return (
+        Model(_conn(spark, sf_dir), "orders")
+        .aggregate(
+            groups=[attr.o_orderdate.by_month().named("month")],
+            measures=[func.count().named("n")],
+        )
+        .to_df()
+    )
+
+
+def q_week_sunday(spark, sf_dir):
+    """Week truncation with the reference's default SUNDAY week start
+    (SURVEY §2.5; offset trick at compilers/granularity.py:118-126)."""
+    return (
+        Model(_conn(spark, sf_dir), "orders")
+        .filter(attr.o_orderdate < datetime(1992, 6, 1))
+        .aggregate(
+            groups=[attr.o_orderdate.by_week().named("week")],
+            measures=[func.count().named("n")],
+        )
+        .to_df()
+    )
+
+
+def q_format_timestamp(spark, sf_dir):
+    """strftime-style formatting (SURVEY §2.5 format_timestamp)."""
+    return (
+        Model(_conn(spark, sf_dir), "orders")
+        .aggregate(
+            groups=[attr.o_orderdate.format_timestamp("%Y-%m").named("ym")],
+            measures=[func.count().named("n")],
+        )
+        .to_df()
+    )
+
+
+def q_interval_arithmetic(spark, sf_dir):
+    """timestamp + timedelta interval arithmetic (SURVEY §2.5)."""
+    return (
+        Model(_conn(spark, sf_dir), "lineitem")
+        .pick(
+            attr.l_orderkey,
+            (attr.l_shipdate + timedelta(days=30)).by_month().named("due_month"),
+        )
+        .aggregate(groups=[column("due_month")], measures=[func.count().named("n")])
+        .to_df()
+    )
+
+
+def q_sql_text_binding(spark, sf_dir):
+    """Raw-SQL escape hatch with {{ attr }} substitution (SURVEY §2.7)."""
+    li = Model(_conn(spark, sf_dir), "lineitem").with_attributes(
+        revenue=column(sql="l_extendedprice * (1 - l_discount)")
+    )
+    return (
+        li.aggregate(
+            groups=[attr.l_returnflag],
+            measures=[
+                func.sum(column(sql="{{ revenue }} * (1 + l_tax)").cast("decimal(18,4)"))
+                .cast("double")
+                .named("sum_charge")
+            ],
+        )
+        .to_df()
+    )
+
+
+def q_fold(spark, sf_dir):
+    """fold/unpivot to long format (SURVEY §2.2) — native single-scan
+    unpivot instead of the reference's pick×N→union chain."""
+    agg = Model(_conn(spark, sf_dir), "orders").aggregate(
+        groups=[attr.o_orderstatus],
+        measures=[
+            func.count().cast("double").named("n_orders"),
+            func.sum(attr.o_totalprice.cast("decimal(18,2)")).cast("double").named("total"),
+        ],
+    )
+    return agg.fold(
+        ids=[column("o_orderstatus")],
+        values=[column("n_orders"), column("total")],
+        key_name="metric",
+        value_name="value",
+    ).to_df()
+
+
+# --- funnels (SURVEY §2.1 #10, §2.2) ---
+
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def q_funnel(spark, sf_dir):
+    return (
+        _events_model(spark, sf_dir)
+        .funnel(FUNNEL_STEPS, top_of_funnel="users")
+        .to_df()
+    )
+
+
+def q_funnel_time_limit(spark, sf_dir):
+    return (
+        _events_model(spark, sf_dir)
+        .funnel(FUNNEL_STEPS, time_limit=timedelta(days=7))
+        .to_df()
+    )
+
+
+def q_funnel_conversion(spark, sf_dir):
+    return (
+        _events_model(spark, sf_dir)
+        .funnel_conversion_rate(FUNNEL_STEPS)
+        .to_df()
+    )
+
+
+def q_match_steps_detail(spark, sf_dir):
+    """Raw match_steps output: per-entity step timestamps + last matched
+    step (SURVEY §2.1 #10)."""
+    matched = _events_model(spark, sf_dir).match_steps(FUNNEL_STEPS)
+    return matched.pick(
+        attr.user_id,
+        rel.signup.ts.named("signup_ts"),
+        rel.click.ts.named("click_ts"),
+        rel.purchase.ts.named("purchase_ts"),
+        attr.last_matched_step_name,
+        attr.last_matched_step_index,
+    ).to_df()
+
+
+def q_funnel_partitioned(spark, sf_dir):
+    """funnel with partition_start_events: per-partition journeys keyed by
+    the first step-0 event's attributes (reference :418-447)."""
+    vbucket = func.cases((column("value") > 50, "high"), other="low").named("vbucket")
+    return (
+        _events_model(spark, sf_dir)
+        .funnel(FUNNEL_STEPS, partition_start_events=[vbucket])
+        .to_df()
+    )
+
+
+def q_funnel_expr_steps(spark, sf_dir):
+    """Expression steps + (value, name) tuple steps."""
+    big_purchase = ((column("event_type") == "purchase") & (column("value") > 50)).named(
+        "big_purchase"
+    )
+    return (
+        _events_model(spark, sf_dir)
+        .funnel([("signup", "signed_up"), big_purchase])
+        .to_df()
+    )
+
+
+# ===========================================================================
+# Net-new training-data operators
+# ===========================================================================
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _conn(spark, sf_dir).table("documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def q_dedup_minhash(spark, sf_dir):
+    docs = _conn(spark, sf_dir).table("documents")
+    return minhash_lsh_candidates(docs, "text", "doc_id", num_perm=16, bands=4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _conn(spark, sf_dir).table("documents")
+    return simhash(docs.where("text IS NOT NULL"), "text", "doc_id", bits=32)
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    docs = _conn(spark, sf_dir).table("documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", num_perm=16, bands=4)
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    emb = _conn(spark, sf_dir).table("embeddings")
+    probes = emb.where("vec_id < 5")
+    return ann_brute_force(emb, probes, "embedding", "vec_id", k=10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _conn(spark, sf_dir).table("embeddings")
+    probes = emb.where("vec_id < 5")
+    return lsh_ann(emb, probes, "embedding", "vec_id", k=10, n_planes=4, dim=64)
+
+
+def q_text_langid(spark, sf_dir):
+    docs = _conn(spark, sf_dir).table("documents")
+    return language_id(docs, "text", "doc_id")
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _conn(spark, sf_dir).table("documents")
+    return quality_score(docs, "text", "doc_id")
+
+
+def q_text_tokens(spark, sf_dir):
+    docs = _conn(spark, sf_dir).table("documents")
+    return token_count(docs, "text", "doc_id")
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _conn(spark, sf_dir).table("documents")
+    return doc_fingerprint(docs, "text", "doc_id", k=5)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Opaque-binary metadata extraction via Arrow-batched mapInPandas."""
+    docs = _conn(spark, sf_dir).table("documents")
+    return decode_blob_metadata(with_binary_column(docs, "text"), "payload", "doc_id")
+
+
+# ===========================================================================
+# Driver entry points
+# ===========================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_filter_sort_limit": q_scan_filter_sort_limit,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "agg_global": q_agg_global,
+        "union_all": q_union_all,
+        "join_one_left": q_join_one_left,
+        "join_drop_unmatched": q_join_drop_unmatched,
+        "join_condition": q_join_condition,
+        "count_if_cases": q_count_if_cases,
+        "distinct_count": q_distinct_count,
+        "in_list_null_aware": q_in_list_null_aware,
+        "in_subquery": q_in_subquery,
+        "exists_subquery": q_exists,
+        "granularity_month": q_granularity_month,
+        "week_sunday": q_week_sunday,
+        "format_timestamp": q_format_timestamp,
+        "interval_arithmetic": q_interval_arithmetic,
+        "sql_text_binding": q_sql_text_binding,
+        "fold_unpivot": q_fold,
+        "funnel": q_funnel,
+        "funnel_time_limit": q_funnel_time_limit,
+        "funnel_conversion": q_funnel_conversion,
+        "match_steps_detail": q_match_steps_detail,
+        "funnel_partitioned": q_funnel_partitioned,
+        "funnel_expr_steps": q_funnel_expr_steps,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from oracle_queries import ORACLE_SQL
+
+    return ORACLE_SQL

@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The query set spans the reference surface (scan/agg/join/funnel) and the
+net-new pipeline operators (dedup/ANN/text) so the number tracks the whole
+engine, not one hot path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "scan_filter_sort_limit",
+    "join_one_left",
+    "agg_global",
+    "granularity_month",
+    "in_subquery",
+    "funnel",
+    "funnel_conversion",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_bruteforce",
+    "text_quality",
+]
+
+
+def main() -> None:
+    from hashquery_spark.connection import default_session
+
+    import __spark_entry__ as entry_mod
+
+    spark = default_session("hashquery_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # warm the session + table registry (excluded from timings, like the
+    # reference excludes warehouse connection setup)
+    queries["agg_global"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

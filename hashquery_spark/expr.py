@@ -930,7 +930,7 @@ class FormatTimestampExpression(ColumnExpression):
         fmt = self.fmt
         while i < len(fmt):
             tok2, tok3 = fmt[i : i + 2], fmt[i : i + 3]
-            if tok3 in _STRFTIME_TOKENS:
+            if len(tok3) == 3 and tok3 in _STRFTIME_TOKENS:
                 pattern_buf += _STRFTIME_TOKENS[tok3]
                 i += 3
             elif tok2 in _STRFTIME_TOKENS:
@@ -1093,6 +1093,9 @@ class SqlTextExpression(ColumnExpression):
     def __init__(self, sql: str) -> None:
         super().__init__()
         self.sql = sql
+        # snapshot of the model's attributes at the point the expression
+        # was used, for {{ name }} substitution (populated by Model methods)
+        self.bindings: dict = {}
 
     def default_identifier(self):
         # trailing identifier token (reference: sql_text.py:46-53)
@@ -1101,13 +1104,14 @@ class SqlTextExpression(ColumnExpression):
 
     def _render(self, ctx: ExprContext) -> str:
         sql = self.sql
+        bindings = {**ctx.sql_bindings, **self.bindings}
         for _ in range(_MAX_BINDING_DEPTH):
             replaced = False
 
             def sub(m):
                 nonlocal replaced
                 name = m.group(1)
-                binding = ctx.sql_bindings.get(name)
+                binding = bindings.get(name)
                 if binding is None:
                     raise KeyError(f"no attribute named {name!r} for {{{{ }}}} substitution")
                 replaced = True

@@ -279,7 +279,6 @@ class Model:
     def get_custom_meta(self, name: str):
         return self._custom_meta.get(name)
 
-    @builder_method
     def with_join_one(
         self,
         joined: "Model",
@@ -294,7 +293,33 @@ class Model:
 
         Attaching is free: no JOIN enters the plan unless the relation is
         referenced. ``broadcast=True`` hints Spark to broadcast the joined
-        side (small dims); AQE otherwise decides at runtime."""
+        side (small dims); AQE otherwise decides at runtime.
+
+        Not wrapped in @builder_method: ``condition=`` may reference the
+        relation being attached (``rel.<name>.x``), so it must resolve
+        AFTER the namespace is added (reference: model.py:330-338)."""
+        new = copy.deepcopy(self)
+        Model._with_join_one_impl(
+            new,
+            joined,
+            foreign_key=foreign_key,
+            condition=condition,
+            named=named,
+            drop_unmatched=drop_unmatched,
+            broadcast=broadcast,
+        )
+        return new
+
+    def _with_join_one_impl(
+        self,
+        joined: "Model",
+        *,
+        foreign_key=None,
+        condition=None,
+        named=None,
+        drop_unmatched: bool = False,
+        broadcast: bool = False,
+    ) -> None:
         if foreign_key is None and condition is None:
             raise ValueError(
                 "`.with_join_one` must specify a join condition using "
@@ -338,15 +363,31 @@ class Model:
             group=to_expr(group), timestamp=to_expr(timestamp), event_key=to_expr(event_key)
         )
 
+    def _prep(self, e) -> ColumnExpression:
+        """Coerce to an expression and snapshot attribute bindings for any
+        ``{{ name }}`` raw-SQL references (reference: sql_text.py:82-129)."""
+        from .expr import SqlTextExpression, _BINDING_RE
+
+        e = to_expr(e) if not isinstance(e, str) else column(e)
+        for node in e.walk():
+            if isinstance(node, SqlTextExpression):
+                for name in _BINDING_RE.findall(node.sql):
+                    bound = self._attributes.get(name)
+                    if bound is None:
+                        bound = self._measures.get(name)
+                    if bound is not None and name not in node.bindings:
+                        node.bindings[name] = copy.deepcopy(bound)
+        return e
+
     # --- relational transforms ---
 
     @builder_method
     def filter(self, condition) -> "Model":
-        self._source = FilterSource(self._source, to_expr(condition))
+        self._source = FilterSource(self._source, self._prep(condition))
 
     @builder_method
     def pick(self, *columns) -> "Model":
-        cols = [to_expr(c) if not isinstance(c, str) else column(c) for c in columns]
+        cols = [self._prep(c) for c in columns]
         self._source = PickSource(self._source, cols)
         self._attributes = IdentifiableMap(
             column(c.identifier) for c in cols if not c._is_star
@@ -356,7 +397,7 @@ class Model:
 
     @builder_method
     def sort(self, sort, dir: str = "asc", nulls: str = "auto") -> "Model":
-        self._source = SortSource(self._source, to_expr(sort), dir, nulls)
+        self._source = SortSource(self._source, self._prep(sort), dir, nulls)
 
     @builder_method
     def limit(self, count: int, *, offset: int = 0) -> "Model":
@@ -372,8 +413,8 @@ class Model:
         """GROUP BY groups, compute measures (reference: model.py:390-407).
         Afterwards groups+measures become plain attributes and measures
         reset."""
-        measures = measures or []
-        groups = groups or []
+        measures = [self._prep(m) for m in (measures or [])]
+        groups = [self._prep(g) for g in (groups or [])]
         self._source = AggregateSource(self._source, groups=groups, measures=measures)
         self._attributes = IdentifiableMap(column(c.identifier) for c in groups + measures)
         self._measures = IdentifiableMap()
@@ -394,8 +435,8 @@ class Model:
         new = copy.deepcopy(self)
         new._source = FoldSource(
             new._source,
-            [to_expr(i) for i in ids],
-            [to_expr(v) for v in values],
+            [new._prep(i) for i in ids],
+            [new._prep(v) for v in values],
             key_name,
             value_name,
         )
@@ -489,7 +530,7 @@ class Model:
         ]
         self._namespaces = IdentifiableMap()
         for ns in preserved:
-            Model.with_join_one.mutate(
+            Model._with_join_one_impl(
                 self,
                 ns._nested_model,
                 foreign_key=column(activity_schema.group.identifier),

@@ -1,0 +1,42 @@
+"""Net-new large-scale training-data pipeline operators.
+
+These go beyond the reference's surface (hashquery is a BI query DSL) and
+add the operations a 100 TB training-data pipeline needs: deduplication
+(exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search
+(brute-force + LSH-bucketed ANN), text analysis (language ID, quality
+scoring, token counting, fingerprinting), and multimodal column plumbing.
+
+All operators are DataFrame -> DataFrame functions built from JVM-side
+``pyspark.sql.functions`` (no Python row loops); the only Pandas UDFs are
+in the multimodal decode path where per-blob Python is unavoidable.
+Every hash is derived from md5 so a DuckDB oracle can reproduce results
+bit-for-bit.
+"""
+
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .similarity import ann_brute_force, lsh_ann, random_hyperplanes
+from .text import doc_fingerprint, language_id, quality_score, token_count
+from .multimodal import decode_blob_metadata, with_binary_column
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_lsh_candidates",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "ann_brute_force",
+    "lsh_ann",
+    "random_hyperplanes",
+    "language_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "decode_blob_metadata",
+    "with_binary_column",
+]

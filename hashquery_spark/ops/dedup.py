@@ -1,0 +1,269 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Net-new beyond the reference (a BI query DSL has no dedup surface); these
+are the operators a training-data pipeline runs over billions of documents.
+
+Design for 100 TB:
+
+* Everything is built from JVM-side higher-order functions
+  (``transform`` / ``filter`` / ``aggregate``) — no Python UDFs, so the
+  whole pipeline stays inside whole-stage codegen.
+* MinHash+LSH is the scale path for near-dup detection: candidate pairs
+  come from a *bucket join* on (band, band_key) — cost is O(duplicates),
+  never the O(n²) all-pairs cross join. Band keys are md5 strings, so the
+  shuffle key is uniform (no skew salting needed).
+* All hashes derive from md5 (``h(s) = int(md5(salt:s)[:8], 16)``), so a
+  DuckDB oracle reproduces every signature bit-for-bit:
+  Spark ``conv(substr(md5(x),1,8),16,10)`` ==
+  DuckDB ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# portable md5-derived hashing (identical in DuckDB; see module docstring)
+# --------------------------------------------------------------------------
+
+
+def md5_hash32(col: Column) -> Column:
+    """First 32 bits of md5 as a BIGINT — portable across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def md5_hash32_sql(expr: str) -> str:
+    """The DuckDB rendering of :func:`md5_hash32` (for oracle queries)."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+NORMALIZE_SQL = (
+    "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
+)
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), r"\s+")
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles as an array of strings (empty array if < k words)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array())
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the cluster's parallelism when the source
+    has too few partitions (a small parquet file reads as ONE task, which
+    serializes CPU-heavy per-row work like shingle hashing). At real scale
+    inputs already have many partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup via hash-groupBy: one row per distinct normalized
+    text, keeping the smallest id as the canonical representative.
+
+    Scale: single shuffle on the md5 key (uniform, no skew); the text
+    itself never shuffles — only (hash, id)."""
+    key = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — sig[j] = min over shingles of h(j:shingle).
+
+    Flat formulation: explode shingles, compute ``num_perm`` hash columns as
+    plain (fully codegen'd) expressions, then groupBy-min. The "obvious"
+    nested higher-order-function version (transform over perms × transform
+    over shingles) falls out of whole-stage codegen into per-element
+    interpreted evaluation — measured 35× slower at 5k docs. The groupBy
+    shuffle moves only (id, num_perm longs) and map-side partial MIN
+    combines, so at 100 TB the shuffle is tiny relative to the scan.
+
+    Docs with fewer than ``shingle_k`` words produce no shingles and are
+    absent from the output (they can't near-dup match anything)."""
+    ex = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__s__")
+    )
+    hashes = ex.select(
+        F.col(id_col),
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("__s__"))), 1, 8), 16, 10
+            )
+            .cast("long")
+            .alias(f"__h{j}__")
+            for j in range(num_perm)
+        ],
+    )
+    mins = hashes.groupBy(id_col).agg(
+        *[F.min(f"__h{j}__").alias(f"__m{j}__") for j in range(num_perm)]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"__m{j}__") for j in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) via LSH banding.
+
+    Docs sharing any band key land in the same bucket; the pair join is on
+    (band, key) — O(duplicates), not O(n²). Empty-shingle docs (fewer than
+    ``shingle_k`` words) produce NULL band mins and are dropped."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = (
+        sigs.where(F.element_at("sig", 1).isNotNull())
+        .select(F.col(id_col), F.explode(band_structs).alias("bk"))
+        .select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    left = buckets.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_a")
+    )
+    right = buckets.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_b")
+    )
+    pairs = (
+        left.join(right, on=["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash: bigint) — classic Charikar simhash over word tokens.
+
+    Token hash = 32-bit md5; each bit contributes +1/-1 per occurrence;
+    the fingerprint sets bit b iff the summed weight is positive.
+    Computed as ``bits`` aggregate expressions in ONE groupBy — a single
+    shuffle keyed on the document id."""
+    toks = tokens(F.col(text_col))
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col), F.explode_outer(toks).alias("__tok__")
+    )
+    h = F.conv(F.substring(F.md5(F.col("__tok__")), 1, 8), 16, 10).cast("long")
+    exploded = exploded.select(F.col(id_col), h.alias("__h__"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("__h__").isNull(), F.lit(0)).otherwise(
+                (F.shiftright(F.col("__h__"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+            )
+        ).alias(f"__b{b}__")
+        for b in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"__b{b}__") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard over candidate pairs
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — exact n-gram Jaccard, but only for LSH
+    candidate pairs: verify-after-bucket, the standard scale pattern.
+    Jaccard uses *distinct* shingle sets."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
+    shingle_sets = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    a = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.select(
+            "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Net-new beyond the reference. Two paths:
+
+* :func:`ann_brute_force` — exact top-k cosine, the correctness baseline.
+  Probes broadcast against the corpus; one narrow pass + a per-probe
+  top-k window. Fine up to ~10⁶ corpus × small probe sets.
+* :func:`lsh_ann` — the scale path: random-hyperplane LSH buckets both
+  sides, the join is on the bucket key, and top-k runs within buckets.
+  At 100 TB the bucket join replaces the probes×corpus cross product.
+
+Determinism: hyperplanes derive from md5 (``random_hyperplanes``), so a
+DuckDB oracle reproduces bucket assignments exactly; cosine similarities
+are rounded to 4 decimals before ranking so cross-engine float noise
+cannot reorder the top-k, with vec_id as the total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_brute_force(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe vector.
+
+    Returns (probe_id, neighbor_id, cos_sim) with cos_sim rounded to 4
+    decimals; ranking is (rounded sim DESC, neighbor_id ASC) for a total
+    order. The probe side is broadcast — the corpus never shuffles until
+    the per-probe top-k window (partitioned by probe_id)."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pvec__")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec__")
+    )
+    joined = c.crossJoin(F.broadcast(p)).where(
+        F.col("neighbor_id") != F.col("probe_id")
+    )
+    sim = F.round(cosine(F.col("__pvec__"), F.col("__cvec__")), 4)
+    scored = joined.select("probe_id", "neighbor_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int) -> List[List[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 so any
+    engine (Spark, DuckDB, numpy) reproduces them exactly:
+    plane[p][d] = int(md5(f"{p}:{d}")[:6], 16) / 0xFFFFFF - 0.5."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:6]
+            row.append(int(h, 16) / 0xFFFFFF - 0.5)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(vec: Column, planes: List[List[float]]) -> Column:
+    """LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(vec, plane_col) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("long")
+
+
+def lsh_ann(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k cosine: candidates restricted to the probe's
+    hyperplane-LSH bucket, then exact cosine within the bucket.
+
+    Scale: the probes×corpus cross join becomes an equi-join on the
+    bucket key; 2^n_planes buckets shard the corpus. Recall is tunable by
+    n_planes (fewer planes → bigger buckets → higher recall, more work)."""
+    planes = random_hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec__"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket__"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__pvec__"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket__"),
+    )
+    joined = c.join(F.broadcast(p), on="__bucket__").where(
+        F.col("neighbor_id") != F.col("probe_id")
+    )
+    sim = F.round(cosine(F.col("__pvec__"), F.col("__cvec__")), 4)
+    scored = joined.select("probe_id", "neighbor_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )

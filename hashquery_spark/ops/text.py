@@ -1,0 +1,120 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Net-new beyond the reference. All pure JVM-side expressions (no UDFs), so
+they run inside whole-stage codegen and cost one narrow pass over the
+corpus — exactly what you want when the corpus is 100 TB. Every formula is
+also expressible in ANSI SQL so the DuckDB oracle can verify bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text, tokens
+
+# Tiny deterministic stopword lists per language — a real deployment would
+# swap in fastText-style n-gram models; the *plumbing* (argmax over per-lang
+# token-hit scores in one pass) is the part that matters at scale.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "un", "en", "du", "pour", "que", "dans"],
+    "de": ["der", "die", "das", "und", "zu", "in", "den", "von", "mit", "ist"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic argmax order
+
+
+def _hits(toks: Column, words) -> Column:
+    wordset = set(words)
+    return F.size(F.filter(toks, lambda t: t.isin(*wordset)))
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, lang, lang_score) — argmax of per-language stopword hit ratios;
+    'unknown' when no stopwords hit. Ties break by language name order."""
+    toks = tokens(F.col(text_col))
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = {lang: _hits(toks, words) / n for lang, words in STOPWORDS.items()}
+    best_score = F.greatest(*scores.values())
+    lang = F.lit("unknown")
+    for code in reversed(LANGS):  # first lang in order wins ties
+        lang = F.when(
+            (scores[code] > 0) & (scores[code] == best_score), F.lit(code)
+        ).otherwise(lang)
+    return df.select(
+        F.col(id_col),
+        lang.alias("lang_pred"),
+        F.round(best_score, 4).alias("lang_score"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_tokens_ws, n_tokens_bpe) — whitespace tokens plus a BPE-ish
+    estimate (word & punctuation runs, the classic ``\\w+|[^\\w\\s]``)."""
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    ws = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"), 0))
+    return df.select(
+        F.col(id_col), ws.alias("n_tokens_ws"), bpe.alias("n_tokens_bpe")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, alpha_ratio, stopword_ratio, mean_word_len, quality) — classic
+    cheap quality heuristics (Gopher/C4-style):
+
+    * alpha_ratio: alphabetic chars / total chars
+    * stopword_ratio: English stopword tokens / tokens
+    * mean_word_len: avg token length
+    * quality: 0..1 blend, penalizing degenerate docs
+    """
+    t = F.col(text_col)
+    total_len = F.greatest(F.length(t), F.lit(1))
+    alpha_len = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    alpha_ratio = alpha_len / total_len
+    toks = tokens(t)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    stop_ratio = _hits(toks, STOPWORDS["en"]) / n_toks
+    mean_word_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / n_toks
+    word_len_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.5)
+    quality = F.round(
+        (alpha_ratio * 0.5 + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3) * word_len_ok
+        + 0.2 * F.least(n_toks / 100.0, F.lit(1.0)),
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        quality.alias("quality"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """(id, fingerprint) — rolling-hash document fingerprint: the minimum
+    32-bit md5 hash over all character k-grams of the normalized text
+    (single-perm MinHash; equal fingerprints ⇒ likely shared content)."""
+    norm = normalize_text(F.col(text_col))
+    n = F.length(norm)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: norm.substr(i, F.lit(k)),
+        ),
+    ).otherwise(F.array(norm))
+    fp = F.array_min(
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        )
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

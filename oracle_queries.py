@@ -1,0 +1,544 @@
+"""DuckDB oracle SQL for every entry in ``__spark_entry__.queries()``.
+
+Each SQL string reproduces the Spark query's semantics AND its exact
+column names. Shared funnel CTEs are built by helpers so the journey-hash
+algorithm (string_agg ordered by (ts, step DESC), instr/substr index
+chaining — reference: compilers/match_steps.py:513-608) is written once.
+
+Determinism: md5-derived hashes, DECIMAL-routed sums, 4-decimal-rounded
+similarities — see __spark_entry__.py's module docstring.
+"""
+
+from __future__ import annotations
+
+from hashquery_spark.ops.similarity import random_hyperplanes
+
+NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+TOKS = f"string_split_regex({NORM}, '\\s+')"
+H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# funnel CTE builder (steps given as (condition_sql, name) pairs)
+# --------------------------------------------------------------------------
+
+_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _funnel_base(steps, partition_case: str | None = None) -> str:
+    """CTEs ev -> j -> idx implementing the journey-hash algorithm."""
+    conds = [c for c, _ in steps]
+    ch_case = (
+        "CASE "
+        + " ".join(f"WHEN {c} THEN '{_CHARS[i]}'" for i, c in enumerate(conds))
+        + " END"
+    )
+    where = " OR ".join(f"({c})" for c in conds)
+    part_sel = f", {partition_case} AS pv" if partition_case else ""
+    part_agg = (
+        ", array_agg(pv ORDER BY ts ASC, ch DESC) AS pvs" if partition_case else ""
+    )
+    idx_cols = ["nullif(instr(jh, 'A'), 0) AS i0"]
+    for i in range(1, len(steps)):
+        idx_cols.append(
+            f"i{i-1} + nullif(instr(substr(jh, i{i-1} + 1), '{_CHARS[i]}'), 0) AS i{i}"
+        )
+    return f"""
+ev AS (
+  SELECT user_id, ts{part_sel}, {ch_case} AS ch
+  FROM events WHERE {where}
+),
+j AS (
+  SELECT user_id,
+         string_agg(ch, '' ORDER BY ts ASC, ch DESC) AS jh,
+         array_agg(ts ORDER BY ts ASC, ch DESC) AS tss{part_agg}
+  FROM ev GROUP BY user_id
+),
+idx AS (
+  SELECT user_id, jh, tss, {', '.join(idx_cols)}
+  FROM j
+),
+u AS (SELECT DISTINCT user_id FROM events),
+e AS (
+  SELECT u.user_id, {', '.join(f'idx.i{i}' for i in range(len(steps)))}, idx.tss
+  FROM u LEFT JOIN idx ON u.user_id = idx.user_id
+)"""
+
+
+STEPS3 = [
+    ("event_type = 'signup'", "signup"),
+    ("event_type = 'click'", "click"),
+    ("event_type = 'purchase'", "purchase"),
+]
+
+
+def _funnel_counts_sql(steps, top_name: str | None) -> str:
+    base = _funnel_base(steps)
+    rows = []
+    if top_name:
+        rows.append(f"SELECT '{top_name}' AS step, count(*) AS entities FROM e")
+    for i, (_, name) in enumerate(steps):
+        rows.append(
+            f"SELECT '{name}' AS step, count(CASE WHEN i{i} IS NOT NULL THEN 1 END)"
+            f" AS entities FROM e"
+        )
+    return f"WITH {base}\n" + "\nUNION ALL ".join(rows)
+
+
+def _funnel_time_limit_sql(steps, limit_seconds: int) -> str:
+    base = _funnel_base(steps)
+    rows = [
+        f"SELECT '{steps[0][1]}' AS step,"
+        f" count(CASE WHEN i0 IS NOT NULL THEN 1 END) AS entities FROM e"
+    ]
+    for i in range(1, len(steps)):
+        ok = (
+            f"i{i} IS NOT NULL AND "
+            f"(floor(epoch(tss[i{i}])) - floor(epoch(tss[i0]))) < {limit_seconds}"
+        )
+        rows.append(
+            f"SELECT '{steps[i][1]}' AS step, count(CASE WHEN {ok} THEN 1 END)"
+            f" AS entities FROM e"
+        )
+    return f"WITH {base}\n" + "\nUNION ALL ".join(rows)
+
+
+_N3 = len(STEPS3) - 1
+
+FUNNEL_CONVERSION_SQL = f"""
+WITH {_funnel_base(STEPS3)}
+SELECT
+  count(CASE WHEN i{_N3} IS NOT NULL THEN 1 END)
+    / count(CASE WHEN i0 IS NOT NULL THEN 1 END) AS rate,
+  count(CASE WHEN i0 IS NOT NULL THEN 1 END) AS "startedCount",
+  count(CASE WHEN i{_N3} IS NOT NULL THEN 1 END) AS "convertedCount",
+  avg(floor(epoch(tss[i{_N3}])) - floor(epoch(tss[i0]))) AS "avgSecondsToConvert"
+FROM e WHERE i0 IS NOT NULL
+"""
+
+MATCH_STEPS_DETAIL_SQL = f"""
+WITH {_funnel_base(STEPS3)}
+SELECT user_id,
+  tss[i0] AS signup_ts,
+  tss[i1] AS click_ts,
+  tss[i2] AS purchase_ts,
+  CASE WHEN tss[i2] IS NOT NULL THEN 'purchase'
+       WHEN tss[i1] IS NOT NULL THEN 'click'
+       WHEN tss[i0] IS NOT NULL THEN 'signup' END AS last_matched_step_name,
+  CASE WHEN tss[i2] IS NOT NULL THEN 2
+       WHEN tss[i1] IS NOT NULL THEN 1
+       WHEN tss[i0] IS NOT NULL THEN 0 END AS last_matched_step_index
+FROM e
+"""
+
+_PART_CASE = "CASE WHEN value > 50 THEN 'high' ELSE 'low' END"
+
+FUNNEL_PARTITIONED_SQL = f"""
+WITH {_funnel_base(STEPS3, partition_case=_PART_CASE)},
+z AS (
+  SELECT user_id, jh, tss, pvs, unnest(range(1, len(jh) + 1)) AS p FROM j
+),
+firsts AS (
+  SELECT user_id, pvs[p] AS vbucket, min(p) AS i0
+  FROM z WHERE substr(jh, p, 1) = 'A'
+  GROUP BY user_id, pvs[p]
+),
+pj AS (
+  SELECT f.vbucket, f.i0,
+         f.i0 + nullif(instr(substr(j.jh, f.i0 + 1), 'B'), 0) AS i1,
+         i1 + nullif(instr(substr(j.jh, i1 + 1), 'C'), 0) AS i2
+  FROM firsts f JOIN j ON f.user_id = j.user_id
+),
+counts AS (
+  SELECT vbucket,
+    count(CASE WHEN i0 IS NOT NULL THEN 1 END) AS c0,
+    count(CASE WHEN i1 IS NOT NULL THEN 1 END) AS c1,
+    count(CASE WHEN i2 IS NOT NULL THEN 1 END) AS c2
+  FROM pj GROUP BY vbucket
+)
+SELECT vbucket, 'signup' AS step, c0 AS entities FROM counts
+UNION ALL SELECT vbucket, 'click', c1 FROM counts
+UNION ALL SELECT vbucket, 'purchase', c2 FROM counts
+"""
+
+STEPS_EXPR = [
+    ("event_type = 'signup'", "signed_up"),
+    ("event_type = 'purchase' AND value > 50", "big_purchase"),
+]
+
+
+# --------------------------------------------------------------------------
+# net-new operators
+# --------------------------------------------------------------------------
+
+_SHINGLES = f"""
+CASE WHEN len(t) >= 3
+     THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+     ELSE [] END
+"""
+
+_SIG = """
+list_transform(range(0, 16), j -> list_min(list_transform(sh,
+    s -> CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 8) AS BIGINT))))
+"""
+
+_MINHASH_BUCKETS = f"""
+toks AS (
+  SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM toks
+),
+sigs AS (
+  SELECT doc_id, {_SIG} AS sig FROM sh
+),
+buckets AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS key
+  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+  WHERE sig[1] IS NOT NULL
+)"""
+
+MINHASH_SQL = f"""
+WITH {_MINHASH_BUCKETS}
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+FROM buckets a JOIN buckets c ON a.band = c.band AND a.key = c.key
+WHERE a.doc_id < c.doc_id
+"""
+
+JACCARD_SQL = f"""
+WITH {_MINHASH_BUCKETS},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM buckets a JOIN buckets c ON a.band = c.band AND a.key = c.key
+  WHERE a.doc_id < c.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
+SELECT p.id_a, p.id_b,
+  round(
+    CASE WHEN len(list_distinct(list_concat(x.s, y.s))) > 0
+         THEN len(list_intersect(x.s, y.s))
+              / len(list_distinct(list_concat(x.s, y.s)))
+         ELSE 0.0 END, 4) AS jaccard
+FROM pairs p
+JOIN sets x ON p.id_a = x.doc_id
+JOIN sets y ON p.id_b = y.doc_id
+"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS.format(c='text')}) AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (SELECT doc_id, {H32.format(x='tk')} AS h FROM tok),
+bitsums AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bitsums
+"""
+
+
+_PLANES = random_hyperplanes(64, 4)
+
+
+def _plane_literal(p) -> str:
+    return "[" + ", ".join(repr(v) for v in p) + "]"
+
+
+_BUCKET = "(" + " + ".join(
+    f"CASE WHEN list_dot_product(v, {_plane_literal(_PLANES[p])}) > 0"
+    f" THEN {1 << p} ELSE 0 END"
+    for p in range(4)
+) + ")"
+
+_COS = (
+    "round(list_dot_product(p.pv, c.v) / "
+    "(sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))), 4)"
+)
+
+ANN_BRUTE_SQL = f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 5),
+scored AS (
+  SELECT p.probe_id, c.vec_id AS neighbor_id, {_COS} AS cos_sim
+  FROM c, p WHERE c.vec_id != p.probe_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+ANN_LSH_SQL = f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cb AS (SELECT vec_id, v, CAST({_BUCKET} AS BIGINT) AS bucket FROM c),
+p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM cb WHERE vec_id < 5),
+scored AS (
+  SELECT p.probe_id, c.vec_id AS neighbor_id, {_COS} AS cos_sim
+  FROM cb c JOIN p ON c.bucket = p.bucket AND c.vec_id != p.probe_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+_STOP = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "un", "en", "du", "pour", "que", "dans"],
+    "de": ["der", "die", "das", "und", "zu", "in", "den", "von", "mit", "ist"],
+}
+
+
+def _hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in sorted(set(_STOP[lang])))
+    return f"len(list_filter(t, w -> list_contains([{words}], w)))"
+
+
+_LANG_SCORES = ",\n  ".join(
+    f"{_hits(lang)} / greatest(len(t), 1) AS s_{lang}" for lang in sorted(_STOP)
+)
+
+LANGID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents
+),
+scores AS (
+  SELECT doc_id,
+  {_LANG_SCORES},
+  greatest(s_de, s_en, s_es, s_fr) AS best
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN s_de > 0 AND s_de = best THEN 'de'
+       WHEN s_en > 0 AND s_en = best THEN 'en'
+       WHEN s_es > 0 AND s_es = best THEN 'es'
+       WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+       ELSE 'unknown' END AS lang_pred,
+  round(best, 4) AS lang_score
+FROM scores
+"""
+
+QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text, {TOKS.format(c='text')} AS t FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      / greatest(len(text), 1) AS alpha_ratio,
+    {_hits('en')} / greatest(len(t), 1) AS stop_ratio,
+    CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+      / greatest(len(t), 1) AS mwl,
+    greatest(len(t), 1) AS n_toks
+  FROM toks
+)
+SELECT doc_id,
+  round(alpha_ratio, 4) AS alpha_ratio,
+  round(stop_ratio, 4) AS stopword_ratio,
+  round(mwl, 4) AS mean_word_len,
+  round((alpha_ratio * 0.5 + least(stop_ratio * 5, 1.0) * 0.3)
+          * (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END)
+        + 0.2 * least(n_toks / 100.0, 1.0), 4) AS quality
+FROM m
+"""
+
+TOKENS_SQL = r"""
+SELECT doc_id,
+  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INT)
+    AS n_tokens_bpe
+FROM documents
+"""
+
+FINGERPRINT_SQL = f"""
+WITH n AS (
+  SELECT doc_id, {NORM.format(c='text')} AS norm FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(norm) >= 5
+         THEN list_transform(range(1, len(norm) - 3), i -> substr(norm, i, 5))
+         ELSE [norm] END AS grams
+  FROM n
+)
+SELECT doc_id,
+  list_min(list_transform(grams, x -> {H32.format(x='x')})) AS fingerprint
+FROM g
+"""
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  upper(hex(encode(substr(text, 1, 4)))) AS head_hex,
+  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+  CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# the full oracle map
+# --------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "scan_filter_sort_limit": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               l_extendedprice * (1 - l_discount) AS revenue
+        FROM lineitem WHERE l_quantity > 45
+        ORDER BY l_extendedprice DESC NULLS LAST,
+                 l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST
+        LIMIT 100 OFFSET 10
+    """,
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg_global": """
+        SELECT count(*) AS n_rows,
+               count(DISTINCT l_partkey) AS n_parts,
+               min(l_shipdate) AS min_ship,
+               max(l_shipdate) AS max_ship,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+    """,
+    "union_all": """
+        WITH u AS (
+          SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity > 45
+          UNION ALL
+          SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity < 5
+        )
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM u GROUP BY l_returnflag
+    """,
+    "join_one_left": """
+        SELECT c.c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "join_drop_unmatched": """
+        SELECT c.c_mktsegment, count(*) AS n_orders
+        FROM orders o
+        JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "join_condition": """
+        SELECT c.c_mktsegment, count(*) AS n_orders
+        FROM orders o LEFT JOIN customer c
+          ON o.o_custkey = c.c_custkey AND c.c_acctbal > 0
+        GROUP BY c.c_mktsegment
+    """,
+    "count_if_cases": """
+        SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                    WHEN o_totalprice < 250000 THEN 'medium'
+                    ELSE 'large' END AS bucket,
+               count(*) AS n,
+               count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent
+        FROM orders GROUP BY 1
+    """,
+    "distinct_count": """
+        SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_customers
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "in_list_null_aware": """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') OR o_orderpriority IS NULL
+        GROUP BY o_orderpriority
+    """,
+    "in_subquery": """
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+        GROUP BY l_returnflag
+    """,
+    "exists_subquery": """
+        SELECT count(*) AS n FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-11-01')
+    """,
+    "granularity_month": """
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n
+        FROM orders GROUP BY 1
+    """,
+    "week_sunday": """
+        SELECT date_trunc('week', o_orderdate + INTERVAL 1 DAY) - INTERVAL 1 DAY AS week,
+               count(*) AS n
+        FROM orders WHERE o_orderdate < TIMESTAMP '1992-06-01'
+        GROUP BY 1
+    """,
+    "format_timestamp": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n
+        FROM orders GROUP BY 1
+    """,
+    "interval_arithmetic": """
+        SELECT CAST(date_trunc('month', l_shipdate + INTERVAL 30 DAY) AS TIMESTAMP) AS due_month,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+    """,
+    "sql_text_binding": """
+        SELECT l_returnflag,
+          CAST(sum(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax)
+                   AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "fold_unpivot": """
+        WITH agg AS (
+          SELECT o_orderstatus,
+                 CAST(count(*) AS DOUBLE) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM agg
+        UNION ALL
+        SELECT o_orderstatus, 'total' AS metric, total AS value FROM agg
+    """,
+    "funnel": _funnel_counts_sql(STEPS3, top_name="users"),
+    "funnel_time_limit": _funnel_time_limit_sql(STEPS3, 7 * 86400),
+    "funnel_conversion": FUNNEL_CONVERSION_SQL,
+    "match_steps_detail": MATCH_STEPS_DETAIL_SQL,
+    "funnel_partitioned": FUNNEL_PARTITIONED_SQL,
+    "funnel_expr_steps": _funnel_counts_sql(STEPS_EXPR, top_name=None),
+    "dedup_exact": f"""
+        SELECT md5({NORM.format(c='text')}) AS content_hash,
+               min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM documents GROUP BY 1
+    """,
+    "dedup_minhash": MINHASH_SQL,
+    "dedup_simhash": _simhash_sql(32),
+    "dedup_jaccard": JACCARD_SQL,
+    "ann_bruteforce": ANN_BRUTE_SQL,
+    "ann_lsh": ANN_LSH_SQL,
+    "text_langid": LANGID_SQL,
+    "text_quality": QUALITY_SQL,
+    "text_tokens": TOKENS_SQL,
+    "text_fingerprint": FINGERPRINT_SQL,
+    "multimodal_decode": MULTIMODAL_SQL,
+}

@@ -1,0 +1,150 @@
+"""Expression-level semantics (SURVEY.md §5): null handling, in_, cases,
+granularity week offsets, format tokens, interval normalization."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from hashquery_spark import Connection, Model, column, func, attr
+from hashquery_spark.timeinterval import normalize_timedelta, timeinterval
+
+
+@pytest.fixture(scope="module")
+def m(spark):
+    conn = Connection(spark)
+    conn.register_records(
+        "t",
+        [
+            (1, "apple", 10.0, datetime(2024, 1, 15, 10, 30)),
+            (2, "banana", None, datetime(2024, 3, 2)),
+            (3, None, 5.0, None),
+            (4, "apple pie", -2.5, datetime(2023, 12, 31, 23, 59, 59)),
+        ],
+        schema="id long, name string, score double, ts timestamp",
+    )
+    return Model(conn, "t")
+
+
+def rows(model):
+    return [tuple(r) for r in model.to_df().collect()]
+
+
+def vals(model, col="id"):
+    return sorted(r[0] for r in model.pick(column(col)).to_df().collect())
+
+
+def test_eq_none_is_null(m):
+    assert vals(m.filter(attr.name == None)) == [3]  # noqa: E711
+    assert vals(m.filter(attr.name != None)) == [1, 2, 4]  # noqa: E711
+
+
+def test_none_eq_none_folds_true(m):
+    assert vals(m.filter(column(value=None) == None)) == [1, 2, 3, 4]  # noqa: E711
+
+
+def test_null_aware_in_list(m):
+    assert vals(m.filter(attr.name.in_(["apple", None]))) == [1, 3]
+    assert vals(m.filter(attr.name.in_([None]))) == [3]
+    assert vals(m.filter(attr.name.in_([]))) == []
+
+
+def test_contains(m):
+    assert vals(m.filter(attr.name.contains("apple"))) == [1, 4]
+    assert vals(m.filter(attr.name.contains("APPLE", case_insensitive=True))) == [1, 4]
+    assert vals(m.filter(attr.name.like("apple%"))) == [1, 4]
+    assert vals(m.filter(attr.name.ilike("APPLE"))) == [1]
+
+
+def test_not_rewrite(m):
+    # not_(a < b) -> a >= b (NULL score passes neither side)
+    assert vals(m.filter(func.not_(attr.score < 5.0))) == [1, 3]
+
+
+def test_cases_with_other(m):
+    out = m.pick(
+        attr.id,
+        func.cases(
+            (attr.score > 5, "high"), (attr.score > 0, "low"), other="none"
+        ).named("bucket"),
+    )
+    got = dict(rows(out))
+    assert got == {1: "high", 2: "none", 3: "low", 4: "none"}
+
+
+def test_arithmetic_and_floordiv(m):
+    out = dict(
+        rows(m.filter(attr.score != None).pick(attr.id, (attr.score // 3).named("d")))  # noqa: E711
+    )
+    assert out == {1: 3.0, 3: 1.0, 4: -1.0}  # floor(-0.833) = -1
+
+
+def test_granularity_week_sunday(m):
+    # 2024-01-15 is a Monday; Sunday-start week begins 2024-01-14
+    out = dict(rows(m.filter(attr.id == 1).pick(attr.id, attr.ts.by_week().named("w"))))
+    assert out[1] == datetime(2024, 1, 14)
+
+
+def test_granularity_quarter_year(m):
+    out = dict(
+        rows(m.filter(attr.id == 2).pick(attr.id, attr.ts.by_quarter().named("q")))
+    )
+    assert out[2] == datetime(2024, 1, 1)
+
+
+def test_format_timestamp_tokens(m):
+    out = dict(
+        rows(
+            m.filter(attr.id == 1).pick(
+                attr.id, attr.ts.format_timestamp("%Y-%m-%d %H:%M Q%Q").named("s")
+            )
+        )
+    )
+    assert out[1] == "2024-01-15 10:30 Q1"
+
+
+def test_interval_arithmetic(m):
+    out = dict(
+        rows(
+            m.filter(attr.id == 1).pick(
+                attr.id, (attr.ts + timedelta(days=30)).named("t2")
+            )
+        )
+    )
+    assert out[1] == datetime(2024, 2, 14, 10, 30)
+
+
+def test_timedelta_normalization():
+    assert normalize_timedelta(timedelta(days=14)) == timeinterval("week", 2)
+    assert normalize_timedelta(timedelta(hours=36)) == timeinterval("hour", 36)
+    assert normalize_timedelta(timedelta(seconds=90)) == timeinterval("second", 90)
+    assert normalize_timedelta(timedelta(minutes=5)) == timeinterval("minute", 5)
+
+
+def test_sort_nulls_auto(m):
+    got = [r[0] for r in m.sort(attr.score).pick(attr.id).to_df().collect()]
+    assert got[0] == 2  # NULL first when ascending (reference "auto")
+    got_desc = [r[0] for r in m.sort(attr.score, dir="desc").pick(attr.id).to_df().collect()]
+    assert got_desc[-1] == 2  # NULL last when descending
+
+
+def test_now_materialized(m):
+    # is_this_* uses compile-time now(); 2024 data is not "this year" in 2026+
+    assert vals(m.filter(attr.ts.is_this_year())) == []
+
+
+def test_sql_text_star_and_fragment(m):
+    out = m.filter(column(sql="score > 5 AND name IS NOT NULL")).pick(column("*"))
+    assert sorted(r[0] for r in out.to_df().collect()) == [1]
+
+
+def test_private_columns_stripped(m):
+    out = m.pick(attr.id, attr.score.named("__internal__"))
+    assert out.to_df().columns == ["id"]
+
+
+def test_duplicate_columns_renamed(m):
+    with pytest.warns(UserWarning):
+        cols = m.pick(attr.id, attr.id, attr.id).to_df().columns
+    assert cols == ["id", "id_2", "id_3"]

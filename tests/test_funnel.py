@@ -1,0 +1,155 @@
+"""match_steps / funnel semantics against the reference's canonical 7-user
+docstring fixture (reference: src/model/model.py:578-628)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from hashquery_spark import Connection, Model, column, func, attr, rel
+
+ROWS = [
+    (0, "ad_impression", "2024-01-01"), (0, "visit", "2024-01-02"), (0, "purchase", "2024-01-04"),
+    (1, "ad_impression", "2024-01-01"), (1, "visit", "2024-01-02"),
+    (1, "purchase", "2024-01-03"), (1, "purchase", "2024-01-04"),
+    (2, "ad_impression", "2024-01-01"), (2, "visit", "2024-01-02"),
+    (3, "ad_impression", "2024-01-01"), (3, "visit", "2024-01-02"),
+    (4, "ad_impression", "2024-01-01"),
+    (5, "visit", "2024-01-01"), (5, "purchase", "2024-01-02"),
+    (6, "other_event", "2024-01-01"),
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    conn = Connection(spark)
+    conn.register_records(
+        "fixture_events",
+        [(u, e, datetime.fromisoformat(t)) for u, e, t in ROWS],
+        schema="user_id long, event string, timestamp timestamp",
+    )
+    return Model(conn, "fixture_events").with_activity_schema(
+        group=attr.user_id, timestamp=attr.timestamp, event_key=attr.event
+    )
+
+
+STEPS = ["ad_impression", "visit", "purchase"]
+
+
+def test_funnel_reference_fixture(events):
+    got = {r["step"]: r["entities"] for r in events.funnel(STEPS).run().py_records}
+    assert got == {"ad_impression": 5, "visit": 4, "purchase": 2}
+
+
+def test_funnel_top_of_funnel_row(events):
+    recs = events.funnel(STEPS, top_of_funnel="users").run().py_records
+    assert recs[0] == {"step": "users", "entities": 7}
+
+
+def test_funnel_row_order(events):
+    steps = [r["step"] for r in events.funnel(STEPS).run().py_records]
+    assert steps == ["ad_impression", "visit", "purchase"]
+
+
+def test_conversion_rate(events):
+    rec = events.funnel_conversion_rate(STEPS).run().py_records[0]
+    assert rec["startedCount"] == 5
+    assert rec["convertedCount"] == 2
+    assert rec["rate"] == pytest.approx(0.4)
+    # user 0: 3 days; user 1: 2 days -> avg 2.5 days
+    assert rec["avgSecondsToConvert"] == pytest.approx(2.5 * 86400)
+
+
+def test_time_limit_strictly_less(events):
+    # 3-day limit: user 0 (3 days, not < 3d) excluded; user 1 (2 days) kept
+    got = {
+        r["step"]: r["entities"]
+        for r in events.funnel(STEPS, time_limit=timedelta(days=3)).run().py_records
+    }
+    assert got == {"ad_impression": 5, "visit": 4, "purchase": 1}
+
+
+def test_match_steps_attributes(events):
+    matched = events.match_steps(STEPS)
+    recs = {
+        r["user_id"]: r
+        for r in matched.pick(
+            attr.user_id, attr.last_matched_step_name, attr.last_matched_step_index
+        ).run().py_records
+    }
+    assert recs[0]["last_matched_step_name"] == "purchase"
+    assert recs[0]["last_matched_step_index"] == 2
+    assert recs[2]["last_matched_step_name"] == "visit"
+    assert recs[4]["last_matched_step_name"] == "ad_impression"
+    assert recs[5]["last_matched_step_name"] is None  # never entered
+    assert recs[6]["last_matched_step_name"] is None
+
+
+def test_match_steps_step_namespace_full_row(events):
+    # referencing a non-timestamp event attribute triggers the lazy
+    # join-back to the positioned event rows
+    matched = events.match_steps(STEPS)
+    recs = {
+        r["user_id"]: r["visit_event"]
+        for r in matched.pick(
+            attr.user_id, rel.visit.event.named("visit_event")
+        ).run().py_records
+    }
+    assert recs[0] == "visit"
+    assert recs[4] is None
+
+
+def test_greedy_first_match(events):
+    # user 1 has two purchases; greedy matching takes the FIRST one after
+    # the visit (2024-01-03)
+    matched = events.match_steps(STEPS)
+    recs = {
+        r["user_id"]: r["purchase_ts"]
+        for r in matched.pick(
+            attr.user_id, rel.purchase.timestamp.named("purchase_ts")
+        ).run().py_records
+    }
+    assert recs[1] == datetime(2024, 1, 3)
+
+
+def test_empty_steps_funnel(events):
+    recs = events.funnel([]).run().py_records
+    assert recs == [{"step": "entities", "entities": 7}]
+
+
+def test_62_step_limit(events):
+    with pytest.raises(ValueError):
+        events.match_steps([(f"e{i}", f"s{i}") for i in range(63)])
+
+
+def test_partition_start_events(spark):
+    conn = Connection(spark)
+    conn.register_records(
+        "pevents",
+        [
+            # user 1 starts in both channels; converts only via web
+            (1, "start", "web", datetime(2024, 1, 1)),
+            (1, "start", "email", datetime(2024, 1, 2)),
+            (1, "buy", None, datetime(2024, 1, 3)),
+            # user 2 starts via email only, no buy
+            (2, "start", "email", datetime(2024, 1, 1)),
+            # user 3 never starts
+            (3, "buy", None, datetime(2024, 1, 1)),
+        ],
+        schema="user_id long, event string, channel string, timestamp timestamp",
+    )
+    m = Model(conn, "pevents").with_activity_schema(
+        group=attr.user_id, timestamp=attr.timestamp, event_key=attr.event
+    )
+    recs = m.funnel(
+        ["start", "buy"], partition_start_events=[column("channel")]
+    ).run().py_records
+    got = {(r["channel"], r["step"]): r["entities"] for r in recs}
+    # web journey of user 1: start(01-01) -> buy(01-03) matched
+    # email journey of user 1: start(01-02) -> buy(01-03) matched
+    # email journey of user 2: start only
+    assert got[("web", "start")] == 1
+    assert got[("web", "buy")] == 1
+    assert got[("email", "start")] == 2
+    assert got[("email", "buy")] == 1

@@ -1,0 +1,139 @@
+"""Model-level semantics: builder immutability, attribute/measure
+propagation, joins (laziness + drop_unmatched), union, fold, wire format."""
+
+from __future__ import annotations
+
+import pytest
+
+from hashquery_spark import Connection, Model, column, func, attr, msr, rel
+
+
+@pytest.fixture(scope="module")
+def conn(spark):
+    c = Connection(spark)
+    c.register_records(
+        "sales",
+        [
+            (1, 100, 10.0, 2),
+            (2, 100, 20.0, 1),
+            (3, 200, 5.0, 4),
+            (4, None, 8.0, 1),
+            (5, 999, 1.0, 1),  # no matching customer
+        ],
+        schema="id long, customer_id long, price double, qty int",
+    )
+    c.register_records(
+        "customers",
+        [(100, "Ada", "Gold"), (200, "Bo", None)],
+        schema="id long, name string, loyalty string",
+    )
+    return c
+
+
+def test_builder_immutability(conn):
+    base = Model(conn, "sales")
+    filtered = base.filter(attr.price > 6)
+    assert base.to_df().count() == 5
+    assert filtered.to_df().count() == 3
+
+
+def test_measures_resolve_in_aggregate(conn):
+    m = Model(conn, "sales").with_measures(
+        revenue=func.sum(attr.price * attr.qty), n=func.count()
+    )
+    out = m.aggregate(measures=[msr.revenue, msr.n]).run().py_records[0]
+    assert out == {"revenue": 10 * 2 + 20 + 5 * 4 + 8 + 1, "n": 5}
+
+
+def test_post_aggregate_attribute_reset(conn):
+    m = (
+        Model(conn, "sales")
+        .aggregate(groups=[attr.customer_id], measures=[func.count().named("n")])
+        .filter(attr.n > 1)  # measure became an attribute (HAVING semantics)
+    )
+    recs = m.run().py_records
+    assert recs == [{"customer_id": 100, "n": 2}]
+    with pytest.raises(AttributeError):
+        m.filter(attr.price > 0).to_df()  # pre-agg attrs are gone
+
+
+def test_join_one_null_fill_and_drop_unmatched(conn):
+    cust = Model(conn, "customers")
+    base = Model(conn, "sales").with_join_one(cust, foreign_key=attr.customer_id, named="c")
+    left = base.pick(attr.id, rel.c.loyalty.named("loyalty"))
+    got = {r["id"]: r["loyalty"] for r in left.run().py_records}
+    assert got == {1: "Gold", 2: "Gold", 3: None, 4: None, 5: None}
+
+    inner = (
+        Model(conn, "sales")
+        .with_join_one(cust, foreign_key=attr.customer_id, named="c", drop_unmatched=True)
+        .pick(attr.id, rel.c.name.named("who"))
+    )
+    assert sorted(r["id"] for r in inner.run().py_records) == [1, 2, 3]
+
+
+def test_dead_join_elision(conn):
+    cust = Model(conn, "customers")
+    m = Model(conn, "sales").with_join_one(cust, foreign_key=attr.customer_id, named="c")
+    plan = m.limit(10).to_df()._jdf.queryExecution().optimizedPlan().toString()
+    assert "customers" not in plan  # never referenced -> never joined
+
+
+def test_union_all_positional(conn):
+    a = Model(conn, "sales").filter(attr.id == 1).pick(attr.id, attr.price)
+    b = Model(conn, "sales").filter(attr.id == 3).pick(attr.id, attr.price)
+    assert a.union_all(b).to_df().count() == 2
+
+
+def test_fold_matches_reference_docstring(conn):
+    conn.register_records(
+        "finances",
+        [(2023, 150000, 30000), (2024, 500000, 130000)],
+        schema="year int, income long, expenses long",
+    )
+    folded = Model(conn, "finances").fold(
+        ids=[attr.year], values=[attr.income, attr.expenses],
+        key_name="type", value_name="value",
+    )
+    got = sorted(tuple(r) for r in folded.to_df().collect())
+    assert got == [
+        (2023, "expenses", 30000), (2023, "income", 150000),
+        (2024, "expenses", 130000), (2024, "income", 500000),
+    ]
+
+
+def test_in_model_subquery(conn):
+    gold = Model(conn, "customers").filter(attr.loyalty == "Gold").pick(attr.id)
+    m = Model(conn, "sales").filter(attr.customer_id.in_(gold))
+    assert sorted(r["id"] for r in m.pick(attr.id).run().py_records) == [1, 2]
+
+
+def test_exists_subquery(conn):
+    nonempty = Model(conn, "customers").filter(attr.loyalty == "Gold")
+    empty = Model(conn, "customers").filter(attr.loyalty == "Platinum")
+    m1 = Model(conn, "sales").filter(func.exists(nonempty))
+    m2 = Model(conn, "sales").filter(func.exists(empty))
+    assert m1.to_df().count() == 5
+    assert m2.to_df().count() == 0
+
+
+def test_wire_format_roundtrip(conn):
+    m = (
+        Model(conn, "sales")
+        .with_measures(n=func.count())
+        .filter(attr.price > 5)
+        .aggregate(groups=[attr.customer_id], measures=[msr.n])
+        .sort(attr.n, dir="desc")
+        .limit(3)
+    )
+    wire = m.to_wire()
+    import json
+
+    restored = Model.from_wire(json.loads(json.dumps(wire)), connection=conn)
+    key = lambda rows: sorted((str(r) for r in rows))
+    assert key(m.to_df().collect()) == key(restored.to_df().collect())
+
+
+def test_limit_offset(conn):
+    m = Model(conn, "sales").sort(attr.id).limit(2, offset=1)
+    assert [r["id"] for r in m.pick(attr.id).run().py_records] == [2, 3]
