@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from hashquery_spark import Connection, Model, column, func, attr, rel
 from hashquery_spark.ops import (
     ann_brute_force,
+    embedding_near_dup,
     decode_blob_metadata,
     exact_dedup,
     language_id,
@@ -456,6 +457,12 @@ def q_ann_bruteforce(spark, sf_dir):
     return ann_brute_force(emb, probes, "embedding", "vec_id", k=10)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH bucket self-join."""
+    emb = _conn(spark, sf_dir).table("embeddings")
+    return embedding_near_dup(emb, "embedding", "vec_id", threshold=0.8)
+
+
 def q_ann_lsh(spark, sf_dir):
     emb = _conn(spark, sf_dir).table("embeddings")
     probes = emb.where("vec_id < 5")
@@ -529,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
+        "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,

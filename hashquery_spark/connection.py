@@ -71,6 +71,15 @@ class Connection:
     def __init__(self, spark: Optional[SparkSession] = None) -> None:
         self.spark = spark or default_session()
         self._tables: Dict[str, DataFrame] = {}
+        # make externally-created sessions able to read timestamp[ns]
+        # parquet too (runtime-settable SQL conf; see _restore_nano_timestamps)
+        try:
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+
+    def __deepcopy__(self, memo):
+        return self  # sessions/registries are shared, never copied
 
     # --- registration (mirrors duckdb_connection.py:91-111) ---
 

@@ -779,6 +779,21 @@ class Model:
     def run(self) -> "RunResults":
         return RunResults(self.to_df())
 
+    def write(
+        self,
+        path: str,
+        format: str = "parquet",
+        mode: str = "overwrite",
+        partition_by: Optional[List[str]] = None,
+    ) -> None:
+        """Write the result to a table sink — net-new beyond the reference,
+        which has no sinks (SURVEY.md §2.8). ``partition_by`` produces
+        hive-style partition directories for downstream partition pruning."""
+        writer = self.to_df().write.format(format).mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+
     def sql(self) -> str:
         """The compiled plan, as text (the reference returns rendered SQL;
         on Spark the artifact is the optimized logical + physical plan)."""

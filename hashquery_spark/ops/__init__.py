@@ -20,7 +20,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from .similarity import ann_brute_force, lsh_ann, random_hyperplanes
+from .similarity import ann_brute_force, embedding_near_dup, lsh_ann, random_hyperplanes
 from .text import doc_fingerprint, language_id, quality_score, token_count
 from .multimodal import decode_blob_metadata, with_binary_column
 
@@ -31,6 +31,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "ann_brute_force",
+    "embedding_near_dup",
     "lsh_ann",
     "random_hyperplanes",
     "language_id",

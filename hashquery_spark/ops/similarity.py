@@ -104,6 +104,40 @@ def hyperplane_bucket(vec: Column, planes: List[List[float]]) -> Column:
     return bucket.cast("long")
 
 
+def embedding_near_dup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim >= t).
+
+    Scale path: self-join restricted to hyperplane-LSH buckets — near-dups
+    (cosine ~1) almost surely share all hyperplane signs, so the bucket
+    equi-join replaces the O(n²) cross product; cosine verifies exactly
+    within buckets (bucket-then-verify, like MinHash→Jaccard)."""
+    planes = random_hyperplanes(dim, n_planes)
+    b = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v__"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket__"),
+    )
+    left = b.select(
+        F.col("__bucket__"), F.col(id_col).alias("id_a"), F.col("__v__").alias("__va__")
+    )
+    right = b.select(
+        F.col("__bucket__"), F.col(id_col).alias("id_b"), F.col("__v__").alias("__vb__")
+    )
+    joined = left.join(right, on="__bucket__").where(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("__va__"), F.col("__vb__")), 4)
+    return (
+        joined.select("id_a", "id_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_ann(
     corpus: DataFrame,
     probes: DataFrame,

@@ -1,0 +1,148 @@
+"""Structured Streaming surface — net-new beyond the reference.
+
+The reference is batch-only (SURVEY.md §2.7: "Streaming ... absent"); this
+module adds the streaming counterparts a large-scale event pipeline needs,
+expressed with Spark's native streaming primitives so state management,
+watermark-based late-data handling, and incremental execution come from the
+engine:
+
+* :func:`read_event_stream` — file-source stream with schema, the
+  streaming twin of ``Connection.register_parquet``.
+* :func:`windowed_event_counts` — tumbling/sliding windowed counts with a
+  watermark (late events beyond the watermark are dropped by Spark, not by
+  hand-rolled logic).
+* :func:`sessionize` — native ``session_window`` gap sessionization; the
+  streaming analogue of the activity-schema grouping the batch funnel uses.
+* :func:`streaming_step_counts` — per-micro-batch funnel *step event*
+  counts (how many events matched each step predicate), the incremental
+  feed for a funnel dashboard. Full journey matching needs the entity's
+  whole history and is a batch op (match_steps); this keeps the streaming
+  side to what streaming semantics can answer exactly.
+
+All sinks are the caller's choice (``.writeStream`` on the returned frame);
+tests use ``trigger(availableNow=True)`` + a memory sink.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    format: str = "parquet",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-source event stream (each new file = new data)."""
+    reader = spark.readStream.format(format).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked windowed counts per key.
+
+    Output columns: window_start, window_end, <key_col>, n_events.
+    With a slide this is a sliding window; otherwise tumbling. The
+    watermark bounds state: windows older than (max event time − watermark)
+    are finalized and dropped from the state store."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("__w__"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("__w__.start").alias("window_start"),
+            F.col("__w__.end").alias("window_end"),
+            F.col(key_col),
+            F.col("n_events"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str,
+    group_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization via native ``session_window`` — sessions
+    close after ``gap`` of inactivity per group. State is merged by the
+    engine (no applyInPandasWithState needed for pure gap sessions).
+
+    Output: <group_col>, session_start, session_end, n_events."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("__s__"), F.col(group_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(group_col),
+            F.col("__s__.start").alias("session_start"),
+            F.col("__s__.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+
+
+def streaming_step_counts(
+    events: DataFrame,
+    ts_col: str,
+    event_key_col: str,
+    steps: Sequence[str],
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Windowed per-step event counts for a funnel dashboard: one row per
+    (window, step) with the number of events matching that step value.
+
+    The count_if is expressed as SUM(CASE ...) so it folds into the
+    streaming aggregation's incremental state (same sugar as the batch
+    engine, reference: src/model/func/_sql_functions.py:25-30)."""
+    aggs = [
+        F.sum(F.when(F.col(event_key_col) == s, 1).otherwise(0)).alias(f"{s}_count")
+        for s in steps
+    ]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("__w__"))
+        .agg(*aggs)
+        .select(
+            F.col("__w__.start").alias("window_start"),
+            *[F.col(f"{s}_count") for s in steps],
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain a (bounded) stream into an in-memory table with
+    ``availableNow`` and return the result as a batch frame — the test
+    harness for every op above."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

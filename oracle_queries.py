@@ -281,6 +281,22 @@ ranked AS (
 SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
 """
 
+NEAR_DUP_SQL = f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cb AS (SELECT vec_id, v, CAST({_BUCKET} AS BIGINT) AS bucket FROM c),
+joined AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+           AS cos_sim
+  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM joined WHERE cos_sim >= 0.8
+"""
+
 ANN_LSH_SQL = f"""
 WITH c AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -536,6 +552,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_jaccard": JACCARD_SQL,
     "ann_bruteforce": ANN_BRUTE_SQL,
     "ann_lsh": ANN_LSH_SQL,
+    "embedding_near_dup": NEAR_DUP_SQL,
     "text_langid": LANGID_SQL,
     "text_quality": QUALITY_SQL,
     "text_tokens": TOKENS_SQL,

@@ -1,0 +1,128 @@
+"""Unit tests for the net-new training-data operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hashquery_spark.ops import (
+    ann_brute_force,
+    decode_blob_metadata,
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    token_count,
+    with_binary_column,
+)
+from hashquery_spark.ops.multimodal import decode_image
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    long = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the tall mountains and the river flows quietly "
+        "through the green valley under a clear evening sky"
+    )
+    rows = [
+        (1, long),
+        (2, long),  # exact dup of 1
+        (3, long.replace("river", "stream")),  # near dup (1-word edit, J≈0.9)
+        (4, "completely different content about spark engines"),
+        (5, "tiny"),  # too short for shingles
+        (6, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[1] == 2  # docs 1+2 collapse
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_finds_near_dups(docs):
+    # bands=8 (2 rows/band) for high sensitivity at jaccard ~0.8
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, "text", "doc_id", num_perm=16, bands=8).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # 1-word-changed doc shares bands
+    assert not any(4 in p for p in pairs)  # unrelated doc joins no bucket
+    assert not any(5 in p or 6 in p for p in pairs)  # shingle-less docs dropped
+
+
+def test_jaccard_values(docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id").collect()
+    }
+    assert out[(1, 2)] == 1.0
+    if (1, 3) in out:
+        assert 0.3 < out[(1, 3)] < 1.0
+
+
+def test_simhash_hamming_locality(docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs, "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    ham = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham < ham_far  # near-dup closer in hamming space than unrelated
+
+
+def test_ann_bruteforce_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.where("vec_id = 0")
+    out = ann_brute_force(emb, probes, k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.001]),  # near-dup of 0
+        (2, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup(emb, threshold=0.99, dim=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_token_count_edges(spark):
+    d = spark.createDataFrame(
+        [(1, "hello, world!"), (2, ""), (3, "   "), (4, "a b  c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_tokens_ws"], r["n_tokens_bpe"]) for r in token_count(d, "text", "doc_id").collect()}
+    assert out[1] == (2, 4)  # hello , world !
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+    assert out[4] == (3, 3)
+
+
+def test_multimodal_plumbing(docs):
+    out = decode_blob_metadata(with_binary_column(docs, "text"), "payload", "doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    expected = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the tall mountains and the river flows quietly "
+        "through the green valley under a clear evening sky"
+    )
+    assert rows[1]["n_bytes"] == len(expected)
+    assert rows[1]["head_hex"] == b"the ".hex().upper()
+    assert rows[6]["n_bytes"] == 0 and rows[6]["head_hex"] == ""
+    assert rows[1]["fake_width"] == rows[1]["n_bytes"] % 640
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
