@@ -360,6 +360,68 @@ def q_fold(spark, sf_dir):
     ).to_df()
 
 
+def q_sql_query_source(spark, sf_dir):
+    """Raw-SQL model source (SURVEY §2.1 #2): opaque query walled into its
+    own subplan, DSL transforms layered on top."""
+    _conn(spark, sf_dir).sql("SELECT 1")  # ensure temp views registered
+    m = Model(
+        _conn(spark, sf_dir),
+        sql_query="SELECT l_returnflag, l_quantity, l_extendedprice "
+        "FROM lineitem WHERE l_quantity > 40",
+    )
+    return (
+        m.aggregate(
+            groups=[column("l_returnflag")],
+            measures=[
+                func.count().named("n"),
+                func.sum(column("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .named("qty"),
+            ],
+        )
+        .to_df()
+    )
+
+
+def q_string_predicates(spark, sf_dir):
+    """contains / contains_any / like / ilike (SURVEY §2.4)."""
+    p = Model(_conn(spark, sf_dir), "part")
+    return (
+        p.aggregate(
+            measures=[
+                func.count_if(attr.p_type.contains("BRASS")).named("n_brass"),
+                func.count_if(attr.p_type.contains("brass", case_insensitive=True)).named(
+                    "n_brass_ci"
+                ),
+                func.count_if(attr.p_type.like("STANDARD%")).named("n_standard"),
+                func.count_if(attr.p_type.ilike("standard%")).named("n_standard_ci"),
+                func.count_if(
+                    attr.p_type.contains_any("COPPER", "NICKEL")
+                ).named("n_metal"),
+            ]
+        )
+        .to_df()
+    )
+
+
+def q_temporal_sugar(spark, sf_dir):
+    """is_this_* / is_last_* sugar over materialized now() (SURVEY §2.5).
+    Data is historical, so all counts are 0 — the point is that both
+    engines evaluate the same compile-time-anchored window."""
+    ev = Model(_conn(spark, sf_dir), "events")
+    return (
+        ev.aggregate(
+            measures=[
+                func.count_if(attr.ts.is_this_year()).named("n_this_year"),
+                func.count_if(attr.ts.is_last_year()).named("n_last_year"),
+                func.count_if(attr.ts.is_this_month()).named("n_this_month"),
+                func.count_if(attr.ts.is_today()).named("n_today"),
+            ]
+        )
+        .to_df()
+    )
+
+
 # --- funnels (SURVEY §2.1 #10, §2.2) ---
 
 FUNNEL_STEPS = ["signup", "click", "purchase"]
@@ -524,6 +586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_timestamp": q_format_timestamp,
         "interval_arithmetic": q_interval_arithmetic,
         "sql_text_binding": q_sql_text_binding,
+        "sql_query_source": q_sql_query_source,
+        "string_predicates": q_string_predicates,
+        "temporal_sugar": q_temporal_sugar,
         "fold_unpivot": q_fold,
         "funnel": q_funnel,
         "funnel_time_limit": q_funnel_time_limit,

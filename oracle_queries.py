@@ -536,6 +536,36 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT o_orderstatus, 'total' AS metric, total AS value FROM agg
     """,
+    "sql_query_source": """
+        WITH src AS (
+          SELECT l_returnflag, l_quantity, l_extendedprice
+          FROM lineitem WHERE l_quantity > 40
+        )
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM src GROUP BY l_returnflag
+    """,
+    "string_predicates": """
+        SELECT
+          count(CASE WHEN p_type LIKE '%BRASS%' THEN 1 END) AS n_brass,
+          count(CASE WHEN lower(p_type) LIKE '%brass%' THEN 1 END) AS n_brass_ci,
+          count(CASE WHEN p_type LIKE 'STANDARD%' THEN 1 END) AS n_standard,
+          count(CASE WHEN lower(p_type) LIKE lower('standard%') THEN 1 END) AS n_standard_ci,
+          count(CASE WHEN p_type LIKE '%COPPER%' OR p_type LIKE '%NICKEL%' THEN 1 END) AS n_metal
+        FROM part
+    """,
+    "temporal_sugar": """
+        SELECT
+          count(CASE WHEN ts >= date_trunc('year', now()::TIMESTAMP)
+                      AND ts < date_trunc('year', now()::TIMESTAMP) + INTERVAL 1 YEAR THEN 1 END) AS n_this_year,
+          count(CASE WHEN ts >= date_trunc('year', now()::TIMESTAMP) - INTERVAL 1 YEAR
+                      AND ts < date_trunc('year', now()::TIMESTAMP) THEN 1 END) AS n_last_year,
+          count(CASE WHEN ts >= date_trunc('month', now()::TIMESTAMP)
+                      AND ts < date_trunc('month', now()::TIMESTAMP) + INTERVAL 1 MONTH THEN 1 END) AS n_this_month,
+          count(CASE WHEN ts >= date_trunc('day', now()::TIMESTAMP)
+                      AND ts < date_trunc('day', now()::TIMESTAMP) + INTERVAL 1 DAY THEN 1 END) AS n_today
+        FROM events
+    """,
     "funnel": _funnel_counts_sql(STEPS3, top_name="users"),
     "funnel_time_limit": _funnel_time_limit_sql(STEPS3, 7 * 86400),
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
