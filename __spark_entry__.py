@@ -27,6 +27,7 @@ from hashquery_spark import Connection, Model, column, func, attr, rel
 from hashquery_spark.ops import (
     ann_brute_force,
     embedding_near_dup,
+    ivf_ann,
     decode_blob_metadata,
     exact_dedup,
     language_id,
@@ -531,6 +532,13 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_ann(emb, probes, "embedding", "vec_id", k=10, n_planes=4, dim=64)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-partitioned ANN: probe searches only its n_probe nearest cells."""
+    emb = _conn(spark, sf_dir).table("embeddings")
+    probes = emb.where("vec_id < 5")
+    return ivf_ann(emb, probes, "embedding", "vec_id", k=10, n_centroids=8, n_probe=2)
+
+
 def q_text_langid(spark, sf_dir):
     docs = _conn(spark, sf_dir).table("documents")
     return language_id(docs, "text", "doc_id")
@@ -603,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,

@@ -20,7 +20,13 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from .similarity import ann_brute_force, embedding_near_dup, lsh_ann, random_hyperplanes
+from .similarity import (
+    ann_brute_force,
+    embedding_near_dup,
+    ivf_ann,
+    lsh_ann,
+    random_hyperplanes,
+)
 from .text import doc_fingerprint, language_id, quality_score, token_count
 from .multimodal import decode_blob_metadata, with_binary_column
 
@@ -32,6 +38,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ann_brute_force",
     "embedding_near_dup",
+    "ivf_ann",
     "lsh_ann",
     "random_hyperplanes",
     "language_id",

@@ -104,6 +104,88 @@ def hyperplane_bucket(vec: Column, planes: List[List[float]]) -> Column:
     return bucket.cast("long")
 
 
+def ivf_ann(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: the corpus is inverted-file partitioned by nearest
+    centroid; each probe searches only its ``n_probe`` closest cells.
+
+    Centroids here are the deterministic first ``n_centroids`` corpus
+    vectors (a real deployment would k-means them; the *index structure* —
+    cell assignment, multi-cell probing, within-cell exact ranking — is the
+    part that matters). The centroid set is collected to the driver
+    (bounded: n_centroids × dim floats, same role as a broadcast) and
+    inlined as literals, so cell assignment is a narrow codegen'd pass with
+    NO join. The probe→corpus match becomes an equi-join on the cell id:
+    at 100 TB each probe touches n_probe/n_centroids of the data instead
+    of all of it.
+
+    Determinism: centroid similarities round to 4 decimals with
+    lowest-centroid-id tiebreak, so a DuckDB oracle reproduces cell
+    assignments exactly."""
+    cents = sorted(
+        (r[0], list(r[1]))
+        for r in corpus.where(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+
+    def cell_of(vec: Column) -> Column:
+        sims = {
+            cid: F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])), 4)
+            for cid, cvec in cents
+        }
+        best = F.greatest(*sims.values())
+        cell = F.lit(None)
+        for cid in sorted(sims, reverse=True):  # lowest cid wins ties
+            cell = F.when(sims[cid] == best, F.lit(cid)).otherwise(cell)
+        return cell.cast("long")
+
+    def top_cells_of(vec: Column) -> Column:
+        pairs = F.array(
+            *[
+                F.struct(
+                    (-F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])), 4)).alias(
+                        "neg"
+                    ),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+        return F.transform(F.slice(F.array_sort(pairs), 1, n_probe), lambda s: s["cid"])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec__"),
+        cell_of(F.col(vec_col)).alias("__cell__"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__pvec__"),
+        F.explode(top_cells_of(F.col(vec_col))).alias("__cell__"),
+    )
+    joined = c.join(F.broadcast(p), on="__cell__").where(
+        F.col("neighbor_id") != F.col("probe_id")
+    )
+    sim = F.round(cosine(F.col("__pvec__"), F.col("__cvec__")), 4)
+    scored = joined.select("probe_id", "neighbor_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     vec_col: str = "embedding",

@@ -133,6 +133,60 @@ def streaming_step_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Custom stateful streaming operator: exact dedup across micro-batches.
+
+    Keeps one bit of state per dedup key via Arrow-batched
+    ``applyInPandasWithState``; only a key's FIRST occurrence (ever, across
+    all micro-batches) is emitted. This is the streaming twin of
+    ``ops.exact_dedup`` and the template for any custom stateful operator
+    Spark lacks natively (the state store shards by key, so it scales with
+    the key space, not the stream length).
+
+    Output schema: <key_col> string, <payload_cols...> as strings."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ", ".join(
+        [f"{key_col} string"] + [f"{c} string" for c in payload_cols]
+    )
+    state_schema = "seen boolean"
+
+    def dedup_fn(key, pdf_iter, state):
+        if state.exists:
+            # key already emitted in an earlier batch — drop everything
+            for _ in pdf_iter:
+                pass
+            return
+        state.update((True,))
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        if first is not None:
+            yield pd.DataFrame(
+                {
+                    key_col: first[key_col].astype(str),
+                    **{c: first[c].astype(str) for c in payload_cols},
+                }
+            )
+
+    return (
+        events.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain a (bounded) stream into an in-memory table with
     ``availableNow`` and return the result as a batch frame — the test

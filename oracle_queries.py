@@ -316,6 +316,43 @@ ranked AS (
 SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
 """
 
+ANN_IVF_SQL = f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
+asn AS (
+  SELECT c.vec_id, c.v, cents.cid,
+    round(list_dot_product(c.v, cents.cv) /
+          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents.cv, cents.cv))), 4) AS s
+  FROM c, cents
+),
+cells AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM asn
+  ) WHERE rn = 1
+),
+pcells AS (
+  SELECT vec_id AS probe_id, v AS pv, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM asn WHERE vec_id < 5
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.probe_id, cl.vec_id AS neighbor_id,
+    round(list_dot_product(p.pv, cl.v) /
+          (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(cl.v, cl.v))), 4) AS cos_sim
+  FROM pcells p JOIN cells cl ON p.cell = cl.cell AND cl.vec_id != p.probe_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
 _STOP = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
@@ -583,6 +620,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_bruteforce": ANN_BRUTE_SQL,
     "ann_lsh": ANN_LSH_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
+    "ann_ivf": ANN_IVF_SQL,
     "text_langid": LANGID_SQL,
     "text_quality": QUALITY_SQL,
     "text_tokens": TOKENS_SQL,
