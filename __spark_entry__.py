@@ -220,6 +220,21 @@ def q_count_if_cases(spark, sf_dir):
     )
 
 
+def q_math_floor_ceiling(spark, sf_dir):
+    """floor/ceiling scalar math (SURVEY §2.3) as binning keys."""
+    return (
+        Model(_conn(spark, sf_dir), "orders")
+        .aggregate(
+            groups=[func.floor(attr.o_totalprice / 100000).named("bin")],
+            measures=[
+                func.count().named("n"),
+                func.ceiling(func.max(attr.o_totalprice) / 100000).cast("long").named("max_ceil"),
+            ],
+        )
+        .to_df()
+    )
+
+
 def q_distinct_count(spark, sf_dir):
     return (
         Model(_conn(spark, sf_dir), "orders")
@@ -585,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_drop_unmatched": q_join_drop_unmatched,
         "join_condition": q_join_condition,
         "count_if_cases": q_count_if_cases,
+        "math_floor_ceiling": q_math_floor_ceiling,
         "distinct_count": q_distinct_count,
         "in_list_null_aware": q_in_list_null_aware,
         "in_subquery": q_in_subquery,

@@ -795,12 +795,10 @@ class Model:
         writer.save(path)
 
     def sql(self) -> str:
-        """The compiled plan, as text (the reference returns rendered SQL;
-        on Spark the artifact is the optimized logical + physical plan)."""
-        df = self.to_df()
-        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-            df._jdf.queryExecution(), "extended"
-        )
+        """The compiled plan, as text (the reference returns rendered SQL,
+        src/model/model.py:1036-1056; on Spark the equivalent artifact is
+        the parsed/analyzed/optimized/physical plan dump)."""
+        return self.to_df()._jdf.queryExecution().toString()
 
     def explain(self, mode: str = "formatted") -> None:
         self.to_df().explain(mode)

@@ -517,6 +517,12 @@ ORACLE_SQL: dict[str, str] = {
                count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent
         FROM orders GROUP BY 1
     """,
+    "math_floor_ceiling": """
+        SELECT CAST(floor(o_totalprice / 100000) AS BIGINT) AS bin,
+               count(*) AS n,
+               CAST(ceiling(max(o_totalprice) / 100000) AS BIGINT) AS max_ceil
+        FROM orders GROUP BY 1
+    """,
     "distinct_count": """
         SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS n_customers
         FROM orders GROUP BY o_orderstatus
