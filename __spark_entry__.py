@@ -142,6 +142,16 @@ def q_union_all(spark, sf_dir):
     )
 
 
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION DISTINCT (net-new; reference has only
+    UNION ALL)."""
+    li = Model(_conn(spark, sf_dir), "lineitem")
+    pairs = lambda cond: li.filter(cond).pick(attr.l_returnflag, attr.l_linestatus)
+    inter = pairs(attr.l_quantity > 40).intersect(pairs(attr.l_quantity < 10))
+    minus = pairs(attr.l_quantity > 40).except_(pairs(attr.l_discount > 0.05))
+    return inter.union_distinct(minus).to_df()
+
+
 def q_join_one_left(spark, sf_dir):
     """Lazy many-to-one LEFT join + group on joined attr (SURVEY §2.1 #9)."""
     conn = _conn(spark, sf_dir)
@@ -596,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "agg_global": q_agg_global,
         "union_all": q_union_all,
+        "set_ops": q_set_ops,
         "join_one_left": q_join_one_left,
         "join_drop_unmatched": q_join_drop_unmatched,
         "join_condition": q_join_condition,

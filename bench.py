@@ -30,7 +30,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "ann_bruteforce",
+    "ann_ivf",
+    "dedup_simhash",
     "text_quality",
+    "text_langid",
+    "match_steps_detail",
 ]
 
 

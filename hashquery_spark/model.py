@@ -35,6 +35,7 @@ from .keypath import KeyPath, resolve_all_nested_keypaths, resolve_keypath
 from .match_steps import MatchStepsSource, ModelActivitySchema
 from .sources import (
     AggregateSource,
+    SetOpSource,
     CompileState,
     FilterSource,
     FoldSource,
@@ -406,6 +407,25 @@ class Model:
     @builder_method
     def union_all(self, other: "Model") -> "Model":
         self._source = UnionSource(self._source, other._source)
+        self._namespaces = IdentifiableMap()
+
+    @builder_method
+    def intersect(self, other: "Model") -> "Model":
+        """ANSI INTERSECT (distinct) — net-new; the reference has only
+        UNION ALL (SURVEY.md §2.7)."""
+        self._source = SetOpSource(self._source, other._source, "intersect")
+        self._namespaces = IdentifiableMap()
+
+    @builder_method
+    def except_(self, other: "Model") -> "Model":
+        """ANSI EXCEPT (distinct) — net-new."""
+        self._source = SetOpSource(self._source, other._source, "except")
+        self._namespaces = IdentifiableMap()
+
+    @builder_method
+    def union_distinct(self, other: "Model") -> "Model":
+        """ANSI UNION (distinct) — net-new."""
+        self._source = SetOpSource(self._source, other._source, "unionDistinct")
         self._namespaces = IdentifiableMap()
 
     @builder_method

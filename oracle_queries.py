@@ -490,6 +490,15 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         FROM u GROUP BY l_returnflag
     """,
+    "set_ops": """
+        SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 40
+        INTERSECT
+        SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 10
+        UNION
+        (SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 40
+         EXCEPT
+         SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount > 0.05)
+    """,
     "join_one_left": """
         SELECT c.c_mktsegment, count(*) AS n_orders,
                CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

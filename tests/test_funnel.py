@@ -153,3 +153,51 @@ def test_partition_start_events(spark):
     assert got[("web", "buy")] == 1
     assert got[("email", "start")] == 2
     assert got[("email", "buy")] == 1
+
+
+def test_same_event_matching_multiple_steps(spark):
+    """An event matching several steps can satisfy only ONE of them: the
+    journey hash orders duplicate-(ts) chars by step DESC, so matching an
+    earlier step moves the cursor past the same event's later-step chars
+    (reference: compilers/match_steps.py:513-521)."""
+    conn = Connection(spark)
+    conn.register_records(
+        "multi_events",
+        [
+            (1, "both", datetime(2024, 1, 1)),  # matches step A and step B
+            (2, "both", datetime(2024, 1, 1)),
+            (2, "b_only", datetime(2024, 1, 2)),  # later event for step B
+        ],
+        schema="user_id long, event string, timestamp timestamp",
+    )
+    m = Model(conn, "multi_events").with_activity_schema(
+        group=attr.user_id, timestamp=attr.timestamp, event_key=attr.event
+    )
+    step_a = (column("event").in_(["both"])).named("step_a")
+    step_b = (column("event").in_(["both", "b_only"])).named("step_b")
+    got = {r["step"]: r["entities"] for r in m.funnel([step_a, step_b]).run().py_records}
+    # user 1: single event consumed by step_a; step_b needs a LATER event -> unmatched
+    # user 2: step_a at day 1, step_b at day 2
+    assert got == {"step_a": 2, "step_b": 1}
+
+
+def test_duplicate_timestamp_ordering(spark):
+    """Exact-duplicate timestamps across different steps: the (ts, step
+    DESC) ordering puts the later step's char first, so the earlier step
+    still matches and the later step's event at the same instant counts."""
+    conn = Connection(spark)
+    conn.register_records(
+        "dup_ts_events",
+        [
+            (1, "a", datetime(2024, 1, 1, 12, 0)),
+            (1, "b", datetime(2024, 1, 1, 12, 0)),  # same instant
+        ],
+        schema="user_id long, event string, timestamp timestamp",
+    )
+    m = Model(conn, "dup_ts_events").with_activity_schema(
+        group=attr.user_id, timestamp=attr.timestamp, event_key=attr.event
+    )
+    got = {r["step"]: r["entities"] for r in m.funnel(["a", "b"]).run().py_records}
+    # journey = 'BA'; step a matches at index 2, step b searches after -> none
+    # (pessimistic-but-faithful: reference orders dup chars step-DESC)
+    assert got == {"a": 1, "b": 0}

@@ -137,3 +137,29 @@ def test_wire_format_roundtrip(conn):
 def test_limit_offset(conn):
     m = Model(conn, "sales").sort(attr.id).limit(2, offset=1)
     assert [r["id"] for r in m.pick(attr.id).run().py_records] == [2, 3]
+
+
+def test_csv_json_sources(spark, tmp_path):
+    import os
+    pdf_dir = str(tmp_path / "csvsrc")
+    conn = Connection(spark)
+    spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string") \
+        .coalesce(1).write.mode("overwrite").option("header", True).csv(pdf_dir)
+    conn.register_csv("csv_t", pdf_dir)
+    assert Model(conn, "csv_t").to_df().count() == 2
+
+    jdir = str(tmp_path / "jsonsrc")
+    spark.createDataFrame([(3, "z")], "id long, v string") \
+        .coalesce(1).write.mode("overwrite").json(jdir)
+    conn.register_json("json_t", jdir)
+    got = Model(conn, "json_t").pick(column("v")).run().py_records
+    assert got == [{"v": "z"}]
+
+
+def test_model_write_sink(spark, tmp_path, conn):
+    out = str(tmp_path / "sink")
+    m = Model(conn, "sales").filter(attr.price > 6)
+    m.write(out, partition_by=["customer_id"])
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert any(f.name == "customer_id" for f in back.schema.fields)
