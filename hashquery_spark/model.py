@@ -759,8 +759,12 @@ class Model:
             groups=all_partitions,
             measures=[rate, started, converted, avg_seconds],
         )
+        # sort by the aggregated OUTPUT columns: the reference sorts by the
+        # raw partition expression here (model.py:866-868), which cannot
+        # resolve post-aggregation for partition_matches cohorts — sorting
+        # by the output name is the working semantics
         for p in all_partitions:
-            result = result.sort(p, dir="asc")
+            result = result.sort(column(p.identifier), dir="asc")
         return result
 
     # --- execution (reference: model.py:999-1056) ---

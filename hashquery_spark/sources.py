@@ -223,8 +223,10 @@ class FrameState:
                 .withColumn(marker, F.lit(True))
             )
             needle = sub.needle.compile(ctx)
-            # small distinct value sets broadcast; AQE handles the rest
-            self.df = self.df.join(F.broadcast(rhs), on=needle == F.col(val_alias), how="left")
+            # join strategy left to AQE: a small distinct set broadcasts at
+            # runtime, a huge IN-subquery becomes a shuffle join instead of
+            # an OOM'ing forced broadcast
+            self.df = self.df.join(rhs, on=needle == F.col(val_alias), how="left")
             # null semantics (reference: column_expression.py:513-544):
             # a NULL needle matches iff the subquery contains a NULL
             has_null_name = self.state.fresh_name("in_has_null")

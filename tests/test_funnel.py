@@ -201,3 +201,23 @@ def test_duplicate_timestamp_ordering(spark):
     # journey = 'BA'; step a matches at index 2, step b searches after -> none
     # (pessimistic-but-faithful: reference orders dup chars step-DESC)
     assert got == {"a": 1, "b": 0}
+
+
+def test_partition_matches_grouping(events):
+    """partition_matches: boolean cohort expressions resolved against the
+    POST-match_steps model split the funnel output
+    (reference: model.py:630-632 'resolved via the model outputted by
+    match_steps')."""
+    from hashquery_spark.keypath import attr as kp_attr
+
+    res = events.funnel_conversion_rate(
+        STEPS,
+        partition_matches=[(kp_attr.last_matched_step_index >= 2).named("converted_cohort")],
+    ).run().py_records
+    by_cohort = {r["converted_cohort"]: r for r in res}
+    # cohort True = users whose last matched step is purchase (0 and 1)
+    assert by_cohort[True]["startedCount"] == 2
+    assert by_cohort[True]["convertedCount"] == 2
+    # cohort False = entered but didn't convert (2, 3, 4)
+    assert by_cohort[False]["startedCount"] == 3
+    assert by_cohort[False]["convertedCount"] == 0

@@ -1,0 +1,67 @@
+"""Physical-plan regression guards: the scale properties (pushdown,
+pruning, broadcast, bounded shuffles) must not silently rot."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf_dir):
+    plan = _physical(entry_mod.q_scan_filter_sort_limit(spark, sf_dir))
+    # predicate pushed into the parquet scan
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+    # column pruning: only the 5 needed columns are read
+    scan_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_comment" not in scan_schema
+    assert scan_schema.count(":") == 5
+    # sort+limit+offset fuse into a top-k operator
+    assert "TakeOrderedAndProject(limit=110, offset=10" in plan
+
+
+def test_broadcast_hint_produces_broadcast_join(spark, sf_dir):
+    plan = _physical(entry_mod.q_join_one_left(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregate_has_mapside_partials(spark, sf_dir):
+    plan = _physical(entry_mod.q_agg_pricing_summary(spark, sf_dir))
+    assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_funnel_shuffle_budget(spark, sf_dir):
+    """The funnel pipeline should stay within a small, fixed number of
+    exchanges: journeys groupBy, unique-entities distinct, final aggregate,
+    and the output sort. A regression to the reference's per-step join
+    cascade would blow this budget."""
+    plan = _physical(entry_mod.q_funnel(spark, sf_dir))
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 5, f"funnel plan has {n_exchanges} exchanges:\n{plan[:2000]}"
+    # single events-table aggregation builds hash + indices + timestamps
+    assert plan.count("collect_list") <= 2  # partial + final of ONE aggregation
+
+
+def test_minhash_is_flat_codegen(spark, sf_dir):
+    """Signature hashing must stay in whole-stage codegen (flat hash
+    columns), not nested higher-order lambdas."""
+    df = entry_mod.q_dedup_minhash(spark, sf_dir)
+    plan = _physical(df)
+    # hashes are flat expressions, never inside higher-order lambdas
+    # (lambdafunction(...conv...) in the plan = fell out of codegen)
+    assert "lambdafunction(cast(conv" not in plan
+    # partial min aggregation combines map-side before the doc_id shuffle
+    assert "partial_min" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """Only intentionally-tiny frames (1-row flags, probe sets, centroid
+    replication) may appear on nested-loop joins; a CartesianProduct over
+    two big sides is always a bug."""
+    for name in ("in_subquery", "exists_subquery", "join_one_left", "funnel"):
+        plan = _physical(entry_mod.queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
