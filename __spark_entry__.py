@@ -477,6 +477,23 @@ def q_funnel_conversion(spark, sf_dir):
     )
 
 
+def q_funnel_cohorts(spark, sf_dir):
+    """funnel_conversion_rate with partition_matches: boolean cohort
+    expressions resolved against the post-match model split the rates."""
+    from hashquery_spark import attr as _attr
+
+    return (
+        _events_model(spark, sf_dir)
+        .funnel_conversion_rate(
+            FUNNEL_STEPS,
+            partition_matches=[
+                (_attr.last_matched_step_index >= 2).named("converted_cohort")
+            ],
+        )
+        .to_df()
+    )
+
+
 def q_match_steps_detail(spark, sf_dir):
     """Raw match_steps output: per-entity step timestamps + last matched
     step (SURVEY §2.1 #10)."""
@@ -628,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "funnel_time_limit": q_funnel_time_limit,
         "funnel_conversion": q_funnel_conversion,
+        "funnel_cohorts": q_funnel_cohorts,
         "match_steps_detail": q_match_steps_detail,
         "funnel_partitioned": q_funnel_partitioned,
         "funnel_expr_steps": q_funnel_expr_steps,

@@ -116,6 +116,21 @@ SELECT
 FROM e WHERE i0 IS NOT NULL
 """
 
+FUNNEL_COHORTS_SQL = f"""
+WITH {_funnel_base(STEPS3)}
+SELECT
+  (CASE WHEN tss[i2] IS NOT NULL THEN 2
+        WHEN tss[i1] IS NOT NULL THEN 1
+        WHEN tss[i0] IS NOT NULL THEN 0 END) >= 2 AS converted_cohort,
+  count(CASE WHEN i2 IS NOT NULL THEN 1 END)
+    / count(CASE WHEN i0 IS NOT NULL THEN 1 END) AS rate,
+  count(CASE WHEN i0 IS NOT NULL THEN 1 END) AS "startedCount",
+  count(CASE WHEN i2 IS NOT NULL THEN 1 END) AS "convertedCount",
+  avg(floor(epoch(tss[i2])) - floor(epoch(tss[i0]))) AS "avgSecondsToConvert"
+FROM e WHERE i0 IS NOT NULL
+GROUP BY 1
+"""
+
 MATCH_STEPS_DETAIL_SQL = f"""
 WITH {_funnel_base(STEPS3)}
 SELECT user_id,
@@ -621,6 +636,7 @@ ORACLE_SQL: dict[str, str] = {
     "funnel": _funnel_counts_sql(STEPS3, top_name="users"),
     "funnel_time_limit": _funnel_time_limit_sql(STEPS3, 7 * 86400),
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
+    "funnel_cohorts": FUNNEL_COHORTS_SQL,
     "match_steps_detail": MATCH_STEPS_DETAIL_SQL,
     "funnel_partitioned": FUNNEL_PARTITIONED_SQL,
     "funnel_expr_steps": _funnel_counts_sql(STEPS_EXPR, top_name=None),

@@ -221,3 +221,63 @@ def test_partition_matches_grouping(events):
     # cohort False = entered but didn't convert (2, 3, 4)
     assert by_cohort[False]["startedCount"] == 3
     assert by_cohort[False]["convertedCount"] == 0
+
+
+def test_preserved_group_join_through_match_steps(spark):
+    """A relation joined exactly on the activity-schema group survives
+    match_steps and is reattached to the entity table
+    (reference: model.py:462-477)."""
+    conn = Connection(spark)
+    conn.register_records(
+        "je_events",
+        [
+            (1, "start", datetime(2024, 1, 1)), (1, "buy", datetime(2024, 1, 2)),
+            (2, "start", datetime(2024, 1, 1)),
+        ],
+        schema="user_id long, event string, timestamp timestamp",
+    )
+    conn.register_records(
+        "je_users",
+        [(1, "pro"), (2, "free")],
+        schema="id long, plan string",
+    )
+    users = Model(conn, "je_users")
+    m = (
+        Model(conn, "je_events")
+        .with_join_one(users, foreign_key=attr.user_id, named="profile")
+        .with_activity_schema(group=attr.user_id, timestamp=attr.timestamp, event_key=attr.event)
+    )
+    matched = m.match_steps(["start", "buy"])
+    assert "profile" in matched._namespaces
+    recs = {
+        r["user_id"]: (r["plan"], r["last_matched_step_name"])
+        for r in matched.pick(
+            attr.user_id, rel.profile.plan.named("plan"), attr.last_matched_step_name
+        ).run().py_records
+    }
+    assert recs == {1: ("pro", "buy"), 2: ("free", "start")}
+
+
+def test_partitioned_funnel_with_time_limit(spark):
+    conn = Connection(spark)
+    conn.register_records(
+        "ptl_events",
+        [
+            (1, "start", "web", datetime(2024, 1, 1)),
+            (1, "buy", None, datetime(2024, 1, 10)),   # 9 days later: over limit
+            (2, "start", "app", datetime(2024, 1, 1)),
+            (2, "buy", None, datetime(2024, 1, 2)),    # 1 day: within limit
+        ],
+        schema="user_id long, event string, channel string, timestamp timestamp",
+    )
+    m = Model(conn, "ptl_events").with_activity_schema(
+        group=attr.user_id, timestamp=attr.timestamp, event_key=attr.event
+    )
+    recs = m.funnel(
+        ["start", "buy"],
+        partition_start_events=[column("channel")],
+        time_limit=timedelta(days=3),
+    ).run().py_records
+    got = {(r["channel"], r["step"]): r["entities"] for r in recs}
+    assert got[("web", "start")] == 1 and got[("web", "buy")] == 0
+    assert got[("app", "start")] == 1 and got[("app", "buy")] == 1
