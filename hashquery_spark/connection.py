@@ -34,7 +34,9 @@ def default_session(app_name: str = "hashquery_spark", cpus: Optional[int] = Non
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = one JVM on the driver; this is the only memory knob
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Spark has no TIMESTAMP(NANOS) parquet support (SPARK-40819); read
         # them as raw int64 nanos, then register_parquet casts back to
