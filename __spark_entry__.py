@@ -34,6 +34,7 @@ from hashquery_spark.ops import (
     lsh_ann,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    asof_join,
     doc_fingerprint,
     quality_score,
     simhash,
@@ -139,6 +140,70 @@ def q_union_all(spark, sf_dir):
             ],
         )
         .to_df()
+    )
+
+
+def q_rollup(spark, sf_dir):
+    """Multi-level ROLLUP aggregation (net-new; absent from the reference)."""
+    return (
+        Model(_conn(spark, sf_dir), "orders")
+        .aggregate(
+            groups=[attr.o_orderstatus, attr.o_orderpriority],
+            measures=[
+                func.count().named("n"),
+                func.sum(attr.o_totalprice.cast("decimal(18,2)")).cast("double").named("total"),
+            ],
+            grouping_mode="rollup",
+        )
+        .to_df()
+    )
+
+
+def q_top_k_per_group(spark, sf_dir):
+    """Per-group top-k via row_number window (net-new)."""
+    return (
+        Model(_conn(spark, sf_dir), "orders")
+        .top_k(
+            3,
+            attr.o_totalprice,
+            per=[attr.o_orderstatus],
+            rank_name="rank",
+            tiebreak=[attr.o_orderkey],
+        )
+        .pick(attr.o_orderstatus, attr.o_orderkey, attr.o_totalprice, column("rank"))
+        .to_df()
+    )
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles (net-new func.percentile)."""
+    return (
+        Model(_conn(spark, sf_dir), "lineitem")
+        .aggregate(
+            groups=[attr.l_returnflag],
+            measures=[
+                func.percentile(attr.l_extendedprice, 0.5).named("p50"),
+                func.percentile(attr.l_extendedprice, 0.9).named("p90"),
+            ],
+        )
+        .pick(
+            column("l_returnflag"),
+            column(sql="round(p50, 2)").named("p50"),
+            column(sql="round(p90, 2)").named("p90"),
+        )
+        .to_df()
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of temporal join: each click matched to the user's most recent
+    signup at or before it (net-new; union-sort-window, one shuffle)."""
+    conn = _conn(spark, sf_dir)
+    ev = conn.table("events")
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    signups = ev.where("event_type = 'signup'").select("user_id", "ts", "value")
+    return asof_join(
+        clicks, signups, on="user_id", left_ts="ts", right_ts="ts", right_cols=["value"]
     )
 
 
@@ -624,6 +689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_global": q_agg_global,
         "union_all": q_union_all,
         "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "top_k_per_group": q_top_k_per_group,
+        "quantiles": q_quantiles,
+        "asof_join": q_asof_join,
         "join_one_left": q_join_one_left,
         "join_drop_unmatched": q_join_drop_unmatched,
         "join_condition": q_join_condition,

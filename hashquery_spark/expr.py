@@ -1007,6 +1007,8 @@ class SqlFunctionExpression(ColumnExpression):
             # sugar: SUM(CASE WHEN cond THEN 1 ELSE 0 END)
             # (reference: src/model/func/_sql_functions.py:25-30)
             return F.sum(F.when(cond, 1).otherwise(0))
+        if fn == "percentile":
+            return F.percentile(self.args[0].compile(ctx), F.lit(self.percentile_p))
         if fn in ("min", "max", "sum", "avg"):
             return getattr(F, fn)(self.args[0].compile(ctx))
         if fn == "floor":
@@ -1045,16 +1047,21 @@ class SqlFunctionExpression(ColumnExpression):
         raise ValueError(f"unknown SQL function {self.function!r}")
 
     def to_wire(self):
-        return {
+        out = {
             **super().to_wire(),
             "function": self.function,
             "args": [a.to_wire() for a in self.args],
         }
+        if hasattr(self, "percentile_p"):
+            out["percentileP"] = self.percentile_p
+        return out
 
     @classmethod
     def _from_wire(cls, data):
         node = cls(data["function"], [])
         node.args = [ColumnExpression.from_wire(a) for a in data["args"]]
+        if "percentileP" in data:
+            node.percentile_p = data["percentileP"]
         return node
 
 

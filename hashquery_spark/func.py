@@ -116,6 +116,15 @@ def cases(*cases: tuple, other: Any = None) -> CasesExpression:
 
 
 @defer_keypath_args
+def percentile(expr: Any, p: float) -> SqlFunctionExpression:
+    """Exact linear-interpolated percentile (net-new; maps to Spark's
+    ``percentile``, equals ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""
+    node = SqlFunctionExpression("percentile", [expr])
+    node.percentile_p = p
+    return node
+
+
+@defer_keypath_args
 def diff_seconds(ts1: Any, ts2: Any) -> SqlFunctionExpression:
     """Whole seconds between two timestamps: ts1 - ts2
     (reference: _temporal.py:6-10)."""

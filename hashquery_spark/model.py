@@ -36,6 +36,7 @@ from .match_steps import MatchStepsSource, ModelActivitySchema
 from .sources import (
     AggregateSource,
     SetOpSource,
+    TopKSource,
     CompileState,
     FilterSource,
     FoldSource,
@@ -410,6 +411,18 @@ class Model:
         self._namespaces = IdentifiableMap()
 
     @builder_method
+    def top_k(self, k: int, by, *, per=None, dir: str = "desc", rank_name=None, tiebreak=None) -> "Model":
+        """Per-group top-k (net-new; the reference only has global
+        sort+limit). ``per`` gives the partition columns; ``rank_name``
+        optionally keeps the 1-based rank; ``tiebreak`` columns (ascending)
+        make the selection a deterministic total order."""
+        per = [self._prep(p) for p in (per or [])]
+        tiebreak = [self._prep(t) for t in (tiebreak or [])]
+        self._source = TopKSource(
+            self._source, k, self._prep(by), per, dir, rank_name, tiebreak
+        )
+
+    @builder_method
     def intersect(self, other: "Model") -> "Model":
         """ANSI INTERSECT (distinct) — net-new; the reference has only
         UNION ALL (SURVEY.md §2.7)."""
@@ -429,13 +442,17 @@ class Model:
         self._namespaces = IdentifiableMap()
 
     @builder_method
-    def aggregate(self, *, measures=None, groups=None) -> "Model":
+    def aggregate(self, *, measures=None, groups=None, grouping_mode="group") -> "Model":
         """GROUP BY groups, compute measures (reference: model.py:390-407).
         Afterwards groups+measures become plain attributes and measures
-        reset."""
+        reset. ``grouping_mode`` extends the reference with native
+        "rollup"/"cube" multi-level aggregation (absent there, SURVEY §2.7);
+        Spark computes all grouping-set levels in one pass."""
         measures = [self._prep(m) for m in (measures or [])]
         groups = [self._prep(g) for g in (groups or [])]
-        self._source = AggregateSource(self._source, groups=groups, measures=measures)
+        self._source = AggregateSource(
+            self._source, groups=groups, measures=measures, grouping_mode=grouping_mode
+        )
         self._attributes = IdentifiableMap(column(c.identifier) for c in groups + measures)
         self._measures = IdentifiableMap()
         self._namespaces = IdentifiableMap()

@@ -30,6 +30,7 @@ from .similarity import (
 from .text import doc_fingerprint, language_id, quality_score, token_count
 from .multimodal import decode_blob_metadata, with_binary_column
 from .skew import salted_aggregate, salted_join
+from .asof import asof_join
 
 __all__ = [
     "exact_dedup",
@@ -48,6 +49,7 @@ __all__ = [
     "doc_fingerprint",
     "decode_blob_metadata",
     "with_binary_column",
+    "asof_join",
     "salted_aggregate",
     "salted_join",
 ]

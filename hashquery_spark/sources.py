@@ -546,6 +546,88 @@ class UnionSource(Source):
         return cls(Source.from_wire(data["base"]), Source.from_wire(data["unionSource"]))
 
 
+class TopKSource(Source):
+    """Per-group top-k — net-new (the reference only composes global
+    sort+limit, SURVEY §2.7). Compiles to a ``row_number`` window, which
+    Spark executes with partial top-k pushdown per partition; the shuffle
+    key is the group columns."""
+
+    __TYPE_KEY__ = "topK"
+
+    def __init__(
+        self,
+        base: Source,
+        k: int,
+        by: ColumnExpression,
+        per: List[ColumnExpression],
+        dir: str = "desc",
+        rank_name: Optional[str] = None,
+        tiebreak: Optional[List[ColumnExpression]] = None,
+    ) -> None:
+        if dir not in ("asc", "desc"):
+            raise ValueError(f"Invalid direction: {dir}")
+        self.base = base
+        self.k = k
+        self.by = by
+        self.per = list(per)
+        self.dir = dir
+        self.rank_name = rank_name
+        # ascending secondary order keys for a deterministic total order
+        self.tiebreak = list(tiebreak or [])
+
+    def child_sources(self):
+        return [self.base]
+
+    def expressions(self):
+        return [self.by] + self.per + self.tiebreak
+
+    def compile(self, state: CompileState) -> FrameState:
+        from pyspark.sql import Window
+
+        fs = self.base.compile(state)
+        ctx = fs.prepare([self.by] + self.per + self.tiebreak)
+        order = self.by.compile(ctx)
+        order = order.desc_nulls_last() if self.dir == "desc" else order.asc_nulls_first()
+        orders = [order] + [t.compile(ctx).asc() for t in self.tiebreak]
+        if self.per:
+            w = Window.partitionBy(*[p.compile(ctx) for p in self.per]).orderBy(*orders)
+        else:
+            w = Window.partitionBy().orderBy(*orders)
+        rank = self.rank_name or "__rank__"
+        fs.df = (
+            fs.df.withColumn(rank, F.row_number().over(w))
+            .where(F.col(rank) <= self.k)
+        )
+        if self.rank_name is None:
+            fs.df = fs.df.drop(rank)
+        fs.sort_exprs = []
+        return fs
+
+    def to_wire(self):
+        return {
+            **super().to_wire(),
+            "base": self.base.to_wire(),
+            "k": self.k,
+            "by": self.by.to_wire(),
+            "per": [p.to_wire() for p in self.per],
+            "dir": self.dir,
+            "rankName": self.rank_name,
+            "tiebreak": [t.to_wire() for t in self.tiebreak],
+        }
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(
+            Source.from_wire(data["base"]),
+            data["k"],
+            ColumnExpression.from_wire(data["by"]),
+            [ColumnExpression.from_wire(p) for p in data["per"]],
+            data["dir"],
+            data.get("rankName"),
+            [ColumnExpression.from_wire(t) for t in data.get("tiebreak", [])],
+        )
+
+
 class SetOpSource(Source):
     """INTERSECT / EXCEPT / UNION DISTINCT — net-new beyond the reference,
     which supports only UNION ALL (SURVEY.md §2.7). Positional, DISTINCT
@@ -600,10 +682,20 @@ class AggregateSource(Source):
 
     __TYPE_KEY__ = "aggregate"
 
-    def __init__(self, base: Source, groups: List[ColumnExpression], measures: List[ColumnExpression]) -> None:
+    def __init__(
+        self,
+        base: Source,
+        groups: List[ColumnExpression],
+        measures: List[ColumnExpression],
+        grouping_mode: str = "group",
+    ) -> None:
+        if grouping_mode not in ("group", "rollup", "cube"):
+            raise ValueError(f"unknown grouping_mode {grouping_mode!r}")
         self.base = base
         self.groups = list(groups)
         self.measures = list(measures)
+        # rollup/cube are net-new: absent from the reference (SURVEY §2.7)
+        self.grouping_mode = grouping_mode
 
     def child_sources(self):
         return [self.base]
@@ -620,7 +712,13 @@ class AggregateSource(Source):
         group_cols = [g.compile(ctx).alias(g.identifier) for g in self.groups]
         measure_cols = [m.compile(ctx).alias(m.identifier) for m in self.measures]
         if measure_cols:
-            fs.df = fs.df.groupBy(*group_cols).agg(*measure_cols)
+            if self.grouping_mode == "rollup":
+                grouped = fs.df.rollup(*group_cols)
+            elif self.grouping_mode == "cube":
+                grouped = fs.df.cube(*group_cols)
+            else:
+                grouped = fs.df.groupBy(*group_cols)
+            fs.df = grouped.agg(*measure_cols)
         elif group_cols:
             fs.df = fs.df.select(*group_cols).distinct()
         else:
@@ -635,6 +733,7 @@ class AggregateSource(Source):
             "base": self.base.to_wire(),
             "groups": [g.to_wire() for g in self.groups],
             "measures": [m.to_wire() for m in self.measures],
+            "groupingMode": self.grouping_mode,
         }
 
     @classmethod
@@ -643,6 +742,7 @@ class AggregateSource(Source):
             Source.from_wire(data["base"]),
             [ColumnExpression.from_wire(g) for g in data["groups"]],
             [ColumnExpression.from_wire(m) for m in data["measures"]],
+            data.get("groupingMode", "group"),
         )
 
 
@@ -815,6 +915,7 @@ def _register_wire(*classes):
 
 
 _register_wire(
+    TopKSource,
     SetOpSource,
     TableNameSource,
     SqlTextSource,

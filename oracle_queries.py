@@ -514,6 +514,36 @@ ORACLE_SQL: dict[str, str] = {
          EXCEPT
          SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount > 0.05)
     """,
+    "rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "top_k_per_group": """
+        SELECT o_orderstatus, o_orderkey, o_totalprice, rank FROM (
+          SELECT o_orderstatus, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC) AS INT) AS rank
+          FROM orders
+        ) WHERE rank <= 3
+    """,
+    "quantiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "asof_join": """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        signups AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'signup'
+        )
+        SELECT l.event_id, l.user_id, l.ts, r.value AS value_asof
+        FROM clicks l ASOF LEFT JOIN signups r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
     "join_one_left": """
         SELECT c.c_mktsegment, count(*) AS n_orders,
                CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -126,3 +126,43 @@ def test_multimodal_plumbing(docs):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_asof_join_directions(spark):
+    from datetime import datetime
+    from hashquery_spark.ops import asof_join
+
+    quotes = spark.createDataFrame(
+        [("A", datetime(2024, 1, 1, 10, 0), 100.0),
+         ("A", datetime(2024, 1, 1, 11, 0), 110.0),
+         ("B", datetime(2024, 1, 1, 10, 30), 50.0)],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, "A", datetime(2024, 1, 1, 10, 30)),
+         (2, "A", datetime(2024, 1, 1, 11, 0)),   # tie: matches 11:00 quote
+         (3, "B", datetime(2024, 1, 1, 10, 0)),   # before any quote
+         (4, "C", datetime(2024, 1, 1, 12, 0))],  # key with no quotes
+        "tid long, sym string, tts timestamp",
+    )
+    back = {
+        r["tid"]: r["px_asof"]
+        for r in asof_join(trades, quotes, "sym", "tts", "qts", ["px"]).collect()
+    }
+    assert back == {1: 100.0, 2: 110.0, 3: None, 4: None}
+
+    fwd = {
+        r["tid"]: r["px_asof"]
+        for r in asof_join(
+            trades, quotes, "sym", "tts", "qts", ["px"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: 110.0, 2: 110.0, 3: 50.0, 4: None}
+
+    tol = {
+        r["tid"]: r["px_asof"]
+        for r in asof_join(
+            trades, quotes, "sym", "tts", "qts", ["px"], tolerance_seconds=600
+        ).collect()
+    }
+    assert tol == {1: None, 2: 110.0, 3: None, 4: None}  # 30min gap > 10min tol
