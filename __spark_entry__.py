@@ -35,6 +35,7 @@ from hashquery_spark.ops import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     asof_join,
+    range_join,
     doc_fingerprint,
     quality_score,
     simhash,
@@ -204,6 +205,25 @@ def q_asof_join(spark, sf_dir):
     signups = ev.where("event_type = 'signup'").select("user_id", "ts", "value")
     return asof_join(
         clicks, signups, on="user_id", left_ts="ts", right_ts="ts", right_cols=["value"]
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Bucketed range join: event values against overlapping numeric bands
+    (net-new; equi-join on buckets instead of an inequality nested loop)."""
+    conn = _conn(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    events = conn.table("events").select("event_id", "value")
+    bands = conn.table("nation").select(
+        F.col("n_name").alias("band_name"),
+        (F.col("n_nationkey") * 4.0).alias("lo"),
+        (F.col("n_nationkey") * 4.0 + 6.0).alias("hi"),
+    )
+    joined = range_join(events, bands, "value", "lo", "hi", bucket_width=4.0)
+    return (
+        joined.groupBy("band_name")
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )
 
 
@@ -693,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_per_group": q_top_k_per_group,
         "quantiles": q_quantiles,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "join_one_left": q_join_one_left,
         "join_drop_unmatched": q_join_drop_unmatched,
         "join_condition": q_join_condition,

@@ -1007,6 +1007,8 @@ class SqlFunctionExpression(ColumnExpression):
             # sugar: SUM(CASE WHEN cond THEN 1 ELSE 0 END)
             # (reference: src/model/func/_sql_functions.py:25-30)
             return F.sum(F.when(cond, 1).otherwise(0))
+        if fn == "approxDistinct":
+            return F.approx_count_distinct(self.args[0].compile(ctx), rsd=self.rsd)
         if fn == "percentile":
             return F.percentile(self.args[0].compile(ctx), F.lit(self.percentile_p))
         if fn in ("min", "max", "sum", "avg"):

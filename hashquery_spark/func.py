@@ -116,6 +116,17 @@ def cases(*cases: tuple, other: Any = None) -> CasesExpression:
 
 
 @defer_keypath_args
+def approx_distinct(expr: Any, rsd: float = 0.05) -> SqlFunctionExpression:
+    """HyperLogLog++ approximate count-distinct (net-new sketch; maps to
+    Spark's approx_count_distinct). Constant memory per group at any
+    cardinality — the scale path when exact count(distinct(x)) would
+    shuffle every distinct value."""
+    node = SqlFunctionExpression("approxDistinct", [expr])
+    node.rsd = rsd
+    return node
+
+
+@defer_keypath_args
 def percentile(expr: Any, p: float) -> SqlFunctionExpression:
     """Exact linear-interpolated percentile (net-new; maps to Spark's
     ``percentile``, equals ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""

@@ -31,6 +31,7 @@ from .text import doc_fingerprint, language_id, quality_score, token_count
 from .multimodal import decode_blob_metadata, with_binary_column
 from .skew import salted_aggregate, salted_join
 from .asof import asof_join
+from .range_join import range_join
 
 __all__ = [
     "exact_dedup",
@@ -50,6 +51,7 @@ __all__ = [
     "decode_blob_metadata",
     "with_binary_column",
     "asof_join",
+    "range_join",
     "salted_aggregate",
     "salted_join",
 ]

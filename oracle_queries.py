@@ -514,6 +514,16 @@ ORACLE_SQL: dict[str, str] = {
          EXCEPT
          SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount > 0.05)
     """,
+    "range_join": """
+        WITH bands AS (
+          SELECT n_name AS band_name, n_nationkey * 4.0 AS lo,
+                 n_nationkey * 4.0 + 6.0 AS hi
+          FROM nation
+        )
+        SELECT b.band_name, count(*) AS n_events
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band_name
+    """,
     "rollup": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -166,3 +166,43 @@ def test_asof_join_directions(spark):
         ).collect()
     }
     assert tol == {1: None, 2: 110.0, 3: None, 4: None}  # 30min gap > 10min tol
+
+
+def test_range_join_edges(spark):
+    from hashquery_spark.ops import range_join
+
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 9.999), (4, 10.0), (5, 42.0)],
+        "pid long, v double",
+    )
+    ivals = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 5.0, 15.0)],  # overlapping; hi exclusive
+        "name string, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["name"])
+        for r in range_join(points, ivals, "v", "lo", "hi", bucket_width=7.0).collect()
+    )
+    assert got == [(1, "a"), (2, "a"), (2, "b"), (3, "a"), (3, "b"), (4, "b"), (5, None)][:-1]
+
+    left = sorted(
+        (r["pid"], r["name"])
+        for r in range_join(points, ivals, "v", "lo", "hi", 7.0, how="left").collect()
+    )
+    assert (5, None) in left  # unmatched point kept
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from hashquery_spark import Connection, Model, func, attr
+
+    conn = Connection(spark)
+    import os
+    conn.register_parquet("orders_t", os.path.join(sf_dir, "orders.parquet"))
+    m = Model(conn, "orders_t").aggregate(
+        measures=[
+            func.count(func.distinct(attr.o_custkey)).named("exact"),
+            func.approx_distinct(attr.o_custkey).named("approx"),
+        ]
+    )
+    rec = m.run().py_records[0]
+    assert abs(rec["approx"] - rec["exact"]) / rec["exact"] < 0.1
