@@ -820,6 +820,27 @@ class Model:
     def run(self) -> "RunResults":
         return RunResults(self.to_df())
 
+    @builder_method
+    def sample(self, fraction: float, *, seed: int = 42) -> "Model":
+        """Bernoulli row sampling (net-new; pipelines subsample corpora).
+        Seeded for reproducibility within a fixed partitioning; sampling is
+        partition-dependent, so results are stable per layout, not per
+        logical content."""
+        from .sources import SampleSource
+
+        self._source = SampleSource(self._source, fraction, seed)
+
+    @builder_method
+    def repartitioned(self, num_partitions: int, by=None) -> "Model":
+        """Explicit partitioning control (net-new): hash-repartition on
+        ``by`` columns (co-locates downstream joins/aggs on those keys) or
+        round-robin when ``by`` is None. Use sparingly — AQE usually
+        chooses better than humans."""
+        from .sources import RepartitionSource
+
+        by = [self._prep(b) for b in (by or [])]
+        self._source = RepartitionSource(self._source, num_partitions, by)
+
     def write(
         self,
         path: str,

@@ -628,6 +628,69 @@ class TopKSource(Source):
         )
 
 
+class SampleSource(Source):
+    """Seeded Bernoulli sampling (net-new)."""
+
+    __TYPE_KEY__ = "sample"
+
+    def __init__(self, base: Source, fraction: float, seed: int = 42) -> None:
+        self.base = base
+        self.fraction = fraction
+        self.seed = seed
+
+    def child_sources(self):
+        return [self.base]
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        fs.df = fs.df.sample(fraction=self.fraction, seed=self.seed)
+        return fs
+
+    def to_wire(self):
+        return {**super().to_wire(), "base": self.base.to_wire(),
+                "fraction": self.fraction, "seed": self.seed}
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(Source.from_wire(data["base"]), data["fraction"], data["seed"])
+
+
+class RepartitionSource(Source):
+    """Explicit hash/round-robin repartitioning (net-new scale control)."""
+
+    __TYPE_KEY__ = "repartition"
+
+    def __init__(self, base: Source, num_partitions: int, by: List[ColumnExpression]) -> None:
+        self.base = base
+        self.num_partitions = num_partitions
+        self.by = list(by)
+
+    def child_sources(self):
+        return [self.base]
+
+    def expressions(self):
+        return list(self.by)
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        if self.by:
+            ctx = fs.prepare(self.by)
+            fs.df = fs.df.repartition(self.num_partitions, *[b.compile(ctx) for b in self.by])
+        else:
+            fs.df = fs.df.repartition(self.num_partitions)
+        return fs
+
+    def to_wire(self):
+        return {**super().to_wire(), "base": self.base.to_wire(),
+                "numPartitions": self.num_partitions,
+                "by": [b.to_wire() for b in self.by]}
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(Source.from_wire(data["base"]), data["numPartitions"],
+                   [ColumnExpression.from_wire(b) for b in data["by"]])
+
+
 class SetOpSource(Source):
     """INTERSECT / EXCEPT / UNION DISTINCT — net-new beyond the reference,
     which supports only UNION ALL (SURVEY.md §2.7). Positional, DISTINCT
@@ -915,6 +978,8 @@ def _register_wire(*classes):
 
 
 _register_wire(
+    SampleSource,
+    RepartitionSource,
     TopKSource,
     SetOpSource,
     TableNameSource,

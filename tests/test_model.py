@@ -163,3 +163,15 @@ def test_model_write_sink(spark, tmp_path, conn):
     back = spark.read.parquet(out)
     assert back.count() == 3
     assert any(f.name == "customer_id" for f in back.schema.fields)
+
+
+def test_sample_and_repartition(conn):
+    base = Model(conn, "sales")
+    s1 = base.sample(0.5, seed=7).pick(attr.id).run().py_records
+    s2 = base.sample(0.5, seed=7).pick(attr.id).run().py_records
+    assert s1 == s2  # seeded determinism (same layout)
+    assert 0 <= len(s1) <= 5
+
+    rp = base.repartitioned(4, by=[attr.customer_id])
+    assert rp.to_df().rdd.getNumPartitions() == 4
+    assert sorted(r["id"] for r in rp.pick(attr.id).run().py_records) == [1, 2, 3, 4, 5]
