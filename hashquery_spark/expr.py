@@ -54,6 +54,14 @@ GRAINS = ("second", "minute", "hour", "day", "week", "month", "quarter", "year")
 RESERVED_NAME_RE = re.compile(r"^__.*__$")
 
 
+def interval_expr(num: int, unit: str) -> Column:
+    """INTERVAL literal; Spark has no QUARTER interval unit, so quarters
+    render as 3-month multiples."""
+    if unit == "quarter":
+        num, unit = num * 3, "month"
+    return F.expr(f"INTERVAL {num} {unit}")
+
+
 # --------------------------------------------------------------------------
 # Compile context
 # --------------------------------------------------------------------------
@@ -461,7 +469,7 @@ class PyValueExpression(ColumnExpression):
         if v is None:
             return F.lit(None)
         if isinstance(v, timeinterval):
-            return F.expr(f"INTERVAL {v.num} {v.unit}")
+            return interval_expr(v.num, v.unit)
         return F.lit(v)
 
     def __repr__(self):
@@ -551,7 +559,7 @@ class BinaryOpExpression(ColumnExpression):
                 sign = iv.num if op == "+" else -iv.num
                 if side == "left" and op == "-":
                     raise ValueError("cannot subtract a timestamp from an interval")
-                return base + F.expr(f"INTERVAL {sign} {iv.unit}")
+                return base + interval_expr(sign, iv.unit)
 
         if op == "//":
             a, b = self.left.compile(ctx), self.right.compile(ctx)
@@ -845,8 +853,8 @@ class _TemporalRangeExpression(ColumnExpression):
         now_lit = F.lit(ctx.get_now())
         start = compile_trunc(now_lit, self.grain, ctx.first_day_of_week)
         n = self.intervals_ago
-        lo = start - F.expr(f"INTERVAL {n} {self.grain}")
-        hi = start - F.expr(f"INTERVAL {n - 1} {self.grain}")
+        lo = start - interval_expr(n, self.grain)
+        hi = start - interval_expr(n - 1, self.grain)
         return (base >= lo) & (base < hi)
 
     def to_wire(self):

@@ -148,3 +148,20 @@ def test_duplicate_columns_renamed(m):
     with pytest.warns(UserWarning):
         cols = m.pick(attr.id, attr.id, attr.id).to_df().columns
     assert cols == ["id", "id_2", "id_3"]
+
+
+def test_quarter_interval_and_sugar(m):
+    # Spark has no INTERVAL ... QUARTER unit; quarters render as 3 months
+    from hashquery_spark.timeinterval import timeinterval
+
+    out = dict(
+        rows(
+            m.filter(attr.id == 1).pick(
+                attr.id, (attr.ts + timeinterval("quarter", 1)).named("t2")
+            )
+        )
+    )
+    assert out[1] == datetime(2024, 4, 15, 10, 30)
+    # is_this_quarter / is_last_quarter compile and run (2024 data -> empty)
+    assert vals(m.filter(attr.ts.is_this_quarter())) == []
+    assert vals(m.filter(attr.ts.is_last_quarter())) == []
