@@ -927,9 +927,23 @@ class FormatTimestampExpression(ColumnExpression):
         base = self.base.compile(ctx)
         segments: list[Column] = []
         pattern_buf = ""
+        literal_buf = ""
+
+        def flush_literal():
+            # literal runs are quoted as ONE block: per-character quoting
+            # would produce `'d''a''y'`, and '' is DateTimeFormatter's
+            # ESCAPED QUOTE — rendering the literal `d'a'y`
+            nonlocal pattern_buf, literal_buf
+            if literal_buf:
+                if any(c.isalpha() or c == "'" for c in literal_buf):
+                    pattern_buf += "'" + literal_buf.replace("'", "''") + "'"
+                else:
+                    pattern_buf += literal_buf
+                literal_buf = ""
 
         def flush_pattern():
             nonlocal pattern_buf
+            flush_literal()
             if pattern_buf:
                 segments.append(F.date_format(base, pattern_buf))
                 pattern_buf = ""
@@ -939,22 +953,21 @@ class FormatTimestampExpression(ColumnExpression):
         while i < len(fmt):
             tok2, tok3 = fmt[i : i + 2], fmt[i : i + 3]
             if len(tok3) == 3 and tok3 in _STRFTIME_TOKENS:
+                flush_literal()
                 pattern_buf += _STRFTIME_TOKENS[tok3]
                 i += 3
             elif tok2 in _STRFTIME_TOKENS:
-                mapped = _STRFTIME_TOKENS[tok2]
                 if tok2 == "%%":
-                    pattern_buf += "'%'"
+                    literal_buf += "%"
                 elif tok2 == "%Q":
                     flush_pattern()
                     segments.append(F.quarter(base).cast("string"))
                 else:
-                    pattern_buf += mapped
+                    flush_literal()
+                    pattern_buf += _STRFTIME_TOKENS[tok2]
                 i += 2
             else:
-                ch = fmt[i]
-                # quote literal characters that are pattern letters
-                pattern_buf += f"'{ch}'" if ch.isalpha() or ch == "'" else ch
+                literal_buf += fmt[i]
                 i += 1
         flush_pattern()
         if not segments:

@@ -165,3 +165,16 @@ def test_quarter_interval_and_sugar(m):
     # is_this_quarter / is_last_quarter compile and run (2024 data -> empty)
     assert vals(m.filter(attr.ts.is_this_quarter())) == []
     assert vals(m.filter(attr.ts.is_last_quarter())) == []
+
+
+def test_format_timestamp_literal_runs(m):
+    # literal alpha runs must quote as one block ('day'), never per-char
+    out = dict(
+        rows(
+            m.filter(attr.id == 1).pick(
+                attr.id,
+                attr.ts.format_timestamp("day %j of %Y at %I:%M %p %% done").named("s"),
+            )
+        )
+    )
+    assert out[1] == "day 015 of 2024 at 10:30 AM % done"
