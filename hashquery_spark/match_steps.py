@@ -122,12 +122,17 @@ class MatchStepsSource(Source):
         steps: List[ColumnExpression],
         partition_start_events: Optional[List[ColumnExpression]] = None,
         time_limit: Optional[datetime.timedelta] = None,
+        max_events_per_entity: Optional[int] = None,
     ) -> None:
         self.base = base
         self.activity_schema = activity_schema
         self.steps = list(steps)
         self.partition_start_events = list(partition_start_events or [])
         self.time_limit = time_limit
+        # net-new safety valve for the journey-size hazard the reference
+        # documents (Redshift 64KB LISTAGG failure, reference :682-693):
+        # cap each entity's journey to its first N matching events
+        self.max_events_per_entity = max_events_per_entity
         for i in range(len(self.steps)):
             step_hash_id(i)  # validate step count
 
@@ -208,9 +213,12 @@ class MatchStepsSource(Source):
         ]
         if need_full_rows:
             struct_fields.append(F.col("__row__").alias("row"))
+        sorted_events = F.array_sort(F.collect_list(F.struct(*struct_fields)))
+        if self.max_events_per_entity is not None:
+            sorted_events = F.slice(sorted_events, 1, self.max_events_per_entity)
         journeys = (
             events.groupBy(F.col(GROUP_LABEL))
-            .agg(F.array_sort(F.collect_list(F.struct(*struct_fields))).alias(EVENTS_ARRAY_LABEL))
+            .agg(sorted_events.alias(EVENTS_ARRAY_LABEL))
             .withColumn(
                 JOURNEY_HASH_LABEL,
                 F.concat_ws(
@@ -350,6 +358,7 @@ class MatchStepsSource(Source):
             "steps": [s.to_wire() for s in self.steps],
             "partitionStartEvents": [p.to_wire() for p in self.partition_start_events],
             "timeLimit": self.time_limit.total_seconds() if self.time_limit else None,
+            "maxEventsPerEntity": self.max_events_per_entity,
         }
 
     @classmethod
@@ -364,6 +373,7 @@ class MatchStepsSource(Source):
                 if data.get("timeLimit") is not None
                 else None
             ),
+            data.get("maxEventsPerEntity"),
         )
 
 

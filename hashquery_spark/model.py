@@ -536,9 +536,12 @@ class Model:
         event_key=None,
         partition_start_events=None,
         time_limit=None,
+        max_events_per_entity=None,
     ) -> "Model":
         """Match each entity's event stream against ordered step predicates
-        (reference: model.py:411-537). See match_steps.py for the engine."""
+        (reference: model.py:411-537). See match_steps.py for the engine.
+        ``max_events_per_entity`` (net-new) caps each journey to its first
+        N matching events — the safety valve for pathological entities."""
         events_model = copy.deepcopy(self)
         activity_schema = self._require_normalized_activity_schema(
             group, timestamp, event_key, "match_steps"
@@ -554,6 +557,7 @@ class Model:
             steps=step_conditions,
             partition_start_events=partition_start_events,
             time_limit=time_limit,
+            max_events_per_entity=max_events_per_entity,
         )
 
         # keep only namespaces joined exactly on our group; reattach them
@@ -819,6 +823,16 @@ class Model:
 
     def run(self) -> "RunResults":
         return RunResults(self.to_df())
+
+    def cached(self) -> "Model":
+        """Mark this model's current result for in-memory+disk caching
+        (net-new): downstream transforms reuse the materialized frame
+        instead of recomputing the lineage. Spark evicts under pressure."""
+        new = copy.deepcopy(self)
+        from .sources import CacheSource
+
+        new._source = CacheSource(new._source)
+        return new
 
     @builder_method
     def sample(self, fraction: float, *, seed: int = 42) -> "Model":

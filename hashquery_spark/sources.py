@@ -628,6 +628,31 @@ class TopKSource(Source):
         )
 
 
+class CacheSource(Source):
+    """persist() the compiled frame (net-new): shared subtrees and
+    iterative exploration reuse the materialization (MEMORY_AND_DISK)."""
+
+    __TYPE_KEY__ = "cache"
+
+    def __init__(self, base: Source) -> None:
+        self.base = base
+
+    def child_sources(self):
+        return [self.base]
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        fs.df = fs.df.persist()
+        return fs
+
+    def to_wire(self):
+        return {**super().to_wire(), "base": self.base.to_wire()}
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(Source.from_wire(data["base"]))
+
+
 class SampleSource(Source):
     """Seeded Bernoulli sampling (net-new)."""
 
@@ -978,6 +1003,7 @@ def _register_wire(*classes):
 
 
 _register_wire(
+    CacheSource,
     SampleSource,
     RepartitionSource,
     TopKSource,

@@ -281,3 +281,14 @@ def test_partitioned_funnel_with_time_limit(spark):
     got = {(r["channel"], r["step"]): r["entities"] for r in recs}
     assert got[("web", "start")] == 1 and got[("web", "buy")] == 0
     assert got[("app", "start")] == 1 and got[("app", "buy")] == 1
+
+
+def test_max_events_per_entity_cap(events):
+    # cap journeys to the first 2 matching events: purchases (3rd+ event)
+    # fall outside every journey
+    capped = events.match_steps(STEPS, max_events_per_entity=2)
+    agg = capped.aggregate(measures=list(capped._measures))
+    rec = agg.run().py_records[0]
+    assert rec["ad_impression_count"] == 5
+    assert rec["visit_count"] == 4
+    assert rec["purchase_count"] == 0  # purchase was always event #3+
