@@ -51,7 +51,6 @@ from __future__ import annotations
 import datetime
 from typing import List, Optional
 
-from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .expr import ColumnExpression

@@ -17,20 +17,13 @@ from __future__ import annotations
 import copy
 import functools
 import warnings
-from typing import Any, Dict, List, Optional, Tuple, Union
+from typing import Any, Dict, List, Optional, Union
 
 from pyspark.sql import DataFrame
 
 from . import func
 from .connection import Connection
-from .expr import (
-    ColumnExpression,
-    ColumnNameExpression,
-    PyValueExpression,
-    RESERVED_NAME_RE,
-    column,
-    to_expr,
-)
+from .expr import ColumnExpression, column, to_expr
 from .keypath import KeyPath, resolve_all_nested_keypaths, resolve_keypath
 from .match_steps import MatchStepsSource, ModelActivitySchema
 from .sources import (

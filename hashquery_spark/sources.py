@@ -39,7 +39,6 @@ from .connection import Connection
 from .expr import (
     ColumnExpression,
     ExprContext,
-    PyValueExpression,
     RESERVED_NAME_RE,
     StarExpression,
     SubqueryExpression,
@@ -252,10 +251,6 @@ class FrameState:
         """pick/aggregate/union flatten joined relations away
         (reference: src/model/model.py:403-407, 881-887, 934-936)."""
         self.namespaces = {}
-
-    def with_df(self, df: DataFrame) -> "FrameState":
-        self.df = df
-        return self
 
 
 # --------------------------------------------------------------------------
