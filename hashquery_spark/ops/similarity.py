@@ -95,10 +95,14 @@ def random_hyperplanes(dim: int, n_planes: int) -> List[List[float]]:
 
 
 def hyperplane_bucket(vec: Column, planes: List[List[float]]) -> Column:
-    """LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    """LSH bucket id: bit p set iff dot(vec, plane_p) > 0.
+
+    Plane vectors inline as SINGLE array literals (F.lit(list)) — one
+    Literal node each instead of dim separate ones, keeping the analyzed
+    expression tree small."""
     bucket = F.lit(0)
     for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
+        plane_col = F.lit([float(v) for v in plane])
         bit = F.when(_dot(vec, plane_col) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket.cast("long")
@@ -129,47 +133,66 @@ def ivf_ann(
     Determinism: centroid similarities round to 4 decimals with
     lowest-centroid-id tiebreak, so a DuckDB oracle reproduces cell
     assignments exactly."""
+    import math
+
     cents = sorted(
-        (r[0], list(r[1]))
+        (r[0], [float(x) for x in r[1]])
         for r in corpus.where(F.col(id_col) < n_centroids)
         .select(id_col, vec_col)
         .collect()
     )
+    # centroid norms precomputed in Python: Spark's higher-order folds are
+    # interpreted (not codegen'd), so recomputing |c| and |v| inside every
+    # centroid cosine tripled the per-row fold count (measured 2.5× slower)
+    cent_norms = {cid: math.sqrt(sum(x * x for x in cvec)) for cid, cvec in cents}
 
-    def _sim_structs(vec: Column) -> Column:
+    def _sim_structs(vec: Column, vnorm: Column) -> Column:
         # (-rounded_sim, cid) structs: natural struct ordering makes min =
-        # argmax-sim with lowest-cid tiebreak. Each cosine appears exactly
+        # argmax-sim with lowest-cid tiebreak. Each dot appears exactly
         # ONCE in the expression tree — a greatest()+CASE formulation
         # duplicates every cosine ~n_centroids times (measured 5× slower).
         return F.array(
             *[
                 F.struct(
-                    (-F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])), 4)).alias(
-                        "neg"
-                    ),
+                    (
+                        -F.round(
+                            _dot(vec, F.lit(cvec)) / (vnorm * F.lit(cent_norms[cid])), 4
+                        )
+                    ).alias("neg"),
                     F.lit(cid).cast("long").alias("cid"),
                 )
                 for cid, cvec in cents
             ]
         )
 
-    def cell_of(vec: Column) -> Column:
-        return F.array_min(_sim_structs(vec))["cid"]
-
-    def top_cells_of(vec: Column) -> Column:
-        return F.transform(
-            F.slice(F.array_sort(_sim_structs(vec)), 1, n_probe), lambda s: s["cid"]
-        )
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec__"),
-        cell_of(F.col(vec_col)).alias("__cell__"),
+        _norm(F.col(vec_col)).alias("__vnorm__"),
+    ).select(
+        "neighbor_id",
+        "__cvec__",
+        F.array_min(_sim_structs(F.col("__cvec__"), F.col("__vnorm__")))["cid"].alias(
+            "__cell__"
+        ),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("__pvec__"),
-        F.explode(top_cells_of(F.col(vec_col))).alias("__cell__"),
+        _norm(F.col(vec_col)).alias("__vnorm__"),
+    ).select(
+        "probe_id",
+        "__pvec__",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_sim_structs(F.col("__pvec__"), F.col("__vnorm__"))),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s["cid"],
+            )
+        ).alias("__cell__"),
     )
     joined = c.join(F.broadcast(p), on="__cell__").where(
         F.col("neighbor_id") != F.col("probe_id")
