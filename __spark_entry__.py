@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from hashquery_spark import Connection, Model, column, func, attr, rel
 from hashquery_spark.ops import (
     ann_brute_force,
+    dedup_clusters,
     embedding_near_dup,
     ivf_ann,
     decode_blob_metadata,
@@ -631,6 +632,14 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_candidates(docs, "text", "doc_id", num_perm=16, bands=4)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over MinHash candidate pairs -> dedup groups.
+    Iterative label propagation; no SQL oracle exists (rows-only check)."""
+    docs = _conn(spark, sf_dir).table("documents")
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id", num_perm=16, bands=4)
+    return dedup_clusters(pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _conn(spark, sf_dir).table("documents")
     return simhash(docs.where("text IS NOT NULL"), "text", "doc_id", bits=32)
@@ -741,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_expr_steps": q_funnel_expr_steps,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_bruteforce": q_ann_bruteforce,

@@ -14,6 +14,7 @@ bit-for-bit.
 """
 
 from .dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signature,
@@ -34,6 +35,7 @@ from .asof import asof_join
 from .range_join import range_join
 
 __all__ = [
+    "dedup_clusters",
     "exact_dedup",
     "minhash_signature",
     "minhash_lsh_candidates",

@@ -199,6 +199,67 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id) where
+    cluster_id = the smallest doc id reachable through the pair graph —
+    the step that turns pairwise matches into dedup groups (keep one doc
+    per cluster).
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels (one join + one groupBy per
+    round, both on the vertex key). Rounds needed = graph diameter; near-dup
+    clusters are dense, so a handful of rounds converges. The driver loop
+    iterates over DISTRIBUTED steps (a count per round for convergence) —
+    no vertex data ever reaches the driver. This is an inherently iterative
+    algorithm (no single SQL equivalent), so it carries no DuckDB oracle."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("vid"))
+        .distinct()
+        .withColumn("cluster", F.col("vid"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["vid"])
+            .groupBy(F.col("src").alias("vid2"))
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["vid"] == F.col("vid2"), "left")
+            .select(
+                F.col("vid"),
+                F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias(
+                    "cluster"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.vid") == F.col("o.vid"))
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("vid").alias("doc_id"), F.col("cluster").alias("cluster_id"))
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

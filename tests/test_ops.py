@@ -206,3 +206,14 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     )
     rec = m.run().py_records[0]
     assert abs(rec["approx"] - rec["exact"]) / rec["exact"] < 0.1
+
+
+def test_dedup_clusters_transitive(spark):
+    from hashquery_spark.ops import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11), (3, 5)],  # chain 1-2-3-5; 7-9; 10-11
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 9: 7, 10: 10, 11: 10}

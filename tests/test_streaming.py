@@ -82,3 +82,49 @@ def test_streaming_step_counts(spark, stream_dir):
     assert (day1["signup_count"], day1["click_count"], day1["purchase_count"]) == (2, 1, 1)
     day2 = got[datetime(2024, 1, 2)]
     assert day2["click_count"] == 1
+
+
+def test_watermark_drops_late_events(spark):
+    """True watermark semantics: an event arriving in a later micro-batch,
+    older than (max event time - watermark), is dropped from its window."""
+    import shutil, tempfile
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="hq_late_")
+    try:
+        schema = "user_id long, event_type string, ts timestamp"
+        # watermark is a MAY-drop lower bound: a late row landing in the
+        # same batch that finalizes its window can still be included. So:
+        # b1 advances watermark past the 9:00 window, b2 finalizes+evicts
+        # it, and only then does b3 deliver the too-late row.
+        b1 = [(1, "view", datetime(2024, 1, 1, 9, 30)),
+              (2, "view", datetime(2024, 1, 1, 12, 0))]
+        b2 = [(4, "view", datetime(2024, 1, 1, 12, 30))]
+        b3 = [(3, "view", datetime(2024, 1, 1, 9, 45))]  # behind watermark
+        import time as _time
+
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{d}/b1")
+        _time.sleep(1.5)  # file source orders by modification time
+        spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{d}/b2")
+        _time.sleep(1.5)
+        spark.createDataFrame(b3, schema).coalesce(1).write.parquet(f"{d}/b3")
+
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/b*")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (agg.writeStream.format("memory").queryName("late_test")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {r["ws"]: r["n"] for r in spark.table("late_test").collect()}
+        # the 9:00 window was finalized before the late row arrived:
+        # it contains ONLY the on-time event
+        assert got[datetime(2024, 1, 1, 9, 0)] == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
