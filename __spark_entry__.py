@@ -27,6 +27,7 @@ from hashquery_spark import Connection, Model, column, func, attr, rel
 from hashquery_spark.ops import (
     ann_brute_force,
     dedup_clusters,
+    salted_aggregate,
     embedding_near_dup,
     ivf_ann,
     decode_blob_metadata,
@@ -622,6 +623,21 @@ def q_funnel_expr_steps(spark, sf_dir):
 # ===========================================================================
 
 
+def q_salted_aggregate(spark, sf_dir):
+    """Skew-safe two-stage aggregation — must equal the direct GROUP BY
+    (its oracle IS the plain aggregation)."""
+    li = _conn(spark, sf_dir).table("lineitem")
+    from pyspark.sql import functions as F
+
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {"n": ("count", "*"), "max_qty": ("max", "l_quantity")},
+        salts=16,
+    )
+    return out.select("l_returnflag", "n", "max_qty")
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _conn(spark, sf_dir).table("documents")
     return exact_dedup(docs, "text", "doc_id")
@@ -741,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_predicates": q_string_predicates,
         "temporal_sugar": q_temporal_sugar,
         "fold_unpivot": q_fold,
+        "salted_aggregate": q_salted_aggregate,
         "funnel": q_funnel,
         "funnel_time_limit": q_funnel_time_limit,
         "funnel_conversion": q_funnel_conversion,

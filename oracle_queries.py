@@ -673,6 +673,10 @@ ORACLE_SQL: dict[str, str] = {
                       AND ts < date_trunc('day', now()::TIMESTAMP) + INTERVAL 1 DAY THEN 1 END) AS n_today
         FROM events
     """,
+    "salted_aggregate": """
+        SELECT l_returnflag, count(*) AS n, max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "funnel": _funnel_counts_sql(STEPS3, top_name="users"),
     "funnel_time_limit": _funnel_time_limit_sql(STEPS3, 7 * 86400),
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
