@@ -548,6 +548,15 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_funnel_five_steps(spark, sf_dir):
+    """Funnel over all five event types (wider journey alphabet)."""
+    return (
+        _events_model(spark, sf_dir)
+        .funnel(["signup", "view", "click", "purchase", "error"])
+        .to_df()
+    )
+
+
 def q_funnel_time_limit(spark, sf_dir):
     return (
         _events_model(spark, sf_dir)
@@ -759,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_unpivot": q_fold,
         "salted_aggregate": q_salted_aggregate,
         "funnel": q_funnel,
+        "funnel_five_steps": q_funnel_five_steps,
         "funnel_time_limit": q_funnel_time_limit,
         "funnel_conversion": q_funnel_conversion,
         "funnel_cohorts": q_funnel_cohorts,

@@ -176,6 +176,14 @@ UNION ALL SELECT vbucket, 'click', c1 FROM counts
 UNION ALL SELECT vbucket, 'purchase', c2 FROM counts
 """
 
+STEPS5 = [
+    ("event_type = 'signup'", "signup"),
+    ("event_type = 'view'", "view"),
+    ("event_type = 'click'", "click"),
+    ("event_type = 'purchase'", "purchase"),
+    ("event_type = 'error'", "error"),
+]
+
 STEPS_EXPR = [
     ("event_type = 'signup'", "signed_up"),
     ("event_type = 'purchase' AND value > 50", "big_purchase"),
@@ -678,6 +686,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem GROUP BY l_returnflag
     """,
     "funnel": _funnel_counts_sql(STEPS3, top_name="users"),
+    "funnel_five_steps": _funnel_counts_sql(STEPS5, top_name=None),
     "funnel_time_limit": _funnel_time_limit_sql(STEPS3, 7 * 86400),
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "funnel_cohorts": FUNNEL_COHORTS_SQL,
