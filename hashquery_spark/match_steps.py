@@ -227,6 +227,10 @@ class MatchStepsSource(Source):
         )
 
         # ---- 3. match indices via string arithmetic (reference :587-608) ----
+        # one row per entity — the partitioned path below multiplies
+        # `journeys` per partition value, so per-step event join-backs must
+        # derive from this pre-join frame or they'd duplicate matches
+        journeys_base = journeys
         jh = JOURNEY_HASH_LABEL
         if partitions:
             # first step-0 event per (entity, partition values): its position
@@ -304,7 +308,7 @@ class MatchStepsSource(Source):
         # timestamp resolves instantly via colmap; any other event attribute
         # attaches a join against the positioned event rows
         if need_full_rows:
-            pos_events = journeys.select(
+            pos_events = journeys_base.select(
                 F.col(GROUP_LABEL),
                 F.posexplode(F.col(EVENTS_ARRAY_LABEL)).alias("__pos__", "__e__"),
             ).select(

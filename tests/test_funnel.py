@@ -292,3 +292,31 @@ def test_max_events_per_entity_cap(events):
     assert rec["ad_impression_count"] == 5
     assert rec["visit_count"] == 4
     assert rec["purchase_count"] == 0  # purchase was always event #3+
+
+
+def test_partitioned_full_row_join_no_duplication(spark):
+    """Partitioned match_steps multiplies journeys per partition; the lazy
+    full-row step join must derive from the PRE-join frame or every entity
+    row would duplicate per partition value."""
+    conn = Connection(spark)
+    conn.register_records(
+        "pfr_events",
+        [
+            (1, "start", "web", "w1", datetime(2024, 1, 1)),
+            (1, "start", "email", "e1", datetime(2024, 1, 2)),
+            (1, "buy", None, "b1", datetime(2024, 1, 3)),
+        ],
+        schema="user_id long, event string, channel string, label string, timestamp timestamp",
+    )
+    m = Model(conn, "pfr_events").with_activity_schema(
+        group=attr.user_id, timestamp=attr.timestamp, event_key=attr.event
+    )
+    matched = m.match_steps(
+        ["start", "buy"], partition_start_events=[column("channel")]
+    )
+    # reference a NON-timestamp step attribute -> triggers the full-row join
+    recs = matched.pick(
+        attr.user_id, column("channel"), rel.start.label.named("start_label")
+    ).run().py_records
+    got = sorted((r["channel"], r["start_label"]) for r in recs)
+    assert got == [("email", "e1"), ("web", "w1")]  # exactly one row each
