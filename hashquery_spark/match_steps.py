@@ -42,8 +42,10 @@ Physical design (Spark-first, NOT the reference's N-way self-join cascade):
 * Skew note: one entity with millions of events lands in one task during the
   groupBy. The per-group payload is (ts, step) pairs only (full rows are
   collected only for lazily-joined steps), so hundreds of thousands of
-  events per entity stay in the tens of MB. Salting hook left for a later
-  round if real data shows hotter keys.
+  events per entity stay in the tens of MB. For hotter keys,
+  ``salt_partials=N`` assembles each entity's array via N partial
+  aggregations before the merge (two shuffles, N-way spread per entity);
+  results are proven identical to the single-shuffle path.
 """
 
 from __future__ import annotations
@@ -122,6 +124,7 @@ class MatchStepsSource(Source):
         partition_start_events: Optional[List[ColumnExpression]] = None,
         time_limit: Optional[datetime.timedelta] = None,
         max_events_per_entity: Optional[int] = None,
+        salt_partials: Optional[int] = None,
     ) -> None:
         self.base = base
         self.activity_schema = activity_schema
@@ -132,6 +135,11 @@ class MatchStepsSource(Source):
         # documents (Redshift 64KB LISTAGG failure, reference :682-693):
         # cap each entity's journey to its first N matching events
         self.max_events_per_entity = max_events_per_entity
+        # net-new skew valve: assemble each entity's event array in
+        # salt_partials partial aggregations first (spreads a hot entity
+        # over N tasks), then merge. Two shuffles instead of one — only
+        # worth it when single entities dominate tasks.
+        self.salt_partials = salt_partials
         for i in range(len(self.steps)):
             step_hash_id(i)  # validate step count
 
@@ -212,12 +220,33 @@ class MatchStepsSource(Source):
         ]
         if need_full_rows:
             struct_fields.append(F.col("__row__").alias("row"))
-        sorted_events = F.array_sort(F.collect_list(F.struct(*struct_fields)))
-        if self.max_events_per_entity is not None:
-            sorted_events = F.slice(sorted_events, 1, self.max_events_per_entity)
+        if self.salt_partials:
+            # two-stage assembly: partial sorted arrays per (entity, salt),
+            # then merge — array_sort(flatten(partials)) == full sort
+            salt = F.pmod(
+                F.xxhash64(F.col(TIMESTAMP_LABEL), F.col("__ch__")),
+                F.lit(self.salt_partials),
+            )
+            partials = (
+                events.withColumn("__salt__", salt)
+                .groupBy(F.col(GROUP_LABEL), F.col("__salt__"))
+                .agg(F.collect_list(F.struct(*struct_fields)).alias("__part__"))
+            )
+            sorted_events = F.array_sort(F.flatten(F.collect_list(F.col("__part__"))))
+            if self.max_events_per_entity is not None:
+                sorted_events = F.slice(sorted_events, 1, self.max_events_per_entity)
+            grouped = partials.groupBy(F.col(GROUP_LABEL)).agg(
+                sorted_events.alias(EVENTS_ARRAY_LABEL)
+            )
+        else:
+            sorted_events = F.array_sort(F.collect_list(F.struct(*struct_fields)))
+            if self.max_events_per_entity is not None:
+                sorted_events = F.slice(sorted_events, 1, self.max_events_per_entity)
+            grouped = events.groupBy(F.col(GROUP_LABEL)).agg(
+                sorted_events.alias(EVENTS_ARRAY_LABEL)
+            )
         journeys = (
-            events.groupBy(F.col(GROUP_LABEL))
-            .agg(sorted_events.alias(EVENTS_ARRAY_LABEL))
+            grouped
             .withColumn(
                 JOURNEY_HASH_LABEL,
                 F.concat_ws(
@@ -362,6 +391,7 @@ class MatchStepsSource(Source):
             "partitionStartEvents": [p.to_wire() for p in self.partition_start_events],
             "timeLimit": self.time_limit.total_seconds() if self.time_limit else None,
             "maxEventsPerEntity": self.max_events_per_entity,
+            "saltPartials": self.salt_partials,
         }
 
     @classmethod
@@ -377,6 +407,7 @@ class MatchStepsSource(Source):
                 else None
             ),
             data.get("maxEventsPerEntity"),
+            data.get("saltPartials"),
         )
 
 

@@ -530,6 +530,7 @@ class Model:
         partition_start_events=None,
         time_limit=None,
         max_events_per_entity=None,
+        salt_partials=None,
     ) -> "Model":
         """Match each entity's event stream against ordered step predicates
         (reference: model.py:411-537). See match_steps.py for the engine.
@@ -551,6 +552,7 @@ class Model:
             partition_start_events=partition_start_events,
             time_limit=time_limit,
             max_events_per_entity=max_events_per_entity,
+            salt_partials=salt_partials,
         )
 
         # keep only namespaces joined exactly on our group; reattach them
@@ -623,6 +625,7 @@ class Model:
         partition_start_events=None,
         partition_matches=None,
         top_of_funnel: Union[int, str] = 0,
+        salt_partials=None,
     ) -> "Model":
         """Ordered-step conversion counts (reference: model.py:539-733).
         Pure composition: match_steps → aggregate → fold → pick → sort."""
@@ -671,6 +674,7 @@ class Model:
             event_key=event_key,
             time_limit=time_limit,
             partition_start_events=partition_start_events,
+            salt_partials=salt_partials,
         )
         partition_outputs = [column(p.identifier) for p in partition_start_events]
         partition_matches = resolve_all_nested_keypaths(matched, partition_matches or [])
@@ -716,6 +720,7 @@ class Model:
         time_limit=None,
         partition_start_events=None,
         partition_matches=None,
+        salt_partials=None,
     ) -> "Model":
         """Conversion rate + started/converted counts + avg seconds
         (reference: model.py:735-870)."""
@@ -751,6 +756,7 @@ class Model:
             event_key=event_key,
             time_limit=time_limit,
             partition_start_events=partition_start_events,
+            salt_partials=salt_partials,
         )
         partition_outputs = [column(p.identifier) for p in partition_start_events]
         partition_matches = resolve_all_nested_keypaths(matched, partition_matches or [])

@@ -320,3 +320,19 @@ def test_partitioned_full_row_join_no_duplication(spark):
     ).run().py_records
     got = sorted((r["channel"], r["start_label"]) for r in recs)
     assert got == [("email", "e1"), ("web", "w1")]  # exactly one row each
+
+
+def test_salted_journey_assembly_equivalence(events):
+    """salt_partials spreads hot entities over N partial aggregations;
+    results must equal the single-shuffle path exactly."""
+    direct = events.match_steps(STEPS)
+    salted = events.match_steps(STEPS, salt_partials=4)
+    key = lambda m: sorted(
+        str(r) for r in m.pick(
+            attr.user_id, attr.last_matched_step_name, attr.last_matched_step_index
+        ).run().py_records
+    )
+    assert key(direct) == key(salted)
+    f = {r["step"]: r["entities"]
+         for r in events.funnel(STEPS).run().py_records}
+    assert f == {"ad_impression": 5, "visit": 4, "purchase": 2}
