@@ -146,24 +146,27 @@ def ivf_ann(
     # centroid cosine tripled the per-row fold count (measured 2.5× slower)
     cent_norms = {cid: math.sqrt(sum(x * x for x in cvec)) for cid, cvec in cents}
 
-    def _sim_structs(vec: Column, vnorm: Column) -> Column:
+    def _sim_structs_sql(vec: str, vnorm: str) -> str:
         # (-rounded_sim, cid) structs: natural struct ordering makes min =
         # argmax-sim with lowest-cid tiebreak. Each dot appears exactly
         # ONCE in the expression tree — a greatest()+CASE formulation
         # duplicates every cosine ~n_centroids times (measured 5× slower).
-        return F.array(
-            *[
-                F.struct(
-                    (
-                        -F.round(
-                            _dot(vec, F.lit(cvec)) / (vnorm * F.lit(cent_norms[cid])), 4
-                        )
-                    ).alias("neg"),
-                    F.lit(cid).cast("long").alias("cid"),
-                )
-                for cid, cvec in cents
-            ]
-        )
+        # Rendered as ONE SQL string parsed by a single F.expr call: the
+        # Column-by-Column build paid one py4j round-trip per literal float
+        # (n_centroids × dim × 2 sides ≈ thousands) — ~1 s of driver time
+        # per call, measured. The parsed tree is identical.
+        structs = []
+        for cid, cvec in cents:
+            arr = "array(" + ",".join(f"{v!r}D" for v in cvec) + ")"
+            dot = (
+                f"aggregate(zip_with(`{vec}`, {arr}, (x, y) -> "
+                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+            )
+            structs.append(
+                f"named_struct('neg', -round({dot} / (`{vnorm}` * "
+                f"{cent_norms[cid]!r}D), 4), 'cid', CAST({cid} AS BIGINT))"
+            )
+        return "array(" + ",".join(structs) + ")"
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -172,9 +175,9 @@ def ivf_ann(
     ).select(
         "neighbor_id",
         "__cvec__",
-        F.array_min(_sim_structs(F.col("__cvec__"), F.col("__vnorm__")))["cid"].alias(
-            "__cell__"
-        ),
+        F.expr(
+            f"array_min({_sim_structs_sql('__cvec__', '__vnorm__')}).cid"
+        ).alias("__cell__"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
@@ -184,13 +187,10 @@ def ivf_ann(
         "probe_id",
         "__pvec__",
         F.explode(
-            F.transform(
-                F.slice(
-                    F.array_sort(_sim_structs(F.col("__pvec__"), F.col("__vnorm__"))),
-                    1,
-                    n_probe,
-                ),
-                lambda s: s["cid"],
+            F.expr(
+                f"transform(slice(array_sort("
+                f"{_sim_structs_sql('__pvec__', '__vnorm__')}), 1, {n_probe}), "
+                "s -> s.cid)"
             )
         ).alias("__cell__"),
     )
