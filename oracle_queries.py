@@ -202,7 +202,8 @@ CASE WHEN len(t) >= 3
 
 _SIG = """
 list_transform(range(0, 16), j -> list_min(list_transform(sh,
-    s -> CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 8) AS BIGINT))))
+    s -> (CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+          + j * CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)) % 4294967296)))
 """
 
 _MINHASH_BUCKETS = f"""
@@ -250,12 +251,14 @@ JOIN sets y ON p.id_b = y.doc_id
 
 
 def _simhash_sql(bits: int = 32) -> str:
+    # sum(±1) folded to 2·(count of set bits) − n, mirroring dedup.simhash;
+    # count(CASE...) not sum(CASE...) (DuckDB sums of ints promote to HUGEINT)
     bit_sums = ",\n    ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        f"count(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 END) AS s{b}"
         for b in range(bits)
     )
     recombine = " + ".join(
-        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+        f"(CASE WHEN 2 * s{b} > n THEN {1 << b} ELSE 0 END)" for b in range(bits)
     )
     return f"""
 WITH tok AS (
@@ -263,7 +266,7 @@ WITH tok AS (
   FROM documents WHERE text IS NOT NULL
 ),
 h AS (SELECT doc_id, {H32.format(x='tk')} AS h FROM tok),
-bitsums AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+bitsums AS (SELECT doc_id, count(h) AS n, {bit_sums} FROM h GROUP BY doc_id)
 SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bitsums
 """
 
