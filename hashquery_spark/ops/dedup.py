@@ -135,26 +135,24 @@ def minhash_signature(
     ex = ensure_parallelism(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__s__")
     )
-    md5 = F.md5(F.col("__s__"))
-    with_h12 = ex.select(
-        F.col(id_col),
-        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("__h1__"),
-        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("__h2__"),
+    # each block below is rendered as ONE SQL string parsed by a single
+    # selectExpr call: building num_perm Column objects through py4j costs
+    # a driver round-trip per node (~0.5 s/query measured); the parsed
+    # trees are identical
+    with_h12 = ex.selectExpr(
+        f"`{id_col}`",
+        "CAST(conv(substring(md5(__s__), 1, 8), 16, 10) AS BIGINT) AS __h1__",
+        "CAST(conv(substring(md5(__s__), 9, 8), 16, 10) AS BIGINT) AS __h2__",
     )
-    hashes = with_h12.select(
-        F.col(id_col),
-        *[
-            ((F.col("__h1__") + F.lit(j) * F.col("__h2__")) % F.lit(1 << 32))
-            .alias(f"__h{j}__")
-            for j in range(num_perm)
-        ],
+    hashes = with_h12.selectExpr(
+        f"`{id_col}`",
+        *[f"(__h1__ + {j} * __h2__) % {1 << 32} AS __h{j}__" for j in range(num_perm)],
     )
     mins = hashes.groupBy(id_col).agg(
-        *[F.min(f"__h{j}__").alias(f"__m{j}__") for j in range(num_perm)]
+        *[F.expr(f"min(__h{j}__) AS __m{j}__") for j in range(num_perm)]
     )
-    return mins.select(
-        F.col(id_col), F.array(*[F.col(f"__m{j}__") for j in range(num_perm)]).alias("sig")
-    )
+    sig = "array(" + ",".join(f"__m{j}__" for j in range(num_perm)) + ")"
+    return mins.selectExpr(f"`{id_col}`", f"{sig} AS sig")
 
 
 def minhash_lsh_candidates(
@@ -172,26 +170,19 @@ def minhash_lsh_candidates(
     ``shingle_k`` words) produce NULL band mins and are dropped."""
     rows_per_band = num_perm // bands
     sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_k)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_structs = "array(" + ",".join(
+        "named_struct('band', {b}, 'key', md5(concat_ws(',', {parts})))".format(
+            b=b,
+            parts=",".join(
+                f"CAST(try_element_at(sig, {b * rows_per_band + r + 1}) AS STRING)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    ) + ")"
     buckets = (
-        sigs.where(F.element_at("sig", 1).isNotNull())
-        .select(F.col(id_col), F.explode(band_structs).alias("bk"))
+        sigs.where(F.expr("try_element_at(sig, 1) IS NOT NULL"))
+        .select(F.col(id_col), F.explode(F.expr(band_structs)).alias("bk"))
         .select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
     left = buckets.select(
@@ -290,21 +281,22 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     exploded = ensure_parallelism(df).select(
         F.col(id_col), F.explode_outer(toks).alias("__tok__")
     )
-    h = F.conv(F.substring(F.md5(F.col("__tok__")), 1, 8), 16, 10).cast("long")
-    exploded = exploded.select(F.col(id_col), h.alias("__h__"))
-    bit_sums = [
-        F.sum(F.shiftright(F.col("__h__"), b).bitwiseAND(F.lit(1))).alias(f"__s{b}__")
+    # single-SQL-string rendering: one py4j parse instead of ~100 Column
+    # round-trips (see minhash_signature)
+    exploded = exploded.selectExpr(
+        f"`{id_col}`",
+        "CAST(conv(substring(md5(__tok__), 1, 8), 16, 10) AS BIGINT) AS __h__",
+    )
+    agg = exploded.groupBy(id_col).agg(
+        F.expr("count(__h__) AS __n__"),
+        *[F.expr(f"sum(shiftright(__h__, {b}) & 1) AS __s{b}__") for b in range(bits)],
+    )
+    # set bit b iff 2·s_b > n  ⟺  sum(±1) > 0; null s_b (no tokens) → 0
+    fingerprint = " + ".join(
+        f"(CASE WHEN 2 * __s{b}__ > __n__ THEN {1 << b}L ELSE 0L END)"
         for b in range(bits)
-    ]
-    agg = exploded.groupBy(id_col).agg(F.count("__h__").alias("__n__"), *bit_sums)
-    fingerprint = None
-    for b in range(bits):
-        # set bit b iff 2·s_b > n  ⟺  sum(±1) > 0; null s_b (no tokens) → 0
-        term = F.when(F.col(f"__s{b}__") * 2 > F.col("__n__"), F.lit(1 << b)).otherwise(
-            F.lit(0)
-        )
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return agg.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+    )
+    return agg.selectExpr(f"`{id_col}`", f"CAST({fingerprint} AS BIGINT) AS simhash")
 
 
 # --------------------------------------------------------------------------
