@@ -391,8 +391,8 @@ class Model:
         self._measures = IdentifiableMap()
 
     @builder_method
-    def sort(self, sort, dir: str = "asc", nulls: str = "auto") -> "Model":
-        self._source = SortSource(self._source, self._prep(sort), dir, nulls)
+    def sort(self, sort, dir: str = "asc", nulls: str = "auto", *, small: bool = False) -> "Model":
+        self._source = SortSource(self._source, self._prep(sort), dir, nulls, small)
 
     @builder_method
     def limit(self, count: int, *, offset: int = 0) -> "Model":
@@ -696,9 +696,11 @@ class Model:
             key_name="step",
             value_name=FUNNEL_COUNT_COLUMN_NAME,
         )
+        # output is ≤ (steps+1) rows per cohort — sort on one partition
+        # (no range-exchange sampling job)
         result = folded.pick(column("*"))
         for p in all_partitions:
-            result = result.sort(column(p.identifier))
+            result = result.sort(column(p.identifier), small=True)
         return result.sort(
             func.cases(
                 *[
@@ -708,6 +710,7 @@ class Model:
                 other=len(step_names) + 1,
             ).named("step_index"),
             dir="asc",
+            small=True,
         )
 
     def funnel_conversion_rate(

@@ -424,11 +424,22 @@ class SortSource(Source):
     """ORDER BY one expression; consecutive sorts accumulate in call order,
     matching SQLAlchemy's order_by chaining in the reference
     (compilers/sort.py:12-42). "auto" nulls = first when asc, last when desc
-    — which is exactly Spark's default, but we set it explicitly."""
+    — which is exactly Spark's default, but we set it explicitly.
+
+    ``small=True`` declares the input provably tiny (e.g. a funnel's
+    steps×cohorts output): sort on a single coalesced partition instead of
+    a range exchange, skipping the range-partitioner's sampling job."""
 
     __TYPE_KEY__ = "sort"
 
-    def __init__(self, base: Source, sort: ColumnExpression, dir: str = "asc", nulls: str = "auto") -> None:
+    def __init__(
+        self,
+        base: Source,
+        sort: ColumnExpression,
+        dir: str = "asc",
+        nulls: str = "auto",
+        small: bool = False,
+    ) -> None:
         if dir not in ("asc", "desc"):
             raise ValueError(f"Invalid sort direction: {dir}")
         if nulls not in ("auto", "first", "last"):
@@ -437,6 +448,7 @@ class SortSource(Source):
         self.sort = sort
         self.dir = dir
         self.nulls = nulls
+        self.small = small
 
     def child_sources(self):
         return [self.base]
@@ -459,7 +471,10 @@ class SortSource(Source):
         else:
             col = col.desc_nulls_first() if nulls == "first" else col.desc_nulls_last()
         fs.sort_exprs = fs.sort_exprs + [col]
-        fs.df = fs.df.orderBy(*fs.sort_exprs)
+        if self.small:
+            fs.df = fs.df.coalesce(1).sortWithinPartitions(*fs.sort_exprs)
+        else:
+            fs.df = fs.df.orderBy(*fs.sort_exprs)
         return fs
 
     def to_wire(self):
@@ -469,11 +484,18 @@ class SortSource(Source):
             "sort": self.sort.to_wire(),
             "dir": self.dir,
             "nulls": self.nulls,
+            "small": self.small,
         }
 
     @classmethod
     def _from_wire(cls, data):
-        return cls(Source.from_wire(data["base"]), ColumnExpression.from_wire(data["sort"]), data["dir"], data["nulls"])
+        return cls(
+            Source.from_wire(data["base"]),
+            ColumnExpression.from_wire(data["sort"]),
+            data["dir"],
+            data["nulls"],
+            data.get("small", False),
+        )
 
 
 class LimitSource(Source):
