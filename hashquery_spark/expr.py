@@ -948,13 +948,22 @@ class FormatTimestampExpression(ColumnExpression):
                 segments.append(F.date_format(base, pattern_buf))
                 pattern_buf = ""
 
+        def append_pattern(pat: str):
+            # adjacent identical tokens (e.g. %m%m) must not merge into one
+            # longer DateTimeFormatter run (MM+MM = MMMM = "January") —
+            # start a fresh date_format segment instead
+            nonlocal pattern_buf
+            flush_literal()
+            if pattern_buf and pattern_buf[-1] == pat[0]:
+                flush_pattern()
+            pattern_buf += pat
+
         i = 0
         fmt = self.fmt
         while i < len(fmt):
             tok2, tok3 = fmt[i : i + 2], fmt[i : i + 3]
             if len(tok3) == 3 and tok3 in _STRFTIME_TOKENS:
-                flush_literal()
-                pattern_buf += _STRFTIME_TOKENS[tok3]
+                append_pattern(_STRFTIME_TOKENS[tok3])
                 i += 3
             elif tok2 in _STRFTIME_TOKENS:
                 if tok2 == "%%":
@@ -963,8 +972,7 @@ class FormatTimestampExpression(ColumnExpression):
                     flush_pattern()
                     segments.append(F.quarter(base).cast("string"))
                 else:
-                    flush_literal()
-                    pattern_buf += _STRFTIME_TOKENS[tok2]
+                    append_pattern(_STRFTIME_TOKENS[tok2])
                 i += 2
             else:
                 literal_buf += fmt[i]

@@ -126,3 +126,197 @@ def test_cases_first_match_wins(frame, t1, t2):
         f"ELSE 'lo' END) = 'hi'"
     )
     assert ids_spark(model, expr) == ids_duck(duck, where)
+
+
+@SLOW
+@given(
+    dir=st.sampled_from(["asc", "desc"]),
+    nulls=st.sampled_from(["auto", "first", "last"]),
+    limit=st.integers(min_value=1, max_value=10),
+    offset=st.integers(min_value=0, max_value=5),
+)
+def test_sort_nulls_limit_offset(frame, dir, nulls, limit, offset):
+    """sort dir × nulls placement × limit/offset against DuckDB, with an id
+    tiebreak so both orders are total."""
+    model, duck = frame
+    got = [
+        r["id"]
+        for r in model.sort(column("num"), dir=dir, nulls=nulls)
+        .sort(column("id"))
+        .limit(limit, offset=offset)
+        .pick(column("id"))
+        .to_df()
+        .collect()
+    ]
+    resolved = nulls if nulls != "auto" else ("first" if dir == "asc" else "last")
+    want = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT id FROM prop_t ORDER BY num {dir} NULLS {resolved}, id "
+            f"LIMIT {limit} OFFSET {offset}"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# temporal properties
+# --------------------------------------------------------------------------
+
+from datetime import datetime, timedelta  # noqa: E402
+
+TS_STRATEGY = st.datetimes(
+    min_value=datetime(1995, 1, 3, 4, 5, 6),
+    max_value=datetime(2030, 12, 28, 21, 22, 23),
+).map(lambda d: d.replace(microsecond=0))
+
+
+@pytest.fixture(scope="module")
+def ts_conn(spark):
+    return Connection(spark)
+
+
+@SLOW
+@given(
+    ts=st.lists(TS_STRATEGY, min_size=1, max_size=6, unique=True),
+    grain=st.sampled_from(
+        ["second", "minute", "hour", "day", "week", "month", "quarter", "year"]
+    ),
+)
+def test_granularity_truncation_matches_duckdb(ts_conn, ts, grain):
+    """All 8 grains against DuckDB date_trunc; weeks use the reference's
+    SUNDAY start (DuckDB weeks are Monday-start, hence the ±1 day shift)."""
+    ts_conn.register_records("prop_ts", [(i, t) for i, t in enumerate(ts)], "id long, t timestamp")
+    m = Model(ts_conn, "prop_ts")
+    got = {
+        r["id"]: r["g"]
+        for r in m.pick(column("id"), getattr(column("t"), f"by_{grain}")().named("g"))
+        .to_df()
+        .collect()
+    }
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE prop_ts (id BIGINT, t TIMESTAMP)")
+    duck.executemany("INSERT INTO prop_ts VALUES (?, ?)", [(i, t) for i, t in enumerate(ts)])
+    expr = (
+        "date_trunc('week', t + INTERVAL 1 DAY) - INTERVAL 1 DAY"
+        if grain == "week"
+        else f"date_trunc('{grain}', t)"
+    )
+    want = {r[0]: r[1] for r in duck.execute(f"SELECT id, CAST({expr} AS TIMESTAMP) FROM prop_ts").fetchall()}
+    assert got == want
+
+
+@SLOW
+@given(
+    ts=TS_STRATEGY,
+    days=st.integers(min_value=-400, max_value=400),
+    seconds=st.integers(min_value=-90000, max_value=90000),
+)
+def test_interval_arithmetic_matches_python(ts_conn, ts, days, seconds):
+    """ts ± timedelta computed by the engine equals Python's ground truth."""
+    delta = timedelta(days=days, seconds=seconds)
+    ts_conn.register_records("prop_iv", [(0, ts)], "id long, t timestamp")
+    m = Model(ts_conn, "prop_iv")
+    [row] = m.pick((column("t") + delta).named("r")).to_df().collect()
+    assert row["r"] == ts + delta
+
+
+@SLOW
+@given(
+    ts=TS_STRATEGY,
+    fmt=st.lists(
+        st.sampled_from(
+            ["%Y", "%m", "%d", "%H", "%M", "%S", "%y", "%j", "%Q", "-", " ", ":", "T"]
+        ),
+        min_size=1,
+        max_size=6,
+    ).map("".join),
+)
+def test_format_timestamp_matches_python_strftime(ts_conn, ts, fmt):
+    """format_timestamp output equals Python's strftime (the reference's
+    token semantics); %Q = quarter number, which Python lacks."""
+    # C strftime truncates at NUL, so use a printable pass-through sentinel
+    expected = ts.strftime(fmt.replace("%Q", "[[Q]]")).replace(
+        "[[Q]]", str((ts.month - 1) // 3 + 1)
+    )
+    ts_conn.register_records("prop_fmt", [(0, ts)], "id long, t timestamp")
+    m = Model(ts_conn, "prop_fmt")
+    [row] = m.pick(column("t").format_timestamp(fmt).named("r")).to_df().collect()
+    assert row["r"] == expected
+
+
+# --------------------------------------------------------------------------
+# funnel / match_steps vs a pure-Python reference matcher
+# --------------------------------------------------------------------------
+
+
+def _ref_funnel_counts(rows, steps, time_limit=None):
+    """Reference implementation of the pinned journey semantics: one char
+    per (event, matched step), sorted by (ts, step DESC); greedy first-match
+    per step; time_limit nulls steps with ts - ts[step0] >= limit (strict <,
+    pessimistic — matches tests/test_funnel.py's fixture behavior)."""
+    by_entity = {}
+    for uid, ev, ts in rows:
+        by_entity.setdefault(uid, []).append((ts, ev))
+    counts = {s: 0 for s in steps}
+    for uid, evs in by_entity.items():
+        chars = [
+            (ts, si)
+            for ts, ev in evs
+            for si, s in enumerate(steps)
+            if ev == s
+        ]
+        chars.sort(key=lambda x: (x[0], -x[1]))
+        pos, idxs = -1, []
+        for si in range(len(steps)):
+            nxt = next(
+                (i for i in range(pos + 1, len(chars)) if chars[i][1] == si), None
+            )
+            if nxt is None:
+                break
+            idxs.append(nxt)
+            pos = nxt
+        if not idxs:
+            continue
+        t0 = chars[idxs[0]][0]
+        for k, i in enumerate(idxs):
+            t = chars[i][0]
+            if time_limit is None or k == 0 or (t - t0) < time_limit:
+                counts[steps[k]] += 1
+    return counts
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # entity
+            st.sampled_from(["a", "b", "c", "x"]),  # event type
+            st.integers(min_value=0, max_value=20),  # minutes offset
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    limit_minutes=st.sampled_from([None, 3, 7]),
+)
+def test_funnel_matches_python_reference(ts_conn, rows, limit_minutes):
+    from hashquery_spark.keypath import attr as kp_attr
+
+    base = datetime(2024, 1, 1)
+    recs = [(u, e, base + timedelta(minutes=m)) for u, e, m in rows]
+    ts_conn.register_records(
+        "prop_funnel", recs, "user_id long, event string, timestamp timestamp"
+    )
+    m = Model(ts_conn, "prop_funnel").with_activity_schema(
+        group=kp_attr.user_id, timestamp=kp_attr.timestamp, event_key=kp_attr.event
+    )
+    steps = ["a", "b", "c"]
+    limit = timedelta(minutes=limit_minutes) if limit_minutes else None
+    got = {
+        r["step"]: r["entities"]
+        for r in m.funnel(steps, time_limit=limit).run().py_records
+    }
+    want = _ref_funnel_counts(
+        [(u, e, t) for u, e, t in recs], steps, time_limit=limit
+    )
+    assert got == want
