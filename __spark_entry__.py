@@ -296,6 +296,108 @@ def q_join_condition(spark, sf_dir):
     )
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-style shipping priority: two many-to-one joins composed
+    through a sub-model pipeline (customer filtered inside the orders
+    model), grouped revenue, deterministic top-10."""
+    conn = _conn(spark, sf_dir)
+    customer = Model(conn, "customer").with_primary_key(column("c_custkey"))
+    orders = (
+        Model(conn, "orders")
+        .with_primary_key(column("o_orderkey"))
+        .with_join_one(customer, foreign_key=attr.o_custkey, named="cust", drop_unmatched=True)
+        .filter(rel.cust.c_mktsegment == "BUILDING")
+        .filter(attr.o_orderdate < datetime(1997, 3, 15))
+    )
+    return (
+        Model(conn, "lineitem")
+        .filter(attr.l_shipdate > datetime(1997, 3, 15))
+        .with_join_one(orders, foreign_key=attr.l_orderkey, named="ord", drop_unmatched=True)
+        .aggregate(
+            groups=[attr.l_orderkey, rel.ord.o_orderdate.named("o_orderdate")],
+            measures=[
+                func.sum((attr.l_extendedprice * (1 - attr.l_discount)).cast("decimal(18,4)"))
+                .cast("double")
+                .named("revenue")
+            ],
+        )
+        .sort(column("revenue"), dir="desc")
+        .sort(column("l_orderkey"))
+        .limit(10)
+        .to_df()
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-style local-supplier volume: five joins expressed as
+    flattened sub-model pipelines (nation⋈region → supplier, customer →
+    orders), with the cross-relation c_nationkey = s_nationkey predicate
+    as a filter over two namespaces."""
+    conn = _conn(spark, sf_dir)
+    nation = Model(conn, "nation").with_primary_key(column("n_nationkey"))
+    region = Model(conn, "region").with_primary_key(column("r_regionkey"))
+    asia_nations = (
+        nation.with_join_one(
+            region, foreign_key=attr.n_regionkey, named="reg", drop_unmatched=True, broadcast=True
+        )
+        .filter(rel.reg.r_name == "ASIA")
+        .pick(attr.n_nationkey, attr.n_name)
+        .with_primary_key(column("n_nationkey"))
+    )
+    supplier_nat = (
+        Model(conn, "supplier")
+        .with_primary_key(column("s_suppkey"))
+        .with_join_one(
+            asia_nations, foreign_key=attr.s_nationkey, named="nat", drop_unmatched=True, broadcast=True
+        )
+        .pick(attr.s_suppkey, attr.s_nationkey, rel.nat.n_name.named("sup_nation"))
+        .with_primary_key(column("s_suppkey"))
+    )
+    customer = Model(conn, "customer").with_primary_key(column("c_custkey"))
+    orders_cnat = (
+        Model(conn, "orders")
+        .with_primary_key(column("o_orderkey"))
+        .with_join_one(customer, foreign_key=attr.o_custkey, named="cust", drop_unmatched=True)
+        .filter(attr.o_orderdate >= datetime(1997, 1, 1))
+        .filter(attr.o_orderdate < datetime(1998, 1, 1))
+        .pick(attr.o_orderkey, rel.cust.c_nationkey.named("cust_nationkey"))
+        .with_primary_key(column("o_orderkey"))
+    )
+    return (
+        Model(conn, "lineitem")
+        .with_join_one(
+            supplier_nat, foreign_key=attr.l_suppkey, named="sup", drop_unmatched=True, broadcast=True
+        )
+        .with_join_one(orders_cnat, foreign_key=attr.l_orderkey, named="ord", drop_unmatched=True)
+        .filter(rel.ord.cust_nationkey == rel.sup.s_nationkey)
+        .aggregate(
+            groups=[rel.sup.sup_nation.named("n_name")],
+            measures=[
+                func.sum((attr.l_extendedprice * (1 - attr.l_discount)).cast("decimal(18,4)"))
+                .cast("double")
+                .named("revenue")
+            ],
+        )
+        .sort(column("revenue"), dir="desc")
+        .sort(column("n_name"))
+        .to_df()
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL++ approximate count-distinct (net-new; approximate by design, so
+    no value-exact oracle — the driver records a rows-only check)."""
+    return (
+        Model(_conn(spark, sf_dir), "lineitem")
+        .aggregate(
+            groups=[attr.l_returnflag],
+            measures=[func.approx_distinct(attr.l_partkey).named("approx_parts")],
+        )
+        .sort(column("l_returnflag"), small=True)
+        .to_df()
+    )
+
+
 def q_count_if_cases(spark, sf_dir):
     """count_if sugar + CASE WHEN binning (SURVEY §2.3)."""
     return (
@@ -751,6 +853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_one_left": q_join_one_left,
         "join_drop_unmatched": q_join_drop_unmatched,
         "join_condition": q_join_condition,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "approx_distinct": q_approx_distinct,
         "count_if_cases": q_count_if_cases,
         "math_floor_ceiling": q_math_floor_ceiling,
         "distinct_count": q_distinct_count,

@@ -997,6 +997,55 @@ class FormatTimestampExpression(ColumnExpression):
 # --------------------------------------------------------------------------
 
 
+class PythonUdfExpression(ColumnExpression):
+    """User Python function as an expression — the extension the reference
+    lacks entirely (its only escape hatch is raw SQL text; SURVEY.md §2.7).
+
+    ``vectorized=True`` (default) compiles to an Arrow-batched pandas_udf —
+    the function receives/returns ``pandas.Series``, evaluated per batch,
+    ~10-100× faster than row-at-a-time. ``vectorized=False`` falls back to
+    a row-at-a-time ``F.udf`` for functions that can't vectorize.
+
+    Local-only: Python callables have no wire format (use ``column(sql=)``
+    for portable custom expressions)."""
+
+    __TYPE_KEY__ = "pythonUdf"
+
+    def __init__(
+        self,
+        fn: Callable,
+        return_type: str,
+        args: Optional[list] = None,
+        vectorized: bool = True,
+    ) -> None:
+        super().__init__()
+        self.fn = fn
+        self.return_type = return_type
+        self.args = [to_expr(a) for a in (args or [])]
+        self.vectorized = vectorized
+
+    def children(self):
+        return list(self.args)
+
+    def default_identifier(self):
+        name = getattr(self.fn, "__name__", "")
+        return name if name and name != "<lambda>" else None
+
+    def compile(self, ctx: ExprContext) -> Column:
+        cols = [a.compile(ctx) for a in self.args]
+        if self.vectorized:
+            udf = F.pandas_udf(self.fn, self.return_type)
+        else:
+            udf = F.udf(self.fn, self.return_type)
+        return udf(*cols)
+
+    def to_wire(self):
+        raise NotImplementedError(
+            "python_udf expressions are local-only and cannot be serialized; "
+            "use column(sql=...) for portable custom expressions"
+        )
+
+
 class SqlFunctionExpression(ColumnExpression):
     __TYPE_KEY__ = "sqlFunction"
 

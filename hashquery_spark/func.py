@@ -140,3 +140,16 @@ def diff_seconds(ts1: Any, ts2: Any) -> SqlFunctionExpression:
     """Whole seconds between two timestamps: ts1 - ts2
     (reference: _temporal.py:6-10)."""
     return SqlFunctionExpression("diffSeconds", [ts1, ts2])
+
+
+@defer_keypath_args
+def python_udf(fn, returns: str, *args, vectorized: bool = True):
+    """User Python function as an expression (net-new; SURVEY.md §2.7 —
+    the reference's only escape hatch is raw SQL text).
+
+    ``vectorized=True`` (default) compiles to an Arrow-batched pandas_udf:
+    ``fn`` receives and returns ``pandas.Series``. Set ``vectorized=False``
+    for row-at-a-time functions (slow path; avoid in hot loops)."""
+    from .expr import PythonUdfExpression
+
+    return PythonUdfExpression(fn, returns, list(args), vectorized=vectorized)

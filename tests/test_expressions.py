@@ -178,3 +178,33 @@ def test_format_timestamp_literal_runs(m):
         )
     )
     assert out[1] == "day 015 of 2024 at 10:30 AM % done"
+
+
+def test_python_udf_vectorized(m):
+    # Arrow-batched pandas_udf: fn sees pandas Series
+    upper = func.python_udf(lambda s: s.str.upper(), "string", attr.name).named("u")
+    out = dict(rows(m.pick(attr.id, upper)))
+    assert out == {1: "APPLE", 2: "BANANA", 3: None, 4: "APPLE PIE"}
+
+
+def test_python_udf_row_at_a_time(m):
+    def shout(name, score):
+        if name is None or score is None:
+            return None
+        return f"{name}:{int(score)}"
+
+    expr = func.python_udf(shout, "string", attr.name, attr.score, vectorized=False)
+    out = dict(rows(m.pick(attr.id, expr.named("s"))))
+    assert out == {1: "apple:10", 2: None, 3: None, 4: "apple pie:-2"}
+
+
+def test_python_udf_in_aggregate(m):
+    squared = func.python_udf(lambda s: s * s, "double", attr.score).named("sq")
+    got = m.aggregate(measures=[func.sum(squared).named("total")]).run().py_records
+    assert got[0]["total"] == pytest.approx(100.0 + 25.0 + 6.25)
+
+
+def test_python_udf_not_serializable(m):
+    expr = func.python_udf(lambda s: s, "string", column("name"))
+    with pytest.raises(NotImplementedError):
+        expr.to_wire()
