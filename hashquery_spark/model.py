@@ -872,6 +872,32 @@ class Model:
             writer = writer.partitionBy(*partition_by)
         writer.save(path)
 
+    def write_bucketed(
+        self,
+        table_name: str,
+        buckets: int,
+        by: List[str],
+        *,
+        sort_by: Optional[List[str]] = None,
+        path: Optional[str] = None,
+        format: str = "parquet",
+        mode: str = "overwrite",
+    ) -> None:
+        """Write as a bucketed (and optionally sort-within-bucket) catalog
+        table — net-new beyond the reference. Two tables bucketed by the
+        same key into the same bucket count join WITHOUT any exchange:
+        the shuffle is paid once at write time instead of on every join,
+        the decisive layout optimization for repeatedly-joined 100 TB
+        fact tables. Read back via ``Model(conn, table_name)``."""
+        writer = (
+            self.to_df().write.format(format).mode(mode).bucketBy(buckets, *by)
+        )
+        if sort_by:
+            writer = writer.sortBy(*sort_by)
+        if path:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table_name)
+
     def sql(self) -> str:
         """The compiled plan, as text (the reference returns rendered SQL,
         src/model/model.py:1036-1056; on Spark the equivalent artifact is

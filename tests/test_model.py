@@ -175,3 +175,34 @@ def test_sample_and_repartition(conn):
     rp = base.repartitioned(4, by=[attr.customer_id])
     assert rp.to_df().rdd.getNumPartitions() == 4
     assert sorted(r["id"] for r in rp.pick(attr.id).run().py_records) == [1, 2, 3, 4, 5]
+
+
+def test_write_bucketed_join_has_no_exchange(spark, tmp_path, conn):
+    """Two tables bucketed by the same key into the same bucket count must
+    join with ZERO shuffle exchanges — the layout pays the shuffle once at
+    write time (the decisive optimization for repeatedly-joined fact
+    tables at scale)."""
+    left = Model(conn, "sales")
+    left.write_bucketed(
+        "b_sales", 4, ["customer_id"], sort_by=["customer_id"],
+        path=str(tmp_path / "b_sales"),
+    )
+    right = Model(conn, "sales").aggregate(
+        groups=[attr.customer_id],
+        measures=[func.count().named("n")],
+    )
+    right.write_bucketed(
+        "b_counts", 4, ["customer_id"], sort_by=["customer_id"],
+        path=str(tmp_path / "b_counts"),
+    )
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_sales").join(spark.table("b_counts"), "customer_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 4  # NULL customer_id row drops in the inner join
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_sales")
+        spark.sql("DROP TABLE IF EXISTS b_counts")
