@@ -828,6 +828,30 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_blob_metadata(with_binary_column(docs, "text"), "payload", "doc_id")
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Feature-extraction plumbing: payload -> dense embedding via
+    mapInPandas (deterministic fake features; real impl swaps in a model)."""
+    from hashquery_spark.ops import extract_features
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return extract_features(with_binary_column(docs, "text"), "payload", "doc_id", dim=8)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing: payload -> n evenly-spaced byte-window
+    'frames' (row explosion via mapInPandas); frames hex-encoded for the
+    cross-engine value compare."""
+    from pyspark.sql import functions as F
+    from hashquery_spark.ops import frame_sample
+
+    docs = _conn(spark, sf_dir).table("documents")
+    frames = frame_sample(with_binary_column(docs, "text"), "payload", "doc_id",
+                          n_frames=4, frame_bytes=16)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex"), "frame_offset"
+    )
+
+
 # ===========================================================================
 # Driver entry points
 # ===========================================================================
@@ -894,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 

@@ -29,7 +29,13 @@ from .similarity import (
     random_hyperplanes,
 )
 from .text import doc_fingerprint, language_id, quality_score, token_count
-from .multimodal import decode_blob_metadata, with_binary_column
+from .multimodal import (
+    decode_blob_metadata,
+    extract_features,
+    frame_sample,
+    resize_image,
+    with_binary_column,
+)
 from .skew import salted_aggregate, salted_join
 from .asof import asof_join
 from .range_join import range_join
@@ -51,6 +57,9 @@ __all__ = [
     "token_count",
     "doc_fingerprint",
     "decode_blob_metadata",
+    "extract_features",
+    "frame_sample",
+    "resize_image",
     "with_binary_column",
     "asof_join",
     "range_join",

@@ -69,3 +69,106 @@ def decode_blob_metadata(
             )
 
     return src.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id", dim: int = 8
+) -> DataFrame:
+    """Feature-extraction plumbing: binary payload → dense embedding
+    (array<float>) via Arrow-batched mapInPandas. The embedding is a
+    deterministic fake derived from the byte length (a real deployment
+    swaps in a model forward pass over the decoded payload); the batch
+    shape, schema contract, and partition behavior are the real thing.
+    Output: (doc_id, embedding array<double>, n_bytes int)."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("__blob__"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_bytes = pdf["__blob__"].map(lambda b: len(b) if b is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    # fake feature d = ((n_bytes * (d+1)) % 997) / 997.0 —
+                    # reproducible in any engine for the oracle
+                    "embedding": n_bytes.map(
+                        lambda n: [((n * (d + 1)) % 997) / 997.0 for d in range(dim)]
+                    ),
+                    "n_bytes": n_bytes.astype("int32"),
+                }
+            )
+
+    return src.mapInPandas(
+        batches, schema="doc_id long, embedding array<double>, n_bytes int"
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    frame_bytes: int = 16,
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: emit ``n_frames``
+    evenly-spaced fixed-width byte windows per payload as separate rows —
+    the row-explosion shape (one input row → n output rows) every video
+    pipeline needs. Sampling is pure byte arithmetic (a real deployment
+    decodes actual frames at the sampled offsets).
+    Output: (doc_id, frame_idx, frame binary, frame_offset int)."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("__blob__"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame": [], "frame_offset": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["__blob__"]):
+                if blob is None or len(blob) == 0:
+                    continue
+                stride = max(1, (len(blob) - frame_bytes) // max(1, n_frames - 1))
+                for i in range(n_frames):
+                    off = min(i * stride, max(0, len(blob) - frame_bytes))
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(blob[off : off + frame_bytes])
+                    out["frame_offset"].append(off)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        batches, schema="doc_id long, frame_idx int, frame binary, frame_offset int"
+    )
+
+
+def resize_image(
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """Resize plumbing: per-payload codec transform via mapInPandas. The
+    codec itself is stubbed (:func:`decode_image` — no image libraries in
+    this container); the stand-in emits a deterministic fake 'resized'
+    payload (truncated/cycled bytes to width*height/64) so the pipeline
+    shape is testable end-to-end.
+    Output: (doc_id, resized binary, width int, height int)."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("__blob__"))
+    target = max(1, width * height // 64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["__blob__"].map(
+                lambda b: (b * (target // max(1, len(b)) + 1))[:target]
+                if b
+                else b
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return src.mapInPandas(
+        batches, schema="doc_id long, resized binary, width int, height int"
+    )

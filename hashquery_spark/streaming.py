@@ -187,6 +187,75 @@ def streaming_dedup(
     )
 
 
+def streaming_funnel_progress(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+    event_key_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Incremental funnel: a per-entity furthest-step tracker across
+    micro-batches — the custom stateful operator Spark lacks natively,
+    built on Arrow-batched ``applyInPandasWithState``.
+
+    State per entity = the last matched step index. Within each
+    micro-batch, events are processed in (ts, step-index DESC) order — the
+    same duplicate-timestamp ordering the batch journey hash pins
+    (match_steps.py; reference: compilers/match_steps.py:513-521) — and the
+    entity advances greedily one step per matching event. Emits one row per
+    entity whose progress changed in the batch:
+    (group, last_matched_step_index, last_matched_step_name).
+
+    Streaming caveat (inherent, documented): an event arriving in a LATER
+    micro-batch with an EARLIER timestamp cannot retro-match — state only
+    moves forward. On in-order streams the final state equals the batch
+    ``match_steps`` result (tested); out-of-order delivery within one batch
+    is handled by the sort.
+
+    Scale: state is one int per entity, sharded by the state store across
+    executors; no journey strings, no event retention."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    steps = list(steps)
+    step_of = {s: i for i, s in enumerate(steps)}
+    out_schema = (
+        f"{group_col} long, last_matched_step_index int, last_matched_step_name string"
+    )
+
+    def track(key, pdf_iter, state):
+        idx = state.get[0] if state.exists else -1
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows["__si__"] = rows[event_key_col].map(lambda e: step_of.get(e, -1))
+        rows = rows[rows["__si__"] >= 0].sort_values(
+            [ts_col, "__si__"], ascending=[True, False]
+        )
+        start = idx
+        for si in rows["__si__"]:
+            if idx + 1 < len(steps) and si == idx + 1:
+                idx += 1
+        if idx != start:
+            state.update((idx,))
+            yield pd.DataFrame(
+                {
+                    group_col: [key[0]],
+                    "last_matched_step_index": [idx],
+                    "last_matched_step_name": [steps[idx]],
+                }
+            )
+
+    return (
+        events.groupBy(F.col(group_col))
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType="idx int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain a (bounded) stream into an in-memory table with
     ``availableNow`` and return the result as a batch frame — the test

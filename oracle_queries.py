@@ -474,6 +474,35 @@ SELECT doc_id,
 FROM documents
 """
 
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+  list_transform(range(0, 8), d ->
+    CAST((coalesce(octet_length(encode(text)), 0) * (d + 1)) % 997 AS DOUBLE) / 997.0
+  ) AS embedding,
+  CAST(coalesce(octet_length(encode(text)), 0) AS INT) AS n_bytes
+FROM documents
+"""
+
+MULTIMODAL_FRAMES_SQL = """
+WITH b AS (
+  -- DuckDB can't slice BLOBs directly; slicing the hex string (2 chars
+  -- per byte) is byte-exact
+  SELECT doc_id, upper(hex(encode(text))) AS blob_hex,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+),
+f AS (
+  SELECT doc_id, blob_hex, n, greatest(1, (n - 16) // 3) AS stride,
+         unnest(range(0, 4)) AS i
+  FROM b
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+  substr(blob_hex, 2 * CAST(least(i * stride, greatest(0, n - 16)) AS INT) + 1, 32) AS frame_hex,
+  CAST(least(i * stride, greatest(0, n - 16)) AS INT) AS frame_offset
+FROM f
+"""
+
 
 # --------------------------------------------------------------------------
 # the full oracle map
@@ -742,4 +771,6 @@ ORACLE_SQL: dict[str, str] = {
     "text_tokens": TOKENS_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
     "multimodal_decode": MULTIMODAL_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_frames": MULTIMODAL_FRAMES_SQL,
 }

@@ -128,6 +128,40 @@ def test_decode_stub_raises():
         decode_image(b"\x89PNG")
 
 
+def test_multimodal_feature_extraction(docs):
+    from hashquery_spark.ops import extract_features
+
+    out = extract_features(with_binary_column(docs, "text"), "payload", "doc_id", dim=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    n = rows[1]["n_bytes"]
+    assert rows[1]["embedding"] == [((n * (d + 1)) % 997) / 997.0 for d in range(4)]
+    assert rows[6]["n_bytes"] == 0 and rows[6]["embedding"] == [0.0] * 4
+
+
+def test_multimodal_frame_sample(docs):
+    from hashquery_spark.ops import frame_sample
+
+    out = frame_sample(with_binary_column(docs, "text"), "payload", "doc_id",
+                       n_frames=4, frame_bytes=16)
+    rows = [r for r in out.collect() if r["doc_id"] == 1]
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+    offs = [r["frame_offset"] for r in sorted(rows, key=lambda r: r["frame_idx"])]
+    assert offs == sorted(offs) and offs[0] == 0
+    assert all(len(r["frame"]) == 16 for r in rows)
+    # empty payloads produce no frames
+    assert not [r for r in out.collect() if r["doc_id"] == 6]
+
+
+def test_multimodal_resize_stub(docs):
+    from hashquery_spark.ops import resize_image
+
+    out = resize_image(with_binary_column(docs, "text"), "payload", "doc_id",
+                       width=32, height=32)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows[1]["resized"]) == 32 * 32 // 64
+    assert rows[1]["width"] == 32 and rows[1]["height"] == 32
+
+
 def test_asof_join_directions(spark):
     from datetime import datetime
     from hashquery_spark.ops import asof_join

@@ -128,3 +128,70 @@ def test_watermark_drops_late_events(spark):
         assert got[datetime(2024, 1, 1, 9, 0)] == 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_funnel_progress_matches_batch(spark):
+    """Single in-order batch: final per-entity progress equals the batch
+    match_steps result on the reference's 7-user docstring fixture."""
+    import shutil, tempfile
+    from hashquery_spark.streaming import streaming_funnel_progress
+
+    rows = [
+        (0, "ad_impression", datetime(2024, 1, 1)), (0, "visit", datetime(2024, 1, 2)),
+        (0, "purchase", datetime(2024, 1, 4)),
+        (1, "ad_impression", datetime(2024, 1, 1)), (1, "visit", datetime(2024, 1, 2)),
+        (1, "purchase", datetime(2024, 1, 3)), (1, "purchase", datetime(2024, 1, 4)),
+        (2, "ad_impression", datetime(2024, 1, 1)), (2, "visit", datetime(2024, 1, 2)),
+        (3, "ad_impression", datetime(2024, 1, 1)), (3, "visit", datetime(2024, 1, 2)),
+        (4, "ad_impression", datetime(2024, 1, 1)),
+        (5, "visit", datetime(2024, 1, 1)), (5, "purchase", datetime(2024, 1, 2)),
+        (6, "other_event", datetime(2024, 1, 1)),
+    ]
+    d = tempfile.mkdtemp(prefix="hq_sfunnel_")
+    try:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(d)
+        stream = read_event_stream(spark, d, SCHEMA)
+        out = streaming_funnel_progress(
+            stream, "user_id", "ts", "event_type",
+            ["ad_impression", "visit", "purchase"],
+        )
+        q = (out.writeStream.format("memory").queryName("sfunnel_test")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {r["user_id"]: r["last_matched_step_index"]
+               for r in spark.table("sfunnel_test").collect()}
+        # batch answer: u0=2, u1=2, u2=1, u3=1, u4=0; u5/u6 never enter
+        assert got == {0: 2, 1: 2, 2: 1, 3: 1, 4: 0}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_funnel_progress_carries_state_across_batches(spark):
+    import shutil, tempfile, time as _time
+    from hashquery_spark.streaming import streaming_funnel_progress
+
+    d = tempfile.mkdtemp(prefix="hq_sfunnel2_")
+    try:
+        b1 = [(1, "signup", datetime(2024, 1, 1, 10, 0)),
+              (2, "click", datetime(2024, 1, 1, 10, 0))]  # click before signup: no entry
+        b2 = [(1, "click", datetime(2024, 1, 2, 10, 0)),
+              (2, "signup", datetime(2024, 1, 2, 10, 0))]
+        spark.createDataFrame(b1, SCHEMA).coalesce(1).write.parquet(f"{d}/b1")
+        _time.sleep(1.5)
+        spark.createDataFrame(b2, SCHEMA).coalesce(1).write.parquet(f"{d}/b2")
+        stream = (spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+                  .parquet(f"{d}/b*"))
+        out = streaming_funnel_progress(
+            stream, "user_id", "ts", "event_type", ["signup", "click"])
+        q = (out.writeStream.format("memory").queryName("sfunnel2_test")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = [(r["user_id"], r["last_matched_step_index"])
+                for r in spark.table("sfunnel2_test").collect()]
+        # u1: signup in b1 (idx 0), click in b2 advances to 1 via carried state
+        # u2: click-before-signup never enters in b1; signup in b2 -> idx 0
+        assert max(i for u, i in rows if u == 1) == 1
+        assert (1, 0) in rows  # b1 emission before the state carried over
+        assert max(i for u, i in rows if u == 2) == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
