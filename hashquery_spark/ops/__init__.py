@@ -22,6 +22,8 @@ from .dedup import (
     simhash,
 )
 from .similarity import (
+    ivf_index,
+    ivf_search,
     ann_brute_force,
     embedding_near_dup,
     ivf_ann,
@@ -50,6 +52,8 @@ __all__ = [
     "ann_brute_force",
     "embedding_near_dup",
     "ivf_ann",
+    "ivf_index",
+    "ivf_search",
     "lsh_ann",
     "random_hyperplanes",
     "language_id",

@@ -108,27 +108,65 @@ def hyperplane_bucket(vec: Column, planes: List[List[float]]) -> Column:
     return bucket.cast("long")
 
 
-def ivf_ann(
+class IvfIndex:
+    """A built IVF index: driver-held centroids + the cell-assigned corpus.
+
+    Build once with :func:`ivf_index`, search many probe batches with
+    :func:`ivf_search` — the centroid collect and the corpus assignment
+    pass are paid once (and the assignment can be persisted), which is how
+    IVF is actually operated: index build is offline, searches are cheap."""
+
+    def __init__(self, cents, cent_norms, assigned: DataFrame, id_col: str, vec_col: str):
+        self.cents = cents
+        self.cent_norms = cent_norms
+        self.assigned = assigned
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def sim_structs_sql(self, vec: str, vnorm: str) -> str:
+        # (-rounded_sim, cid) structs: natural struct ordering makes min =
+        # argmax-sim with lowest-cid tiebreak. Each dot appears exactly
+        # ONCE in the expression tree — a greatest()+CASE formulation
+        # duplicates every cosine ~n_centroids times (measured 5× slower).
+        # Rendered as ONE SQL string parsed by a single F.expr call: the
+        # Column-by-Column build paid one py4j round-trip per literal float
+        # (n_centroids × dim × 2 sides ≈ thousands) — ~1 s of driver time
+        # per call, measured. The parsed tree is identical.
+        structs = []
+        for cid, cvec in self.cents:
+            arr = "array(" + ",".join(f"{v!r}D" for v in cvec) + ")"
+            dot = (
+                f"aggregate(zip_with(`{vec}`, {arr}, (x, y) -> "
+                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+            )
+            structs.append(
+                f"named_struct('neg', -round({dot} / (`{vnorm}` * "
+                f"{self.cent_norms[cid]!r}D), 4), 'cid', CAST({cid} AS BIGINT))"
+            )
+        return "array(" + ",".join(structs) + ")"
+
+    def unpersist(self):
+        self.assigned.unpersist()
+
+
+def ivf_index(
     corpus: DataFrame,
-    probes: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 10,
     n_centroids: int = 8,
-    n_probe: int = 2,
-) -> DataFrame:
-    """IVF-style ANN: the corpus is inverted-file partitioned by nearest
-    centroid; each probe searches only its ``n_probe`` closest cells.
+    cache: bool = False,
+) -> IvfIndex:
+    """Build the IVF index: pick centroids, assign every corpus vector to
+    its nearest cell.
 
-    Centroids here are the deterministic first ``n_centroids`` corpus
-    vectors (a real deployment would k-means them; the *index structure* —
-    cell assignment, multi-cell probing, within-cell exact ranking — is the
+    Centroids are the deterministic first ``n_centroids`` corpus vectors
+    (a real deployment would k-means them; the *index structure* — cell
+    assignment, multi-cell probing, within-cell exact ranking — is the
     part that matters). The centroid set is collected to the driver
     (bounded: n_centroids × dim floats, same role as a broadcast) and
-    inlined as literals, so cell assignment is a narrow codegen'd pass with
-    NO join. The probe→corpus match becomes an equi-join on the cell id:
-    at 100 TB each probe touches n_probe/n_centroids of the data instead
-    of all of it.
+    inlined as literals, so cell assignment is a narrow codegen'd pass
+    with NO join. ``cache=True`` persists the assigned corpus for repeated
+    searches.
 
     Determinism: centroid similarities round to 4 decimals with
     lowest-centroid-id tiebreak, so a DuckDB oracle reproduces cell
@@ -145,30 +183,8 @@ def ivf_ann(
     # interpreted (not codegen'd), so recomputing |c| and |v| inside every
     # centroid cosine tripled the per-row fold count (measured 2.5× slower)
     cent_norms = {cid: math.sqrt(sum(x * x for x in cvec)) for cid, cvec in cents}
-
-    def _sim_structs_sql(vec: str, vnorm: str) -> str:
-        # (-rounded_sim, cid) structs: natural struct ordering makes min =
-        # argmax-sim with lowest-cid tiebreak. Each dot appears exactly
-        # ONCE in the expression tree — a greatest()+CASE formulation
-        # duplicates every cosine ~n_centroids times (measured 5× slower).
-        # Rendered as ONE SQL string parsed by a single F.expr call: the
-        # Column-by-Column build paid one py4j round-trip per literal float
-        # (n_centroids × dim × 2 sides ≈ thousands) — ~1 s of driver time
-        # per call, measured. The parsed tree is identical.
-        structs = []
-        for cid, cvec in cents:
-            arr = "array(" + ",".join(f"{v!r}D" for v in cvec) + ")"
-            dot = (
-                f"aggregate(zip_with(`{vec}`, {arr}, (x, y) -> "
-                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
-            )
-            structs.append(
-                f"named_struct('neg', -round({dot} / (`{vnorm}` * "
-                f"{cent_norms[cid]!r}D), 4), 'cid', CAST({cid} AS BIGINT))"
-            )
-        return "array(" + ",".join(structs) + ")"
-
-    c = corpus.select(
+    index = IvfIndex(cents, cent_norms, None, id_col, vec_col)
+    assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec__"),
         _norm(F.col(vec_col)).alias("__vnorm__"),
@@ -176,25 +192,41 @@ def ivf_ann(
         "neighbor_id",
         "__cvec__",
         F.expr(
-            f"array_min({_sim_structs_sql('__cvec__', '__vnorm__')}).cid"
+            f"array_min({index.sim_structs_sql('__cvec__', '__vnorm__')}).cid"
         ).alias("__cell__"),
     )
+    if cache:
+        assigned = assigned.persist()
+    index.assigned = assigned
+    return index
+
+
+def ivf_search(
+    index: IvfIndex,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Search an :class:`IvfIndex`: each probe visits only its ``n_probe``
+    nearest cells — the probe→corpus match is an equi-join on the cell id,
+    so at 100 TB each probe touches n_probe/n_centroids of the data
+    instead of all of it."""
     p = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("__pvec__"),
-        _norm(F.col(vec_col)).alias("__vnorm__"),
+        F.col(index.id_col).alias("probe_id"),
+        F.col(index.vec_col).alias("__pvec__"),
+        _norm(F.col(index.vec_col)).alias("__vnorm__"),
     ).select(
         "probe_id",
         "__pvec__",
         F.explode(
             F.expr(
                 f"transform(slice(array_sort("
-                f"{_sim_structs_sql('__pvec__', '__vnorm__')}), 1, {n_probe}), "
+                f"{index.sim_structs_sql('__pvec__', '__vnorm__')}), 1, {n_probe}), "
                 "s -> s.cid)"
             )
         ).alias("__cell__"),
     )
-    joined = c.join(F.broadcast(p), on="__cell__").where(
+    joined = index.assigned.join(F.broadcast(p), on="__cell__").where(
         F.col("neighbor_id") != F.col("probe_id")
     )
     sim = F.round(cosine(F.col("__pvec__"), F.col("__cvec__")), 4)
@@ -206,6 +238,22 @@ def ivf_ann(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """One-shot IVF ANN: :func:`ivf_index` + :func:`ivf_search`. For
+    repeated probe batches build the index once with ``cache=True``."""
+    return ivf_search(
+        ivf_index(corpus, vec_col, id_col, n_centroids), probes, k, n_probe
     )
 
 

@@ -336,3 +336,18 @@ def test_salted_journey_assembly_equivalence(events):
     f = {r["step"]: r["entities"]
          for r in events.funnel(STEPS).run().py_records}
     assert f == {"ad_impression": 5, "visit": 4, "purchase": 2}
+
+
+def test_match_steps_wire_roundtrip(events):
+    """The funnel source tree (activity schema + steps + time limit) must
+    survive wire-format serialization (reference: serializable v7)."""
+    import json
+    from hashquery_spark import Model
+
+    m = events.match_steps(STEPS, time_limit=timedelta(days=3)).pick(
+        attr.user_id, attr.last_matched_step_name, attr.last_matched_step_index
+    )
+    wire = json.loads(json.dumps(m.to_wire()))
+    restored = Model.from_wire(wire, connection=m._connection)
+    key = lambda model: sorted(str(r) for r in model.to_df().collect())
+    assert key(m) == key(restored)

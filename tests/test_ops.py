@@ -251,3 +251,21 @@ def test_dedup_clusters_transitive(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 9: 7, 10: 10, 11: 10}
+
+
+def test_ivf_index_reuse_matches_one_shot(spark, sf_dir):
+    """ivf_index(cache=True) + repeated ivf_search must equal the one-shot
+    ivf_ann for every probe batch (the index build is paid once)."""
+    from hashquery_spark.ops import ivf_ann, ivf_index, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = ivf_index(emb, "embedding", "vec_id", n_centroids=8, cache=True)
+    try:
+        for lo, hi in [(0, 3), (3, 6)]:
+            probes = emb.where(f"vec_id >= {lo} AND vec_id < {hi}")
+            got = sorted(map(tuple, ivf_search(idx, probes, k=5, n_probe=2).collect()))
+            want = sorted(map(tuple, ivf_ann(emb, probes, "embedding", "vec_id",
+                                             k=5, n_centroids=8, n_probe=2).collect()))
+            assert got == want
+    finally:
+        idx.unpersist()
