@@ -476,6 +476,31 @@ def q_in_subquery(spark, sf_dir):
     )
 
 
+def q_scalar_subquery(spark, sf_dir):
+    """A Model used as a scalar operand (SURVEY §2.4 NOTE: latent reference
+    bug, implemented properly here): rows above the global average price.
+    The average routes through DECIMAL so both engines compare against the
+    bit-identical threshold."""
+    conn = _conn(spark, sf_dir)
+    avg_price = Model(conn, "lineitem").aggregate(
+        measures=[
+            (
+                func.sum(attr.l_extendedprice.cast("decimal(18,2)")).cast("double")
+                / func.count()
+            ).named("avg_price")
+        ]
+    )
+    return (
+        Model(conn, "lineitem")
+        .filter(attr.l_extendedprice > func.scalar(avg_price))
+        .aggregate(
+            groups=[attr.l_returnflag],
+            measures=[func.count().named("n")],
+        )
+        .to_df()
+    )
+
+
 def q_exists(spark, sf_dir):
     """EXISTS(model) (SURVEY §2.3)."""
     conn = _conn(spark, sf_dir)
@@ -886,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_list_null_aware": q_in_list_null_aware,
         "in_subquery": q_in_subquery,
         "exists_subquery": q_exists,
+        "scalar_subquery": q_scalar_subquery,
         "granularity_month": q_granularity_month,
         "week_sunday": q_week_sunday,
         "format_timestamp": q_format_timestamp,

@@ -172,7 +172,16 @@ class ColumnExpression:
                 lambda o, _op=op, _rev=reverse: self._binop(_op, o, _rev),
                 [_Call([other], {})],
             )
-        other = to_expr(other)
+        from .model import Model
+
+        if isinstance(other, Model):
+            # a Model operand is a scalar subquery — the reference declares
+            # this surface but its as_scalar_column_expression is missing
+            # (latent bug, reference: column_expression.py:637-638); here it
+            # compiles properly via a broadcast one-row cross join
+            other = SubqueryExpression("scalar", other)
+        else:
+            other = to_expr(other)
         if reverse:
             return BinaryOpExpression(op, other, self)
         return BinaryOpExpression(op, self, other)
@@ -1268,7 +1277,7 @@ class SubqueryExpression(ColumnExpression):
 
     def __init__(self, kind: str, model, needle: Optional[ColumnExpression] = None) -> None:
         super().__init__()
-        assert kind in ("in", "exists")
+        assert kind in ("in", "exists", "scalar")
         self.kind = kind
         self.model = model
         self.needle = needle

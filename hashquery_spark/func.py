@@ -153,3 +153,13 @@ def python_udf(fn, returns: str, *args, vectorized: bool = True):
     from .expr import PythonUdfExpression
 
     return PythonUdfExpression(fn, returns, list(args), vectorized=vectorized)
+
+
+@defer_keypath_args
+def scalar(model) -> SubqueryExpression:
+    """A Model as a scalar value (one row, one column) usable anywhere an
+    expression is: comparisons, arithmetic, filters. The reference declares
+    Model operands on binary ops but its as_scalar_column_expression is
+    missing (latent bug, reference: column_expression.py:637-638); here it
+    compiles to a broadcast one-row cross join."""
+    return SubqueryExpression("scalar", model)

@@ -238,6 +238,17 @@ class FrameState:
             self._subquery_cols[id(sub)] = F.col(marker).isNotNull() | (
                 needle.isNull() & (F.col(has_null_name) == 1)
             )
+        elif sub.kind == "scalar":
+            # scalar subquery: a one-row one-column frame broadcast-cross-
+            # joined in (the reference declares Model-as-operand but its
+            # as_scalar_column_expression is missing — latent bug,
+            # reference: column_expression.py:637-638). The sub-model is
+            # expected to produce exactly one row (e.g. a global
+            # aggregate); extra rows are cut, zero rows yield NULL.
+            val_name = self.state.fresh_name("scalar_val")
+            one = sub_df.select(F.col(sub_df.columns[0]).alias(val_name)).limit(1)
+            self.df = self.df.join(F.broadcast(one), on=F.lit(True), how="left")
+            self._subquery_cols[id(sub)] = F.col(val_name)
         else:  # exists — uncorrelated: "subquery has >= 1 row"
             flag_name = self.state.fresh_name("exists_flag")
             flag = sub_df.limit(1).select(F.lit(1).alias(flag_name))

@@ -556,6 +556,15 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
     """,
+    "scalar_subquery": """
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem
+        WHERE l_extendedprice > (
+          SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          FROM lineitem
+        )
+        GROUP BY l_returnflag
+    """,
     "agg_global": """
         SELECT count(*) AS n_rows,
                count(DISTINCT l_partkey) AS n_parts,

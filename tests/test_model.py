@@ -206,3 +206,29 @@ def test_write_bucketed_join_has_no_exchange(spark, tmp_path, conn):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_sales")
         spark.sql("DROP TABLE IF EXISTS b_counts")
+
+
+def test_model_as_scalar_operand(conn):
+    """attr <op> Model compiles as a scalar subquery (the reference
+    declares this but its as_scalar_column_expression is missing —
+    reference: column_expression.py:637-638)."""
+    avg_price = Model(conn, "sales").aggregate(
+        measures=[(func.sum(attr.price.cast("decimal(18,2)")).cast("double")
+                   / func.count()).named("avg_price")]
+    )
+    got = sorted(
+        r["id"]
+        for r in Model(conn, "sales")
+        .filter(attr.price > func.scalar(avg_price))
+        .pick(attr.id).run().py_records
+    )
+    # avg = (10+20+5+8+1)/5 = 8.8 -> ids with price > 8.8: 1 (10.0), 2 (20.0)
+    assert got == [1, 2]
+    # operator sugar: Model directly as the right operand
+    got2 = sorted(
+        r["id"]
+        for r in Model(conn, "sales")
+        .filter(attr.price > avg_price)
+        .pick(attr.id).run().py_records
+    )
+    assert got2 == [1, 2]
