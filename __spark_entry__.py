@@ -476,6 +476,27 @@ def q_in_subquery(spark, sf_dir):
     )
 
 
+def q_json_extraction(spark, sf_dir):
+    """JSONPath extraction from the events.props JSON column (net-new;
+    the reference only maps struct/record to JSON as a type name)."""
+    return (
+        Model(_conn(spark, sf_dir), "events")
+        .pick(
+            attr.event_type,
+            func.json_value(attr.props, "$.k").cast("long").named("k"),
+        )
+        .aggregate(
+            groups=[attr.event_type],
+            measures=[
+                func.count(column("k")).named("n_with_k"),
+                func.sum(column("k")).named("sum_k"),
+                func.max(column("k")).named("max_k"),
+            ],
+        )
+        .to_df()
+    )
+
+
 def q_scalar_subquery(spark, sf_dir):
     """A Model used as a scalar operand (SURVEY §2.4 NOTE: latent reference
     bug, implemented properly here): rows above the global average price.
@@ -912,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_subquery": q_in_subquery,
         "exists_subquery": q_exists,
         "scalar_subquery": q_scalar_subquery,
+        "json_extraction": q_json_extraction,
         "granularity_month": q_granularity_month,
         "week_sunday": q_week_sunday,
         "format_timestamp": q_format_timestamp,

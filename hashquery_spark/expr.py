@@ -1096,6 +1096,10 @@ class SqlFunctionExpression(ColumnExpression):
             return F.sum(F.when(cond, 1).otherwise(0))
         if fn == "approxDistinct":
             return F.approx_count_distinct(self.args[0].compile(ctx), rsd=self.rsd)
+        if fn == "jsonValue":
+            # JSONPath string extraction (net-new; the reference maps
+            # struct/record to JSON only as a best-effort type name)
+            return F.get_json_object(self.args[0].compile(ctx), self.json_path)
         if fn == "percentile":
             return F.percentile(self.args[0].compile(ctx), F.lit(self.percentile_p))
         if fn in ("min", "max", "sum", "avg"):

@@ -163,3 +163,13 @@ def scalar(model) -> SubqueryExpression:
     missing (latent bug, reference: column_expression.py:637-638); here it
     compiles to a broadcast one-row cross join."""
     return SubqueryExpression("scalar", model)
+
+
+@defer_keypath_args
+def json_value(expr: Any, path: str) -> SqlFunctionExpression:
+    """Extract a JSONPath value from a JSON string column as a string
+    (net-new; compiles to get_json_object). Cast the result for typed use:
+    ``func.json_value(attr.props, "$.k").cast("long")``."""
+    node = SqlFunctionExpression("jsonValue", [expr])
+    node.json_path = path
+    return node

@@ -565,6 +565,15 @@ ORACLE_SQL: dict[str, str] = {
         )
         GROUP BY l_returnflag
     """,
+    "json_extraction": """
+        WITH j AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k, max(k) AS max_k
+        FROM j GROUP BY event_type
+    """,
     "agg_global": """
         SELECT count(*) AS n_rows,
                count(DISTINCT l_partkey) AS n_parts,

@@ -208,3 +208,19 @@ def test_python_udf_not_serializable(m):
     expr = func.python_udf(lambda s: s, "string", column("name"))
     with pytest.raises(NotImplementedError):
         expr.to_wire()
+
+
+def test_json_value_extraction(spark):
+    conn = Connection(spark)
+    conn.register_records(
+        "jt",
+        [(1, '{"k": 7, "tag": "a"}'), (2, '{"k": 9}'), (3, None), (4, "{}")],
+        schema="id long, props string",
+    )
+    m = Model(conn, "jt").pick(
+        attr.id,
+        func.json_value(attr.props, "$.k").cast("long").named("k"),
+        func.json_value(attr.props, "$.tag").named("tag"),
+    )
+    got = {r["id"]: (r["k"], r["tag"]) for r in m.to_df().collect()}
+    assert got == {1: (7, "a"), 2: (9, None), 3: (None, None), 4: (None, None)}
