@@ -476,6 +476,52 @@ def q_in_subquery(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based batch sessionization (net-new): per-session event counts
+    and bounds. One shuffle on the entity key; ties broken by event_id for
+    a deterministic total order."""
+    return (
+        _events_model(spark, sf_dir)
+        .sessionize(gap=timedelta(hours=3), tiebreak=[attr.event_id])
+        .aggregate(
+            groups=[attr.user_id, column("session_id")],
+            measures=[
+                func.count().named("n_events"),
+                func.min(attr.ts).named("session_start"),
+                func.max(attr.ts).named("session_end"),
+            ],
+        )
+        .to_df()
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix (net-new composition): users bucketed by
+    first-activity month, counted per activity month."""
+    conn = _conn(spark, sf_dir)
+    firsts = (
+        Model(conn, "events")
+        .aggregate(
+            groups=[attr.user_id],
+            measures=[func.min(attr.ts).named("first_ts")],
+        )
+        .pick(attr.user_id, column("first_ts").by_month().named("cohort_month"))
+        .with_primary_key(column("user_id"))
+    )
+    return (
+        Model(conn, "events")
+        .with_join_one(firsts, foreign_key=attr.user_id, named="cohort", drop_unmatched=True)
+        .aggregate(
+            groups=[
+                rel.cohort.cohort_month.named("cohort_month"),
+                attr.ts.by_month().named("activity_month"),
+            ],
+            measures=[func.count(func.distinct(attr.user_id)).named("active_users")],
+        )
+        .to_df()
+    )
+
+
 def q_json_extraction(spark, sf_dir):
     """JSONPath extraction from the events.props JSON column (net-new;
     the reference only maps struct/record to JSON as a type name)."""
@@ -934,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists,
         "scalar_subquery": q_scalar_subquery,
         "json_extraction": q_json_extraction,
+        "sessionize": q_sessionize,
+        "retention_cohorts": q_retention_cohorts,
         "granularity_month": q_granularity_month,
         "week_sunday": q_week_sunday,
         "format_timestamp": q_format_timestamp,

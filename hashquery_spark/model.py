@@ -30,6 +30,7 @@ from .sources import (
     AggregateSource,
     SetOpSource,
     TopKSource,
+    SessionizeSource,
     CompileState,
     FilterSource,
     FoldSource,
@@ -413,6 +414,42 @@ class Model:
         tiebreak = [self._prep(t) for t in (tiebreak or [])]
         self._source = TopKSource(
             self._source, k, self._prep(by), per, dir, rank_name, tiebreak
+        )
+
+    @builder_method
+    def sessionize(self, *, group=None, timestamp=None, gap=None,
+                   session_name: str = "session_id", tiebreak=None) -> "Model":
+        """Gap-based batch sessionization (net-new; streaming twin is
+        streaming.sessionize). Adds ``session_name``: per entity, a new
+        session starts when the time since the previous event exceeds
+        ``gap`` (timedelta; default 30 minutes). One shuffle on the entity
+        key. ``group``/``timestamp`` default to the activity schema."""
+        from datetime import timedelta as _td
+
+        group = resolve_all_nested_keypaths(self, group)
+        timestamp = resolve_all_nested_keypaths(self, timestamp)
+        tiebreak = resolve_all_nested_keypaths(self, tiebreak or [])
+        schema = self._activity_schema
+        if group is None and schema is not None:
+            group = schema.group
+        if timestamp is None and schema is not None:
+            timestamp = schema.timestamp
+        if group is None or timestamp is None:
+            raise ValueError(
+                "sessionize requires group= and timestamp= (or an activity "
+                "schema set via with_activity_schema)"
+            )
+        gap = gap if gap is not None else _td(minutes=30)
+        self._source = SessionizeSource(
+            self._source,
+            self._prep(group),
+            self._prep(timestamp),
+            gap.total_seconds(),
+            session_name,
+            [self._prep(t) for t in tiebreak],
+        )
+        self._attributes = IdentifiableMap(
+            list(self._attributes) + [column(session_name)]
         )
 
     @builder_method

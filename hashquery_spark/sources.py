@@ -656,6 +656,85 @@ class TopKSource(Source):
         )
 
 
+class SessionizeSource(Source):
+    """Gap-based batch sessionization — net-new (the reference has no
+    session concept; our streaming surface has the session_window twin).
+    Adds a ``session_id`` column: per entity, a new session starts when
+    the time since the previous event exceeds ``gap_seconds``. Compiles to
+    lag + running count over ONE window partitioning (a single shuffle on
+    the entity key); timestamps diff as double epoch seconds so
+    sub-second gaps resolve identically across engines."""
+
+    __TYPE_KEY__ = "sessionize"
+
+    def __init__(
+        self,
+        base: Source,
+        group: ColumnExpression,
+        timestamp: ColumnExpression,
+        gap_seconds: float,
+        session_name: str = "session_id",
+        tiebreak: Optional[List[ColumnExpression]] = None,
+    ) -> None:
+        self.base = base
+        self.group = group
+        self.timestamp = timestamp
+        self.gap_seconds = float(gap_seconds)
+        self.session_name = session_name
+        # ascending keys after ts for a deterministic total order on ties
+        self.tiebreak = list(tiebreak or [])
+
+    def child_sources(self):
+        return [self.base]
+
+    def expressions(self):
+        return [self.group, self.timestamp] + self.tiebreak
+
+    def compile(self, state: CompileState) -> FrameState:
+        from pyspark.sql import Window
+
+        fs = self.base.compile(state)
+        ctx = fs.prepare([self.group, self.timestamp] + self.tiebreak)
+        g = self.group.compile(ctx)
+        ts = self.timestamp.compile(ctx)
+        order = [ts.asc()] + [t.compile(ctx).asc() for t in self.tiebreak]
+        w = Window.partitionBy(g).orderBy(*order)
+        prev = F.lag(ts).over(w)
+        brk = F.when(
+            prev.isNull()
+            | ((ts.cast("double") - prev.cast("double")) > self.gap_seconds),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        running = Window.partitionBy(g).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        fs.df = fs.df.withColumn(self.session_name, F.sum(brk).over(running))
+        fs.sort_exprs = []
+        return fs
+
+    def to_wire(self):
+        return {
+            **super().to_wire(),
+            "base": self.base.to_wire(),
+            "group": self.group.to_wire(),
+            "timestamp": self.timestamp.to_wire(),
+            "gapSeconds": self.gap_seconds,
+            "sessionName": self.session_name,
+            "tiebreak": [t.to_wire() for t in self.tiebreak],
+        }
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(
+            Source.from_wire(data["base"]),
+            ColumnExpression.from_wire(data["group"]),
+            ColumnExpression.from_wire(data["timestamp"]),
+            data["gapSeconds"],
+            data.get("sessionName", "session_id"),
+            [ColumnExpression.from_wire(t) for t in data.get("tiebreak", [])],
+        )
+
+
 class CacheSource(Source):
     """persist() the compiled frame (net-new): shared subtrees and
     iterative exploration reuse the materialization (MEMORY_AND_DISK)."""
@@ -1035,6 +1114,7 @@ _register_wire(
     SampleSource,
     RepartitionSource,
     TopKSource,
+    SessionizeSource,
     SetOpSource,
     TableNameSource,
     SqlTextSource,

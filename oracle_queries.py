@@ -574,6 +574,37 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k, max(k) AS max_k
         FROM j GROUP BY event_type
     """,
+    "sessionize": """
+        WITH x AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 10800
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM x
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s GROUP BY user_id, session_id
+    """,
+    "retention_cohorts": """
+        WITH firsts AS (
+          SELECT user_id,
+                 CAST(date_trunc('month', min(ts)) AS TIMESTAMP) AS cohort_month
+          FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_month,
+               CAST(date_trunc('month', e.ts) AS TIMESTAMP) AS activity_month,
+               count(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
     "agg_global": """
         SELECT count(*) AS n_rows,
                count(DISTINCT l_partkey) AS n_parts,

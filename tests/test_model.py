@@ -232,3 +232,31 @@ def test_model_as_scalar_operand(conn):
         .pick(attr.id).run().py_records
     )
     assert got2 == [1, 2]
+
+
+def test_sessionize_gap_boundary(spark):
+    from datetime import datetime, timedelta
+
+    c = Connection(spark)
+    c.register_records(
+        "sess_ev",
+        [
+            (1, 1, datetime(2024, 1, 1, 10, 0)),
+            (2, 1, datetime(2024, 1, 1, 10, 30)),  # exactly gap: same session
+            (3, 1, datetime(2024, 1, 1, 11, 1)),   # 31 min: new session
+            (4, 2, datetime(2024, 1, 1, 9, 0)),
+        ],
+        schema="event_id long, user_id long, ts timestamp",
+    )
+    m = Model(c, "sess_ev").sessionize(
+        group=attr.user_id, timestamp=attr.ts,
+        gap=timedelta(minutes=30), tiebreak=[attr.event_id],
+    )
+    got = {r["event_id"]: r["session_id"] for r in m.to_df().collect()}
+    # a gap of EXACTLY 30 min does not break (strict >)
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+    # session_id is an attribute on the model and survives the wire format
+    import json
+    restored = Model.from_wire(json.loads(json.dumps(m.to_wire())), connection=c)
+    got2 = {r["event_id"]: r["session_id"] for r in restored.to_df().collect()}
+    assert got2 == got
