@@ -522,6 +522,38 @@ def q_retention_cohorts(spark, sf_dir):
     )
 
 
+def q_pivot_wide(spark, sf_dir):
+    """Pivot long->wide (net-new; inverse of fold): per-priority totals by
+    order status as explicit columns. Sums route through DECIMAL."""
+    wide = Model(_conn(spark, sf_dir), "orders").pivot(
+        ids=[attr.o_orderpriority],
+        key=attr.o_orderstatus,
+        value=attr.o_totalprice.cast("decimal(18,2)"),
+        values=["O", "F", "P"],
+    )
+    return wide.pick(
+        column("o_orderpriority"),
+        column(sql="CAST(`O` AS DOUBLE)").named("open_total"),
+        column(sql="CAST(`F` AS DOUBLE)").named("finished_total"),
+        column(sql="CAST(`P` AS DOUBLE)").named("pending_total"),
+    ).to_df()
+
+
+def q_not_in_subquery(spark, sf_dir):
+    """Negated model membership: not_(x.in_(model)) — the marker-join
+    boolean negates in place (no separate anti-join operator needed)."""
+    conn = _conn(spark, sf_dir)
+    big_orders = (
+        Model(conn, "orders").filter(attr.o_totalprice > 300000).pick(attr.o_orderkey)
+    )
+    return (
+        Model(conn, "lineitem")
+        .filter(func.not_(attr.l_orderkey.in_(big_orders)))
+        .aggregate(groups=[attr.l_returnflag], measures=[func.count().named("n")])
+        .to_df()
+    )
+
+
 def q_json_extraction(spark, sf_dir):
     """JSONPath extraction from the events.props JSON column (net-new;
     the reference only maps struct/record to JSON as a type name)."""
@@ -980,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists,
         "scalar_subquery": q_scalar_subquery,
         "json_extraction": q_json_extraction,
+        "pivot_wide": q_pivot_wide,
+        "not_in_subquery": q_not_in_subquery,
         "sessionize": q_sessionize,
         "retention_cohorts": q_retention_cohorts,
         "granularity_month": q_granularity_month,

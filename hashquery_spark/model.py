@@ -31,6 +31,7 @@ from .sources import (
     SetOpSource,
     TopKSource,
     SessionizeSource,
+    PivotSource,
     CompileState,
     FilterSource,
     FoldSource,
@@ -451,6 +452,22 @@ class Model:
         self._attributes = IdentifiableMap(
             list(self._attributes) + [column(session_name)]
         )
+
+    @builder_method
+    def pivot(self, *, ids, key, value, values, agg: str = "sum") -> "Model":
+        """Pivot long to wide — the inverse of fold (net-new). ``values``
+        lists the pivot keys explicitly so the output schema is
+        deterministic; each becomes a column holding ``agg`` of ``value``.
+        One shuffle (groupBy + pivot with map-side partials)."""
+        ids = [self._prep(i) for i in ids]
+        self._source = PivotSource(
+            self._source, ids, self._prep(key), self._prep(value), list(values), agg
+        )
+        self._attributes = IdentifiableMap(
+            [column(i.identifier) for i in ids] + [column(str(v)) for v in values]
+        )
+        self._namespaces = IdentifiableMap()
+        self._measures = IdentifiableMap()
 
     @builder_method
     def intersect(self, other: "Model") -> "Model":

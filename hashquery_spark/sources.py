@@ -1016,6 +1016,77 @@ class JoinOneSource(Source):
         )
 
 
+class PivotSource(Source):
+    """Pivot long format to wide — the inverse of fold (net-new; the
+    reference has no pivot). ``values`` must be explicit so the output
+    schema is deterministic (never data-dependent): one column per pivot
+    value, each holding the aggregated measure. Compiles to Spark's
+    ``groupBy().pivot(col, values)`` — one shuffle, map-side partials."""
+
+    __TYPE_KEY__ = "pivot"
+
+    def __init__(
+        self,
+        base: Source,
+        ids: List[ColumnExpression],
+        key: ColumnExpression,
+        value: ColumnExpression,
+        values: List,
+        agg: str = "sum",
+    ) -> None:
+        self.base = base
+        self.ids = list(ids)
+        self.key = key
+        self.value = value
+        self.values = list(values)
+        self.agg = agg
+
+    def child_sources(self):
+        return [self.base]
+
+    def expressions(self):
+        return self.ids + [self.key, self.value]
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        ctx = fs.prepare(self.ids + [self.key, self.value])
+        id_cols = [c.compile(ctx).alias(c.identifier) for c in self.ids]
+        key_col = self.key.compile(ctx).alias("__pivot_key__")
+        val_col = self.value.compile(ctx).alias("__pivot_val__")
+        projected = fs.df.select(*id_cols, key_col, val_col)
+        agg_fn = getattr(F, self.agg)
+        fs.df = (
+            projected.groupBy(*[F.col(c.identifier) for c in self.ids])
+            .pivot("__pivot_key__", self.values)
+            .agg(agg_fn("__pivot_val__"))
+        )
+        fs.flatten_namespaces()
+        fs.sort_exprs = []
+        return fs
+
+    def to_wire(self):
+        return {
+            **super().to_wire(),
+            "base": self.base.to_wire(),
+            "ids": [c.to_wire() for c in self.ids],
+            "key": self.key.to_wire(),
+            "value": self.value.to_wire(),
+            "values": self.values,
+            "agg": self.agg,
+        }
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(
+            Source.from_wire(data["base"]),
+            [ColumnExpression.from_wire(c) for c in data["ids"]],
+            ColumnExpression.from_wire(data["key"]),
+            ColumnExpression.from_wire(data["value"]),
+            data["values"],
+            data.get("agg", "sum"),
+        )
+
+
 class FoldSource(Source):
     """Unpivot/melt N value columns into (key, value) long format.
 
@@ -1115,6 +1186,7 @@ _register_wire(
     RepartitionSource,
     TopKSource,
     SessionizeSource,
+    PivotSource,
     SetOpSource,
     TableNameSource,
     SqlTextSource,

@@ -605,6 +605,22 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN firsts f ON e.user_id = f.user_id
         GROUP BY 1, 2
     """,
+    "pivot_wide": """
+        SELECT o_orderpriority,
+          CAST(sum(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS open_total,
+          CAST(sum(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS finished_total,
+          CAST(sum(CASE WHEN o_orderstatus = 'P'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS pending_total
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "not_in_subquery": """
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem
+        WHERE NOT (l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000))
+        GROUP BY l_returnflag
+    """,
     "agg_global": """
         SELECT count(*) AS n_rows,
                count(DISTINCT l_partkey) AS n_parts,

@@ -260,3 +260,26 @@ def test_sessionize_gap_boundary(spark):
     restored = Model.from_wire(json.loads(json.dumps(m.to_wire())), connection=c)
     got2 = {r["event_id"]: r["session_id"] for r in restored.to_df().collect()}
     assert got2 == got
+
+
+def test_pivot_inverse_of_fold(conn):
+    conn.register_records(
+        "pv_finances",
+        [(2023, "income", 150000), (2023, "expenses", 30000),
+         (2024, "income", 500000), (2024, "expenses", 130000)],
+        schema="year int, type string, value long",
+    )
+    wide = Model(conn, "pv_finances").pivot(
+        ids=[attr.year], key=attr.type, value=attr.value,
+        values=["income", "expenses"],
+    )
+    got = sorted(tuple(r) for r in wide.to_df().collect())
+    assert got == [(2023, 150000, 30000), (2024, 500000, 130000)]
+    assert wide.to_df().columns == ["year", "income", "expenses"]
+    # missing pivot values become NULL columns, never dropped
+    partial = Model(conn, "pv_finances").filter(attr.type == "income").pivot(
+        ids=[attr.year], key=attr.type, value=attr.value,
+        values=["income", "expenses"],
+    )
+    row = {r["year"]: (r["income"], r["expenses"]) for r in partial.to_df().collect()}
+    assert row[2023] == (150000, None)
