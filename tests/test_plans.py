@@ -65,3 +65,26 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     for name in ("in_subquery", "exists_subquery", "join_one_left", "funnel"):
         plan = _physical(entry_mod.queries()[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned writes must enable partition pruning: a
+    filter on the partition column reaches the scan as a PartitionFilter
+    and non-matching directories are never read."""
+    from hashquery_spark import Connection, Model, attr
+
+    conn = Connection(spark)
+    conn.register_records(
+        "pp_src",
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)],
+        schema="id long, part string, v double",
+    )
+    out = str(tmp_path / "pp")
+    Model(conn, "pp_src").write(out, partition_by=["part"])
+    back = spark.read.parquet(out).where("part = 'a'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "isnotnull(part" in plan, plan
+    # the filter must appear as a PartitionFilter (directory pruning),
+    # not just a post-scan Filter
+    assert "(part#" in plan.split("PartitionFilters")[1][:120], plan
+    assert back.count() == 10
