@@ -700,9 +700,12 @@ class SessionizeSource(Source):
         order = [ts.asc()] + [t.compile(ctx).asc() for t in self.tiebreak]
         w = Window.partitionBy(g).orderBy(*order)
         prev = F.lag(ts).over(w)
+        # TIMESTAMP_NTZ can't cast straight to DOUBLE; route through LTZ
+        # (session tz is pinned UTC, so this is exact incl. microseconds).
+        ts_s = ts.cast("timestamp_ltz").cast("double")
+        prev_s = prev.cast("timestamp_ltz").cast("double")
         brk = F.when(
-            prev.isNull()
-            | ((ts.cast("double") - prev.cast("double")) > self.gap_seconds),
+            prev.isNull() | ((ts_s - prev_s) > self.gap_seconds),
             F.lit(1),
         ).otherwise(F.lit(0))
         running = Window.partitionBy(g).orderBy(*order).rowsBetween(
