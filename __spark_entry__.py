@@ -384,6 +384,67 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10-style returned-item reporting: customer⋈nation flattened
+    into orders, orders flattened into a returned-lineitem scan — a
+    4-table pipeline grouped per-customer with a deterministic top-20.
+    nation broadcasts (25 rows); customer⋈orders and orders⋈lineitem are
+    the reference's many-to-one join_one semantics (join_one.py:8)."""
+    conn = _conn(spark, sf_dir)
+    nation = Model(conn, "nation").with_primary_key(column("n_nationkey"))
+    customer_nat = (
+        Model(conn, "customer")
+        .with_primary_key(column("c_custkey"))
+        .with_join_one(
+            nation, foreign_key=attr.c_nationkey, named="nat", drop_unmatched=True, broadcast=True
+        )
+        .pick(
+            attr.c_custkey,
+            attr.c_name,
+            attr.c_acctbal,
+            rel.nat.n_name.named("n_name"),
+        )
+        .with_primary_key(column("c_custkey"))
+    )
+    orders_cust = (
+        Model(conn, "orders")
+        .with_primary_key(column("o_orderkey"))
+        .filter(attr.o_orderdate >= datetime(1997, 1, 1))
+        .filter(attr.o_orderdate < datetime(1997, 4, 1))
+        .with_join_one(customer_nat, foreign_key=attr.o_custkey, named="cust", drop_unmatched=True)
+        .pick(
+            attr.o_orderkey,
+            rel.cust.c_custkey.named("c_custkey"),
+            rel.cust.c_name.named("c_name"),
+            rel.cust.c_acctbal.named("c_acctbal"),
+            rel.cust.n_name.named("n_name"),
+        )
+        .with_primary_key(column("o_orderkey"))
+    )
+    return (
+        Model(conn, "lineitem")
+        .filter(attr.l_returnflag == "R")
+        .with_join_one(orders_cust, foreign_key=attr.l_orderkey, named="ord", drop_unmatched=True)
+        .aggregate(
+            groups=[
+                rel.ord.c_custkey.named("c_custkey"),
+                rel.ord.c_name.named("c_name"),
+                rel.ord.c_acctbal.named("c_acctbal"),
+                rel.ord.n_name.named("n_name"),
+            ],
+            measures=[
+                func.sum((attr.l_extendedprice * (1 - attr.l_discount)).cast("decimal(18,4)"))
+                .cast("double")
+                .named("revenue")
+            ],
+        )
+        .sort(column("revenue"), dir="desc")
+        .sort(column("c_custkey"))
+        .limit(20)
+        .to_df()
+    )
+
+
 def q_approx_distinct(spark, sf_dir):
     """HLL++ approximate count-distinct (net-new; approximate by design, so
     no value-exact oracle — the driver records a rows-only check)."""
@@ -1003,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_condition": q_join_condition,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q10": q_tpch_q10,
         "approx_distinct": q_approx_distinct,
         "count_if_cases": q_count_if_cases,
         "math_floor_ceiling": q_math_floor_ceiling,
