@@ -39,9 +39,13 @@ from hashquery_spark.ops import (
     asof_join,
     range_join,
     doc_fingerprint,
+    global_shuffle,
     quality_score,
+    repetition_score,
     simhash,
+    stratified_sample,
     token_count,
+    train_test_split,
     with_binary_column,
 )
 
@@ -1007,6 +1011,55 @@ def q_text_fingerprint(spark, sf_dir):
     return doc_fingerprint(docs, "text", "doc_id", k=5)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source stratified sample of documents: membership
+    is md5(seed:doc_id) < stratum fraction — a pure narrow filter (no
+    shuffle, no counting pass), stable across runs and repartitioning."""
+    docs = _conn(spark, sf_dir).table("documents")
+    sampled = stratified_sample(
+        docs,
+        "doc_id",
+        {"src0": 0.5, "src1": 0.9, "src2": 0.25},
+        strata_col="source",
+        seed=7,
+    )
+    return sampled.select("doc_id", "source", "lang")
+
+
+def q_train_test_split(spark, sf_dir):
+    """Leakage-safe hash split: per-split doc counts and mean length.
+    Assignment depends only on (seed, doc_id) so it never changes as the
+    corpus grows."""
+    from pyspark.sql import functions as F
+
+    docs = _conn(spark, sf_dir).table("documents")
+    split = train_test_split(docs, "doc_id", test_fraction=0.2, seed=3)
+    return (
+        split.groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .select("source", "split", "n_docs", "avg_chars")
+    )
+
+
+def q_repetition_score(spark, sf_dir):
+    """Within-document duplicate-line ratio (Gopher-style repetition
+    heuristic) — one codegen'd pass, arrays never leave the row."""
+    docs = _conn(spark, sf_dir).table("documents")
+    return repetition_score(docs, "text", "doc_id")
+
+
+def q_global_shuffle(spark, sf_dir):
+    """First 50 docs of a deterministic seeded global shuffle (md5 total
+    order). Executes as TakeOrderedAndProject — no full sort materialized
+    for a bounded head; the unbounded form is a range-partitioned sort."""
+    docs = _conn(spark, sf_dir).table("documents")
+    shuffled = global_shuffle(docs, "doc_id", seed=11)
+    return shuffled.select("doc_id", "shuffle_key").limit(50)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Opaque-binary metadata extraction via Arrow-batched mapInPandas."""
     docs = _conn(spark, sf_dir).table("documents")
@@ -1109,6 +1162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "stratified_sample": q_stratified_sample,
+        "train_test_split": q_train_test_split,
+        "repetition_score": q_repetition_score,
+        "global_shuffle": q_global_shuffle,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,

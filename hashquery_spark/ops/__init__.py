@@ -30,6 +30,13 @@ from .similarity import (
     lsh_ann,
     random_hyperplanes,
 )
+from .sampling import (
+    global_shuffle,
+    repetition_score,
+    stratified_sample,
+    train_test_split,
+    uniform01,
+)
 from .text import doc_fingerprint, language_id, quality_score, token_count
 from .multimodal import (
     decode_blob_metadata,
@@ -65,6 +72,11 @@ __all__ = [
     "frame_sample",
     "resize_image",
     "with_binary_column",
+    "global_shuffle",
+    "repetition_score",
+    "stratified_sample",
+    "train_test_split",
+    "uniform01",
     "asof_join",
     "range_join",
     "salted_aggregate",

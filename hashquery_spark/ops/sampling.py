@@ -1,0 +1,130 @@
+"""Deterministic sampling, splitting, and shuffling operators for
+training-data pipelines (net-new beyond the reference; the reference has
+no sampling surface at all).
+
+Everything here derives randomness from md5 over a seed + the row's primary
+key, NOT from an RNG: the same row gets the same fate on every run, on
+every engine, regardless of partitioning — which is what a reproducible
+data pipeline needs (re-running a 100 TB sample job must select the same
+rows; `df.sample()` does not guarantee that across partition changes).
+Cross-engine determinism uses the repo-standard portable hash
+(``conv(substr(md5(x),1,8),16,10)`` == DuckDB
+``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``; see ops/dedup.py).
+
+Scale notes:
+
+* ``stratified_sample`` / ``train_test_split`` are pure narrow filters /
+  projections — no shuffle, no per-stratum counting pass, codegen'd
+  end-to-end. At 100 TB they cost one scan.
+* ``global_shuffle`` is a range-partitioned sort on an md5 key — Spark
+  samples key ranges and sorts each partition locally, the canonical way
+  to produce a stable pseudo-random total order of a corpus for training
+  export without collecting anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash32
+
+_U32 = 4294967296.0  # 2^32
+
+
+def uniform01(col: Column, seed: int = 0) -> Column:
+    """Deterministic uniform-[0,1) draw per value: first 32 md5 bits of
+    ``"{seed}:{value}"`` divided by 2^32. Identical in DuckDB."""
+    return md5_hash32(F.concat(F.lit(f"{seed}:"), col.cast("string"))) / F.lit(_U32)
+
+
+def uniform01_sql(expr: str, seed: int = 0) -> str:
+    """DuckDB rendering of :func:`uniform01` (for oracle queries)."""
+    return (
+        f"(CAST('0x' || substr(md5('{seed}:' || CAST({expr} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) / 4294967296.0)"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    fractions,
+    strata_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep each row iff its deterministic uniform draw < its stratum's
+    fraction. ``fractions`` is a float (uniform rate) or a dict
+    ``{stratum_value: fraction}`` (unlisted strata are dropped).
+
+    Unlike ``df.sampleBy``, membership depends only on (seed, id), so the
+    sample is stable across runs and repartitioning — and the filter is a
+    narrow codegen'd pass with no shuffle."""
+    u = uniform01(F.col(id_col), seed)
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("strata_col is required when fractions is a dict")
+        frac = None
+        for value, f in sorted(fractions.items()):
+            cond = F.col(strata_col) == value
+            frac = F.when(cond, float(f)) if frac is None else frac.when(cond, float(f))
+        frac = frac.otherwise(F.lit(0.0))
+    else:
+        frac = F.lit(float(fractions))
+    return df.where(u < frac)
+
+
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    test_fraction: float = 0.1,
+    seed: int = 0,
+    split_name: str = "split",
+) -> DataFrame:
+    """Adds ``split`` ∈ {'train','test'} by hashing the primary key — the
+    standard leakage-safe split: a row's assignment never changes when the
+    corpus grows or repartitions, and grouping by a parent key's hash
+    instead (pass that column as ``id_col``) keeps whole groups on one
+    side."""
+    u = uniform01(F.col(id_col), seed)
+    return df.withColumn(
+        split_name,
+        F.when(u < float(test_fraction), F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
+def repetition_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_lines, n_distinct_lines, dup_line_ratio) — within-document
+    repetition: the fraction of non-blank lines that are duplicates of an
+    earlier line (Gopher-style repetition filter input). One narrow
+    codegen'd pass; the line arrays never leave the row."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != ""
+    )
+    n = F.size(lines)
+    d = F.size(F.array_distinct(lines))
+    ratio = F.round(
+        (n - d) / F.greatest(n, F.lit(1)).cast("double"), 4
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_lines"),
+        d.alias("n_distinct_lines"),
+        ratio.alias("dup_line_ratio"),
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    key_name: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global shuffle: total-order the corpus by
+    ``md5("{seed}:{id}")`` (full 128-bit hex key; ties broken by id).
+    Spark executes this as a range-partitioned sort — each output
+    partition is a contiguous slice of a stable pseudo-random permutation,
+    which is exactly the "shuffle once, stream shards in order" layout a
+    training-export job wants. Different seeds give independent orders."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    return df.withColumn(key_name, key).orderBy(key_name, id_col)

@@ -852,4 +852,47 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_decode": MULTIMODAL_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+    # deterministic sampling / splitting / shuffling (ops/sampling.py):
+    # membership = first-32-md5-bits uniform draw, same H32 pattern as dedup
+    "stratified_sample": """
+        SELECT doc_id, source, lang
+        FROM documents
+        WHERE (CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               / 4294967296.0)
+          < CASE source
+              WHEN 'src0' THEN 0.5
+              WHEN 'src1' THEN 0.9
+              WHEN 'src2' THEN 0.25
+              ELSE 0.0
+            END
+    """,
+    "train_test_split": """
+        SELECT source,
+          CASE WHEN (CAST('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                     / 4294967296.0) < 0.2
+               THEN 'test' ELSE 'train' END AS split,
+          count(*) AS n_docs,
+          round(avg(n_chars), 4) AS avg_chars
+        FROM documents
+        GROUP BY source, split
+    """,
+    "repetition_score": """
+        WITH L AS (
+          SELECT doc_id,
+            list_filter(str_split(text, chr(10)), x -> trim(x) <> '') AS lines
+          FROM documents
+        )
+        SELECT doc_id,
+          len(lines) AS n_lines,
+          len(list_distinct(lines)) AS n_distinct_lines,
+          round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                / greatest(len(lines), 1), 4) AS dup_line_ratio
+        FROM L
+    """,
+    "global_shuffle": """
+        SELECT doc_id, md5('11:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+        ORDER BY shuffle_key, doc_id
+        LIMIT 50
+    """,
 }

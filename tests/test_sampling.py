@@ -1,0 +1,106 @@
+"""Unit tests for deterministic sampling / splitting / shuffling
+(ops/sampling.py). The key property everywhere: a row's fate depends only
+on (seed, id), never on partitioning or execution order."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from hashquery_spark.ops import (
+    global_shuffle,
+    repetition_score,
+    stratified_sample,
+    train_test_split,
+)
+
+
+def _py_uniform01(seed: int, value) -> float:
+    return int(hashlib.md5(f"{seed}:{value}".encode()).hexdigest()[:8], 16) / 2**32
+
+
+def test_stratified_sample_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)], "id long, s string"
+    )
+    got = {
+        r["id"]
+        for r in stratified_sample(
+            df, "id", {"a": 0.5, "b": 0.1}, strata_col="s", seed=7
+        ).collect()
+    }
+    want = {
+        i
+        for i in range(200)
+        if _py_uniform01(7, i) < (0.5 if i % 2 == 0 else 0.1)
+    }
+    assert got == want
+
+
+def test_stratified_sample_stable_under_repartition(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    a = {r["id"] for r in stratified_sample(df, "id", 0.3, seed=1).collect()}
+    b = {
+        r["id"]
+        for r in stratified_sample(df.repartition(17), "id", 0.3, seed=1).collect()
+    }
+    assert a == b
+    # rate lands near the target (md5 is uniform enough at n=500)
+    assert 0.2 < len(a) / 500 < 0.4
+
+
+def test_stratified_sample_unlisted_stratum_dropped(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    out = stratified_sample(df, "id", {"x": 1.0}, strata_col="s", seed=0).collect()
+    assert [r["s"] for r in out] == ["x"]
+
+
+def test_train_test_split_partitions_every_row(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    out = train_test_split(df, "id", test_fraction=0.25, seed=3).collect()
+    assert len(out) == 300
+    by_split = {r["id"]: r["split"] for r in out}
+    for i in range(300):
+        want = "test" if _py_uniform01(3, i) < 0.25 else "train"
+        assert by_split[i] == want
+
+
+def test_train_test_split_disjoint_across_seeds(spark):
+    # different seeds give (near-)independent assignments, same seed is stable
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    s1 = {r["id"] for r in train_test_split(df, "id", 0.5, seed=1).collect() if r["split"] == "test"}
+    s1b = {r["id"] for r in train_test_split(df, "id", 0.5, seed=1).collect() if r["split"] == "test"}
+    s2 = {r["id"] for r in train_test_split(df, "id", 0.5, seed=2).collect() if r["split"] == "test"}
+    assert s1 == s1b
+    assert s1 != s2
+
+
+def test_repetition_score_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\nc"),          # no repeats
+            (2, "a\na\na\nb"),       # 4 lines, 2 distinct
+            (3, "x\n\n  \nx"),       # blank lines ignored; 2 lines 1 distinct
+            (4, ""),                  # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_score(df, "text", "doc_id").collect()}
+    assert (out[1]["n_lines"], out[1]["dup_line_ratio"]) == (3, 0.0)
+    assert (out[2]["n_distinct_lines"], out[2]["dup_line_ratio"]) == (2, 0.5)
+    assert (out[3]["n_lines"], out[3]["dup_line_ratio"]) == (2, 0.5)
+    assert (out[4]["n_lines"], out[4]["dup_line_ratio"]) == (0, 0.0)
+
+
+def test_global_shuffle_deterministic_and_seed_sensitive(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    o1 = [r["id"] for r in global_shuffle(df, "id", seed=5).collect()]
+    o1b = [r["id"] for r in global_shuffle(df.repartition(13), "id", seed=5).collect()]
+    o2 = [r["id"] for r in global_shuffle(df, "id", seed=6).collect()]
+    assert o1 == o1b          # stable across partitioning
+    assert o1 != o2           # seed changes the permutation
+    assert sorted(o1) == list(range(100))  # it IS a permutation
+    # matches the Python reference order
+    want = sorted(range(100), key=lambda i: hashlib.md5(f"5:{i}".encode()).hexdigest())
+    assert o1 == want
