@@ -1060,6 +1060,20 @@ def q_global_shuffle(spark, sf_dir):
     return shuffled.select("doc_id", "shuffle_key").limit(50)
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (doc_id >= 25) scored by
+    3-gram overlap with a 'benchmark' slice (doc_id < 25). Benchmark gram
+    set broadcasts; rollup shuffles one narrow row per doc."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import ngram_contamination
+
+    docs = _conn(spark, sf_dir).table("documents")
+    benchmark = docs.where(F.col("doc_id") < 25)
+    corpus = docs.where(F.col("doc_id") >= 25)
+    return ngram_contamination(corpus, benchmark, "text", "doc_id", n=3, threshold=0.2)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Opaque-binary metadata extraction via Arrow-batched mapInPandas."""
     docs = _conn(spark, sf_dir).table("documents")
@@ -1165,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
         "repetition_score": q_repetition_score,
+        "contamination": q_contamination,
         "global_shuffle": q_global_shuffle,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,

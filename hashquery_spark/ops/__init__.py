@@ -30,6 +30,7 @@ from .similarity import (
     lsh_ann,
     random_hyperplanes,
 )
+from .contamination import ngram_contamination
 from .sampling import (
     global_shuffle,
     repetition_score,
@@ -72,6 +73,7 @@ __all__ = [
     "frame_sample",
     "resize_image",
     "with_binary_column",
+    "ngram_contamination",
     "global_shuffle",
     "repetition_score",
     "stratified_sample",

@@ -889,6 +889,36 @@ ORACLE_SQL: dict[str, str] = {
                 / greatest(len(lines), 1), 4) AS dup_line_ratio
         FROM L
     """,
+    "contamination": f"""
+        WITH toks AS (
+          SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                 ELSE [] END) AS g
+          FROM toks
+        ),
+        bset AS (
+          SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id < 25
+        ),
+        exploded AS (
+          SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id >= 25
+        ),
+        hits AS (
+          SELECT e.doc_id, count(b.gram) AS n_hits
+          FROM exploded e LEFT JOIN bset b USING (gram)
+          GROUP BY e.doc_id
+        )
+        SELECT s.doc_id,
+          len(s.g) AS n_grams,
+          COALESCE(h.n_hits, 0) AS n_contaminated_grams,
+          round(COALESCE(h.n_hits, 0) / greatest(len(s.g), 1), 4) AS contamination,
+          round(COALESCE(h.n_hits, 0) / greatest(len(s.g), 1), 4) >= 0.2 AS is_contaminated
+        FROM sh s LEFT JOIN hits h USING (doc_id)
+        WHERE s.doc_id >= 25
+    """,
     "global_shuffle": """
         SELECT doc_id, md5('11:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         FROM documents
