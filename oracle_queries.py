@@ -889,6 +889,20 @@ ORACLE_SQL: dict[str, str] = {
                 / greatest(len(lines), 1), 4) AS dup_line_ratio
         FROM L
     """,
+    "vocabulary": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({TOKS.format(c='text')}) AS token FROM documents
+        ),
+        agg AS (
+          SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+          FROM toks WHERE token <> '' GROUP BY token
+        )
+        SELECT token, term_freq, doc_freq,
+          row_number() OVER (ORDER BY term_freq DESC, token) AS rank
+        FROM agg
+        ORDER BY term_freq DESC, token
+        LIMIT 100
+    """,
     "contamination": f"""
         WITH toks AS (
           SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents

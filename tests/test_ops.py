@@ -269,3 +269,22 @@ def test_ivf_index_reuse_matches_one_shot(spark, sf_dir):
             assert got == want
     finally:
         idx.unpersist()
+
+
+def test_vocabulary_counts_and_rank(spark):
+    from hashquery_spark.ops import vocabulary
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple! APPLE?"),   # normalization folds case/punct
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = vocabulary(df, "text", "doc_id", top_k=2).collect()
+    assert [(r["token"], r["term_freq"], r["doc_freq"], r["rank"]) for r in rows] == [
+        ("apple", 4, 2, 1),
+        ("banana", 2, 2, 2),
+    ]
