@@ -1069,6 +1069,15 @@ def q_vocabulary(spark, sf_dir):
     return vocabulary(docs, "text", "doc_id", top_k=100)
 
 
+def q_tfidf(spark, sf_dir):
+    """Per-document top-3 characteristic tokens by tf-idf. idf rounded
+    before the product so libm ln() ulp differences can't flip ranks."""
+    from hashquery_spark.ops import tfidf_top_terms
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return tfidf_top_terms(docs, "text", "doc_id", top_terms=3)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: corpus docs (doc_id >= 25) scored by
     3-gram overlap with a 'benchmark' slice (doc_id < 25). Benchmark gram
@@ -1190,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": q_repetition_score,
         "contamination": q_contamination,
         "vocabulary": q_vocabulary,
+        "tfidf": q_tfidf,
         "global_shuffle": q_global_shuffle,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,

@@ -38,7 +38,14 @@ from .sampling import (
     train_test_split,
     uniform01,
 )
-from .text import doc_fingerprint, language_id, quality_score, token_count, vocabulary
+from .text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    tfidf_top_terms,
+    token_count,
+    vocabulary,
+)
 from .multimodal import (
     decode_blob_metadata,
     extract_features,
@@ -69,6 +76,7 @@ __all__ = [
     "token_count",
     "doc_fingerprint",
     "vocabulary",
+    "tfidf_top_terms",
     "decode_blob_metadata",
     "extract_features",
     "frame_sample",

@@ -149,3 +149,53 @@ def vocabulary(
     order = [F.desc("term_freq"), F.asc("token")]
     bounded = agg.orderBy(*order).limit(top_k)
     return bounded.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, top_terms: int = 5
+) -> DataFrame:
+    """(id, token, tf, tfidf, term_rank) — each document's ``top_terms``
+    most characteristic tokens by tf·idf, idf = ln((N+1)/(df+1)).
+
+    Scale: one explode feeds two aggregations — per-(doc,token) term
+    counts and per-token doc frequencies — both with map-side partial
+    combine. N (corpus size) joins in as a broadcast single-row cross
+    join (no driver collect); the token→idf table joins back on token.
+    Ranking is a window partitioned BY DOCUMENT (never global).
+
+    Determinism: idf is rounded to 4 decimals BEFORE the tf·idf product,
+    and ranking orders by the rounded score with a token tiebreak — libm
+    ln() may differ by 1 ulp across engines, and an unrounded sort key
+    would let that flip ranks."""
+    from pyspark.sql import Window
+
+    from .dedup import ensure_parallelism
+
+    ex = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    tf = ex.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    docfreq = ex.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    idf = docfreq.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        F.round(
+            F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+        ).alias("idf"),
+    )
+    scored = tf.join(idf, on="token").select(
+        F.col(id_col),
+        "token",
+        "tf",
+        F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= top_terms)
+        .select(id_col, "token", "tf", "tfidf", "term_rank")
+    )

@@ -903,6 +903,32 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY term_freq DESC, token
         LIMIT 100
     """,
+    "tfidf": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({TOKS.format(c='text')}) AS token FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM toks WHERE token <> '' GROUP BY doc_id, token
+        ),
+        dfreq AS (
+          SELECT token, count(DISTINCT doc_id) AS df
+          FROM toks WHERE token <> '' GROUP BY token
+        ),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        idf AS (
+          SELECT token, round(ln((n_docs + 1.0) / (df + 1.0)), 4) AS idf
+          FROM dfreq, n
+        ),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, round(tf.tf * idf.idf, 4) AS tfidf
+          FROM tf JOIN idf USING (token)
+        )
+        SELECT doc_id, token, tf, tfidf,
+          row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS term_rank
+        FROM scored
+        QUALIFY term_rank <= 3
+    """,
     "contamination": f"""
         WITH toks AS (
           SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents

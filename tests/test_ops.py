@@ -288,3 +288,31 @@ def test_vocabulary_counts_and_rank(spark):
         ("apple", 4, 2, 1),
         ("banana", 2, 2, 2),
     ]
+
+
+def test_tfidf_top_terms(spark):
+    from hashquery_spark.ops import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),   # apple distinctive to doc 1
+            (2, "banana cherry"),
+            (3, "banana banana banana"), # banana in every doc -> low idf
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(df, "text", "doc_id", top_terms=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["term_rank"], r["token"], r["tf"]))
+    for v in by_doc.values():
+        v.sort()
+    # doc 1: apple (df=1, tf=2) outranks banana (df=3, idf=0)
+    assert by_doc[1][0][1] == "apple" and by_doc[1][0][2] == 2
+    # banana appears in all 3 docs: idf = ln(4/4) = 0 -> tfidf 0, ranked by token tiebreak
+    banana = [r for r in rows if r["token"] == "banana"]
+    assert all(r["tfidf"] == 0.0 for r in banana)
+    # doc 2: cherry (df=1) is its top term
+    assert by_doc[2][0][1] == "cherry"
+    # every doc has at most 2 terms, ranks start at 1
+    assert all(len(v) <= 2 and v[0][0] == 1 for v in by_doc.values())
