@@ -449,6 +449,60 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18-style large-volume customers: post-aggregate filter (the
+    reference's HAVING path, filter.py:7 after aggregate) feeding an
+    IN-(Model) membership, then a customer⋈orders⋈lineitem rollup with a
+    deterministic top-100."""
+    conn = _conn(spark, sf_dir)
+    big_orders = (
+        Model(conn, "lineitem")
+        .aggregate(
+            groups=[attr.l_orderkey],
+            measures=[func.sum(attr.l_quantity).named("sum_qty")],
+        )
+        .filter(column("sum_qty") > 250)  # HAVING: filter after aggregate
+        .pick(attr.l_orderkey)
+    )
+    customer = Model(conn, "customer").with_primary_key(column("c_custkey"))
+    orders_cust = (
+        Model(conn, "orders")
+        .with_primary_key(column("o_orderkey"))
+        .with_join_one(customer, foreign_key=attr.o_custkey, named="cust", drop_unmatched=True)
+        .pick(
+            attr.o_orderkey,
+            attr.o_orderdate,
+            attr.o_totalprice,
+            rel.cust.c_custkey.named("c_custkey"),
+            rel.cust.c_name.named("c_name"),
+        )
+        .with_primary_key(column("o_orderkey"))
+    )
+    return (
+        Model(conn, "lineitem")
+        .filter(attr.l_orderkey.in_(big_orders))
+        .with_join_one(orders_cust, foreign_key=attr.l_orderkey, named="ord", drop_unmatched=True)
+        .aggregate(
+            groups=[
+                rel.ord.c_name.named("c_name"),
+                rel.ord.c_custkey.named("c_custkey"),
+                attr.l_orderkey,
+                rel.ord.o_orderdate.named("o_orderdate"),
+                rel.ord.o_totalprice.named("o_totalprice"),
+            ],
+            measures=[
+                func.sum(attr.l_quantity.cast("decimal(18,4)"))
+                .cast("double")
+                .named("total_qty")
+            ],
+        )
+        .sort(column("o_totalprice"), dir="desc")
+        .sort(column("l_orderkey"))
+        .limit(100)
+        .to_df()
+    )
+
+
 def q_approx_distinct(spark, sf_dir):
     """HLL++ approximate count-distinct (net-new; approximate by design, so
     no value-exact oracle — the driver records a rows-only check)."""
@@ -1150,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
         "approx_distinct": q_approx_distinct,
         "count_if_cases": q_count_if_cases,
         "math_floor_ceiling": q_math_floor_ceiling,

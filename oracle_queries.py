@@ -554,6 +554,20 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
     """,
+    "tpch_q18": """
+        SELECT c_name, c_custkey, l_orderkey, o_orderdate, o_totalprice,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_orderkey IN (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250
+        )
+        GROUP BY c_name, c_custkey, l_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, l_orderkey
+        LIMIT 100
+    """,
     "tpch_q5": """
         SELECT n_name,
           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

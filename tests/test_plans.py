@@ -88,3 +88,36 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # not just a post-scan Filter
     assert "(part#" in plan.split("PartitionFilters")[1][:120], plan
     assert back.count() == 10
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    """Sampling is a pure narrow filter: no exchange anywhere, and only
+    the projected columns are read."""
+    plan = _physical(entry_mod.q_stratified_sample(spark, sf_dir))
+    assert "Exchange" not in plan
+    scan_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" not in scan_schema  # never reads the document bodies
+
+
+def test_global_shuffle_head_is_take_ordered(spark, sf_dir):
+    """A bounded head of the shuffled order must not materialize a global
+    sort (no range-partitioning sampling job)."""
+    plan = _physical(entry_mod.q_global_shuffle(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    """The corpus side must never shuffle on gram: the benchmark gram set
+    broadcasts, and the only exchange is the per-doc rollup."""
+    plan = _physical(entry_mod.q_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_windows_per_document(spark, sf_dir):
+    """The rank window must be partitioned by document — a global window
+    (single partition) would be a scale cliff."""
+    plan = _physical(entry_mod.q_tfidf(spark, sf_dir))
+    import re
+    for spec in re.findall(r"row_number\(\) windowspecdefinition\(([^,]+),", plan):
+        assert "doc_id" in spec
