@@ -449,6 +449,51 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+def q_window_running_total(spark, sf_dir):
+    """Per-customer running order total (net-new window surface — the
+    reference has no window API, SURVEY §2.6). ROWS-framed, decimal-routed
+    sum so accumulation order can't change the result cross-engine;
+    unique o_orderkey tiebreak pins peer ordering."""
+    conn = _conn(spark, sf_dir)
+    return (
+        Model(conn, "orders")
+        .filter(attr.o_custkey < 500)
+        .pick(
+            attr.o_custkey,
+            attr.o_orderkey,
+            func.over(
+                func.sum(attr.o_totalprice.cast("decimal(18,4)")),
+                partition=[attr.o_custkey],
+                order=[attr.o_orderdate, attr.o_orderkey],
+            )
+            .cast("double")
+            .named("running_total"),
+        )
+        .to_df()
+    )
+
+
+def q_window_lag_rank(spark, sf_dir):
+    """Per-user event recency rank + seconds since the previous event
+    (lag). Windows partition by user — never global."""
+    conn = _conn(spark, sf_dir)
+    return (
+        Model(conn, "events")
+        .pick(
+            attr.event_id,
+            attr.user_id,
+            func.row_number(
+                partition=[attr.user_id], order=[(attr.ts, "desc"), attr.event_id]
+            ).named("recency_rank"),
+            func.diff_seconds(
+                attr.ts,
+                func.lag(attr.ts, partition=[attr.user_id], order=[attr.ts, attr.event_id]),
+            ).named("secs_since_prev"),
+        )
+        .to_df()
+    )
+
+
 def q_tpch_q18(spark, sf_dir):
     """TPC-H Q18-style large-volume customers: post-aggregate filter (the
     reference's HAVING path, filter.py:7 after aggregate) feeding an
@@ -1205,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "window_running_total": q_window_running_total,
+        "window_lag_rank": q_window_lag_rank,
         "approx_distinct": q_approx_distinct,
         "count_if_cases": q_count_if_cases,
         "math_floor_ceiling": q_math_floor_ceiling,

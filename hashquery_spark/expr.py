@@ -1320,6 +1320,122 @@ class SubqueryExpression(ColumnExpression):
         )
 
 
+class WindowExpression(ColumnExpression):
+    """User-facing window functions — net-new surface: the reference has no
+    window API at all (SURVEY §2.6: windows exist only inside its
+    match_steps compiler). A Spark-first engine gets them for free via
+    ``Column.over``, and running totals / ranks / lag-lead are table
+    stakes for an analytics engine.
+
+    ``function`` is one of row_number/rank/dense_rank, lag/lead, or the
+    windowed aggregates sum/avg/min/max/count. ``partition`` is what keeps
+    a window scale-safe: an empty partition list is a legal global window
+    but executes on ONE task — always partition at real data sizes.
+    ``order`` entries are expressions or ``(expression, "desc")`` pairs.
+    ``frame`` is a ROWS (start, end) pair with ``None`` = unbounded on
+    that side; ordered aggregates default to the SQL-standard
+    (unbounded-preceding, current-row) — pinned as ROWS, not RANGE, so
+    peer rows under a non-unique ordering accumulate deterministically
+    one at a time."""
+
+    __TYPE_KEY__ = "window"
+    _RANKERS = ("row_number", "rank", "dense_rank")
+    _OFFSETS = ("lag", "lead")
+    _AGGS = ("sum", "avg", "min", "max", "count")
+
+    def __init__(
+        self,
+        function: str,
+        args: Optional[list] = None,
+        partition: Optional[list] = None,
+        order: Optional[list] = None,
+        frame: Optional[tuple] = None,
+        offset: Optional[int] = None,
+        default: Any = None,
+    ) -> None:
+        super().__init__()
+        if function not in self._RANKERS + self._OFFSETS + self._AGGS:
+            raise ValueError(f"unsupported window function {function!r}")
+        self.function = function
+        self.args = [to_expr(a) for a in (args or [])]
+        self.partition = [to_expr(p) for p in (partition or [])]
+        self.order = []
+        for o in order or []:
+            expr, direction = o if isinstance(o, tuple) else (o, "asc")
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"order direction must be asc/desc, got {direction!r}")
+            self.order.append((to_expr(expr), direction))
+        if function in self._RANKERS + self._OFFSETS and not self.order:
+            raise ValueError(f"{function} requires order=")
+        self.frame = tuple(frame) if frame is not None else None
+        self.offset = offset
+        self.default = default
+
+    def children(self):
+        return self.args + self.partition + [e for e, _ in self.order]
+
+    def default_identifier(self):
+        return self.function
+
+    def compile(self, ctx: ExprContext) -> Column:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[p.compile(ctx) for p in self.partition])
+        if self.order:
+            w = w.orderBy(
+                *[
+                    e.compile(ctx).desc() if d == "desc" else e.compile(ctx).asc()
+                    for e, d in self.order
+                ]
+            )
+        if self.frame is not None:
+            lo = Window.unboundedPreceding if self.frame[0] is None else int(self.frame[0])
+            hi = Window.unboundedFollowing if self.frame[1] is None else int(self.frame[1])
+            w = w.rowsBetween(lo, hi)
+        elif self.function in self._AGGS and self.order:
+            w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fn = self.function
+        if fn in self._RANKERS:
+            col = getattr(F, fn)()
+        elif fn in self._OFFSETS:
+            col = getattr(F, fn)(
+                self.args[0].compile(ctx), self.offset if self.offset is not None else 1,
+                self.default,
+            )
+        elif fn == "count" and not self.args:
+            col = F.count(F.lit(1))
+        else:
+            col = getattr(F, fn)(self.args[0].compile(ctx))
+        return col.over(w)
+
+    def to_wire(self):
+        return {
+            **super().to_wire(),
+            "function": self.function,
+            "args": [a.to_wire() for a in self.args],
+            "partition": [p.to_wire() for p in self.partition],
+            "order": [[e.to_wire(), d] for e, d in self.order],
+            "frame": list(self.frame) if self.frame is not None else None,
+            "offset": self.offset,
+            "default": self.default,
+        }
+
+    @classmethod
+    def _from_wire(cls, data):
+        node = cls.__new__(cls)
+        ColumnExpression.__init__(node)
+        node.function = data["function"]
+        node.args = [ColumnExpression.from_wire(a) for a in data["args"]]
+        node.partition = [ColumnExpression.from_wire(p) for p in data["partition"]]
+        node.order = [
+            (ColumnExpression.from_wire(e), d) for e, d in data["order"]
+        ]
+        node.frame = tuple(data["frame"]) if data["frame"] is not None else None
+        node.offset = data["offset"]
+        node.default = data["default"]
+        return node
+
+
 # --------------------------------------------------------------------------
 # Public constructor (reference: src/model/column.py:53-81)
 # --------------------------------------------------------------------------
@@ -1364,5 +1480,6 @@ _WIRE_REGISTRY = {
         SqlFunctionExpression,
         SqlTextExpression,
         SubqueryExpression,
+        WindowExpression,
     )
 }

@@ -165,6 +165,71 @@ def scalar(model) -> SubqueryExpression:
     return SubqueryExpression("scalar", model)
 
 
+# --- window functions (net-new; the reference has no window surface,
+# SURVEY §2.6 — windows there are internal to its match_steps compiler) ---
+
+
+@defer_keypath_args
+def row_number(*, partition=None, order=None) -> "ColumnExpression":
+    """1-based row index within each partition, in ``order``. Use in
+    ``pick()`` projections: ``Model.pick(attr.x, func.row_number(
+    partition=[attr.grp], order=[(attr.ts, "desc")]).named("rn"))``."""
+    from .expr import WindowExpression
+
+    return WindowExpression("row_number", [], partition, order)
+
+
+@defer_keypath_args
+def rank(*, partition=None, order=None) -> "ColumnExpression":
+    """SQL RANK() (gaps after ties) within each partition."""
+    from .expr import WindowExpression
+
+    return WindowExpression("rank", [], partition, order)
+
+
+@defer_keypath_args
+def dense_rank(*, partition=None, order=None) -> "ColumnExpression":
+    """SQL DENSE_RANK() (no gaps) within each partition."""
+    from .expr import WindowExpression
+
+    return WindowExpression("dense_rank", [], partition, order)
+
+
+@defer_keypath_args
+def lag(expr: Any, offset: int = 1, default: Any = None, *, partition=None, order=None):
+    """Value of ``expr`` ``offset`` rows earlier in the partition's order
+    (NULL / ``default`` at the head)."""
+    from .expr import WindowExpression
+
+    return WindowExpression("lag", [expr], partition, order, offset=offset, default=default)
+
+
+@defer_keypath_args
+def lead(expr: Any, offset: int = 1, default: Any = None, *, partition=None, order=None):
+    """Value of ``expr`` ``offset`` rows later in the partition's order."""
+    from .expr import WindowExpression
+
+    return WindowExpression("lead", [expr], partition, order, offset=offset, default=default)
+
+
+@defer_keypath_args
+def over(agg: Any, *, partition=None, order=None, frame=None) -> "ColumnExpression":
+    """Window an aggregate builder: ``func.over(func.sum(attr.x),
+    partition=[attr.grp], order=[attr.ts])`` is a per-group running total.
+    With ``order`` and no ``frame``, the frame defaults to ROWS
+    unbounded-preceding..current-row; ``frame=(lo, hi)`` sets explicit row
+    offsets with None = unbounded (e.g. ``frame=(-6, 0)`` = trailing 7)."""
+    from .expr import WindowExpression
+
+    if not isinstance(agg, SqlFunctionExpression) or agg.function not in (
+        "sum", "avg", "min", "max", "count",
+    ):
+        raise ValueError(
+            "func.over() windows an aggregate builder: func.sum/avg/min/max/count"
+        )
+    return WindowExpression(agg.function, agg.args, partition, order, frame=frame)
+
+
 @defer_keypath_args
 def json_value(expr: Any, path: str) -> SqlFunctionExpression:
     """Extract a JSONPath value from a JSON string column as a string

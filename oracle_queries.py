@@ -554,6 +554,22 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
     """,
+    "window_running_total": """
+        SELECT o_custkey, o_orderkey,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM orders
+        WHERE o_custkey < 500
+    """,
+    "window_lag_rank": """
+        SELECT event_id, user_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS recency_rank,
+          CAST(floor(epoch(ts)) - floor(epoch(
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          )) AS BIGINT) AS secs_since_prev
+        FROM events
+    """,
     "tpch_q18": """
         SELECT c_name, c_custkey, l_orderkey, o_orderdate, o_totalprice,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty

@@ -224,3 +224,77 @@ def test_json_value_extraction(spark):
     )
     got = {r["id"]: (r["k"], r["tag"]) for r in m.to_df().collect()}
     assert got == {1: (7, "a"), 2: (9, None), 3: (None, None), 4: (None, None)}
+
+
+def test_window_functions(spark):
+    """Net-new window surface: rank / running totals / lag in pick()."""
+    conn = Connection(spark).register_records(
+        "sales",
+        [
+            {"grp": "a", "seq": 1, "amt": 10.0},
+            {"grp": "a", "seq": 2, "amt": 20.0},
+            {"grp": "a", "seq": 3, "amt": 5.0},
+            {"grp": "b", "seq": 1, "amt": 7.0},
+            {"grp": "b", "seq": 2, "amt": 7.0},
+        ],
+    )
+    m = Model(conn, "sales").pick(
+        attr.grp,
+        attr.seq,
+        func.over(
+            func.sum(attr.amt), partition=[attr.grp], order=[attr.seq]
+        ).named("running"),
+        func.row_number(
+            partition=[attr.grp], order=[(attr.amt, "desc"), attr.seq]
+        ).named("amt_rank"),
+        func.lag(attr.amt, partition=[attr.grp], order=[attr.seq]).named("prev_amt"),
+    )
+    rows = {(r["grp"], r["seq"]): r for r in m.run().df.to_dict("records")}
+    assert rows[("a", 1)]["running"] == 10.0
+    assert rows[("a", 2)]["running"] == 30.0
+    assert rows[("a", 3)]["running"] == 35.0
+    assert rows[("a", 2)]["amt_rank"] == 1  # 20 is the biggest in a
+    assert rows[("b", 1)]["amt_rank"] == 1  # 7==7 tie -> seq tiebreak
+    assert rows[("b", 2)]["amt_rank"] == 2
+    import math
+    assert math.isnan(rows[("a", 1)]["prev_amt"]) or rows[("a", 1)]["prev_amt"] is None
+    assert rows[("a", 3)]["prev_amt"] == 20.0
+
+
+def test_window_explicit_frame_trailing(spark):
+    conn = Connection(spark).register_records(
+        "t", [{"g": 1, "i": n, "v": 1.0} for n in range(5)]
+    )
+    m = Model(conn, "t").pick(
+        attr.i,
+        func.over(
+            func.sum(attr.v), partition=[attr.g], order=[attr.i], frame=(-1, 0)
+        ).named("trailing2"),
+    )
+    got = {r["i"]: r["trailing2"] for r in m.run().df.to_dict("records")}
+    assert got == {0: 1.0, 1: 2.0, 2: 2.0, 3: 2.0, 4: 2.0}
+
+
+def test_window_wire_roundtrip(spark):
+    import json
+
+    from hashquery_spark.expr import ColumnExpression
+
+    node = func.over(
+        func.sum(column("x")), partition=[column("g")],
+        order=[(column("ts"), "desc")], frame=(None, 0),
+    ).named("w")
+    restored = ColumnExpression.from_wire(json.loads(json.dumps(node.to_wire())))
+    assert restored.function == "sum"
+    assert restored.frame == (None, 0)
+    assert restored.order[0][1] == "desc"
+    assert restored._identifier == "w"
+
+
+def test_window_validation_errors():
+    with pytest.raises(ValueError, match="requires order"):
+        func.row_number(partition=[column("g")])
+    with pytest.raises(ValueError, match="aggregate builder"):
+        func.over(column("x"), partition=[column("g")])
+    with pytest.raises(ValueError, match="asc/desc"):
+        func.lag(column("x"), order=[(column("ts"), "sideways")])
