@@ -195,3 +195,32 @@ def test_streaming_funnel_progress_carries_state_across_batches(spark):
         assert max(i for u, i in rows if u == 2) == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_deterministic_sampling_is_streaming_compatible(spark, stream_dir):
+    """stratified_sample / train_test_split are stateless narrow ops, so
+    they apply unchanged to a streaming DataFrame — and because membership
+    is md5(seed:id), the streamed sample equals the batch sample exactly
+    (df.sample() can't promise that)."""
+    from hashquery_spark.ops import train_test_split
+
+    stream = (
+        spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    )
+    split_stream = train_test_split(stream, "user_id", test_fraction=0.5, seed=1)
+    q = (
+        split_stream.writeStream.format("memory")
+        .queryName("split_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("split_sink").collect()
+    batch = train_test_split(
+        spark.read.schema(SCHEMA).parquet(stream_dir), "user_id", 0.5, seed=1
+    )
+    want = {(r["user_id"], r["event_type"]): r["split"] for r in batch.collect()}
+    assert len(got) == len(ROWS)
+    for r in got:
+        assert r["split"] == want[(r["user_id"], r["event_type"])]
