@@ -1339,9 +1339,10 @@ class WindowExpression(ColumnExpression):
     one at a time."""
 
     __TYPE_KEY__ = "window"
-    _RANKERS = ("row_number", "rank", "dense_rank")
+    _RANKERS = ("row_number", "rank", "dense_rank", "ntile")
     _OFFSETS = ("lag", "lead")
     _AGGS = ("sum", "avg", "min", "max", "count")
+    _EDGES = ("first_value", "last_value")
 
     def __init__(
         self,
@@ -1354,7 +1355,7 @@ class WindowExpression(ColumnExpression):
         default: Any = None,
     ) -> None:
         super().__init__()
-        if function not in self._RANKERS + self._OFFSETS + self._AGGS:
+        if function not in self._RANKERS + self._OFFSETS + self._AGGS + self._EDGES:
             raise ValueError(f"unsupported window function {function!r}")
         self.function = function
         self.args = [to_expr(a) for a in (args or [])]
@@ -1365,7 +1366,7 @@ class WindowExpression(ColumnExpression):
             if direction not in ("asc", "desc"):
                 raise ValueError(f"order direction must be asc/desc, got {direction!r}")
             self.order.append((to_expr(expr), direction))
-        if function in self._RANKERS + self._OFFSETS and not self.order:
+        if function in self._RANKERS + self._OFFSETS + self._EDGES and not self.order:
             raise ValueError(f"{function} requires order=")
         self.frame = tuple(frame) if frame is not None else None
         self.offset = offset
@@ -1395,8 +1396,17 @@ class WindowExpression(ColumnExpression):
         elif self.function in self._AGGS and self.order:
             w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         fn = self.function
-        if fn in self._RANKERS:
+        if fn == "ntile":
+            col = F.ntile(int(self.offset))
+        elif fn in self._RANKERS:
             col = getattr(F, fn)()
+        elif fn in self._EDGES:
+            # full-partition frame by default so last_value sees the whole
+            # partition (SQL's default current-row frame is a famous trap)
+            if self.frame is None:
+                w = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            base = F.first if fn == "first_value" else F.last
+            col = base(self.args[0].compile(ctx))
         elif fn in self._OFFSETS:
             col = getattr(F, fn)(
                 self.args[0].compile(ctx), self.offset if self.offset is not None else 1,

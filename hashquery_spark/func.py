@@ -196,6 +196,34 @@ def dense_rank(*, partition=None, order=None) -> "ColumnExpression":
 
 
 @defer_keypath_args
+def ntile(n: int, *, partition=None, order=None) -> "ColumnExpression":
+    """Bucket each partition's rows into ``n`` equal-count tiles (1-based)
+    in ``order`` — quartiles/deciles per group."""
+    from .expr import WindowExpression
+
+    return WindowExpression("ntile", [], partition, order, offset=int(n))
+
+
+@defer_keypath_args
+def first_value(expr: Any, *, partition=None, order=None) -> "ColumnExpression":
+    """First value of ``expr`` in the partition's order (whole-partition
+    frame, so every row sees it)."""
+    from .expr import WindowExpression
+
+    return WindowExpression("first_value", [expr], partition, order)
+
+
+@defer_keypath_args
+def last_value(expr: Any, *, partition=None, order=None) -> "ColumnExpression":
+    """Last value of ``expr`` in the partition's order. Framed to the
+    WHOLE partition (not SQL's default current-row frame, the classic
+    last_value trap)."""
+    from .expr import WindowExpression
+
+    return WindowExpression("last_value", [expr], partition, order)
+
+
+@defer_keypath_args
 def lag(expr: Any, offset: int = 1, default: Any = None, *, partition=None, order=None):
     """Value of ``expr`` ``offset`` rows earlier in the partition's order
     (NULL / ``default`` at the head)."""

@@ -298,3 +298,19 @@ def test_window_validation_errors():
         func.over(column("x"), partition=[column("g")])
     with pytest.raises(ValueError, match="asc/desc"):
         func.lag(column("x"), order=[(column("ts"), "sideways")])
+
+
+def test_window_ntile_and_edges(spark):
+    conn = Connection(spark).register_records(
+        "t", [{"g": 1, "i": n, "v": float(n)} for n in range(8)]
+    )
+    m = Model(conn, "t").pick(
+        attr.i,
+        func.ntile(4, partition=[attr.g], order=[attr.i]).named("quartile"),
+        func.first_value(attr.v, partition=[attr.g], order=[attr.i]).named("first_v"),
+        func.last_value(attr.v, partition=[attr.g], order=[attr.i]).named("last_v"),
+    )
+    rows = {r["i"]: r for r in m.run().df.to_dict("records")}
+    assert [rows[i]["quartile"] for i in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    # last_value sees the whole partition (not the current-row frame trap)
+    assert all(rows[i]["first_v"] == 0.0 and rows[i]["last_v"] == 7.0 for i in range(8))
