@@ -449,6 +449,38 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14-style promo revenue percent: conditional revenue ratio
+    over a lineitem⋈part month slice. part broadcasts; both sums are
+    decimal-routed and the ratio computed in double with matching
+    operation order on the oracle side."""
+    conn = _conn(spark, sf_dir)
+    part = Model(conn, "part").with_primary_key(column("p_partkey"))
+    rev = (attr.l_extendedprice * (1 - attr.l_discount)).cast("decimal(18,4)")
+    promo_rev = func.cases(
+        (rel.prt.p_type == "PROMO", (attr.l_extendedprice * (1 - attr.l_discount))),
+        other=0.0,
+    ).cast("decimal(18,4)")
+    return (
+        Model(conn, "lineitem")
+        .filter(attr.l_shipdate >= datetime(1997, 1, 1))
+        .filter(attr.l_shipdate < datetime(1997, 2, 1))
+        .with_join_one(
+            part, foreign_key=attr.l_partkey, named="prt", drop_unmatched=True, broadcast=True
+        )
+        .aggregate(
+            groups=[],
+            measures=[
+                (
+                    func.sum(promo_rev).cast("double") * 100.0
+                    / func.sum(rev).cast("double")
+                ).named("promo_revenue")
+            ],
+        )
+        .to_df()
+    )
+
+
 def q_window_running_total(spark, sf_dir):
     """Per-customer running order total (net-new window surface — the
     reference has no window API, SURVEY §2.6). ROWS-framed, decimal-routed
@@ -1250,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "tpch_q14": q_tpch_q14,
         "window_running_total": q_window_running_total,
         "window_lag_rank": q_window_lag_rank,
         "approx_distinct": q_approx_distinct,

@@ -570,6 +570,17 @@ ORACLE_SQL: dict[str, str] = {
           )) AS BIGINT) AS secs_since_prev
         FROM events
     """,
+    "tpch_q14": """
+        SELECT CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) * 100.0
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS promo_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
     "tpch_q18": """
         SELECT c_name, c_custkey, l_orderkey, o_orderdate, o_totalprice,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
