@@ -104,6 +104,16 @@ class Connection:
     def register_json(self, name: str, path: str, **options) -> "Connection":
         return self.register_table(name, self.spark.read.options(**options).json(path))
 
+    def register_orc(self, name: str, path: str, **options) -> "Connection":
+        return self.register_table(name, self.spark.read.options(**options).orc(path))
+
+    def register_avro(self, name: str, path: str, **options) -> "Connection":
+        """Requires the spark-avro package on the classpath (external
+        module); raises Spark's AnalysisException otherwise."""
+        return self.register_table(
+            name, self.spark.read.format("avro").options(**options).load(path)
+        )
+
     def register_records(self, name: str, records: list, schema=None) -> "Connection":
         return self.register_table(name, self.spark.createDataFrame(records, schema=schema))
 

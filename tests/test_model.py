@@ -283,3 +283,14 @@ def test_pivot_inverse_of_fold(conn):
     )
     row = {r["year"]: (r["income"], r["expenses"]) for r in partial.to_df().collect()}
     assert row[2023] == (150000, None)
+
+
+def test_register_orc_roundtrip(spark, tmp_path):
+    from hashquery_spark import Connection
+
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(path)
+    conn = Connection(spark).register_orc("nation_o", path)
+    m = Model(conn, "nation_o").aggregate(groups=[], measures=[func.count().named("n")])
+    assert m.run().df["n"][0] == 25
