@@ -1223,6 +1223,25 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(corpus, benchmark, "text", "doc_id", n=3, threshold=0.2)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Fused pre-training curation (C4/Gopher-style): langid + quality +
+    repetition + content hash in ONE scan/projection, filter, exact-dedup
+    keep-min-id (the single shuffle), deterministic split."""
+    from hashquery_spark.ops import curate
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return curate(
+        docs,
+        "text",
+        "doc_id",
+        min_quality=0.5,
+        langs=("en",),
+        max_dup_line_ratio=0.5,
+        test_fraction=0.1,
+        seed=5,
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Opaque-binary metadata extraction via Arrow-batched mapInPandas."""
     docs = _conn(spark, sf_dir).table("documents")
@@ -1335,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "vocabulary": q_vocabulary,
         "tfidf": q_tfidf,
+        "curation_pipeline": q_curation_pipeline,
         "global_shuffle": q_global_shuffle,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,

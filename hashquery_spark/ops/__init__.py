@@ -31,6 +31,7 @@ from .similarity import (
     random_hyperplanes,
 )
 from .contamination import ngram_contamination
+from .curation import curate
 from .sampling import (
     global_shuffle,
     repetition_score,
@@ -83,6 +84,7 @@ __all__ = [
     "resize_image",
     "with_binary_column",
     "ngram_contamination",
+    "curate",
     "global_shuffle",
     "repetition_score",
     "stratified_sample",

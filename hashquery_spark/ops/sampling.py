@@ -93,25 +93,28 @@ def train_test_split(
     )
 
 
-def repetition_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, n_lines, n_distinct_lines, dup_line_ratio) — within-document
-    repetition: the fraction of non-blank lines that are duplicates of an
-    earlier line (Gopher-style repetition filter input). One narrow
-    codegen'd pass; the line arrays never leave the row."""
-    lines = F.filter(
-        F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != ""
-    )
+def repetition_cols(text_col: Column) -> list:
+    """[n_lines, n_distinct_lines, dup_line_ratio] expression columns
+    (shared by :func:`repetition_score` and the curation pipeline)."""
+    lines = F.filter(F.split(text_col, "\n"), lambda x: F.trim(x) != "")
     n = F.size(lines)
     d = F.size(F.array_distinct(lines))
     ratio = F.round(
         (n - d) / F.greatest(n, F.lit(1)).cast("double"), 4
     )
-    return df.select(
-        F.col(id_col),
+    return [
         n.alias("n_lines"),
         d.alias("n_distinct_lines"),
         ratio.alias("dup_line_ratio"),
-    )
+    ]
+
+
+def repetition_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_lines, n_distinct_lines, dup_line_ratio) — within-document
+    repetition: the fraction of non-blank lines that are duplicates of an
+    earlier line (Gopher-style repetition filter input). One narrow
+    codegen'd pass; the line arrays never leave the row."""
+    return df.select(F.col(id_col), *repetition_cols(F.col(text_col)))
 
 
 def global_shuffle(

@@ -31,10 +31,10 @@ def _hits(toks: Column, words) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*wordset)))
 
 
-def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, lang, lang_score) — argmax of per-language stopword hit ratios;
-    'unknown' when no stopwords hit. Ties break by language name order."""
-    toks = tokens(F.col(text_col))
+def langid_cols(text_col: Column) -> list:
+    """[lang_pred, lang_score] expression columns (shared by
+    :func:`language_id` and the fused curation pipeline)."""
+    toks = tokens(text_col)
     n = F.greatest(F.size(toks), F.lit(1))
     scores = {lang: _hits(toks, words) / n for lang, words in STOPWORDS.items()}
     best_score = F.greatest(*scores.values())
@@ -43,11 +43,13 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lang = F.when(
             (scores[code] > 0) & (scores[code] == best_score), F.lit(code)
         ).otherwise(lang)
-    return df.select(
-        F.col(id_col),
-        lang.alias("lang_pred"),
-        F.round(best_score, 4).alias("lang_score"),
-    )
+    return [lang.alias("lang_pred"), F.round(best_score, 4).alias("lang_score")]
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, lang, lang_score) — argmax of per-language stopword hit ratios;
+    'unknown' when no stopwords hit. Ties break by language name order."""
+    return df.select(F.col(id_col), *langid_cols(F.col(text_col)))
 
 
 def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -64,16 +66,10 @@ def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, alpha_ratio, stopword_ratio, mean_word_len, quality) — classic
-    cheap quality heuristics (Gopher/C4-style):
-
-    * alpha_ratio: alphabetic chars / total chars
-    * stopword_ratio: English stopword tokens / tokens
-    * mean_word_len: avg token length
-    * quality: 0..1 blend, penalizing degenerate docs
-    """
-    t = F.col(text_col)
+def quality_cols(text_col: Column) -> list:
+    """[alpha_ratio, stopword_ratio, mean_word_len, quality] expression
+    columns (shared by :func:`quality_score` and the curation pipeline)."""
+    t = text_col
     total_len = F.greatest(F.length(t), F.lit(1))
     alpha_len = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     alpha_ratio = alpha_len / total_len
@@ -89,13 +85,24 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         + 0.2 * F.least(n_toks / 100.0, F.lit(1.0)),
         4,
     )
-    return df.select(
-        F.col(id_col),
+    return [
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(mean_word_len, 4).alias("mean_word_len"),
         quality.alias("quality"),
-    )
+    ]
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, alpha_ratio, stopword_ratio, mean_word_len, quality) — classic
+    cheap quality heuristics (Gopher/C4-style):
+
+    * alpha_ratio: alphabetic chars / total chars
+    * stopword_ratio: English stopword tokens / tokens
+    * mean_word_len: avg token length
+    * quality: 0..1 blend, penalizing degenerate docs
+    """
+    return df.select(F.col(id_col), *quality_cols(F.col(text_col)))
 
 
 def doc_fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:

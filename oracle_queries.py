@@ -1000,6 +1000,45 @@ ORACLE_SQL: dict[str, str] = {
         FROM sh s LEFT JOIN hits h USING (doc_id)
         WHERE s.doc_id >= 25
     """,
+    "curation_pipeline": f"""
+        WITH L AS ({LANGID_SQL}),
+        Q AS ({QUALITY_SQL}),
+        R AS (
+          WITH RL AS (
+            SELECT doc_id,
+              list_filter(str_split(text, chr(10)), x -> trim(x) <> '') AS lines
+            FROM documents
+          )
+          SELECT doc_id,
+            round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                  / greatest(len(lines), 1), 4) AS dup_line_ratio
+          FROM RL
+        ),
+        H AS (SELECT doc_id, md5({NORM.format(c='text')}) AS content_hash FROM documents),
+        U AS (
+          SELECT doc_id,
+            (CAST('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             / 4294967296.0) AS u
+          FROM documents
+        ),
+        j AS (
+          SELECT L.doc_id, L.lang_pred, Q.quality, R.dup_line_ratio,
+                 H.content_hash, U.u
+          FROM L JOIN Q USING (doc_id) JOIN R USING (doc_id)
+                 JOIN H USING (doc_id) JOIN U USING (doc_id)
+        ),
+        f AS (
+          SELECT * FROM j
+          WHERE quality >= 0.5 AND lang_pred = 'en' AND dup_line_ratio <= 0.5
+        ),
+        k AS (
+          SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+          FROM f
+        )
+        SELECT doc_id, lang_pred, quality, dup_line_ratio,
+          CASE WHEN u < 0.1 THEN 'test' ELSE 'train' END AS split
+        FROM k WHERE rn = 1
+    """,
     "global_shuffle": """
         SELECT doc_id, md5('11:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         FROM documents

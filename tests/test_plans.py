@@ -121,3 +121,13 @@ def test_tfidf_windows_per_document(spark, sf_dir):
     import re
     for spec in re.findall(r"row_number\(\) windowspecdefinition\(([^,]+),", plan):
         assert "doc_id" in spec
+
+
+def test_curation_pipeline_single_scan_single_shuffle(spark, sf_dir):
+    """The fused curation pipeline reads the corpus ONCE (five separate
+    ops would scan five times) and shuffles ONCE (the exact-dedup keep)."""
+    import re
+
+    plan = _physical(entry_mod.q_curation_pipeline(spark, sf_dir))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert len(re.findall(r"Exchange", plan)) == 1

@@ -104,3 +104,42 @@ def test_global_shuffle_deterministic_and_seed_sensitive(spark):
     # matches the Python reference order
     want = sorted(range(100), key=lambda i: hashlib.md5(f"5:{i}".encode()).hexdigest())
     assert o1 == want
+
+
+def test_curate_matches_composed_ops(spark):
+    """The fused pipeline must equal composing the individual operators."""
+    from hashquery_spark.ops import (
+        curate,
+        language_id,
+        quality_score,
+        repetition_score,
+        train_test_split,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog in the sun"),
+            (2, "the quick brown fox and the lazy dog in the sun"),  # dup of 1
+            (3, "el la de que y en un por con los amigos"),           # spanish
+            (4, "zz\nzz\nzz\nzz"),                                     # repetitive junk
+            (5, "a different but perfectly fine english sentence for the test of it"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in curate(
+        df, "text", "doc_id", min_quality=0.2, langs=("en",),
+        max_dup_line_ratio=0.4, test_fraction=0.5, seed=9,
+    ).collect()}
+
+    langs = {r["doc_id"]: r["lang_pred"] for r in language_id(df, "text", "doc_id").collect()}
+    quals = {r["doc_id"]: r["quality"] for r in quality_score(df, "text", "doc_id").collect()}
+    reps = {r["doc_id"]: r["dup_line_ratio"] for r in repetition_score(df, "text", "doc_id").collect()}
+    splits = {r["doc_id"]: r["split"] for r in train_test_split(df, "doc_id", 0.5, seed=9).collect()}
+
+    assert 3 not in got          # spanish filtered
+    assert 4 not in got          # repetition filtered
+    assert 2 not in got and 1 in got  # dedup keeps min id
+    for i, r in got.items():
+        assert (r["lang_pred"], r["quality"], r["dup_line_ratio"], r["split"]) == (
+            langs[i], quals[i], reps[i], splits[i]
+        )
