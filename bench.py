@@ -39,6 +39,7 @@ HEADLINE = [
     # round-over-round comparison)
     "tpch_q10",
     "contamination",
+    "curation_pipeline",
 ]
 
 
