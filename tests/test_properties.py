@@ -320,3 +320,56 @@ def test_funnel_matches_python_reference(ts_conn, rows, limit_minutes):
         [(u, e, t) for u, e, t in recs], steps, time_limit=limit
     )
     assert got == want
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # group
+            st.integers(min_value=0, max_value=50),   # order key (may tie)
+            st.integers(min_value=-5, max_value=9),   # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_window_ops_match_python_reference(spark, rows):
+    """Running sum / row_number / lag through the window surface must equal
+    a direct Python computation under the same (order-key, row-id) total
+    order — hammers frame semantics and tie handling."""
+    from hashquery_spark.keypath import attr as kp_attr
+
+    recs = [(i, g, k, float(v)) for i, (g, k, v) in enumerate(rows)]
+    conn = Connection(spark)
+    conn.register_records("prop_win", recs, "rid long, g long, k long, v double")
+    m = Model(conn, "prop_win").pick(
+        kp_attr.rid,
+        func.over(
+            func.sum(kp_attr.v), partition=[kp_attr.g], order=[kp_attr.k, kp_attr.rid]
+        ).named("running"),
+        func.row_number(
+            partition=[kp_attr.g], order=[kp_attr.k, kp_attr.rid]
+        ).named("rn"),
+        func.lag(
+            kp_attr.v, partition=[kp_attr.g], order=[kp_attr.k, kp_attr.rid]
+        ).named("prev"),
+    )
+    got = {r["rid"]: r for r in m.run().py_records}
+
+    by_group: dict = {}
+    for rid, g, k, v in recs:
+        by_group.setdefault(g, []).append((k, rid, v))
+    for g, items in by_group.items():
+        items.sort()
+        run = 0.0
+        for n, (k, rid, v) in enumerate(items):
+            run += v
+            assert got[rid]["running"] == run
+            assert got[rid]["rn"] == n + 1
+            if n > 0:
+                assert got[rid]["prev"] == items[n - 1][2]
+            else:
+                # py_records (pandas) renders the window-head NULL as NaN
+                p = got[rid]["prev"]
+                assert p is None or (isinstance(p, float) and p != p)
