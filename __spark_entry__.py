@@ -526,6 +526,34 @@ def q_window_lag_rank(spark, sf_dir):
     )
 
 
+def q_window_ntile(spark, sf_dir):
+    """Per-event-type user spend quartiles: aggregate then ntile(4) within
+    each event type (windows always partitioned; unique user tiebreak)."""
+    conn = _conn(spark, sf_dir)
+    return (
+        Model(conn, "events")
+        .aggregate(
+            groups=[attr.event_type, attr.user_id],
+            measures=[
+                func.sum(attr.value.cast("decimal(18,4)"))
+                .cast("double")
+                .named("total_value")
+            ],
+        )
+        .pick(
+            attr.event_type,
+            attr.user_id,
+            column("total_value"),
+            func.ntile(
+                4,
+                partition=[attr.event_type],
+                order=[(column("total_value"), "desc"), attr.user_id],
+            ).named("spend_quartile"),
+        )
+        .to_df()
+    )
+
+
 def q_tpch_q18(spark, sf_dir):
     """TPC-H Q18-style large-volume customers: post-aggregate filter (the
     reference's HAVING path, filter.py:7 after aggregate) feeding an
@@ -1304,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "window_running_total": q_window_running_total,
         "window_lag_rank": q_window_lag_rank,
+        "window_ntile": q_window_ntile,
         "approx_distinct": q_approx_distinct,
         "count_if_cases": q_count_if_cases,
         "math_floor_ceiling": q_math_floor_ceiling,

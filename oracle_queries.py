@@ -562,6 +562,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WHERE o_custkey < 500
     """,
+    "window_ntile": """
+        WITH agg AS (
+          SELECT event_type, user_id,
+            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+          FROM events
+          GROUP BY event_type, user_id
+        )
+        SELECT event_type, user_id, total_value,
+          ntile(4) OVER (PARTITION BY event_type
+                         ORDER BY total_value DESC, user_id) AS spend_quartile
+        FROM agg
+    """,
     "window_lag_rank": """
         SELECT event_id, user_id,
           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS recency_rank,
