@@ -256,6 +256,37 @@ def streaming_funnel_progress(
     )
 
 
+def streaming_curate(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_quality: float = 0.2,
+    langs: tuple = ("en",),
+    max_dup_line_ratio: float = 0.5,
+    test_fraction: float = 0.1,
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming twin of ``ops.curation.curate``: the feature computation,
+    filters, and split are the SAME stateless narrow expressions
+    (``curation_candidates``), and the exact-dedup keep becomes
+    :func:`streaming_dedup` — one bit of state per content hash, sharded
+    by the state store, so a corpus can be curated as it arrives.
+
+    Semantic difference vs batch, by construction: streaming keeps each
+    hash's FIRST ARRIVAL (cross-batch), batch keeps the smallest id.
+    Output columns are strings (streaming_dedup's payload contract)."""
+    from .ops.curation import curation_candidates
+
+    cands = curation_candidates(
+        docs, text_col, id_col, min_quality, langs, max_dup_line_ratio,
+        test_fraction, seed,
+    )
+    return streaming_dedup(
+        cands, "content_hash",
+        [id_col, "lang_pred", "quality", "dup_line_ratio", "split"],
+    )
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain a (bounded) stream into an in-memory table with
     ``availableNow`` and return the result as a batch frame — the test

@@ -224,3 +224,42 @@ def test_deterministic_sampling_is_streaming_compatible(spark, stream_dir):
     assert len(got) == len(ROWS)
     for r in got:
         assert r["split"] == want[(r["user_id"], r["event_type"])]
+
+
+def test_streaming_curate_matches_batch(spark, tmp_path):
+    """The streaming curation pipeline (stateless candidates + stateful
+    dedup) must keep the same documents as batch curate when ids arrive
+    in order (first-arrival == min-id)."""
+    from hashquery_spark.ops import curate
+    from hashquery_spark.streaming import streaming_curate
+
+    docs = [
+        (1, "the quick brown fox and the lazy dog in the sun"),
+        (2, "the quick brown fox and the lazy dog in the sun"),  # dup of 1
+        (3, "el la de que y en un por con los amigos"),           # filtered: es
+        (4, "a perfectly fine english sentence for the test of it all"),
+    ]
+    path = str(tmp_path / "docs_stream")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1) \
+        .sortWithinPartitions("doc_id").write.mode("overwrite").parquet(path)
+
+    kwargs = dict(min_quality=0.2, langs=("en",), max_dup_line_ratio=0.5,
+                  test_fraction=0.5, seed=4)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    q = (
+        streaming_curate(stream, "text", "doc_id", **kwargs)
+        .writeStream.format("memory").queryName("curate_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        int(r["doc_id"]): (r["lang_pred"], r["split"])
+        for r in spark.table("curate_sink").collect()
+    }
+    want = {
+        r["doc_id"]: (r["lang_pred"], r["split"])
+        for r in curate(
+            spark.read.parquet(path), "text", "doc_id", **kwargs
+        ).collect()
+    }
+    assert got == want and set(got) == {1, 4}
