@@ -449,6 +449,70 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast revenue change: pure filter+global-agg — every
+    predicate reaches the parquet scan (plan-asserted class), decimal-
+    routed sum."""
+    conn = _conn(spark, sf_dir)
+    return (
+        Model(conn, "lineitem")
+        .filter(attr.l_shipdate >= datetime(1997, 1, 1))
+        .filter(attr.l_shipdate < datetime(1998, 1, 1))
+        .filter(attr.l_discount >= 0.05)
+        .filter(attr.l_discount <= 0.07)
+        .filter(attr.l_quantity < 24)
+        .aggregate(
+            groups=[],
+            measures=[
+                func.sum((attr.l_extendedprice * attr.l_discount).cast("decimal(18,4)"))
+                .cast("double")
+                .named("revenue")
+            ],
+        )
+        .to_df()
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17-style small-quantity-order revenue: the correlated
+    per-part average rewritten as a self-join against a per-part
+    aggregate sub-model (the scalable decorrelation). The brand
+    restriction is a MEMBERSHIP filter (semi-join), not an unreferenced
+    drop_unmatched join — the reference elides joins nothing references,
+    including inner ones (compilers/join_one.py:59-60), so a filter-only
+    dim must be expressed as `in_`."""
+    conn = _conn(spark, sf_dir)
+    part_avg = (
+        Model(conn, "lineitem")
+        .aggregate(
+            groups=[attr.l_partkey],
+            measures=[func.avg(attr.l_quantity).named("avg_qty")],
+        )
+        .with_primary_key(column("l_partkey"))
+    )
+    brand_parts = (
+        Model(conn, "part")
+        .filter(attr.p_brand == "Brand#1")
+        .pick(attr.p_partkey)
+    )
+    return (
+        Model(conn, "lineitem")
+        .filter(attr.l_partkey.in_(brand_parts))
+        .with_join_one(part_avg, foreign_key=attr.l_partkey, named="pa", drop_unmatched=True)
+        .filter(attr.l_quantity < 0.2 * rel.pa.avg_qty)
+        .aggregate(
+            groups=[],
+            measures=[
+                (
+                    func.sum(attr.l_extendedprice.cast("decimal(18,4)")).cast("double")
+                    / 7.0
+                ).named("avg_yearly")
+            ],
+        )
+        .to_df()
+    )
+
+
 def q_tpch_q14(spark, sf_dir):
     """TPC-H Q14-style promo revenue percent: conditional revenue ratio
     over a lineitem⋈part month slice. part broadcasts; both sums are
@@ -1330,6 +1394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "tpch_q14": q_tpch_q14,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q17": q_tpch_q17,
         "window_running_total": q_window_running_total,
         "window_lag_rank": q_window_lag_rank,
         "window_ntile": q_window_ntile,

@@ -582,6 +582,28 @@ ORACLE_SQL: dict[str, str] = {
           )) AS BIGINT) AS secs_since_prev
         FROM events
     """,
+    "tpch_q6": """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+          AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q17": """
+        WITH pa AS (
+          SELECT l_partkey, avg(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+          AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN pa ON lineitem.l_partkey = pa.l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < 0.2 * pa.avg_qty
+    """,
     "tpch_q14": """
         SELECT CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
                      THEN l_extendedprice * (1 - l_discount)

@@ -294,3 +294,24 @@ def test_register_orc_roundtrip(spark, tmp_path):
     conn = Connection(spark).register_orc("nation_o", path)
     m = Model(conn, "nation_o").aggregate(groups=[], measures=[func.count().named("n")])
     assert m.run().df["n"][0] == 25
+
+
+def test_dead_join_elision_applies_to_inner_joins_too(conn):
+    """Reference-pinned footgun (compilers/join_one.py:59-60): an
+    UNREFERENCED join is elided even with drop_unmatched=True, so a
+    filter-only inner join silently does nothing. The row-restricting
+    form is a membership filter (in_), which must NOT be elided."""
+    cust = Model(conn, "customers").filter(attr.loyalty == "Gold").with_primary_key(
+        column("id")
+    )
+    base = Model(conn, "sales")
+    n_all = base.to_df().count()
+
+    elided = base.with_join_one(
+        cust, foreign_key=attr.customer_id, named="c", drop_unmatched=True
+    )
+    assert elided.to_df().count() == n_all  # join never referenced -> elided
+
+    referenced = elided.filter(rel.c.loyalty == "Gold")
+    semi = base.filter(attr.customer_id.in_(cust.pick(attr.id)))
+    assert referenced.to_df().count() == semi.to_df().count() < n_all
