@@ -1108,6 +1108,17 @@ class SqlFunctionExpression(ColumnExpression):
             return F.floor(self.args[0].compile(ctx))
         if fn == "ceiling":
             return F.ceil(self.args[0].compile(ctx))
+        # net-new scalar conveniences (the reference routes these through
+        # raw column(sql=...) text; SURVEY §2.7 "no general string/math
+        # function library")
+        if fn in ("abs", "length", "lower", "upper", "trim", "sqrt"):
+            return getattr(F, fn)(self.args[0].compile(ctx))
+        if fn == "round":
+            return F.round(self.args[0].compile(ctx), self.round_scale)
+        if fn == "concat":
+            return F.concat(*[a.compile(ctx) for a in self.args])
+        if fn == "coalesce":
+            return F.coalesce(*[a.compile(ctx) for a in self.args])
         if fn == "now":
             # materialized at compile time (reference: sql_function.py:47-53)
             return F.lit(ctx.get_now())
@@ -1147,6 +1158,12 @@ class SqlFunctionExpression(ColumnExpression):
         }
         if hasattr(self, "percentile_p"):
             out["percentileP"] = self.percentile_p
+        if hasattr(self, "round_scale"):
+            out["roundScale"] = self.round_scale
+        if hasattr(self, "json_path"):
+            out["jsonPath"] = self.json_path
+        if hasattr(self, "rsd"):
+            out["rsd"] = self.rsd
         return out
 
     @classmethod
@@ -1155,6 +1172,12 @@ class SqlFunctionExpression(ColumnExpression):
         node.args = [ColumnExpression.from_wire(a) for a in data["args"]]
         if "percentileP" in data:
             node.percentile_p = data["percentileP"]
+        if "roundScale" in data:
+            node.round_scale = data["roundScale"]
+        if "jsonPath" in data:
+            node.json_path = data["jsonPath"]
+        if "rsd" in data:
+            node.rsd = data["rsd"]
         return node
 
 

@@ -165,6 +165,58 @@ def scalar(model) -> SubqueryExpression:
     return SubqueryExpression("scalar", model)
 
 
+# --- scalar conveniences (net-new; the reference has no general string/
+# math function library — SURVEY §2.7 — and routes these through raw
+# column(sql=...) text) ---
+
+
+@defer_keypath_args
+def abs(expr: Any) -> SqlFunctionExpression:  # noqa: A001 - mirrors builtins like min/max
+    return SqlFunctionExpression("abs", [expr])
+
+
+@defer_keypath_args
+def sqrt(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("sqrt", [expr])
+
+
+@defer_keypath_args
+def round(expr: Any, scale: int = 0) -> SqlFunctionExpression:  # noqa: A001
+    node = SqlFunctionExpression("round", [expr])
+    node.round_scale = int(scale)
+    return node
+
+
+@defer_keypath_args
+def length(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("length", [expr])
+
+
+@defer_keypath_args
+def lower(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("lower", [expr])
+
+
+@defer_keypath_args
+def upper(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("upper", [expr])
+
+
+@defer_keypath_args
+def trim(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("trim", [expr])
+
+
+@defer_keypath_args
+def concat(*exprs: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("concat", list(exprs))
+
+
+@defer_keypath_args
+def coalesce(*exprs: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("coalesce", list(exprs))
+
+
 # --- window functions (net-new; the reference has no window surface,
 # SURVEY §2.6 — windows there are internal to its match_steps compiler) ---
 

@@ -314,3 +314,30 @@ def test_window_ntile_and_edges(spark):
     assert [rows[i]["quartile"] for i in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]
     # last_value sees the whole partition (not the current-row frame trap)
     assert all(rows[i]["first_v"] == 0.0 and rows[i]["last_v"] == 7.0 for i in range(8))
+
+
+def test_scalar_convenience_functions(spark):
+    conn = Connection(spark).register_records(
+        "t", [(-3, "  Hello  ", None), (4, "world", "x")],
+        schema="n long, s string, opt string",
+    )
+    m = Model(conn, "t").pick(
+        func.abs(attr.n).named("a"),
+        func.sqrt(func.abs(attr.n) * func.abs(attr.n)).named("sq"),
+        func.round(attr.n / 7.0, 2).named("r"),
+        func.length(func.trim(attr.s)).named("len"),
+        func.concat(func.upper(func.trim(attr.s)), func.lower(attr.s)).named("c"),
+        func.coalesce(attr.opt, column(value="fallback")).named("co"),
+    )
+    rows = sorted(m.run().py_records, key=lambda r: r["a"])
+    assert rows[0]["a"] == 3 and rows[0]["sq"] == 3.0 and rows[0]["r"] == -0.43
+    assert rows[0]["len"] == 5
+    assert rows[0]["c"] == "HELLO  hello  "
+    assert rows[0]["co"] == "fallback" and rows[1]["co"] == "x"
+
+    # wire round-trip with the scale attribute
+    import json
+    from hashquery_spark.expr import ColumnExpression
+    node = func.round(column("x"), 3)
+    back = ColumnExpression.from_wire(json.loads(json.dumps(node.to_wire())))
+    assert back.round_scale == 3
