@@ -449,6 +449,28 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+def q_scalar_functions(spark, sf_dir):
+    """Net-new scalar function surface end-to-end: string shaping +
+    rounded math over the customer dim (all codegen'd builtins)."""
+    conn = _conn(spark, sf_dir)
+    return (
+        Model(conn, "customer")
+        .filter(attr.c_custkey < 200)
+        .pick(
+            attr.c_custkey,
+            func.upper(attr.c_name).named("name_upper"),
+            func.length(attr.c_name).named("name_len"),
+            func.concat(attr.c_mktsegment, column(value="#"), attr.c_name).named("tag"),
+            func.round(func.abs(attr.c_acctbal) / 100.0, 2).named("bal_hundreds"),
+            func.coalesce(
+                func.cases((attr.c_acctbal < 0, column(value="neg"))),
+                column(value="nonneg"),
+            ).named("balance_sign"),
+        )
+        .to_df()
+    )
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 forecast revenue change: pure filter+global-agg — every
     predicate reaches the parquet scan (plan-asserted class), decimal-
@@ -1395,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q14": q_tpch_q14,
         "tpch_q6": q_tpch_q6,
+        "scalar_functions": q_scalar_functions,
         "tpch_q17": q_tpch_q17,
         "window_running_total": q_window_running_total,
         "window_lag_rank": q_window_lag_rank,

@@ -582,6 +582,16 @@ ORACLE_SQL: dict[str, str] = {
           )) AS BIGINT) AS secs_since_prev
         FROM events
     """,
+    "scalar_functions": """
+        SELECT c_custkey,
+          upper(c_name) AS name_upper,
+          length(c_name) AS name_len,
+          c_mktsegment || '#' || c_name AS tag,
+          round(abs(c_acctbal) / 100.0, 2) AS bal_hundreds,
+          COALESCE(CASE WHEN c_acctbal < 0 THEN 'neg' END, 'nonneg') AS balance_sign
+        FROM customer
+        WHERE c_custkey < 200
+    """,
     "tpch_q6": """
         SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
           AS revenue
