@@ -694,6 +694,254 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7-style volume shipping between two nations: the supplier
+    and customer sides each flatten nation into a narrow dim sub-model
+    (filtered to the two nations BEFORE joining, so the inner joins prune
+    lineitem early), and the cross-side pair predicate is an or_/and_
+    filter over two namespaces. Both dims broadcast."""
+    conn = _conn(spark, sf_dir)
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = Model(conn, "nation").with_primary_key(column("n_nationkey"))
+    supp_nat = (
+        Model(conn, "supplier")
+        .with_primary_key(column("s_suppkey"))
+        .with_join_one(nation, foreign_key=attr.s_nationkey, named="nat", drop_unmatched=True, broadcast=True)
+        .filter(rel.nat.n_name.in_([n1, n2]))
+        .pick(attr.s_suppkey, rel.nat.n_name.named("supp_nation"))
+        .with_primary_key(column("s_suppkey"))
+    )
+    cust_nat = (
+        Model(conn, "customer")
+        .with_primary_key(column("c_custkey"))
+        .with_join_one(nation, foreign_key=attr.c_nationkey, named="nat", drop_unmatched=True, broadcast=True)
+        .filter(rel.nat.n_name.in_([n1, n2]))
+        .pick(attr.c_custkey, rel.nat.n_name.named("cust_nation"))
+        .with_primary_key(column("c_custkey"))
+    )
+    ord_cnat = (
+        Model(conn, "orders")
+        .with_primary_key(column("o_orderkey"))
+        .with_join_one(cust_nat, foreign_key=attr.o_custkey, named="cust", drop_unmatched=True)
+        .pick(attr.o_orderkey, rel.cust.cust_nation.named("cust_nation"))
+        .with_primary_key(column("o_orderkey"))
+    )
+    return (
+        Model(conn, "lineitem")
+        .filter(attr.l_shipdate >= datetime(1996, 1, 1))
+        .filter(attr.l_shipdate < datetime(1998, 1, 1))
+        .with_join_one(supp_nat, foreign_key=attr.l_suppkey, named="sup", drop_unmatched=True, broadcast=True)
+        .with_join_one(ord_cnat, foreign_key=attr.l_orderkey, named="ord", drop_unmatched=True)
+        .filter(
+            func.or_(
+                func.and_(rel.sup.supp_nation == n1, rel.ord.cust_nation == n2),
+                func.and_(rel.sup.supp_nation == n2, rel.ord.cust_nation == n1),
+            )
+        )
+        .aggregate(
+            groups=[
+                rel.sup.supp_nation.named("supp_nation"),
+                rel.ord.cust_nation.named("cust_nation"),
+                attr.l_shipdate.by_year().named("l_year"),
+            ],
+            measures=[
+                func.sum((attr.l_extendedprice * (1 - attr.l_discount)).cast("decimal(18,4)"))
+                .cast("double")
+                .named("revenue")
+            ],
+        )
+        .to_df()
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8-style national market share: conditional revenue ratio per
+    order-year. Filter-only dims (STANDARD parts, ASIA customers) are
+    membership filters — the reference elides unreferenced joins, inner
+    ones included (compilers/join_one.py:59-60) — while supplier-nation
+    survives as a broadcast join because the CASE references it."""
+    conn = _conn(spark, sf_dir)
+    nation = Model(conn, "nation").with_primary_key(column("n_nationkey"))
+    region = Model(conn, "region").with_primary_key(column("r_regionkey"))
+    std_parts = Model(conn, "part").filter(attr.p_type == "STANDARD").pick(attr.p_partkey)
+    asia_nations = (
+        nation.with_join_one(region, foreign_key=attr.n_regionkey, named="reg", drop_unmatched=True, broadcast=True)
+        .filter(rel.reg.r_name == "ASIA")
+        .pick(attr.n_nationkey)
+    )
+    asia_custs = (
+        Model(conn, "customer")
+        .filter(attr.c_nationkey.in_(asia_nations))
+        .pick(attr.c_custkey)
+    )
+    supp_nat = (
+        Model(conn, "supplier")
+        .with_primary_key(column("s_suppkey"))
+        .with_join_one(nation, foreign_key=attr.s_nationkey, named="nat", drop_unmatched=True, broadcast=True)
+        .pick(attr.s_suppkey, rel.nat.n_name.named("supp_nation"))
+        .with_primary_key(column("s_suppkey"))
+    )
+    ord_year = (
+        Model(conn, "orders")
+        .filter(attr.o_orderdate >= datetime(1995, 1, 1))
+        .filter(attr.o_orderdate < datetime(1997, 1, 1))
+        .filter(attr.o_custkey.in_(asia_custs))
+        .pick(attr.o_orderkey, attr.o_orderdate.by_year().named("o_year"))
+        .with_primary_key(column("o_orderkey"))
+    )
+    volume = (attr.l_extendedprice * (1 - attr.l_discount)).cast("decimal(18,4)")
+    brazil_volume = func.cases(
+        (rel.sup.supp_nation == "NATION_5", attr.l_extendedprice * (1 - attr.l_discount)),
+        other=0.0,
+    ).cast("decimal(18,4)")
+    return (
+        Model(conn, "lineitem")
+        .filter(attr.l_partkey.in_(std_parts))
+        .with_join_one(supp_nat, foreign_key=attr.l_suppkey, named="sup", drop_unmatched=True, broadcast=True)
+        .with_join_one(ord_year, foreign_key=attr.l_orderkey, named="ord", drop_unmatched=True)
+        .aggregate(
+            groups=[rel.ord.o_year.named("o_year")],
+            measures=[
+                (
+                    func.sum(brazil_volume).cast("double")
+                    / func.sum(volume).cast("double")
+                ).named("mkt_share")
+            ],
+        )
+        .to_df()
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13-style customer order-count distribution. The reference
+    can't express customer LEFT JOIN orders directly (join_one is
+    many-to-one), so the one-to-many side pre-aggregates to a per-customer
+    count — which is also the plan you want at 100 TB: the big table
+    shrinks to one row per key BEFORE the join, and the left join keeps
+    order-less customers (coalesce → 0)."""
+    conn = _conn(spark, sf_dir)
+    ord_counts = (
+        Model(conn, "orders")
+        .filter(attr.o_orderpriority != "1-URGENT")
+        .aggregate(groups=[attr.o_custkey], measures=[func.count().named("n_orders")])
+        .with_primary_key(column("o_custkey"))
+    )
+    return (
+        Model(conn, "customer")
+        .with_join_one(ord_counts, foreign_key=attr.c_custkey, named="oc")
+        .pick(func.coalesce(rel.oc.n_orders, 0).named("c_count"))
+        .aggregate(groups=[column("c_count")], measures=[func.count().named("custdist")])
+        .to_df()
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15-style top supplier: quarterly revenue per supplier, then
+    suppliers whose revenue equals the scalar max. The rev sub-model is
+    used twice (join source + max subquery) — the double-equality is safe
+    because both engines derive the value from the identical decimal-routed
+    sum."""
+    conn = _conn(spark, sf_dir)
+    rev = (
+        Model(conn, "lineitem")
+        .filter(attr.l_shipdate >= datetime(1996, 1, 1))
+        .filter(attr.l_shipdate < datetime(1996, 4, 1))
+        .aggregate(
+            groups=[attr.l_suppkey],
+            measures=[
+                func.sum((attr.l_extendedprice * (1 - attr.l_discount)).cast("decimal(18,4)"))
+                .cast("double")
+                .named("total_revenue")
+            ],
+        )
+        .with_primary_key(column("l_suppkey"))
+    )
+    max_rev = rev.aggregate(measures=[func.max(column("total_revenue")).named("m")])
+    return (
+        Model(conn, "supplier")
+        .with_join_one(rev, foreign_key=attr.s_suppkey, named="r", drop_unmatched=True)
+        .filter(rel.r.total_revenue == func.scalar(max_rev))
+        .pick(attr.s_suppkey, attr.s_name, rel.r.total_revenue.named("total_revenue"))
+        .sort(column("s_suppkey"), small=True)
+        .to_df()
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19-style discounted revenue: one equi-join (lineitem⋈part,
+    broadcast) with a DISJUNCTION of brand/size/quantity conjunctions as
+    the post-join filter — the join key stays a pure equi-join so Spark
+    never falls back to a nested-loop join; the OR-of-ANDs prunes after
+    the hash probe."""
+    conn = _conn(spark, sf_dir)
+    part = Model(conn, "part").with_primary_key(column("p_partkey"))
+
+    def band(brand, size_hi, q_lo, q_hi):
+        return func.and_(
+            rel.prt.p_brand == brand,
+            rel.prt.p_size >= 1,
+            rel.prt.p_size <= size_hi,
+            attr.l_quantity >= q_lo,
+            attr.l_quantity <= q_hi,
+        )
+
+    return (
+        Model(conn, "lineitem")
+        .with_join_one(part, foreign_key=attr.l_partkey, named="prt", drop_unmatched=True, broadcast=True)
+        .filter(
+            func.or_(
+                band("Brand#12", 5, 1, 11),
+                band("Brand#23", 10, 10, 20),
+                band("Brand#34", 15, 20, 30),
+            )
+        )
+        .aggregate(
+            measures=[
+                func.sum((attr.l_extendedprice * (1 - attr.l_discount)).cast("decimal(18,4)"))
+                .cast("double")
+                .named("revenue")
+            ]
+        )
+        .to_df()
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22-style global sales opportunity: rich-but-inactive
+    customers per nation. Composes a scalar subquery (avg positive
+    balance, decimal-routed) with a negated model membership (the
+    marker-join NOT IN) and a grouped rollup."""
+    conn = _conn(spark, sf_dir)
+    avg_bal = (
+        Model(conn, "customer")
+        .filter(attr.c_acctbal > 0.0)
+        .aggregate(
+            measures=[
+                (
+                    func.sum(attr.c_acctbal.cast("decimal(18,2)")).cast("double")
+                    / func.count()
+                ).named("avg_bal")
+            ]
+        )
+    )
+    order_custs = Model(conn, "orders").pick(attr.o_custkey)
+    return (
+        Model(conn, "customer")
+        .filter(attr.c_acctbal > func.scalar(avg_bal))
+        .filter(func.not_(attr.c_custkey.in_(order_custs)))
+        .aggregate(
+            groups=[attr.c_nationkey],
+            measures=[
+                func.count().named("numcust"),
+                func.sum(attr.c_acctbal.cast("decimal(18,2)"))
+                .cast("double")
+                .named("totacctbal"),
+            ],
+        )
+        .to_df()
+    )
+
+
 def q_approx_distinct(spark, sf_dir):
     """HLL++ approximate count-distinct (net-new; approximate by design, so
     no value-exact oracle — the driver records a rows-only check)."""
@@ -1419,6 +1667,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "scalar_functions": q_scalar_functions,
         "tpch_q17": q_tpch_q17,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "window_running_total": q_window_running_total,
         "window_lag_rank": q_window_lag_rank,
         "window_ntile": q_window_ntile,

@@ -639,6 +639,91 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY o_totalprice DESC, l_orderkey
         LIMIT 100
     """,
+    "tpch_q7": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS l_year,
+          CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """,
+    "tpch_q8": """
+        WITH base AS (
+          SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+                 CAST(CASE WHEN n1.n_name = 'NATION_5'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END AS DECIMAL(18,4)) AS brazil_volume
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+            AND o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+        )
+        SELECT o_year,
+          CAST(sum(brazil_volume) AS DOUBLE) / CAST(sum(volume) AS DOUBLE) AS mkt_share
+        FROM base GROUP BY o_year
+    """,
+    "tpch_q13": """
+        WITH oc AS (
+          SELECT o_custkey, count(*) AS n_orders
+          FROM orders WHERE o_orderpriority <> '1-URGENT'
+          GROUP BY o_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT coalesce(oc.n_orders, 0) AS c_count
+          FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        )
+        GROUP BY c_count
+    """,
+    "tpch_q15": """
+        WITH rev AS (
+          SELECT l_suppkey,
+            CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q19": """
+        SELECT
+          CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q22": """
+        SELECT c_nationkey, count(*) AS numcust,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            FROM customer WHERE c_acctbal > 0.0
+          )
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY c_nationkey
+    """,
     "tpch_q5": """
         SELECT n_name,
           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
