@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from hashquery_spark import Connection, Model, column, func, attr, rel
 from hashquery_spark.ops import (
     ann_brute_force,
+    boilerplate_ngrams,
+    unigram_lm_score,
+    pii_scrub,
+    pack_sequences,
     dedup_clusters,
     salted_aggregate,
     embedding_near_dup,
@@ -1504,6 +1508,46 @@ def q_text_fingerprint(spark, sf_dir):
     return doc_fingerprint(docs, "text", "doc_id", k=5)
 
 
+def q_boilerplate(spark, sf_dir):
+    """Boilerplate phrase detection: fraction of each doc's distinct word
+    3-grams shared by ≥8 documents (CCNet/RefinedWeb repeated-template
+    signal; the boilerplate set is heavy-hitters-small → broadcast)."""
+    docs = _conn(spark, sf_dir).table("documents")
+    return boilerplate_ngrams(docs, "text", "doc_id", n=3, min_docs=8)
+
+
+def q_lm_score(spark, sf_dir):
+    """Corpus-self unigram LM fluency score (KenLM-style filter signal);
+    per-token ln rounded+integer-scaled so the cross-engine sum is exact."""
+    docs = _conn(spark, sf_dir).table("documents")
+    return unigram_lm_score(docs, "text", "doc_id")
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over text with synthesized emails/IPs/phones (the corpus
+    itself is clean word-soup, so both engines inject identical PII
+    deterministically derived from doc_id, then redact + count)."""
+    docs = _conn(spark, sf_dir).table("documents")
+    from pyspark.sql import functions as F
+
+    seeded = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' contact user', doc_id, '@mail.example.com or +1 555 00',"
+            " doc_id, ' at 10.0.', doc_id % 256, '.7')"
+        ).alias("text"),
+    )
+    return pii_scrub(seeded, "text", "doc_id")
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Greedy fixed-budget sequence packing in a deterministic md5 order —
+    the two-phase distributed prefix sum (per-bucket windows + 64-row
+    offset table), all-integer arithmetic."""
+    docs = _conn(spark, sf_dir).table("documents")
+    return pack_sequences(docs, "text", "doc_id", budget=2048, seed=3)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-source stratified sample of documents: membership
     is md5(seed:doc_id) < stratum fraction — a pure narrow filter (no
@@ -1720,6 +1764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "boilerplate": q_boilerplate,
+        "lm_score": q_lm_score,
+        "pii_redaction": q_pii_redaction,
+        "sequence_packing": q_sequence_packing,
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
         "repetition_score": q_repetition_score,

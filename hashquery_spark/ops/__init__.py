@@ -34,17 +34,22 @@ from .contamination import ngram_contamination
 from .curation import curate
 from .sampling import (
     global_shuffle,
+    pack_sequences,
     repetition_score,
     stratified_sample,
     train_test_split,
     uniform01,
 )
 from .text import (
+    boilerplate_ngrams,
     doc_fingerprint,
     language_id,
+    pii_scrub,
     quality_score,
+    redact_pii,
     tfidf_top_terms,
     token_count,
+    unigram_lm_score,
     vocabulary,
 )
 from .multimodal import (
@@ -78,6 +83,11 @@ __all__ = [
     "doc_fingerprint",
     "vocabulary",
     "tfidf_top_terms",
+    "boilerplate_ngrams",
+    "unigram_lm_score",
+    "pii_scrub",
+    "redact_pii",
+    "pack_sequences",
     "decode_blob_metadata",
     "extract_features",
     "frame_sample",

@@ -131,3 +131,69 @@ def global_shuffle(
     training-export job wants. Different seeds give independent orders."""
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     return df.withColumn(key_name, key).orderBy(key_name, id_col)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int = 2048,
+    seed: int = 0,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(id, n_tokens, pack_id, seq_offset) — greedy fixed-budget sequence
+    packing: lay documents end-to-end in a deterministic pseudo-random
+    order and cut packs every ``budget`` whitespace tokens (the training-
+    export step that turns a document corpus into fixed-length batches;
+    documents may straddle a pack boundary, ``seq_offset`` is the start
+    position within the pack).
+
+    Scale — a naive global running sum is a single-partition window. This
+    is the two-phase distributed prefix sum instead:
+
+    1. every doc hashes to one of ``n_buckets`` md5 buckets; the packing
+       order is (bucket, id) — deterministic, seed-controlled, and
+       contiguous per bucket by construction;
+    2. per-bucket running sums use a window partitioned BY BUCKET (64-way
+       parallel, no global ordering);
+    3. bucket base offsets come from a window over the 64-row bucket-total
+       aggregate (trivially small), broadcast-joined back.
+
+    All arithmetic is integer, so both engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    t = F.trim(F.col(text_col))
+    n_tok = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+    )
+    bucket = F.pmod(
+        md5_hash32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+        F.lit(n_buckets),
+    )
+    base = df.select(
+        F.col(id_col), n_tok.alias("n_tokens"), bucket.alias("__bucket__")
+    )
+    in_bucket = Window.partitionBy("__bucket__").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = base.withColumn("__cum__", F.sum("n_tokens").over(in_bucket))
+    totals = base.groupBy("__bucket__").agg(F.sum("n_tokens").alias("__btotal__"))
+    prior = Window.orderBy("__bucket__").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = totals.select(
+        "__bucket__",
+        F.coalesce(F.sum("__btotal__").over(prior), F.lit(0)).alias("__base__"),
+    )
+    start = F.col("__base__") + F.col("__cum__") - F.col("n_tokens")
+    return (
+        cum.join(F.broadcast(offsets), on="__bucket__")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.floor(start / budget).cast("long").alias("pack_id"),
+            F.pmod(start, F.lit(budget)).cast("long").alias("seq_offset"),
+        )
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text, tokens
+from .dedup import ensure_parallelism, normalize_text, tokens, word_shingles
 
 # Tiny deterministic stopword lists per language — a real deployment would
 # swap in fastText-style n-gram models; the *plumbing* (argmax over per-lang
@@ -156,6 +156,123 @@ def vocabulary(
     order = [F.desc("term_freq"), F.asc("token")]
     bounded = agg.orderBy(*order).limit(top_k)
     return bounded.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+
+
+def boilerplate_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, min_docs: int = 5
+) -> DataFrame:
+    """(id, n_grams, n_boilerplate_grams, boilerplate_ratio) — fraction of
+    each document's distinct word ``n``-grams that are *boilerplate*:
+    grams shared by at least ``min_docs`` distinct documents (the
+    CCNet/RefinedWeb-style repeated-template signal, applied at the
+    phrase level since the corpus has no line structure).
+
+    Scale: two passes over the exploded distinct grams — one groupBy(gram)
+    to find the boilerplate set, one broadcast join back. Boilerplate
+    grams are heavy hitters by construction (each appears in ≥ min_docs
+    docs), so the set is orders of magnitude smaller than the corpus and
+    broadcasting it is safe at any corpus size. The corpus itself never
+    shuffles on gram; the per-doc rollup shuffles one narrow row per
+    document with map-side combine."""
+    exploded = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(word_shingles(F.col(text_col), n))).alias("gram"),
+    )
+    boiler = (
+        exploded.groupBy("gram")
+        .agg(F.count("*").alias("df_docs"))  # grams are distinct per doc
+        .where((F.col("df_docs") >= min_docs) & F.col("gram").isNotNull())
+        .select("gram", F.lit(1).alias("__boiler__"))
+    )
+    rolled = (
+        exploded.join(F.broadcast(boiler), on="gram", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.count("__boiler__").alias("n_boilerplate_grams"),
+        )
+    )
+    ratio = F.round(
+        F.col("n_boilerplate_grams")
+        / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+        4,
+    )
+    return rolled.select(
+        F.col(id_col), "n_grams", "n_boilerplate_grams", ratio.alias("boilerplate_ratio")
+    )
+
+
+def unigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_tokens, lm_score) — mean unigram log-probability of each
+    document under the corpus's own unigram language model (the KenLM-
+    style fluency/quality signal: low = rare-token-heavy or degenerate).
+
+    Scale: one explode feeds both the vocabulary build (groupBy token,
+    map-side combine) and the per-doc rollup. The corpus total is a
+    single-row broadcast cross join (no driver collect); token→logp joins
+    back on token (vocab ≪ corpus; AQE broadcasts when it fits).
+
+    Determinism: ln() is rounded to 4 decimals per TOKEN, scaled to an
+    exact BIGINT, and summed as integers — double summation order can
+    differ between engines, integer sums cannot."""
+    ex = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    vocab = ex.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("cnt") / F.col("total")) * 10000.0, 0)
+        .cast("long")
+        .alias("logp_scaled"),
+    )
+    return (
+        ex.join(logp, on="token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("logp_scaled").alias("__lp__"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(F.col("__lp__") / (F.col("n_tokens") * 10000.0), 4).alias("lm_score"),
+        )
+    )
+
+
+# PII patterns — identical semantics under Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, \b word boundaries.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9\- ]{6,}[0-9]"
+
+
+def redact_pii(text_col: Column) -> Column:
+    """Replace emails → <EMAIL>, IPv4 addresses → <IP>, international
+    phone numbers → <PHONE>. Order matters: emails first (they contain
+    digits/dots an IP pattern could partially claim), then IPs, then
+    phones. Pure regexp_replace chain — whole-stage codegen, one pass."""
+    c = F.regexp_replace(text_col, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IP, "<IP>")
+    return F.regexp_replace(c, PII_PHONE, "<PHONE>")
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, clean_text, n_emails, n_ips, n_phones) — redacted text plus
+    per-class match counts (for audit/reporting). Counts come from
+    regexp_extract_all over the SAME patterns used to redact, so
+    count>0 ⟺ text changed."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        redact_pii(t).alias("clean_text"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IP), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).alias("n_phones"),
+    )
 
 
 def tfidf_top_terms(

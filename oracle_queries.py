@@ -1024,6 +1024,91 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     # deterministic sampling / splitting / shuffling (ops/sampling.py):
     # membership = first-32-md5-bits uniform draw, same H32 pattern as dedup
+    "boilerplate": f"""
+        WITH toks AS (
+          SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                 ELSE [] END) AS g
+          FROM toks
+        ),
+        exploded AS (
+          SELECT doc_id, unnest(g) AS gram FROM sh
+        ),
+        boiler AS (
+          SELECT gram FROM exploded GROUP BY gram HAVING count(*) >= 8
+        ),
+        hits AS (
+          SELECT e.doc_id, count(b.gram) AS nb
+          FROM exploded e LEFT JOIN boiler b USING (gram)
+          GROUP BY e.doc_id
+        )
+        SELECT s.doc_id, len(s.g) AS n_grams,
+          COALESCE(h.nb, 0) AS n_boilerplate_grams,
+          round(COALESCE(h.nb, 0) / greatest(len(s.g), 1), 4) AS boilerplate_ratio
+        FROM sh s LEFT JOIN hits h USING (doc_id)
+    """,
+    "lm_score": f"""
+        WITH ex AS (
+          SELECT doc_id, unnest({TOKS.format(c='text')}) AS token FROM documents
+        ),
+        ex2 AS (SELECT doc_id, token FROM ex WHERE token <> ''),
+        vocab AS (SELECT token, count(*) AS cnt FROM ex2 GROUP BY token),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        logp AS (
+          SELECT token,
+                 CAST(round(ln(cnt / total) * 10000.0, 0) AS BIGINT) AS lp
+          FROM vocab, tot
+        )
+        SELECT e.doc_id, count(*) AS n_tokens,
+          round(CAST(sum(lp) AS BIGINT) / (count(*) * 10000.0), 4) AS lm_score
+        FROM ex2 e JOIN logp USING (token)
+        GROUP BY e.doc_id
+    """,
+    "pii_redaction": """
+        WITH seeded AS (
+          SELECT doc_id,
+            concat(text, ' contact user', doc_id, '@mail.example.com or +1 555 00',
+                   doc_id, ' at 10.0.', doc_id % 256, '.7') AS text
+          FROM documents
+        )
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+              '\\+[0-9][0-9\\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean_text,
+          len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+          len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
+          len(regexp_extract_all(text, '\\+[0-9][0-9\\- ]{6,}[0-9]')) AS n_phones
+        FROM seeded
+    """,
+    "sequence_packing": """
+        WITH base AS (
+          SELECT doc_id,
+            CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+            CAST('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b
+          FROM documents
+        ),
+        cum AS (
+          SELECT doc_id, n_tokens, b,
+            sum(n_tokens) OVER (PARTITION BY b ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS c
+          FROM base
+        ),
+        offs AS (
+          SELECT b, coalesce(sum(bt) OVER (ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base_off
+          FROM (SELECT b, sum(n_tokens) AS bt FROM base GROUP BY b)
+        )
+        SELECT c.doc_id, c.n_tokens,
+          CAST(floor((base_off + c.c - c.n_tokens) / 2048) AS BIGINT) AS pack_id,
+          CAST((base_off + c.c - c.n_tokens) % 2048 AS BIGINT) AS seq_offset
+        FROM cum c JOIN offs USING (b)
+    """,
     "stratified_sample": """
         SELECT doc_id, source, lang
         FROM documents

@@ -316,3 +316,68 @@ def test_tfidf_top_terms(spark):
     assert by_doc[2][0][1] == "cherry"
     # every doc has at most 2 terms, ranks start at 1
     assert all(len(v) <= 2 and v[0][0] == 1 for v in by_doc.values())
+
+
+def test_redact_pii_classes(spark):
+    from hashquery_spark.ops import pii_scrub
+
+    rows = [
+        (1, "write to alice.smith+x@corp.example.org today"),
+        (2, "server at 192.168.1.7 then call +44 20 7946 0958"),
+        (3, "no pii here at all"),
+        (4, "two mails a@b.co c@d.io and ip 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df, "text", "doc_id").collect()}
+    assert out[1]["clean_text"] == "write to <EMAIL> today"
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 0
+    assert out[2]["clean_text"] == "server at <IP> then call <PHONE>"
+    assert out[2]["n_ips"] == 1 and out[2]["n_phones"] == 1
+    assert out[3]["clean_text"] == "no pii here at all"
+    assert out[4]["n_emails"] == 2 and out[4]["n_ips"] == 1
+
+
+def test_pack_sequences_invariants(spark):
+    from hashquery_spark.ops import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * (10 + i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, "text", "doc_id", budget=100, seed=1).collect()
+    assert len(out) == 200
+    total = sum(r["n_tokens"] for r in out)
+    # every doc placed exactly once on the global token line: pack_id and
+    # seq_offset reconstruct a start position, starts are all distinct and
+    # densely cover [0, total)
+    starts = sorted(r["pack_id"] * 100 + r["seq_offset"] for r in out)
+    assert starts[0] == 0
+    ends = {s + n for s, n in zip(starts, sorted_ns(out))}
+    assert max(ends) == total
+    # deterministic across runs
+    out2 = pack_sequences(df, "text", "doc_id", budget=100, seed=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # a different seed reorders (bucket assignment changes some start)
+    out3 = pack_sequences(df, "text", "doc_id", budget=100, seed=2).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, out3))
+
+
+def sorted_ns(out):
+    by_start = sorted(out, key=lambda r: r["pack_id"] * 100 + r["seq_offset"])
+    return [r["n_tokens"] for r in by_start]
+
+
+def test_boilerplate_and_lm_score_basics(spark):
+    from hashquery_spark.ops import boilerplate_ngrams, unigram_lm_score
+
+    common = "terms of service apply here"
+    rows = [(i, f"unique words {i} alpha beta {common}") for i in range(6)]
+    rows.append((99, "totally fresh sentence nothing shared whatsoever"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = {r["doc_id"]: r for r in boilerplate_ngrams(df, "text", "doc_id", n=3, min_docs=6).collect()}
+    assert bp[0]["n_boilerplate_grams"] >= 3  # the shared tail's 3-grams
+    assert bp[99]["n_boilerplate_grams"] == 0
+    assert bp[99]["boilerplate_ratio"] == 0.0
+
+    lm = {r["doc_id"]: r for r in unigram_lm_score(df, "text", "doc_id").collect()}
+    # the all-rare-tokens doc is less probable than template-heavy docs
+    assert lm[99]["lm_score"] < lm[0]["lm_score"]
+    assert all(r["lm_score"] < 0 for r in lm.values())
