@@ -40,6 +40,10 @@ HEADLINE = [
     "tpch_q10",
     "contamination",
     "curation_pipeline",
+    # round-1 continuation extensions (appended)
+    "tpch_q8",
+    "lm_score",
+    "sequence_packing",
 ]
 
 
