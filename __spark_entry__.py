@@ -1548,6 +1548,18 @@ def q_sequence_packing(spark, sf_dir):
     return pack_sequences(docs, "text", "doc_id", budget=2048, seed=3)
 
 
+def q_cap_per_group(spark, sf_dir):
+    """Source-mix rebalancing: cap every source at 15 docs, keeping a
+    deterministic md5-ordered subset (over-represented sources shrink,
+    small sources pass through)."""
+    docs = _conn(spark, sf_dir).table("documents")
+    from hashquery_spark.ops import cap_per_group
+
+    return cap_per_group(docs, "source", "doc_id", n=15, seed=11).select(
+        "doc_id", "source", "cap_rank"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-source stratified sample of documents: membership
     is md5(seed:doc_id) < stratum fraction — a pure narrow filter (no
@@ -1768,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,
+        "cap_per_group": q_cap_per_group,
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
         "repetition_score": q_repetition_score,

@@ -33,6 +33,7 @@ from .similarity import (
 from .contamination import ngram_contamination
 from .curation import curate
 from .sampling import (
+    cap_per_group,
     global_shuffle,
     pack_sequences,
     repetition_score,
@@ -88,6 +89,7 @@ __all__ = [
     "pii_scrub",
     "redact_pii",
     "pack_sequences",
+    "cap_per_group",
     "decode_blob_metadata",
     "extract_features",
     "frame_sample",

@@ -197,3 +197,32 @@ def pack_sequences(
             F.pmod(start, F.lit(budget)).cast("long").alias("seq_offset"),
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministically cap every group at ``n`` rows — the source-mix
+    rebalancing step (Dolma/Pile-style): over-represented sources keep a
+    uniform pseudo-random ``n``-subset, small sources pass through whole.
+
+    The kept subset is the top-``n`` by md5(seed:id) within each group —
+    stable across runs and partitioning, and independent draws per seed.
+    Output adds ``cap_rank`` (1-based position in the group's hash order).
+
+    Scale: one shuffle on the group key. A pathologically large group
+    lands on one partition for ranking; at 100 TB pre-thin such groups
+    first with :func:`uniform01` (`uniform01(id) < margin * n / |group|`)
+    so the exact rank runs over ~n·margin rows, then cap exactly here."""
+    from pyspark.sql import Window
+
+    key = md5_hash32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w))
+        .where(F.col("cap_rank") <= n)
+    )

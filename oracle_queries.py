@@ -1109,6 +1109,17 @@ ORACLE_SQL: dict[str, str] = {
           CAST((base_off + c.c - c.n_tokens) % 2048 AS BIGINT) AS seq_offset
         FROM cum c JOIN offs USING (b)
     """,
+    "cap_per_group": """
+        SELECT doc_id, source, cap_rank FROM (
+          SELECT doc_id, source,
+            row_number() OVER (
+              PARTITION BY source
+              ORDER BY CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) ASC,
+                       doc_id ASC
+            ) AS cap_rank
+          FROM documents
+        ) WHERE cap_rank <= 15
+    """,
     "stratified_sample": """
         SELECT doc_id, source, lang
         FROM documents
