@@ -247,6 +247,23 @@ def q_set_ops(spark, sf_dir):
     return inter.union_distinct(minus).to_df()
 
 
+def q_set_ops_all(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL (bag semantics; net-new). Aggregated
+    afterwards so the oracle compare is order-free but multiplicity-
+    sensitive."""
+    li = Model(_conn(spark, sf_dir), "lineitem")
+    pairs = lambda cond: li.filter(cond).pick(attr.l_returnflag, attr.l_linestatus)
+    bag = (
+        pairs(attr.l_quantity > 30)
+        .intersect_all(pairs(attr.l_quantity > 20))
+        .except_all(pairs(attr.l_quantity > 45))
+    )
+    return bag.aggregate(
+        groups=[attr.l_returnflag, attr.l_linestatus],
+        measures=[func.count().named("n")],
+    ).to_df()
+
+
 def q_join_one_left(spark, sf_dir):
     """Lazy many-to-one LEFT join + group on joined attr (SURVEY §2.1 #9)."""
     conn = _conn(spark, sf_dir)
@@ -1724,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "tpch_q17": q_tpch_q17,
         "tpch_q7": q_tpch_q7,
+        "set_ops_all": q_set_ops_all,
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,

@@ -483,6 +483,20 @@ class Model:
         self._namespaces = IdentifiableMap()
 
     @builder_method
+    def intersect_all(self, other: "Model") -> "Model":
+        """ANSI INTERSECT ALL (bag semantics: min of per-side
+        multiplicities) — net-new."""
+        self._source = SetOpSource(self._source, other._source, "intersectAll")
+        self._namespaces = IdentifiableMap()
+
+    @builder_method
+    def except_all(self, other: "Model") -> "Model":
+        """ANSI EXCEPT ALL (bag semantics: multiplicity difference) —
+        net-new."""
+        self._source = SetOpSource(self._source, other._source, "exceptAll")
+        self._namespaces = IdentifiableMap()
+
+    @builder_method
     def union_distinct(self, other: "Model") -> "Model":
         """ANSI UNION (distinct) — net-new."""
         self._source = SetOpSource(self._source, other._source, "unionDistinct")

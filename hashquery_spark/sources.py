@@ -834,7 +834,7 @@ class SetOpSource(Source):
     __TYPE_KEY__ = "setOp"
 
     def __init__(self, base: Source, other: Source, kind: str) -> None:
-        if kind not in ("intersect", "except", "unionDistinct"):
+        if kind not in ("intersect", "except", "unionDistinct", "intersectAll", "exceptAll"):
             raise ValueError(f"unknown set op {kind!r}")
         self.base = base
         self.other = other
@@ -853,6 +853,10 @@ class SetOpSource(Source):
             fs.df = fs.df.intersect(other.df)
         elif self.kind == "except":
             fs.df = fs.df.exceptAll(other.df).distinct()
+        elif self.kind == "intersectAll":
+            fs.df = fs.df.intersectAll(other.df)
+        elif self.kind == "exceptAll":
+            fs.df = fs.df.exceptAll(other.df)
         else:
             fs.df = fs.df.union(other.df).distinct()
         fs.flatten_namespaces()

@@ -832,6 +832,16 @@ ORACLE_SQL: dict[str, str] = {
          EXCEPT
          SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount > 0.05)
     """,
+    "set_ops_all": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n FROM (
+          (SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 30
+           INTERSECT ALL
+           SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 20)
+          EXCEPT ALL
+          SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 45
+        )
+        GROUP BY l_returnflag, l_linestatus
+    """,
     "range_join": """
         WITH bands AS (
           SELECT n_name AS band_name, n_nationkey * 4.0 AS lo,
