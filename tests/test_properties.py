@@ -373,3 +373,63 @@ def test_window_ops_match_python_reference(spark, rows):
                 # py_records (pandas) renders the window-head NULL as NaN
                 p = got[rid]["prev"]
                 assert p is None or (isinstance(p, float) and p != p)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=37), min_size=1, max_size=40),
+    budget=st.integers(min_value=5, max_value=200),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_pack_sequences_matches_python_reference(spark, lens, budget, seed):
+    """pack_sequences == a sequential Python packer over the same
+    (bucket, id) order: same starts, same pack ids, same offsets."""
+    import hashlib
+
+    from hashquery_spark.ops import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["pack_id"], r["seq_offset"])
+        for r in pack_sequences(df, "text", "doc_id", budget=budget, seed=seed, n_buckets=8).collect()
+    }
+
+    def bucket(i):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        return int(h[:8], 16) % 8
+
+    order = sorted(range(len(lens)), key=lambda i: (bucket(i), i))
+    pos = 0
+    for i in order:
+        n = lens[i]
+        assert got[i] == (n, pos // budget, pos % budget), f"doc {i}"
+        pos += n
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    groups=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=30),
+    n=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_cap_per_group_matches_python_reference(spark, groups, n, seed):
+    import hashlib
+
+    from hashquery_spark.ops import cap_per_group
+
+    rows = [(i, g) for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    got = sorted(
+        (r["doc_id"], r["g"], r["cap_rank"])
+        for r in cap_per_group(df, "g", "doc_id", n=n, seed=seed).collect()
+    )
+
+    def h(i):
+        return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+
+    expect = []
+    for g in set(groups):
+        members = sorted((i for i, gg in enumerate(groups) if gg == g), key=lambda i: (h(i), i))
+        expect += [(i, g, r + 1) for r, i in enumerate(members[:n])]
+    assert got == sorted(expect)
