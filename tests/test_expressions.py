@@ -50,6 +50,24 @@ def test_null_aware_in_list(m):
     assert vals(m.filter(attr.name.in_([]))) == []
 
 
+def test_null_aware_in_model(m, spark):
+    """in_(Model) truth table via the null-safe equi-join: a NULL needle
+    matches iff the subquery contains a NULL (reference:
+    column_expression.py:513-544); a non-null needle with no match is
+    FALSE even when the subquery has NULLs (reference-pinned, non-SQL-
+    standard)."""
+    conn = m._connection  # one connection per query, like the reference
+    conn.register_records("in_with_null", [("apple",), (None,)], schema="v string")
+    conn.register_records("in_no_null", [("apple",), ("kiwi",)], schema="v string")
+    with_null = Model(conn, "in_with_null")
+    no_null = Model(conn, "in_no_null")
+    # rows: 1 apple, 2 banana, 3 NULL, 4 'apple pie'
+    assert vals(m.filter(attr.name.in_(with_null))) == [1, 3]
+    assert vals(m.filter(attr.name.in_(no_null))) == [1]
+    assert vals(m.filter(func.not_(attr.name.in_(with_null)))) == [2, 4]
+    assert vals(m.filter(func.not_(attr.name.in_(no_null)))) == [2, 3, 4]
+
+
 def test_contains(m):
     assert vals(m.filter(attr.name.contains("apple"))) == [1, 4]
     assert vals(m.filter(attr.name.contains("APPLE", case_insensitive=True))) == [1, 4]

@@ -65,13 +65,11 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     scalar/total flags, probe sets, centroid tables) — allowlisted
     explicitly so a new accidental NLJ fails the suite."""
     nlj_ok = {
-        # 1-row broadcast sides: in_(Model)'s null-existence flag,
-        # exists/scalar subquery flags, corpus totals. (Catalyst's
-        # OptimizeOneRowPlan sometimes folds these away entirely, so their
-        # presence is plan-state-dependent — allowlist all queries that
-        # compile a subquery marker.)
-        "in_subquery", "not_in_subquery", "exists_subquery", "scalar_subquery",
-        "tpch_q8", "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q22",
+        # 1-row broadcast sides: exists/scalar subquery flags and corpus
+        # totals (in_(Model) compiles to a null-safe HASH join and needs
+        # no exemption). Catalyst's OptimizeOneRowPlan sometimes folds
+        # these away entirely, so presence is plan-state-dependent.
+        "exists_subquery", "scalar_subquery", "tpch_q15", "tpch_q22",
         # deliberately-small broadcast frames (corpus-total / probe set):
         "tfidf", "lm_score", "ann_bruteforce",
     }
