@@ -1470,6 +1470,24 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-width overlapping character chunks — one narrow generator
+    stage (sequence+posexplode+substring), no shuffle."""
+    from hashquery_spark.ops import chunk_documents
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return chunk_documents(docs, "text", "doc_id", size=200, overlap=20)
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup + per-doc reassembly — window min
+    on the paragraph md5 (no self-join), one regroup by doc."""
+    from hashquery_spark.ops import dedup_paragraphs
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return dedup_paragraphs(docs, "text", "doc_id")
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _conn(spark, sf_dir).table("documents")
     return simhash(docs.where("text IS NOT NULL"), "text", "doc_id", bits=32)
@@ -1782,6 +1800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_partitioned": q_funnel_partitioned,
         "funnel_expr_steps": q_funnel_expr_steps,
         "dedup_exact": q_dedup_exact,
+        "chunk_documents": q_chunk_documents,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,

@@ -63,6 +63,7 @@ from .multimodal import (
 from .skew import salted_aggregate, salted_join
 from .asof import asof_join
 from .range_join import range_join
+from .chunking import chunk_documents, dedup_paragraphs
 
 __all__ = [
     "dedup_clusters",
@@ -104,6 +105,8 @@ __all__ = [
     "uniform01",
     "asof_join",
     "range_join",
+    "chunk_documents",
+    "dedup_paragraphs",
     "salted_aggregate",
     "salted_join",
 ]

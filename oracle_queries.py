@@ -1018,6 +1018,44 @@ ORACLE_SQL: dict[str, str] = {
                min(doc_id) AS keep_id, count(*) AS dup_count
         FROM documents GROUP BY 1
     """,
+    "chunk_documents": """
+        SELECT doc_id,
+               (start - 1) // 180 AS chunk_idx,
+               substring(text, start, 200) AS chunk_text,
+               length(substring(text, start, 200)) AS chunk_len
+        FROM (
+          SELECT doc_id, text,
+                 CAST(unnest(range(1, greatest(length(text) - 20, 1) + 1, 180))
+                      AS BIGINT) AS start
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0
+        )
+    """,
+    "dedup_paragraphs": """
+        WITH ex AS (
+          SELECT doc_id,
+                 CAST(unnest(range(len(l))) AS BIGINT) AS idx,
+                 unnest(l) AS raw
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+                FROM documents WHERE text IS NOT NULL)
+        ),
+        paras AS (
+          SELECT doc_id, idx, trim(raw) AS para,
+                 doc_id * 1000000 + idx AS okey
+          FROM ex WHERE trim(raw) <> ''
+        ),
+        flagged AS (
+          SELECT *, okey = min(okey) OVER (PARTITION BY md5(para)) AS kept
+          FROM paras
+        )
+        SELECT doc_id,
+               CASE WHEN count(*) FILTER (WHERE kept) > 0
+                    THEN string_agg(para, chr(10) ORDER BY idx)
+                         FILTER (WHERE kept) END AS clean_text,
+               count(*) FILTER (WHERE kept) AS n_kept,
+               count(*) - count(*) FILTER (WHERE kept) AS n_dropped
+        FROM flagged GROUP BY doc_id
+    """,
     "dedup_minhash": MINHASH_SQL,
     "dedup_simhash": _simhash_sql(32),
     "dedup_jaccard": JACCARD_SQL,

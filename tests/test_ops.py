@@ -381,3 +381,54 @@ def test_boilerplate_and_lm_score_basics(spark):
     # the all-rare-tokens doc is less probable than template-heavy docs
     assert lm[99]["lm_score"] < lm[0]["lm_score"]
     assert all(r["lm_score"] < 0 for r in lm.values())
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from hashquery_spark.ops import chunk_documents
+
+    text = "abcdefghijklmnopqrstuvwxyz" * 10  # 260 chars
+    df = spark.createDataFrame(
+        [(1, text), (2, "short"), (3, None), (4, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "text", "doc_id", size=100, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # null/empty docs produce no chunks
+    assert set(by_doc) == {1, 2}
+    # short doc -> exactly one chunk, the full text
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short"
+    # chunks are stride-spaced, size-wide, and reconstruct the doc exactly
+    chunks = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+    stride = 90
+    rebuilt = chunks[0].chunk_text
+    for k, c in enumerate(chunks[1:], start=1):
+        assert rebuilt[k * stride : k * stride + 10] == c.chunk_text[:10]  # overlap
+        rebuilt += c.chunk_text[10:]
+    assert rebuilt == text
+    assert all(c.chunk_len == len(c.chunk_text) for c in chunks)
+    # last chunk may be short but never empty
+    assert 0 < chunks[-1].chunk_len <= 100
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from hashquery_spark.ops import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta\n\n  \nalpha"),  # beta+alpha dup doc1; blanks ignored
+            (3, "beta\nbeta"),  # all dups (cross-doc and within-doc)
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_paragraphs(df, "text", "doc_id").collect()}
+    assert rows[1].clean_text == "alpha\nbeta\ngamma"
+    assert rows[1].n_kept == 3 and rows[1].n_dropped == 0
+    assert rows[2].clean_text == "delta"  # survivors keep original order
+    assert rows[2].n_kept == 1 and rows[2].n_dropped == 2
+    assert rows[3].clean_text is None
+    assert rows[3].n_kept == 0 and rows[3].n_dropped == 2
+    assert 4 not in rows  # NULL text -> no paragraphs at all
