@@ -1470,6 +1470,15 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """Top-50 adjacent word pairs (one BPE-training iteration at word
+    level) — one explode + one partial-combined groupBy + bounded top-k."""
+    from hashquery_spark.ops import bpe_pair_counts
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return bpe_pair_counts(docs, "text", "doc_id", top_k=50)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Fixed-width overlapping character chunks — one narrow generator
     stage (sequence+posexplode+substring), no shuffle."""
@@ -1801,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_expr_steps": q_funnel_expr_steps,
         "dedup_exact": q_dedup_exact,
         "chunk_documents": q_chunk_documents,
+        "bpe_pairs": q_bpe_pairs,
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,

@@ -43,6 +43,7 @@ from .sampling import (
 )
 from .text import (
     boilerplate_ngrams,
+    bpe_pair_counts,
     doc_fingerprint,
     language_id,
     pii_scrub,
@@ -107,6 +108,7 @@ __all__ = [
     "range_join",
     "chunk_documents",
     "dedup_paragraphs",
+    "bpe_pair_counts",
     "salted_aggregate",
     "salted_join",
 ]

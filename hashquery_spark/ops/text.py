@@ -323,3 +323,27 @@ def tfidf_top_terms(
         .where(F.col("term_rank") <= top_terms)
         .select(id_col, "token", "tf", "tfidf", "term_rank")
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, id_col: str, top_k: int = 50
+) -> DataFrame:
+    """(pair, n) — the ``top_k`` most frequent adjacent word pairs across
+    the corpus, i.e. one iteration of the BPE-training inner loop (count
+    all adjacent symbol pairs, take the most frequent) lifted to word
+    level. Total order: (n DESC, pair ASC).
+
+    Scale: one explode of per-doc 2-shingles (non-distinct — every
+    occurrence counts, unlike :func:`boilerplate_ngrams`), one
+    groupBy(pair) with map-side partial aggregation, and a bounded
+    TakeOrderedAndProject for the top-k — no full sort, no second
+    shuffle. Repeated iterations (real BPE) would re-tokenize with the
+    merged symbol and rerun; each iteration is one scan."""
+    from .dedup import ensure_parallelism, word_shingles
+
+    ex = (
+        ensure_parallelism(df.where(F.col(text_col).isNotNull()))
+        .select(F.explode(word_shingles(F.col(text_col), 2)).alias("pair"))
+    )
+    counts = ex.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("pair")).limit(top_k)

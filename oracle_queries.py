@@ -1018,6 +1018,21 @@ ORACLE_SQL: dict[str, str] = {
                min(doc_id) AS keep_id, count(*) AS dup_count
         FROM documents GROUP BY 1
     """,
+    "bpe_pairs": f"""
+        WITH toks AS (
+          SELECT {TOKS.format(c='text')} AS t
+          FROM documents WHERE text IS NOT NULL
+        ),
+        pairs AS (
+          SELECT unnest(CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+                 ELSE [] END) AS pair
+          FROM toks
+        )
+        SELECT pair, count(*) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 50
+    """,
     "chunk_documents": """
         SELECT doc_id,
                (start - 1) // 180 AS chunk_idx,

@@ -432,3 +432,18 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     assert rows[3].clean_text is None
     assert rows[3].n_kept == 0 and rows[3].n_dropped == 2
     assert 4 not in rows  # NULL text -> no paragraphs at all
+
+
+def test_bpe_pair_counts_ordering(spark):
+    from hashquery_spark.ops import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "x"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = bpe_pair_counts(df, "text", "doc_id", top_k=10).collect()
+    assert [(r.pair, r.n) for r in rows] == [
+        ("a b", 3),   # twice in doc1, once in doc2 (every occurrence counts)
+        ("b a", 1),
+        ("b c", 1),
+    ]
