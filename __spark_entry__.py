@@ -1532,6 +1532,25 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_ann(emb, probes, "embedding", "vec_id", k=10, n_centroids=8, n_probe=2)
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding — explode to (label,pos,v) for map-side
+    partial sums; integer-scaled micro-units keep sums exact cross-engine."""
+    from hashquery_spark.ops import embedding_centroids
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    return embedding_centroids(emb, "embedding", "label")
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Lloyd's k-means assignment after 3 iterations. Iterative —
+    rows-only check (each assign/update step is individually exact)."""
+    from hashquery_spark.ops import kmeans_fit
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    _, assigned = kmeans_fit(emb, "embedding", "vec_id", k=8, iters=3)
+    return assigned.select("vec_id", "cluster")
+
+
 def q_text_langid(spark, sf_dir):
     docs = _conn(spark, sf_dir).table("documents")
     return language_id(docs, "text", "doc_id")
@@ -1820,6 +1839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "embedding_centroids": q_embedding_centroids,
+        "kmeans_clusters": q_kmeans_clusters,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,

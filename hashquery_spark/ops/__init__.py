@@ -65,6 +65,7 @@ from .skew import salted_aggregate, salted_join
 from .asof import asof_join
 from .range_join import range_join
 from .chunking import chunk_documents, dedup_paragraphs
+from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
 
 __all__ = [
     "dedup_clusters",
@@ -109,6 +110,9 @@ __all__ = [
     "chunk_documents",
     "dedup_paragraphs",
     "bpe_pair_counts",
+    "embedding_centroids",
+    "kmeans_assign",
+    "kmeans_fit",
     "salted_aggregate",
     "salted_join",
 ]

@@ -1,0 +1,144 @@
+"""Embedding clustering: per-label centroids and distributed Lloyd's
+k-means (net-new beyond the reference, which has no vector surface).
+
+Scale notes:
+
+* ``embedding_centroids`` explodes (label, pos, value) so the per-cell
+  sums get map-side partial aggregation — the classic way to mean arrays
+  without collecting whole vectors per group. Two shuffles, both on tiny
+  (label, pos) / (label) keys; vector payloads never shuffle whole.
+* ``kmeans_fit`` is Lloyd's with the centroid set held on the driver
+  (k × dim floats — the same bounded role as a broadcast variable) and
+  inlined as literals, so assignment is one narrow codegen'd pass with NO
+  join (the pattern proven by :class:`similarity.IvfIndex`). Each
+  iteration costs one corpus scan + one (cluster, pos)-keyed shuffle of
+  scalar partial sums. The argmin drops the shared |v|^2 term —
+  ``argmin_j |v - c_j|^2 == argmin_j (|c_j|^2 - 2 v.c_j)`` — so each
+  centroid contributes exactly ONE dot product to the expression tree
+  (a greatest()/CASE formulation duplicates every dot ~k times; see the
+  measured note in similarity.IvfIndex.sim_structs_sql).
+
+Determinism: assignment compares per-row IEEE doubles (no cross-row
+reduction), and centroid updates sum integer-scaled micro-units — exact
+under any partitioning/aggregation order. Sums stay exact while
+``n_rows_per_cell * 1e6 * max|v| < 2^63`` (~9e12 rows at |v|<=1, far past
+100 TB of embeddings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# micro-unit scaling: floor(v*1e6 + 0.5) = round-half-up, exact in both
+# Spark and DuckDB (floor over IEEE doubles), negative-safe.
+_SCALE_SQL = "CAST(floor(CAST({v} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def embedding_centroids(
+    df: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """(label, dim, centroid) — element-wise mean embedding per label,
+    rounded to 6 decimals. ``dim`` is the number of vector positions seen
+    for the label (equals the embedding dimension when all vectors agree).
+    """
+    ex = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .selectExpr(
+            label_col,
+            "CAST(pos AS BIGINT) AS pos",
+            _SCALE_SQL.format(v="v") + " AS sv",
+        )
+    )
+    cell = ex.groupBy(label_col, "pos").agg(
+        F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return cell.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        F.round(F.col("s") / (F.col("n") * 1000000.0), 6).alias("c"),
+                    )
+                )
+            ),
+            lambda x: x["c"],
+        ).alias("centroid"),
+    )
+
+
+def _argmin_cluster_sql(vec_col: str, cents) -> str:
+    """Flat argmin-by-squared-L2 over literal centroids, rendered as ONE
+    SQL string (a per-Column build pays one py4j round-trip per literal
+    float). Ties break to the lowest cluster id via struct ordering."""
+    structs = []
+    for cid, cvec in cents:
+        arr = "array(" + ",".join(f"{v!r}D" for v in cvec) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+        )
+        csq = sum(v * v for v in cvec)
+        structs.append(
+            f"named_struct('d', {csq!r}D - 2.0D * {dot}, "
+            f"'cluster', CAST({cid} AS BIGINT))"
+        )
+    return "array_min(array(" + ",".join(structs) + ")).cluster"
+
+
+def kmeans_assign(df: DataFrame, vec_col: str, id_col: str, cents) -> DataFrame:
+    """(id, cluster) — nearest centroid per vector; ``cents`` is a list of
+    ``(cluster_id, [floats])``. One narrow codegen'd pass, no join."""
+    return df.where(F.col(vec_col).isNotNull()).selectExpr(
+        id_col,
+        f"`{vec_col}`",
+        _argmin_cluster_sql(vec_col, cents) + " AS cluster",
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+):
+    """Lloyd's k-means. Returns ``(centroids, assigned)`` where
+    ``centroids`` is ``[(cluster_id, [floats])]`` and ``assigned`` is the
+    (id, vec, cluster) DataFrame under the final centroids.
+
+    Deterministic: init = the ``k`` vectors with the smallest ids;
+    updates use exact integer-scaled sums; empty clusters keep their
+    previous centroid. Iterative by nature — no SQL oracle exists
+    (the per-iteration assign+update steps are individually checkable)."""
+    init = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [(cid, [float(x) for x in r[vec_col]]) for cid, r in enumerate(init)]
+    for _ in range(iters):
+        assigned = kmeans_assign(df, vec_col, id_col, cents)
+        cell = (
+            assigned.select(F.col("cluster"), F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .selectExpr("cluster", "pos", _SCALE_SQL.format(v="v") + " AS sv")
+            .groupBy("cluster", "pos")
+            .agg(F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k * dim rows
+        )
+        by_cluster: dict = {}
+        for r in cell:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["s"] / (
+                r["n"] * 1000000.0
+            )
+        cents = [
+            (cid, [vals[p] for p in sorted(vals)] if vals else old)
+            for cid, old in cents
+            for vals in (by_cluster.get(cid),)
+        ]
+    return cents, kmeans_assign(df, vec_col, id_col, cents)

@@ -1078,6 +1078,23 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh": ANN_LSH_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
     "ann_ivf": ANN_IVF_SQL,
+    "embedding_centroids": """
+        WITH ex AS (
+          SELECT label,
+                 CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+                 unnest(embedding) AS v
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        cell AS (
+          SELECT label, pos,
+                 sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s,
+                 count(*) AS n
+          FROM ex GROUP BY label, pos
+        )
+        SELECT label, count(*) AS dim,
+               list(round(s / (n * 1000000.0), 6) ORDER BY pos) AS centroid
+        FROM cell GROUP BY label
+    """,
     "text_langid": LANGID_SQL,
     "text_quality": QUALITY_SQL,
     "text_tokens": TOKENS_SQL,

@@ -447,3 +447,38 @@ def test_bpe_pair_counts_ordering(spark):
         ("b a", 1),
         ("b c", 1),
     ]
+
+
+def test_embedding_centroids_exact_means(spark):
+    from hashquery_spark.ops import embedding_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [10.0, -2.0], 1),
+            (4, None, 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r.label: r for r in embedding_centroids(df, "embedding", "label").collect()}
+    assert rows[0].dim == 2 and rows[0].centroid == [2.0, 3.0]
+    assert rows[1].dim == 2 and rows[1].centroid == [10.0, -2.0]  # null vec ignored
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from hashquery_spark.ops import kmeans_fit
+
+    pts = [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)] + [
+        (i, [100.0 + i * 0.01, 100.0]) for i in range(5, 10)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    cents, assigned = kmeans_fit(df, "embedding", "vec_id", k=2, iters=3)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    low = {got[i] for i in range(5)}
+    high = {got[i] for i in range(5, 10)}
+    assert len(low) == 1 and len(high) == 1 and low != high
+    # converged centroids are the group means
+    by_id = dict(cents)
+    lo = by_id[got[0]]
+    assert abs(lo[0] - 0.02) < 1e-6 and abs(lo[1] - 0.0) < 1e-6
