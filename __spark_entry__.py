@@ -1532,6 +1532,16 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_ann(emb, probes, "embedding", "vec_id", k=10, n_centroids=8, n_probe=2)
 
 
+def q_profile_table(spark, sf_dir):
+    """One-scan data profile of documents: every per-column stat (incl.
+    exact distincts via one Expand) in a single global aggregate, then
+    stack-unpivoted — no per-column jobs."""
+    from hashquery_spark.ops import profile_table
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return profile_table(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label mean embedding — explode to (label,pos,v) for map-side
     partial sums; integer-scaled micro-units keep sums exact cross-engine."""
@@ -1840,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_centroids": q_embedding_centroids,
+        "profile_table": q_profile_table,
         "kmeans_clusters": q_kmeans_clusters,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,

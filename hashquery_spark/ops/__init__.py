@@ -66,6 +66,7 @@ from .asof import asof_join
 from .range_join import range_join
 from .chunking import chunk_documents, dedup_paragraphs
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
+from .profile import profile_table
 
 __all__ = [
     "dedup_clusters",
@@ -113,6 +114,7 @@ __all__ = [
     "embedding_centroids",
     "kmeans_assign",
     "kmeans_fit",
+    "profile_table",
     "salted_aggregate",
     "salted_join",
 ]

@@ -1078,6 +1078,17 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh": ANN_LSH_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
     "ann_ivf": ANN_IVF_SQL,
+    "profile_table": " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name, count(*) AS n_rows,
+               count({c}) AS n_nonnull, count(*) - count({c}) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM documents
+        """
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    ),
     "embedding_centroids": """
         WITH ex AS (
           SELECT label,

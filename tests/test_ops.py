@@ -482,3 +482,25 @@ def test_kmeans_separates_obvious_clusters(spark):
     by_id = dict(cents)
     lo = by_id[got[0]]
     assert abs(lo[0] - 0.02) < 1e-6 and abs(lo[1] - 0.0) < 1e-6
+
+
+def test_profile_table_stats_and_one_scan(spark):
+    from hashquery_spark.ops import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "id long, s string",
+    )
+    rows = {r.column_name: r for r in profile_table(df).collect()}
+    r = rows["id"]
+    assert (r.n_rows, r.n_nonnull, r.n_null, r.n_distinct) == (4, 3, 1, 3)
+    assert (r.min_value, r.max_value) == ("1", "3")
+    s = rows["s"]
+    assert (s.n_nonnull, s.n_null, s.n_distinct) == (3, 1, 2)
+    assert (s.min_value, s.max_value) == ("a", "b")
+    # approx variant plans WITHOUT the Expand the exact distincts need
+    exact_plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = (
+        profile_table(df, approx=True)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan and "Expand" not in approx_plan
