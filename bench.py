@@ -44,6 +44,10 @@ HEADLINE = [
     "tpch_q8",
     "lm_score",
     "sequence_packing",
+    # round-1 second-continuation extensions (appended)
+    "dedup_paragraphs",
+    "bpe_pairs",
+    "profile_table",
 ]
 
 
