@@ -1532,6 +1532,38 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_ann(emb, probes, "embedding", "vec_id", k=10, n_centroids=8, n_probe=2)
 
 
+def q_join_many_rollup(spark, sf_dir):
+    """One-to-many relation: orders pre-aggregated per customer via
+    with_join_many (measures become fan-out-proof per-row attributes),
+    then rolled up by market segment. Decimal-routed at BOTH aggregation
+    levels so sums are order-independent cross-engine."""
+    conn = _conn(spark, sf_dir)
+    orders = Model(conn, "orders").with_measures(
+        func.count().named("n_orders"),
+        func.sum(attr.o_totalprice.cast("decimal(18,4)"))
+        .cast("double")
+        .named("spend"),
+    )
+    cust = (
+        Model(conn, "customer")
+        .with_primary_key(attr.c_custkey)
+        .with_join_many(orders, foreign_key=attr.o_custkey, named="orders")
+    )
+    return cust.with_attributes(
+        func.coalesce(rel.orders.n_orders, 0).named("cust_orders"),
+        func.coalesce(rel.orders.spend, 0.0).named("cust_spend"),
+    ).aggregate(
+        groups=[attr.c_mktsegment],
+        measures=[
+            func.count().named("n_customers"),
+            func.sum(attr.cust_orders).cast("bigint").named("total_orders"),
+            func.sum(attr.cust_spend.cast("decimal(18,4)"))
+            .cast("double")
+            .named("total_spend"),
+        ],
+    ).to_df()
+
+
 def q_profile_table(spark, sf_dir):
     """One-scan data profile of documents: every per-column stat (incl.
     exact distincts via one Expand) in a single global aggregate, then
@@ -1851,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_centroids": q_embedding_centroids,
         "profile_table": q_profile_table,
+        "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,

@@ -352,6 +352,68 @@ class Model:
             broadcast=broadcast,
         )
 
+    def with_join_many(
+        self,
+        joined: "Model",
+        *,
+        foreign_key,
+        key=None,
+        named=None,
+        broadcast: bool = False,
+    ) -> "Model":
+        """Attach a one-to-many relation (net-new; the reference only has
+        the many-to-one ``with_join_one``, src/model/model.py:282-350).
+
+        The many side is pre-aggregated per its ``foreign_key`` — the
+        joined model's MEASURES become per-row attributes of this model
+        (``rel.<name>.<measure_name>``), which makes a 1-N reference
+        fan-out-proof by construction: a raw one-to-many join duplicates
+        outer rows and double-counts every downstream aggregate (the
+        classic symmetric-aggregate hazard); aggregating before the join
+        makes that state unrepresentable. Rows with no children read NULL
+        for every relation attribute (coalesce explicitly for 0-defaults,
+        as TPC-H Q13 does).
+
+        ``foreign_key`` is resolved against the JOINED model (the child's
+        pointer back to us); ``key`` is the matching expression on this
+        model, defaulting to the primary key.
+
+        Lazy like join_one: nothing enters the plan unless the relation
+        is referenced. Scale: compiles to groupBy(fk).agg(measures) on
+        the many side — map-side partial aggregation, one shuffle of one
+        narrow row per key — then a key equi-join whose strategy is left
+        to AQE (a pre-aggregated child side is often broadcastable even
+        when the raw child table is not).
+        """
+        joined = resolve_keypath(self, joined)
+        if not joined._measures:
+            raise ValueError(
+                "`.with_join_many` exposes the joined model's measures as "
+                "per-row attributes; define them first with `.with_measures`"
+            )
+        relation_name = _unwrap_name(named)
+        if not relation_name:
+            relation_name = (
+                joined._source.default_identifier() if joined._source else None
+            )
+        if not relation_name:
+            raise ValueError(
+                "Join was not provided an identifier and a default could not "
+                "be inferred. Provide an explicit name using `named=`"
+            )
+        fk = joined._prep(resolve_keypath(joined, foreign_key))
+        key_name = fk.identifier or "__join_many_key__"
+        rolled = joined.aggregate(
+            groups=[fk.named(key_name)], measures=list(joined._measures)
+        )
+        outer_key = (
+            resolve_keypath(self, key) if key is not None else self._primary_key
+        )
+        cond = to_expr(outer_key) == column(key_name).disambiguated(relation_name)
+        return self.with_join_one(
+            rolled, condition=cond, named=relation_name, broadcast=broadcast
+        )
+
     @builder_method
     def with_activity_schema(self, *, group, timestamp, event_key) -> "Model":
         """(group, timestamp, event_key) defaults for event analysis

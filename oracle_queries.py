@@ -1078,6 +1078,19 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh": ANN_LSH_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
     "ann_ivf": ANN_IVF_SQL,
+    "join_many_rollup": """
+        WITH oc AS (
+          SELECT o_custkey, count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT c_mktsegment, count(*) AS n_customers,
+               CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS total_orders,
+               CAST(sum(CAST(coalesce(spend, 0.0) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_spend
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
     "profile_table": " UNION ALL ".join(
         f"""
         SELECT '{c}' AS column_name, count(*) AS n_rows,

@@ -315,3 +315,74 @@ def test_dead_join_elision_applies_to_inner_joins_too(conn):
     referenced = elided.filter(rel.c.loyalty == "Gold")
     semi = base.filter(attr.customer_id.in_(cust.pick(attr.id)))
     assert referenced.to_df().count() == semi.to_df().count() < n_all
+
+
+def test_join_many_measures_as_attributes(conn):
+    sales = Model(conn, "sales").with_measures(
+        func.count().named("n_sales"), func.sum(attr.qty).named("total_qty")
+    )
+    cust = (
+        Model(conn, "customers")
+        .with_primary_key(attr.id)
+        .with_join_many(sales, foreign_key=attr.customer_id, named="sales")
+    )
+    rows = {
+        r["name"]: r
+        for r in cust.pick(
+            attr.name,
+            rel.sales.n_sales.named("n_sales"),
+            rel.sales.total_qty.named("total_qty"),
+        ).run().py_records
+    }
+    assert rows["Ada"]["n_sales"] == 2 and rows["Ada"]["total_qty"] == 3
+    assert rows["Bo"]["n_sales"] == 1 and rows["Bo"]["total_qty"] == 4
+    # customers with no children read NULL (left join), never drop
+    assert len(rows) == 2
+
+
+def test_join_many_never_fans_out(conn):
+    sales = Model(conn, "sales").with_measures(func.count().named("n_sales"))
+    cust = (
+        Model(conn, "customers")
+        .with_primary_key(attr.id)
+        .with_join_many(sales, foreign_key=attr.customer_id, named="sales")
+    )
+    # referencing the relation must not duplicate outer rows
+    out = cust.aggregate(
+        measures=[func.count().named("n"), func.sum(rel.sales.n_sales).named("t")]
+    ).run().py_records[0]
+    assert out["n"] == 2  # still one row per customer
+    assert out["t"] == 3  # 2 (Ada) + 1 (Bo); sale with customer 999 unmatched
+
+
+def test_join_many_elided_when_unreferenced(conn):
+    sales = Model(conn, "sales").with_measures(func.count().named("n_sales"))
+    cust = (
+        Model(conn, "customers")
+        .with_primary_key(attr.id)
+        .with_join_many(sales, foreign_key=attr.customer_id, named="sales")
+    )
+    plan = cust.limit(10).to_df()._jdf.queryExecution().optimizedPlan().toString()
+    assert "sales" not in plan
+
+
+def test_join_many_requires_measures(conn):
+    with pytest.raises(ValueError, match="measures"):
+        Model(conn, "customers").with_join_many(
+            Model(conn, "sales"), foreign_key=attr.customer_id, named="s"
+        )
+
+
+def test_join_many_wire_roundtrip(conn):
+    import json
+
+    sales = Model(conn, "sales").with_measures(func.count().named("n_sales"))
+    m = (
+        Model(conn, "customers")
+        .with_primary_key(attr.id)
+        .with_join_many(sales, foreign_key=attr.customer_id, named="sales")
+        .pick(attr.name, rel.sales.n_sales.named("n_sales"))
+    )
+    restored = Model.from_wire(json.loads(json.dumps(m.to_wire())), connection=conn)
+    key = lambda rows: sorted(str(r) for r in rows)
+    assert key(m.to_df().collect()) == key(restored.to_df().collect())
