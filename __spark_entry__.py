@@ -492,6 +492,41 @@ def q_scalar_functions(spark, sf_dir):
     )
 
 
+def q_string_math_functions(spark, sf_dir):
+    """Second net-new scalar batch end-to-end: regex extract/replace,
+    literal replace, substring/instr/pad/repeat, reverse, and rounded
+    math (pow/mod/sign/ln/exp/log10, greatest/least/nullif) — all
+    codegen'd builtins, libm-sensitive results rounded pre-compare."""
+    conn = _conn(spark, sf_dir)
+    return (
+        Model(conn, "customer")
+        .filter(attr.c_custkey < 200)
+        .pick(
+            attr.c_custkey,
+            func.reverse(attr.c_mktsegment).named("seg_rev"),
+            func.substring(attr.c_name, 1, 8).named("name8"),
+            func.replace(attr.c_name, column(value="Customer"), column(value="Cust")).named(
+                "name_short"
+            ),
+            func.regexp_extract(attr.c_name, r"#(\d+)", 1).named("name_num"),
+            func.regexp_replace(attr.c_name, r"\d", "*").named("name_masked"),
+            func.instr(attr.c_name, column(value="#")).cast("bigint").named("hash_pos"),
+            func.lpad(attr.c_custkey.cast("string"), 6, "0").named("key_padded"),
+            func.rpad(attr.c_mktsegment, 12, ".").named("seg_padded"),
+            func.repeat(attr.c_mktsegment, 2).named("seg_twice"),
+            func.sign(attr.c_acctbal).cast("bigint").named("bal_sign"),
+            func.mod(attr.c_custkey, 7).cast("bigint").named("key_mod7"),
+            func.round(func.pow(attr.c_acctbal / 1000.0, 2), 6).named("bal_sq"),
+            func.round(func.ln(attr.c_custkey + 1), 6).named("ln_key"),
+            func.round(func.log10(attr.c_custkey + 1), 6).named("log10_key"),
+            func.greatest(attr.c_acctbal, column(value=0.0)).named("bal_floor0"),
+            func.least(attr.c_acctbal, column(value=0.0)).named("bal_cap0"),
+            func.nullif(attr.c_nationkey, column(value=0)).named("nation_nz"),
+        )
+        .to_df()
+    )
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 forecast revenue change: pure filter+global-agg — every
     predicate reaches the parquet scan (plan-asserted class), decimal-
@@ -1827,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q6": q_tpch_q6,
         "scalar_functions": q_scalar_functions,
+        "string_math_functions": q_string_math_functions,
         "tpch_q17": q_tpch_q17,
         "tpch_q7": q_tpch_q7,
         "set_ops_all": q_set_ops_all,

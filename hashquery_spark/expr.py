@@ -1055,6 +1055,18 @@ class PythonUdfExpression(ColumnExpression):
         )
 
 
+# extra scalar-function parameters carried outside the args list:
+# (python attribute, wire-format key) — serialized only when present
+_SQL_FN_EXTRAS = [
+    ("pad_len", "padLen"),
+    ("pad_str", "padStr"),
+    ("repeat_n", "repeatN"),
+    ("regex_pattern", "regexPattern"),
+    ("regex_group", "regexGroup"),
+    ("regex_repl", "regexRepl"),
+]
+
+
 class SqlFunctionExpression(ColumnExpression):
     __TYPE_KEY__ = "sqlFunction"
 
@@ -1113,6 +1125,46 @@ class SqlFunctionExpression(ColumnExpression):
         # function library")
         if fn in ("abs", "length", "lower", "upper", "trim", "sqrt"):
             return getattr(F, fn)(self.args[0].compile(ctx))
+        if fn in (
+            "exp", "log2", "log10", "reverse", "initcap", "ltrim", "rtrim", "md5",
+        ):
+            return getattr(F, fn)(self.args[0].compile(ctx))
+        if fn == "ln":
+            return F.log(self.args[0].compile(ctx))
+        if fn == "sign":
+            return F.signum(self.args[0].compile(ctx))
+        if fn == "pow":
+            return F.pow(self.args[0].compile(ctx), self.args[1].compile(ctx))
+        if fn == "mod":
+            return self.args[0].compile(ctx) % self.args[1].compile(ctx)
+        if fn in ("greatest", "least"):
+            return getattr(F, fn)(*[a.compile(ctx) for a in self.args])
+        if fn == "nullif":
+            a, b = self.args[0].compile(ctx), self.args[1].compile(ctx)
+            # ANSI: NULL when equal, else a (NULL inputs fall through to a)
+            return F.when(a == b, F.lit(None)).otherwise(a)
+        if fn == "substring":
+            return F.substring(*[a.compile(ctx) for a in self.args])
+        if fn == "replace":
+            return F.replace(*[a.compile(ctx) for a in self.args])
+        if fn == "instr":
+            return F.instr(self.args[0].compile(ctx), self.args[1].compile(ctx))
+        if fn in ("lpad", "rpad"):
+            return getattr(F, fn)(
+                self.args[0].compile(ctx), self.pad_len, self.pad_str
+            )
+        if fn == "repeat":
+            return F.repeat(self.args[0].compile(ctx), self.repeat_n)
+        if fn == "regexpExtract":
+            return F.regexp_extract(
+                self.args[0].compile(ctx), self.regex_pattern, self.regex_group
+            )
+        if fn == "regexpReplace":
+            return F.regexp_replace(
+                self.args[0].compile(ctx), self.regex_pattern, self.regex_repl
+            )
+        if fn == "split":
+            return F.split(self.args[0].compile(ctx), self.regex_pattern)
         if fn == "round":
             return F.round(self.args[0].compile(ctx), self.round_scale)
         if fn == "concat":
@@ -1164,6 +1216,9 @@ class SqlFunctionExpression(ColumnExpression):
             out["jsonPath"] = self.json_path
         if hasattr(self, "rsd"):
             out["rsd"] = self.rsd
+        for attr_name, key in _SQL_FN_EXTRAS:
+            if hasattr(self, attr_name):
+                out[key] = getattr(self, attr_name)
         return out
 
     @classmethod
@@ -1178,6 +1233,9 @@ class SqlFunctionExpression(ColumnExpression):
             node.json_path = data["jsonPath"]
         if "rsd" in data:
             node.rsd = data["rsd"]
+        for attr_name, key in _SQL_FN_EXTRAS:
+            if key in data:
+                setattr(node, attr_name, data[key])
         return node
 
 

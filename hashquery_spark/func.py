@@ -318,3 +318,155 @@ def json_value(expr: Any, path: str) -> SqlFunctionExpression:
     node = SqlFunctionExpression("jsonValue", [expr])
     node.json_path = path
     return node
+
+
+# --- net-new scalar string/math batch (the reference routes ALL of these
+# through raw column(sql=...) text — SURVEY §2.7 "no general string
+# function library"; here they are first-class, typed, wire-serializable) ---
+
+
+@defer_keypath_args
+def exp(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("exp", [expr])
+
+
+@defer_keypath_args
+def ln(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("ln", [expr])
+
+
+@defer_keypath_args
+def log2(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("log2", [expr])
+
+
+@defer_keypath_args
+def log10(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("log10", [expr])
+
+
+@defer_keypath_args
+def sign(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("sign", [expr])
+
+
+@defer_keypath_args
+def reverse(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("reverse", [expr])
+
+
+@defer_keypath_args
+def initcap(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("initcap", [expr])
+
+
+@defer_keypath_args
+def ltrim(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("ltrim", [expr])
+
+
+@defer_keypath_args
+def rtrim(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("rtrim", [expr])
+
+
+@defer_keypath_args
+def md5(expr: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("md5", [expr])
+
+
+@defer_keypath_args
+def pow(expr: Any, exponent: Any) -> SqlFunctionExpression:  # noqa: A001
+    return SqlFunctionExpression("pow", [expr, exponent])
+
+
+@defer_keypath_args
+def mod(expr: Any, divisor: Any) -> SqlFunctionExpression:
+    """Remainder with the sign of the dividend (Spark ``%``; identical to
+    DuckDB ``%``/``mod``)."""
+    return SqlFunctionExpression("mod", [expr, divisor])
+
+
+@defer_keypath_args
+def greatest(*exprs: Any) -> SqlFunctionExpression:
+    """Largest non-NULL argument (NULL only if all are NULL) — the
+    null-skipping semantics Spark and DuckDB share."""
+    return SqlFunctionExpression("greatest", list(exprs))
+
+
+@defer_keypath_args
+def least(*exprs: Any) -> SqlFunctionExpression:
+    return SqlFunctionExpression("least", list(exprs))
+
+
+@defer_keypath_args
+def nullif(expr: Any, match: Any) -> SqlFunctionExpression:
+    """ANSI NULLIF: NULL when the two are equal, else the first value."""
+    return SqlFunctionExpression("nullif", [expr, match])
+
+
+@defer_keypath_args
+def substring(expr: Any, pos: Any, length: Any) -> SqlFunctionExpression:
+    """1-based substring; pos/length may be expressions."""
+    return SqlFunctionExpression("substring", [expr, pos, length])
+
+
+@defer_keypath_args
+def replace(expr: Any, search: Any, replacement: Any) -> SqlFunctionExpression:
+    """Literal (non-regex) substring replacement."""
+    return SqlFunctionExpression("replace", [expr, search, replacement])
+
+
+@defer_keypath_args
+def instr(expr: Any, substr: Any) -> SqlFunctionExpression:
+    """1-based position of the first occurrence; 0 when absent."""
+    return SqlFunctionExpression("instr", [expr, substr])
+
+
+@defer_keypath_args
+def lpad(expr: Any, width: int, pad: str = " ") -> SqlFunctionExpression:
+    node = SqlFunctionExpression("lpad", [expr])
+    node.pad_len, node.pad_str = int(width), str(pad)
+    return node
+
+
+@defer_keypath_args
+def rpad(expr: Any, width: int, pad: str = " ") -> SqlFunctionExpression:
+    node = SqlFunctionExpression("rpad", [expr])
+    node.pad_len, node.pad_str = int(width), str(pad)
+    return node
+
+
+@defer_keypath_args
+def repeat(expr: Any, n: int) -> SqlFunctionExpression:
+    node = SqlFunctionExpression("repeat", [expr])
+    node.repeat_n = int(n)
+    return node
+
+
+@defer_keypath_args
+def regexp_extract(expr: Any, pattern: str, group: int = 1) -> SqlFunctionExpression:
+    """First match of ``pattern``, returning capture ``group`` ('' when no
+    match). Keep patterns RE2-compatible (no backrefs/lookaround) so they
+    run identically on Spark (Java regex) and DuckDB (RE2) — the same
+    portability rule as ops/text.redact_pii."""
+    node = SqlFunctionExpression("regexpExtract", [expr])
+    node.regex_pattern, node.regex_group = str(pattern), int(group)
+    return node
+
+
+@defer_keypath_args
+def regexp_replace(expr: Any, pattern: str, replacement: str) -> SqlFunctionExpression:
+    """Replace ALL matches of ``pattern`` (RE2-compatible patterns only —
+    see :func:`regexp_extract`)."""
+    node = SqlFunctionExpression("regexpReplace", [expr])
+    node.regex_pattern, node.regex_repl = str(pattern), str(replacement)
+    return node
+
+
+@defer_keypath_args
+def split(expr: Any, pattern: str) -> SqlFunctionExpression:
+    """Split into an array<string> on a regex pattern."""
+    node = SqlFunctionExpression("split", [expr])
+    node.regex_pattern = str(pattern)
+    return node

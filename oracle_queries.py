@@ -592,6 +592,28 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer
         WHERE c_custkey < 200
     """,
+    "string_math_functions": """
+        SELECT c_custkey,
+          reverse(c_mktsegment) AS seg_rev,
+          substring(c_name, 1, 8) AS name8,
+          replace(c_name, 'Customer', 'Cust') AS name_short,
+          regexp_extract(c_name, '#(\\d+)', 1) AS name_num,
+          regexp_replace(c_name, '\\d', '*', 'g') AS name_masked,
+          CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+          lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key_padded,
+          rpad(c_mktsegment, 12, '.') AS seg_padded,
+          repeat(c_mktsegment, 2) AS seg_twice,
+          CAST(sign(c_acctbal) AS BIGINT) AS bal_sign,
+          CAST(mod(c_custkey, 7) AS BIGINT) AS key_mod7,
+          round(pow(c_acctbal / 1000.0, 2), 6) AS bal_sq,
+          round(ln(c_custkey + 1), 6) AS ln_key,
+          round(log10(c_custkey + 1), 6) AS log10_key,
+          greatest(c_acctbal, 0.0) AS bal_floor0,
+          least(c_acctbal, 0.0) AS bal_cap0,
+          nullif(c_nationkey, 0) AS nation_nz
+        FROM customer
+        WHERE c_custkey < 200
+    """,
     "tpch_q6": """
         SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
           AS revenue

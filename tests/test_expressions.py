@@ -359,3 +359,51 @@ def test_scalar_convenience_functions(spark):
     node = func.round(column("x"), 3)
     back = ColumnExpression.from_wire(json.loads(json.dumps(node.to_wire())))
     assert back.round_scale == 3
+
+
+def test_scalar_batch_edge_semantics(spark):
+    conn = Connection(spark)
+    conn.register_records(
+        "sb",
+        [(1, "ab1cd", -5.0), (2, None, 0.0), (3, "xyz", 2.5)],
+        schema="id long, s string, x double",
+    )
+    rows = {
+        r["id"]: r
+        for r in Model(conn, "sb")
+        .pick(
+            attr.id,
+            func.nullif(attr.s, column(value="xyz")).named("nz"),
+            func.mod(attr.id - 2, 2).named("m"),  # -1 % 2 -> -1 (dividend sign)
+            func.greatest(attr.x, column(value=1.0)).named("g"),
+            func.regexp_extract(attr.s, r"(\d+)", 1).named("num"),
+            func.instr(attr.s, column(value="cd")).named("pos"),
+            func.sign(attr.x).named("sg"),
+        )
+        .run()
+        .py_records
+    }
+    assert rows[1]["nz"] == "ab1cd" and rows[3]["nz"] is None  # ANSI NULLIF
+    assert rows[2]["nz"] is None  # NULL input falls through to NULL
+    assert rows[1]["m"] == -1 and rows[3]["m"] == 1
+    assert rows[1]["g"] == 1.0 and rows[3]["g"] == 2.5
+    assert rows[1]["num"] == "1" and rows[3]["num"] == ""  # no match -> ''
+    assert rows[1]["pos"] == 4 and rows[3]["pos"] == 0  # absent -> 0
+    assert rows[1]["sg"] == -1.0 and rows[2]["sg"] == 0.0
+
+
+def test_scalar_batch_wire_roundtrip(spark):
+    import json
+
+    conn = Connection(spark)
+    conn.register_records("sbw", [(1, "a-b")], schema="id long, s string")
+    m = Model(conn, "sbw").pick(
+        func.lpad(attr.s, 5, "*").named("p"),
+        func.repeat(attr.s, 3).named("r"),
+        func.regexp_replace(attr.s, r"-", "_").named("u"),
+        func.split(attr.s, r"-").named("parts"),
+    )
+    restored = Model.from_wire(json.loads(json.dumps(m.to_wire())), connection=conn)
+    assert [str(r) for r in m.to_df().collect()] == [
+        str(r) for r in restored.to_df().collect()
+    ]
