@@ -1599,6 +1599,27 @@ def q_join_many_rollup(spark, sf_dir):
     ).to_df()
 
 
+def q_timeseries_rollup(spark, sf_dir):
+    """Hypertable-style multi-grain rollup: ONE raw scan at hour grain,
+    then day/week/month re-aggregate the previous level's tiny output
+    (the continuous-aggregate cascade); avg carries (decimal sum, count)
+    partials so it is never an avg of avgs."""
+    from hashquery_spark.ops import multi_grain_rollup
+
+    ev = _conn(spark, sf_dir).table("events")
+    return multi_grain_rollup(
+        ev,
+        "ts",
+        grains=("hour", "day", "week", "month"),
+        measures={
+            "n": ("count", "*"),
+            "total": ("sum", "value"),
+            "avg_v": ("avg", "value"),
+            "max_v": ("max", "value"),
+        },
+    )
+
+
 def q_profile_table(spark, sf_dir):
     """One-scan data profile of documents: every per-column stat (incl.
     exact distincts via one Expand) in a single global aggregate, then
@@ -1919,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_centroids": q_embedding_centroids,
         "profile_table": q_profile_table,
+        "timeseries_rollup": q_timeseries_rollup,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,
         "text_langid": q_text_langid,

@@ -1113,6 +1113,39 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer LEFT JOIN oc ON c_custkey = o_custkey
         GROUP BY c_mktsegment
     """,
+    "timeseries_rollup": """
+        SELECT 'hour' AS grain,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS avg_v,
+               max(value) AS max_v
+        FROM events WHERE ts IS NOT NULL GROUP BY 2
+ UNION ALL 
+        SELECT 'day' AS grain,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS avg_v,
+               max(value) AS max_v
+        FROM events WHERE ts IS NOT NULL GROUP BY 2
+ UNION ALL 
+        SELECT 'week' AS grain,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS avg_v,
+               max(value) AS max_v
+        FROM events WHERE ts IS NOT NULL GROUP BY 2
+ UNION ALL 
+        SELECT 'month' AS grain,
+               CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS avg_v,
+               max(value) AS max_v
+        FROM events WHERE ts IS NOT NULL GROUP BY 2
+""",
     "profile_table": " UNION ALL ".join(
         f"""
         SELECT '{c}' AS column_name, count(*) AS n_rows,

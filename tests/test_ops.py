@@ -504,3 +504,55 @@ def test_profile_table_stats_and_one_scan(spark):
         profile_table(df, approx=True)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" in exact_plan and "Expand" not in approx_plan
+
+
+def test_multi_grain_rollup_cascade(spark):
+    from datetime import datetime
+
+    from hashquery_spark.ops import multi_grain_rollup
+
+    rows = [
+        (datetime(2024, 1, 1, 10, 5), 1.0),
+        (datetime(2024, 1, 1, 10, 55), 3.0),
+        (datetime(2024, 1, 1, 11, 5), 10.0),
+        (datetime(2024, 2, 2, 0, 0), 100.0),
+        (datetime(2024, 2, 2, 1, 0), None),  # null value, counted by n only
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = multi_grain_rollup(
+        df,
+        "ts",
+        grains=("hour", "day", "month"),
+        measures={"n": ("count", "*"), "total": ("sum", "value"), "avg_v": ("avg", "value")},
+    )
+    res = {(r.grain, r.bucket.isoformat()): r for r in out.collect()}
+    # hour level straight from raw
+    h = res[("hour", "2024-01-01T10:00:00")]
+    assert (h.n, h.total, h.avg_v) == (2, 4.0, 2.0)
+    # day level re-aggregates hours — avg is sum/count, never avg of avgs
+    d = res[("day", "2024-01-01T00:00:00")]
+    assert (d.n, d.total) == (3, 14.0)
+    assert abs(d.avg_v - 14.0 / 3) < 1e-12  # avg-of-avgs would give 3.25
+    # nulls: counted by count(*), excluded from sum/avg
+    feb = res[("month", "2024-02-01T00:00:00")]
+    assert (feb.n, feb.total, feb.avg_v) == (2, 100.0, 100.0)
+    # the shared cascade levels dedup at runtime via exchange reuse
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_multi_grain_rollup_week_is_leaf(spark):
+    from datetime import datetime
+
+    from hashquery_spark.ops import multi_grain_rollup
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 31, 12), 1.0), (datetime(2024, 2, 1, 12), 1.0)],
+        "ts timestamp, value double",
+    )
+    # week straddles the month boundary: month must NOT derive from week
+    out = multi_grain_rollup(df, "ts", grains=("week", "month"))
+    res = {(r.grain, r.bucket.isoformat()): r.n for r in out.collect()}
+    assert res[("week", "2024-01-29T00:00:00")] == 2  # ISO Monday week
+    assert res[("month", "2024-01-01T00:00:00")] == 1
+    assert res[("month", "2024-02-01T00:00:00")] == 1
