@@ -287,6 +287,53 @@ def streaming_curate(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment — the canonical streaming-ETL
+    join. The static side is re-resolved against its source every
+    micro-batch, so a slowly-changing dimension table refreshes without
+    restarting the query.
+
+    ``broadcast=True`` (default) ships the dim to every task: a
+    stream-static join must never shuffle the *stream* side, and for the
+    usual small-dim case broadcasting removes the state store entirely
+    (stateless per-batch hash join). Set it False only for a dim too big
+    to broadcast — Spark then shuffles each micro-batch against the dim."""
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on=on, how=how)
+
+
+def write_stream_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: Optional[Sequence[str]] = None,
+    trigger_once: bool = False,
+):
+    """Exactly-once parquet sink: append mode + a checkpoint directory
+    gives atomic, resumable output (Spark tracks committed files in the
+    checkpoint — a crashed job resumes without duplicating data).
+    ``partition_by`` prunes downstream reads; ``trigger_once`` drains all
+    available input then stops (incremental batch). Returns the running
+    StreamingQuery."""
+    w = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain a (bounded) stream into an in-memory table with
     ``availableNow`` and return the result as a batch frame — the test

@@ -263,3 +263,45 @@ def test_streaming_curate_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and set(got) == {1, 4}
+
+
+def test_enrich_stream_with_static_dim(spark, stream_dir):
+    from hashquery_spark.streaming import enrich_stream
+
+    stream = read_event_stream(spark, stream_dir, SCHEMA)
+    dim = spark.createDataFrame(
+        [("signup", "acquisition"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    out = enrich_stream(stream, dim, on="event_type")
+    # stream-static joins are append-mode (stateless per micro-batch)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("enriched").collect()
+    cats = {(r.user_id, r.event_type): r.category for r in rows}
+    assert len(rows) == len(ROWS)  # left join: no stream rows lost
+    assert cats[(1, "signup")] == "acquisition"
+    assert cats[(1, "purchase")] == "revenue"
+    assert cats[(1, "click")] is None  # unmatched dim -> NULL
+
+
+def test_write_stream_parquet_exactly_once_resume(spark, stream_dir, tmp_path):
+    from hashquery_spark.streaming import write_stream_parquet
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, stream_dir, SCHEMA)
+    q = write_stream_parquet(stream, out_dir, ckpt, trigger_once=True)
+    q.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == len(ROWS)
+    # resuming from the same checkpoint with no new input writes NOTHING
+    q2 = write_stream_parquet(
+        read_event_stream(spark, stream_dir, SCHEMA), out_dir, ckpt, trigger_once=True
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == len(ROWS)
