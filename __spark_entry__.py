@@ -1620,6 +1620,16 @@ def q_timeseries_rollup(spark, sf_dir):
     )
 
 
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram with an explicit range: one narrow codegen'd
+    binning pass + one tiny groupBy(bin) shuffle; all edge arithmetic is
+    IEEE-double-exact cross-engine."""
+    from hashquery_spark.ops import histogram
+
+    li = _conn(spark, sf_dir).table("lineitem")
+    return histogram(li, "l_extendedprice", bins=16, lo=0.0, hi=160000.0)
+
+
 def q_profile_table(spark, sf_dir):
     """One-scan data profile of documents: every per-column stat (incl.
     exact distincts via one Expand) in a single global aggregate, then
@@ -1940,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_centroids": q_embedding_centroids,
         "profile_table": q_profile_table,
+        "histogram": q_histogram,
         "timeseries_rollup": q_timeseries_rollup,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,

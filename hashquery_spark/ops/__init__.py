@@ -66,7 +66,7 @@ from .asof import asof_join
 from .range_join import range_join
 from .chunking import chunk_documents, dedup_paragraphs
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
-from .profile import profile_table
+from .profile import histogram, profile_table
 from .timeseries import multi_grain_rollup
 
 __all__ = [
@@ -116,6 +116,7 @@ __all__ = [
     "kmeans_assign",
     "kmeans_fit",
     "profile_table",
+    "histogram",
     "multi_grain_rollup",
     "salted_aggregate",
     "salted_join",

@@ -58,3 +58,52 @@ def profile_table(df: DataFrame, cols=None, approx: bool = False) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram: (bin, lo_edge, hi_edge, n), only non-empty
+    bins. With explicit ``lo``/``hi`` this is ONE narrow codegen'd pass +
+    one tiny groupBy(bin) shuffle; without them a (min, max) aggregate
+    job runs first to fix the range — pass the range when you know it.
+
+    Values land in ``floor((x - lo) / width)`` clamped to the last bin
+    (so ``x == hi`` is included, the numpy convention); out-of-range rows
+    are dropped. All edge arithmetic is plain IEEE doubles — identical
+    in any engine, so results are exactly reproducible."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if lo is None or hi is None:
+        row = df.selectExpr(
+            f"CAST(min(`{col}`) AS DOUBLE) AS lo", f"CAST(max(`{col}`) AS DOUBLE) AS hi"
+        ).collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+        if lo is None:
+            raise ValueError(f"column {col!r} has no non-null values")
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        raise ValueError("require hi > lo")
+    width = (hi - lo) / bins
+    return (
+        df.where(
+            f"`{col}` IS NOT NULL AND `{col}` >= {lo!r}D AND `{col}` <= {hi!r}D"
+        )
+        .selectExpr(
+            f"least({bins - 1}, CAST(floor((CAST(`{col}` AS DOUBLE) - {lo!r}D) "
+            f"/ {width!r}D) AS BIGINT)) AS bin"
+        )
+        .groupBy("bin")
+        .count()
+        .selectExpr(
+            "bin",
+            f"{lo!r}D + bin * {width!r}D AS lo_edge",
+            f"{lo!r}D + (bin + 1) * {width!r}D AS hi_edge",
+            "count AS n",
+        )
+    )

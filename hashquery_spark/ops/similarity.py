@@ -155,14 +155,16 @@ def ivf_index(
     id_col: str = "vec_id",
     n_centroids: int = 8,
     cache: bool = False,
+    kmeans_iters: int = 0,
 ) -> IvfIndex:
     """Build the IVF index: pick centroids, assign every corpus vector to
     its nearest cell.
 
-    Centroids are the deterministic first ``n_centroids`` corpus vectors
-    (a real deployment would k-means them; the *index structure* — cell
-    assignment, multi-cell probing, within-cell exact ranking — is the
-    part that matters). The centroid set is collected to the driver
+    Centroids default to the deterministic first ``n_centroids`` corpus
+    vectors; ``kmeans_iters > 0`` instead trains them with distributed
+    Lloyd's k-means (ops/clustering.kmeans_fit) — ``kmeans_iters`` extra
+    scans at build time buy better-balanced cells, i.e. fewer vectors
+    touched per probe at the same recall (the FAISS IVF recipe). The centroid set is collected to the driver
     (bounded: n_centroids × dim floats, same role as a broadcast) and
     inlined as literals, so cell assignment is a narrow codegen'd pass
     with NO join. ``cache=True`` persists the assigned corpus for repeated
@@ -173,12 +175,20 @@ def ivf_index(
     assignments exactly."""
     import math
 
-    cents = sorted(
-        (r[0], [float(x) for x in r[1]])
-        for r in corpus.where(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .collect()
-    )
+    if kmeans_iters > 0:
+        from .clustering import kmeans_fit
+
+        cents, _ = kmeans_fit(
+            corpus, vec_col, id_col, k=n_centroids, iters=kmeans_iters
+        )
+        cents = sorted(cents)
+    else:
+        cents = sorted(
+            (r[0], [float(x) for x in r[1]])
+            for r in corpus.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        )
     # centroid norms precomputed in Python: Spark's higher-order folds are
     # interpreted (not codegen'd), so recomputing |c| and |v| inside every
     # centroid cosine tripled the per-row fold count (measured 2.5× slower)

@@ -1146,6 +1146,19 @@ ORACLE_SQL: dict[str, str] = {
                max(value) AS max_v
         FROM events WHERE ts IS NOT NULL GROUP BY 2
 """,
+    "histogram": """
+        SELECT least(15, CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+                 / 10000.0) AS BIGINT)) AS bin,
+               CAST(0.0 + least(15, CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+                 / 10000.0) AS BIGINT)) * 10000.0 AS DOUBLE) AS lo_edge,
+               CAST(0.0 + (least(15, CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+                 / 10000.0) AS BIGINT)) + 1) * 10000.0 AS DOUBLE) AS hi_edge,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND l_extendedprice >= 0.0 AND l_extendedprice <= 160000.0
+        GROUP BY 1
+    """,
     "profile_table": " UNION ALL ".join(
         f"""
         SELECT '{c}' AS column_name, count(*) AS n_rows,

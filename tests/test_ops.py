@@ -556,3 +556,44 @@ def test_multi_grain_rollup_week_is_leaf(spark):
     assert res[("week", "2024-01-29T00:00:00")] == 2  # ISO Monday week
     assert res[("month", "2024-01-01T00:00:00")] == 1
     assert res[("month", "2024-02-01T00:00:00")] == 1
+
+
+def test_ivf_index_kmeans_centroids(spark, sf_dir):
+    from hashquery_spark.ops.similarity import ivf_index, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = ivf_index(emb, "embedding", "vec_id", n_centroids=4, kmeans_iters=2)
+    try:
+        probes = emb.where("vec_id < 3")
+        out = ivf_search(idx, probes, k=5, n_probe=2).collect()
+        assert len(out) == 15  # 3 probes x top-5
+        by_probe = {}
+        for r in out:
+            by_probe.setdefault(r.probe_id, []).append(r)
+        for rows in by_probe.values():
+            sims = [r.cos_sim for r in rows]
+            assert sims == sorted(sims, reverse=True)
+        # kmeans-trained cells stay populated (no degenerate empty index)
+        cells = idx.assigned.groupBy("__cell__").count().collect()
+        assert len(cells) >= 2
+    finally:
+        idx.unpersist() if idx.assigned.is_cached else None
+
+
+def test_histogram_binning_edges(spark):
+    from hashquery_spark.ops import histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (4.9,), (5.0,), (9.9,), (10.0,), (-1.0,), (11.0,), (None,)],
+        "x double",
+    )
+    rows = {r.bin: r for r in histogram(df, "x", bins=2, lo=0.0, hi=10.0).collect()}
+    assert rows[0].n == 2          # 0.0, 4.9
+    assert rows[1].n == 3          # 5.0, 9.9, and 10.0 (== hi clamps into last bin)
+    assert (rows[0].lo_edge, rows[0].hi_edge) == (0.0, 5.0)
+    assert (rows[1].lo_edge, rows[1].hi_edge) == (5.0, 10.0)
+    # out-of-range and NULL rows dropped entirely
+    assert sorted(rows) == [0, 1]
+    # auto-range: min/max discovered, every non-null value lands somewhere
+    total = sum(r.n for r in histogram(df, "x", bins=3).collect())
+    assert total == 7
