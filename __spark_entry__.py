@@ -1640,6 +1640,34 @@ def q_profile_table(spark, sf_dir):
     return profile_table(docs, ["doc_id", "text", "lang", "source", "n_chars"])
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff: full-outer join on (id, md5) pairs — text
+    never shuffles. Synthetic 'old' snapshot = docs with doc_id % 7 == 0
+    dropped and doc_id % 11 == 0 content-perturbed, so added/removed/
+    changed are all exercised against the real corpus."""
+    from hashquery_spark.ops import snapshot_diff
+    from pyspark.sql import functions as F
+
+    docs = _conn(spark, sf_dir).table("documents")
+    old = docs.where("doc_id % 7 != 0").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v1"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(old, docs, "doc_id", "text")
+
+
+def q_dedup_against(spark, sf_dir):
+    """Incremental dedup: new-crawl rows whose content hash is unseen in
+    the prior corpus — one left-anti join on distinct hashes."""
+    from hashquery_spark.ops import dedup_against
+
+    docs = _conn(spark, sf_dir).table("documents")
+    seen = docs.where("doc_id % 3 == 0")
+    return dedup_against(docs, seen, "text", "doc_id").select("doc_id")
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label mean embedding — explode to (label,pos,v) for map-side
     partial sums; integer-scaled micro-units keep sums exact cross-engine."""
@@ -1949,6 +1977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_centroids": q_embedding_centroids,
+        "snapshot_diff": q_snapshot_diff,
+        "dedup_against": q_dedup_against,
         "profile_table": q_profile_table,
         "histogram": q_histogram,
         "timeseries_rollup": q_timeseries_rollup,

@@ -68,6 +68,7 @@ from .chunking import chunk_documents, dedup_paragraphs
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
 from .profile import histogram, profile_table
 from .timeseries import multi_grain_rollup
+from .snapshot import dedup_against, snapshot_diff
 
 __all__ = [
     "dedup_clusters",
@@ -118,6 +119,8 @@ __all__ = [
     "profile_table",
     "histogram",
     "multi_grain_rollup",
+    "snapshot_diff",
+    "dedup_against",
     "salted_aggregate",
     "salted_join",
 ]

@@ -1170,6 +1170,32 @@ ORACLE_SQL: dict[str, str] = {
         """
         for c in ["doc_id", "text", "lang", "source", "n_chars"]
     ),
+    "snapshot_diff": """
+        WITH old AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS old_h
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN text || ' v1' ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0)
+        ),
+        new AS (
+          SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS new_h FROM documents
+        )
+        SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+               CASE WHEN old.doc_id IS NULL THEN 'added'
+                    WHEN new.doc_id IS NULL THEN 'removed'
+                    WHEN old_h <> new_h THEN 'changed' END AS status
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        WHERE CASE WHEN old.doc_id IS NULL THEN 'added'
+                   WHEN new.doc_id IS NULL THEN 'removed'
+                   WHEN old_h <> new_h THEN 'changed' END IS NOT NULL
+    """,
+    "dedup_against": """
+        SELECT doc_id FROM documents
+        WHERE md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) NOT IN (
+          SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) FROM documents WHERE doc_id % 3 = 0
+        )
+    """,
     "embedding_centroids": """
         WITH ex AS (
           SELECT label,

@@ -597,3 +597,29 @@ def test_histogram_binning_edges(spark):
     # auto-range: min/max discovered, every non-null value lands somewhere
     total = sum(r.n for r in histogram(df, "x", bins=3).collect())
     assert total == 7
+
+
+def test_snapshot_diff_statuses(spark):
+    from hashquery_spark.ops import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}  # id 1 omitted
+
+
+def test_dedup_against_keeps_unseen_and_null(spark):
+    from hashquery_spark.ops import dedup_against
+
+    seen = spark.createDataFrame([(10, "known doc")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "known doc"), (2, "Known  DOC!"), (3, "novel"), (4, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_against(new, seen, "text", "doc_id").collect())
+    # 1 exact dup, 2 normalized dup -> dropped; NULL text always kept
+    assert kept == [3, 4]
