@@ -623,3 +623,36 @@ def test_dedup_against_keeps_unseen_and_null(spark):
     kept = sorted(r.doc_id for r in dedup_against(new, seen, "text", "doc_id").collect())
     # 1 exact dup, 2 normalized dup -> dropped; NULL text always kept
     assert kept == [3, 4]
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    """Quantify the approximation: recall@10 of IVF (kmeans-trained and
+    first-k centroids) and hyperplane LSH against exact brute force."""
+    from hashquery_spark.ops import ann_brute_force, ivf_ann, lsh_ann
+    from hashquery_spark.ops.similarity import ivf_index, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where("vec_id < 20")
+
+    def topk(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topk(ann_brute_force(emb, probes, "embedding", "vec_id", k=10))
+
+    def recall(approx):
+        hits = sum(len(approx.get(p, set()) & exact[p]) for p in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    ivf = topk(ivf_ann(emb, probes, "embedding", "vec_id", k=10, n_centroids=8, n_probe=4))
+    idx_km = ivf_index(emb, "embedding", "vec_id", n_centroids=8, kmeans_iters=2)
+    ivf_km = topk(ivf_search(idx_km, probes, k=10, n_probe=4))
+    lsh = topk(lsh_ann(emb, probes, "embedding", "vec_id", k=10, n_planes=2))
+
+    assert recall(ivf) >= 0.5      # 4/8 cells probed
+    assert recall(ivf_km) >= 0.5   # trained centroids at least plausible
+    # single-table LSH is the coarsest filter: each probe sees only its
+    # one bucket (~1/4 of the corpus at 2 planes) — recall reflects that
+    assert recall(lsh) >= 0.25

@@ -1,0 +1,68 @@
+"""End-to-end training-data pipeline: the full corpus→training-set chain
+composed from individual operators, with conservation invariants at every
+stage. This is the integration surface a real 100 TB data pipeline would
+run — incremental dedup against the prior snapshot, paragraph dedup,
+quality curation, chunking, and sequence packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hashquery_spark.ops import (
+    chunk_documents,
+    curate,
+    dedup_against,
+    dedup_paragraphs,
+    pack_sequences,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_full_pipeline_conserves_and_filters(spark, corpus):
+    n_raw = corpus.count()
+
+    # 1. incremental dedup: drop anything already in the "prior snapshot"
+    prior = corpus.where("doc_id % 5 == 0")
+    fresh = dedup_against(corpus, prior, "text", "doc_id")
+    n_fresh = fresh.count()
+    assert n_fresh < n_raw  # the prior snapshot overlaps by construction
+    assert fresh.columns == corpus.columns  # schema passthrough
+
+    # 2. paragraph-level dedup + reassembly
+    paras = dedup_paragraphs(fresh, "text", "doc_id")
+    n_paras = paras.count()
+    assert n_paras == fresh.where("text IS NOT NULL").count()  # one row per doc
+    cleaned = paras.where("clean_text IS NOT NULL").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+
+    # 3. curation: language/quality/repetition gates + leakage-safe split
+    kept = curate(cleaned, "text", "doc_id", min_quality=0.0, langs=("en",))
+    assert kept.count() <= cleaned.count()
+    assert set(r.split for r in kept.select("split").distinct().collect()) <= {
+        "train",
+        "test",
+    }
+
+    # 4. chunk the curated docs for fixed-window training
+    docs_kept = cleaned.join(kept.select("doc_id"), on="doc_id")
+    chunks = chunk_documents(docs_kept, "text", "doc_id", size=512, overlap=32)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("chunk_idx").alias("mx")
+    )
+    bad = per_doc.where("mx != n - 1").count()
+    assert bad == 0  # chunk indices are dense per doc
+
+    # 5. pack into fixed token budgets: every doc placed exactly once,
+    # offsets stay inside the budget
+    packed = pack_sequences(docs_kept, "text", "doc_id", budget=256)
+    assert packed.count() == docs_kept.count()
+    assert packed.where("seq_offset < 0 OR seq_offset >= 256").count() == 0
+    # pack ids are dense from 0
+    packs = packed.select("pack_id").distinct().count()
+    assert packed.agg(F.max("pack_id")).collect()[0][0] == packs - 1

@@ -433,3 +433,70 @@ def test_cap_per_group_matches_python_reference(spark, groups, n, seed):
         members = sorted((i for i, gg in enumerate(groups) if gg == g), key=lambda i: (h(i), i))
         expect += [(i, g, r + 1) for r, i in enumerate(members[:n])]
     assert got == sorted(expect)
+
+
+# --- histogram vs numpy reference ---------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    xs=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=60
+    ),
+    bins=st.integers(min_value=1, max_value=7),
+)
+def test_histogram_matches_numpy(spark, xs, bins):
+    import numpy as np
+
+    from hashquery_spark.ops import histogram
+
+    lo, hi = -100.0, 100.0
+    # floor-formula binning and numpy's edge-comparison binning can
+    # legitimately disagree for values within float-rounding distance of
+    # a bin edge (e.g. -2.2e-16 + 100.0 == 100.0 exactly); the formula is
+    # the documented, oracle-consistent convention — test away from edges
+    width = (hi - lo) / bins
+    xs = [
+        x
+        for x in xs
+        if abs((x - lo) / width - round((x - lo) / width)) > 1e-9
+    ] or [lo + width / 2]
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    got = {r.bin: r.n for r in histogram(df, "x", bins=bins, lo=lo, hi=hi).collect()}
+    expected, _ = np.histogram(np.array(xs), bins=bins, range=(lo, hi))
+    for b, n in enumerate(expected):
+        assert got.get(b, 0) == n  # numpy last-bin-inclusive == our clamp
+
+
+# --- chunking reconstruction invariant ----------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=400,
+    ),
+    size=st.integers(min_value=2, max_value=80),
+    overlap=st.integers(min_value=0, max_value=40),
+)
+def test_chunk_documents_reconstructs_any_text(spark, text, size, overlap):
+    from hashquery_spark.ops import chunk_documents
+
+    if overlap >= size:
+        overlap = size - 1
+    stride = size - overlap
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        chunk_documents(df, "text", "doc_id", size=size, overlap=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # stitching chunks at stride offsets reproduces the document exactly
+    rebuilt = chunks[0].chunk_text
+    for c in chunks[1:]:
+        rebuilt = rebuilt[: c.chunk_idx * stride] + c.chunk_text
+    assert rebuilt == text
+    # every chunk except the last is exactly `size` wide
+    assert all(c.chunk_len == size for c in chunks[:-1])
+    assert 0 < chunks[-1].chunk_len <= size
