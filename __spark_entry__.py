@@ -1640,6 +1640,21 @@ def q_profile_table(spark, sf_dir):
     return profile_table(docs, ["doc_id", "text", "lang", "source", "n_chars"])
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Entity-resolution fuzzy join: customers vs a perturbed CRM copy —
+    char-3-gram MinHash LSH blocking (O(matches), never a cross product)
+    + exact Jaccard verification on candidate ids only."""
+    from hashquery_spark.ops import fuzzy_join
+
+    cust = _conn(spark, sf_dir).table("customer").where("c_custkey < 120")
+    crm = cust.selectExpr(
+        "c_custkey AS crm_key", "replace(c_name, '#', ' no ') AS account"
+    )
+    return fuzzy_join(
+        cust, crm, "c_name", "account", "c_custkey", "crm_key", threshold=0.6
+    )
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Corpus snapshot diff: full-outer join on (id, md5) pairs — text
     never shuffles. Synthetic 'old' snapshot = docs with doc_id % 7 == 0
@@ -1978,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_centroids": q_embedding_centroids,
         "snapshot_diff": q_snapshot_diff,
+        "fuzzy_join": q_fuzzy_join,
         "dedup_against": q_dedup_against,
         "profile_table": q_profile_table,
         "histogram": q_histogram,

@@ -69,6 +69,7 @@ from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
 from .profile import histogram, profile_table
 from .timeseries import multi_grain_rollup
 from .snapshot import dedup_against, snapshot_diff
+from .fuzzy import fuzzy_join
 
 __all__ = [
     "dedup_clusters",
@@ -121,6 +122,7 @@ __all__ = [
     "multi_grain_rollup",
     "snapshot_diff",
     "dedup_against",
+    "fuzzy_join",
     "salted_aggregate",
     "salted_join",
 ]

@@ -135,14 +135,23 @@ def minhash_signature(
     ex = ensure_parallelism(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__s__")
     )
+    return km_signature(ex, id_col, "__s__", num_perm)
+
+
+def km_signature(
+    exploded: DataFrame, id_col: str, shingle_col: str, num_perm: int
+) -> DataFrame:
+    """(id, sig) — the Kirsch–Mitzenmacher min-signature core over an
+    already-exploded (id, shingle) frame; shared by word-shingle dedup
+    and char-shingle fuzzy joins."""
     # each block below is rendered as ONE SQL string parsed by a single
     # selectExpr call: building num_perm Column objects through py4j costs
     # a driver round-trip per node (~0.5 s/query measured); the parsed
     # trees are identical
-    with_h12 = ex.selectExpr(
+    with_h12 = exploded.selectExpr(
         f"`{id_col}`",
-        "CAST(conv(substring(md5(__s__), 1, 8), 16, 10) AS BIGINT) AS __h1__",
-        "CAST(conv(substring(md5(__s__), 9, 8), 16, 10) AS BIGINT) AS __h2__",
+        f"CAST(conv(substring(md5(`{shingle_col}`), 1, 8), 16, 10) AS BIGINT) AS __h1__",
+        f"CAST(conv(substring(md5(`{shingle_col}`), 9, 8), 16, 10) AS BIGINT) AS __h2__",
     )
     hashes = with_h12.selectExpr(
         f"`{id_col}`",
@@ -153,6 +162,29 @@ def minhash_signature(
     )
     sig = "array(" + ",".join(f"__m{j}__" for j in range(num_perm)) + ")"
     return mins.selectExpr(f"`{id_col}`", f"{sig} AS sig")
+
+
+def band_buckets(
+    sigs: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band, key) — LSH band buckets over a (id, sig) frame; two rows
+    collide iff a whole band of the signature matches."""
+    rows_per_band = num_perm // bands
+    band_structs = "array(" + ",".join(
+        "named_struct('band', {b}, 'key', md5(concat_ws(',', {parts})))".format(
+            b=b,
+            parts=",".join(
+                f"CAST(try_element_at(sig, {b * rows_per_band + r + 1}) AS STRING)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    ) + ")"
+    return (
+        sigs.where(F.expr("try_element_at(sig, 1) IS NOT NULL"))
+        .select(F.col(id_col), F.explode(F.expr(band_structs)).alias("bk"))
+        .select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
 
 
 def minhash_lsh_candidates(
@@ -168,23 +200,8 @@ def minhash_lsh_candidates(
     Docs sharing any band key land in the same bucket; the pair join is on
     (band, key) — O(duplicates), not O(n²). Empty-shingle docs (fewer than
     ``shingle_k`` words) produce NULL band mins and are dropped."""
-    rows_per_band = num_perm // bands
     sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_k)
-    band_structs = "array(" + ",".join(
-        "named_struct('band', {b}, 'key', md5(concat_ws(',', {parts})))".format(
-            b=b,
-            parts=",".join(
-                f"CAST(try_element_at(sig, {b * rows_per_band + r + 1}) AS STRING)"
-                for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    ) + ")"
-    buckets = (
-        sigs.where(F.expr("try_element_at(sig, 1) IS NOT NULL"))
-        .select(F.col(id_col), F.explode(F.expr(band_structs)).alias("bk"))
-        .select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    )
+    buckets = band_buckets(sigs, id_col, num_perm, bands)
     left = buckets.select(
         F.col("band"), F.col("key"), F.col(id_col).alias("id_a")
     )

@@ -1,0 +1,99 @@
+"""Fuzzy (similarity) join between two tables — entity-resolution style
+matching of short strings via character-shingle MinHash LSH with exact
+Jaccard verification (net-new; the reference joins only on exact
+predicates, src/model/source/join_one.py:8).
+
+Scale design — the classic block-then-verify shape:
+
+1. normalize + char-k-gram shingle each side (narrow codegen'd passes);
+2. KM min-signatures + LSH band buckets (shared machinery with
+   ops/dedup — one groupBy per side, shuffling (id, 16 longs) only);
+3. candidate pairs = equi-join on (band, key): O(matching pairs), never
+   the O(|L|·|R|) cross product;
+4. exact verification recomputes gram sets ONLY for ids that appear in
+   some candidate pair (explicit semi-join first), then checks true
+   Jaccard ≥ threshold.
+
+Strings never shuffle in the blocking phase; the verify phase shuffles
+gram sets for candidate ids only. Caveat (inherent to char-gram
+similarity, not this implementation): strings that share long common
+prefixes/padding (e.g. zero-padded ids) compress the Jaccard range —
+pick ``threshold`` against your data, or pre-strip boilerplate affixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import band_buckets, ensure_parallelism, km_signature, normalize_text
+
+
+def _char_shingle_expr(norm_col: str, k: int) -> str:
+    """Char k-grams of an already-materialized normalized column (the
+    normalization regex must NOT sit inside the lambda — an outer
+    expression referenced per element re-evaluates per element)."""
+    n = f"`{norm_col}`"
+    return (
+        f"CASE WHEN length({n}) >= {k} THEN "
+        f"transform(sequence(1, length({n}) - {k - 1}), i -> substring({n}, i, {k})) "
+        "ELSE array() END"
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_id: str,
+    right_id: str,
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_l, id_r, sim) — pairs whose normalized char-``k``-gram Jaccard
+    similarity is ≥ ``threshold`` (rounded to 4 decimals pre-compare, so
+    results are engine-exact). LSH recall caveat: a true pair is found
+    only if some signature band collides — near-threshold pairs can be
+    missed; raise ``bands`` (more, narrower bands) for higher recall."""
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+
+    def prep(df: DataFrame, text: str, idc: str, out_id: str):
+        normed = (
+            df.where(F.col(text).isNotNull())
+            .select(
+                F.col(idc).alias(out_id), normalize_text(F.col(text)).alias("__norm__")
+            )
+            .where(F.length("__norm__") >= k)
+        )
+        ex = ensure_parallelism(normed).select(
+            out_id, F.expr(f"explode({_char_shingle_expr('__norm__', k)})").alias("__s__")
+        )
+        sigs = km_signature(ex, out_id, "__s__", num_perm)
+        return normed, band_buckets(sigs, out_id, num_perm, bands)
+
+    ln, lb = prep(left, left_on, left_id, "id_l")
+    rn, rb = prep(right, right_on, right_id, "id_r")
+    cands = lb.join(rb, on=["band", "key"]).select("id_l", "id_r").distinct()
+
+    def gram_sets(normed: DataFrame, out_id: str, alias: str):
+        only = normed.join(cands.select(out_id).distinct(), on=out_id)
+        return only.selectExpr(
+            out_id,
+            f"array_distinct({_char_shingle_expr('__norm__', k)}) AS {alias}",
+        )
+
+    verified = (
+        cands.join(gram_sets(ln, "id_l", "__gl__"), on="id_l")
+        .join(gram_sets(rn, "id_r", "__gr__"), on="id_r")
+        .selectExpr(
+            "id_l",
+            "id_r",
+            "round(size(array_intersect(__gl__, __gr__)) / "
+            "CAST(size(array_union(__gl__, __gr__)) AS DOUBLE), 4) AS sim",
+        )
+    )
+    return verified.where(F.col("sim") >= threshold)

@@ -1170,6 +1170,70 @@ ORACLE_SQL: dict[str, str] = {
         """
         for c in ["doc_id", "text", "lang", "source", "n_chars"]
     ),
+    "fuzzy_join": """
+        WITH 
+lnorm AS (
+  SELECT c_custkey AS id_l, trim(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM customer WHERE c_custkey < 120 AND c_name IS NOT NULL
+),
+lsh AS (
+  SELECT id_l, CASE WHEN length(n) >= 3
+       THEN list_transform(range(1, length(n) - 1), i -> substr(n, i, 3))
+       ELSE [] END AS sh
+  FROM lnorm WHERE length(n) >= 3
+),
+lsig AS (
+  SELECT id_l,
+    list_transform(range(0, 16), j -> list_min(list_transform(sh,
+        s -> (CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+              + j * CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)) % 4294967296))) AS sig
+  FROM lsh
+),
+lbuck AS (
+  SELECT id_l, b.band,
+         md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS key
+  FROM lsig, (SELECT unnest(range(0, 4)) AS band) b
+  WHERE sig[1] IS NOT NULL
+),
+rnorm AS (
+  SELECT c_custkey AS id_r, trim(regexp_replace(lower(replace(c_name, '#', ' no ')), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM customer WHERE c_custkey < 120 AND c_name IS NOT NULL
+),
+rsh AS (
+  SELECT id_r, CASE WHEN length(n) >= 3
+       THEN list_transform(range(1, length(n) - 1), i -> substr(n, i, 3))
+       ELSE [] END AS sh
+  FROM rnorm WHERE length(n) >= 3
+),
+rsig AS (
+  SELECT id_r,
+    list_transform(range(0, 16), j -> list_min(list_transform(sh,
+        s -> (CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+              + j * CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)) % 4294967296))) AS sig
+  FROM rsh
+),
+rbuck AS (
+  SELECT id_r, b.band,
+         md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS key
+  FROM rsig, (SELECT unnest(range(0, 4)) AS band) b
+  WHERE sig[1] IS NOT NULL
+),
+        cands AS (
+          SELECT DISTINCT a.id_l, c.id_r
+          FROM lbuck a JOIN rbuck c ON a.band = c.band AND a.key = c.key
+        ),
+        lsets AS (SELECT id_l, list_distinct(sh) AS s FROM lsh
+                  WHERE id_l IN (SELECT id_l FROM cands)),
+        rsets AS (SELECT id_r, list_distinct(sh) AS s FROM rsh
+                  WHERE id_r IN (SELECT id_r FROM cands))
+        SELECT * FROM (
+          SELECT c.id_l, c.id_r,
+                 round(len(list_intersect(x.s, y.s))
+                       / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE), 4) AS sim
+          FROM cands c JOIN lsets x ON c.id_l = x.id_l
+                       JOIN rsets y ON c.id_r = y.id_r
+        ) WHERE sim >= 0.6
+    """,
     "snapshot_diff": """
         WITH old AS (
           SELECT doc_id,

@@ -656,3 +656,32 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     # single-table LSH is the coarsest filter: each probe sees only its
     # one bucket (~1/4 of the corpus at 2 planes) — recall reflects that
     assert recall(lsh) >= 0.25
+
+
+def test_fuzzy_join_entity_matching(spark):
+    from hashquery_spark.ops import fuzzy_join
+
+    companies = spark.createDataFrame(
+        [
+            (1, "Acme Corporation"),
+            (2, "Globex Industries"),
+            (3, "Initech Software"),
+        ],
+        "cid long, name string",
+    )
+    crm = spark.createDataFrame(
+        [
+            (101, "ACME Corporation!"),   # case/punct variant of 1
+            (102, "Globex  Industries Ltd"),  # suffix variant of 2
+            (103, "Umbrella Holdings"),   # no match
+            (104, None),                  # null never matches
+        ],
+        "rid long, account string",
+    )
+    out = fuzzy_join(
+        companies, crm, "name", "account", "cid", "rid", threshold=0.5
+    ).collect()
+    got = {(r.id_l, r.id_r): r.sim for r in out}
+    assert (1, 101) in got and got[(1, 101)] == 1.0  # normalization-exact
+    assert (2, 102) in got and 0.5 <= got[(2, 102)] < 1.0
+    assert all(rid != 103 and rid != 104 for (_, rid) in got)
