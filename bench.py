@@ -48,6 +48,9 @@ HEADLINE = [
     "dedup_paragraphs",
     "bpe_pairs",
     "profile_table",
+    "join_many_rollup",
+    "timeseries_rollup",
+    "fuzzy_join",
 ]
 
 
