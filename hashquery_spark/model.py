@@ -956,6 +956,15 @@ class Model:
     def run(self) -> "RunResults":
         return RunResults(self.to_df())
 
+    def describe(self, columns=None, approx: bool = False) -> DataFrame:
+        """Per-column data profile of this model's result (net-new
+        terminal convenience over ops.profile_table): one row per column
+        with row/null/distinct counts and min/max, computed in ONE scan.
+        ``approx=True`` swaps exact distincts for HLL++ at extreme scale."""
+        from .ops.profile import profile_table
+
+        return profile_table(self.to_df(), cols=columns, approx=approx)
+
     def cached(self) -> "Model":
         """Mark this model's current result for in-memory+disk caching
         (net-new): downstream transforms reuse the materialized frame

@@ -164,6 +164,26 @@ def km_signature(
     return mins.selectExpr(f"`{id_col}`", f"{sig} AS sig")
 
 
+def cap_bucket_size(
+    buckets: DataFrame, max_bucket_size: int, keys=("band", "key")
+) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket_size`` members — the
+    standard guard against degenerate keys (boilerplate text, empty-ish
+    strings) whose buckets would otherwise produce a quadratic pair
+    blowup: one hot bucket of 1M rows is 5×10¹¹ candidate pairs. Costs
+    one window count over the bucket frame (same partitioning the pair
+    join needs anyway). Members of dropped buckets can still pair through
+    their other bands — exactly how production LSH dedup handles it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        buckets.withColumn("__bn__", F.count(F.lit(1)).over(w))
+        .where(F.col("__bn__") <= max_bucket_size)
+        .drop("__bn__")
+    )
+
+
 def band_buckets(
     sigs: DataFrame, id_col: str, num_perm: int, bands: int
 ) -> DataFrame:
@@ -194,14 +214,19 @@ def minhash_lsh_candidates(
     num_perm: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via LSH banding.
 
     Docs sharing any band key land in the same bucket; the pair join is on
     (band, key) — O(duplicates), not O(n²). Empty-shingle docs (fewer than
-    ``shingle_k`` words) produce NULL band mins and are dropped."""
+    ``shingle_k`` words) produce NULL band mins and are dropped.
+    ``max_bucket_size`` drops degenerate hot buckets before the pair join
+    (see :func:`cap_bucket_size`) — set it at real corpus scale."""
     sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_k)
     buckets = band_buckets(sigs, id_col, num_perm, bands)
+    if max_bucket_size is not None:
+        buckets = cap_bucket_size(buckets, max_bucket_size)
     left = buckets.select(
         F.col("band"), F.col("key"), F.col(id_col).alias("id_a")
     )

@@ -52,6 +52,7 @@ def fuzzy_join(
     num_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_l, id_r, sim) — pairs whose normalized char-``k``-gram Jaccard
     similarity is ≥ ``threshold`` (rounded to 4 decimals pre-compare, so
@@ -77,6 +78,13 @@ def fuzzy_join(
 
     ln, lb = prep(left, left_on, left_id, "id_l")
     rn, rb = prep(right, right_on, right_id, "id_r")
+    if max_bucket_size is not None:
+        # cap each side's hot buckets before the pair join (degenerate
+        # keys from boilerplate strings otherwise pair quadratically)
+        from .dedup import cap_bucket_size
+
+        lb = cap_bucket_size(lb, max_bucket_size)
+        rb = cap_bucket_size(rb, max_bucket_size)
     cands = lb.join(rb, on=["band", "key"]).select("id_l", "id_r").distinct()
 
     def gram_sets(normed: DataFrame, out_id: str, alias: str):

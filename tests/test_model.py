@@ -386,3 +386,13 @@ def test_join_many_wire_roundtrip(conn):
     restored = Model.from_wire(json.loads(json.dumps(m.to_wire())), connection=conn)
     key = lambda rows: sorted(str(r) for r in rows)
     assert key(m.to_df().collect()) == key(restored.to_df().collect())
+
+
+def test_model_describe_profiles_result(conn):
+    rows = {
+        r.column_name: r
+        for r in Model(conn, "sales").filter(attr.price > 6).describe().collect()
+    }
+    assert rows["customer_id"].n_rows == 3
+    assert rows["customer_id"].n_null == 1  # the NULL-customer sale at price 8
+    assert rows["id"].n_distinct == 3

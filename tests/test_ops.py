@@ -685,3 +685,34 @@ def test_fuzzy_join_entity_matching(spark):
     assert (1, 101) in got and got[(1, 101)] == 1.0  # normalization-exact
     assert (2, 102) in got and 0.5 <= got[(2, 102)] < 1.0
     assert all(rid != 103 and rid != 104 for (_, rid) in got)
+
+
+def test_lsh_hot_bucket_cap(spark):
+    from hashquery_spark.ops import minhash_lsh_candidates
+
+    # 12 identical boilerplate docs (one degenerate bucket) + 1 real near-dup pair
+    boiler = "terms of service apply to all users of this website always"
+    real = (
+        "the quick brown fox jumps over the lazy dog near the wide river bank"
+    )
+    rows = [(i, boiler) for i in range(12)] + [
+        (100, real),
+        (101, real.replace("river", "creek")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            df, "text", "doc_id", num_perm=16, bands=8, max_bucket_size=4
+        ).collect()
+    }
+    # the 12-member boilerplate bucket (66 pairs) is dropped entirely...
+    assert not any(a < 12 and b < 12 for a, b in capped)
+    # ...while normal-sized buckets still pair
+    assert (100, 101) in capped
+    # without the cap the degenerate pairs dominate
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, "text", "doc_id", num_perm=16, bands=8).collect()
+    }
+    assert sum(1 for a, b in uncapped if a < 12 and b < 12) == 66

@@ -500,3 +500,42 @@ def test_chunk_documents_reconstructs_any_text(spark, text, size, overlap):
     # every chunk except the last is exactly `size` wide
     assert all(c.chunk_len == size for c in chunks[:-1])
     assert 0 < chunks[-1].chunk_len <= size
+
+
+# --- fuzzy_join precision vs a Python Jaccard reference ------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    names=st.lists(
+        st.text(alphabet="abcdef ", min_size=4, max_size=14), min_size=2, max_size=10, unique=True
+    )
+)
+def test_fuzzy_join_precision_and_sim_values(spark, names):
+    """Every returned pair must have true char-3-gram Jaccard >= threshold
+    with the exact Python-computed value (LSH may MISS pairs — recall is
+    probabilistic — but must never return a wrong pair or a wrong sim)."""
+    import re
+
+    from hashquery_spark.ops import fuzzy_join
+
+    def norm(s):
+        return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+    def grams(s):
+        n = norm(s)
+        return {n[i : i + 3] for i in range(len(n) - 2)} if len(n) >= 3 else set()
+
+    left = spark.createDataFrame(list(enumerate(names)), "lid long, name string")
+    right = spark.createDataFrame(
+        [(i + 1000, n) for i, n in enumerate(names)], "rid long, name string"
+    )
+    out = fuzzy_join(left, right, "name", "name", "lid", "rid", threshold=0.4).collect()
+    for r in out:
+        gl, gr = grams(names[r.id_l]), grams(names[r.id_r - 1000])
+        true_j = round(len(gl & gr) / len(gl | gr), 4)
+        assert r.sim == true_j
+        assert true_j >= 0.4
+    # identical strings always collide (every band matches)
+    assert all((i, i + 1000) in {(r.id_l, r.id_r) for r in out}
+               for i, n in enumerate(names) if len(grams(n)) > 0)
