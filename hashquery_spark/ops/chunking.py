@@ -11,10 +11,10 @@ Scale notes:
 * ``dedup_paragraphs`` is the C4/RefinedWeb-style exact paragraph dedup:
   explode paragraphs, keep only the globally-first occurrence of each
   distinct paragraph (by (doc_id, paragraph_index) order), and reassemble
-  the surviving paragraphs per document. Two shuffles total — one
-  hash-partition on the paragraph md5 (window min, no join), one
-  re-group by doc_id — and the paragraph *text* shuffles at most twice,
-  never joined against itself.
+  the surviving paragraphs per document. Keeper selection is a skew-safe
+  groupBy-min on the paragraph md5 (map-side combine collapses corpus-wide
+  hot paragraphs — cookie banners — before the shuffle) joined back on the
+  hash; the re-group by doc_id is the only other shuffle.
 
 Cross-engine determinism: ordering keys are exact integers
 (``doc_id * 1_000_000 + paragraph_index`` — documents the supported bound
@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # Ordering-key stride: paragraph index must stay below this per document.
 PARA_STRIDE = 1_000_000
@@ -89,11 +88,19 @@ def dedup_paragraphs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .where(F.trim(F.col("raw")) != "")
         .select(i, "idx", F.trim(F.col("raw")).alias("para"))
         .withColumn("okey", F.col(i) * PARA_STRIDE + F.col("idx"))
+        .withColumn("__ph__", F.md5(F.col("para")))
     )
-    # Global first occurrence per distinct paragraph: a full-partition
-    # window min on the md5 key — one hash shuffle, no self-join.
-    keeper = F.min("okey").over(Window.partitionBy(F.md5(F.col("para"))))
-    flagged = ex.withColumn("kept", F.col("okey") == keeper)
+    # Global first occurrence per distinct paragraph via groupBy-min +
+    # join back. A window min over hash partitions would avoid the join,
+    # but a corpus-wide hot paragraph (the same cookie banner in 10M
+    # docs) serializes into a single window task; groupBy-min collapses
+    # hot keys map-side — the keeper shuffle moves only (hash, okey) —
+    # and AQE splits any remaining skew in the join-back (which carries
+    # the paragraph text exactly once, as reassembly requires).
+    keepers = ex.groupBy("__ph__").agg(F.min("okey").alias("__keep__"))
+    flagged = ex.join(keepers, on="__ph__").withColumn(
+        "kept", F.col("okey") == F.col("__keep__")
+    )
     return flagged.groupBy(i).agg(
         F.when(
             F.count_if(F.col("kept")) > 0,
