@@ -144,3 +144,39 @@ def test_curation_pipeline_single_scan_single_shuffle(spark, sf_dir):
     plan = _physical(entry_mod.q_curation_pipeline(spark, sf_dir))
     assert len(re.findall(r"Scan parquet", plan)) == 1
     assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_chunk_documents_is_one_codegen_stage(spark, sf_dir):
+    """chunking: pruned 2-column scan with IsNotNull pushed, generate +
+    project in ONE WholeStageCodegen span, zero exchanges."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["chunk_documents"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PushedFilters: [IsNotNull(text)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_histogram_range_filter_reaches_scan(spark, sf_dir):
+    """histogram with explicit range: the range predicate is pushed to the
+    parquet scan, and the only exchange is the tiny groupBy(bin)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["histogram"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(l_extendedprice,0.0)" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_join_many_preaggregates_before_join(spark, sf_dir):
+    """join_many: the orders side aggregates per custkey BEFORE joining
+    customer (fan-out-proof), with map-side partial aggregation."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["join_many_rollup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+    assert "partial_count" in plan  # map-side partials on the many side
