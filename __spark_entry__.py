@@ -1630,6 +1630,27 @@ def q_histogram(spark, sf_dir):
     return histogram(li, "l_extendedprice", bins=16, lo=0.0, hi=160000.0)
 
 
+def q_check_constraints(spark, sf_dir):
+    """Data-quality gate: all row-level + uniqueness rules in ONE global
+    aggregate over one scan; the FK check adds one counted anti-join
+    (dim deliberately truncated so violations are non-zero)."""
+    from hashquery_spark.ops import check_constraints
+
+    conn = _conn(spark, sf_dir)
+    orders = conn.table("orders")
+    cust = conn.table("customer").where("c_custkey > 10")
+    return check_constraints(
+        orders,
+        [
+            ("not_null", "o_custkey"),
+            ("unique", "o_orderkey"),
+            ("range", "o_totalprice", 0.0, 150000.0),
+            ("accepted", "o_orderstatus", ["O", "F", "P"]),
+        ],
+        fk_checks=[("o_custkey", cust, "c_custkey")],
+    )
+
+
 def q_profile_table(spark, sf_dir):
     """One-scan data profile of documents: every per-column stat (incl.
     exact distincts via one Expand) in a single global aggregate, then
@@ -1997,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": q_dedup_against,
         "profile_table": q_profile_table,
         "histogram": q_histogram,
+        "check_constraints": q_check_constraints,
         "timeseries_rollup": q_timeseries_rollup,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,

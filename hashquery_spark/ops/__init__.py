@@ -66,7 +66,7 @@ from .asof import asof_join
 from .range_join import range_join
 from .chunking import chunk_documents, dedup_paragraphs
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
-from .profile import histogram, profile_table
+from .profile import check_constraints, histogram, profile_table
 from .timeseries import multi_grain_rollup
 from .snapshot import dedup_against, snapshot_diff
 from .fuzzy import fuzzy_join
@@ -119,6 +119,7 @@ __all__ = [
     "kmeans_fit",
     "profile_table",
     "histogram",
+    "check_constraints",
     "multi_grain_rollup",
     "snapshot_diff",
     "dedup_against",

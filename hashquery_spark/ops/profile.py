@@ -21,6 +21,7 @@ for cross-engine parity — float rendering differs between engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def profile_table(df: DataFrame, cols=None, approx: bool = False) -> DataFrame:
@@ -107,3 +108,73 @@ def histogram(
             "count AS n",
         )
     )
+
+
+def check_constraints(df: DataFrame, rules, fk_checks=None) -> DataFrame:
+    """Data-quality gate (Deequ-style, reduced to one pass): evaluate
+    declarative constraints and report ``(rule, column, n_checked,
+    n_violations)`` per rule.
+
+    ``rules`` — list of tuples:
+      ("not_null", col) · ("unique", col) · ("range", col, lo, hi) ·
+      ("regex", col, pattern) · ("accepted", col, [values])
+    ``fk_checks`` — list of (col, dim_df, dim_col): referential checks.
+
+    Scale: ALL row-level rules and uniqueness checks compile into ONE
+    global aggregate over ONE scan (uniqueness via exact count DISTINCT —
+    the same single-Expand plan as profile_table); each FK check adds one
+    left-anti join counted, reusing the dim broadcast when small. NULLs:
+    range/regex/accepted skip NULL values (report them via not_null);
+    unique counts duplicates among non-null values only."""
+    aggs = ["count(*) AS __n__"]
+    emits = []
+    for idx, rule in enumerate(rules):
+        kind, col = rule[0], rule[1]
+        if kind == "not_null":
+            aggs.append(f"count(*) - count(`{col}`) AS __v{idx}__")
+        elif kind == "unique":
+            aggs.append(f"count(`{col}`) - count(DISTINCT `{col}`) AS __v{idx}__")
+        elif kind == "range":
+            lo, hi = rule[2], rule[3]
+            aggs.append(
+                f"count(CASE WHEN `{col}` < {lo!r} OR `{col}` > {hi!r} THEN 1 END)"
+                f" AS __v{idx}__"
+            )
+        elif kind == "regex":
+            pat = str(rule[2]).replace("'", "''")
+            aggs.append(
+                f"count(CASE WHEN NOT `{col}` RLIKE '{pat}' THEN 1 END) AS __v{idx}__"
+            )
+        elif kind == "accepted":
+            vals = ", ".join(
+                "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else repr(v)
+                for v in rule[2]
+            )
+            aggs.append(
+                f"count(CASE WHEN `{col}` NOT IN ({vals}) THEN 1 END) AS __v{idx}__"
+            )
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+        emits.append((kind, col, f"__v{idx}__"))
+    wide = df.selectExpr(*aggs)
+    stack = ", ".join(f"'{k}', '{c}', {v}" for k, c, v in emits)
+    out = wide.selectExpr(
+        f"stack({len(emits)}, {stack}) AS (rule, column_name, n_violations)",
+        "__n__ AS n_checked",
+    ).select("rule", "column_name", "n_checked", "n_violations")
+    for col, dim, dim_col in fk_checks or []:
+        orphans = (
+            df.select(F.col(col))
+            .where(F.col(col).isNotNull())
+            .join(dim.select(F.col(dim_col).alias(col)).distinct(), on=col, how="left_anti")
+        )
+        fk_row = df.selectExpr("count(*) AS n_checked").crossJoin(
+            orphans.selectExpr("count(*) AS n_violations")
+        ).selectExpr(
+            "'foreign_key' AS rule",
+            f"'{col}' AS column_name",
+            "n_checked",
+            "n_violations",
+        )
+        out = out.unionByName(fk_row)
+    return out

@@ -1159,6 +1159,25 @@ ORACLE_SQL: dict[str, str] = {
           AND l_extendedprice >= 0.0 AND l_extendedprice <= 160000.0
         GROUP BY 1
     """,
+    "check_constraints": """
+        WITH agg AS (
+          SELECT count(*) AS n,
+            count(*) - count(o_custkey) AS v0,
+            count(o_orderkey) - count(DISTINCT o_orderkey) AS v1,
+            count(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 150000.0 THEN 1 END) AS v2,
+            count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END) AS v3
+          FROM orders
+        )
+        SELECT 'not_null' AS rule, 'o_custkey' AS column_name, n AS n_checked, v0 AS n_violations FROM agg
+        UNION ALL SELECT 'unique', 'o_orderkey', n, v1 FROM agg
+        UNION ALL SELECT 'range', 'o_totalprice', n, v2 FROM agg
+        UNION ALL SELECT 'accepted', 'o_orderstatus', n, v3 FROM agg
+        UNION ALL
+        SELECT 'foreign_key', 'o_custkey', (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey IS NOT NULL AND o.o_custkey NOT IN
+                  (SELECT c_custkey FROM customer WHERE c_custkey > 10))
+    """,
     "profile_table": " UNION ALL ".join(
         f"""
         SELECT '{c}' AS column_name, count(*) AS n_rows,

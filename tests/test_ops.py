@@ -716,3 +716,40 @@ def test_lsh_hot_bucket_cap(spark):
         for r in minhash_lsh_candidates(df, "text", "doc_id", num_perm=16, bands=8).collect()
     }
     assert sum(1 for a, b in uncapped if a < 12 and b < 12) == 66
+
+
+def test_check_constraints_rules(spark):
+    from hashquery_spark.ops import check_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.io", 5.0, "new"),
+            (1, "bad", 50.0, "new"),       # dup id, bad email
+            (None, "c@y.io", -1.0, "old"), # null id, below range
+            (3, None, 200.0, "weird"),     # null email skipped by regex, above range, bad status
+        ],
+        "id long, email string, v double, status string",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    rows = {
+        (r.rule, r.column_name): r
+        for r in check_constraints(
+            df,
+            [
+                ("not_null", "id"),
+                ("unique", "id"),
+                ("range", "v", 0.0, 100.0),
+                ("regex", "email", r"^[^@]+@[^@]+$"),
+                ("accepted", "status", ["new", "old"]),
+            ],
+            fk_checks=[("id", dim, "k")],
+        ).collect()
+    }
+    assert rows[("not_null", "id")].n_violations == 1
+    assert rows[("unique", "id")].n_violations == 1       # id=1 twice
+    assert rows[("range", "v")].n_violations == 2          # -1 and 200
+    assert rows[("regex", "email")].n_violations == 1      # "bad"; NULL skipped
+    assert rows[("accepted", "status")].n_violations == 1  # "weird"
+    fk = rows[("foreign_key", "id")]
+    assert fk.n_violations == 1                            # id=3 not in dim
+    assert all(r.n_checked == 4 for r in rows.values())
