@@ -1651,6 +1651,30 @@ def q_check_constraints(spark, sf_dir):
     )
 
 
+def q_explode_tokens(spark, sf_dir):
+    """Model.explode end-to-end: lateral token expansion through the DSL
+    (one Generate inside codegen, no shuffle until the rollup), grouped
+    per language."""
+    conn = _conn(spark, sf_dir)
+    norm = func.trim(
+        func.regexp_replace(func.lower(attr.text), "[^a-z0-9]+", " ")
+    )
+    return (
+        Model(conn, "documents")
+        .filter(attr.text != None)  # noqa: E711 - DSL null predicate
+        .explode(func.split(norm, r"\s+"), named="tok")
+        .filter(attr.tok != "")
+        .aggregate(
+            groups=[attr.lang],
+            measures=[
+                func.count().named("n_tokens"),
+                func.count(func.distinct(attr.tok)).named("n_distinct"),
+            ],
+        )
+        .to_df()
+    )
+
+
 def q_profile_table(spark, sf_dir):
     """One-scan data profile of documents: every per-column stat (incl.
     exact distincts via one Expand) in a single global aggregate, then
@@ -2019,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "histogram": q_histogram,
         "check_constraints": q_check_constraints,
+        "explode_tokens": q_explode_tokens,
         "timeseries_rollup": q_timeseries_rollup,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,

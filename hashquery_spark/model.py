@@ -27,6 +27,7 @@ from .expr import ColumnExpression, column, to_expr
 from .keypath import KeyPath, resolve_all_nested_keypaths, resolve_keypath
 from .match_steps import MatchStepsSource, ModelActivitySchema
 from .sources import (
+    ExplodeSource,
     AggregateSource,
     SetOpSource,
     TopKSource,
@@ -579,6 +580,17 @@ class Model:
         self._attributes = IdentifiableMap(column(c.identifier) for c in groups + measures)
         self._measures = IdentifiableMap()
         self._namespaces = IdentifiableMap()
+
+    @builder_method
+    def explode(self, expr, named: str, outer: bool = False) -> "Model":
+        """Lateral array expansion (net-new; pairs with func.split): one
+        output row per array element, all existing columns kept, the
+        element exposed as attribute ``named``. ``outer=True`` keeps
+        NULL/empty-array rows with a NULL element. Physical plan: one
+        Generate inside codegen — narrow, no shuffle."""
+        e = self._prep(resolve_keypath(self, expr))
+        self._source = ExplodeSource(self._source, e, named, outer)
+        self._attributes.add(column(named))
 
     def fold(
         self,

@@ -1155,6 +1155,65 @@ class FoldSource(Source):
         )
 
 
+class ExplodeSource(Source):
+    """Lateral array expansion: one row per element of an array-valued
+    expression, keeping all existing columns (net-new; the reference has
+    no array-producing functions so nothing to explode — ours has
+    func.split). Physical plan is a Generate inside whole-stage codegen —
+    a narrow row multiplication, no shuffle. ``outer=True`` keeps rows
+    whose array is NULL/empty (element reads NULL), mirroring
+    LEFT JOIN LATERAL semantics."""
+
+    __TYPE_KEY__ = "explode"
+
+    def __init__(
+        self,
+        base: Source,
+        expr: ColumnExpression,
+        name: str,
+        outer: bool = False,
+    ) -> None:
+        self.base = base
+        self.expr = expr
+        self.name = name
+        self.outer = outer
+
+    def child_sources(self):
+        return [self.base]
+
+    def expressions(self):
+        return [self.expr]
+
+    def default_identifier(self):
+        return self.base.default_identifier()
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        ctx = fs.prepare([self.expr])
+        col = self.expr.compile(ctx)
+        gen = F.explode_outer(col) if self.outer else F.explode(col)
+        fs.df = fs.df.withColumn(self.name, gen)
+        return fs
+
+    def to_wire(self):
+        return {
+            **super().to_wire(),
+            "base": self.base.to_wire(),
+            "expr": self.expr.to_wire(),
+            "name": self.name,
+            "outer": self.outer,
+        }
+
+    @classmethod
+    def _from_wire(cls, data):
+        return cls(
+            Source.from_wire(data["base"]),
+            ColumnExpression.from_wire(data["expr"]),
+            data["name"],
+            data.get("outer", False),
+        )
+
+
 # --------------------------------------------------------------------------
 # Entry points
 # --------------------------------------------------------------------------
@@ -1184,6 +1243,7 @@ def _register_wire(*classes):
 
 
 _register_wire(
+    ExplodeSource,
     CacheSource,
     SampleSource,
     RepartitionSource,

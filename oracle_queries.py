@@ -1159,6 +1159,17 @@ ORACLE_SQL: dict[str, str] = {
           AND l_extendedprice >= 0.0 AND l_extendedprice <= 160000.0
         GROUP BY 1
     """,
+    "explode_tokens": """
+        SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+        FROM (
+          SELECT lang,
+                 unnest(string_split_regex(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   '\\s+')) AS tok
+          FROM documents WHERE text IS NOT NULL
+        )
+        WHERE tok <> '' GROUP BY lang
+    """,
     "check_constraints": """
         WITH agg AS (
           SELECT count(*) AS n,

@@ -396,3 +396,30 @@ def test_model_describe_profiles_result(conn):
     assert rows["customer_id"].n_rows == 3
     assert rows["customer_id"].n_null == 1  # the NULL-customer sale at price 8
     assert rows["id"].n_distinct == 3
+
+
+def test_model_explode_inner_and_outer(conn):
+    conn.register_records(
+        "words", [(1, "a b c"), (2, "x"), (3, None)], schema="id long, s string"
+    )
+    m = Model(conn, "words").explode(func.split(attr.s, r"\s+"), named="tok")
+    inner = sorted((r["id"], r["tok"]) for r in m.pick(attr.id, attr.tok).run().py_records)
+    assert inner == [(1, "a"), (1, "b"), (1, "c"), (2, "x")]  # NULL array drops
+    mo = Model(conn, "words").explode(func.split(attr.s, r"\s+"), named="tok", outer=True)
+    outer = sorted((r["id"], r["tok"]) for r in mo.pick(attr.id, attr.tok).run().py_records)
+    assert (3, None) in outer  # outer keeps the NULL-array row
+    # exploded element is a first-class attribute: group by it
+    agg = {
+        r["tok"]: r["n"]
+        for r in m.aggregate(groups=[attr.tok], measures=[func.count().named("n")])
+        .run()
+        .py_records
+    }
+    assert agg == {"a": 1, "b": 1, "c": 1, "x": 1}
+    # wire round-trip
+    import json
+
+    restored = Model.from_wire(json.loads(json.dumps(m.to_wire())), connection=conn)
+    assert sorted(map(str, m.to_df().collect())) == sorted(
+        map(str, restored.to_df().collect())
+    )
