@@ -70,6 +70,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # no exemption). Catalyst's OptimizeOneRowPlan sometimes folds
         # these away entirely, so presence is plan-state-dependent.
         "exists_subquery", "scalar_subquery", "tpch_q15", "tpch_q22",
+        # 1-row × 1-row count frames per FK rule (total vs orphan counts):
+        "check_constraints",
         # deliberately-small broadcast frames (corpus-total / probe set):
         "tfidf", "lm_score", "ann_bruteforce",
     }
