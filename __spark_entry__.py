@@ -1949,6 +1949,42 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_mix_corpora(spark, sf_dir):
+    """Deterministic data-mixture step: thin each source so output token
+    shares hit the target weights (largest total at exact proportions;
+    md5-membership keep/drop). One corpus scan + a |sources|-row rate
+    frame broadcast back; the corpus never shuffles. Weights are
+    binary-exact (0.5/0.25) so normalization is bit-identical cross-engine."""
+    from hashquery_spark.ops import mix_corpora
+
+    docs = _conn(spark, sf_dir).table("documents")
+    mixed = mix_corpora(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 0.5, "src1": 0.25, "src2": 0.25},
+        text_col="text",
+    )
+    return mixed.select("doc_id", "source", "n_tokens")
+
+
+def q_gap_fill(spark, sf_dir):
+    """Dense date spine: hourly per-event-type series with empty buckets
+    zero-filled. Single-pass plan — one raw aggregation scan, then each
+    aggregated row emits itself + its gap-successors (lead + sequence,
+    one explode); no spine join, no second scan."""
+    from hashquery_spark.ops import gap_fill
+
+    ev = _conn(spark, sf_dir).table("events")
+    return gap_fill(
+        ev,
+        "ts",
+        grain="hour",
+        group_col="event_type",
+        measures={"n": ("count", "*"), "total_value": ("sum", "value")},
+    )
+
+
 # ===========================================================================
 # Driver entry points
 # ===========================================================================
@@ -2045,6 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_constraints": q_check_constraints,
         "explode_tokens": q_explode_tokens,
         "timeseries_rollup": q_timeseries_rollup,
+        "mix_corpora": q_mix_corpora,
+        "gap_fill": q_gap_fill,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,
         "text_langid": q_text_langid,

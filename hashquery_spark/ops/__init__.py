@@ -67,9 +67,10 @@ from .range_join import range_join
 from .chunking import chunk_documents, dedup_paragraphs
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
 from .profile import check_constraints, histogram, profile_table
-from .timeseries import multi_grain_rollup
+from .timeseries import gap_fill, multi_grain_rollup
 from .snapshot import dedup_against, snapshot_diff
 from .fuzzy import fuzzy_join
+from .mixing import mix_corpora, ws_token_count
 
 __all__ = [
     "dedup_clusters",
@@ -121,6 +122,9 @@ __all__ = [
     "histogram",
     "check_constraints",
     "multi_grain_rollup",
+    "gap_fill",
+    "mix_corpora",
+    "ws_token_count",
     "snapshot_diff",
     "dedup_against",
     "fuzzy_join",

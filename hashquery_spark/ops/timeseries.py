@@ -27,7 +27,7 @@ doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _ORDER = ["second", "minute", "hour", "day", "week", "month", "quarter", "year"]
@@ -83,6 +83,132 @@ def _emit(level: DataFrame, grain: str, measures: dict) -> DataFrame:
                 ).alias(name)
             )
     return level.select(*outs)
+
+
+_STEP = {
+    "second": "INTERVAL 1 SECOND",
+    "minute": "INTERVAL 1 MINUTE",
+    "hour": "INTERVAL 1 HOUR",
+    "day": "INTERVAL 1 DAY",
+    "week": "INTERVAL 7 DAY",
+    "month": "INTERVAL 1 MONTH",
+    "quarter": "INTERVAL 3 MONTH",
+    "year": "INTERVAL 1 YEAR",
+}
+
+
+def gap_fill(
+    df: DataFrame,
+    ts_col: str,
+    grain: str = "day",
+    group_col: str | None = None,
+    measures: dict | None = None,
+) -> DataFrame:
+    """Dense time series: aggregate to ``grain`` buckets, then emit one
+    row for EVERY bucket in [min, max] (per group when ``group_col`` is
+    given), zero-filling gaps — the "date spine" every dashboard /
+    training-curve query needs, which a plain GROUP BY cannot produce
+    (empty buckets simply don't exist in the input).
+
+    ``measures`` as in :func:`multi_grain_rollup`; count/sum gap-fill to
+    0, min/max/avg stay NULL on gap rows. Adds ``is_gap``.
+
+    Scale design: the raw table aggregates ONCE (map-side partials, one
+    shuffle); everything after runs on the tiny bucket-level frame, and
+    there is NO spine join — each aggregated row emits itself plus the
+    empty buckets between it and its successor (``lead()`` within the
+    group, ``sequence()`` for the range; the first row also back-fills
+    from the global minimum, the last forward-fills to the global
+    maximum), so the raw table is scanned exactly once and the plan is
+    agg → two windows over the tiny frame → one explode. At 100 TB the
+    cost is the one aggregation scan.
+
+    Cross-engine determinism: sums route through DECIMAL(18,4); bucket
+    arithmetic is calendar-exact (``sequence`` with calendar intervals ==
+    DuckDB ``generate_series``).
+    """
+    if grain not in _STEP:
+        raise ValueError(f"unsupported grain {grain!r}")
+    measures = measures or {"n": ("count", "*")}
+    step = F.expr(_STEP[grain])
+    aggd = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            *([F.col(group_col)] if group_col else []),
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(*_partials(measures, src_is_raw=True))
+    )
+    everything = Window.partitionBy()
+    per_group = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy("bucket")
+    nxt = F.lead("bucket").over(per_group)
+    staged = aggd.select(
+        "*",
+        F.min("bucket").over(everything).alias("__lo__"),
+        F.max("bucket").over(everything).alias("__hi__"),
+        nxt.alias("__nxt__"),
+        F.row_number().over(per_group).alias("__rn__"),
+    )
+    # gap buckets this row is responsible for: (bucket, next) exclusive —
+    # or (bucket, global hi] on the group's last row, plus [global lo,
+    # bucket) on its first row. Endpoints that are real buckets are
+    # excluded; their own rows emit them.
+    leading = F.when(
+        F.col("__rn__") == 1,
+        F.array_except(
+            F.sequence(F.col("__lo__"), F.col("bucket"), step),
+            F.array(F.col("bucket")),
+        ),
+    ).otherwise(F.array().cast("array<timestamp>"))
+    trailing = F.array_except(
+        F.sequence(F.col("bucket"), F.coalesce(F.col("__nxt__"), F.col("__hi__")), step),
+        F.when(F.col("__nxt__").isNull(), F.array(F.col("bucket"))).otherwise(
+            F.array(F.col("bucket"), F.col("__nxt__"))
+        ),
+    )
+    emit = F.concat(
+        F.array(F.struct(F.col("bucket").alias("b"), F.lit(False).alias("g"))),
+        F.transform(
+            F.concat(leading, trailing),
+            lambda b: F.struct(b.alias("b"), F.lit(True).alias("g")),
+        ),
+    )
+    exploded = staged.select(
+        *([group_col] if group_col else []),
+        *[c for c in staged.columns if c.startswith("__cnt_") or c.startswith("__sum_") or c.startswith("__ext_")],
+        F.explode(emit).alias("__e__"),
+    )
+    gap = F.col("__e__.g")
+    outs = ([F.col(group_col)] if group_col else []) + [
+        F.col("__e__.b").alias("bucket")
+    ]
+    for name, (fn, _) in measures.items():
+        if fn == "count":
+            outs.append(
+                F.when(gap, F.lit(0)).otherwise(F.col(f"__cnt_{name}")).alias(name)
+            )
+        elif fn in ("min", "max"):
+            outs.append(
+                F.when(gap, F.lit(None)).otherwise(F.col(f"__ext_{name}")).alias(name)
+            )
+        elif fn == "sum":
+            outs.append(
+                F.when(gap, F.lit(0.0))
+                .otherwise(F.col(f"__sum_{name}").cast("double"))
+                .alias(name)
+            )
+        else:  # avg: NULL on gaps
+            outs.append(
+                F.when(gap, F.lit(None).cast("double"))
+                .otherwise(
+                    F.col(f"__sum_{name}").cast("double") / F.col(f"__cnt_{name}")
+                )
+                .alias(name)
+            )
+    outs.append(gap.alias("is_gap"))
+    return exploded.select(*outs)
 
 
 def multi_grain_rollup(

@@ -1113,6 +1113,53 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer LEFT JOIN oc ON c_custkey = o_custkey
         GROUP BY c_mktsegment
     """,
+    "mix_corpora": """
+        WITH tok AS (
+          SELECT doc_id, source,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END
+                      AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        wt AS (
+          SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS avail,
+                 CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                             WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+                             WHEN 'src2' THEN CAST(0.25 AS DOUBLE)
+                             ELSE CAST(0.0 AS DOUBLE) END AS w
+          FROM tok GROUP BY source
+        ),
+        rates AS (
+          SELECT source,
+                 w * (SELECT min(avail / w) FROM wt WHERE w > 0) / avail AS keep_rate
+          FROM wt WHERE w > 0
+        )
+        SELECT t.doc_id, t.source, t.n_tokens
+        FROM tok t JOIN rates r ON t.source = r.source
+        WHERE (CAST('0x' || substr(md5('0:' || CAST(t.doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) / 4294967296.0) < r.keep_rate
+    """,
+    "gap_fill": """
+        WITH agg AS (
+          SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                 count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+        spine AS (
+          SELECT g.event_type,
+                 unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+          FROM (SELECT DISTINCT event_type FROM agg) g, bounds b
+        )
+        SELECT s.event_type, s.bucket,
+               coalesce(a.n, 0) AS n,
+               CASE WHEN a.bucket IS NULL THEN 0.0 ELSE a.total_value END
+                 AS total_value,
+               (a.bucket IS NULL) AS is_gap
+        FROM spine s LEFT JOIN agg a
+          ON s.event_type = a.event_type AND s.bucket = a.bucket
+    """,
     "timeseries_rollup": """
         SELECT 'hour' AS grain,
                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,

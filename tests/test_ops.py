@@ -753,3 +753,79 @@ def test_check_constraints_rules(spark):
     fk = rows[("foreign_key", "id")]
     assert fk.n_violations == 1                            # id=3 not in dim
     assert all(r.n_checked == 4 for r in rows.values())
+
+
+def test_mix_corpora_rates_and_stability(spark):
+    from hashquery_spark.ops import mix_corpora
+
+    rows = [
+        (i, "a" if i < 40 else ("b" if i < 60 else "c"), "w " * 10)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # tokens: a=400, b=200, c=200. weights 1:1 over (a, b) ->
+    # T = min(400/0.5, 200/0.5) = 400; rate_a = 0.5*400/400 = 0.5, rate_b = 1.0
+    out = mix_corpora(df, "source", "doc_id", {"a": 1.0, "b": 1.0})
+    rates = {
+        r.source: r.keep_rate for r in out.select("source", "keep_rate").distinct().collect()
+    }
+    assert rates["b"] == 1.0 and rates["a"] == 0.5
+    assert "c" not in rates  # unlisted source dropped entirely
+    got = out.select("doc_id").collect()
+    kept_b = {r.doc_id for r in got if 40 <= r.doc_id < 60}
+    assert len(kept_b) == 20  # binding source keeps every row
+    # membership is a pure (seed, id) function: stable across partitioning
+    got2 = {r.doc_id for r in mix_corpora(
+        df.repartition(7), "source", "doc_id", {"a": 1.0, "b": 1.0}
+    ).select("doc_id").collect()}
+    assert {r.doc_id for r in got} == got2
+
+
+def test_mix_corpora_rejects_bad_weights(spark):
+    from hashquery_spark.ops import mix_corpora
+
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
+    with pytest.raises(ValueError):
+        mix_corpora(df, "source", "doc_id", {})
+    with pytest.raises(ValueError):
+        mix_corpora(df, "source", "doc_id", {"a": -1.0})
+    with pytest.raises(ValueError):
+        mix_corpora(df, "source", "doc_id", {"a": 0.0})
+
+
+def test_gap_fill_spine_and_fills(spark):
+    from datetime import datetime
+    from hashquery_spark.ops import gap_fill
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 30), 1.0),
+        ("a", datetime(2024, 1, 1, 0, 45), 3.0),
+        ("a", datetime(2024, 1, 1, 4, 0), 5.0),   # 3-hour gap before
+        ("b", datetime(2024, 1, 1, 2, 15), 7.0),  # group missing at both edges
+        ("b", None, 99.0),                         # null ts ignored
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = gap_fill(
+        df, "ts", grain="hour", group_col="g",
+        measures={"n": ("count", "*"), "s": ("sum", "v"), "mx": ("max", "v")},
+    )
+    got = {(r.g, r.bucket.hour): r for r in out.collect()}
+    # spine is the GLOBAL [min, max] per group: hours 0..4 for both groups
+    assert len(got) == 10
+    assert got[("a", 0)].n == 2 and got[("a", 0)].s == 4.0 and not got[("a", 0)].is_gap
+    assert got[("a", 2)].n == 0 and got[("a", 2)].s == 0.0 and got[("a", 2)].is_gap
+    assert got[("a", 4)].mx == 5.0
+    assert got[("b", 0)].is_gap and got[("b", 4)].is_gap  # edge back/forward fill
+    assert got[("b", 2)].n == 1 and got[("b", 2)].s == 7.0
+    assert got[("b", 3)].mx is None  # min/max stay NULL on gaps
+
+
+def test_gap_fill_ungrouped_month_grain(spark):
+    from datetime import datetime
+    from hashquery_spark.ops import gap_fill
+
+    rows = [(datetime(2024, 1, 5),), (datetime(2024, 4, 20),)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r.bucket.month: r for r in gap_fill(df, "ts", grain="month").collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert out[2].is_gap and out[3].is_gap and out[1].n == 1 and out[4].n == 1

@@ -182,3 +182,27 @@ def test_join_many_preaggregates_before_join(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     assert join_pos != -1 and agg_pos != -1
     assert "partial_count" in plan  # map-side partials on the many side
+
+
+def test_gap_fill_is_single_scan(spark, sf_dir):
+    """The spine is generated from the aggregated frame itself (lead +
+    sequence + one explode) — NOT via a spine join, which would scan the
+    raw table twice."""
+    plan = _physical(entry_mod.queries()["gap_fill"](spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Generate explode" in plan
+    assert "Join" not in plan
+
+
+def test_mix_corpora_corpus_never_shuffles(spark, sf_dir):
+    """Rates broadcast back to the corpus (BroadcastHashJoin on source);
+    the only exchanges belong to the tiny totals frame, and the totals
+    scan is column-pruned to (source, text)."""
+    plan = _physical(entry_mod.queries()["mix_corpora"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(set(s.split(",")) >= {"doc_id:bigint"} for s in schemas)
+    pruned = [s for s in schemas if "doc_id" not in s]
+    assert pruned and all("lang" not in s for s in pruned)
