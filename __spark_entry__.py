@@ -1968,6 +1968,28 @@ def q_mix_corpora(spark, sf_dir):
     return mixed.select("doc_id", "source", "n_tokens")
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib-compressibility quality signal via the Arrow-batched pandas
+    UDF path (rows-only check: the ratio is zlib-version-deterministic
+    but not SQL-reproducible, so there is deliberately no DuckDB twin)."""
+    from hashquery_spark.ops import compression_ratio
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return compression_ratio(docs, "text", "doc_id")
+
+
+def q_repeated_spans(spark, sf_dir):
+    """Exact-substring dedup at token-window granularity (Lee et al.
+    2022): 15-token spans sampled every 5 tokens; report every span whose
+    exact content repeats anywhere in the corpus, with the canonical
+    first occurrence flagged. Text never shuffles — only (hash, okey)
+    pairs move through the groupBy-min/count + hash join-back."""
+    from hashquery_spark.ops import repeated_spans
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return repeated_spans(docs, "text", "doc_id", window=15, stride=5)
+
+
 def q_gap_fill(spark, sf_dir):
     """Dense date spine: hourly per-event-type series with empty buckets
     zero-filled. Single-pass plan — one raw aggregation scan, then each
@@ -2083,6 +2105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_rollup": q_timeseries_rollup,
         "mix_corpora": q_mix_corpora,
         "gap_fill": q_gap_fill,
+        "repeated_spans": q_repeated_spans,
+        "compression_ratio": q_compression_ratio,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,
         "text_langid": q_text_langid,

@@ -44,6 +44,7 @@ from .sampling import (
 from .text import (
     boilerplate_ngrams,
     bpe_pair_counts,
+    compression_ratio,
     doc_fingerprint,
     language_id,
     pii_scrub,
@@ -64,7 +65,7 @@ from .multimodal import (
 from .skew import salted_aggregate, salted_join
 from .asof import asof_join
 from .range_join import range_join
-from .chunking import chunk_documents, dedup_paragraphs
+from .chunking import chunk_documents, dedup_paragraphs, repeated_spans
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
 from .profile import check_constraints, histogram, profile_table
 from .timeseries import gap_fill, multi_grain_rollup
@@ -123,6 +124,8 @@ __all__ = [
     "check_constraints",
     "multi_grain_rollup",
     "gap_fill",
+    "repeated_spans",
+    "compression_ratio",
     "mix_corpora",
     "ws_token_count",
     "snapshot_diff",

@@ -67,6 +67,70 @@ def chunk_documents(
     )
 
 
+def repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 15,
+    stride: int = 5,
+) -> DataFrame:
+    """Cross-document exact-substring duplicate spans (the Lee et al.
+    2022 "Deduplicating Training Data" idea at token-window granularity):
+    sample a ``window``-token span every ``stride`` tokens and report
+    every span whose exact token content occurs more than once anywhere
+    in the corpus.
+
+    Output: (id, span_start [1-based token index], span_hash,
+    n_occurrences, is_first) — one row per duplicate occurrence;
+    ``is_first`` marks the canonical (smallest (doc_id, start)) copy, so
+    "drop every non-first duplicate span" is a filter on the result and
+    the hash joins back to re-cut documents.
+
+    Scale: tokenization and span hashing are one narrow generator stage
+    (document text never shuffles — only (hash, okey) pairs move); the
+    occurrence count + keeper selection is ONE groupBy-min/count on the
+    span hash with map-side combine (corpus-wide hot spans — boilerplate
+    — collapse before the shuffle, same skew story as dedup_paragraphs);
+    the join-back on hash is the second and last shuffle.
+
+    Documents shorter than ``window`` tokens yield no spans. Ordering
+    keys are exact integers (doc_id * PARA_STRIDE + start; supported
+    bound: < 1e6 tokens per document).
+    """
+    if window < 2 or stride < 1:
+        raise ValueError("require window >= 2 and stride >= 1")
+    i, t = id_col, text_col
+    toks = df.where(
+        F.col(t).isNotNull() & (F.trim(F.col(t)) != "")
+    ).selectExpr(i, f"split(trim({t}), '\\\\s+') AS __toks__")
+    starts = toks.where(F.size("__toks__") >= window).selectExpr(
+        i,
+        "__toks__",
+        f"explode(sequence(1, size(__toks__) - {window - 1}, {stride})) AS s",
+    )
+    spans = starts.selectExpr(
+        i,
+        "s",
+        f"md5(array_join(slice(__toks__, s, {window}), ' ')) AS span_hash",
+        f"{i} * {PARA_STRIDE} + s AS __okey__",
+    )
+    counts = spans.groupBy("span_hash").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("__okey__").alias("__keep__"),
+    )
+    return (
+        spans.join(counts, on="span_hash")
+        .where(F.col("n_occurrences") > 1)
+        .select(
+            F.col(i),
+            F.col("s").alias("span_start"),
+            "span_hash",
+            "n_occurrences",
+            (F.col("__okey__") == F.col("__keep__")).alias("is_first"),
+        )
+    )
+
+
 def dedup_paragraphs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Corpus-wide exact paragraph dedup (the C4 "three-sentence span" idea
     reduced to newline paragraphs): every duplicate occurrence of a

@@ -105,6 +105,57 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), *quality_cols(F.col(text_col)))
 
 
+def compression_ratio(df: DataFrame, text_col: str, id_col: str, level: int = 6) -> DataFrame:
+    """(id, raw_bytes, compressed_bytes, compression_ratio) — zlib
+    compressibility as a quality signal (used by Gopher/RedPajama-style
+    filters: highly repetitive or templated text compresses far below
+    natural prose; binary junk barely compresses at all).
+
+    Python is unavoidable here (no zlib in Spark SQL), so this is the
+    Arrow-batched pandas UDF path: one vectorized batch transfer per
+    partition, narrow (no shuffle), scales linearly with executors. The
+    ratio is deterministic for a fixed zlib version/level but NOT
+    cross-engine reproducible — correctness is covered by unit tests and
+    a rows-only driver check, not a DuckDB oracle.
+
+    Empty/NULL text yields NULL ratio; ratio = compressed/raw over UTF-8
+    bytes (can exceed 1.0 for tiny inputs — zlib framing overhead).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _z_batch(texts):  # pd.Series -> pd.DataFrame (struct); annotation-
+        # free on purpose: `from __future__ import annotations` stringifies
+        # hints, which pandas_udf's hint inference rejects
+        import zlib
+
+        def one(t):
+            if t is None:
+                return (None, None)
+            b = t.encode("utf-8")
+            return (len(b), len(zlib.compress(b, level)))
+
+        out = [one(t) for t in texts]
+        return pd.DataFrame(out, columns=["raw_bytes", "compressed_bytes"])
+
+    _z = pandas_udf(_z_batch, "struct<raw_bytes: long, compressed_bytes: long>")
+
+    z = _z(F.col(text_col))
+    return df.select(F.col(id_col), z.alias("__z__")).select(
+        id_col,
+        F.col("__z__.raw_bytes").alias("raw_bytes"),
+        F.col("__z__.compressed_bytes").alias("compressed_bytes"),
+        F.when(
+            F.col("__z__.raw_bytes") > 0,
+            F.round(
+                F.col("__z__.compressed_bytes")
+                / F.col("__z__.raw_bytes").cast("double"),
+                4,
+            ),
+        ).alias("compression_ratio"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
     """(id, fingerprint) — rolling-hash document fingerprint: the minimum
     32-bit md5 hash over all character k-grams of the normalized text

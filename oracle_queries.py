@@ -1160,6 +1160,30 @@ ORACLE_SQL: dict[str, str] = {
         FROM spine s LEFT JOIN agg a
           ON s.event_type = a.event_type AND s.bucket = a.bucket
     """,
+    "repeated_spans": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        pos AS (
+          SELECT doc_id, unnest(generate_series(1, len(t) - 14, 5)) AS s, t
+          FROM toks WHERE len(t) >= 15
+        ),
+        spans AS (
+          SELECT doc_id, s,
+                 md5(array_to_string(list_slice(t, s, s + 14), ' ')) AS span_hash,
+                 doc_id * 1000000 + s AS okey
+          FROM pos
+        ),
+        cnt AS (
+          SELECT span_hash, count(*) AS n_occurrences, min(okey) AS k
+          FROM spans GROUP BY span_hash
+        )
+        SELECT sp.doc_id, CAST(sp.s AS INT) AS span_start, sp.span_hash,
+               c.n_occurrences, (sp.okey = c.k) AS is_first
+        FROM spans sp JOIN cnt c ON sp.span_hash = c.span_hash
+        WHERE c.n_occurrences > 1
+    """,
     "timeseries_rollup": """
         SELECT 'hour' AS grain,
                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,

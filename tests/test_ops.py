@@ -829,3 +829,58 @@ def test_gap_fill_ungrouped_month_grain(spark):
     out = {r.bucket.month: r for r in gap_fill(df, "ts", grain="month").collect()}
     assert sorted(out) == [1, 2, 3, 4]
     assert out[2].is_gap and out[3].is_gap and out[1].n == 1 and out[4].n == 1
+
+
+def test_repeated_spans_detects_cross_doc_dups(spark):
+    from hashquery_spark.ops import repeated_spans
+
+    shared = " ".join(f"w{k}" for k in range(6))  # 6 shared tokens
+    rows = [
+        (1, shared + " unique one tail"),
+        (2, "head padding " + shared),      # same 6-token run, offset 3
+        (3, "totally different words here aplenty again more filler"),
+        (4, "short doc"),                    # < window: no spans
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_spans(df, "text", "doc_id", window=6, stride=1).collect()
+    hits = {(r.doc_id, r.span_start): r for r in out}
+    assert (1, 1) in hits and (2, 3) in hits
+    assert hits[(1, 1)].span_hash == hits[(2, 3)].span_hash
+    assert hits[(1, 1)].is_first and not hits[(2, 3)].is_first
+    assert all(r.n_occurrences == 2 for r in out)
+    assert all(r.doc_id in (1, 2) for r in out)
+
+
+def test_repeated_spans_validates_args(spark):
+    from hashquery_spark.ops import repeated_spans
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        repeated_spans(df, "text", "doc_id", window=1)
+    with pytest.raises(ValueError):
+        repeated_spans(df, "text", "doc_id", stride=0)
+
+
+def test_compression_ratio_orders_repetitive_below_diverse(spark):
+    import random
+    from hashquery_spark.ops import compression_ratio
+
+    rng = random.Random(7)
+    diverse = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(100)
+    )
+    rows = [
+        (1, "spam ham " * 200),  # highly repetitive
+        (2, diverse),            # high-entropy
+        (3, ""),                 # empty -> NULL ratio
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    assert out[1].compression_ratio < 0.05
+    assert out[2].compression_ratio > 0.5
+    assert out[1].raw_bytes == len("spam ham " * 200)
+    assert out[3].compression_ratio is None and out[3].raw_bytes == 0
+    assert out[4].raw_bytes is None and out[4].compression_ratio is None
