@@ -51,6 +51,10 @@ HEADLINE = [
     "join_many_rollup",
     "timeseries_rollup",
     "fuzzy_join",
+    # round-1 third-continuation extensions (appended)
+    "mix_corpora",
+    "gap_fill",
+    "repeated_spans",
 ]
 
 
