@@ -1968,6 +1968,17 @@ def q_mix_corpora(spark, sf_dir):
     return mixed.select("doc_id", "source", "n_tokens")
 
 
+def q_approx_quantiles(spark, sf_dir):
+    """Sketch-based percentiles (rows-only: rank-error <= 1/accuracy is
+    guaranteed and unit-tested against the exact percentile, but the
+    sketch output is not SQL-reproducible; the exact twin is `quantiles`).
+    One scan, one global agg for all columns x probs."""
+    from hashquery_spark.ops import approx_quantiles
+
+    li = _conn(spark, sf_dir).table("lineitem")
+    return approx_quantiles(li, ["l_extendedprice", "l_quantity"])
+
+
 def q_compression_ratio(spark, sf_dir):
     """zlib-compressibility quality signal via the Arrow-batched pandas
     UDF path (rows-only check: the ratio is zlib-version-deterministic
@@ -2107,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "repeated_spans": q_repeated_spans,
         "compression_ratio": q_compression_ratio,
+        "approx_quantiles": q_approx_quantiles,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,
         "text_langid": q_text_langid,

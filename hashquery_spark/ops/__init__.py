@@ -67,7 +67,7 @@ from .asof import asof_join
 from .range_join import range_join
 from .chunking import chunk_documents, dedup_paragraphs, repeated_spans
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
-from .profile import check_constraints, histogram, profile_table
+from .profile import approx_quantiles, check_constraints, histogram, profile_table
 from .timeseries import gap_fill, multi_grain_rollup
 from .snapshot import dedup_against, snapshot_diff
 from .fuzzy import fuzzy_join
@@ -126,6 +126,7 @@ __all__ = [
     "gap_fill",
     "repeated_spans",
     "compression_ratio",
+    "approx_quantiles",
     "mix_corpora",
     "ws_token_count",
     "snapshot_diff",

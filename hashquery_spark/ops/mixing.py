@@ -80,7 +80,11 @@ def mix_corpora(
         base.groupBy(source_col)
         .agg(F.sum("n_tokens").cast("double").alias("__avail__"))
         .withColumn("__w__", w_expr)
-        .where(F.col("__w__") > 0)
+        # a weighted source with ZERO available tokens is treated as
+        # absent (it cannot contribute; the strict formula would force
+        # T = 0 and empty output) — proportions are exact over the
+        # sources that actually have tokens
+        .where((F.col("__w__") > 0) & (F.col("__avail__") > 0))
     )
     # T = min(avail/w) attaches via an unpartitioned window over the
     # |sources|-row frame — tiny single partition, no nested-loop join.

@@ -110,6 +110,43 @@ def histogram(
     )
 
 
+def approx_quantiles(
+    df: DataFrame,
+    cols,
+    probs=(0.25, 0.5, 0.75, 0.9),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """(column_name, prob, value) — approximate percentiles for several
+    numeric columns in ONE pass.
+
+    This is the 100 TB percentile path: ``percentile_approx`` maintains a
+    bounded Greenwald-Khanna-style sketch per partition and merges the
+    partials, so memory is O(accuracy) regardless of row count and the
+    only shuffle is the tiny sketch merge — exact ``percentile`` must
+    buffer every value per group. Guaranteed rank error <= 1/accuracy
+    (deterministic for a given dataset/accuracy, but sketch-dependent, so
+    this op is rows-only checked rather than DuckDB-oracle'd; the exact
+    twin lives in the ``quantiles`` query).
+
+    All columns and probabilities compute in ONE global aggregate over
+    ONE scan, then stack-unpivot to long format — no per-column jobs.
+    """
+    cols = list(cols)
+    probs = [float(p) for p in probs]
+    arr = "array(" + ",".join(f"{p}D" for p in probs) + ")"
+    aggs = [
+        f"percentile_approx(`{c}`, {arr}, {int(accuracy)}) AS `__q_{c}`"
+        for c in cols
+    ]
+    wide = df.selectExpr(*aggs)
+    pieces = []
+    for c in cols:
+        for j, p in enumerate(probs):
+            pieces.append(f"'{c}', {p}D, CAST(try_element_at(`__q_{c}`, {j + 1}) AS DOUBLE)")
+    stack = f"stack({len(cols) * len(probs)}, " + ", ".join(pieces) + ")"
+    return wide.selectExpr(f"{stack} AS (column_name, prob, value)")
+
+
 def check_constraints(df: DataFrame, rules, fk_checks=None) -> DataFrame:
     """Data-quality gate (Deequ-style, reduced to one pass): evaluate
     declarative constraints and report ``(rule, column, n_checked,

@@ -1131,8 +1131,9 @@ ORACLE_SQL: dict[str, str] = {
         ),
         rates AS (
           SELECT source,
-                 w * (SELECT min(avail / w) FROM wt WHERE w > 0) / avail AS keep_rate
-          FROM wt WHERE w > 0
+                 w * (SELECT min(avail / w) FROM wt WHERE w > 0 AND avail > 0) / avail
+                   AS keep_rate
+          FROM wt WHERE w > 0 AND avail > 0
         )
         SELECT t.doc_id, t.source, t.n_tokens
         FROM tok t JOIN rates r ON t.source = r.source

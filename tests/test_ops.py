@@ -884,3 +884,21 @@ def test_compression_ratio_orders_repetitive_below_diverse(spark):
     assert out[1].raw_bytes == len("spam ham " * 200)
     assert out[3].compression_ratio is None and out[3].raw_bytes == 0
     assert out[4].raw_bytes is None and out[4].compression_ratio is None
+
+
+def test_approx_quantiles_rank_error_bound(spark):
+    import random
+    from hashquery_spark.ops import approx_quantiles
+
+    vals = list(range(10000))
+    random.Random(3).shuffle(vals)
+    df = spark.createDataFrame([(v, float(v) * 2) for v in vals], "a long, b double")
+    out = {
+        (r.column_name, r.prob): r.value
+        for r in approx_quantiles(df, ["a", "b"], probs=(0.1, 0.5, 0.9), accuracy=100).collect()
+    }
+    assert len(out) == 6
+    # accuracy=100 -> rank error <= 1% of 10k rows = 100 ranks
+    for p in (0.1, 0.5, 0.9):
+        assert abs(out[("a", p)] - p * 9999) <= 100
+        assert abs(out[("b", p)] - 2 * p * 9999) <= 200

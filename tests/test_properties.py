@@ -539,3 +539,82 @@ def test_fuzzy_join_precision_and_sim_values(spark, names):
     # identical strings always collide (every band matches)
     assert all((i, i + 1000) in {(r.id_l, r.id_r) for r in out}
                for i, n in enumerate(names) if len(grams(n)) > 0)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=25), min_size=2, max_size=30),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_mix_corpora_matches_python_reference(spark, lens, seed):
+    """mix_corpora == the same rate formula + md5 membership computed in
+    pure Python (IEEE double ops are identical)."""
+    import hashlib
+
+    from hashquery_spark.ops import mix_corpora
+
+    sources = ["a", "b", "c"]
+    rows = [(i, sources[i % 3], " ".join(["w"] * n) if n else "") for i, n in enumerate(lens)]
+    weights = {"a": 0.5, "b": 0.25, "c": 0.25}
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(
+        (r.doc_id, r.keep_rate) for r in mix_corpora(
+            df, "source", "doc_id", weights, seed=seed
+        ).select("doc_id", "keep_rate").collect()
+    )
+
+    avail = {}
+    for i, s, _t in rows:
+        avail[s] = avail.get(s, 0) + lens[i]
+    live = {s: w for s, w in weights.items() if avail.get(s, 0) > 0}
+    if not live:
+        assert got == []
+        return
+    T = min(float(avail[s]) / w for s, w in live.items())
+    rate = {s: w * T / float(avail[s]) for s, w in live.items()}
+
+    def u(i):
+        return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16) / 2**32
+
+    expect = sorted(
+        (i, rate[s]) for i, s, _t in rows if s in rate and u(i) < rate[s]
+    )
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    window=st.integers(min_value=2, max_value=4),
+    stride=st.integers(min_value=1, max_value=3),
+)
+def test_repeated_spans_matches_python_reference(spark, docs, window, stride):
+    """repeated_spans == brute-force Python span extraction + counting
+    over the same sampled start positions."""
+    from hashquery_spark.ops import repeated_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.n_occurrences, r.is_first)
+        for r in repeated_spans(df, "text", "doc_id", window=window, stride=stride).collect()
+    )
+
+    occurrences = {}  # span content -> [(doc, start_1based)]
+    for i, toks in enumerate(docs):
+        if len(toks) < window:
+            continue
+        for s in range(0, len(toks) - window + 1, stride):
+            key = tuple(toks[s : s + window])
+            occurrences.setdefault(key, []).append((i, s + 1))
+    expect = []
+    for occ in occurrences.values():
+        if len(occ) < 2:
+            continue
+        first = min(occ)
+        expect += [(d, s, len(occ), (d, s) == first) for d, s in occ]
+    assert got == sorted(expect)
