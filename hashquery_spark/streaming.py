@@ -308,6 +308,52 @@ def enrich_stream(
     return stream.join(d, on=on, how=how)
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    within: str = "15 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the click-attribution
+    shape: pair a right-stream event with a left-stream event sharing the
+    join key(s) when ``right_ts`` falls in ``[left_ts, left_ts + within]``.
+
+    Both sides carry watermarks AND the join condition bounds the two
+    event times against each other, which is exactly what Spark needs to
+    keep the join *state store* finite: a buffered left row can be GC'd
+    once the right watermark passes ``left_ts + within``, and vice versa
+    (without the interval bound, stream-stream join state grows forever).
+    Outer variants emit the unmatched side only after the watermark
+    closes its match window, so late results are complete, not racy.
+
+    The two input column sets must be disjoint apart from ``on`` (rename
+    upstream if needed); ``how`` may be inner / leftOuter / rightOuter /
+    fullOuter."""
+    if how not in ("inner", "leftOuter", "rightOuter", "fullOuter"):
+        raise ValueError(f"unsupported stream-stream join type {how!r}")
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = None
+    for k in on:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else cond & c
+    lo = F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}")
+    hi = F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(
+        f"INTERVAL {within}"
+    )
+    cond = (cond & lo & hi) if cond is not None else (lo & hi)
+    joined = l.join(r, cond, how)
+    # drop the duplicated key columns from the right side
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c not in set(on)
+    ]
+    return joined.select(*keep)
+
+
 def write_stream_parquet(
     stream: DataFrame,
     path: str,

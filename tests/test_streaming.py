@@ -305,3 +305,59 @@ def test_write_stream_parquet_exactly_once_resume(spark, stream_dir, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out_dir).count() == len(ROWS)
+
+
+def test_join_streams_interval_attribution(spark, tmp_path):
+    """Stream-stream interval join: conversions attribute to the
+    impression within [imp_ts, imp_ts + within]; matches the equivalent
+    batch join exactly once both streams drain."""
+    from hashquery_spark.streaming import join_streams, read_event_stream
+
+    imp_rows = [
+        (1, "campA", datetime(2024, 1, 1, 10, 0)),
+        (1, "campB", datetime(2024, 1, 1, 12, 0)),
+        (2, "campA", datetime(2024, 1, 1, 10, 30)),
+    ]
+    conv_rows = [
+        (1, 9.99, datetime(2024, 1, 1, 10, 10)),   # -> campA (within 15m)
+        (1, 5.00, datetime(2024, 1, 1, 11, 0)),    # no impression within 15m
+        (2, 7.50, datetime(2024, 1, 1, 10, 31)),   # -> campA/user2
+        (3, 1.00, datetime(2024, 1, 1, 10, 5)),    # no impression at all
+    ]
+    imp_schema = "user_id long, campaign string, imp_ts timestamp"
+    conv_schema = "user_id long, amount double, conv_ts timestamp"
+    d1, d2 = str(tmp_path / "imp"), str(tmp_path / "conv")
+    spark.createDataFrame(imp_rows, imp_schema).coalesce(1).write.parquet(d1)
+    spark.createDataFrame(conv_rows, conv_schema).coalesce(1).write.parquet(d2)
+
+    out = join_streams(
+        read_event_stream(spark, d1, imp_schema),
+        read_event_stream(spark, d2, conv_schema),
+        on=["user_id"],
+        left_ts="imp_ts",
+        right_ts="conv_ts",
+        within="15 minutes",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("attrib")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.campaign, r.amount) for r in spark.table("attrib").collect()
+    )
+    assert got == [(1, "campA", 9.99), (2, "campA", 7.5)]
+    assert set(spark.table("attrib").columns) == {
+        "user_id", "campaign", "imp_ts", "amount", "conv_ts"
+    }
+
+
+def test_join_streams_rejects_bad_how(spark, tmp_path):
+    from hashquery_spark.streaming import join_streams, read_event_stream
+
+    d = str(tmp_path / "s")
+    spark.createDataFrame([(1, datetime(2024, 1, 1))], "k long, ts timestamp") \
+        .write.parquet(d)
+    s = read_event_stream(spark, d, "k long, ts timestamp")
+    with pytest.raises(ValueError):
+        join_streams(s, s, on=["k"], left_ts="ts", right_ts="ts", how="semi")
