@@ -1026,12 +1026,14 @@ class PythonUdfExpression(ColumnExpression):
         return_type: str,
         args: Optional[list] = None,
         vectorized: bool = True,
+        agg: bool = False,
     ) -> None:
         super().__init__()
         self.fn = fn
         self.return_type = return_type
         self.args = [to_expr(a) for a in (args or [])]
         self.vectorized = vectorized
+        self.agg = agg
 
     def children(self):
         return list(self.args)
@@ -1042,7 +1044,18 @@ class PythonUdfExpression(ColumnExpression):
 
     def compile(self, ctx: ExprContext) -> Column:
         cols = [a.compile(ctx) for a in self.args]
-        if self.vectorized:
+        if self.agg:
+            # grouped-agg pandas UDF: fn receives pandas.Series (one per
+            # arg, the group's values) and returns ONE scalar. Spark
+            # evaluates it per group inside groupBy().agg() — a true
+            # custom UDAF with Arrow transfer. Note: unlike built-in
+            # aggregates there is no partial/merge step, so every group's
+            # values ship to one task — fine for bounded groups, not for
+            # a single global group over 100 TB.
+            from pyspark.sql.functions import PandasUDFType
+
+            udf = F.pandas_udf(self.fn, self.return_type, PandasUDFType.GROUPED_AGG)
+        elif self.vectorized:
             udf = F.pandas_udf(self.fn, self.return_type)
         else:
             udf = F.udf(self.fn, self.return_type)

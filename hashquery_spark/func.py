@@ -156,6 +156,26 @@ def python_udf(fn, returns: str, *args, vectorized: bool = True):
 
 
 @defer_keypath_args
+def python_udaf(fn, returns: str, *args):
+    """User Python aggregate function (net-new): ``fn`` receives one
+    ``pandas.Series`` per argument holding the GROUP's values and returns
+    a single scalar; usable anywhere a measure is (``aggregate(measures=
+    [func.python_udaf(gini, "double", attr.price).named("gini")])``).
+
+    Compiles to a grouped-agg pandas UDF (Arrow batch per group). No
+    partial aggregation/merge exists for custom UDAFs — each group's
+    values are collected to one task, so keep groups bounded (use the
+    built-in decomposable aggregates for global/extreme-cardinality
+    rollups). Spark cannot mix grouped-agg pandas UDFs with built-in
+    aggregates in one Aggregate node; ``aggregate()`` raises eagerly on
+    the mix — compute them in separate aggregates and join on the
+    groups."""
+    from .expr import PythonUdfExpression
+
+    return PythonUdfExpression(fn, returns, list(args), agg=True)
+
+
+@defer_keypath_args
 def scalar(model) -> SubqueryExpression:
     """A Model as a scalar value (one row, one column) usable anywhere an
     expression is: comparisons, arithmetic, filters. The reference declares

@@ -905,6 +905,24 @@ class AggregateSource(Source):
         return self.base.default_identifier()
 
     def compile(self, state: CompileState) -> FrameState:
+        from .expr import PythonUdfExpression
+
+        py_aggs = [
+            m
+            for m in self.measures
+            if isinstance(m, PythonUdfExpression) and m.agg
+        ]
+        if py_aggs and len(py_aggs) != len(self.measures):
+            # Spark cannot evaluate grouped-agg pandas UDFs and built-in
+            # aggregate functions in the same Aggregate node
+            # (INVALID_PANDAS_UDF_PLACEMENT) — surface the limit at the
+            # DSL layer with a workaround instead of a deep Catalyst error
+            raise ValueError(
+                "python_udaf measures cannot be mixed with built-in "
+                "aggregate measures in one aggregate() (Spark grouped-agg "
+                "pandas UDF limitation); aggregate them separately and "
+                "join on the groups"
+            )
         fs = self.base.compile(state)
         ctx = fs.prepare(self.groups + self.measures)
         group_cols = [g.compile(ctx).alias(g.identifier) for g in self.groups]
