@@ -843,7 +843,7 @@ class Model:
         result = folded.pick(column("*"))
         for p in all_partitions:
             result = result.sort(column(p.identifier), small=True)
-        return result.sort(
+        result = result.sort(
             func.cases(
                 *[
                     (column("step") == step_name, idx)
@@ -853,6 +853,16 @@ class Model:
             ).named("step_index"),
             dir="asc",
             small=True,
+        )
+        # re-register the output columns as attributes so funnel results
+        # compose further (join two funnels, filter on step — the
+        # events.md "Comparing Funnels" guide); the reference's own
+        # pick("*") leaves the attribute map empty, making its documented
+        # pattern unrunnable verbatim
+        return result.with_attributes(
+            *[p.identifier for p in all_partitions],
+            "step",
+            FUNNEL_COUNT_COLUMN_NAME,
         )
 
     def funnel_conversion_rate(

@@ -925,7 +925,23 @@ class AggregateSource(Source):
             )
         fs = self.base.compile(state)
         ctx = fs.prepare(self.groups + self.measures)
-        group_cols = [g.compile(ctx).alias(g.identifier) for g in self.groups]
+
+        def group_col(g):
+            # `distinct(x)` as a GROUP is the reference-documented segment
+            # idiom (docs/pattern_guides/segments.md): grouping already
+            # dedups, so it compiles to its argument with the inferred
+            # `distinct_<base>` identifier preserved
+            from .expr import SqlFunctionExpression
+
+            if (
+                isinstance(g, SqlFunctionExpression)
+                and g.function == "distinct"
+                and len(g.args) == 1
+            ):
+                return g.args[0].compile(ctx).alias(g.identifier)
+            return g.compile(ctx).alias(g.identifier)
+
+        group_cols = [group_col(g) for g in self.groups]
         measure_cols = [m.compile(ctx).alias(m.identifier) for m in self.measures]
         if measure_cols:
             if self.grouping_mode == "rollup":
