@@ -1968,6 +1968,15 @@ def q_mix_corpora(spark, sf_dir):
     return mixed.select("doc_id", "source", "n_tokens")
 
 
+def q_retention_curve(spark, sf_dir):
+    """First-class Model.retention (the reference announces it as future
+    work, docs/pattern_guides/events.md): weekly purchase-retention —
+    cohort by first purchase week, per-offset active counts and rates.
+    Windowed cohort size runs over the tiny cohort x offset frame."""
+    ev = _events_model(spark, sf_dir).filter(attr.event_type == "purchase")
+    return ev.retention(grain="week").to_df()
+
+
 def q_approx_quantiles(spark, sf_dir):
     """Sketch-based percentiles (rows-only: rank-error <= 1/accuracy is
     guaranteed and unit-tested against the exact percentile, but the
@@ -2119,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "compression_ratio": q_compression_ratio,
         "approx_quantiles": q_approx_quantiles,
+        "retention_curve": q_retention_curve,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,
         "text_langid": q_text_langid,

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from . import func
 from .connection import Connection
 from .expr import ColumnExpression, column, to_expr
-from .keypath import KeyPath, resolve_all_nested_keypaths, resolve_keypath
+from .keypath import KeyPath, rel, resolve_all_nested_keypaths, resolve_keypath
 from .match_steps import MatchStepsSource, ModelActivitySchema
 from .sources import (
     ExplodeSource,
@@ -863,6 +863,104 @@ class Model:
             *[p.identifier for p in all_partitions],
             "step",
             FUNNEL_COUNT_COLUMN_NAME,
+        )
+
+    def retention(
+        self,
+        grain: str = "week",
+        *,
+        group=None,
+        timestamp=None,
+        max_periods: Optional[int] = None,
+    ) -> "Model":
+        """Cohort retention curve: entities bucketed by first-activity
+        period, then for each (cohort, period_offset) the count and
+        fraction of the cohort active in that period. Output:
+        (cohort, period_offset, active, cohort_size, retention_rate).
+
+        The reference announces ``Model.retention`` as future work
+        (docs/pattern_guides/events.md "Retention/Survival Curves") and
+        directs users to hand-build it; here it is first-class. Pure
+        composition: first-activity aggregate → cohort join → two-key
+        aggregate → windowed cohort size (offset-0 row, which always
+        exists by construction).
+
+        ``grain`` ∈ day/week/month (weeks are Sunday-start like all
+        engine granularities). Scale: one aggregate over the events for
+        cohorts, one shuffle for the (cohort, offset) rollup; the
+        first-activity side joins on the entity key and the final window
+        runs over the tiny cohort×offset frame."""
+        if grain not in ("day", "week", "month"):
+            raise ValueError(f"unsupported retention grain {grain!r}")
+        group = resolve_all_nested_keypaths(self, group)
+        timestamp = resolve_all_nested_keypaths(self, timestamp)
+        schema = self._activity_schema
+        if group is None and schema is not None:
+            group = schema.group
+        if timestamp is None and schema is not None:
+            timestamp = schema.timestamp
+        if group is None or timestamp is None:
+            raise ValueError(
+                "retention requires group= and timestamp= (or an activity "
+                "schema set via with_activity_schema)"
+            )
+        group = to_expr(group)
+        timestamp = to_expr(timestamp)
+        gid = group.identifier
+        trunc = lambda e: getattr(e, f"by_{grain}")()
+        firsts = (
+            self.aggregate(
+                groups=[group],
+                measures=[func.min(timestamp).named("__first_ts__")],
+            )
+            .pick(column(gid), trunc(column("__first_ts__")).named("cohort"))
+            .with_primary_key(column(gid))
+        )
+        if grain == "month":
+            offset_sql = (
+                "(year(activity) * 12 + month(activity))"
+                " - (year(cohort) * 12 + month(cohort))"
+            )
+        elif grain == "week":
+            offset_sql = "datediff(activity, cohort) DIV 7"
+        else:
+            offset_sql = "datediff(activity, cohort)"
+        curve = (
+            self.with_join_one(
+                firsts, foreign_key=group, named="cohort_src", drop_unmatched=True
+            )
+            .aggregate(
+                groups=[
+                    rel.cohort_src.cohort.named("cohort"),
+                    trunc(timestamp).named("activity"),
+                ],
+                measures=[func.count(func.distinct(group)).named("active")],
+            )
+            .pick(
+                column("cohort"),
+                column(sql=f"CAST({offset_sql} AS BIGINT)").named("period_offset"),
+                column("active"),
+            )
+        )
+        if max_periods is not None:
+            curve = curve.filter(column("period_offset") < max_periods)
+        return curve.pick(
+            column("cohort"),
+            column("period_offset"),
+            column("active"),
+            func.first_value(
+                column("active"),
+                partition=[column("cohort")],
+                order=[column("period_offset")],
+            ).named("cohort_size"),
+        ).pick(
+            column("cohort"),
+            column("period_offset"),
+            column("active"),
+            column("cohort_size"),
+            column(sql="round(active / CAST(cohort_size AS DOUBLE), 4)").named(
+                "retention_rate"
+            ),
         )
 
     def funnel_conversion_rate(

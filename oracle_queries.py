@@ -1161,6 +1161,32 @@ ORACLE_SQL: dict[str, str] = {
         FROM spine s LEFT JOIN agg a
           ON s.event_type = a.event_type AND s.bucket = a.bucket
     """,
+    "retention_curve": """
+        WITH pe AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        firsts AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', min(ts) + INTERVAL 1 DAY)
+                      - INTERVAL 1 DAY AS TIMESTAMP) AS cohort
+          FROM pe GROUP BY user_id
+        ),
+        agg AS (
+          SELECT f.cohort,
+                 datediff('day', f.cohort,
+                          CAST(date_trunc('week', e.ts + INTERVAL 1 DAY)
+                               - INTERVAL 1 DAY AS TIMESTAMP)) // 7
+                   AS period_offset,
+                 count(DISTINCT e.user_id) AS active
+          FROM pe e JOIN firsts f ON e.user_id = f.user_id
+          GROUP BY 1, 2
+        )
+        SELECT cohort, CAST(period_offset AS BIGINT) AS period_offset, active,
+               first_value(active) OVER w AS cohort_size,
+               round(active / CAST(first_value(active) OVER w AS DOUBLE), 4)
+                 AS retention_rate
+        FROM agg
+        WINDOW w AS (PARTITION BY cohort ORDER BY period_offset
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
     "repeated_spans": """
         WITH toks AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t

@@ -423,3 +423,42 @@ def test_model_explode_inner_and_outer(conn):
     assert sorted(map(str, m.to_df().collect())) == sorted(
         map(str, restored.to_df().collect())
     )
+
+
+def test_retention_curve_churn(spark):
+    """Model.retention: cohorts by first-activity week; rates reflect the
+    entities actually active at each offset; offset-0 row defines the
+    cohort size and is always 1.0."""
+    from datetime import datetime
+
+    from hashquery_spark import Connection, Model, attr
+
+    conn = Connection(spark)
+    # week of 2024-01-07 (Sunday): users 1,2,3 start; user 3 never returns;
+    # users 1,2 active next week; only user 2 two weeks out.
+    # week of 2024-01-14: user 4 starts, returns the following week.
+    rows = [
+        (1, datetime(2024, 1, 8)), (2, datetime(2024, 1, 9)), (3, datetime(2024, 1, 10)),
+        (1, datetime(2024, 1, 15)), (2, datetime(2024, 1, 16)),
+        (2, datetime(2024, 1, 22)),
+        (4, datetime(2024, 1, 17)), (4, datetime(2024, 1, 24)),
+    ]
+    conn.register_records("ret_ev", rows, schema="user_id long, ts timestamp")
+    m = Model(conn, "ret_ev").retention(
+        grain="week", group=attr.user_id, timestamp=attr.ts
+    )
+    got = {
+        (str(r.cohort)[:10], r.period_offset): (r.active, r.cohort_size, r.retention_rate)
+        for r in m.to_df().collect()
+    }
+    assert got[("2024-01-07", 0)] == (3, 3, 1.0)
+    assert got[("2024-01-07", 1)] == (2, 3, round(2 / 3, 4))
+    assert got[("2024-01-07", 2)] == (1, 3, round(1 / 3, 4))
+    assert got[("2024-01-14", 0)] == (1, 1, 1.0)
+    assert got[("2024-01-14", 1)] == (1, 1, 1.0)
+    assert len(got) == 5
+
+    with pytest.raises(ValueError):
+        Model(conn, "ret_ev").retention(grain="hour", group=attr.user_id, timestamp=attr.ts)
+    with pytest.raises(ValueError):
+        Model(conn, "ret_ev").retention()  # no activity schema configured
