@@ -1968,6 +1968,21 @@ def q_mix_corpora(spark, sf_dir):
     return mixed.select("doc_id", "source", "n_tokens")
 
 
+def q_bucket_other(spark, sf_dir):
+    """ColumnExpression.bucket_other (reference column_expression.py:352):
+    long-tail values coerce to 'Other' — here order priorities outside
+    the two named buckets, counted per bucket."""
+    return (
+        Model(_conn(spark, sf_dir), "orders")
+        .aggregate(
+            groups=[attr.o_orderpriority.bucket_other("1-URGENT", "2-HIGH")],
+            measures=[func.count().named("n")],
+        )
+        .sort(column("o_orderpriority"))
+        .to_df()
+    )
+
+
 def q_retention_curve(spark, sf_dir):
     """First-class Model.retention (the reference announces it as future
     work, docs/pattern_guides/events.md): weekly purchase-retention —
@@ -2129,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "approx_quantiles": q_approx_quantiles,
         "retention_curve": q_retention_curve,
+        "bucket_other": q_bucket_other,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,
         "text_langid": q_text_langid,

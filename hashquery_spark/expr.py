@@ -253,6 +253,27 @@ class ColumnExpression:
 
     # --- membership / string ops (reference: column_expression.py:479-622) ---
 
+    def bucket_other(self, *buckets, other="Other") -> "ColumnExpression":
+        """Coerce any value not in ``buckets`` into ``other`` (reference:
+        column_expression.py:352-378). Buckets may be literals and/or
+        Models (membership via the null-aware ``in_`` semantics, so a
+        Model bucket compiles to the same null-safe semi-join). Keeps the
+        base expression's identifier for direct use as a group."""
+        from .model import Model  # local: avoid circular import
+
+        other_expr = other if isinstance(other, ColumnExpression) else PyValueExpression(other)
+        literal_items = [b for b in buckets if not isinstance(b, Model)]
+        model_items = [b for b in buckets if isinstance(b, Model)]
+        cases = []
+        if literal_items:
+            cases.append((self.in_(literal_items), self))
+        for m in model_items:
+            cases.append((self.in_(m), self))
+        result = CasesExpression(cases, other=other_expr)
+        if self._identifier or self.default_identifier():
+            result = result.named(self.identifier)
+        return result
+
     def in_(self, container) -> "ColumnExpression":
         from .model import Model  # local import to avoid cycle
 

@@ -1076,6 +1076,12 @@ class Model:
     def run(self) -> "RunResults":
         return RunResults(self.to_df())
 
+    def df(self):
+        """Fetch the final table as a pandas DataFrame (reference:
+        src/model/model.py:1018-1030 — its ``freshness``/cache knobs are
+        remote-execution concerns with no local meaning here)."""
+        return self.run().df
+
     def describe(self, columns=None, approx: bool = False) -> DataFrame:
         """Per-column data profile of this model's result (net-new
         terminal convenience over ops.profile_table): one row per column

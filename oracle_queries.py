@@ -1161,6 +1161,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM spine s LEFT JOIN agg a
           ON s.event_type = a.event_type AND s.bucket = a.bucket
     """,
+    "bucket_other": """
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN o_orderpriority ELSE 'Other' END AS o_orderpriority,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
     "retention_curve": """
         WITH pe AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
         firsts AS (

@@ -451,3 +451,51 @@ def test_python_udaf_measure_in_aggregate(spark):
         measures=[func.python_udaf(midrange, "double", attr.v).named("mid")]
     )
     assert [r.mid for r in g.to_df().collect()] == [15.5]
+
+
+def test_bucket_other_literals_and_model(spark):
+    """ColumnExpression.bucket_other (reference column_expression.py:352):
+    values outside the buckets coerce to `other`; Model buckets use the
+    null-aware membership join; identifier is inherited."""
+    from hashquery_spark import Connection, Model, attr, column, func
+
+    conn = Connection(spark)
+    conn.register_records(
+        "bo_t",
+        [(1, "red"), (2, "blue"), (3, "green"), (4, None), (5, "red")],
+        schema="id long, color string",
+    )
+    m = (
+        Model(conn, "bo_t")
+        .aggregate(
+            groups=[attr.color.bucket_other("red", "blue")],
+            measures=[func.count().named("n")],
+        )
+        .sort(column("color"))
+    )
+    got = [(r.color, r.n) for r in m.to_df().collect()]
+    assert got == [("Other", 2), ("blue", 1), ("red", 2)]
+
+    # Model bucket: colors that appear more than once
+    common = (
+        Model(conn, "bo_t")
+        .aggregate(groups=[attr.color], measures=[func.count().named("n")])
+        .filter(column("n") > 1)
+        .pick(attr.color)
+    )
+    m2 = (
+        Model(conn, "bo_t")
+        .pick(attr.id, attr.color.bucket_other(common, other="rare"))
+        .sort(column("id"))
+    )
+    got2 = [(r.id, r.color) for r in m2.to_df().collect()]
+    assert got2 == [(1, "red"), (2, "rare"), (3, "rare"), (4, "rare"), (5, "red")]
+
+
+def test_model_df_shortcut(spark):
+    from hashquery_spark import Connection, Model
+
+    conn = Connection(spark)
+    conn.register_records("df_t", [(1,), (2,)], schema="id long")
+    pdf = Model(conn, "df_t").df()
+    assert sorted(pdf["id"].tolist()) == [1, 2]
