@@ -1,0 +1,108 @@
+"""Volume smoke tests: run key operators over millions of generated rows
+(spark.range — no driver-side data) and check exact global invariants.
+
+The oracle-parity suite proves semantics at sf0.01/sf0.1 (~60k/600k
+rows); these tests guard the failure modes that only appear at volume —
+integer key strides, hash-bucket balance, agg-rollup exactness — without
+asserting wall-clock (the host carries bursty external load).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _synthetic_docs(spark, n: int, n_distinct: int, tokens: int = 12):
+    """n docs whose text replicates every n_distinct ids; ~tokens words."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), F.pmod(F.col("id"), F.lit(4)).cast("string")).alias(
+            "source"
+        ),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, {tokens}), "
+            f"j -> concat('w', pmod(hash(pmod(id, {n_distinct}) * 37 + j), 500))))"
+        ).alias("text"),
+    )
+
+
+def test_exact_dedup_two_million(spark):
+    """2M docs, 1M distinct texts: exactly one keeper per text, every
+    dup_count == 2, and the keeper is always the smaller doc_id."""
+    from hashquery_spark.ops import exact_dedup
+
+    docs = _synthetic_docs(spark, 2_000_000, 1_000_000)
+    out = exact_dedup(docs, "text", "doc_id")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("keepers"),
+        F.sum("dup_count").alias("total"),
+        F.min("dup_count").alias("lo"),
+        F.max("dup_count").alias("hi"),
+        F.max(F.col("keep_id")).alias("max_keeper"),
+    ).collect()[0]
+    assert agg.keepers == 1_000_000
+    assert agg.total == 2_000_000
+    assert (agg.lo, agg.hi) == (2, 2)
+    assert agg.max_keeper < 1_000_000  # first occurrence wins
+
+
+def test_mix_corpora_token_shares_at_volume(spark):
+    """1M docs, 4 equal sources, weights 2:1:1 over three of them: output
+    token shares land within 1% of the targets (md5 membership is
+    uniform) and the unlisted source vanishes."""
+    from hashquery_spark.ops import mix_corpora
+
+    docs = _synthetic_docs(spark, 1_000_000, 1_000_000)
+    out = mix_corpora(
+        docs, "source", "doc_id", {"src0": 2.0, "src1": 1.0, "src2": 1.0}
+    )
+    shares = {
+        r.source: r.t
+        for r in out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert set(shares) == {"src0", "src1", "src2"}
+    total = sum(shares.values())
+    assert abs(shares["src0"] / total - 0.5) < 0.01
+    assert abs(shares["src1"] / total - 0.25) < 0.01
+    assert abs(shares["src2"] / total - 0.25) < 0.01
+
+
+def test_pack_sequences_prefix_sum_at_volume(spark):
+    """500k docs through the distributed prefix sum: offsets are exact —
+    the final pack count equals ceil(total_tokens / budget), every
+    (pack_id, seq_offset) is in range, and token totals are preserved."""
+    from hashquery_spark.ops import pack_sequences
+
+    docs = _synthetic_docs(spark, 500_000, 500_000, tokens=12)
+    budget = 2048
+    out = pack_sequences(docs, "text", "doc_id", budget=budget)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("total"),
+        F.max("pack_id").alias("last_pack"),
+        F.min("seq_offset").alias("min_off"),
+        F.max("seq_offset").alias("max_off"),
+    ).collect()[0]
+    assert agg.n == 500_000
+    assert agg.total == 500_000 * 12
+    assert agg.last_pack == (agg.total - 1) // budget
+    assert 0 <= agg.min_off and agg.max_off < budget
+
+
+def test_repeated_spans_okey_stride_at_volume(spark):
+    """Span ordering keys use doc_id * 1e6 + start; with large doc_ids the
+    keeper must still be the true global first occurrence (no overflow,
+    no collision across documents)."""
+    from hashquery_spark.ops import repeated_spans
+
+    # 200k docs, every text duplicated across exactly two far-apart ids
+    docs = _synthetic_docs(spark, 200_000, 100_000, tokens=8)
+    out = repeated_spans(docs, "text", "doc_id", window=8, stride=1)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("is_first")).alias("firsts"),
+        F.count_if(F.col("is_first") & (F.col("doc_id") >= 100_000)).alias("bad"),
+    ).collect()[0]
+    assert agg.n == 200_000          # every 8-token doc-span repeats once
+    assert agg.firsts == 100_000     # exactly one canonical copy per span
+    assert agg.bad == 0              # canonical copy is the low doc_id
