@@ -28,6 +28,7 @@ from .keypath import KeyPath, rel, resolve_all_nested_keypaths, resolve_keypath
 from .match_steps import MatchStepsSource, ModelActivitySchema
 from .sources import (
     ExplodeSource,
+    PandasMapSource,
     AggregateSource,
     SetOpSource,
     TopKSource,
@@ -864,6 +865,46 @@ class Model:
             "step",
             FUNNEL_COUNT_COLUMN_NAME,
         )
+
+    @builder_method
+    def map_batches(self, fn, schema: str) -> "Model":
+        """Arrow-batched whole-frame Python transform (``mapInPandas``):
+        ``fn`` receives an iterator of pandas DataFrames (one per Arrow
+        batch) and yields transformed DataFrames matching ``schema`` (a
+        DDL string). Narrow — batches stream through Python with no
+        shuffle; rows may be added or dropped. Local-only (not
+        wire-serializable), like func.python_udf."""
+        self._source = PandasMapSource(self._source, fn, schema)
+        self._reset_to_schema(schema)
+
+    @builder_method
+    def transform_group(self, fn, schema: str, group=None) -> "Model":
+        """Grouped pandas transform (``applyInPandas``): ``fn`` receives
+        each group's rows as ONE pandas DataFrame and returns a DataFrame
+        matching ``schema``. One shuffle on the group key(s); each group
+        must fit in a task's memory. ``group`` defaults to the activity
+        schema's group. Local-only (not wire-serializable)."""
+        group = resolve_all_nested_keypaths(self, group)
+        if group is None and self._activity_schema is not None:
+            group = self._activity_schema.group
+        if group is None:
+            raise ValueError(
+                "transform_group requires group= (or an activity schema)"
+            )
+        groups = group if isinstance(group, (list, tuple)) else [group]
+        self._source = PandasMapSource(
+            self._source, fn, schema, groups=[self._prep(g) for g in groups]
+        )
+        self._reset_to_schema(schema)
+
+    def _reset_to_schema(self, schema: str) -> None:
+        from pyspark.sql.types import StructType
+
+        self._attributes = IdentifiableMap(
+            column(f.name) for f in StructType.fromDDL(schema).fields
+        )
+        self._measures = IdentifiableMap()
+        self._namespaces = IdentifiableMap()
 
     def retention(
         self,

@@ -1189,6 +1189,55 @@ class FoldSource(Source):
         )
 
 
+class PandasMapSource(Source):
+    """Arrow-batched Python transform of the frame: ``mapInPandas`` over
+    the whole frame (fn: iterator[pd.DataFrame] -> iterator[pd.DataFrame])
+    or ``applyInPandas`` per group (fn: pd.DataFrame -> pd.DataFrame)
+    when group expressions are given (net-new escape hatch; the
+    reference's only escape hatch is raw SQL text, SURVEY.md §2.7).
+
+    Local-only — Python callables have no wire format (same contract as
+    PythonUdfExpression). Scale: mapInPandas is a narrow stage (Arrow
+    batches stream through Python, no shuffle); applyInPandas shuffles
+    once on the group keys and each group must fit in one task's memory.
+    """
+
+    __TYPE_KEY__ = "pandasMap"
+
+    def __init__(self, base: Source, fn, schema: str, groups=None) -> None:
+        self.base = base
+        self.fn = fn
+        self.schema = schema
+        self.groups = list(groups or [])
+
+    def child_sources(self):
+        return [self.base]
+
+    def expressions(self):
+        return list(self.groups)
+
+    def default_identifier(self):
+        return self.base.default_identifier()
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        if self.groups:
+            ctx = fs.prepare(self.groups)
+            cols = [g.compile(ctx) for g in self.groups]
+            fs.df = fs.df.groupBy(*cols).applyInPandas(self.fn, schema=self.schema)
+        else:
+            fs.df = fs.df.mapInPandas(self.fn, schema=self.schema)
+        # brand-new schema: joined relations / pending sorts don't survive
+        fs.namespaces = {}
+        fs.sort_exprs = []
+        return fs
+
+    def to_wire(self):
+        raise NotImplementedError(
+            "pandas-transform sources are local-only and cannot be serialized"
+        )
+
+
 class ExplodeSource(Source):
     """Lateral array expansion: one row per element of an array-valued
     expression, keeping all existing columns (net-new; the reference has

@@ -462,3 +462,46 @@ def test_retention_curve_churn(spark):
         Model(conn, "ret_ev").retention(grain="hour", group=attr.user_id, timestamp=attr.ts)
     with pytest.raises(ValueError):
         Model(conn, "ret_ev").retention()  # no activity schema configured
+
+
+def test_map_batches_and_transform_group(spark):
+    """Model.map_batches (mapInPandas) and Model.transform_group
+    (applyInPandas): arbitrary Python frame transforms inside the DSL,
+    composable with further Model operations."""
+    from hashquery_spark import Connection, Model, attr, column, func
+
+    conn = Connection(spark)
+    conn.register_records(
+        "pm_t",
+        [("a", 1.0), ("a", 4.0), ("b", 10.0), ("b", 20.0), ("b", 30.0)],
+        schema="g string, v double",
+    )
+
+    def double_v(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["v"] > 1.0].copy()
+            pdf["v2"] = pdf["v"] * 2
+            yield pdf[["g", "v2"]]
+
+    m = Model(conn, "pm_t").map_batches(double_v, "g string, v2 double")
+    got = sorted((r.g, r.v2) for r in m.to_df().collect())
+    assert got == [("a", 8.0), ("b", 20.0), ("b", 40.0), ("b", 60.0)]
+    # composable: the new schema is the attribute surface
+    n = m.aggregate(groups=[attr.g], measures=[func.count().named("n")])
+    assert sorted((r.g, r.n) for r in n.to_df().collect()) == [("a", 1), ("b", 3)]
+
+    def demean(pdf):
+        pdf = pdf.copy()
+        pdf["centered"] = pdf["v"] - pdf["v"].mean()
+        return pdf[["g", "centered"]]
+
+    t = (
+        Model(conn, "pm_t")
+        .transform_group(demean, "g string, centered double", group=attr.g)
+        .sort(column("g"))
+    )
+    got2 = sorted((r.g, r.centered) for r in t.to_df().collect())
+    assert got2 == [("a", -1.5), ("a", 1.5), ("b", -10.0), ("b", 0.0), ("b", 10.0)]
+
+    with pytest.raises(ValueError):
+        Model(conn, "pm_t").transform_group(demean, "g string, centered double")
