@@ -2013,6 +2013,24 @@ def q_compression_ratio(spark, sf_dir):
     return compression_ratio(docs, "text", "doc_id")
 
 
+def q_gap_fill_locf(spark, sf_dir):
+    """gap_fill with last-observation-carried-forward (gauge semantics):
+    each empty bucket repeats the most recent real bucket's avg; free in
+    the single-pass design because a gap row is emitted by exactly its
+    predecessor."""
+    from hashquery_spark.ops import gap_fill
+
+    ev = _conn(spark, sf_dir).table("events")
+    return gap_fill(
+        ev,
+        "ts",
+        grain="hour",
+        group_col="event_type",
+        measures={"avg_value": ("avg", "value")},
+        fill="locf",
+    )
+
+
 def q_repeated_spans(spark, sf_dir):
     """Exact-substring dedup at token-window granularity (Lee et al.
     2022): 15-token spans sampled every 5 tokens; report every span whose
@@ -2145,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": q_approx_quantiles,
         "retention_curve": q_retention_curve,
         "bucket_other": q_bucket_other,
+        "gap_fill_locf": q_gap_fill_locf,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,
         "text_langid": q_text_langid,

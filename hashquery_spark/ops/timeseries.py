@@ -103,6 +103,7 @@ def gap_fill(
     grain: str = "day",
     group_col: str | None = None,
     measures: dict | None = None,
+    fill: str = "zero",
 ) -> DataFrame:
     """Dense time series: aggregate to ``grain`` buckets, then emit one
     row for EVERY bucket in [min, max] (per group when ``group_col`` is
@@ -110,8 +111,15 @@ def gap_fill(
     training-curve query needs, which a plain GROUP BY cannot produce
     (empty buckets simply don't exist in the input).
 
-    ``measures`` as in :func:`multi_grain_rollup`; count/sum gap-fill to
-    0, min/max/avg stay NULL on gap rows. Adds ``is_gap``.
+    ``measures`` as in :func:`multi_grain_rollup`. ``fill`` picks the gap
+    semantics: ``"zero"`` (default — counts/sums fill 0, min/max/avg stay
+    NULL: rate/counter semantics) or ``"locf"`` (last observation carried
+    forward — every non-count measure repeats the most recent real
+    bucket's value: gauge semantics; gaps BEFORE a group's first
+    observation have nothing to carry and stay NULL, counts still fill
+    0). LOCF costs nothing extra here: each gap row is emitted by exactly
+    the real row that precedes it, so the carried value is already on the
+    row — no second window pass. Adds ``is_gap``.
 
     Scale design: the raw table aggregates ONCE (map-side partials, one
     shuffle); everything after runs on the tiny bucket-level frame, and
@@ -129,6 +137,8 @@ def gap_fill(
     """
     if grain not in _STEP:
         raise ValueError(f"unsupported grain {grain!r}")
+    if fill not in ("zero", "locf"):
+        raise ValueError(f"unsupported fill mode {fill!r}")
     measures = measures or {"n": ("count", "*")}
     step = F.expr(_STEP[grain])
     aggd = (
@@ -168,11 +178,16 @@ def gap_fill(
             F.array(F.col("bucket"), F.col("__nxt__"))
         ),
     )
+    # kind: 0 = real bucket, 1 = gap after a real bucket (the emitting row
+    # is its predecessor — LOCF source), 2 = gap before the group's first
+    # bucket (nothing to carry)
     emit = F.concat(
-        F.array(F.struct(F.col("bucket").alias("b"), F.lit(False).alias("g"))),
+        F.array(F.struct(F.col("bucket").alias("b"), F.lit(0).alias("g"))),
         F.transform(
-            F.concat(leading, trailing),
-            lambda b: F.struct(b.alias("b"), F.lit(True).alias("g")),
+            leading, lambda b: F.struct(b.alias("b"), F.lit(2).alias("g"))
+        ),
+        F.transform(
+            trailing, lambda b: F.struct(b.alias("b"), F.lit(1).alias("g"))
         ),
     )
     exploded = staged.select(
@@ -180,7 +195,9 @@ def gap_fill(
         *[c for c in staged.columns if c.startswith("__cnt_") or c.startswith("__sum_") or c.startswith("__ext_")],
         F.explode(emit).alias("__e__"),
     )
-    gap = F.col("__e__.g")
+    kind = F.col("__e__.g")
+    gap = kind != 0
+    carry = (kind == 0) if fill == "zero" else (kind != 2)
     outs = ([F.col(group_col)] if group_col else []) + [
         F.col("__e__.b").alias("bucket")
     ]
@@ -191,21 +208,21 @@ def gap_fill(
             )
         elif fn in ("min", "max"):
             outs.append(
-                F.when(gap, F.lit(None)).otherwise(F.col(f"__ext_{name}")).alias(name)
+                F.when(carry, F.col(f"__ext_{name}")).alias(name)
             )
         elif fn == "sum":
+            zero = F.lit(0.0) if fill == "zero" else F.lit(None).cast("double")
             outs.append(
-                F.when(gap, F.lit(0.0))
-                .otherwise(F.col(f"__sum_{name}").cast("double"))
+                F.when(carry, F.col(f"__sum_{name}").cast("double"))
+                .otherwise(zero)
                 .alias(name)
             )
-        else:  # avg: NULL on gaps
+        else:  # avg
             outs.append(
-                F.when(gap, F.lit(None).cast("double"))
-                .otherwise(
-                    F.col(f"__sum_{name}").cast("double") / F.col(f"__cnt_{name}")
-                )
-                .alias(name)
+                F.when(
+                    carry,
+                    F.col(f"__sum_{name}").cast("double") / F.col(f"__cnt_{name}"),
+                ).alias(name)
             )
     outs.append(gap.alias("is_gap"))
     return exploded.select(*outs)

@@ -1193,6 +1193,29 @@ ORACLE_SQL: dict[str, str] = {
         WINDOW w AS (PARTITION BY cohort ORDER BY period_offset
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
+    "gap_fill_locf": """
+        WITH agg AS (
+          SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                 CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value)
+                   AS avg_value
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+        spine AS (
+          SELECT g.event_type,
+                 unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+          FROM (SELECT DISTINCT event_type FROM agg) g, bounds b
+        )
+        SELECT s.event_type, s.bucket,
+               CASE WHEN a.bucket IS NOT NULL THEN a.avg_value
+                    ELSE last_value(a.avg_value IGNORE NULLS) OVER (
+                      PARTITION BY s.event_type ORDER BY s.bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END
+                 AS avg_value,
+               (a.bucket IS NULL) AS is_gap
+        FROM spine s LEFT JOIN agg a
+          ON s.event_type = a.event_type AND s.bucket = a.bucket
+    """,
     "repeated_spans": """
         WITH toks AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t

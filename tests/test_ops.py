@@ -902,3 +902,32 @@ def test_approx_quantiles_rank_error_bound(spark):
     for p in (0.1, 0.5, 0.9):
         assert abs(out[("a", p)] - p * 9999) <= 100
         assert abs(out[("b", p)] - 2 * p * 9999) <= 200
+
+
+def test_gap_fill_locf_carries_last_observation(spark):
+    from datetime import datetime
+    from hashquery_spark.ops import gap_fill
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 1, 0), 10.0),
+        ("a", datetime(2024, 1, 1, 4, 0), 40.0),   # gaps at hours 2, 3
+        ("b", datetime(2024, 1, 1, 3, 0), 7.0),    # leading gaps 1, 2
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = gap_fill(
+        df, "ts", grain="hour", group_col="g",
+        measures={"n": ("count", "*"), "avg_v": ("avg", "v")}, fill="locf",
+    )
+    got = {(r.g, r.bucket.hour): (r.n, r.avg_v, r.is_gap) for r in out.collect()}
+    assert got[("a", 1)] == (1, 10.0, False)
+    assert got[("a", 2)] == (0, 10.0, True)   # carried forward
+    assert got[("a", 3)] == (0, 10.0, True)
+    assert got[("a", 4)] == (1, 40.0, False)
+    assert got[("b", 1)] == (0, None, True)   # leading gap: nothing to carry
+    assert got[("b", 2)] == (0, None, True)
+    assert got[("b", 3)] == (1, 7.0, False)
+    assert got[("b", 4)] == (0, 7.0, True)    # trailing fill to global hi
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        gap_fill(df, "ts", grain="hour", fill="interpolate")
