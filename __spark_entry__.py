@@ -2013,6 +2013,17 @@ def q_compression_ratio(spark, sf_dir):
     return compression_ratio(docs, "text", "doc_id")
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Timescale-style time-weighted average: LOCF step function per
+    entity, segments split across hour buckets pro-rata. One group-key
+    window shuffle + one (group, bucket) rollup; value x duration
+    products route through DECIMAL so accumulation order is irrelevant."""
+    from hashquery_spark.ops import time_weighted_avg
+
+    ev = _conn(spark, sf_dir).table("events")
+    return time_weighted_avg(ev, "ts", "value", grain="hour", group_col="event_type")
+
+
 def q_gap_fill_locf(spark, sf_dir):
     """gap_fill with last-observation-carried-forward (gauge semantics):
     each empty bucket repeats the most recent real bucket's avg; free in
@@ -2164,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_curve": q_retention_curve,
         "bucket_other": q_bucket_other,
         "gap_fill_locf": q_gap_fill_locf,
+        "time_weighted_avg": q_time_weighted_avg,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,
         "text_langid": q_text_langid,

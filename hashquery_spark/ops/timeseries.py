@@ -228,6 +228,89 @@ def gap_fill(
     return exploded.select(*outs)
 
 
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    grain: str = "hour",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per ``grain`` bucket (the gauge rollup a
+    plain ``avg`` gets wrong when observations are irregular: a value
+    that held for 59 minutes must outweigh one that held for 1).
+
+    Semantics: each observation's value holds from its timestamp until
+    the group's next observation (LOCF step function); the final
+    observation holds to the end of its own bucket. A segment spanning
+    several buckets contributes to each in proportion to the overlap.
+    Output: (group, bucket, twa, obs_seconds) for every bucket a segment
+    overlaps — ``obs_seconds`` is the covered duration, < the full bucket
+    at the edges.
+
+    Scale: one shuffle on the group key for the lead() window, a narrow
+    explode of segments across their buckets, then one (group, bucket)
+    rollup with map-side combine. Cross-engine determinism: durations
+    are integer microseconds; value×duration products route through
+    DECIMAL (exact scaled integers) so accumulation order cannot change
+    the result; the final divide is one double op, rounded to 6 dp.
+    """
+    if grain not in _STEP:
+        raise ValueError(f"unsupported grain {grain!r}")
+    step = F.expr(_STEP[grain])
+    g = [F.col(group_col)] if group_col else []
+    w = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy("__ts__", "__v__")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *g,
+        F.col(ts_col).alias("__ts__"),
+        F.col(value_col).cast("decimal(19,6)").alias("__v__"),
+    )
+    segs = base.select(
+        *g,
+        "__ts__",
+        "__v__",
+        F.coalesce(
+            F.lead("__ts__").over(w),
+            F.date_trunc(grain, F.col("__ts__")) + step,
+        ).alias("__end__"),
+    ).where(F.col("__end__") > F.col("__ts__"))
+    spanned = segs.select(
+        *g,
+        "__ts__",
+        "__v__",
+        "__end__",
+        F.explode(
+            F.sequence(
+                F.date_trunc(grain, F.col("__ts__")),
+                F.date_trunc(grain, F.col("__end__")),
+                step,
+            )
+        ).alias("bucket"),
+    )
+    # parquet timestamps arrive as TIMESTAMP_NTZ; unix_micros needs LTZ
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    overlap_us = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(us(F.col("__end__")), us(F.col("bucket") + step))
+        - F.greatest(us(F.col("__ts__")), us(F.col("bucket"))),
+    )
+    weighted = spanned.select(
+        *g,
+        "bucket",
+        overlap_us.alias("__dur__"),
+        (F.col("__v__") * overlap_us.cast("decimal(19,0)")).alias("__wv__"),
+    ).where(F.col("__dur__") > 0)
+    return weighted.groupBy(*g, "bucket").agg(
+        F.round(
+            F.sum("__wv__").cast("double") / F.sum("__dur__").cast("double"), 6
+        ).alias("twa"),
+        (F.sum("__dur__") / F.lit(1_000_000.0)).alias("obs_seconds"),
+    )
+
+
 def multi_grain_rollup(
     df: DataFrame,
     ts_col: str,

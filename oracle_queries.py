@@ -1216,6 +1216,43 @@ ORACLE_SQL: dict[str, str] = {
         FROM spine s LEFT JOIN agg a
           ON s.event_type = a.event_type AND s.bucket = a.bucket
     """,
+    "time_weighted_avg": """
+        WITH base AS (
+          SELECT event_type AS g, ts, CAST(value AS DECIMAL(19,6)) AS v
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        segs AS (
+          SELECT g, ts, v,
+                 coalesce(lead(ts) OVER (PARTITION BY g ORDER BY ts, v),
+                          CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                            + INTERVAL 1 HOUR) AS e
+          FROM base
+        ),
+        spanned AS (
+          SELECT g, ts, v, e,
+                 unnest(generate_series(
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP),
+                   CAST(date_trunc('hour', e) AS TIMESTAMP),
+                   INTERVAL 1 HOUR)) AS bucket
+          FROM segs WHERE e > ts
+        ),
+        weighted AS (
+          SELECT g, bucket,
+                 greatest(0, least(epoch_us(e),
+                                   epoch_us(bucket + INTERVAL 1 HOUR))
+                           - greatest(epoch_us(ts), epoch_us(bucket))) AS dur,
+                 v * CAST(greatest(0, least(epoch_us(e),
+                                   epoch_us(bucket + INTERVAL 1 HOUR))
+                           - greatest(epoch_us(ts), epoch_us(bucket)))
+                          AS DECIMAL(19,0)) AS wv
+          FROM spanned
+        )
+        SELECT g AS event_type, bucket,
+               round(CAST(sum(wv) AS DOUBLE) / CAST(sum(dur) AS DOUBLE), 6)
+                 AS twa,
+               sum(dur) / 1000000.0 AS obs_seconds
+        FROM weighted WHERE dur > 0 GROUP BY 1, 2
+    """,
     "repeated_spans": """
         WITH toks AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t

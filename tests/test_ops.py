@@ -931,3 +931,26 @@ def test_gap_fill_locf_carries_last_observation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         gap_fill(df, "ts", grain="hour", fill="interpolate")
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from datetime import datetime
+    from hashquery_spark.ops import time_weighted_avg
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0), 10.0),   # holds 00:00-00:30
+        ("a", datetime(2024, 1, 1, 0, 30), 20.0),  # holds 00:30-02:15
+        ("a", datetime(2024, 1, 1, 2, 15), 40.0),  # last: holds to 03:00
+        ("b", datetime(2024, 1, 1, 1, 45), 5.0),   # single obs: to 02:00
+        ("b", None, 99.0),                          # ignored
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {
+        (r.g, r.bucket.hour): (r.twa, r.obs_seconds)
+        for r in time_weighted_avg(df, "ts", "v", grain="hour", group_col="g").collect()
+    }
+    assert out[("a", 0)] == (15.0, 3600.0)   # 10 for 30m + 20 for 30m
+    assert out[("a", 1)] == (20.0, 3600.0)
+    assert out[("a", 2)] == (35.0, 3600.0)   # 20 for 15m + 40 for 45m
+    assert out[("b", 1)] == (5.0, 900.0)     # partial coverage at the edge
+    assert len(out) == 4
