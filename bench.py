@@ -55,6 +55,10 @@ HEADLINE = [
     "mix_corpora",
     "gap_fill",
     "repeated_spans",
+    # round-1 fourth-continuation extensions (appended)
+    "retention_curve",
+    "time_weighted_avg",
+    "compression_ratio",
 ]
 
 
