@@ -2013,6 +2013,36 @@ def q_compression_ratio(spark, sf_dir):
     return compression_ratio(docs, "text", "doc_id")
 
 
+def q_counter_delta(spark, sf_dir):
+    """Prometheus-style reset-aware counter increase per hour bucket:
+    lag() per series, shrinks count as resets (contribute the post-reset
+    value), deltas DECIMAL-routed so sums are exact."""
+    from hashquery_spark.ops import counter_delta
+
+    ev = _conn(spark, sf_dir).table("events")
+    return counter_delta(ev, "ts", "value", grain="hour", group_col="event_type")
+
+
+def q_levenshtein_nearest(spark, sf_dir):
+    """func.levenshtein through the DSL: distance of each customer name
+    to a fixed probe, min per 20-customer band (scalar function + agg
+    composition)."""
+    return (
+        Model(_conn(spark, sf_dir), "customer")
+        .filter(attr.c_custkey < 200)
+        .aggregate(
+            groups=[func.floor(attr.c_custkey / 20).named("band")],
+            measures=[
+                func.min(
+                    func.levenshtein(attr.c_name, column(value="Customer#000000042"))
+                ).named("min_dist"),
+                func.count().named("n"),
+            ],
+        )
+        .to_df()
+    )
+
+
 def q_time_weighted_avg(spark, sf_dir):
     """Timescale-style time-weighted average: LOCF step function per
     entity, segments split across hour buckets pro-rata. One group-key
@@ -2176,6 +2206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_other": q_bucket_other,
         "gap_fill_locf": q_gap_fill_locf,
         "time_weighted_avg": q_time_weighted_avg,
+        "counter_delta": q_counter_delta,
+        "levenshtein_nearest": q_levenshtein_nearest,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,
         "text_langid": q_text_langid,

@@ -1183,6 +1183,8 @@ class SqlFunctionExpression(ColumnExpression):
             return F.replace(*[a.compile(ctx) for a in self.args])
         if fn == "instr":
             return F.instr(self.args[0].compile(ctx), self.args[1].compile(ctx))
+        if fn == "levenshtein":
+            return F.levenshtein(self.args[0].compile(ctx), self.args[1].compile(ctx))
         if fn in ("lpad", "rpad"):
             return getattr(F, fn)(
                 self.args[0].compile(ctx), self.pad_len, self.pad_str

@@ -444,6 +444,13 @@ def instr(expr: Any, substr: Any) -> SqlFunctionExpression:
 
 
 @defer_keypath_args
+def levenshtein(a: Any, b: Any) -> SqlFunctionExpression:
+    """Edit distance between two strings (net-new; Spark and DuckDB agree
+    on plain Levenshtein semantics)."""
+    return SqlFunctionExpression("levenshtein", [a, b])
+
+
+@defer_keypath_args
 def lpad(expr: Any, width: int, pad: str = " ") -> SqlFunctionExpression:
     node = SqlFunctionExpression("lpad", [expr])
     node.pad_len, node.pad_str = int(width), str(pad)

@@ -228,6 +228,58 @@ def gap_fill(
     return exploded.select(*outs)
 
 
+def counter_delta(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    grain: str = "hour",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Reset-aware counter increase per ``grain`` bucket (Prometheus
+    ``increase()`` / Timescale counter_agg semantics): per series ordered
+    by time, each sample contributes ``v - prev`` when the counter grew,
+    or ``v`` when it shrank (a counter reset — the pre-reset remainder is
+    unobservable and dropped, the standard convention); a series' first
+    sample contributes nothing. Deltas attribute to the bucket of their
+    own timestamp. Output: (group, bucket, increase, n_samples) for
+    buckets that contain samples (compose with :func:`gap_fill` for a
+    dense spine).
+
+    Scale: one shuffle on the series key for the lag() window, then one
+    (group, bucket) rollup with map-side combine. Cross-engine
+    determinism: values route through DECIMAL(19,6) before subtraction,
+    so deltas and their sums are exact scaled integers.
+    """
+    if grain not in _STEP:
+        raise ValueError(f"unsupported grain {grain!r}")
+    g = [F.col(group_col)] if group_col else []
+    w = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy("__ts__", "__v__")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *g,
+        F.col(ts_col).alias("__ts__"),
+        F.col(value_col).cast("decimal(19,6)").alias("__v__"),
+    )
+    prev = F.lag("__v__").over(w)
+    delta = F.when(prev.isNull(), F.lit(None)).otherwise(
+        F.when(F.col("__v__") >= prev, F.col("__v__") - prev).otherwise(
+            F.col("__v__")
+        )
+    )
+    staged = base.select(
+        *g,
+        F.date_trunc(grain, F.col("__ts__")).alias("bucket"),
+        delta.alias("__d__"),
+    )
+    return staged.groupBy(*g, "bucket").agg(
+        F.coalesce(F.sum("__d__").cast("double"), F.lit(0.0)).alias("increase"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     ts_col: str,

@@ -1216,6 +1216,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM spine s LEFT JOIN agg a
           ON s.event_type = a.event_type AND s.bucket = a.bucket
     """,
+    "counter_delta": """
+        WITH base AS (
+          SELECT event_type AS g, ts, CAST(value AS DECIMAL(19,6)) AS v
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        d AS (
+          SELECT g, ts, v, lag(v) OVER (PARTITION BY g ORDER BY ts, v) AS p
+          FROM base
+        )
+        SELECT g AS event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+               coalesce(CAST(sum(CASE WHEN p IS NULL THEN NULL
+                                      WHEN v >= p THEN v - p
+                                      ELSE v END) AS DOUBLE), 0.0) AS increase,
+               count(*) AS n_samples
+        FROM d GROUP BY 1, 2
+    """,
+    "levenshtein_nearest": """
+        SELECT CAST(floor(c_custkey / 20) AS BIGINT) AS band,
+               min(levenshtein(c_name, 'Customer#000000042')) AS min_dist,
+               count(*) AS n
+        FROM customer WHERE c_custkey < 200 GROUP BY 1
+    """,
     "time_weighted_avg": """
         WITH base AS (
           SELECT event_type AS g, ts, CAST(value AS DECIMAL(19,6)) AS v

@@ -954,3 +954,25 @@ def test_time_weighted_avg_hand_computed(spark):
     assert out[("a", 2)] == (35.0, 3600.0)   # 20 for 15m + 40 for 45m
     assert out[("b", 1)] == (5.0, 900.0)     # partial coverage at the edge
     assert len(out) == 4
+
+
+def test_counter_delta_resets_and_attribution(spark):
+    from datetime import datetime
+    from hashquery_spark.ops import counter_delta
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 10), 100.0),  # first: no delta
+        ("a", datetime(2024, 1, 1, 0, 40), 150.0),  # +50 in hour 0
+        ("a", datetime(2024, 1, 1, 1, 10), 170.0),  # +20 in hour 1
+        ("a", datetime(2024, 1, 1, 1, 50), 30.0),   # RESET: contributes 30
+        ("b", datetime(2024, 1, 1, 1, 0), 7.0),     # lone first sample
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {
+        (r.g, r.bucket.hour): (r.increase, r.n_samples)
+        for r in counter_delta(df, "ts", "v", grain="hour", group_col="g").collect()
+    }
+    assert out[("a", 0)] == (50.0, 2)
+    assert out[("a", 1)] == (50.0, 2)  # 20 + reset-remainder 30
+    assert out[("b", 1)] == (0.0, 1)   # first sample only: zero increase
+    assert len(out) == 3
