@@ -2013,6 +2013,19 @@ def q_compression_ratio(spark, sf_dir):
     return compression_ratio(docs, "text", "doc_id")
 
 
+def q_trailing_agg(spark, sf_dir):
+    """Rolling 24-hour trailing revenue per event type over a DENSE hour
+    spine (gaps stay in the frame so old buckets age out on time — a ROWS
+    window over sparse buckets silently reaches too far back). Windowed
+    sums accumulate DECIMAL partials, double only at emit."""
+    from hashquery_spark.ops import trailing_agg
+
+    ev = _conn(spark, sf_dir).table("events")
+    return trailing_agg(
+        ev, "ts", "value", grain="hour", group_col="event_type", trailing=24
+    )
+
+
 def q_counter_delta(spark, sf_dir):
     """Prometheus-style reset-aware counter increase per hour bucket:
     lag() per series, shrinks count as resets (contribute the post-reset
@@ -2207,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_locf": q_gap_fill_locf,
         "time_weighted_avg": q_time_weighted_avg,
         "counter_delta": q_counter_delta,
+        "trailing_agg": q_trailing_agg,
         "levenshtein_nearest": q_levenshtein_nearest,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,

@@ -68,7 +68,7 @@ from .range_join import range_join
 from .chunking import chunk_documents, dedup_paragraphs, repeated_spans
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
 from .profile import approx_quantiles, check_constraints, histogram, profile_table
-from .timeseries import counter_delta, gap_fill, multi_grain_rollup, time_weighted_avg
+from .timeseries import counter_delta, gap_fill, multi_grain_rollup, time_weighted_avg, trailing_agg
 from .snapshot import dedup_against, snapshot_diff
 from .fuzzy import fuzzy_join
 from .mixing import mix_corpora, ws_token_count
@@ -126,6 +126,7 @@ __all__ = [
     "gap_fill",
     "time_weighted_avg",
     "counter_delta",
+    "trailing_agg",
     "repeated_spans",
     "compression_ratio",
     "approx_quantiles",

@@ -97,6 +97,72 @@ _STEP = {
 }
 
 
+def _dense_partial_frame(df, ts_col, grain, group_col, measures):
+    """Shared dense-spine machinery (gap_fill / trailing_agg): aggregate
+    to grain buckets carrying _partials, then emit one row per bucket in
+    the global [min, max] per group WITHOUT a spine join — each real row
+    explodes itself plus the empty buckets it is responsible for.
+    Output columns: [group?] + partial columns + __e__ struct(b=bucket,
+    g=kind) where kind 0=real, 1=gap-after-a-real-bucket (the emitting
+    row is its predecessor — the LOCF source), 2=leading gap."""
+    step = F.expr(_STEP[grain])
+    aggd = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            *([F.col(group_col)] if group_col else []),
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(*_partials(measures, src_is_raw=True))
+    )
+    everything = Window.partitionBy()
+    per_group = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy("bucket")
+    nxt = F.lead("bucket").over(per_group)
+    staged = aggd.select(
+        "*",
+        F.min("bucket").over(everything).alias("__lo__"),
+        F.max("bucket").over(everything).alias("__hi__"),
+        nxt.alias("__nxt__"),
+        F.row_number().over(per_group).alias("__rn__"),
+    )
+    # gap buckets this row is responsible for: (bucket, next) exclusive —
+    # or (bucket, global hi] on the group's last row, plus [global lo,
+    # bucket) on its first row. Endpoints that are real buckets are
+    # excluded; their own rows emit them.
+    leading = F.when(
+        F.col("__rn__") == 1,
+        F.array_except(
+            F.sequence(F.col("__lo__"), F.col("bucket"), step),
+            F.array(F.col("bucket")),
+        ),
+    ).otherwise(F.array().cast("array<timestamp>"))
+    trailing = F.array_except(
+        F.sequence(F.col("bucket"), F.coalesce(F.col("__nxt__"), F.col("__hi__")), step),
+        F.when(F.col("__nxt__").isNull(), F.array(F.col("bucket"))).otherwise(
+            F.array(F.col("bucket"), F.col("__nxt__"))
+        ),
+    )
+    emit = F.concat(
+        F.array(F.struct(F.col("bucket").alias("b"), F.lit(0).alias("g"))),
+        F.transform(
+            leading, lambda b: F.struct(b.alias("b"), F.lit(2).alias("g"))
+        ),
+        F.transform(
+            trailing, lambda b: F.struct(b.alias("b"), F.lit(1).alias("g"))
+        ),
+    )
+    return staged.select(
+        *([group_col] if group_col else []),
+        *[
+            c
+            for c in staged.columns
+            if c.startswith("__cnt_") or c.startswith("__sum_") or c.startswith("__ext_")
+        ],
+        F.explode(emit).alias("__e__"),
+    )
+
+
 def gap_fill(
     df: DataFrame,
     ts_col: str,
@@ -140,61 +206,7 @@ def gap_fill(
     if fill not in ("zero", "locf"):
         raise ValueError(f"unsupported fill mode {fill!r}")
     measures = measures or {"n": ("count", "*")}
-    step = F.expr(_STEP[grain])
-    aggd = (
-        df.where(F.col(ts_col).isNotNull())
-        .groupBy(
-            *([F.col(group_col)] if group_col else []),
-            F.date_trunc(grain, F.col(ts_col)).alias("bucket"),
-        )
-        .agg(*_partials(measures, src_is_raw=True))
-    )
-    everything = Window.partitionBy()
-    per_group = (
-        Window.partitionBy(group_col) if group_col else Window.partitionBy()
-    ).orderBy("bucket")
-    nxt = F.lead("bucket").over(per_group)
-    staged = aggd.select(
-        "*",
-        F.min("bucket").over(everything).alias("__lo__"),
-        F.max("bucket").over(everything).alias("__hi__"),
-        nxt.alias("__nxt__"),
-        F.row_number().over(per_group).alias("__rn__"),
-    )
-    # gap buckets this row is responsible for: (bucket, next) exclusive —
-    # or (bucket, global hi] on the group's last row, plus [global lo,
-    # bucket) on its first row. Endpoints that are real buckets are
-    # excluded; their own rows emit them.
-    leading = F.when(
-        F.col("__rn__") == 1,
-        F.array_except(
-            F.sequence(F.col("__lo__"), F.col("bucket"), step),
-            F.array(F.col("bucket")),
-        ),
-    ).otherwise(F.array().cast("array<timestamp>"))
-    trailing = F.array_except(
-        F.sequence(F.col("bucket"), F.coalesce(F.col("__nxt__"), F.col("__hi__")), step),
-        F.when(F.col("__nxt__").isNull(), F.array(F.col("bucket"))).otherwise(
-            F.array(F.col("bucket"), F.col("__nxt__"))
-        ),
-    )
-    # kind: 0 = real bucket, 1 = gap after a real bucket (the emitting row
-    # is its predecessor — LOCF source), 2 = gap before the group's first
-    # bucket (nothing to carry)
-    emit = F.concat(
-        F.array(F.struct(F.col("bucket").alias("b"), F.lit(0).alias("g"))),
-        F.transform(
-            leading, lambda b: F.struct(b.alias("b"), F.lit(2).alias("g"))
-        ),
-        F.transform(
-            trailing, lambda b: F.struct(b.alias("b"), F.lit(1).alias("g"))
-        ),
-    )
-    exploded = staged.select(
-        *([group_col] if group_col else []),
-        *[c for c in staged.columns if c.startswith("__cnt_") or c.startswith("__sum_") or c.startswith("__ext_")],
-        F.explode(emit).alias("__e__"),
-    )
+    exploded = _dense_partial_frame(df, ts_col, grain, group_col, measures)
     kind = F.col("__e__.g")
     gap = kind != 0
     carry = (kind == 0) if fill == "zero" else (kind != 2)
@@ -226,6 +238,57 @@ def gap_fill(
             )
     outs.append(gap.alias("is_gap"))
     return exploded.select(*outs)
+
+
+def trailing_agg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    grain: str = "day",
+    group_col: str | None = None,
+    trailing: int = 7,
+) -> DataFrame:
+    """Rolling trailing-window aggregates — "7-day trailing revenue" —
+    computed over a DENSE bucket spine so a ROWS frame equals a true
+    time-range frame (with gaps in the data, a plain ROWS window over
+    existing buckets silently reaches too far back; densifying first is
+    the correct-by-construction formulation). Output per (group, bucket):
+    trailing_sum, trailing_count, trailing_avg over the last ``trailing``
+    buckets inclusive, plus ``window_buckets`` (< ``trailing`` while the
+    window is still filling at the series start).
+
+    Scale: the raw table aggregates once; the spine explode and the
+    sliding window run over the tiny bucket-level frame, partitioned by
+    group. Cross-engine determinism: the windowed sums accumulate
+    DECIMAL(18,4) partials (exact), cast to double only at emit.
+    """
+    if trailing < 1:
+        raise ValueError("trailing must be >= 1")
+    measures = {"v": ("avg", value_col)}  # carries (__sum_v decimal, __cnt_v)
+    exploded = _dense_partial_frame(df, ts_col, grain, group_col, measures)
+    kind = F.col("__e__.g")
+    g = [F.col(group_col)] if group_col else []
+    dense = exploded.select(
+        *g,
+        F.col("__e__.b").alias("bucket"),
+        F.when(kind == 0, F.col("__sum_v")).alias("__s__"),
+        F.when(kind == 0, F.col("__cnt_v")).otherwise(F.lit(0)).alias("__c__"),
+    )
+    w = (
+        (Window.partitionBy(group_col) if group_col else Window.partitionBy())
+        .orderBy("bucket")
+        .rowsBetween(-(trailing - 1), 0)
+    )
+    tsum = F.sum("__s__").over(w)
+    tcnt = F.sum("__c__").over(w)
+    return dense.select(
+        *g,
+        "bucket",
+        F.coalesce(tsum.cast("double"), F.lit(0.0)).alias("trailing_sum"),
+        tcnt.alias("trailing_count"),
+        F.when(tcnt > 0, tsum.cast("double") / tcnt).alias("trailing_avg"),
+        F.count(F.lit(1)).over(w).alias("window_buckets"),
+    )
 
 
 def counter_delta(

@@ -1216,6 +1216,35 @@ ORACLE_SQL: dict[str, str] = {
         FROM spine s LEFT JOIN agg a
           ON s.event_type = a.event_type AND s.bucket = a.bucket
     """,
+    "trailing_agg": """
+        WITH agg AS (
+          SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                 sum(CAST(value AS DECIMAL(18,4))) AS sv,
+                 count(value) AS c
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+        spine AS (
+          SELECT g.event_type,
+                 unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+          FROM (SELECT DISTINCT event_type FROM agg) g, bounds b
+        ),
+        dense AS (
+          SELECT s.event_type, s.bucket, a.sv, coalesce(a.c, 0) AS c
+          FROM spine s LEFT JOIN agg a
+            ON s.event_type = a.event_type AND s.bucket = a.bucket
+        )
+        SELECT event_type, bucket,
+               coalesce(CAST(sum(sv) OVER w AS DOUBLE), 0.0) AS trailing_sum,
+               sum(c) OVER w AS trailing_count,
+               CASE WHEN sum(c) OVER w > 0
+                    THEN CAST(sum(sv) OVER w AS DOUBLE) / (sum(c) OVER w) END
+                 AS trailing_avg,
+               count(*) OVER w AS window_buckets
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    """,
     "counter_delta": """
         WITH base AS (
           SELECT event_type AS g, ts, CAST(value AS DECIMAL(19,6)) AS v

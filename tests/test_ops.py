@@ -976,3 +976,27 @@ def test_counter_delta_resets_and_attribution(spark):
     assert out[("a", 1)] == (50.0, 2)  # 20 + reset-remainder 30
     assert out[("b", 1)] == (0.0, 1)   # first sample only: zero increase
     assert len(out) == 3
+
+
+def test_trailing_agg_dense_window(spark):
+    from datetime import datetime
+    from hashquery_spark.ops import trailing_agg
+
+    rows = [
+        ("a", datetime(2024, 1, 1), 10.0),
+        ("a", datetime(2024, 1, 2), 20.0),
+        # gap on the 3rd
+        ("a", datetime(2024, 1, 4), 40.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {
+        r.bucket.day: (r.trailing_sum, r.trailing_count, r.trailing_avg, r.window_buckets)
+        for r in trailing_agg(df, "ts", "v", grain="day", group_col="g", trailing=3).collect()
+    }
+    assert out[1] == (10.0, 1, 10.0, 1)
+    assert out[2] == (30.0, 2, 15.0, 2)
+    assert out[3] == (30.0, 2, 15.0, 3)       # gap day still in the frame
+    assert out[4] == (60.0, 2, 30.0, 3)       # day 1 correctly aged OUT
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        trailing_agg(df, "ts", "v", trailing=0)
