@@ -2013,6 +2013,20 @@ def q_compression_ratio(spark, sf_dir):
     return compression_ratio(docs, "text", "doc_id")
 
 
+def q_zscore_outliers(spark, sf_dir):
+    """Anomaly gate: orders whose total price sits > 1.7 sample std-devs
+    from their priority band's mean. One stats agg + broadcast join back;
+    moments accumulate as DECIMAL so the mean/variance are exact
+    regardless of aggregation order."""
+    from hashquery_spark.ops import zscore_outliers
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return zscore_outliers(
+        orders, "o_totalprice", "o_orderpriority",
+        threshold=1.7, keep_cols=["o_orderkey"],
+    )
+
+
 def q_trailing_agg(spark, sf_dir):
     """Rolling 24-hour trailing revenue per event type over a DENSE hour
     spine (gaps stay in the frame so old buckets age out on time — a ROWS
@@ -2221,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "counter_delta": q_counter_delta,
         "trailing_agg": q_trailing_agg,
+        "zscore_outliers": q_zscore_outliers,
         "levenshtein_nearest": q_levenshtein_nearest,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,

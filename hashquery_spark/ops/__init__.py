@@ -67,7 +67,7 @@ from .asof import asof_join
 from .range_join import range_join
 from .chunking import chunk_documents, dedup_paragraphs, repeated_spans
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
-from .profile import approx_quantiles, check_constraints, histogram, profile_table
+from .profile import approx_quantiles, check_constraints, histogram, profile_table, zscore_outliers
 from .timeseries import counter_delta, gap_fill, multi_grain_rollup, time_weighted_avg, trailing_agg
 from .snapshot import dedup_against, snapshot_diff
 from .fuzzy import fuzzy_join
@@ -127,6 +127,7 @@ __all__ = [
     "time_weighted_avg",
     "counter_delta",
     "trailing_agg",
+    "zscore_outliers",
     "repeated_spans",
     "compression_ratio",
     "approx_quantiles",

@@ -147,6 +147,62 @@ def approx_quantiles(
     return wide.selectExpr(f"{stack} AS (column_name, prob, value)")
 
 
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col=None,
+    threshold: float = 3.0,
+    keep_cols=None,
+) -> DataFrame:
+    """Rows whose value lies more than ``threshold`` sample standard
+    deviations from their group's mean — the classic anomaly gate over
+    metrics/prices/latencies. Output: keep_cols + (group) + value + z.
+
+    Scale: ONE aggregation over the data computes per-group (n, Σv, Σv²)
+    with map-side partials; the tiny stats frame broadcast-joins back and
+    the z filter is a codegen'd narrow pass (two scans total — the
+    agg-then-join-back shape, like mix_corpora).
+
+    Cross-engine determinism: Σv and Σv² accumulate as DECIMAL (the
+    per-row square is a single IEEE multiply, deterministic), so the
+    moments are exact regardless of aggregation order; variance uses the
+    fixed-order formula (Σv² − (Σv)²/n)/(n−1) in doubles, sqrt is
+    IEEE-exact-rounded, and z rounds to 4 dp. Degenerate groups (n < 2 or
+    zero variance) emit no rows. |value| bound: < 1e6.
+    """
+    groups = (
+        [group_col] if isinstance(group_col, str) else list(group_col or [])
+    )
+    keep_cols = list(keep_cols or [])
+    v = F.col(value_col)
+    stats = (
+        df.where(v.isNotNull())
+        .groupBy(*[F.col(g) for g in groups])
+        .agg(
+            F.count(v).alias("__n__"),
+            F.sum(v.cast("decimal(18,6)")).alias("__s__"),
+            F.sum((v * v).cast("decimal(30,10)")).alias("__q__"),
+        )
+    )
+    joined = (
+        df.where(v.isNotNull()).join(F.broadcast(stats), on=groups)
+        if groups
+        else df.where(v.isNotNull()).crossJoin(F.broadcast(stats))
+    )
+    n = F.col("__n__")
+    s_d = F.col("__s__").cast("double")
+    q_d = F.col("__q__").cast("double")
+    mean = s_d / n
+    var = (q_d - s_d * s_d / n) / (n - 1)
+    z = F.round((v - mean) / F.sqrt(var), 4)
+    return (
+        joined.where((n > 1) & (var > 0))
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > threshold)
+        .select(*keep_cols, *groups, value_col, "z")
+    )
+
+
 def check_constraints(df: DataFrame, rules, fk_checks=None) -> DataFrame:
     """Data-quality gate (Deequ-style, reduced to one pass): evaluate
     declarative constraints and report ``(rule, column, n_checked,

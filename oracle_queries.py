@@ -1245,6 +1245,27 @@ ORACLE_SQL: dict[str, str] = {
         WINDOW w AS (PARTITION BY event_type ORDER BY bucket
                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     """,
+    "zscore_outliers": """
+        WITH st AS (
+          SELECT o_orderpriority, count(o_totalprice) AS n,
+                 sum(CAST(o_totalprice AS DECIMAL(18,6))) AS s,
+                 sum(CAST(o_totalprice * o_totalprice AS DECIMAL(30,10))) AS q
+          FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        ),
+        j AS (
+          SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+                 st.n, CAST(st.s AS DOUBLE) AS sd, CAST(st.q AS DOUBLE) AS qd
+          FROM orders o JOIN st USING (o_orderpriority)
+          WHERE o.o_totalprice IS NOT NULL
+        )
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               round((o_totalprice - sd / n)
+                     / sqrt((qd - sd * sd / n) / (n - 1)), 4) AS z
+        FROM j
+        WHERE n > 1 AND (qd - sd * sd / n) / (n - 1) > 0
+          AND abs(round((o_totalprice - sd / n)
+                        / sqrt((qd - sd * sd / n) / (n - 1)), 4)) > 1.7
+    """,
     "counter_delta": """
         WITH base AS (
           SELECT event_type AS g, ts, CAST(value AS DECIMAL(19,6)) AS v

@@ -1000,3 +1000,17 @@ def test_trailing_agg_dense_window(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         trailing_agg(df, "ts", "v", trailing=0)
+
+
+def test_zscore_outliers_flags_the_spike(spark):
+    from hashquery_spark.ops import zscore_outliers
+
+    rows = [("a", i, 10.0) for i in range(20)] + [
+        ("a", 99, 1000.0),          # the spike
+        ("b", 200, 5.0), ("b", 201, 5.0),  # zero-variance group: no rows
+        ("c", 300, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, rid long, v double")
+    out = zscore_outliers(df, "v", "g", threshold=3.0, keep_cols=["rid"]).collect()
+    assert [r.rid for r in out] == [99]
+    assert out[0].z > 4
