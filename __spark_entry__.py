@@ -2013,6 +2013,23 @@ def q_compression_ratio(spark, sf_dir):
     return compression_ratio(docs, "text", "doc_id")
 
 
+def q_distribution_drift(spark, sf_dir):
+    """PSI drift gate between two order-status slices of the price
+    distribution: each snapshot scans once into a per-bin count frame;
+    ln rounds 4dp pre-product and terms sum as exact scaled integers."""
+    from hashquery_spark.ops import distribution_drift
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return distribution_drift(
+        orders.where("o_orderstatus = 'O'"),
+        orders.where("o_orderstatus = 'F'"),
+        "o_totalprice",
+        bins=8,
+        lo=0.0,
+        hi=520000.0,
+    )
+
+
 def q_zscore_outliers(spark, sf_dir):
     """Anomaly gate: orders whose total price sits > 1.7 sample std-devs
     from their priority band's mean. One stats agg + broadcast join back;
@@ -2236,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_delta": q_counter_delta,
         "trailing_agg": q_trailing_agg,
         "zscore_outliers": q_zscore_outliers,
+        "distribution_drift": q_distribution_drift,
         "levenshtein_nearest": q_levenshtein_nearest,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,

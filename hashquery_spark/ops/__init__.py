@@ -67,7 +67,14 @@ from .asof import asof_join
 from .range_join import range_join
 from .chunking import chunk_documents, dedup_paragraphs, repeated_spans
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
-from .profile import approx_quantiles, check_constraints, histogram, profile_table, zscore_outliers
+from .profile import (
+    approx_quantiles,
+    check_constraints,
+    distribution_drift,
+    histogram,
+    profile_table,
+    zscore_outliers,
+)
 from .timeseries import counter_delta, gap_fill, multi_grain_rollup, time_weighted_avg, trailing_agg
 from .snapshot import dedup_against, snapshot_diff
 from .fuzzy import fuzzy_join
@@ -128,6 +135,7 @@ __all__ = [
     "counter_delta",
     "trailing_agg",
     "zscore_outliers",
+    "distribution_drift",
     "repeated_spans",
     "compression_ratio",
     "approx_quantiles",

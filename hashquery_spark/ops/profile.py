@@ -20,7 +20,7 @@ for cross-engine parity — float rendering differs between engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -145,6 +145,89 @@ def approx_quantiles(
             pieces.append(f"'{c}', {p}D, CAST(try_element_at(`__q_{c}`, {j + 1}) AS DOUBLE)")
     stack = f"stack({len(cols) * len(probs)}, " + ", ".join(pieces) + ")"
     return wide.selectExpr(f"{stack} AS (column_name, prob, value)")
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a metric —
+    the standard drift gate between a reference corpus/model-input
+    distribution (``df_a``) and a new one (``df_b``). Output: one row per
+    bin (bin, n_a, n_b, pa, pb, psi_term) plus the total ``psi`` repeated
+    on every row; PSI < 0.1 is conventionally "no drift", > 0.25 "major".
+
+    The range is explicit (no min/max pre-job) and shared, so both sides
+    bin identically (same clamp convention as :func:`histogram`). Counts
+    are add-one smoothed per bin — empty bins contribute mass 1/(N+bins)
+    and never a ln(0).
+
+    Scale: each snapshot scans ONCE into a tiny per-bin count frame (one
+    groupBy(bin) with map-side combine over the union); everything after
+    runs on <= bins rows. Cross-engine determinism: ln(pa/pb) rounds to
+    4 dp pre-product (libm may differ by 1 ulp; the lm_score/tfidf
+    precedent) and per-bin terms scale to exact integers before the sum,
+    so PSI is bit-identical regardless of order."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        raise ValueError("require hi > lo")
+    width = (hi - lo) / bins
+
+    def binned(df, side):
+        return df.where(
+            f"`{col}` IS NOT NULL AND `{col}` >= {lo!r}D AND `{col}` <= {hi!r}D"
+        ).selectExpr(
+            f"least({bins - 1}, CAST(floor((CAST(`{col}` AS DOUBLE) - {lo!r}D) "
+            f"/ {width!r}D) AS BIGINT)) AS bin",
+            f"'{side}' AS side",
+        )
+
+    counts = (
+        binned(df_a, "a")
+        .unionByName(binned(df_b, "b"))
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("side") == "a").alias("n_a"),
+            F.count_if(F.col("side") == "b").alias("n_b"),
+        )
+    )
+    spine = (
+        df_a.sparkSession.range(bins)
+        .selectExpr("CAST(id AS BIGINT) AS bin")
+        .join(counts, on="bin", how="left")
+        .fillna(0, subset=["n_a", "n_b"])
+    )
+    everything = Window.partitionBy()
+    pa = (F.col("n_a") + 1) / (F.sum("n_a").over(everything) + bins)
+    pb = (F.col("n_b") + 1) / (F.sum("n_b").over(everything) + bins)
+    with_p = spine.select(
+        "bin", "n_a", "n_b", pa.alias("pa"), pb.alias("pb")
+    )
+    ln_r = F.round(F.log(F.col("pa") / F.col("pb")), 4)
+    term_scaled = F.round((F.col("pa") - F.col("pb")) * ln_r * 1e8, 0).cast("long")
+    with_terms = with_p.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round("pa", 8).alias("pa"),
+        F.round("pb", 8).alias("pb"),
+        term_scaled.alias("__t__"),
+    )
+    return with_terms.select(
+        "bin",
+        "n_a",
+        "n_b",
+        "pa",
+        "pb",
+        (F.col("__t__") / F.lit(1e8)).alias("psi_term"),
+        (F.sum("__t__").over(everything) / F.lit(1e8)).alias("psi"),
+    )
 
 
 def zscore_outliers(

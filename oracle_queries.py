@@ -1245,6 +1245,46 @@ ORACLE_SQL: dict[str, str] = {
         WINDOW w AS (PARTITION BY event_type ORDER BY bucket
                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     """,
+    "distribution_drift": """
+        WITH tagged AS (
+          SELECT least(7, CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0)
+                 / 65000.0) AS BIGINT)) AS bin, 'a' AS side
+          FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+            AND o_totalprice >= 0.0 AND o_totalprice <= 520000.0
+          UNION ALL
+          SELECT least(7, CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0)
+                 / 65000.0) AS BIGINT)) AS bin, 'b' AS side
+          FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+            AND o_totalprice >= 0.0 AND o_totalprice <= 520000.0
+        ),
+        c AS (
+          SELECT bin,
+                 count(*) FILTER (WHERE side = 'a') AS n_a,
+                 count(*) FILTER (WHERE side = 'b') AS n_b
+          FROM tagged GROUP BY bin
+        ),
+        spine AS (
+          SELECT s.bin, coalesce(c.n_a, 0) AS n_a, coalesce(c.n_b, 0) AS n_b
+          FROM (SELECT unnest(generate_series(0, 7)) AS bin) s
+          LEFT JOIN c ON s.bin = c.bin
+        ),
+        p AS (
+          SELECT bin, n_a, n_b,
+                 (n_a + 1) / (sum(n_a) OVER () + 8) AS pa,
+                 (n_b + 1) / (sum(n_b) OVER () + 8) AS pb
+          FROM spine
+        ),
+        t AS (
+          SELECT bin, n_a, n_b, round(pa, 8) AS pa, round(pb, 8) AS pb,
+                 CAST(round((pa - pb) * round(ln(pa / pb), 4) * 1e8, 0)
+                      AS BIGINT) AS ts
+          FROM p
+        )
+        SELECT bin, n_a, n_b, pa, pb,
+               ts / 1e8 AS psi_term,
+               sum(ts) OVER () / 1e8 AS psi
+        FROM t
+    """,
     "zscore_outliers": """
         WITH st AS (
           SELECT o_orderpriority, count(o_totalprice) AS n,

@@ -1014,3 +1014,19 @@ def test_zscore_outliers_flags_the_spike(spark):
     out = zscore_outliers(df, "v", "g", threshold=3.0, keep_cols=["rid"]).collect()
     assert [r.rid for r in out] == [99]
     assert out[0].z > 4
+
+
+def test_distribution_drift_psi(spark):
+    from hashquery_spark.ops import distribution_drift
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(1000)], "v double")
+    same = spark.createDataFrame([(float(i % 10),) for i in range(500)], "v double")
+    shifted = spark.createDataFrame(
+        [(float(i % 10) if i % 3 else 9.0,) for i in range(1000)], "v double"
+    )
+    psi_same = distribution_drift(a, same, "v", bins=10, lo=0.0, hi=10.0).collect()
+    assert len(psi_same) == 10
+    assert all(abs(r.psi) < 0.01 for r in psi_same)      # identical shape
+    assert len({r.psi for r in psi_same}) == 1           # total repeated
+    psi_moved = distribution_drift(a, shifted, "v", bins=10, lo=0.0, hi=10.0).collect()
+    assert psi_moved[0].psi > 0.25                       # major drift
