@@ -2013,6 +2013,16 @@ def q_compression_ratio(spark, sf_dir):
     return compression_ratio(docs, "text", "doc_id")
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode script mix per document (multilingual routing gate): five
+    character-class strip-and-measure ratios + argmax dominant script,
+    all in ONE narrow codegen pass, no tokenization, no UDF."""
+    from hashquery_spark.ops import script_profile
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return script_profile(docs, "text", "doc_id")
+
+
 def q_distribution_drift(spark, sf_dir):
     """PSI drift gate between two order-status slices of the price
     distribution: each snapshot scans once into a per-bin count frame;
@@ -2254,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_agg": q_trailing_agg,
         "zscore_outliers": q_zscore_outliers,
         "distribution_drift": q_distribution_drift,
+        "script_profile": q_script_profile,
         "levenshtein_nearest": q_levenshtein_nearest,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,

@@ -45,6 +45,7 @@ from .text import (
     boilerplate_ngrams,
     bpe_pair_counts,
     compression_ratio,
+    script_profile,
     doc_fingerprint,
     language_id,
     pii_scrub,
@@ -136,6 +137,7 @@ __all__ = [
     "trailing_agg",
     "zscore_outliers",
     "distribution_drift",
+    "script_profile",
     "repeated_spans",
     "compression_ratio",
     "approx_quantiles",

@@ -105,6 +105,49 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), *quality_cols(F.col(text_col)))
 
 
+_SCRIPTS = [
+    # (name, Java-regex character class — DuckDB RE2 accepts the same
+    # \\u-range classes)
+    ("latin", "A-Za-z"),
+    ("cjk", "\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af"),
+    ("cyrillic", "\\u0400-\\u04ff"),
+    ("arabic", "\\u0600-\\u06ff"),
+    ("digit", "0-9"),
+]
+
+
+def script_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_chars, latin_ratio, cjk_ratio, cyrillic_ratio, arabic_ratio,
+    digit_ratio, dominant_script) — per-document Unicode script mix, the
+    cheap first gate of multilingual corpus routing (which tokenizer,
+    which language pipeline, is this mojibake).
+
+    One narrow codegen'd pass: each ratio is length(text) minus the
+    length with that script class stripped, over total length; no
+    tokenization, no UDF. ``dominant_script`` is the argmax with a fixed
+    tie order (latin > cjk > cyrillic > arabic > digit), 'other' when no
+    class reaches 30%. Ratios round to 4 dp (pure integer/double
+    arithmetic — exact cross-engine)."""
+    t = F.col(text_col)
+    total = F.length(t)
+    safe_total = F.greatest(total, F.lit(1))
+    cols = [F.col(id_col), total.alias("n_chars")]
+    ratios = []
+    for name, cls in _SCRIPTS:
+        cnt = total - F.length(F.regexp_replace(t, f"[{cls}]", ""))
+        r = F.round(cnt / safe_total.cast("double"), 4)
+        cols.append(r.alias(f"{name}_ratio"))
+        ratios.append((name, f"{name}_ratio"))
+    out = df.where(t.isNotNull()).select(*cols)
+    dominant = F.lit("other")
+    best = F.lit(0.3)
+    # reversed fixed order so earlier scripts win ties via >=
+    for name, rcol in reversed(ratios):
+        dominant = F.when(F.col(rcol) >= best, F.lit(name)).otherwise(dominant)
+        best = F.when(F.col(rcol) >= best, F.col(rcol)).otherwise(best)
+    return out.withColumn("dominant_script", dominant)
+
+
 def compression_ratio(df: DataFrame, text_col: str, id_col: str, level: int = 6) -> DataFrame:
     """(id, raw_bytes, compressed_bytes, compression_ratio) — zlib
     compressibility as a quality signal (used by Gopher/RedPajama-style

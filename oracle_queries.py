@@ -1245,6 +1245,37 @@ ORACLE_SQL: dict[str, str] = {
         WINDOW w AS (PARTITION BY event_type ORDER BY bucket
                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     """,
+    "script_profile": r"""
+        WITH r AS (
+          SELECT doc_id, length(text) AS n_chars,
+            round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS latin_ratio,
+            round((length(text) - length(regexp_replace(text,
+                  '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', '', 'g')))
+                  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS cjk_ratio,
+            round((length(text) - length(regexp_replace(text, '[\x{400}-\x{4ff}]', '', 'g')))
+                  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS cyrillic_ratio,
+            round((length(text) - length(regexp_replace(text, '[\x{600}-\x{6ff}]', '', 'g')))
+                  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS arabic_ratio,
+            round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS digit_ratio
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, n_chars, latin_ratio, cjk_ratio, cyrillic_ratio,
+               arabic_ratio, digit_ratio,
+               CASE WHEN greatest(latin_ratio, cjk_ratio, cyrillic_ratio,
+                                  arabic_ratio, digit_ratio) < 0.3 THEN 'other'
+                    WHEN latin_ratio = greatest(latin_ratio, cjk_ratio,
+                         cyrillic_ratio, arabic_ratio, digit_ratio) THEN 'latin'
+                    WHEN cjk_ratio = greatest(latin_ratio, cjk_ratio,
+                         cyrillic_ratio, arabic_ratio, digit_ratio) THEN 'cjk'
+                    WHEN cyrillic_ratio = greatest(latin_ratio, cjk_ratio,
+                         cyrillic_ratio, arabic_ratio, digit_ratio) THEN 'cyrillic'
+                    WHEN arabic_ratio = greatest(latin_ratio, cjk_ratio,
+                         cyrillic_ratio, arabic_ratio, digit_ratio) THEN 'arabic'
+                    ELSE 'digit' END AS dominant_script
+        FROM r
+    """,
     "distribution_drift": """
         WITH tagged AS (
           SELECT least(7, CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0)

@@ -1030,3 +1030,19 @@ def test_distribution_drift_psi(spark):
     assert len({r.psi for r in psi_same}) == 1           # total repeated
     psi_moved = distribution_drift(a, shifted, "v", bins=10, lo=0.0, hi=10.0).collect()
     assert psi_moved[0].psi > 0.25                       # major drift
+
+
+def test_script_profile_dominant_scripts(spark):
+    from hashquery_spark.ops import script_profile
+
+    rows = [
+        (1, "hello world there"),
+        (2, "你好世界こん"),   # CJK + kana
+        (3, "Привет"),   # Cyrillic
+        (4, "123 456"),
+        (5, "~~~ !!!"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.dominant_script for r in script_profile(df, "text", "doc_id").collect()}
+    assert out == {1: "latin", 2: "cjk", 3: "cyrillic", 4: "digit", 5: "other"}
