@@ -2013,6 +2013,17 @@ def q_compression_ratio(spark, sf_dir):
     return compression_ratio(docs, "text", "doc_id")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-best exact dedup (RefinedWeb policy): among duplicates keep
+    the LONGEST document, not the first seen. Same scale shape as
+    dedup_exact — one md5-key shuffle, argmax via min(struct(-score,id))
+    with map-side combine; no window, no join-back."""
+    from hashquery_spark.ops import dedup_keep_best
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return dedup_keep_best(docs, "text", "doc_id", "n_chars")
+
+
 def q_script_profile(spark, sf_dir):
     """Unicode script mix per document (multilingual routing gate): five
     character-class strip-and-measure ratios + argmax dominant script,
@@ -2265,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_outliers": q_zscore_outliers,
         "distribution_drift": q_distribution_drift,
         "script_profile": q_script_profile,
+        "dedup_keep_best": q_dedup_keep_best,
         "levenshtein_nearest": q_levenshtein_nearest,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,

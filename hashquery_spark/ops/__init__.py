@@ -15,6 +15,7 @@ bit-for-bit.
 
 from .dedup import (
     dedup_clusters,
+    dedup_keep_best,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signature,
@@ -138,6 +139,7 @@ __all__ = [
     "zscore_outliers",
     "distribution_drift",
     "script_profile",
+    "dedup_keep_best",
     "repeated_spans",
     "compression_ratio",
     "approx_quantiles",

@@ -101,6 +101,40 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(
+    df: DataFrame, text_col: str, id_col: str, score_col: str
+) -> DataFrame:
+    """Exact content dedup with a KEEP-BEST policy: among duplicates keep
+    the row with the highest ``score_col`` (lowest id on score ties) —
+    the RefinedWeb-style variant of :func:`exact_dedup`, which keeps the
+    first occurrence regardless of quality.
+
+    Output: (content_hash, keep_id, keep_score, dup_count).
+
+    Scale: identical to exact_dedup — one shuffle on the uniform md5 key,
+    text never shuffles, and the argmax is a ``min(struct(-score, id))``
+    aggregate (single evaluation, map-side combine collapses corpus-wide
+    hot content before the shuffle; no window, no join-back)."""
+    key = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    picked = F.min(
+        F.struct(
+            (-F.col(score_col).cast("double")).alias("ns"),
+            F.col(id_col).cast("long").alias("i"),
+        )
+    ).alias("__best__")
+    return (
+        df.select(key, F.col(id_col), F.col(score_col))
+        .groupBy("content_hash")
+        .agg(picked, F.count(F.lit(1)).alias("dup_count"))
+        .select(
+            "content_hash",
+            F.col("__best__.i").alias("keep_id"),
+            (-F.col("__best__.ns")).alias("keep_score"),
+            "dup_count",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -1035,6 +1035,21 @@ ORACLE_SQL: dict[str, str] = {
     "match_steps_detail": MATCH_STEPS_DETAIL_SQL,
     "funnel_partitioned": FUNNEL_PARTITIONED_SQL,
     "funnel_expr_steps": _funnel_counts_sql(STEPS_EXPR, top_name=None),
+    "dedup_keep_best": f"""
+        WITH h AS (
+          SELECT md5({NORM.format(c='text')}) AS content_hash, doc_id,
+                 CAST(n_chars AS DOUBLE) AS score
+          FROM documents
+        ),
+        best AS (
+          SELECT content_hash,
+                 min(struct_pack(ns := -score, i := doc_id)) AS b,
+                 count(*) AS dup_count
+          FROM h GROUP BY content_hash
+        )
+        SELECT content_hash, b.i AS keep_id, -(b.ns) AS keep_score, dup_count
+        FROM best
+    """,
     "dedup_exact": f"""
         SELECT md5({NORM.format(c='text')}) AS content_hash,
                min(doc_id) AS keep_id, count(*) AS dup_count

@@ -1046,3 +1046,18 @@ def test_script_profile_dominant_scripts(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.dominant_script for r in script_profile(df, "text", "doc_id").collect()}
     assert out == {1: "latin", 2: "cjk", 3: "cyrillic", 4: "digit", 5: "other"}
+
+
+def test_dedup_keep_best_prefers_high_score(spark):
+    from hashquery_spark.ops import dedup_keep_best
+
+    rows = [
+        (1, "same text", 10.0),
+        (2, "same text", 50.0),   # best duplicate -> keeper
+        (3, "same text", 50.0),   # score tie -> lower id of the tied pair
+        (4, "unique", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    out = {r.keep_id: (r.keep_score, r.dup_count) for r in
+           dedup_keep_best(df, "text", "doc_id", "score").collect()}
+    assert out == {2: (50.0, 3), 4: (1.0, 1)}
