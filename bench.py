@@ -59,6 +59,13 @@ HEADLINE = [
     "retention_curve",
     "time_weighted_avg",
     "compression_ratio",
+    # round-1 fifth-continuation extensions (appended)
+    "trailing_agg",
+    "counter_delta",
+    "zscore_outliers",
+    "distribution_drift",
+    "script_profile",
+    "dedup_keep_best",
 ]
 
 
