@@ -618,3 +618,78 @@ def test_repeated_spans_matches_python_reference(spark, docs, window, stride):
         first = min(occ)
         expect += [(d, s, len(occ), (d, s) == first) for d, s in occ]
     assert got == sorted(expect)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    samples=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=70),   # minute offset
+                  st.integers(min_value=0, max_value=500)), # counter value
+        min_size=1, max_size=25,
+    ),
+)
+def test_counter_delta_matches_python_reference(spark, samples):
+    """counter_delta == a sequential Python pass over the samples sorted
+    by (ts, value): nonneg diffs, resets contribute the new value, first
+    sample nothing; bucketed by the sample's own hour."""
+    from datetime import datetime, timedelta
+
+    from hashquery_spark.ops import counter_delta
+
+    base = datetime(2024, 1, 1)
+    rows = [("s", base + timedelta(minutes=m), float(v)) for m, v in samples]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    got = {
+        r.bucket.hour: (r.increase, r.n_samples)
+        for r in counter_delta(df, "ts", "v", grain="hour", group_col="g").collect()
+    }
+
+    expect = {}
+    prev = None
+    for m, v in sorted(samples, key=lambda x: (x[0], x[1])):
+        h = m // 60
+        inc, n = expect.get(h, (0.0, 0))
+        if prev is not None:
+            inc += (v - prev) if v >= prev else v
+        expect[h] = (inc, n + 1)
+        prev = v
+    assert got == {h: (float(i), n) for h, (i, n) in expect.items()}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    days=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=20),   # day of month
+                  st.integers(min_value=-50, max_value=50)),
+        min_size=1, max_size=20,
+    ),
+    trailing=st.integers(min_value=1, max_value=6),
+)
+def test_trailing_agg_matches_python_reference(spark, days, trailing):
+    """trailing_agg == a dense-spine sliding window computed in Python."""
+    from datetime import datetime
+
+    from hashquery_spark.ops import trailing_agg
+
+    rows = [("g", datetime(2024, 1, d), float(v)) for d, v in days]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    got = {
+        r.bucket.day: (r.trailing_sum, r.trailing_count, r.window_buckets)
+        for r in trailing_agg(df, "ts", "v", grain="day", group_col="g",
+                              trailing=trailing).collect()
+    }
+
+    per_day = {}
+    for d, v in days:
+        s, c = per_day.get(d, (0.0, 0))
+        per_day[d] = (s + v, c + 1)
+    lo, hi = min(per_day), max(per_day)
+    expect = {}
+    for d in range(lo, hi + 1):
+        win = [per_day.get(x, (0.0, 0)) for x in range(max(lo, d - trailing + 1), d + 1)]
+        expect[d] = (
+            float(sum(w[0] for w in win)),
+            sum(w[1] for w in win),
+            len(win),
+        )
+    assert got == expect
