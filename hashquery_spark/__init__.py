@@ -17,10 +17,12 @@ from . import func
 from .connection import Connection, connection_for_dir, default_session
 from .expr import ColumnExpression, column
 from .keypath import _, attr, msr, rel
+from .catalog import ModelCatalog
 from .model import Model, ModelNamespace, RunResults
 from .timeinterval import timeinterval
 
 __all__ = [
+    "ModelCatalog",
     "Model",
     "Connection",
     "ColumnExpression",

@@ -505,3 +505,54 @@ def test_map_batches_and_transform_group(spark):
 
     with pytest.raises(ValueError):
         Model(conn, "pm_t").transform_group(demean, "g string, centered double")
+
+
+def test_model_catalog_save_load_roundtrip(spark, tmp_path):
+    """ModelCatalog: the local analogue of the reference's project import
+    (SURVEY §3.3) — save a full semantic model (joins, measures, activity
+    schema) as JSON, load it in a fresh context, run it, and get the same
+    results."""
+    from hashquery_spark import Connection, Model, ModelCatalog, attr, column, func, msr, rel
+
+    conn = Connection(spark)
+    conn.register_records(
+        "cat_orders",
+        [(1, 10, 5.0), (2, 10, 7.0), (3, 20, 1.0), (4, None, 9.0)],
+        schema="id long, cust long, amount double",
+    )
+    conn.register_records(
+        "cat_cust", [(10, "gold"), (20, "silver")], schema="id long, tier string"
+    )
+    customers = Model(conn, "cat_cust").with_primary_key(column("id"))
+    orders = (
+        Model(conn, "cat_orders")
+        .with_join_one(customers, foreign_key=attr.cust, named="customer")
+        .with_measures(revenue=func.sum(attr.amount.cast("decimal(10,2)")))
+    )
+    cat = ModelCatalog(str(tmp_path / "models"))
+    cat.save("orders", orders)
+    assert cat.names() == ["orders"]
+
+    loaded = cat.load("orders", connection=conn)
+    q = lambda m: sorted(
+        (
+            (r.tier, float(r.revenue))
+            for r in m.aggregate(groups=[rel.customer.tier], measures=[msr.revenue])
+            .to_df().collect()
+        ),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert q(loaded) == q(orders)
+
+    # version guard: documents from a NEWER engine are refused loudly
+    import json, os
+    doc = json.load(open(cat._file("orders")))
+    doc["version"] = Model.WIRE_VERSION + 1
+    json.dump(doc, open(cat._file("orders"), "w"))
+    with pytest.raises(ValueError, match="wire version"):
+        cat.load("orders", connection=conn)
+    with pytest.raises(ValueError):
+        cat.save("../evil", orders)
+
+    cat.delete("orders")
+    assert cat.names() == []
