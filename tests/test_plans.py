@@ -206,3 +206,21 @@ def test_mix_corpora_corpus_never_shuffles(spark, sf_dir):
     assert any(set(s.split(",")) >= {"doc_id:bigint"} for s in schemas)
     pruned = [s for s in schemas if "doc_id" not in s]
     assert pruned and all("lang" not in s for s in pruned)
+
+
+def test_new_timeseries_ops_are_single_scan(spark, sf_dir):
+    """time_weighted_avg / counter_delta / trailing_agg / script_profile /
+    dedup_keep_best each read their table exactly once; shuffles stay at
+    the documented budget (window or rollup only)."""
+    budgets = {  # name -> (max scans, max exchanges)
+        "time_weighted_avg": (1, 1),
+        "counter_delta": (1, 1),
+        "trailing_agg": (1, 2),
+        "script_profile": (1, 0),
+        "dedup_keep_best": (1, 1),
+    }
+    for name, (max_scans, max_ex) in budgets.items():
+        plan = _physical(entry_mod.queries()[name](spark, sf_dir))
+        assert plan.count("Scan parquet") <= max_scans, name
+        assert plan.count("Exchange ") <= max_ex, name
+        assert "SortMergeJoin" not in plan, name
