@@ -15,6 +15,7 @@ bit-for-bit.
 
 from .dedup import (
     dedup_clusters,
+    connected_components,
     dedup_keep_best,
     exact_dedup,
     minhash_lsh_candidates,
@@ -140,6 +141,7 @@ __all__ = [
     "distribution_drift",
     "script_profile",
     "dedup_keep_best",
+    "connected_components",
     "repeated_spans",
     "compression_ratio",
     "approx_quantiles",

@@ -409,3 +409,8 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# General-purpose alias: dedup_clusters is plain min-label connected
+# components over ANY (id_a, id_b) edge frame, not just near-dup pairs.
+connected_components = dedup_clusters

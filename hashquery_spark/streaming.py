@@ -187,6 +187,66 @@ def streaming_dedup(
     )
 
 
+def streaming_counter_delta(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming twin of ``ops.counter_delta``: per-series reset-aware
+    counter increases computed incrementally — ONE double of state per
+    series (the last observed value) via ``applyInPandasWithState``, so
+    a fleet of counters streams deltas forever with state proportional to
+    the number of series, not the stream length.
+
+    Emits one row per sample: (key, ts, value, increase) — nonneg diff
+    vs the previous observation, the raw value after a reset, NULL for a
+    series' first-ever sample (exact batch semantics). Within a
+    micro-batch samples sort by (ts, value); cross-batch out-of-order
+    samples are attributed against the carried last value (the same
+    inherent limitation as the streaming funnel — documented, not
+    hidden)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} string, {ts_col} timestamp, value double, increase double"
+    state_schema = "last double"
+
+    def delta_fn(key, pdf_iter, state):
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, value_col])
+            for t, v in zip(pdf[ts_col], pdf[value_col]):
+                if v is None or pd.isna(v):
+                    continue
+                v = float(v)
+                if last is None:
+                    inc = None
+                elif v >= last:
+                    inc = v - last
+                else:
+                    inc = v  # counter reset: pre-reset remainder is lost
+                out.append((str(key[0]), t, v, inc))
+                last = v
+        if last is not None:
+            state.update((last,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[key_col, ts_col, "value", "increase"]
+            )
+
+    return events.groupBy(F.col(key_col)).applyInPandasWithState(
+        delta_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_funnel_progress(
     events: DataFrame,
     group_col: str,

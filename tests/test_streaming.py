@@ -361,3 +361,36 @@ def test_join_streams_rejects_bad_how(spark, tmp_path):
     s = read_event_stream(spark, d, "k long, ts timestamp")
     with pytest.raises(ValueError):
         join_streams(s, s, on=["k"], left_ts="ts", right_ts="ts", how="semi")
+
+
+def test_streaming_counter_delta_carries_state(spark):
+    import shutil, tempfile, time as _time
+    from hashquery_spark.streaming import streaming_counter_delta
+
+    sch = "series string, ts timestamp, v double"
+    d = tempfile.mkdtemp(prefix="hq_scd_")
+    try:
+        b1 = [("a", datetime(2024, 1, 1, 0, 0), 100.0),
+              ("a", datetime(2024, 1, 1, 0, 30), 150.0)]
+        b2 = [("a", datetime(2024, 1, 1, 1, 0), 30.0),    # reset
+              ("a", datetime(2024, 1, 1, 1, 30), 40.0),
+              ("b", datetime(2024, 1, 1, 1, 0), 5.0)]     # new series
+        spark.createDataFrame(b1, sch).coalesce(1).write.parquet(f"{d}/b1")
+        _time.sleep(1.5)
+        spark.createDataFrame(b2, sch).coalesce(1).write.parquet(f"{d}/b2")
+        stream = (spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+                  .parquet(f"{d}/b*"))
+        out = streaming_counter_delta(stream, "series", "ts", "v")
+        q = (out.writeStream.format("memory").queryName("scd_test")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {(r.series, r.ts.hour, r.ts.minute): r.increase
+               for r in spark.table("scd_test").collect()}
+        assert got[("a", 0, 0)] is None          # first-ever sample
+        assert got[("a", 0, 30)] == 50.0
+        assert got[("a", 1, 0)] == 30.0          # reset ACROSS batches via state
+        assert got[("a", 1, 30)] == 10.0
+        assert got[("b", 1, 0)] is None
+        assert len(got) == 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
