@@ -2013,6 +2013,19 @@ def q_compression_ratio(spark, sf_dir):
     return compression_ratio(docs, "text", "doc_id")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Importance sampling: keep documents with probability proportional
+    to length, expected fraction 0.3. One tiny decimal-exact mean agg
+    broadcast back; the keep test is a narrow multiply-through filter
+    (no division), the corpus never shuffles."""
+    from hashquery_spark.ops import weighted_sample
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return weighted_sample(docs, "doc_id", "n_chars", 0.3).select(
+        "doc_id", "source", "n_chars", "keep_prob"
+    )
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Keep-best exact dedup (RefinedWeb policy): among duplicates keep
     the LONGEST document, not the first seen. Same scale shape as
@@ -2277,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_drift": q_distribution_drift,
         "script_profile": q_script_profile,
         "dedup_keep_best": q_dedup_keep_best,
+        "weighted_sample": q_weighted_sample,
         "levenshtein_nearest": q_levenshtein_nearest,
         "join_many_rollup": q_join_many_rollup,
         "kmeans_clusters": q_kmeans_clusters,

@@ -42,6 +42,7 @@ from .sampling import (
     stratified_sample,
     train_test_split,
     uniform01,
+    weighted_sample,
 )
 from .text import (
     boilerplate_ngrams,
@@ -142,6 +143,7 @@ __all__ = [
     "script_profile",
     "dedup_keep_best",
     "connected_components",
+    "weighted_sample",
     "repeated_spans",
     "compression_ratio",
     "approx_quantiles",

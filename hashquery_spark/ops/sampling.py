@@ -93,6 +93,54 @@ def train_test_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    target_fraction: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Importance sampling: keep each row with probability proportional
+    to its weight, scaled so the EXPECTED kept fraction equals
+    ``target_fraction`` — quality-weighted corpus downsampling (a doc
+    with twice the quality score is twice as likely to survive). Adds
+    ``keep_prob``. Membership is the repo-standard deterministic md5 draw.
+
+    p_i = min(1, target_fraction · w_i / mean(w)); rows whose scaled
+    weight exceeds 1 are always kept (which pulls the realized fraction
+    slightly under target when weights are very skewed — the standard
+    clipped-importance trade-off). Rows with NULL or non-positive weight
+    are dropped.
+
+    Scale: mean(w) is ONE tiny global aggregate (decimal-routed, exact)
+    replicated via a 1-row broadcast; the keep test is a narrow codegen'd
+    filter — the corpus never shuffles. The accept test multiplies
+    through by mean(w) (u·mean < f·w) so no per-row division happens."""
+    if not 0 < target_fraction <= 1:
+        raise ValueError("require 0 < target_fraction <= 1")
+    w = F.col(weight_col).cast("double")
+    stats = (
+        df.where(w.isNotNull() & (w > 0))
+        .agg(
+            (
+                F.sum(w.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__mw__")
+        )
+    )
+    u = uniform01(F.col(id_col), seed)
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "keep_prob",
+            F.round(F.least(F.lit(1.0), target_fraction * w / F.col("__mw__")), 6),
+        )
+        .where(u * F.col("__mw__") < target_fraction * w)
+        .drop("__mw__")
+    )
+
+
 def repetition_cols(text_col: Column) -> list:
     """[n_lines, n_distinct_lines, dup_line_ratio] expression columns
     (shared by :func:`repetition_score` and the curation pipeline)."""

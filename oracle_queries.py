@@ -1331,6 +1331,21 @@ ORACLE_SQL: dict[str, str] = {
                sum(ts) OVER () / 1e8 AS psi
         FROM t
     """,
+    "weighted_sample": """
+        WITH m AS (
+          SELECT CAST(sum(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*) AS mw
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        SELECT d.doc_id, d.source, d.n_chars,
+               round(least(1.0, 0.3 * CAST(d.n_chars AS DOUBLE) / m.mw), 6)
+                 AS keep_prob
+        FROM documents d CROSS JOIN m
+        WHERE d.n_chars IS NOT NULL AND d.n_chars > 0
+          AND (CAST('0x' || substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) / 4294967296.0) * m.mw
+              < 0.3 * CAST(d.n_chars AS DOUBLE)
+    """,
     "zscore_outliers": """
         WITH st AS (
           SELECT o_orderpriority, count(o_totalprice) AS n,

@@ -143,3 +143,26 @@ def test_curate_matches_composed_ops(spark):
         assert (r["lang_pred"], r["quality"], r["dup_line_ratio"], r["split"]) == (
             langs[i], quals[i], reps[i], splits[i]
         )
+
+
+def test_weighted_sample_proportional_and_stable(spark):
+    from hashquery_spark.ops import weighted_sample
+
+    rows = [(i, 1.0 if i < 4000 else 4.0) for i in range(5000)] + [
+        (9000, None), (9001, -2.0), (9002, 0.0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, "doc_id", "w", 0.2, seed=1)
+    got = {r.doc_id: r.keep_prob for r in out.collect()}
+    assert not {9000, 9001, 9002} & set(got)  # null/non-positive dropped
+    light = sum(1 for i in got if i < 4000)
+    heavy = sum(1 for i in got if 4000 <= i < 5000)
+    # mean(w)=1.6: p_light=0.125, p_heavy=0.5 -> heavy kept ~4x as often
+    assert abs(light / 4000 - 0.125) < 0.03
+    assert abs(heavy / 1000 - 0.5) < 0.06
+    probs = {r.keep_prob for r in out.where("doc_id < 4000").collect()}
+    assert probs == {0.125}
+    # membership is a pure (seed, id) function: stable under repartition
+    got2 = {r.doc_id for r in weighted_sample(
+        df.repartition(7), "doc_id", "w", 0.2, seed=1).collect()}
+    assert set(got) == got2
