@@ -27,6 +27,9 @@ from hashquery_spark import Connection, Model, column, func, attr, rel
 from hashquery_spark.ops import (
     ann_brute_force,
     boilerplate_ngrams,
+    classifier_fit,
+    classifier_score,
+    token_bucket_py,
     unigram_lm_score,
     pii_scrub,
     pack_sequences,
@@ -1782,6 +1785,49 @@ def q_lm_score(spark, sf_dir):
     return unigram_lm_score(docs, "text", "doc_id")
 
 
+def q_classifier_score(spark, sf_dir):
+    """Hashed bag-of-tokens linear quality filter applied with literal
+    weights (the serving half of the fastText-style curation classifier);
+    margins are integer-micro-unit exact, keep = margin > 0. The word →
+    weight fixture lives in oracle_queries.py (single source for both
+    engines; bucketed via token_bucket_py == H32 % n)."""
+    from oracle_queries import (
+        CLASSIFIER_BIAS,
+        CLASSIFIER_N_FEATURES,
+        CLASSIFIER_WORDS,
+    )
+
+    docs = _conn(spark, sf_dir).table("documents")
+    weights: dict[int, float] = {}
+    for word, wt in CLASSIFIER_WORDS.items():
+        b = token_bucket_py(word, CLASSIFIER_N_FEATURES)
+        weights[b] = weights.get(b, 0.0) + wt
+    return classifier_score(
+        docs,
+        "text",
+        "doc_id",
+        weights,
+        bias=CLASSIFIER_BIAS,
+        n_features=CLASSIFIER_N_FEATURES,
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Fit the logistic-regression curation filter on weak labels
+    (y = doc mentions 'data') then score the corpus — iterative
+    (driver-held weights, like kmeans), so rows-only: no SQL oracle."""
+    from pyspark.sql import functions as F
+
+    docs = _conn(spark, sf_dir).table("documents")
+    labeled = docs.withColumn(
+        "y", F.col("text").contains("data").cast("int")
+    )
+    model = classifier_fit(
+        labeled, "text", "doc_id", "y", n_features=2048, iters=3, lr=2.0
+    )
+    return model.score(docs, "text", "doc_id")
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII scrub over text with synthesized emails/IPs/phones (the corpus
     itself is clean word-soup, so both engines inject identical PII
@@ -2300,6 +2346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "boilerplate": q_boilerplate,
         "lm_score": q_lm_score,
+        "classifier_score": q_classifier_score,
+        "quality_classifier": q_quality_classifier,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,
         "cap_per_group": q_cap_per_group,

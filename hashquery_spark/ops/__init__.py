@@ -81,6 +81,13 @@ from .profile import (
 )
 from .timeseries import counter_delta, gap_fill, multi_grain_rollup, time_weighted_avg, trailing_agg
 from .snapshot import dedup_against, snapshot_diff
+
+from .classifier import (
+    ClassifierModel,
+    classifier_fit,
+    classifier_score,
+    token_bucket_py,
+)
 from .fuzzy import fuzzy_join
 from .mixing import mix_corpora, ws_token_count
 
@@ -154,4 +161,8 @@ __all__ = [
     "fuzzy_join",
     "salted_aggregate",
     "salted_join",
+    "ClassifierModel",
+    "classifier_fit",
+    "classifier_score",
+    "token_bucket_py",
 ]

@@ -17,6 +17,29 @@ NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 TOKS = f"string_split_regex({NORM}, '\\s+')"
 H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
 
+# classifier_score fixture — single source for BOTH engines: the Spark
+# query buckets these words via ops.classifier.token_bucket_py (md5 % n)
+# and the SQL below re-derives the same buckets inline with H32 % n.
+CLASSIFIER_WORDS = {
+    "data": 1.5,
+    "model": 1.0,
+    "quick": 0.25,
+    "spam": -2.0,
+    "the": -0.125,
+}
+CLASSIFIER_N_FEATURES = 65536
+CLASSIFIER_BIAS = 0.5
+
+
+def _classifier_weight_values() -> str:
+    from hashquery_spark.ops.classifier import token_bucket_py, _scale_weight
+
+    buckets: dict[int, int] = {}
+    for word, wt in CLASSIFIER_WORDS.items():
+        b = token_bucket_py(word, CLASSIFIER_N_FEATURES)
+        buckets[b] = buckets.get(b, 0) + _scale_weight(wt)
+    return ", ".join(f"({b}, {ws})" for b, ws in sorted(buckets.items()))
+
 
 # --------------------------------------------------------------------------
 # funnel CTE builder (steps given as (condition_sql, name) pairs)
@@ -1697,6 +1720,34 @@ rbuck AS (
           round(CAST(sum(lp) AS BIGINT) / (count(*) * 10000.0), 4) AS lm_score
         FROM ex2 e JOIN logp USING (token)
         GROUP BY e.doc_id
+    """,
+    "classifier_score": f"""
+        WITH w(bucket, ws) AS (VALUES {_classifier_weight_values()}),
+        base AS (
+          SELECT doc_id, list_filter({TOKS.format(c='text')}, t -> t <> '') AS t
+          FROM documents
+        ),
+        ex AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(t) = 0 THEN [NULL] ELSE t END) AS token
+          FROM base
+        ),
+        b AS (
+          SELECT doc_id,
+                 CASE WHEN token IS NULL THEN NULL
+                      ELSE {H32.format(x="'qc:' || token")} % {CLASSIFIER_N_FEATURES}
+                 END AS bucket
+          FROM ex
+        ),
+        rolled AS (
+          SELECT b.doc_id,
+                 count(b.bucket) AS n_tokens,
+                 round((COALESCE(CAST(sum(w.ws) AS BIGINT), 0)
+                        + {int(CLASSIFIER_BIAS * 1000000)}) / 1000000.0, 6) AS margin
+          FROM b LEFT JOIN w USING (bucket)
+          GROUP BY b.doc_id
+        )
+        SELECT doc_id, n_tokens, margin, margin > 0 AS keep FROM rolled
     """,
     "pii_redaction": """
         WITH seeded AS (
