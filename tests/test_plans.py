@@ -226,3 +226,14 @@ def test_new_timeseries_ops_are_single_scan(spark, sf_dir):
         assert plan.count("Scan parquet") <= max_scans, name
         assert plan.count("Exchange ") <= max_ex, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_classifier_score_single_scan_broadcast_weights(spark, sf_dir):
+    """classifier_score reads the corpus once, broadcasts the weight
+    table (never a sort-merge join), and shuffles only for the per-doc
+    rollup — the corpus text itself stays in its scan partitions."""
+    plan = _physical(entry_mod.queries()["classifier_score"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

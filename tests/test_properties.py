@@ -693,3 +693,45 @@ def test_trailing_agg_matches_python_reference(spark, days, trailing):
             len(win),
         )
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "x9", ""]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    bias=st.integers(min_value=-4, max_value=4),
+)
+def test_classifier_score_matches_python_reference(spark, docs, bias):
+    """classifier_score margin == a pure-Python hashed-linear model over
+    the same tokens (micro-unit exact, zero-token docs included)."""
+    from hashquery_spark.ops import classifier_score, token_bucket_py
+
+    n = 256  # small feature space so bucket collisions are exercised
+    weights = {
+        token_bucket_py(w, n): wt
+        for w, wt in [("alpha", 1.5), ("beta", -0.75), ("x9", 0.125)]
+    }
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["margin"], r["keep"])
+        for r in classifier_score(
+            df, "text", "doc_id", weights, bias=float(bias), n_features=n
+        ).collect()
+    }
+    assert set(got) == set(range(len(docs)))
+    for i, toks in enumerate(docs):
+        # the engine normalizes then splits: digits survive, '' drops
+        kept = [t for t in toks if t]
+        ws = sum(
+            round(weights.get(token_bucket_py(t, n), 0.0) * 1e6) for t in kept
+        )
+        margin = round((ws + bias * 1_000_000) / 1e6, 6)
+        assert got[i] == (len(kept), margin, margin > 0), f"doc {i}"
