@@ -1731,6 +1731,20 @@ def q_dedup_against(spark, sf_dir):
     return dedup_against(docs, seen, "text", "doc_id").select("doc_id")
 
 
+def q_dedup_against_fuzzy(spark, sf_dir):
+    """Cross-snapshot NEAR-dedup: new-crawl rows with no ≥0.8-Jaccard
+    near-duplicate in the prior corpus — LSH blocking across corpora +
+    exact shingle-Jaccard verify + one left-anti join."""
+    from hashquery_spark.ops import dedup_against_fuzzy
+
+    docs = _conn(spark, sf_dir).table("documents")
+    seen = docs.where("doc_id % 3 == 0")
+    new = docs.where("doc_id % 3 != 0")
+    return dedup_against_fuzzy(
+        new, seen, "text", "doc_id", threshold=0.8
+    ).select("doc_id")
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-label mean embedding — explode to (label,pos,v) for map-side
     partial sums; integer-scaled micro-units keep sums exact cross-engine."""
@@ -2347,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "lm_score": q_lm_score,
         "classifier_score": q_classifier_score,
+        "dedup_against_fuzzy": q_dedup_against_fuzzy,
         "quality_classifier": q_quality_classifier,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,

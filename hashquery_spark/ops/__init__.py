@@ -80,7 +80,7 @@ from .profile import (
     zscore_outliers,
 )
 from .timeseries import counter_delta, gap_fill, multi_grain_rollup, time_weighted_avg, trailing_agg
-from .snapshot import dedup_against, snapshot_diff
+from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 
 from .classifier import (
     ClassifierModel,
@@ -158,6 +158,7 @@ __all__ = [
     "ws_token_count",
     "snapshot_diff",
     "dedup_against",
+    "dedup_against_fuzzy",
     "fuzzy_join",
     "salted_aggregate",
     "salted_join",

@@ -59,3 +59,80 @@ def dedup_against(
     )
     hashed_new = new.withColumn("__h__", F.md5(normalize_text(F.col(text_col))))
     return hashed_new.join(seen_hashes, on="__h__", how="left_anti").drop("__h__")
+
+
+def dedup_against_fuzzy(
+    new: DataFrame,
+    seen: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.8,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Rows of ``new`` with no NEAR-duplicate in ``seen`` — the fuzzy twin
+    of :func:`dedup_against` (fresh crawl minus everything ~already in the
+    corpus, the standard cross-snapshot MinHash dedup step).
+
+    Block-then-verify across corpora: word-shingle KM min-signatures and
+    LSH band buckets on each side (shared machinery with ops/dedup — the
+    per-side shuffle moves (id, num_perm longs) only), candidate pairs
+    from the (band, key) equi-join, then exact word-shingle Jaccard
+    recomputed ONLY for candidate ids (semi-join reduction first). The
+    final step is one left-anti join of ``new`` against the matched-id
+    set; document text never shuffles anywhere.
+
+    Exact duplicates always collide (identical signatures), so this
+    subsumes :func:`dedup_against` for docs long enough to shingle. Docs
+    with fewer than ``shingle_k`` words have no signature, never match,
+    and are always kept — run :func:`dedup_against` after (cheap) if
+    exact-dedup of short docs matters. ``max_bucket_size`` caps degenerate
+    hot buckets before the pair join (see dedup.cap_bucket_size) — set it
+    at real corpus scale.
+    """
+    from .dedup import (
+        band_buckets,
+        cap_bucket_size,
+        minhash_signature,
+        word_shingles,
+    )
+
+    def buckets(df: DataFrame, out_id: str) -> DataFrame:
+        b = band_buckets(
+            minhash_signature(df, text_col, id_col, num_perm, shingle_k),
+            id_col,
+            num_perm,
+            bands,
+        )
+        if max_bucket_size is not None:
+            b = cap_bucket_size(b, max_bucket_size)
+        return b.select(F.col(id_col).alias(out_id), "band", "key")
+
+    cands = (
+        buckets(new, "__idn__")
+        .join(buckets(seen, "__ids__"), on=["band", "key"])
+        .select("__idn__", "__ids__")
+        .distinct()
+    )
+
+    def shingle_sets(df: DataFrame, out_id: str, alias: str) -> DataFrame:
+        only = cands.select(out_id).distinct()
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias(alias),
+        ).join(only, on=out_id)
+
+    inter = F.size(F.array_intersect("__shn__", "__shs__"))
+    union = F.size(F.array_union("__shn__", "__shs__"))
+    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4)
+    matched = (
+        cands.join(shingle_sets(new, "__idn__", "__shn__"), on="__idn__")
+        .join(shingle_sets(seen, "__ids__", "__shs__"), on="__ids__")
+        .where(jac >= threshold)
+        .select(F.col("__idn__").alias(id_col))
+        .distinct()
+    )
+    return new.join(matched, on=id_col, how="left_anti")

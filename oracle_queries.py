@@ -1651,6 +1651,29 @@ rbuck AS (
           SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) FROM documents WHERE doc_id % 3 = 0
         )
     """,
+    "dedup_against_fuzzy": f"""
+        WITH {_MINHASH_BUCKETS},
+        cands AS (
+          SELECT DISTINCT n.doc_id AS idn, s.doc_id AS ids
+          FROM buckets n JOIN buckets s ON n.band = s.band AND n.key = s.key
+          WHERE n.doc_id % 3 <> 0 AND s.doc_id % 3 = 0
+        ),
+        sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+        matched AS (
+          SELECT DISTINCT c.idn
+          FROM cands c
+          JOIN sets x ON c.idn = x.doc_id
+          JOIN sets y ON c.ids = y.doc_id
+          WHERE round(
+            CASE WHEN len(list_distinct(list_concat(x.s, y.s))) > 0
+                 THEN len(list_intersect(x.s, y.s))
+                      / len(list_distinct(list_concat(x.s, y.s)))
+                 ELSE 0.0 END, 4) >= 0.8
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id % 3 <> 0
+          AND doc_id NOT IN (SELECT idn FROM matched)
+    """,
     "embedding_centroids": """
         WITH ex AS (
           SELECT label,

@@ -625,6 +625,33 @@ def test_dedup_against_keeps_unseen_and_null(spark):
     assert kept == [3, 4]
 
 
+def test_dedup_against_fuzzy_drops_near_dups(spark):
+    from hashquery_spark.ops import dedup_against_fuzzy
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the small cat "
+        "sleeps near the warm stone wall in the quiet garden all afternoon"
+    )
+    seen = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (1, base),  # exact dup -> dropped
+            (2, base.replace("lazy", "sleepy")),  # near dup -> dropped
+            (3, "completely different content about spark query engines "
+                "and distributed minhash deduplication at corpus scale"),
+            (4, "too short"),  # < shingle_k words: no signature, kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_against_fuzzy(
+            new, seen, "text", "doc_id", threshold=0.5
+        ).collect()
+    )
+    assert kept == [3, 4]
+
+
 def test_ann_recall_vs_brute_force(spark, sf_dir):
     """Quantify the approximation: recall@10 of IVF (kmeans-trained and
     first-k centroids) and hyperplane LSH against exact brute force."""
