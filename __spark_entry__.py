@@ -1731,6 +1731,33 @@ def q_dedup_against(spark, sf_dir):
     return dedup_against(docs, seen, "text", "doc_id").select("doc_id")
 
 
+def _event_edges(spark, sf_dir):
+    """Bipartite user→event-type link graph derived from events (the
+    crawl-graph stand-in: users as linking hosts, event types as targets)."""
+    ev = _conn(spark, sf_dir).table("events")
+    return ev.selectExpr(
+        "concat('u', CAST(user_id AS STRING)) AS src", "event_type AS dst"
+    )
+
+
+def q_degree_centrality(spark, sf_dir):
+    """Per-node out/in degree over the user→event-type link graph; two
+    partial-combined groupBys merged full-outer on the node key."""
+    from hashquery_spark.ops import degree_centrality
+
+    return degree_centrality(_event_edges(spark, sf_dir), "src", "dst")
+
+
+def q_pagerank(spark, sf_dir):
+    """Damped PageRank (3 iterations) over the user→event-type graph —
+    crawl/host prioritization. Iterative driver loop with checkpointed
+    rank frames ⇒ rows-only (no SQL oracle; fixtures + a pure-Python
+    integer replica pin semantics in tests/test_graph.py)."""
+    from hashquery_spark.ops import pagerank
+
+    return pagerank(_event_edges(spark, sf_dir), "src", "dst", iters=3)
+
+
 def q_dedup_against_fuzzy(spark, sf_dir):
     """Cross-snapshot NEAR-dedup: new-crawl rows with no ≥0.8-Jaccard
     near-duplicate in the prior corpus — LSH blocking across corpora +
@@ -2362,6 +2389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "classifier_score": q_classifier_score,
         "dedup_against_fuzzy": q_dedup_against_fuzzy,
+        "degree_centrality": q_degree_centrality,
+        "pagerank": q_pagerank,
         "quality_classifier": q_quality_classifier,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,

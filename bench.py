@@ -66,6 +66,9 @@ HEADLINE = [
     "distribution_drift",
     "script_profile",
     "dedup_keep_best",
+    # round-1 sixth-continuation extensions (appended)
+    "classifier_score",
+    "dedup_against_fuzzy",
 ]
 
 

@@ -82,6 +82,8 @@ from .profile import (
 from .timeseries import counter_delta, gap_fill, multi_grain_rollup, time_weighted_avg, trailing_agg
 from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 
+from .graph import degree_centrality, pagerank
+
 from .classifier import (
     ClassifierModel,
     classifier_fit,
@@ -162,6 +164,8 @@ __all__ = [
     "fuzzy_join",
     "salted_aggregate",
     "salted_join",
+    "degree_centrality",
+    "pagerank",
     "ClassifierModel",
     "classifier_fit",
     "classifier_score",

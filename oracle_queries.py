@@ -1651,6 +1651,24 @@ rbuck AS (
           SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) FROM documents WHERE doc_id % 3 = 0
         )
     """,
+    "degree_centrality": """
+        WITH e AS (
+          SELECT 'u' || CAST(user_id AS VARCHAR) AS src, event_type AS dst
+          FROM events
+        ),
+        o AS (
+          SELECT src AS node, count(*) AS out_degree
+          FROM e WHERE src IS NOT NULL GROUP BY src
+        ),
+        i AS (
+          SELECT dst AS node, count(*) AS in_degree
+          FROM e WHERE dst IS NOT NULL GROUP BY dst
+        )
+        SELECT COALESCE(o.node, i.node) AS node,
+               COALESCE(out_degree, 0) AS out_degree,
+               COALESCE(in_degree, 0) AS in_degree
+        FROM o FULL OUTER JOIN i ON o.node = i.node
+    """,
     "dedup_against_fuzzy": f"""
         WITH {_MINHASH_BUCKETS},
         cands AS (
