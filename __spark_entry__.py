@@ -1731,6 +1731,32 @@ def q_dedup_against(spark, sf_dir):
     return dedup_against(docs, seen, "text", "doc_id").select("doc_id")
 
 
+def q_winsorize(spark, sf_dir):
+    """Per-group percentile clipping (outlier-robust value treatment):
+    o_totalprice clipped to its [5%, 95%] exact interpolated percentiles
+    within each order status; NULLs preserved."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import winsorize
+
+    orders = _conn(spark, sf_dir).table("orders")
+    out = winsorize(orders, "o_totalprice", lo=0.05, hi=0.95, by="o_orderstatus")
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice_winsorized", 2).alias("winsorized"),
+    )
+
+
+def q_kfold_split(spark, sf_dir):
+    """Leakage-safe k-fold assignment by primary-key hash — narrow
+    projection, no shuffle, repartition-stable."""
+    from hashquery_spark.ops import kfold_split
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return kfold_split(docs, "doc_id", k=5, seed=1).select("doc_id", "fold")
+
+
 def _event_edges(spark, sf_dir):
     """Bipartite user→event-type link graph derived from events (the
     crawl-graph stand-in: users as linking hosts, event types as targets)."""
@@ -2391,6 +2417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_fuzzy": q_dedup_against_fuzzy,
         "degree_centrality": q_degree_centrality,
         "pagerank": q_pagerank,
+        "winsorize": q_winsorize,
+        "kfold_split": q_kfold_split,
         "quality_classifier": q_quality_classifier,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,

@@ -36,6 +36,7 @@ from .contamination import ngram_contamination
 from .curation import curate
 from .sampling import (
     cap_per_group,
+    kfold_split,
     global_shuffle,
     pack_sequences,
     repetition_score,
@@ -73,6 +74,7 @@ from .chunking import chunk_documents, dedup_paragraphs, repeated_spans
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
 from .profile import (
     approx_quantiles,
+    winsorize,
     check_constraints,
     distribution_drift,
     histogram,
@@ -164,6 +166,8 @@ __all__ = [
     "fuzzy_join",
     "salted_aggregate",
     "salted_join",
+    "winsorize",
+    "kfold_split",
     "degree_centrality",
     "pagerank",
     "ClassifierModel",

@@ -354,3 +354,42 @@ def check_constraints(df: DataFrame, rules, fk_checks=None) -> DataFrame:
         )
         out = out.unionByName(fk_row)
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    by=None,
+    out_name: str | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its exact interpolated [lo, hi] percentiles
+    (optionally per ``by`` group) — the standard outlier-robust value
+    treatment before training on numeric features. Adds
+    ``{value_col}_winsorized``; NULL values stay NULL (greatest/least
+    would silently coerce them to a bound — guarded).
+
+    Scale: ONE aggregate computes both bounds (exact ``percentile`` —
+    sort-based within the agg, the oracle-checkable choice; at extreme
+    scale swap to approx_percentile upstream), then the tiny bounds frame
+    joins back — a 1-row broadcast cross join globally, an AQE-broadcast
+    equi-join per group. The clip itself is a narrow codegen'd projection.
+    """
+    out_name = out_name or f"{value_col}_winsorized"
+    v = F.col(value_col)
+    bounds_aggs = [
+        F.percentile(v, F.lit(float(lo))).alias("__lo__"),
+        F.percentile(v, F.lit(float(hi))).alias("__hi__"),
+    ]
+    if by:
+        by = [by] if isinstance(by, str) else list(by)
+        bounds = df.groupBy(*by).agg(*bounds_aggs)
+        joined = df.join(bounds, on=by)
+    else:
+        bounds = df.agg(*bounds_aggs)
+        joined = df.crossJoin(F.broadcast(bounds))
+    clipped = F.when(
+        v.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(v.cast("double"), F.col("__lo__")), F.col("__hi__")))
+    return joined.withColumn(out_name, clipped).drop("__lo__", "__hi__")

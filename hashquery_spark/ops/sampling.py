@@ -274,3 +274,23 @@ def cap_per_group(
         df.withColumn("cap_rank", F.row_number().over(w))
         .where(F.col("cap_rank") <= n)
     )
+
+
+def kfold_split(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    seed: int = 0,
+    fold_name: str = "fold",
+) -> DataFrame:
+    """Adds ``fold`` ∈ [0, k) by hashing the primary key — leakage-safe
+    k-fold cross-validation assignment: a row's fold never changes when
+    the corpus grows or repartitions (same md5-membership contract as
+    :func:`train_test_split`), and hashing a parent key keeps whole
+    groups inside one fold. Narrow projection, no shuffle."""
+    if k < 2:
+        raise ValueError("kfold_split: k must be >= 2")
+    from .dedup import md5_hash32
+
+    h = md5_hash32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    return df.withColumn(fold_name, (h % k).cast("int"))

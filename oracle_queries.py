@@ -1651,6 +1651,24 @@ rbuck AS (
           SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) FROM documents WHERE doc_id % 3 = 0
         )
     """,
+    "winsorize": """
+        WITH b AS (
+          SELECT o_orderstatus,
+                 quantile_cont(o_totalprice, 0.05) AS lo,
+                 quantile_cont(o_totalprice, 0.95) AS hi
+          FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderkey, o.o_orderstatus,
+               round(CASE WHEN o_totalprice IS NULL THEN NULL
+                     ELSE least(greatest(CAST(o_totalprice AS DOUBLE), lo), hi)
+                     END, 2) AS winsorized
+        FROM orders o JOIN b USING (o_orderstatus)
+    """,
+    "kfold_split": f"""
+        SELECT doc_id,
+               CAST({H32.format(x="'1:' || CAST(doc_id AS VARCHAR)")} % 5 AS INT) AS fold
+        FROM documents
+    """,
     "degree_centrality": """
         WITH e AS (
           SELECT 'u' || CAST(user_id AS VARCHAR) AS src, event_type AS dst

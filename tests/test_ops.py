@@ -1088,3 +1088,23 @@ def test_dedup_keep_best_prefers_high_score(spark):
     out = {r.keep_id: (r.keep_score, r.dup_count) for r in
            dedup_keep_best(df, "text", "doc_id", "score").collect()}
     assert out == {2: (50.0, 3), 4: (1.0, 1)}
+
+
+def test_winsorize_clips_per_group_and_keeps_null(spark):
+    from hashquery_spark.ops import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [
+        ("b", 100.0), ("b", 200.0), ("b", 300.0), ("a", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r["g"], r["v"]): r["v_winsorized"]
+        for r in winsorize(df, "v", lo=0.0, hi=0.5, by="g").collect()
+    }
+    # group a: median 5.5 caps the top half; min (lo=0) leaves bottom alone
+    assert out[("a", 10.0)] == 5.5
+    assert out[("a", 1.0)] == 1.0
+    # group b has its own median
+    assert out[("b", 300.0)] == 200.0
+    # NULL survives as NULL (not coerced to a bound)
+    assert out[("a", None)] is None

@@ -166,3 +166,32 @@ def test_weighted_sample_proportional_and_stable(spark):
     got2 = {r.doc_id for r in weighted_sample(
         df.repartition(7), "doc_id", "w", 0.2, seed=1).collect()}
     assert set(got) == got2
+
+
+def test_kfold_split_stable_and_balanced(spark):
+    from hashquery_spark.ops import kfold_split
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = kfold_split(df, "doc_id", k=5, seed=3)
+    folds = {r["doc_id"]: r["fold"] for r in out.collect()}
+    assert set(folds.values()) == {0, 1, 2, 3, 4}
+    # every fold within 20% of uniform (md5 is uniform; 1000 rows)
+    from collections import Counter
+
+    counts = Counter(folds.values())
+    assert all(140 <= c <= 260 for c in counts.values()), counts
+    # repartition-stable (leakage-safe contract)
+    again = {
+        r["doc_id"]: r["fold"]
+        for r in kfold_split(df.repartition(7), "doc_id", k=5, seed=3).collect()
+    }
+    assert again == folds
+
+
+def test_kfold_split_rejects_k1(spark):
+    import pytest
+
+    from hashquery_spark.ops import kfold_split
+
+    with pytest.raises(ValueError):
+        kfold_split(spark.range(3), "id", k=1)
