@@ -106,3 +106,51 @@ def test_repeated_spans_okey_stride_at_volume(spark):
     assert agg.n == 200_000          # every 8-token doc-span repeats once
     assert agg.firsts == 100_000     # exactly one canonical copy per span
     assert agg.bad == 0              # canonical copy is the low doc_id
+
+
+def test_classifier_score_two_million_exact(spark):
+    """2M docs with a known token signal: margins are exactly ±1 (micro-
+    unit integer sums), keep count is exactly half, zero-token docs
+    survive — at volume, not just on the toy fixture."""
+    from hashquery_spark.ops import classifier_score, token_bucket_py
+
+    n = 2_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "CASE WHEN id % 2 = 0 THEN concat('alpha filler', id % 97) "
+            "ELSE concat('beta filler', id % 97) END"
+        ).alias("text"),
+    )
+    nf = 65536
+    w = {token_bucket_py("alpha", nf): 1.0, token_bucket_py("beta", nf): -1.0}
+    out = classifier_score(docs, "text", "doc_id", w, n_features=nf)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count(F.when(F.col("keep"), 1)).alias("kept"),
+        F.count(F.when(F.col("margin") == 1.0, 1)).alias("pos"),
+        F.count(F.when(F.col("margin") == -1.0, 1)).alias("neg"),
+    ).collect()[0]
+    assert agg["rows"] == n
+    assert agg["kept"] == agg["pos"] == n // 2
+    assert agg["neg"] == n // 2
+
+
+def test_pagerank_ring_half_million_uniform(spark):
+    """A 500k-node directed ring is an exact fixed point of the integer
+    iteration: every rank stays precisely 1/N (floor(0.85·r) + base
+    reconstructs r when out_degree == 1 and N divides UNIT)."""
+    from hashquery_spark.ops import pagerank
+
+    n = 500_000
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    out = pagerank(edges, "src", "dst", iters=2)
+    expected = round((1_000_000_000 // n) / 1e9, 9)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.count(F.when(F.col("pagerank") == expected, 1)).alias("uniform"),
+    ).collect()[0]
+    assert agg["nodes"] == n
+    assert agg["uniform"] == n
