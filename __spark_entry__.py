@@ -122,6 +122,48 @@ def q_agg_pricing_summary(spark, sf_dir):
     )
 
 
+def q_tpch_q1(spark, sf_dir):
+    """Full TPC-H Q1 pricing summary (all 8 measures incl. disc_price and
+    charge — the testdata carries l_tax, so nothing is elided). Products
+    are computed in double with IDENTICAL parenthesization on the oracle
+    side, then cast to decimal before the sum: the true values sit on a
+    1e-4/1e-6 grid, so the <=2-ulp double error casts away identically in
+    both engines. One scan, one partial-combined shuffle."""
+    li = Model(_conn(spark, sf_dir), "lineitem")
+    disc_price = (attr.l_extendedprice * (1 - attr.l_discount)).cast("decimal(18,4)")
+    charge = (
+        attr.l_extendedprice * (1 - attr.l_discount) * (1 + attr.l_tax)
+    ).cast("decimal(18,6)")
+    return (
+        li.filter(attr.l_shipdate <= datetime(1998, 9, 1))
+        .aggregate(
+            groups=[attr.l_returnflag, attr.l_linestatus],
+            measures=[
+                func.sum(attr.l_quantity.cast("decimal(18,2)")).cast("double").named("sum_qty"),
+                func.sum(attr.l_extendedprice.cast("decimal(18,2)"))
+                .cast("double")
+                .named("sum_base_price"),
+                func.sum(disc_price).cast("double").named("sum_disc_price"),
+                func.sum(charge).cast("double").named("sum_charge"),
+                (
+                    func.sum(attr.l_quantity.cast("decimal(18,2)")).cast("double")
+                    / func.count(attr.l_quantity)
+                ).named("avg_qty"),
+                (
+                    func.sum(attr.l_extendedprice.cast("decimal(18,2)")).cast("double")
+                    / func.count(attr.l_extendedprice)
+                ).named("avg_price"),
+                (
+                    func.sum(attr.l_discount.cast("decimal(18,6)")).cast("double")
+                    / func.count(attr.l_discount)
+                ).named("avg_disc"),
+                func.count().named("count_order"),
+            ],
+        )
+        .to_df()
+    )
+
+
 def q_agg_global(spark, sf_dir):
     """Global (no groups) aggregate with count/min/max/count-distinct."""
     return (
@@ -2419,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "winsorize": q_winsorize,
         "kfold_split": q_kfold_split,
+        "tpch_q1": q_tpch_q1,
         "quality_classifier": q_quality_classifier,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,
