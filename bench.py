@@ -69,6 +69,7 @@ HEADLINE = [
     # round-1 sixth-continuation extensions (appended)
     "classifier_score",
     "dedup_against_fuzzy",
+    "tpch_q1",
 ]
 
 

@@ -123,7 +123,7 @@ def dedup_against_fuzzy(
         return df.select(
             F.col(id_col).alias(out_id),
             F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias(alias),
-        ).join(only, on=out_id)
+        ).join(F.broadcast(only), on=out_id)
 
     inter = F.size(F.array_intersect("__shn__", "__shs__"))
     union = F.size(F.array_union("__shn__", "__shs__"))
@@ -135,4 +135,4 @@ def dedup_against_fuzzy(
         .select(F.col("__idn__").alias(id_col))
         .distinct()
     )
-    return new.join(matched, on=id_col, how="left_anti")
+    return new.join(F.broadcast(matched), on=id_col, how="left_anti")
