@@ -85,7 +85,17 @@ def fuzzy_join(
 
         lb = cap_bucket_size(lb, max_bucket_size)
         rb = cap_bucket_size(rb, max_bucket_size)
-    cands = lb.join(rb, on=["band", "key"]).select("id_l", "id_r").distinct()
+    # consumed three times with different column pruning (id_l set, id_r
+    # set, both) — the three blocking subtrees are structurally different,
+    # ReusedExchange never fires, and the LSH pipeline would execute 3x
+    # (profiled in snapshot.dedup_against_fuzzy). O(candidate pairs) small
+    # -> materialize once.
+    cands = (
+        lb.join(rb, on=["band", "key"])
+        .select("id_l", "id_r")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     def gram_sets(normed: DataFrame, out_id: str, alias: str):
         only = normed.join(cands.select(out_id).distinct(), on=out_id)

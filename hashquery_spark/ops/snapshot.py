@@ -111,19 +111,33 @@ def dedup_against_fuzzy(
             b = cap_bucket_size(b, max_bucket_size)
         return b.select(F.col(id_col).alias(out_id), "band", "key")
 
+    # `cands` is consumed three times with DIFFERENT column pruning (idn
+    # ids, and both), which makes the three blocking subtrees structurally
+    # different — ReusedExchange never fires and the whole LSH pipeline
+    # executes 3x (profiled: 1.1s blocking -> 3.4s of the query). It is
+    # O(duplicate pairs) small, so materialize it once.
     cands = (
         buckets(new, "__idn__")
         .join(buckets(seen, "__ids__"), on=["band", "key"])
         .select("__idn__", "__ids__")
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def shingle_sets(df: DataFrame, out_id: str, alias: str) -> DataFrame:
+        # candidate-id filter FIRST, shingle HOF after: the projection is
+        # the expensive part, so it must run over O(candidates) rows, not
+        # the whole side (profiled ~2x the query cost the other way — the
+        # join does not reorder below a projection on its own)
         only = cands.select(out_id).distinct()
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias(alias),
-        ).join(F.broadcast(only), on=out_id)
+        return (
+            df.select(F.col(id_col).alias(out_id), F.col(text_col))
+            .join(F.broadcast(only), on=out_id)
+            .select(
+                out_id,
+                F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias(alias),
+            )
+        )
 
     inter = F.size(F.array_intersect("__shn__", "__shs__"))
     union = F.size(F.array_union("__shn__", "__shs__"))
