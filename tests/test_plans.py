@@ -237,3 +237,17 @@ def test_classifier_score_single_scan_broadcast_weights(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_against_fuzzy_verify_plan_shape(spark, sf_dir):
+    """The verify/anti phase (everything after the checkpointed candidate
+    pairs): candidate-id semi-joins and the final anti join are broadcast
+    (O(pairs) frames, no arrays); the two verify joins on array-bearing
+    candidate-filtered frames stay shuffle joins in the static plan — the
+    scale-safe default, AQE converts them to broadcast when small. No
+    cartesian products anywhere."""
+    plan = _physical(entry_mod.queries()["dedup_against_fuzzy"](spark, sf_dir))
+    assert plan.count("SortMergeJoin") <= 2
+    assert "LeftAnti, BuildRight" in plan  # anti join broadcasts matched ids
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
