@@ -453,3 +453,59 @@ def run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def score_stream(
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights,
+    bias: float = 0.0,
+    n_features: int = 65536,
+    salt: str = "qc",
+) -> DataFrame:
+    """Stateless streaming twin of ``ops.classifier.classifier_score`` —
+    apply a trained quality filter to documents as they arrive.
+
+    The batch op rolls up an exploded (id, bucket) frame (an aggregation —
+    unbounded state on a stream); here the margin folds INSIDE the row
+    with a single-level ``aggregate`` HOF over the token array and the
+    weight table inlined as a map literal, so scoring is a narrow
+    projection: no state store, no shuffle, append-mode, identical margins
+    (same micro-unit integer arithmetic). Practical bound: the inlined map
+    is part of the plan — fine for distilled filter models (≤ ~10k
+    buckets); batch-score with the broadcast-join op beyond that.
+
+    Works identically on a batch DataFrame (pure narrow expressions) —
+    the consistency test scores both ways and compares."""
+    from .ops.classifier import _SCALE, _scale_weight
+
+    scaled = {int(b): _scale_weight(w) for b, w in weights.items()}
+    pairs = ",".join(f"{b}L,{w}L" for b, w in sorted(scaled.items()))
+    lookup = (
+        f"coalesce(try_element_at(map({pairs}), __b__), 0L)" if pairs else "0L"
+    )
+    bucket = (
+        f"pmod(CAST(conv(substring(md5(concat('{salt}:', t)), 1, 8), 16, 10) "
+        f"AS BIGINT), {n_features})"
+    )
+    # Spark regexp_replace is global by default (NORMALIZE_SQL in
+    # ops.dedup is the DuckDB rendering — its 'g' flag arg parses as a
+    # position int here)
+    norm = f"trim(regexp_replace(lower(`{text_col}`), '[^a-z0-9]+', ' '))"
+    toks = rf"filter(split({norm}, '\\s+'), t -> t <> '')"
+    fold = (
+        f"aggregate(__toks__, 0L, (acc, t) -> acc + "
+        + lookup.replace("__b__", bucket)
+        + f") + {_scale_weight(bias)}L"
+    )
+    return (
+        stream.selectExpr("*", f"{toks} AS __toks__")
+        .selectExpr(
+            "*",
+            "size(__toks__) AS n_tokens",
+            f"round(({fold}) / {float(_SCALE)}, 6) AS margin",
+        )
+        .selectExpr("*", "margin > 0 AS keep")
+        .drop("__toks__")
+    )

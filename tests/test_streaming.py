@@ -394,3 +394,45 @@ def test_streaming_counter_delta_carries_state(spark):
         assert len(got) == 5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_score_stream_matches_batch_classifier(spark, tmp_path):
+    """score_stream (in-row HOF fold) == classifier_score (explode +
+    broadcast-join rollup) on the same docs, and runs append-mode on an
+    actual file stream with no state store."""
+    from hashquery_spark.ops import classifier_score, token_bucket_py
+    from hashquery_spark.streaming import score_stream
+
+    docs = [
+        (1, "good data pipeline"),
+        (2, "bad spam offer spam"),
+        (3, ""),
+        (4, "neutral words only"),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(d)
+    n = 4096
+    w = {token_bucket_py("data", n): 2.0, token_bucket_py("spam", n): -1.5}
+
+    batch = spark.read.parquet(d)
+    expected = {
+        r["doc_id"]: (r["n_tokens"], r["margin"], r["keep"])
+        for r in classifier_score(batch, "text", "doc_id", w, bias=0.25, n_features=n).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    scored = score_stream(stream, "text", "doc_id", w, bias=0.25, n_features=n)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("scored_docs")
+        .outputMode("append")  # stateless: append works with no watermark
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["margin"], r["keep"])
+        for r in spark.table("scored_docs").collect()
+    }
+    assert got == expected
+    assert got[2][2] is False and got[2][1] == -2.75  # 2x spam + bias
