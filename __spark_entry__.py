@@ -1773,6 +1773,16 @@ def q_dedup_against(spark, sf_dir):
     return dedup_against(docs, seen, "text", "doc_id").select("doc_id")
 
 
+def q_char_entropy(spark, sf_dir):
+    """Shannon character entropy per document (gibberish/degenerate-text
+    gate): strip-and-measure symbol counts in one codegen pass, per-symbol
+    ln rounded+integer-scaled so the cross-engine sum is exact."""
+    from hashquery_spark.ops import char_entropy
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return char_entropy(docs, "text", "doc_id")
+
+
 def q_winsorize(spark, sf_dir):
     """Per-group percentile clipping (outlier-robust value treatment):
     o_totalprice clipped to its [5%, 95%] exact interpolated percentiles
@@ -2462,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "kfold_split": q_kfold_split,
         "tpch_q1": q_tpch_q1,
+        "char_entropy": q_char_entropy,
         "quality_classifier": q_quality_classifier,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,

@@ -47,6 +47,7 @@ from .sampling import (
 )
 from .text import (
     boilerplate_ngrams,
+    char_entropy,
     bpe_pair_counts,
     compression_ratio,
     script_profile,
@@ -166,6 +167,7 @@ __all__ = [
     "fuzzy_join",
     "salted_aggregate",
     "salted_join",
+    "char_entropy",
     "winsorize",
     "kfold_split",
     "degree_centrality",

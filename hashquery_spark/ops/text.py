@@ -441,3 +441,55 @@ def bpe_pair_counts(
     )
     counts = ex.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("pair")).limit(top_k)
+
+
+def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_chars_norm, entropy) — Shannon entropy (bits would be /ln 2;
+    this is nats) of the normalized character distribution, the classic
+    cheap gibberish / degenerate-text gate: natural prose sits ~2.7-3.1,
+    "aaaa..." near 0, uniform random keyboard mash near ln(37)≈3.6.
+
+    One narrow pass, two codegen'd projections, no tokenization, no
+    shuffle, no UDF: per-symbol counts via the strip-and-measure trick
+    (length minus length-with-symbol-removed — 37 plain expressions
+    rendered as ONE selectExpr SQL string), then the entropy sum. Counts
+    are materialized in their own projection so the CASE never re-derives
+    them (the measured multi-reference codegen trap).
+
+    Determinism: ln(p) is rounded to 4 decimals per SYMBOL, scaled to
+    BIGINT, and multiplied by the integer count — sums are integer-exact
+    cross-engine (the PSI/lm_score pattern). Empty normalized text gets
+    entropy 0.0.
+    """
+    symbols = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [
+        str(d) for d in range(10)
+    ] + [" "]
+    norm_sql = (
+        f"trim(regexp_replace(lower(`{text_col}`), '[^a-z0-9]+', ' '))"
+    )
+    base = df.where(F.col(text_col).isNotNull()).selectExpr(
+        f"`{id_col}`", f"{norm_sql} AS __norm__"
+    )
+    cnt_exprs = [
+        "length(__norm__) - length(replace(__norm__, '{s}', '')) AS __c{i}__".format(
+            s=s, i=i
+        )
+        for i, s in enumerate(symbols)
+    ]
+    counted = base.selectExpr(
+        f"`{id_col}`", "length(__norm__) AS n_chars_norm", *cnt_exprs
+    )
+    terms = " + ".join(
+        f"(CASE WHEN __c{i}__ > 0 THEN __c{i}__ * CAST(round(ln(__c{i}__ /"
+        f" CAST(n_chars_norm AS DOUBLE)) * 10000.0, 0) AS BIGINT) ELSE 0L END)"
+        for i in range(len(symbols))
+    )
+    # 10000.0 bare would parse as a DECIMAL literal in Spark SQL and turn
+    # the whole expression decimal-typed — force DOUBLE
+    return counted.selectExpr(
+        f"`{id_col}`",
+        "n_chars_norm",
+        "CASE WHEN n_chars_norm = 0 THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE round(-({terms}) / (n_chars_norm * CAST(10000.0 AS DOUBLE)), 4) "
+        "END AS entropy",
+    )

@@ -1668,6 +1668,7 @@ rbuck AS (
           SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) FROM documents WHERE doc_id % 3 = 0
         )
     """,
+    "char_entropy": None,  # replaced below (generated SQL)
     "winsorize": """
         WITH b AS (
           SELECT o_orderstatus,
@@ -2028,3 +2029,40 @@ rbuck AS (
         LIMIT 50
     """,
 }
+
+
+def _char_entropy_sql() -> str:
+    symbols = (
+        [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + [str(d) for d in range(10)]
+        + [" "]
+    )
+    cnts = ",\n          ".join(
+        f"length(norm) - length(replace(norm, '{s}', '')) AS c{i}"
+        for i, s in enumerate(symbols)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN c{i} * CAST(round(ln(c{i} /"
+        f" CAST(n_chars_norm AS DOUBLE)) * 10000.0, 0) AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(len(symbols))
+    )
+    return f"""
+        WITH nrm AS (
+          SELECT doc_id, {NORM.format(c='text')} AS norm
+          FROM documents WHERE text IS NOT NULL
+        ),
+        cnts AS (
+          SELECT doc_id, length(norm) AS n_chars_norm,
+          {cnts}
+          FROM nrm
+        )
+        SELECT doc_id, n_chars_norm,
+          CASE WHEN n_chars_norm = 0 THEN 0.0
+               ELSE round(-({terms}) / (n_chars_norm * 10000.0), 4)
+          END AS entropy
+        FROM cnts
+    """
+
+
+ORACLE_SQL["char_entropy"] = _char_entropy_sql()

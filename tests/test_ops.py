@@ -1108,3 +1108,23 @@ def test_winsorize_clips_per_group_and_keeps_null(spark):
     assert out[("b", 300.0)] == 200.0
     # NULL survives as NULL (not coerced to a bound)
     assert out[("a", None)] is None
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from hashquery_spark.ops import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, None), (5, "ab")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_chars_norm"], r["entropy"]) for r in char_entropy(df, "text", "doc_id").collect()}
+    assert out[1] == (4, 0.0)  # single symbol -> zero entropy
+    # two symbols 50/50 -> ln 2, via the rounded-ln grid
+    expected = round(-2 * (2 * round(math.log(0.5) * 10000)) / (4 * 10000.0), 4)
+    assert out[2] == (4, expected)
+    assert abs(out[2][1] - math.log(2)) < 1e-3
+    assert out[3] == (0, 0.0)  # empty text
+    assert 4 not in out  # NULL text dropped
+    assert out[5][1] == out[2][1]  # entropy is length-invariant for same dist
