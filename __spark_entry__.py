@@ -1773,6 +1773,17 @@ def q_dedup_against(spark, sf_dir):
     return dedup_against(docs, seen, "text", "doc_id").select("doc_id")
 
 
+def q_bm25(spark, sf_dir):
+    """BM25 top-10 per query over documents (lexical retrieval for
+    contamination auditing / corpus search); broadcast query terms, one
+    corpus explode, grid-snapped term scores, (score DESC, id) ranking."""
+    from hashquery_spark.ops import bm25_search
+    from oracle_queries import BM25_QUERIES
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return bm25_search(docs, BM25_QUERIES, "text", "doc_id", top_k=10)
+
+
 def q_char_entropy(spark, sf_dir):
     """Shannon character entropy per document (gibberish/degenerate-text
     gate): strip-and-measure symbol counts in one codegen pass, per-symbol
@@ -2473,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_split": q_kfold_split,
         "tpch_q1": q_tpch_q1,
         "char_entropy": q_char_entropy,
+        "bm25": q_bm25,
         "quality_classifier": q_quality_classifier,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,

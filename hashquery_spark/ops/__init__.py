@@ -86,6 +86,7 @@ from .timeseries import counter_delta, gap_fill, multi_grain_rollup, time_weight
 from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 
 from .graph import degree_centrality, pagerank
+from .retrieval import bm25_search
 
 from .classifier import (
     ClassifierModel,
@@ -167,6 +168,7 @@ __all__ = [
     "fuzzy_join",
     "salted_aggregate",
     "salted_join",
+    "bm25_search",
     "char_entropy",
     "winsorize",
     "kfold_split",

@@ -2066,3 +2066,71 @@ def _char_entropy_sql() -> str:
 
 
 ORACLE_SQL["char_entropy"] = _char_entropy_sql()
+
+
+BM25_QUERIES = {
+    "q_engine": "spark query engine",
+    "q_stream": "stream batch window",
+}
+
+
+def _bm25_sql(k1: float = 1.2, b: float = 0.75, top_k: int = 10) -> str:
+    import re
+
+    vals = []
+    for qid, qtext in BM25_QUERIES.items():
+        seen = set()
+        for tok in re.sub(r"[^a-z0-9]+", " ", qtext.lower()).strip().split(" "):
+            if tok and tok not in seen:
+                seen.add(tok)
+                vals.append(f"('{qid}', '{tok}')")
+    values = ", ".join(vals)
+    # constants CAST to DOUBLE: bare decimals are DECIMAL literals in
+    # DuckDB too and would decimal-type the saturation ratio
+    d = "CAST({x} AS DOUBLE)"
+    return f"""
+        WITH q(query_id, token) AS (VALUES {values}),
+        ex AS (
+          SELECT doc_id, unnest({TOKS.format(c='text')}) AS token
+          FROM documents WHERE text IS NOT NULL
+        ),
+        ex2 AS (SELECT doc_id, token FROM ex WHERE token <> ''),
+        dl AS (SELECT doc_id, count(*) AS dlen FROM ex2 GROUP BY doc_id),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dlen) AS avgdl FROM dl
+        ),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tfreq FROM ex2
+          WHERE token IN (SELECT token FROM q)
+          GROUP BY doc_id, token
+        ),
+        dft AS (SELECT token, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY token),
+        terms AS (
+          SELECT qq.query_id, t.doc_id,
+            CAST(round(
+              round(ln((n_docs - dfreq + {d.format(x=0.5)})
+                       / (dfreq + {d.format(x=0.5)}) + {d.format(x=1.0)}), 4)
+              * ((tfreq * {d.format(x=k1 + 1.0)})
+                 / (tfreq + {d.format(x=k1)}
+                    * ({d.format(x=1.0 - b)} + {d.format(x=b)} * dlen / avgdl)))
+              * {d.format(x=10000.0)}, 0) AS BIGINT) AS ts
+          FROM tf t
+          JOIN dft USING (token)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          JOIN q qq USING (token)
+        ),
+        scored AS (
+          SELECT query_id, doc_id,
+                 round(CAST(sum(ts) AS BIGINT) / {d.format(x=10000.0)}, 4) AS score
+          FROM terms GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= {top_k}
+    """
+
+
+ORACLE_SQL["bm25"] = _bm25_sql()

@@ -1128,3 +1128,38 @@ def test_char_entropy_known_values(spark):
     assert out[3] == (0, 0.0)  # empty text
     assert 4 not in out  # NULL text dropped
     assert out[5][1] == out[2][1]  # entropy is length-invariant for same dist
+
+
+def test_bm25_ranking_semantics(spark):
+    from hashquery_spark.ops import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine spark engine spark"),  # high tf for both terms
+            (2, "spark engine"),                     # both terms, short
+            (3, "spark only here"),                  # one term
+            (4, "nothing relevant at all"),
+            (5, "engine " + "filler " * 50),         # long doc: length-normalized down
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, {"q": "spark engine"}, "text", "doc_id", top_k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in rows][:2] == [2, 1] or [r["doc_id"] for r in rows][:2] == [1, 2]
+    ids = {r["doc_id"] for r in rows}
+    assert 4 not in ids          # no query term -> never scored
+    assert len(rows) == 3
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    # doc with both terms must outrank single-term docs
+    both = {r["doc_id"]: r["score"] for r in rows}
+    assert both.get(1, 0) > both.get(3, 0) or 3 not in both
+
+
+def test_bm25_rejects_empty_queries(spark):
+    import pytest
+
+    from hashquery_spark.ops import bm25_search
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_search(docs, {"q": "  !!  "}, "text", "doc_id")
