@@ -1983,6 +1983,16 @@ def q_sequence_packing(spark, sf_dir):
     return pack_sequences(docs, "text", "doc_id", budget=2048, seed=3)
 
 
+def q_pack_texts(spark, sf_dir):
+    """Materialized training packs: every doc starting in a pack,
+    concatenated in (seq_offset, id) order — one (pack_id) shuffle over
+    the integer packing plan, per-pack ordering via sorted structs."""
+    from hashquery_spark.ops import pack_texts
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return pack_texts(docs, "text", "doc_id", budget=2048, seed=3)
+
+
 def q_cap_per_group(spark, sf_dir):
     """Source-mix rebalancing: cap every source at 15 docs, keeping a
     deterministic md5-ordered subset (over-represented sources shrink,
@@ -2488,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,
+        "pack_texts": q_pack_texts,
         "cap_per_group": q_cap_per_group,
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,

@@ -39,6 +39,7 @@ from .sampling import (
     kfold_split,
     global_shuffle,
     pack_sequences,
+    pack_texts,
     repetition_score,
     stratified_sample,
     train_test_split,
@@ -122,6 +123,7 @@ __all__ = [
     "pii_scrub",
     "redact_pii",
     "pack_sequences",
+    "pack_texts",
     "cap_per_group",
     "decode_blob_metadata",
     "extract_features",

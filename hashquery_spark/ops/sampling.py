@@ -294,3 +294,50 @@ def kfold_split(
 
     h = md5_hash32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     return df.withColumn(fold_name, (h % k).cast("int"))
+
+
+def pack_texts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int = 2048,
+    seed: int = 0,
+    n_buckets: int = 64,
+    sep: str = " ",
+) -> DataFrame:
+    """(pack_id, n_docs, n_tokens, text) — materialize the packs planned
+    by :func:`pack_sequences`: every document whose sequence STARTS in a
+    pack, concatenated in (seq_offset, id) order with ``sep`` (an EOS
+    marker in a real export). The training-export step that turns the
+    packing plan into actual fixed-budget batches.
+
+    Scale: one (pack_id) shuffle of (offset, id, text) structs on top of
+    the plan's integer prefix-sum design; per-pack ordering via
+    array_sort(collect_list(struct)) — the same bounded-group strategy
+    the funnel engine uses, no global sort. Deterministic: the struct
+    sort key is (seq_offset, id), both integers."""
+    plan = pack_sequences(df, text_col, id_col, budget, seed, n_buckets)
+    joined = plan.join(df.select(F.col(id_col), F.col(text_col)), on=id_col)
+    return (
+        joined.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("seq_offset"), F.col(id_col), F.col(text_col)
+                    )
+                )
+            ).alias("__parts__"),
+        )
+        .select(
+            "pack_id",
+            "n_docs",
+            "n_tokens",
+            F.array_join(
+                F.transform(F.col("__parts__"), lambda s: s[text_col]),
+                sep,
+            ).alias("text"),
+        )
+    )

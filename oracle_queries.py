@@ -1867,6 +1867,36 @@ rbuck AS (
           CAST((base_off + c.c - c.n_tokens) % 2048 AS BIGINT) AS seq_offset
         FROM cum c JOIN offs USING (b)
     """,
+    "pack_texts": """
+        WITH base AS (
+          SELECT doc_id, text,
+            CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+            CAST('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b
+          FROM documents
+        ),
+        cum AS (
+          SELECT doc_id, text, n_tokens, b,
+            sum(n_tokens) OVER (PARTITION BY b ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS c
+          FROM base
+        ),
+        offs AS (
+          SELECT b, coalesce(sum(bt) OVER (ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base_off
+          FROM (SELECT b, sum(n_tokens) AS bt FROM base GROUP BY b)
+        ),
+        plan AS (
+          SELECT c.doc_id, c.text, c.n_tokens,
+            CAST(floor((base_off + c.c - c.n_tokens) / 2048) AS BIGINT) AS pack_id,
+            CAST((base_off + c.c - c.n_tokens) % 2048 AS BIGINT) AS seq_offset
+          FROM cum c JOIN offs USING (b)
+        )
+        SELECT pack_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               string_agg(text, ' ' ORDER BY seq_offset, doc_id) AS text
+        FROM plan GROUP BY pack_id
+    """,
     "cap_per_group": """
         SELECT doc_id, source, cap_rank FROM (
           SELECT doc_id, source,

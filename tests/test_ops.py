@@ -1163,3 +1163,29 @@ def test_bm25_rejects_empty_queries(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_search(docs, {"q": "  !!  "}, "text", "doc_id")
+
+
+def test_pack_texts_reconstructs_order(spark):
+    """pack_texts concatenation == hand-walking the plan: every doc
+    appears exactly once, packs concatenate in (seq_offset, id) order,
+    and the full corpus reassembles from ordered packs."""
+    from hashquery_spark.ops import pack_sequences, pack_texts
+
+    rows = [(i, " ".join([f"d{i}w{j}" for j in range(5)])) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = {
+        r["doc_id"]: (r["pack_id"], r["seq_offset"])
+        for r in pack_sequences(df, "text", "doc_id", budget=16, seed=1, n_buckets=4).collect()
+    }
+    packs = {
+        r["pack_id"]: r
+        for r in pack_texts(df, "text", "doc_id", budget=16, seed=1, n_buckets=4).collect()
+    }
+    texts = dict(rows)
+    for pid, r in packs.items():
+        members = sorted(
+            (off, d) for d, (p, off) in plan.items() if p == pid
+        )
+        assert r["text"] == " ".join(texts[d] for _, d in members)
+        assert r["n_docs"] == len(members)
+    assert sum(r["n_docs"] for r in packs.values()) == 30
