@@ -70,6 +70,9 @@ HEADLINE = [
     "classifier_score",
     "dedup_against_fuzzy",
     "tpch_q1",
+    "char_entropy",
+    "bm25",
+    "pack_texts",
 ]
 
 
