@@ -74,6 +74,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "check_constraints",
         # deliberately-small broadcast frames (corpus-total / probe set):
         "tfidf", "lm_score", "ann_bruteforce",
+        # 1-row (N, avgdl) stats frame replicated to the scored terms:
+        "bm25",
         # 1-row mean-weight frame replicated to the corpus filter:
         "weighted_sample",
     }
