@@ -735,3 +735,55 @@ def test_classifier_score_matches_python_reference(spark, docs, bias):
         )
         margin = round((ws + bias * 1_000_000) / 1e6, 6)
         assert got[i] == (len(kept), margin, margin > 0), f"doc {i}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["spark", "engine", "data", "row", "x1"]),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=15,
+    ),
+)
+def test_bm25_matches_python_reference(spark, docs):
+    """bm25_search == an exact Python replica of the same grid-snapped
+    scoring (idf rounded to 4dp, term scores snapped to 1e-4 and summed
+    as integers, (score DESC, id) ranking)."""
+    import math
+
+    from hashquery_spark.ops import bm25_search
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in bm25_search(df, {"q": "spark data"}, "text", "doc_id", top_k=100).collect()
+    }
+
+    k1, b = 1.2, 0.75
+    n = len(docs)
+    dl = {i: len(t) for i, t in enumerate(docs)}
+    avgdl = sum(dl.values()) / n
+    scores = {}
+    for term in ["spark", "data"]:
+        dft = sum(1 for t in docs if term in t)
+        if dft == 0:
+            continue
+        # Spark rounds HALF_UP; Python round() is banker's — replicate
+        idf = math.floor(math.log((n - dft + 0.5) / (dft + 0.5) + 1.0) * 10000.0 + 0.5) / 10000.0
+        for i, t in enumerate(docs):
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            sat = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl[i] / avgdl))
+            scores[i] = scores.get(i, 0) + int(math.floor(idf * sat * 10000.0 + 0.5))
+    expected_scores = {i: round(s / 10000.0, 4) for i, s in scores.items()}
+    order = sorted(expected_scores, key=lambda i: (-expected_scores[i], i))
+    expected = {
+        ("q", i): (expected_scores[i], rank + 1) for rank, i in enumerate(order)
+    }
+    assert got == expected
