@@ -1596,7 +1596,23 @@ def q_ann_bruteforce(spark, sf_dir):
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via LSH bucket self-join."""
     emb = _conn(spark, sf_dir).table("embeddings")
-    return embedding_near_dup(emb, "embedding", "vec_id", threshold=0.8)
+    return embedding_near_dup(emb, "embedding", "vec_id", threshold=0.4)
+
+
+def q_embedding_join(spark, sf_dir):
+    """Cross-corpus semantic matches: even-id embeddings against odd-id
+    embeddings via shared hyperplane-LSH buckets + exact cosine verify."""
+    from hashquery_spark.ops import embedding_join
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    return embedding_join(
+        emb.where("vec_id % 2 = 0"),
+        emb.where("vec_id % 2 = 1"),
+        "vec_id",
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+    )
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -1771,6 +1787,36 @@ def q_dedup_against(spark, sf_dir):
     docs = _conn(spark, sf_dir).table("documents")
     seen = docs.where("doc_id % 3 == 0")
     return dedup_against(docs, seen, "text", "doc_id").select("doc_id")
+
+
+def q_validity_join(spark, sf_dir):
+    """SCD-2 point-in-time lookup: each order matched to the pricing-tier
+    VERSION valid at its order date (half-open windows, NULL = current);
+    the version key stays an equi-join, intervals are join filters."""
+    from datetime import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import validity_join
+
+    orders = _conn(spark, sf_dir).table("orders")
+    facts = orders.select(
+        "o_orderkey", (F.col("o_custkey") % 3).alias("seg"), "o_orderdate"
+    )
+    dim = spark.createDataFrame(
+        [
+            (0, _dt(1995, 1, 1), _dt(1997, 1, 1), "legacy"),
+            (0, _dt(1997, 1, 1), None, "standard"),
+            (1, _dt(1995, 1, 1), _dt(1996, 7, 1), "bronze"),
+            (1, _dt(1996, 7, 1), _dt(1998, 1, 1), "silver"),
+            (1, _dt(1998, 1, 1), None, "gold"),
+            (2, _dt(1996, 1, 1), None, "flat"),
+        ],
+        "seg: long, valid_from: timestamp, valid_to: timestamp, tier: string",
+    )
+    return validity_join(facts, dim, "seg", "o_orderdate").select(
+        "o_orderkey", "tier"
+    )
 
 
 def q_bm25(spark, sf_dir):
@@ -2495,6 +2541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "char_entropy": q_char_entropy,
         "bm25": q_bm25,
+        "validity_join": q_validity_join,
+        "embedding_join": q_embedding_join,
         "quality_classifier": q_quality_classifier,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,

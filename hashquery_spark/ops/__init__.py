@@ -28,6 +28,7 @@ from .similarity import (
     ivf_search,
     ann_brute_force,
     embedding_near_dup,
+    embedding_join,
     ivf_ann,
     lsh_ann,
     random_hyperplanes,
@@ -71,7 +72,7 @@ from .multimodal import (
 )
 from .skew import salted_aggregate, salted_join
 from .asof import asof_join
-from .range_join import range_join
+from .range_join import range_join, validity_join
 from .chunking import chunk_documents, dedup_paragraphs, repeated_spans
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
 from .profile import (
@@ -107,6 +108,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ann_brute_force",
     "embedding_near_dup",
+    "embedding_join",
     "ivf_ann",
     "ivf_index",
     "ivf_search",
@@ -139,6 +141,7 @@ __all__ = [
     "uniform01",
     "asof_join",
     "range_join",
+    "validity_join",
     "chunk_documents",
     "dedup_paragraphs",
     "bpe_pair_counts",

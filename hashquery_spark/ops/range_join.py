@@ -53,3 +53,44 @@ def range_join(
     )
     out = p.join(i, on=cond, how=how)
     return out.drop("__bucket__")
+
+
+def validity_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """SCD-2 (slowly-changing-dimension) temporal-validity join: each fact
+    row matches the dimension VERSION whose half-open
+    ``[valid_from, valid_to)`` interval contains the fact's timestamp; a
+    NULL ``valid_to`` marks the open-ended current version. The standard
+    warehouse point-in-time lookup (price lists, customer tiers, feature
+    flags) — the reference joins only on exact predicates
+    (src/model/source/join_one.py:8), and an equality join against a
+    versioned dim silently fans out.
+
+    Scale: the version key(s) stay an EQUI-join (hash/broadcast — never a
+    nested loop; Catalyst keeps the interval predicates as join filters),
+    so this shuffles exactly like a plain dim join. Caller contract: dim
+    versions per key must not overlap, or facts duplicate — check with
+    ``check_constraints`` upstream.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    f, d = facts.alias("__f__"), dim.alias("__d__")
+    cond = None
+    for k in on:
+        c = F.col(f"__f__.{k}") == F.col(f"__d__.{k}")
+        cond = c if cond is None else (cond & c)
+    ts = F.col(f"__f__.{ts_col}")
+    cond = cond & (ts >= F.col(f"__d__.{valid_from}"))
+    cond = cond & (
+        F.col(f"__d__.{valid_to}").isNull() | (ts < F.col(f"__d__.{valid_to}"))
+    )
+    payload = [c for c in dim.columns if c not in set(on)]
+    return f.join(d, on=cond, how=how).select(
+        "__f__.*", *[F.col(f"__d__.{c}").alias(c) for c in payload]
+    )

@@ -340,3 +340,44 @@ def lsh_ann(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def embedding_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """(id_l, id_r, cos_sim) — cross-corpus embedding-cosine matches
+    (cos_sim >= threshold): semantic record linkage / cross-snapshot
+    semantic dedup, the embedding twin of :func:`fuzzy.fuzzy_join`.
+
+    Scale path mirrors :func:`embedding_near_dup`, but ACROSS two
+    corpora: both sides bucket by the same hyperplane-LSH signs (seeded
+    planes — identical on both sides and in the oracle), the pair join is
+    the bucket equi-join (never the |L|x|R| cross product), and exact
+    cosine verifies within buckets. Recall caveat inherited from the
+    sign-LSH: pairs near the threshold can land in different buckets;
+    raise n_planes' recall by lowering n_planes, or verify with
+    ann_brute_force on a sampled slice."""
+    planes = random_hyperplanes(dim, n_planes)
+
+    def side(df: DataFrame, idc: str, out_id: str, out_v: str) -> DataFrame:
+        return df.select(
+            hyperplane_bucket(F.col(vec_col), planes).alias("__bucket__"),
+            F.col(idc).alias(out_id),
+            F.col(vec_col).alias(out_v),
+        )
+
+    joined = side(left, left_id, "id_l", "__vl__").join(
+        side(right, right_id, "id_r", "__vr__"), on="__bucket__"
+    )
+    sim = F.round(cosine(F.col("__vl__"), F.col("__vr__")), 4)
+    return (
+        joined.select("id_l", "id_r", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

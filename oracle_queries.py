@@ -343,7 +343,24 @@ joined AS (
            AS cos_sim
   FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, cos_sim FROM joined WHERE cos_sim >= 0.8
+SELECT id_a, id_b, cos_sim FROM joined WHERE cos_sim >= 0.4
+"""
+
+EMBEDDING_JOIN_SQL = f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cb AS (SELECT vec_id, v, CAST({_BUCKET} AS BIGINT) AS bucket FROM c),
+joined AS (
+  SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+           AS cos_sim
+  FROM cb a JOIN cb b ON a.bucket = b.bucket
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+)
+SELECT id_l, id_r, cos_sim FROM joined WHERE cos_sim >= 0.4
 """
 
 ANN_LSH_SQL = f"""
@@ -1154,6 +1171,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_bruteforce": ANN_BRUTE_SQL,
     "ann_lsh": ANN_LSH_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
+    "embedding_join": EMBEDDING_JOIN_SQL,
     "ann_ivf": ANN_IVF_SQL,
     "join_many_rollup": """
         WITH oc AS (
@@ -1667,6 +1685,23 @@ rbuck AS (
         WHERE md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) NOT IN (
           SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) FROM documents WHERE doc_id % 3 = 0
         )
+    """,
+    "validity_join": """
+        WITH dim(seg, valid_from, valid_to, tier) AS (VALUES
+          (0, TIMESTAMP '1995-01-01', TIMESTAMP '1997-01-01', 'legacy'),
+          (0, TIMESTAMP '1997-01-01', NULL, 'standard'),
+          (1, TIMESTAMP '1995-01-01', TIMESTAMP '1996-07-01', 'bronze'),
+          (1, TIMESTAMP '1996-07-01', TIMESTAMP '1998-01-01', 'silver'),
+          (1, TIMESTAMP '1998-01-01', NULL, 'gold'),
+          (2, TIMESTAMP '1996-01-01', NULL, 'flat')
+        ),
+        f AS (
+          SELECT o_orderkey, o_custkey % 3 AS seg, o_orderdate FROM orders
+        )
+        SELECT o_orderkey, tier
+        FROM f LEFT JOIN dim ON f.seg = dim.seg
+          AND f.o_orderdate >= dim.valid_from
+          AND (dim.valid_to IS NULL OR f.o_orderdate < dim.valid_to)
     """,
     "char_entropy": None,  # replaced below (generated SQL)
     "winsorize": """

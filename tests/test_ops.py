@@ -1189,3 +1189,53 @@ def test_pack_texts_reconstructs_order(spark):
         assert r["text"] == " ".join(texts[d] for _, d in members)
         assert r["n_docs"] == len(members)
     assert sum(r["n_docs"] for r in packs.values()) == 30
+
+
+def test_validity_join_scd2_semantics(spark):
+    from datetime import datetime as dt
+
+    from hashquery_spark.ops import validity_join
+
+    facts = spark.createDataFrame(
+        [
+            (1, "k", dt(2024, 1, 15)),  # inside v1
+            (2, "k", dt(2024, 2, 1)),   # exactly at boundary -> v2 (half-open)
+            (3, "k", dt(2024, 3, 10)),  # inside open-ended current version
+            (4, "k", dt(2023, 1, 1)),   # before any version -> NULL
+            (5, "x", dt(2024, 1, 15)),  # unknown key -> NULL
+        ],
+        "fid long, k string, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [
+            ("k", dt(2024, 1, 1), dt(2024, 2, 1), "v1"),
+            ("k", dt(2024, 2, 1), dt(2024, 3, 1), "v2"),
+            ("k", dt(2024, 3, 1), None, "v3"),
+        ],
+        "k: string, valid_from: timestamp, valid_to: timestamp, ver: string",
+    )
+    out = {
+        r["fid"]: r["ver"]
+        for r in validity_join(facts, dim, "k", "ts").collect()
+    }
+    assert out == {1: "v1", 2: "v2", 3: "v3", 4: None, 5: None}
+    # no fan-out: one row per fact
+    assert validity_join(facts, dim, "k", "ts").count() == 5
+
+
+def test_embedding_join_cross_corpus(spark):
+    from hashquery_spark.ops import embedding_join
+
+    left = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    right = spark.createDataFrame(
+        [(1, [0.999, 0.001]), (3, [-1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    pairs = {
+        (r["id_l"], r["id_r"]): r["cos_sim"]
+        for r in embedding_join(left, right, "vec_id", "vec_id", "embedding",
+                                threshold=0.9, dim=2).collect()
+    }
+    assert set(pairs) == {(0, 1)}  # near-identical pair matches; opposite vector never
+    assert pairs[(0, 1)] > 0.99
