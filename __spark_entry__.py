@@ -1025,7 +1025,14 @@ def q_tpch_q22(spark, sf_dir):
             ]
         )
     )
-    order_custs = Model(conn, "orders").pick(attr.o_custkey)
+    # "inactive" = no order since 2000 (every synthetic customer has SOME
+    # order, so the classic no-orders-at-all predicate matches nothing —
+    # an oracle comparing empty sets proves nothing)
+    order_custs = (
+        Model(conn, "orders")
+        .filter(attr.o_orderdate >= datetime(2000, 1, 1))
+        .pick(attr.o_custkey)
+    )
     return (
         Model(conn, "customer")
         .filter(attr.c_acctbal > func.scalar(avg_bal))
@@ -1288,7 +1295,7 @@ def q_week_sunday(spark, sf_dir):
     (SURVEY §2.5; offset trick at compilers/granularity.py:118-126)."""
     return (
         Model(_conn(spark, sf_dir), "orders")
-        .filter(attr.o_orderdate < datetime(1992, 6, 1))
+        .filter(attr.o_orderdate < datetime(1995, 6, 1))
         .aggregate(
             groups=[attr.o_orderdate.by_week().named("week")],
             measures=[func.count().named("n")],

@@ -800,7 +800,7 @@ ORACLE_SQL: dict[str, str] = {
             SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
             FROM customer WHERE c_acctbal > 0.0
           )
-          AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c_nationkey
     """,
     "tpch_q5": """
@@ -1021,7 +1021,7 @@ ORACLE_SQL: dict[str, str] = {
     "week_sunday": """
         SELECT date_trunc('week', o_orderdate + INTERVAL 1 DAY) - INTERVAL 1 DAY AS week,
                count(*) AS n
-        FROM orders WHERE o_orderdate < TIMESTAMP '1992-06-01'
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-01'
         GROUP BY 1
     """,
     "format_timestamp": """
