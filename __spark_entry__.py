@@ -2303,6 +2303,19 @@ def q_distribution_drift(spark, sf_dir):
     )
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust (median/MAD) anomaly gate over order totals per priority
+    band — outlier-resistant twin of zscore_outliers; robust z rounded to
+    4 dp BEFORE the threshold compare so the flag is engine-stable."""
+    from hashquery_spark.ops import mad_outliers
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return mad_outliers(
+        orders, "o_totalprice", "o_orderpriority",
+        threshold=1.2, keep_cols=["o_orderkey"],
+    )
+
+
 def q_zscore_outliers(spark, sf_dir):
     """Anomaly gate: orders whose total price sits > 1.7 sample std-devs
     from their priority band's mean. One stats agg + broadcast join back;
@@ -2550,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "validity_join": q_validity_join,
         "embedding_join": q_embedding_join,
+        "mad_outliers": q_mad_outliers,
         "quality_classifier": q_quality_classifier,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,

@@ -83,6 +83,7 @@ from .profile import (
     histogram,
     profile_table,
     zscore_outliers,
+    mad_outliers,
 )
 from .timeseries import counter_delta, gap_fill, multi_grain_rollup, time_weighted_avg, trailing_agg
 from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
@@ -157,6 +158,7 @@ __all__ = [
     "counter_delta",
     "trailing_agg",
     "zscore_outliers",
+    "mad_outliers",
     "distribution_drift",
     "script_profile",
     "dedup_keep_best",

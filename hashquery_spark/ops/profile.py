@@ -393,3 +393,63 @@ def winsorize(
         v.isNull(), F.lit(None).cast("double")
     ).otherwise(F.least(F.greatest(v.cast("double"), F.col("__lo__")), F.col("__hi__")))
     return joined.withColumn(out_name, clipped).drop("__lo__", "__hi__")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col=None,
+    threshold: float = 3.0,
+    keep_cols=None,
+) -> DataFrame:
+    """Rows whose ROBUST z-score — |x − median| / (1.4826·MAD), the
+    consistency-scaled median-absolute-deviation — exceeds ``threshold``.
+    The outlier-resistant twin of :func:`zscore_outliers`: one wild value
+    cannot drag the center/scale the way it drags mean and stddev.
+    Output: keep_cols + (group) + value + robust_z.
+
+    Scale: two aggregation passes by construction (MAD needs the median
+    first) — per-group median agg, broadcast join-back, per-group
+    deviation-median agg, broadcast join-back, narrow filter. All four
+    frames beyond the scans are group-cardinality small.
+
+    Determinism: medians are exact interpolated percentiles (engine-
+    agreeing, see quantiles); robust_z computes in IEEE doubles with
+    identical operation order in the oracle and rounds to 4 dp BEFORE the
+    threshold compare, so the flag can't flip between engines. Zero-MAD
+    groups (majority-constant values) emit no rows.
+    """
+    groups = (
+        [group_col] if isinstance(group_col, str) else list(group_col or [])
+    )
+    keep_cols = list(keep_cols or [])
+    v = F.col(value_col)
+    base = df.where(v.isNotNull())
+
+    def agg_back(frame, expr_col, alias):
+        if groups:
+            stats = frame.groupBy(*[F.col(g) for g in groups]).agg(
+                expr_col.alias(alias)
+            )
+            return frame.join(F.broadcast(stats), on=groups)
+        return frame.crossJoin(
+            F.broadcast(frame.agg(expr_col.alias(alias)))
+        )
+
+    med = agg_back(base, F.percentile(v, F.lit(0.5)), "__med__")
+    dev = med.withColumn("__dev__", F.abs(v.cast("double") - F.col("__med__")))
+    mad = agg_back(dev, F.percentile(F.col("__dev__"), F.lit(0.5)), "__mad__")
+    rz = F.round(
+        F.col("__dev__") / (F.lit(1.4826) * F.col("__mad__")), 4
+    )
+    return (
+        mad.where(F.col("__mad__") > 0)
+        .withColumn("robust_z", rz)
+        .where(F.col("robust_z") > threshold)
+        .select(
+            *[F.col(c) for c in keep_cols],
+            *[F.col(g) for g in groups],
+            v.alias(value_col),
+            F.col("robust_z"),
+        )
+    )

@@ -1404,6 +1404,29 @@ ORACLE_SQL: dict[str, str] = {
                AS BIGINT) / 4294967296.0) * m.mw
               < 0.3 * CAST(d.n_chars AS DOUBLE)
     """,
+    "mad_outliers": """
+        WITH base AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice
+          FROM orders WHERE o_totalprice IS NOT NULL
+        ),
+        med AS (
+          SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+          FROM base GROUP BY o_orderpriority
+        ),
+        dev AS (
+          SELECT b.*, abs(CAST(o_totalprice AS DOUBLE) - med) AS d
+          FROM base b JOIN med USING (o_orderpriority)
+        ),
+        mad AS (
+          SELECT o_orderpriority, quantile_cont(d, 0.5) AS madv
+          FROM dev GROUP BY o_orderpriority
+        )
+        SELECT o_orderkey, dv.o_orderpriority, o_totalprice,
+               round(d / (CAST(1.4826 AS DOUBLE) * madv), 4) AS robust_z
+        FROM dev dv JOIN mad USING (o_orderpriority)
+        WHERE madv > 0
+          AND round(d / (CAST(1.4826 AS DOUBLE) * madv), 4) > 1.2
+    """,
     "zscore_outliers": """
         WITH st AS (
           SELECT o_orderpriority, count(o_totalprice) AS n,

@@ -1239,3 +1239,20 @@ def test_embedding_join_cross_corpus(spark):
     }
     assert set(pairs) == {(0, 1)}  # near-identical pair matches; opposite vector never
     assert pairs[(0, 1)] > 0.99
+
+
+def test_mad_outliers_robust_to_the_outlier_itself(spark):
+    """A single wild value must be flagged — and must NOT inflate the
+    scale enough to hide itself (the failure mode of mean/stddev gates)."""
+    from hashquery_spark.ops import mad_outliers, zscore_outliers
+
+    rows = [("g", float(v)) for v in [10, 11, 12, 10, 11, 12, 10, 11, 12, 1000]]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = mad_outliers(df, "v", "grp", threshold=3.0).collect()
+    assert [r["v"] for r in out] == [1000.0]
+    assert out[0]["robust_z"] > 100
+    # constant-majority group: MAD 0 -> no rows, no div-by-zero
+    const = spark.createDataFrame(
+        [("c", 5.0)] * 9 + [("c", 9.0)], "grp string, v double"
+    )
+    assert mad_outliers(const, "v", "grp").count() == 0
