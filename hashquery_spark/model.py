@@ -28,6 +28,7 @@ from .keypath import KeyPath, rel, resolve_all_nested_keypaths, resolve_keypath
 from .match_steps import MatchStepsSource, ModelActivitySchema
 from .sources import (
     ExplodeSource,
+    FrameOpSource,
     PandasMapSource,
     AggregateSource,
     SetOpSource,
@@ -896,6 +897,43 @@ class Model:
             self._source, fn, schema, groups=[self._prep(g) for g in groups]
         )
         self._reset_to_schema(schema)
+
+    @builder_method
+    def pipe(self, op, *args, **kwargs) -> "Model":
+        """Chain any ``DataFrame -> DataFrame`` operator from
+        :mod:`hashquery_spark.ops` into the model DSL::
+
+            Model(conn, "orders").pipe(winsorize, "o_totalprice",
+                                       by="o_orderstatus")
+                 .filter(attr.o_totalprice_winsorized > 100)
+
+        The op receives this model's compiled frame as its first
+        argument; the result's columns become the model's attributes
+        (resolved by Spark ANALYSIS only — nothing executes). Measures,
+        relations, and pending sorts reset (brand-new schema). Local-only
+        (callables have no wire format, like map_batches).
+
+        Caveat (observed in the physical plan): a downstream ``.filter``
+        on an op-derived column is pushed BELOW the op's projections by
+        Catalyst, re-deriving the column's whole expression tree inside
+        the scan predicate — harmless for cheap columns, expensive for
+        wide derivations (char_entropy's 37 counts). Gate inside the op,
+        or ``.cached()`` the piped model before heavy filtering."""
+        self._source = FrameOpSource(
+            self._source,
+            lambda df: op(df, *args, **kwargs),
+            label=getattr(op, "__name__", "op"),
+        )
+        self._attributes = IdentifiableMap()
+        self._measures = IdentifiableMap()
+        self._namespaces = IdentifiableMap()
+        if self._connection is not None:
+            try:
+                state = CompileState(connection=self._connection)
+                for col_name in compile_model_df(self, state).columns:
+                    self._attributes.add(column(col_name))
+            except Exception:
+                pass
 
     def _reset_to_schema(self, schema: str) -> None:
         from pyspark.sql.types import StructType

@@ -1345,3 +1345,40 @@ _register_wire(
     JoinOneSource,
     FoldSource,
 )
+
+
+class FrameOpSource(Source):
+    """Apply an arbitrary DataFrame -> DataFrame operator (anything in
+    ``hashquery_spark.ops``) as a source step — the glue that lets the
+    operator library chain inside the Model DSL (``Model.pipe``).
+
+    Local-only: Python callables have no wire format (same contract as
+    PandasMapSource). The op sees the fully-compiled upstream frame;
+    whatever plan it builds is planned by Catalyst like any other — no
+    materialization boundary is introduced here."""
+
+    __TYPE_KEY__ = "frameOp"
+
+    def __init__(self, base: Source, fn, label: str = "op") -> None:
+        self.base = base
+        self.fn = fn
+        self.label = label
+
+    def child_sources(self):
+        return [self.base]
+
+    def default_identifier(self):
+        return self.base.default_identifier()
+
+    def compile(self, state: CompileState) -> FrameState:
+        fs = self.base.compile(state)
+        fs.df = self.fn(fs.df)
+        # brand-new schema: joined relations / pending sorts don't survive
+        fs.namespaces = {}
+        fs.sort_exprs = []
+        return fs
+
+    def to_wire(self):
+        raise NotImplementedError(
+            f"frame-op sources ({self.label}) are local-only and cannot be serialized"
+        )

@@ -556,3 +556,35 @@ def test_model_catalog_save_load_roundtrip(spark, tmp_path):
 
     cat.delete("orders")
     assert cat.names() == []
+
+
+def test_pipe_chains_ops_into_the_dsl(spark, sf_dir):
+    """Model.pipe applies an ops() operator to the compiled frame, resets
+    attributes to the op's output schema, and stays chainable."""
+    from hashquery_spark import Model, attr, func
+    from hashquery_spark.connection import connection_for_dir
+    from hashquery_spark.ops import winsorize
+
+    conn = connection_for_dir(sf_dir, spark)
+    m = (
+        Model(conn, "orders")
+        .pipe(winsorize, "o_totalprice", lo=0.1, hi=0.9, by="o_orderstatus")
+        .aggregate(
+            groups=[attr.o_orderstatus],
+            measures=[
+                func.max(attr.o_totalprice_winsorized.cast("decimal(18,2)"))
+                .cast("double")
+                .named("max_w"),
+                func.max(attr.o_totalprice.cast("decimal(18,2)"))
+                .cast("double")
+                .named("max_raw"),
+            ],
+        )
+    )
+    rows = m.run().df
+    assert len(rows) > 0
+    # the winsorized max is clipped strictly below the raw max
+    assert all(rows["max_w"] < rows["max_raw"])
+    # new attribute from the op's schema is addressable via attr
+    m2 = Model(conn, "orders").pipe(winsorize, "o_totalprice")
+    assert "o_totalprice_winsorized" in [a.identifier for a in m2._attributes]
