@@ -1826,6 +1826,42 @@ def q_validity_join(spark, sf_dir):
     )
 
 
+#: deterministic URL synthesis shared by the url queries — the corpus has
+#: no URL column, so both engines derive identical messy URLs from doc_id
+#: (the pii_redaction pattern)
+_URL_EXPR = (
+    "concat('HTTP://WWW.Site', CAST(doc_id % 7 AS STRING), '.example.com:80/',"
+    " source, '/', CAST(doc_id AS STRING),"
+    " CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1#x'"
+    " WHEN doc_id % 3 = 1 THEN '?z=9' ELSE '/' END)"
+)
+
+
+def q_url_normalize(spark, sf_dir):
+    """Crawl URL canonicalization: scheme/host lowercasing, www/port
+    strip, tracking-param removal, param sort, fragment drop — one
+    narrow codegen pass, no UDF."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import parse_urls
+
+    docs = _conn(spark, sf_dir).table("documents")
+    seeded = docs.select("doc_id", F.expr(_URL_EXPR).alias("url"))
+    return parse_urls(seeded, "url", "doc_id")
+
+
+def q_host_rollup(spark, sf_dir):
+    """Top hosts by crawled-document count (crawl-budget planning);
+    deterministic (n_docs DESC, host) rank."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import host_rollup
+
+    docs = _conn(spark, sf_dir).table("documents")
+    seeded = docs.select("doc_id", F.expr(_URL_EXPR).alias("url"))
+    return host_rollup(seeded, "url", "doc_id", top_k=5)
+
+
 def q_bm25(spark, sf_dir):
     """BM25 top-10 per query over documents (lexical retrieval for
     contamination auditing / corpus search); broadcast query terms, one
@@ -2564,6 +2600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validity_join": q_validity_join,
         "embedding_join": q_embedding_join,
         "mad_outliers": q_mad_outliers,
+        "url_normalize": q_url_normalize,
+        "host_rollup": q_host_rollup,
         "quality_classifier": q_quality_classifier,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,

@@ -90,6 +90,7 @@ from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 
 from .graph import degree_centrality, pagerank
 from .retrieval import bm25_search
+from .urls import host_rollup, parse_urls
 
 from .classifier import (
     ClassifierModel,
@@ -176,6 +177,8 @@ __all__ = [
     "salted_aggregate",
     "salted_join",
     "bm25_search",
+    "parse_urls",
+    "host_rollup",
     "char_entropy",
     "winsorize",
     "kfold_split",

@@ -2222,3 +2222,53 @@ def _bm25_sql(k1: float = 1.2, b: float = 0.75, top_k: int = 10) -> str:
 
 
 ORACLE_SQL["bm25"] = _bm25_sql()
+
+
+_URL_SQL = (
+    "concat('HTTP://WWW.Site', CAST(doc_id % 7 AS VARCHAR), '.example.com:80/',"
+    " source, '/', CAST(doc_id AS VARCHAR),"
+    " CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1#x'"
+    " WHEN doc_id % 3 = 1 THEN '?z=9' ELSE '/' END)"
+)
+
+_URL_PARSE = f"""
+u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+p AS (
+  SELECT doc_id, url,
+    lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+    regexp_replace(regexp_replace(
+      lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')),
+      '^www\\.', ''), ':(80|443)$', '') AS host,
+    coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS raw_path,
+    coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS raw_q
+  FROM u
+),
+q AS (
+  SELECT doc_id, url, scheme, host,
+    CASE WHEN raw_path = '' OR raw_path = '/' THEN '/'
+         ELSE regexp_replace(raw_path, '/$', '') END AS path,
+    coalesce(array_to_string(list_sort(list_filter(string_split(raw_q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x, '^(utm_.*|fbclid|gclid|ref)=.*$'))),
+      '&'), '') AS query_norm
+  FROM p
+)
+"""
+
+ORACLE_SQL["url_normalize"] = f"""
+WITH {_URL_PARSE}
+SELECT doc_id, scheme, host, path, query_norm,
+  CASE WHEN scheme <> '' THEN
+    concat(scheme, '://', host, path,
+           CASE WHEN query_norm <> '' THEN concat('?', query_norm) ELSE '' END)
+  ELSE url END AS url_norm
+FROM q
+"""
+
+ORACLE_SQL["host_rollup"] = f"""
+WITH {_URL_PARSE},
+c AS (SELECT host, count(*) AS n_docs FROM q WHERE host <> '' GROUP BY host)
+SELECT host, n_docs,
+  CAST(row_number() OVER (ORDER BY n_docs DESC, host ASC) AS INT) AS rank
+FROM c
+QUALIFY rank <= 5
+"""

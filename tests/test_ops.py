@@ -1256,3 +1256,29 @@ def test_mad_outliers_robust_to_the_outlier_itself(spark):
         [("c", 5.0)] * 9 + [("c", 9.0)], "grp string, v double"
     )
     assert mad_outliers(const, "v", "grp").count() == 0
+
+
+def test_parse_urls_normalization_contract(spark):
+    from hashquery_spark.ops import parse_urls
+
+    rows = [
+        (1, "HTTP://WWW.Example.com:80/a/b/?utm_source=x&z=2&a=1#frag"),
+        (2, "https://example.com/a/b?a=1&z=2"),
+        (3, "https://Example.COM:443"),
+        (4, "not a url"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in parse_urls(df, "url", "doc_id").collect()}
+    # tracking params dropped, rest sorted; www./port stripped; trailing /
+    assert out[1]["url_norm"] == "http://example.com/a/b?a=1&z=2"
+    assert out[1]["host"] == "example.com"
+    # already-canonical URL round-trips except scheme
+    assert out[2]["url_norm"] == "https://example.com/a/b?a=1&z=2"
+    # 1 and 2 now dedupe on url_norm minus scheme
+    assert out[1]["url_norm"].split("://")[1] == out[2]["url_norm"].split("://")[1]
+    assert out[3]["url_norm"] == "https://example.com/"
+    assert out[3]["path"] == "/"
+    # malformed: raw passthrough, empty host
+    assert out[4]["host"] == "" and out[4]["url_norm"] == "not a url"
+    assert 5 not in out
