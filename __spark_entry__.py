@@ -2339,6 +2339,25 @@ def q_distribution_drift(spark, sf_dir):
     )
 
 
+def q_standardize(spark, sf_dir):
+    """Per-group z-score feature scaling of two lineitem measures — ONE
+    stats aggregate for all columns, broadcast join-back, narrow scaling
+    projection; decimal-exact moments (zscore_outliers contract)."""
+    from hashquery_spark.ops import standardize
+
+    li = _conn(spark, sf_dir).table("lineitem")
+    out = standardize(
+        li, ["l_quantity", "l_extendedprice"], by="l_returnflag"
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity_scaled",
+        "l_extendedprice_scaled",
+    )
+
+
 def q_mad_outliers(spark, sf_dir):
     """Robust (median/MAD) anomaly gate over order totals per priority
     band — outlier-resistant twin of zscore_outliers; robust z rounded to
@@ -2601,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_join": q_embedding_join,
         "mad_outliers": q_mad_outliers,
         "url_normalize": q_url_normalize,
+        "standardize": q_standardize,
         "host_rollup": q_host_rollup,
         "quality_classifier": q_quality_classifier,
         "pii_redaction": q_pii_redaction,

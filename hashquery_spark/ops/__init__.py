@@ -84,6 +84,7 @@ from .profile import (
     profile_table,
     zscore_outliers,
     mad_outliers,
+    standardize,
 )
 from .timeseries import counter_delta, gap_fill, multi_grain_rollup, time_weighted_avg, trailing_agg
 from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
@@ -160,6 +161,7 @@ __all__ = [
     "trailing_agg",
     "zscore_outliers",
     "mad_outliers",
+    "standardize",
     "distribution_drift",
     "script_profile",
     "dedup_keep_best",

@@ -453,3 +453,67 @@ def mad_outliers(
             F.col("robust_z"),
         )
     )
+
+
+def standardize(
+    df: DataFrame,
+    value_cols,
+    by=None,
+    method: str = "zscore",
+) -> DataFrame:
+    """Feature scaling for ML-bound numeric columns: appends
+    ``{col}_scaled`` per input column — z-score ``(x − mean)/stddev``
+    (``method="zscore"``) or min-max ``(x − min)/(max − min)``
+    (``method="minmax"``), optionally per ``by`` group.
+
+    Scale: ALL columns' statistics compile into ONE aggregate over ONE
+    scan (map-side partials), the tiny stats frame broadcast-joins back,
+    and the scaling itself is a narrow codegen'd projection — adding
+    columns never adds passes.
+
+    Determinism: moments accumulate as DECIMAL (exact under any
+    aggregation order — the zscore_outliers contract, |value| < 1e6);
+    variance uses the fixed-order formula in doubles; scaled values round
+    to 4 dp. Degenerate columns (zero variance / constant range) scale to
+    NULL rather than ±inf.
+    """
+    if method not in ("zscore", "minmax"):
+        raise ValueError("standardize: method must be 'zscore' or 'minmax'")
+    value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    groups = [by] if isinstance(by, str) else list(by or [])
+
+    aggs = []
+    for i, c in enumerate(value_cols):
+        v = F.col(c)
+        if method == "zscore":
+            aggs += [
+                F.count(v).alias(f"__n{i}__"),
+                F.sum(v.cast("decimal(18,6)")).alias(f"__s{i}__"),
+                F.sum((v * v).cast("decimal(30,10)")).alias(f"__q{i}__"),
+            ]
+        else:
+            aggs += [F.min(v).alias(f"__lo{i}__"), F.max(v).alias(f"__hi{i}__")]
+    stats = df.groupBy(*[F.col(g) for g in groups]).agg(*aggs) if groups else df.agg(*aggs)
+    joined = (
+        df.join(F.broadcast(stats), on=groups)
+        if groups
+        else df.crossJoin(F.broadcast(stats))
+    )
+    out = joined
+    for i, c in enumerate(value_cols):
+        v = F.col(c)
+        if method == "zscore":
+            n = F.col(f"__n{i}__")
+            s_d = F.col(f"__s{i}__").cast("double")
+            q_d = F.col(f"__q{i}__").cast("double")
+            mean = s_d / n
+            var = (q_d - s_d * s_d / n) / (n - 1)
+            scaled = F.when(
+                (n > 1) & (var > 0), F.round((v - mean) / F.sqrt(var), 4)
+            )
+        else:
+            lo = F.col(f"__lo{i}__").cast("double")
+            hi = F.col(f"__hi{i}__").cast("double")
+            scaled = F.when(hi > lo, F.round((v - lo) / (hi - lo), 4))
+        out = out.withColumn(f"{c}_scaled", scaled)
+    return out.drop(*[f.name for f in stats.schema.fields if f.name.startswith("__")])

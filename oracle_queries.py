@@ -1404,6 +1404,28 @@ ORACLE_SQL: dict[str, str] = {
                AS BIGINT) / 4294967296.0) * m.mw
               < 0.3 * CAST(d.n_chars AS DOUBLE)
     """,
+    "standardize": """
+        WITH st AS (
+          SELECT l_returnflag,
+            count(l_quantity) AS n0,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s0,
+            CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS q0,
+            count(l_extendedprice) AS n1,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+            CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS q1
+          FROM lineitem GROUP BY 1
+        )
+        SELECT l_orderkey, l_linenumber, l.l_returnflag,
+          CASE WHEN n0 > 1 AND (q0 - s0 * s0 / n0) / (n0 - 1) > 0
+               THEN round((l_quantity - s0 / n0)
+                          / sqrt((q0 - s0 * s0 / n0) / (n0 - 1)), 4) END
+            AS l_quantity_scaled,
+          CASE WHEN n1 > 1 AND (q1 - s1 * s1 / n1) / (n1 - 1) > 0
+               THEN round((l_extendedprice - s1 / n1)
+                          / sqrt((q1 - s1 * s1 / n1) / (n1 - 1)), 4) END
+            AS l_extendedprice_scaled
+        FROM lineitem l JOIN st USING (l_returnflag)
+    """,
     "mad_outliers": """
         WITH base AS (
           SELECT o_orderkey, o_orderpriority, o_totalprice

@@ -1282,3 +1282,30 @@ def test_parse_urls_normalization_contract(spark):
     # malformed: raw passthrough, empty host
     assert out[4]["host"] == "" and out[4]["url_norm"] == "not a url"
     assert 5 not in out
+
+
+def test_standardize_zscore_and_minmax(spark):
+    from hashquery_spark.ops import standardize
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None), ("b", 5.0), ("b", 5.0)],
+        "grp string, v double",
+    )
+    z = {
+        (r["grp"], r["v"]): r["v_scaled"]
+        for r in standardize(df, "v", by="grp").collect()
+    }
+    assert z[("a", 2.0)] == 0.0  # mean
+    assert z[("a", 3.0)] == 1.0  # one sample-stddev above
+    assert z[("a", None)] is None  # null value stays null
+    assert z[("b", 5.0)] is None  # zero variance -> NULL, not inf
+    mm = {
+        (r["grp"], r["v"]): r["v_scaled"]
+        for r in standardize(df, "v", by="grp", method="minmax").collect()
+    }
+    assert mm[("a", 1.0)] == 0.0 and mm[("a", 3.0)] == 1.0 and mm[("a", 2.0)] == 0.5
+    assert mm[("b", 5.0)] is None  # constant range -> NULL
+    import pytest
+
+    with pytest.raises(ValueError):
+        standardize(df, "v", method="nope")
