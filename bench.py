@@ -73,6 +73,9 @@ HEADLINE = [
     "char_entropy",
     "bm25",
     "pack_texts",
+    # round-1 seventh-continuation extensions (appended)
+    "url_normalize",
+    "standardize",
 ]
 
 
