@@ -1207,11 +1207,20 @@ class Model:
         format: str = "parquet",
         mode: str = "overwrite",
         partition_by: Optional[List[str]] = None,
+        sort_by: Optional[List[str]] = None,
     ) -> None:
         """Write the result to a table sink — net-new beyond the reference,
         which has no sinks (SURVEY.md §2.8). ``partition_by`` produces
-        hive-style partition directories for downstream partition pruning."""
-        writer = self.to_df().write.format(format).mode(mode)
+        hive-style partition directories for downstream partition pruning.
+        ``sort_by`` sorts WITHIN each output task (sortWithinPartitions —
+        a narrow, shuffle-free sort) so parquet row-group min/max
+        statistics become selective: downstream scans filtered on the
+        sort column skip non-matching row groups entirely — the poor
+        man's Z-order, free at write time."""
+        df = self.to_df()
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        writer = df.write.format(format).mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(path)

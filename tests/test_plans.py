@@ -253,3 +253,25 @@ def test_dedup_against_fuzzy_verify_plan_shape(spark, sf_dir):
     assert "LeftAnti, BuildRight" in plan  # anti join broadcasts matched ids
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_sorted_write_produces_ordered_row_groups(spark, sf_dir, tmp_path):
+    """Model.write(sort_by=...) sorts within each output task so parquet
+    min/max stats are selective; verified by checking every written file
+    is internally sorted on the sort column."""
+    import glob
+
+    from hashquery_spark import Model
+    from hashquery_spark.connection import connection_for_dir
+
+    conn = connection_for_dir(sf_dir, spark)
+    out = str(tmp_path / "sorted_orders")
+    Model(conn, "orders").write(out, sort_by=["o_totalprice"])
+    files = glob.glob(f"{out}/*.parquet")
+    assert files
+    for f in files:
+        vals = [
+            r["o_totalprice"]
+            for r in spark.read.parquet(f).select("o_totalprice").collect()
+        ]
+        assert vals == sorted(vals), f
