@@ -73,9 +73,11 @@ HEADLINE = [
     "char_entropy",
     "bm25",
     "pack_texts",
-    # round-1 seventh-continuation extensions (appended)
+    # round-1 seventh-continuation extensions (appended). standardize was
+    # considered and dropped: its query returns the full 600k-row frame,
+    # so the timing is dominated by the Arrow collect, not engine work.
     "url_normalize",
-    "standardize",
+    "mad_outliers",
 ]
 
 
