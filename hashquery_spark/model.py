@@ -1260,6 +1260,16 @@ class Model:
     def explain(self, mode: str = "formatted") -> None:
         self.to_df().explain(mode)
 
+    def scale_report(self) -> dict:
+        """Lint this model's physical plan for scale smells (cartesian
+        products, unpartitioned windows, redundant scans, ...) BEFORE
+        running it on a real cluster — see
+        :func:`hashquery_spark.plan_lint.plan_report`. Costs one analysis
+        + planning pass; nothing executes."""
+        from .plan_lint import plan_report
+
+        return plan_report(self.to_df())
+
     # --- serialization (wire format, reference: serializable version 7) ---
 
     WIRE_VERSION = 7

@@ -1,0 +1,90 @@
+"""Physical-plan scale linting — run BEFORE submitting to a real cluster.
+
+The repo's plan-regression tests (tests/test_plans.py) encode what a
+scale-safe plan looks like; this module exposes the same checks as a
+library feature so users can lint their own compositions:
+
+    report = Model(conn, "lineitem").filter(...).scale_report()
+    report["warnings"]  # human-readable scale smells
+
+Checks are string-level inspections of the executed plan (the same
+technique the test suite uses) — no execution happens; building the
+report costs one Spark ANALYSIS + physical planning pass.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List
+
+
+def plan_report(df) -> Dict[str, Any]:
+    """Inspect a DataFrame's physical plan for scale smells. Returns
+    counters plus a ``warnings`` list (empty = nothing suspicious).
+
+    Checked smells (each one has bitten a real pipeline):
+
+    * ``CartesianProduct`` — an all-pairs join; at scale this is |L|·|R|.
+    * ``BroadcastNestedLoopJoin`` — tolerable only for deliberately tiny
+      replicated sides (1-row stats frames); flagged so the author
+      confirms intent.
+    * Unpartitioned windows — ``Window`` with an empty partition spec
+      moves EVERY row to one partition (the WindowExec warning, but
+      visible before running).
+    * ``SortMergeJoin`` count — fine per se, but each one is a shuffle +
+      sort of both sides; listed so wide plans are conscious choices.
+    * Exchange count — total shuffle stages.
+    * Scan count — how many separate file scans the plan performs (a
+      frame consumed N times with different pruning re-scans N times;
+      see the verify-skill gotcha).
+    * In-memory relation scans (``Scan ExistingRDD`` / local tables) at
+      the leaf of a big pipeline usually mean driver-materialized data.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet") + plan.count("Scan orc") + plan.count(
+        "Scan avro"
+    )
+    n_exchanges = plan.count("Exchange ")
+    n_smj = plan.count("SortMergeJoin")
+    n_cartesian = plan.count("CartesianProduct")
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    # windowspecdefinition(..., specifiedwindowframe...) with no partition
+    # columns: the spec starts directly with the order spec
+    unpartitioned_windows = len(
+        re.findall(r"windowspecdefinition\((?:[^,()]+ (?:ASC|DESC))", plan)
+    )
+    warnings: List[str] = []
+    if n_cartesian:
+        warnings.append(
+            f"{n_cartesian} CartesianProduct(s): an all-pairs join — at scale "
+            "this is |L|x|R|; add an equi-key, bucketize the range predicate "
+            "(ops.range_join), or broadcast a provably tiny side."
+        )
+    if n_bnlj:
+        warnings.append(
+            f"{n_bnlj} BroadcastNestedLoopJoin(s): only safe when the "
+            "broadcast side is deliberately tiny (1-row stats frames); "
+            "verify the build side is bounded."
+        )
+    if unpartitioned_windows:
+        warnings.append(
+            f"{unpartitioned_windows} unpartitioned window(s): every row "
+            "moves to ONE partition. Partition the window, or bound the "
+            "input first (TakeOrdered/limit) like ops.urls.host_rollup."
+        )
+    if n_scans > 2:
+        warnings.append(
+            f"{n_scans} separate file scans: a frame consumed several times "
+            "with different column pruning re-executes its pipeline per "
+            "consumer (no ReusedExchange). Consider cached()/localCheckpoint "
+            "for small intermediate frames."
+        )
+    return {
+        "scans": n_scans,
+        "exchanges": n_exchanges,
+        "sort_merge_joins": n_smj,
+        "cartesian_products": n_cartesian,
+        "broadcast_nested_loop_joins": n_bnlj,
+        "unpartitioned_windows": unpartitioned_windows,
+        "warnings": warnings,
+    }

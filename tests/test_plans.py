@@ -275,3 +275,44 @@ def test_sorted_write_produces_ordered_row_groups(spark, sf_dir, tmp_path):
             for r in spark.read.parquet(f).select("o_totalprice").collect()
         ]
         assert vals == sorted(vals), f
+
+
+def test_scale_report_flags_each_smell(spark, sf_dir):
+    """plan_lint detects every smell class it documents, and a clean
+    aggregate reports no warnings."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hashquery_spark import Model
+    from hashquery_spark.connection import connection_for_dir
+    from hashquery_spark.plan_lint import plan_report
+
+    conn = connection_for_dir(sf_dir, spark)
+    orders = conn.table("orders")
+    nation = conn.table("nation")
+
+    # clean: filtered aggregate
+    clean = Model(conn, "orders").aggregate(
+        groups=[], measures=[]
+    )  # empty aggregate still plans
+    rep = Model(conn, "orders").scale_report()
+    assert rep["warnings"] == [] and rep["scans"] == 1
+
+    # cartesian product (crossJoin of two real tables, no key)
+    cart = plan_report(orders.crossJoin(nation.select(F.col("n_name"))))
+    assert cart["cartesian_products"] >= 1 or cart["broadcast_nested_loop_joins"] >= 1
+    assert cart["warnings"]
+
+    # unpartitioned window over the whole table
+    w = Window.orderBy("o_totalprice")
+    unp = plan_report(orders.withColumn("rn", F.row_number().over(w)))
+    assert unp["unpartitioned_windows"] >= 1
+    assert any("unpartitioned" in s for s in unp["warnings"])
+
+    # redundant scans: one frame consumed three ways with different pruning
+    a = orders.groupBy("o_orderstatus").count()
+    b = orders.groupBy("o_orderpriority").count()
+    c = orders.groupBy("o_custkey").count().groupBy().count()
+    tri = plan_report(a.crossJoin(b).crossJoin(c))
+    assert tri["scans"] == 3
+    assert any("separate file scans" in s for s in tri["warnings"])
