@@ -787,3 +787,35 @@ def test_bm25_matches_python_reference(spark, docs):
         ("q", i): (expected_scores[i], rank + 1) for rank, i in enumerate(order)
     }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        min_size=3,
+        max_size=40,
+    ),
+    lo=st.floats(min_value=0.0, max_value=0.4),
+    hi=st.floats(min_value=0.6, max_value=1.0),
+)
+def test_winsorize_matches_numpy_percentiles(spark, vals, lo, hi):
+    """winsorize clips exactly to numpy's linear-interpolated percentiles
+    (Spark percentile == PERCENTILE_CONT == np.percentile 'linear')."""
+    import numpy as np
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    from hashquery_spark.ops import winsorize
+
+    got = {
+        r["id"]: r["v_winsorized"]
+        for r in winsorize(df, "v", lo=lo, hi=hi).collect()
+    }
+    plo = float(np.percentile(vals, lo * 100, method="linear"))
+    phi = float(np.percentile(vals, hi * 100, method="linear"))
+    for i, v in enumerate(vals):
+        expected = min(max(v, plo), phi)
+        assert got[i] == pytest.approx(expected, rel=1e-12, abs=1e-12), (
+            i, v, plo, phi
+        )
