@@ -154,3 +154,67 @@ def test_pagerank_ring_half_million_uniform(spark):
     ).collect()[0]
     assert agg["nodes"] == n
     assert agg["uniform"] == n
+
+
+def test_url_normalize_two_million(spark):
+    """2M synthesized URLs: row conservation, exact distinct-host count,
+    and tracking params never survive — at volume."""
+    from hashquery_spark.ops import parse_urls
+
+    n = 2_000_000
+    urls = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat('HTTP://WWW.h', CAST(id % 1000 AS STRING), '.example.com:80/p/',"
+            " CAST(id AS STRING), '?utm_source=x&b=', CAST(id % 5 AS STRING))"
+        ).alias("url"),
+    )
+    out = parse_urls(urls, "url", "doc_id")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("host").alias("hosts"),
+        F.count(F.when(F.col("url_norm").contains("utm_"), 1)).alias("utm"),
+        F.count(F.when(F.col("host").startswith("www."), 1)).alias("www"),
+    ).collect()[0]
+    assert agg["rows"] == n
+    assert agg["hosts"] == 1000
+    assert agg["utm"] == 0 and agg["www"] == 0
+
+
+def test_standardize_two_million_exact_moments(spark):
+    """2M-row z-score: decimal moments are EXACT, so the scaled value of
+    the maximum matches the closed form for 0..N-1 to the 4dp grid."""
+    import math
+
+    from hashquery_spark.ops import standardize
+
+    n = 2_000_000
+    df = spark.range(n).select(F.col("id"), F.col("id").cast("double").alias("v"))
+    out = standardize(df, "v")
+    mx = out.agg(F.max("v_scaled").alias("m"), F.min("v_scaled").alias("lo")).collect()[0]
+    mean = (n - 1) / 2.0
+    var = n * (n + 1) / 12.0  # sample variance of 0..N-1
+    expected = round((n - 1 - mean) / math.sqrt(var), 4)
+    assert mx["m"] == expected
+    assert mx["lo"] == -expected  # symmetric
+
+
+def test_bm25_two_million_deterministic_top10(spark):
+    """2M docs where every 4th doc contains both query terms with
+    identical tf and length: scores tie exactly, so the (score DESC, id)
+    contract pins the top-10 to ids 0,4,...,36."""
+    from hashquery_spark.ops import bm25_search
+
+    n = 2_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat(CASE WHEN id % 2 = 0 THEN 'spark ' ELSE 'other ' END,"
+            " CASE WHEN id % 4 = 0 THEN 'engine ' ELSE 'word ' END,"
+            " 'filler filler filler')"
+        ).alias("text"),
+    )
+    out = bm25_search(docs, {"q": "spark engine"}, "text", "doc_id", top_k=10)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in rows] == [i * 4 for i in range(10)]
+    assert len({r["score"] for r in rows}) == 1  # exact ties
