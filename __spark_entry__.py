@@ -1557,6 +1557,28 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_fuzzy_dedup_e2e(spark, sf_dir):
+    """END-TO-END fuzzy dedup: MinHash LSH pairs → connected components →
+    exactly one surviving doc per near-dup cluster (smallest id keeps,
+    matching exact_dedup's keeper rule); singleton docs always survive.
+    The complete near-dedup pipeline as one surface — iterative CC step ⇒
+    rows-only (each stage is separately oracle/fixture-checked)."""
+    from pyspark.sql import functions as F
+
+    docs = _conn(spark, sf_dir).table("documents")
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id", num_perm=16, bands=4)
+    clusters = dedup_clusters(pairs)  # (doc_id, cluster_id) for clustered docs
+    keepers_in_clusters = (
+        clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
+    )
+    dropped = clusters.join(
+        keepers_in_clusters.select("doc_id"), on="doc_id", how="left_anti"
+    ).select("doc_id")
+    return docs.join(F.broadcast(dropped), on="doc_id", how="left_anti").select(
+        "doc_id"
+    )
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Top-50 adjacent word pairs (one BPE-training iteration at word
     level) — one explode + one partial-combined groupBy + bounded top-k."""
@@ -2567,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
+        "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_bruteforce": q_ann_bruteforce,

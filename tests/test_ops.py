@@ -1309,3 +1309,29 @@ def test_standardize_zscore_and_minmax(spark):
 
     with pytest.raises(ValueError):
         standardize(df, "v", method="nope")
+
+
+def test_fuzzy_dedup_e2e_query_invariants(spark, sf_dir):
+    """The composed end-to-end fuzzy dedup keeps exactly one doc per
+    near-dup cluster plus every unclustered doc."""
+    import __spark_entry__ as entry
+    from hashquery_spark.ops import dedup_clusters, minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = {r["doc_id"] for r in entry.queries()["fuzzy_dedup_e2e"](spark, sf_dir).collect()}
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id", num_perm=16, bands=4)
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # every unclustered doc survives
+    assert (all_ids - clusters.keys()) <= kept
+    # exactly the min id of each cluster survives
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, c in clusters.items():
+        members[c].append(d)
+    for c, ids in members.items():
+        assert set(ids) & kept == {min(ids)}
+    assert len(kept) == len(all_ids) - (len(clusters) - len(members))
