@@ -741,6 +741,36 @@ def q_window_ntile(spark, sf_dir):
     )
 
 
+def q_window_percentiles(spark, sf_dir):
+    """percent_rank + cume_dist per order-status over order totals (with
+    the unique orderkey tiebreak) — empirical-CDF standing per row,
+    rounded to 6 dp (the (r−1)/(n−1) and r/n ratios are identical plain
+    double arithmetic in both engines)."""
+    conn = _conn(spark, sf_dir)
+    return (
+        Model(conn, "orders")
+        .pick(
+            attr.o_orderkey,
+            attr.o_orderstatus,
+            func.round(
+                func.percent_rank(
+                    partition=[attr.o_orderstatus],
+                    order=[attr.o_totalprice, attr.o_orderkey],
+                ),
+                6,
+            ).named("pr"),
+            func.round(
+                func.cume_dist(
+                    partition=[attr.o_orderstatus],
+                    order=[attr.o_totalprice, attr.o_orderkey],
+                ),
+                6,
+            ).named("cd"),
+        )
+        .to_df()
+    )
+
+
 def q_tpch_q18(spark, sf_dir):
     """TPC-H Q18-style large-volume customers: post-aggregate filter (the
     reference's HAVING path, filter.py:7 after aggregate) feeding an
@@ -2590,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
+        "window_percentiles": q_window_percentiles,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_bruteforce": q_ann_bruteforce,

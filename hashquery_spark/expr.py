@@ -1456,7 +1456,9 @@ class WindowExpression(ColumnExpression):
     one at a time."""
 
     __TYPE_KEY__ = "window"
-    _RANKERS = ("row_number", "rank", "dense_rank", "ntile")
+    _RANKERS = (
+        "row_number", "rank", "dense_rank", "ntile", "percent_rank", "cume_dist"
+    )
     _OFFSETS = ("lag", "lead")
     _AGGS = ("sum", "avg", "min", "max", "count")
     _EDGES = ("first_value", "last_value")

@@ -268,6 +268,24 @@ def dense_rank(*, partition=None, order=None) -> "ColumnExpression":
 
 
 @defer_keypath_args
+def percent_rank(*, partition=None, order=None) -> "ColumnExpression":
+    """SQL PERCENT_RANK(): (rank − 1) / (partition rows − 1) — relative
+    standing in [0, 1]; deterministic under ties (peers share a value)."""
+    from .expr import WindowExpression
+
+    return WindowExpression("percent_rank", [], partition, order)
+
+
+@defer_keypath_args
+def cume_dist(*, partition=None, order=None) -> "ColumnExpression":
+    """SQL CUME_DIST(): fraction of partition rows ordered at-or-before
+    the current row (peers inclusive) — the empirical CDF value."""
+    from .expr import WindowExpression
+
+    return WindowExpression("cume_dist", [], partition, order)
+
+
+@defer_keypath_args
 def ntile(n: int, *, partition=None, order=None) -> "ColumnExpression":
     """Bucket each partition's rows into ``n`` equal-count tiles (1-based)
     in ``order`` — quartiles/deciles per group."""

@@ -614,6 +614,14 @@ ORACLE_SQL: dict[str, str] = {
                          ORDER BY total_value DESC, user_id) AS spend_quartile
         FROM agg
     """,
+    "window_percentiles": """
+        SELECT o_orderkey, o_orderstatus,
+          round(percent_rank() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+          round(cume_dist() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey), 6) AS cd
+        FROM orders
+    """,
     "window_lag_rank": """
         SELECT event_id, user_id,
           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS recency_rank,
