@@ -771,6 +771,28 @@ def q_window_percentiles(spark, sf_dir):
     )
 
 
+def q_window_edges(spark, sf_dir):
+    """first_value / last_value over the whole partition (the default
+    frame here — SQL's current-row default for last_value is a famous
+    trap): cheapest and priciest order key per status on every row."""
+    conn = _conn(spark, sf_dir)
+    order = [attr.o_totalprice, attr.o_orderkey]
+    return (
+        Model(conn, "orders")
+        .pick(
+            attr.o_orderkey,
+            attr.o_orderstatus,
+            func.first_value(
+                attr.o_orderkey, partition=[attr.o_orderstatus], order=order
+            ).named("cheapest_key"),
+            func.last_value(
+                attr.o_orderkey, partition=[attr.o_orderstatus], order=order
+            ).named("priciest_key"),
+        )
+        .to_df()
+    )
+
+
 def q_tpch_q18(spark, sf_dir):
     """TPC-H Q18-style large-volume customers: post-aggregate filter (the
     reference's HAVING path, filter.py:7 after aggregate) feeding an
@@ -2621,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
         "window_percentiles": q_window_percentiles,
+        "window_edges": q_window_edges,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_bruteforce": q_ann_bruteforce,

@@ -614,6 +614,18 @@ ORACLE_SQL: dict[str, str] = {
                          ORDER BY total_value DESC, user_id) AS spend_quartile
         FROM agg
     """,
+    "window_edges": """
+        SELECT o_orderkey, o_orderstatus,
+          first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS cheapest_key,
+          last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS priciest_key
+        FROM orders
+    """,
     "window_percentiles": """
         SELECT o_orderkey, o_orderstatus,
           round(percent_rank() OVER (PARTITION BY o_orderstatus
