@@ -771,6 +771,31 @@ def q_window_percentiles(spark, sf_dir):
     )
 
 
+def q_window_moving_avg(spark, sf_dir):
+    """Bounded ROWS frame: trailing-3 moving average of order totals per
+    status ((totalprice, key) total order). Sum decimal-routed over the
+    frame, divided by the frame count — exact cross-engine."""
+    conn = _conn(spark, sf_dir)
+    order = [attr.o_totalprice, attr.o_orderkey]
+    part = [attr.o_orderstatus]
+    msum = func.over(
+        func.sum(attr.o_totalprice.cast("decimal(18,2)")),
+        partition=part, order=order, frame=(-2, 0),
+    ).cast("double")
+    mcount = func.over(
+        func.count(), partition=part, order=order, frame=(-2, 0)
+    )
+    return (
+        Model(conn, "orders")
+        .pick(
+            attr.o_orderkey,
+            attr.o_orderstatus,
+            func.round(msum / mcount, 4).named("mavg3"),
+        )
+        .to_df()
+    )
+
+
 def q_window_edges(spark, sf_dir):
     """first_value / last_value over the whole partition (the default
     frame here — SQL's current-row default for last_value is a famous
@@ -2644,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup_e2e": q_fuzzy_dedup_e2e,
         "window_percentiles": q_window_percentiles,
         "window_edges": q_window_edges,
+        "window_moving_avg": q_window_moving_avg,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_bruteforce": q_ann_bruteforce,

@@ -614,6 +614,16 @@ ORACLE_SQL: dict[str, str] = {
                          ORDER BY total_value DESC, user_id) AS spend_quartile
         FROM agg
     """,
+    "window_moving_avg": """
+        SELECT o_orderkey, o_orderstatus,
+          round(
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            / count(*) OVER w, 4) AS mavg3
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
     "window_edges": """
         SELECT o_orderkey, o_orderstatus,
           first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
