@@ -1961,6 +1961,16 @@ def q_host_rollup(spark, sf_dir):
     return host_rollup(seeded, "url", "doc_id", top_k=5)
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5-style span-corruption plan over documents: deterministic
+    md5-placed, bucket-non-overlapping mask spans, one narrow generator
+    pass (no shuffle)."""
+    from hashquery_spark.ops import plan_span_corruption
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return plan_span_corruption(docs, "text", "doc_id", mask_ratio=0.15, span_len=3)
+
+
 def q_bm25(spark, sf_dir):
     """BM25 top-10 per query over documents (lexical retrieval for
     contamination auditing / corpus search); broadcast query terms, one
@@ -2670,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_percentiles": q_window_percentiles,
         "window_edges": q_window_edges,
         "window_moving_avg": q_window_moving_avg,
+        "span_corruption": q_span_corruption,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_bruteforce": q_ann_bruteforce,

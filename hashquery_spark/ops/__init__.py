@@ -92,6 +92,7 @@ from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 from .graph import degree_centrality, pagerank
 from .retrieval import bm25_search
 from .urls import host_rollup, parse_urls
+from .masking import plan_span_corruption
 
 from .classifier import (
     ClassifierModel,
@@ -180,6 +181,7 @@ __all__ = [
     "salted_join",
     "bm25_search",
     "parse_urls",
+    "plan_span_corruption",
     "host_rollup",
     "char_entropy",
     "winsorize",

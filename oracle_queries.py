@@ -614,6 +614,38 @@ ORACLE_SQL: dict[str, str] = {
                          ORDER BY total_value DESC, user_id) AS spend_quartile
         FROM agg
     """,
+    "span_corruption": f"""
+        WITH t AS (
+          SELECT doc_id, {TOKS.format(c='text')} AS tk FROM documents
+          WHERE text IS NOT NULL
+        ),
+        sized AS (
+          SELECT doc_id, tk,
+            CASE WHEN len(tk) = 1 AND tk[1] = '' THEN 0 ELSE len(tk) END AS n
+          FROM t
+        ),
+        k AS (
+          SELECT doc_id, tk, n, (n * 150) // 3000 AS ks FROM sized
+        ),
+        ex AS (
+          SELECT doc_id, tk, n, ks, n // ks AS bucket,
+                 unnest(range(0, ks)) AS mask_id
+          FROM k WHERE ks > 0
+        ),
+        placed AS (
+          SELECT doc_id, CAST(mask_id AS INT) AS mask_id, tk, bucket,
+            mask_id * bucket +
+              CAST('0x' || substr(md5(concat('0:', CAST(doc_id AS VARCHAR),
+                   ':', CAST(mask_id AS VARCHAR))), 1, 8) AS BIGINT)
+              % (bucket - 3 + 1) AS s
+          FROM ex
+        )
+        SELECT doc_id, mask_id, CAST(s AS BIGINT) AS span_start,
+               3 AS span_len,
+               array_to_string(tk[CAST(s + 1 AS INT):CAST(s + 3 AS INT)], ' ')
+                 AS span_text
+        FROM placed
+    """,
     "window_moving_avg": """
         SELECT o_orderkey, o_orderstatus,
           round(

@@ -1335,3 +1335,34 @@ def test_fuzzy_dedup_e2e_query_invariants(spark, sf_dir):
     for c, ids in members.items():
         assert set(ids) & kept == {min(ids)}
     assert len(kept) == len(all_ids) - (len(clusters) - len(members))
+
+
+def test_plan_span_corruption_contract(spark):
+    import hashlib
+
+    from hashquery_spark.ops import plan_span_corruption
+
+    text = " ".join(f"w{i}" for i in range(40))  # 40 tokens
+    df = spark.createDataFrame(
+        [(1, text), (2, "too short"), (3, None)], "doc_id long, text string"
+    )
+    out = plan_span_corruption(df, "text", "doc_id", mask_ratio=0.15, span_len=3)
+    rows = sorted(out.collect(), key=lambda r: r["mask_id"])
+    # 40 * 0.15 / 3 = 2 spans, doc 2 (2 tokens -> 0 spans) and NULL drop out
+    assert [r["doc_id"] for r in rows] == [1, 1]
+    assert [r["mask_id"] for r in rows] == [0, 1]
+    toks = text.split(" ")
+    for r in rows:
+        bucket = 40 // 2
+        h = int(hashlib.md5(f"0:1:{r['mask_id']}".encode()).hexdigest()[:8], 16)
+        start = r["mask_id"] * bucket + h % (bucket - 3 + 1)
+        assert r["span_start"] == start
+        assert r["span_text"] == " ".join(toks[start : start + 3])
+        # spans stay inside their bucket -> never overlap
+        assert r["mask_id"] * bucket <= start <= (r["mask_id"] + 1) * bucket - 3
+    # determinism across repartitioning
+    again = sorted(
+        plan_span_corruption(df.repartition(5), "text", "doc_id").collect(),
+        key=lambda r: r["mask_id"],
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
