@@ -218,3 +218,33 @@ def test_bm25_two_million_deterministic_top10(spark):
     rows = sorted(out.collect(), key=lambda r: r["rank"])
     assert [r["doc_id"] for r in rows] == [i * 4 for i in range(10)]
     assert len({r["score"] for r in rows}) == 1  # exact ties
+
+
+def test_span_corruption_two_million(spark):
+    """2M 40-token docs: exactly 2 spans per doc (4M rows), every span
+    inside its bucket, zero overlap — the masking plan holds at volume."""
+    from hashquery_spark.ops import plan_span_corruption
+
+    n = 2_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 40), j -> concat('w', j)))"
+        ).alias("text"),
+    )
+    out = plan_span_corruption(docs, "text", "doc_id", mask_ratio=0.15, span_len=3)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("doc_id").alias("docs"),
+        # bucket = 20; span k must live in [k*20, k*20 + 17]
+        F.count(
+            F.when(
+                (F.col("span_start") < F.col("mask_id") * 20)
+                | (F.col("span_start") > F.col("mask_id") * 20 + 17),
+                1,
+            )
+        ).alias("out_of_bucket"),
+    ).collect()[0]
+    assert agg["rows"] == 2 * n
+    assert agg["docs"] == n
+    assert agg["out_of_bucket"] == 0
