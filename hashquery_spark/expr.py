@@ -1461,7 +1461,7 @@ class WindowExpression(ColumnExpression):
     )
     _OFFSETS = ("lag", "lead")
     _AGGS = ("sum", "avg", "min", "max", "count")
-    _EDGES = ("first_value", "last_value")
+    _EDGES = ("first_value", "last_value", "nth_value")
 
     def __init__(
         self,
@@ -1524,8 +1524,11 @@ class WindowExpression(ColumnExpression):
             # partition (SQL's default current-row frame is a famous trap)
             if self.frame is None:
                 w = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-            base = F.first if fn == "first_value" else F.last
-            col = base(self.args[0].compile(ctx))
+            if fn == "nth_value":
+                col = F.nth_value(self.args[0].compile(ctx), int(self.offset))
+            else:
+                base = F.first if fn == "first_value" else F.last
+                col = base(self.args[0].compile(ctx))
         elif fn in self._OFFSETS:
             col = getattr(F, fn)(
                 self.args[0].compile(ctx), self.offset if self.offset is not None else 1,

@@ -304,6 +304,16 @@ def first_value(expr: Any, *, partition=None, order=None) -> "ColumnExpression":
 
 
 @defer_keypath_args
+def nth_value(expr: Any, n: int, *, partition=None, order=None) -> "ColumnExpression":
+    """SQL NTH_VALUE(expr, n): the n-th value (1-based) in the
+    partition's order, whole-partition framed like first/last_value
+    (NULL when the partition has fewer than ``n`` rows)."""
+    from .expr import WindowExpression
+
+    return WindowExpression("nth_value", [expr], partition, order, offset=int(n))
+
+
+@defer_keypath_args
 def last_value(expr: Any, *, partition=None, order=None) -> "ColumnExpression":
     """Last value of ``expr`` in the partition's order. Framed to the
     WHOLE partition (not SQL's default current-row frame, the classic

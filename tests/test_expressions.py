@@ -499,3 +499,31 @@ def test_model_df_shortcut(spark):
     conn.register_records("df_t", [(1,), (2,)], schema="id long")
     pdf = Model(conn, "df_t").df()
     assert sorted(pdf["id"].tolist()) == [1, 2]
+
+
+def test_window_nth_value(spark):
+    from hashquery_spark import Connection, Model, attr, column, func
+
+    conn = Connection(spark)
+    conn.register_records(
+        "nth_t",
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 4, 5.0)],
+        schema="g string, id long, v double",
+    )
+    out = (
+        Model(conn, "nth_t")
+        .pick(
+            attr.g,
+            attr.id,
+            func.nth_value(
+                attr.v, 2, partition=[attr.g], order=[attr.v, attr.id]
+            ).named("second_v"),
+        )
+        .to_df()
+        .collect()
+    )
+    got = {r["id"]: r["second_v"] for r in out}
+    # whole-partition frame: every 'a' row sees the 2nd value; the 1-row
+    # partition 'b' has none
+    assert got[1] == got[2] == got[3] == 20.0
+    assert got[4] is None
