@@ -1961,6 +1961,34 @@ def q_host_rollup(spark, sf_dir):
     return host_rollup(seeded, "url", "doc_id", top_k=5)
 
 
+def q_refresh_rollup(spark, sf_dir):
+    """Incremental rollup maintenance: a stored per-status aggregate of
+    pre-2000 orders merged with the 2000+ delta — the oracle proves the
+    refreshed rollup is bit-identical to a from-scratch rebuild over all
+    orders (decimal partials make merge order irrelevant)."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import refresh_rollup
+
+    orders = _conn(spark, sf_dir).table("orders")
+    old = (
+        orders.where("o_orderdate < TIMESTAMP '2000-01-01'")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    delta = (
+        orders.where("o_orderdate >= TIMESTAMP '2000-01-01'")
+        .select("o_orderstatus", F.col("o_totalprice").alias("total"))
+    )
+    out = refresh_rollup(old, delta, "o_orderstatus", "total")
+    return out.select(
+        "o_orderstatus", F.col("total").cast("double").alias("total"), "n"
+    )
+
+
 def q_span_corruption(spark, sf_dir):
     """T5-style span-corruption plan over documents: deterministic
     md5-placed, bucket-non-overlapping mask spans, one narrow generator
@@ -2681,6 +2709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_edges": q_window_edges,
         "window_moving_avg": q_window_moving_avg,
         "span_corruption": q_span_corruption,
+        "refresh_rollup": q_refresh_rollup,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_bruteforce": q_ann_bruteforce,

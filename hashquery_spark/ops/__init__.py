@@ -86,7 +86,7 @@ from .profile import (
     mad_outliers,
     standardize,
 )
-from .timeseries import counter_delta, gap_fill, multi_grain_rollup, time_weighted_avg, trailing_agg
+from .timeseries import counter_delta, gap_fill, multi_grain_rollup, refresh_rollup, time_weighted_avg, trailing_agg
 from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 
 from .graph import degree_centrality, pagerank
@@ -156,6 +156,7 @@ __all__ = [
     "histogram",
     "check_constraints",
     "multi_grain_rollup",
+    "refresh_rollup",
     "gap_fill",
     "time_weighted_avg",
     "counter_delta",

@@ -477,3 +477,49 @@ def multi_grain_rollup(
     for o in out[1:]:
         result = result.unionByName(o)
     return result
+
+
+def refresh_rollup(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys,
+    sum_cols,
+    count_col: str = "n",
+) -> DataFrame:
+    """Incrementally maintain a stored rollup: merge an ``existing``
+    aggregate frame (keys + per-column sums + ``count_col``) with NEW raw
+    ``delta`` rows, producing the refreshed rollup WITHOUT rescanning the
+    historical data — the batch materialized-view maintenance step
+    (multi_grain_rollup builds from scratch; this keeps it current).
+
+    Works because sum/count are decomposable: the delta aggregates alone
+    (one partial-combined groupBy over only the new rows), then one tiny
+    union+re-aggregate over (existing ∪ delta-partials) — both frames are
+    key-cardinality small. Averages derive as sum/count downstream; for
+    min/max store those partials the same way (also decomposable);
+    non-decomposable aggregates (exact distinct, percentile) need the
+    sketch path instead.
+
+    Determinism: sums are DECIMAL(18,2)-routed end-to-end, so refresh
+    order never matters and a refreshed rollup is BIT-IDENTICAL to a
+    from-scratch rebuild (the oracle checks exactly that equivalence).
+    ``existing``'s columns must be ``keys + [sum_cols...] + [count_col]``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sum_cols = [sum_cols] if isinstance(sum_cols, str) else list(sum_cols)
+    delta_agg = delta.groupBy(*[F.col(k) for k in keys]).agg(
+        *[
+            F.sum(F.col(c).cast("decimal(18,2)")).alias(c)
+            for c in sum_cols
+        ],
+        F.count(F.lit(1)).alias(count_col),
+    )
+    merged = existing.select(
+        *keys,
+        *[F.col(c).cast("decimal(18,2)").alias(c) for c in sum_cols],
+        F.col(count_col),
+    ).unionByName(delta_agg)
+    return merged.groupBy(*[F.col(k) for k in keys]).agg(
+        *[F.sum(F.col(c)).alias(c) for c in sum_cols],
+        F.sum(F.col(count_col)).alias(count_col),
+    )

@@ -614,6 +614,13 @@ ORACLE_SQL: dict[str, str] = {
                          ORDER BY total_value DESC, user_id) AS spend_quartile
         FROM agg
     """,
+    "refresh_rollup": """
+        SELECT o_orderstatus,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               count(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
     "span_corruption": f"""
         WITH t AS (
           SELECT doc_id, {TOKS.format(c='text')} AS tk FROM documents

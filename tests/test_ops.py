@@ -1366,3 +1366,37 @@ def test_plan_span_corruption_contract(spark):
         key=lambda r: r["mask_id"],
     )
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_refresh_rollup_equals_rebuild(spark):
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import refresh_rollup
+
+    rows = [("a", float(v)) for v in range(1, 8)] + [("b", 10.0), ("b", 20.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    old_raw = df.where("v <= 4")
+    delta = df.where("v > 4")
+    old = old_raw.groupBy("k").agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    refreshed = {
+        r["k"]: (float(r["v"]), r["n"])
+        for r in refresh_rollup(old, delta, "k", "v").collect()
+    }
+    rebuilt = {
+        r["k"]: (float(r["v"]), r["n"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert refreshed == rebuilt
+    # keys only in the delta appear; keys only in existing survive
+    # (old covers just 'a' — the b rows all sit in the v>4 delta)
+    extra = spark.createDataFrame([("c", 1.0)], "k string, v double")
+    ref2 = {r["k"] for r in refresh_rollup(old, extra, "k", "v").collect()}
+    assert ref2 == {"a", "c"}
