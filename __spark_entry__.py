@@ -1961,6 +1961,16 @@ def q_host_rollup(spark, sf_dir):
     return host_rollup(seeded, "url", "doc_id", top_k=5)
 
 
+def q_pmi_bigrams(spark, sf_dir):
+    """Top collocations by pointwise mutual information (min_count-gated);
+    one explode feeds unigrams + bigrams, vocab broadcasts back, bounded
+    top-k; ln rounded 4 dp with fixed operand order."""
+    from hashquery_spark.ops import pmi_bigrams
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return pmi_bigrams(docs, "text", "doc_id", min_count=5, top_k=50)
+
+
 def q_refresh_rollup(spark, sf_dir):
     """Incremental rollup maintenance: a stored per-status aggregate of
     pre-2000 orders merged with the 2000+ delta — the oracle proves the
@@ -2710,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_moving_avg": q_window_moving_avg,
         "span_corruption": q_span_corruption,
         "refresh_rollup": q_refresh_rollup,
+        "pmi_bigrams": q_pmi_bigrams,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_bruteforce": q_ann_bruteforce,

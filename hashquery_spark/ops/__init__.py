@@ -51,6 +51,7 @@ from .text import (
     boilerplate_ngrams,
     char_entropy,
     bpe_pair_counts,
+    pmi_bigrams,
     compression_ratio,
     script_profile,
     doc_fingerprint,
@@ -149,6 +150,7 @@ __all__ = [
     "chunk_documents",
     "dedup_paragraphs",
     "bpe_pair_counts",
+    "pmi_bigrams",
     "embedding_centroids",
     "kmeans_assign",
     "kmeans_fit",

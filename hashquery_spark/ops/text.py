@@ -493,3 +493,69 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         f"ELSE round(-({terms}) / (n_chars_norm * CAST(10000.0 AS DOUBLE)), 4) "
         "END AS entropy",
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """(bigram, n_ab, n_a, n_b, pmi) — top collocations by pointwise
+    mutual information, ``pmi = ln(N·c(ab) / (c(a)·c(b)))`` over corpus
+    token counts (the classic collocation / multi-word-expression
+    extractor; complements frequency-ranked ``bpe_pair_counts`` by
+    normalizing away individually-common words). ``min_count`` gates
+    rare-pair noise (PMI is notoriously high-variance at low counts).
+
+    Scale: ONE token explode feeds both the unigram vocabulary and
+    (shifted by one) the bigram counts; unigrams join back onto bigrams
+    (vocab ≪ corpus — AQE broadcasts), the corpus total is a 1-row
+    broadcast, and the top-k is a bounded TakeOrdered + rank over ≤ top_k
+    rows. Determinism: the PMI argument computes with fixed operation
+    order in doubles and ln rounds to 4 dp; ties rank by bigram text.
+    """
+    from .dedup import ensure_parallelism, tokens, word_shingles
+
+    base = ensure_parallelism(df.where(F.col(text_col).isNotNull()))
+    uni = (
+        base.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").alias("n_total"))
+    bi = (
+        base.select(F.explode(word_shingles(F.col(text_col), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+        .withColumn("__a__", F.split(F.col("bigram"), " ")[0])
+        .withColumn("__b__", F.split(F.col("bigram"), " ")[1])
+    )
+    joined = (
+        bi.join(
+            F.broadcast(uni.selectExpr("token AS __a__", "cnt AS n_a")), on="__a__"
+        )
+        .join(
+            F.broadcast(uni.selectExpr("token AS __b__", "cnt AS n_b")), on="__b__"
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.col("n_total"))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        ),
+        4,
+    )
+    from pyspark.sql import Window
+
+    top = (
+        joined.select("bigram", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("bigram"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

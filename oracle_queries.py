@@ -614,6 +614,45 @@ ORACLE_SQL: dict[str, str] = {
                          ORDER BY total_value DESC, user_id) AS spend_quartile
         FROM agg
     """,
+    "pmi_bigrams": f"""
+        WITH toks AS (
+          SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents
+          WHERE text IS NOT NULL
+        ),
+        ex AS (SELECT unnest(t) AS token FROM toks),
+        ex2 AS (SELECT token FROM ex WHERE token <> ''),
+        uni AS (SELECT token, count(*) AS cnt FROM ex2 GROUP BY token),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM uni),
+        bi AS (
+          SELECT unnest(CASE WHEN len(t) >= 2 THEN
+            list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))
+            ELSE [] END) AS bigram
+          FROM toks
+        ),
+        bc AS (
+          SELECT bigram, count(*) AS n_ab FROM bi GROUP BY bigram
+          HAVING count(*) >= 5
+        ),
+        j AS (
+          SELECT bc.bigram, bc.n_ab, ua.cnt AS n_a, ub.cnt AS n_b, n_total
+          FROM bc
+          JOIN uni ua ON string_split(bc.bigram, ' ')[1] = ua.token
+          JOIN uni ub ON string_split(bc.bigram, ' ')[2] = ub.token
+          CROSS JOIN tot
+        ),
+        scored AS (
+          SELECT bigram, n_ab, n_a, n_b,
+            round(ln((CAST(n_ab AS DOUBLE) * n_total)
+                     / (CAST(n_a AS DOUBLE) * n_b)), 4) AS pmi
+          FROM j
+        ),
+        top AS (
+          SELECT * FROM scored ORDER BY pmi DESC, bigram LIMIT 50
+        )
+        SELECT bigram, n_ab, n_a, n_b, pmi,
+               CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS INT) AS rank
+        FROM top
+    """,
     "refresh_rollup": """
         SELECT o_orderstatus,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

@@ -1400,3 +1400,24 @@ def test_refresh_rollup_equals_rebuild(spark):
     extra = spark.createDataFrame([("c", 1.0)], "k string, v double")
     ref2 = {r["k"] for r in refresh_rollup(old, extra, "k", "v").collect()}
     assert ref2 == {"a", "c"}
+
+
+def test_pmi_bigrams_collocation_semantics(spark):
+    """A pair that always co-occurs outranks a pair of frequent-but-
+    independent words, even when the latter is more frequent."""
+    from hashquery_spark.ops import pmi_bigrams
+
+    rows = []
+    # 'hong kong' appears 6 times, always together
+    for i in range(6):
+        rows.append((i, "hong kong is busy today"))
+    # 'the city' appears 10 times but both words are everywhere
+    for i in range(10):
+        rows.append((100 + i, "the city and the town and the place"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bigram"]: r for r in pmi_bigrams(df, "text", "doc_id", min_count=5, top_k=20).collect()}
+    assert "hong kong" in out
+    assert out["hong kong"]["n_ab"] == 6
+    assert "the city" in out
+    assert out["hong kong"]["pmi"] > out["the city"]["pmi"]
+    assert out["hong kong"]["rank"] < out["the city"]["rank"]
