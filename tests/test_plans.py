@@ -76,6 +76,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "tfidf", "lm_score", "ann_bruteforce",
         # 1-row (N, avgdl) stats frame replicated to the scored terms:
         "bm25",
+        # 1-row corpus-total frame replicated to the gated bigrams:
+        "pmi_bigrams",
         # 1-row mean-weight frame replicated to the corpus filter:
         "weighted_sample",
     }
