@@ -1961,6 +1961,16 @@ def q_host_rollup(spark, sf_dir):
     return host_rollup(seeded, "url", "doc_id", top_k=5)
 
 
+def q_lm2_score(spark, sf_dir):
+    """Bigram LM fluency score (second-order twin of lm_score): word-
+    salad with common-but-shuffled words scores poorly; per-bigram ln
+    rounded+integer-scaled so cross-engine sums are exact."""
+    from hashquery_spark.ops import bigram_lm_score
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return bigram_lm_score(docs, "text", "doc_id")
+
+
 def q_pmi_bigrams(spark, sf_dir):
     """Top collocations by pointwise mutual information (min_count-gated);
     one explode feeds unigrams + bigrams, vocab broadcasts back, bounded
@@ -2721,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,
         "refresh_rollup": q_refresh_rollup,
         "pmi_bigrams": q_pmi_bigrams,
+        "lm2_score": q_lm2_score,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_bruteforce": q_ann_bruteforce,

@@ -62,6 +62,7 @@ from .text import (
     tfidf_top_terms,
     token_count,
     unigram_lm_score,
+    bigram_lm_score,
     vocabulary,
 )
 from .multimodal import (
@@ -127,6 +128,7 @@ __all__ = [
     "tfidf_top_terms",
     "boilerplate_ngrams",
     "unigram_lm_score",
+    "bigram_lm_score",
     "pii_scrub",
     "redact_pii",
     "pack_sequences",

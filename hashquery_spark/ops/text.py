@@ -559,3 +559,58 @@ def pmi_bigrams(
     )
     w = Window.orderBy(F.desc("pmi"), F.asc("bigram"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_bigrams, lm2_score) — mean bigram log-probability of each
+    document under the corpus's own bigram model:
+    ``mean ln P(w_i | w_{i-1}) = mean ln(c(ab) / c(a·))`` with ``c(a·)``
+    the count of bigrams starting with ``a``. The second-order fluency
+    twin of :func:`unigram_lm_score` — word-salad that fools unigram
+    frequency (all common words, nonsense order) scores poorly here.
+
+    Scale: ONE bigram explode feeds the bigram counts, the
+    first-word-context counts (a groupBy over the already-tiny bigram
+    vocabulary), and the per-doc rollup; count tables join back on the
+    bigram (vocab ≪ corpus — AQE broadcasts). Documents with < 2 tokens
+    have no bigrams and drop out.
+
+    Determinism: ln is rounded to 4 dp per BIGRAM, integer-scaled, and
+    summed as BIGINTs (the lm_score/PSI contract) — cross-engine exact.
+    """
+    from .dedup import ensure_parallelism, word_shingles
+
+    ex = ensure_parallelism(df.where(F.col(text_col).isNotNull())).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), 2)).alias("bigram")
+    )
+    bc = ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("__cab__"))
+    ctx = (
+        bc.withColumn("__a__", F.split(F.col("bigram"), " ")[0])
+        .groupBy("__a__")
+        .agg(F.sum("__cab__").alias("__ca__"))
+    )
+    logp = (
+        bc.withColumn("__a__", F.split(F.col("bigram"), " ")[0])
+        .join(F.broadcast(ctx), on="__a__")
+        .select(
+            "bigram",
+            F.round(
+                F.log(F.col("__cab__") / F.col("__ca__").cast("double")) * 10000.0,
+                0,
+            )
+            .cast("long")
+            .alias("__lp__"),
+        )
+    )
+    return (
+        ex.join(logp, on="bigram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("__lp__").alias("__s__"))
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.round(
+                F.col("__s__") / (F.col("n_bigrams") * F.lit(10000.0)), 4
+            ).alias("lm2_score"),
+        )
+    )

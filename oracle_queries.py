@@ -614,6 +614,32 @@ ORACLE_SQL: dict[str, str] = {
                          ORDER BY total_value DESC, user_id) AS spend_quartile
         FROM agg
     """,
+    "lm2_score": f"""
+        WITH toks AS (
+          SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents
+          WHERE text IS NOT NULL
+        ),
+        ex AS (
+          SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+            list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))
+            ELSE [] END) AS bigram
+          FROM toks
+        ),
+        bc AS (SELECT bigram, count(*) AS cab FROM ex GROUP BY bigram),
+        ctx AS (
+          SELECT string_split(bigram, ' ')[1] AS a, CAST(sum(cab) AS BIGINT) AS ca
+          FROM bc GROUP BY 1
+        ),
+        logp AS (
+          SELECT bigram,
+            CAST(round(ln(cab / CAST(ca AS DOUBLE)) * 10000.0, 0) AS BIGINT) AS lp
+          FROM bc JOIN ctx ON string_split(bc.bigram, ' ')[1] = ctx.a
+        )
+        SELECT e.doc_id, count(*) AS n_bigrams,
+          round(CAST(sum(lp) AS BIGINT) / (count(*) * 10000.0), 4) AS lm2_score
+        FROM ex e JOIN logp USING (bigram)
+        GROUP BY e.doc_id
+    """,
     "pmi_bigrams": f"""
         WITH toks AS (
           SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents

@@ -1421,3 +1421,16 @@ def test_pmi_bigrams_collocation_semantics(spark):
     assert "the city" in out
     assert out["hong kong"]["pmi"] > out["the city"]["pmi"]
     assert out["hong kong"]["rank"] < out["the city"]["rank"]
+
+
+def test_bigram_lm_score_penalizes_word_salad(spark):
+    from hashquery_spark.ops import bigram_lm_score
+
+    rows = [(i, "the quick brown fox jumps high") for i in range(10)]
+    rows.append((99, "fox the high brown jumps quick"))  # same words, shuffled
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lm2_score"] for r in bigram_lm_score(df, "text", "doc_id").collect()}
+    assert out[99] < out[0]  # salad scores below fluent order
+    # one-token docs drop out
+    short = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    assert bigram_lm_score(short, "text", "doc_id").count() == 0
