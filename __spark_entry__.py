@@ -232,7 +232,10 @@ def q_top_k_per_group(spark, sf_dir):
 
 
 def q_quantiles(spark, sf_dir):
-    """Exact interpolated percentiles (net-new func.percentile)."""
+    """Exact interpolated percentiles (net-new func.percentile). Raw doubles
+    are bit-identical to DuckDB's quantile_cont (same lo+(hi-lo)*frac
+    interpolation); a round(x,2) here once diverged on an exact .xx5 tie —
+    so no rounding."""
     return (
         Model(_conn(spark, sf_dir), "lineitem")
         .aggregate(
@@ -241,11 +244,6 @@ def q_quantiles(spark, sf_dir):
                 func.percentile(attr.l_extendedprice, 0.5).named("p50"),
                 func.percentile(attr.l_extendedprice, 0.9).named("p90"),
             ],
-        )
-        .pick(
-            column("l_returnflag"),
-            column(sql="round(p50, 2)").named("p50"),
-            column(sql="round(p90, 2)").named("p90"),
         )
         .to_df()
     )
@@ -1128,13 +1126,21 @@ def q_tpch_q22(spark, sf_dir):
 
 
 def q_approx_distinct(spark, sf_dir):
-    """HLL++ approximate count-distinct (net-new; approximate by design, so
-    no value-exact oracle — the driver records a rows-only check)."""
+    """HLL++ approximate count-distinct (net-new). The approx value itself
+    is engine-specific, so the driver-checkable contract is: emit the EXACT
+    distinct count plus a boolean `within_3rsd` asserting |approx-exact| <=
+    3*rsd*exact; the oracle recomputes the exact count and emits TRUE, so
+    the hash matches deterministically iff the HLL estimate is in band."""
+    approx = func.approx_distinct(attr.l_partkey)
+    exact = func.count(func.distinct(attr.l_partkey))
     return (
         Model(_conn(spark, sf_dir), "lineitem")
         .aggregate(
             groups=[attr.l_returnflag],
-            measures=[func.approx_distinct(attr.l_partkey).named("approx_parts")],
+            measures=[
+                exact.named("exact_parts"),
+                (func.abs(approx - exact) <= exact * 0.15).named("within_3rsd"),
+            ],
         )
         .sort(column("l_returnflag"), small=True)
         .to_df()
@@ -1415,7 +1421,7 @@ def q_sql_text_binding(spark, sf_dir):
         li.aggregate(
             groups=[attr.l_returnflag],
             measures=[
-                func.sum(column(sql="{{ revenue }} * (1 + l_tax)").cast("decimal(18,4)"))
+                func.sum(column(sql="{{ revenue }} * (1 + l_tax)").cast("decimal(18,6)"))
                 .cast("double")
                 .named("sum_charge")
             ],

@@ -962,13 +962,20 @@ ORACLE_SQL: dict[str, str] = {
         )
         GROUP BY l_returnflag
     """,
+    "approx_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS within_3rsd
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "json_extraction": """
         WITH j AS (
           SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           FROM events
         )
-        SELECT event_type, count(k) AS n_with_k, sum(k) AS sum_k, max(k) AS max_k
+        SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
         FROM j GROUP BY event_type
     """,
     "sessionize": """
@@ -982,8 +989,8 @@ ORACLE_SQL: dict[str, str] = {
         ),
         s AS (
           SELECT user_id, ts,
-                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM x
         )
         SELECT user_id, session_id, count(*) AS n_events,
@@ -1080,8 +1087,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "quantiles": """
         SELECT l_returnflag,
-               round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-               round(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.9) AS p90
         FROM lineitem GROUP BY l_returnflag
     """,
     "asof_join": """
@@ -1170,7 +1177,7 @@ ORACLE_SQL: dict[str, str] = {
     "sql_text_binding": """
         SELECT l_returnflag,
           CAST(sum(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax)
-                   AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge
+                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge
         FROM lineitem GROUP BY l_returnflag
     """,
     "fold_unpivot": """
@@ -1443,7 +1450,7 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT event_type, bucket,
                coalesce(CAST(sum(sv) OVER w AS DOUBLE), 0.0) AS trailing_sum,
-               sum(c) OVER w AS trailing_count,
+               CAST(sum(c) OVER w AS BIGINT) AS trailing_count,
                CASE WHEN sum(c) OVER w > 0
                     THEN CAST(sum(sv) OVER w AS DOUBLE) / (sum(c) OVER w) END
                  AS trailing_avg,

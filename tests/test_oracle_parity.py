@@ -32,20 +32,57 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(value):
+    """Exact canonicalization — replicates the driver's value-hash gate.
+
+    Both sides arrive through pandas/Arrow (Spark ``toPandas`` vs DuckDB
+    ``.df()``), so NULL handling is symmetric (NaN/NaT on both). Floats use
+    ``repr`` (shortest round-trip — EXACT, not 6 significant digits): any
+    cross-engine double divergence the driver would flag, this flags too.
+    """
     if value is None:
         return "∅"
     if isinstance(value, float):
         if math.isnan(value):
-            return "nan"
-        return f"{value:.6g}"
+            return "∅"  # pandas renders NULL as NaN; symmetric on both sides
+        return repr(value)
+    if isinstance(value, (list, tuple)) or type(value).__name__ == "ndarray":
+        return "[" + ",".join(_canon(v) for v in value) + "]"
     if hasattr(value, "isoformat"):
-        return value.isoformat().replace("+00:00", "")
+        iso = value.isoformat().replace("+00:00", "")
+        if "." in iso:
+            iso = iso.rstrip("0").rstrip(".")
+        if iso.endswith("T00:00:00"):
+            # DuckDB .df() renders DATE as midnight Timestamp; Spark keeps
+            # datetime.date — canonicalize both to the bare date string.
+            iso = iso[: -len("T00:00:00")]
+        return iso
     return str(value)
 
 
 def _canon_rows(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def _pdf_cells(pdf):
+    """Rows as python objects from a pandas frame (NaT→None handled by canon)."""
+    import pandas as pd
+
+    out = []
+    for row in pdf.itertuples(index=False, name=None):
+        out.append(
+            tuple(
+                None
+                if v is pd.NaT
+                else (
+                    v.item()
+                    if type(v).__module__ == "numpy" and getattr(v, "ndim", 1) == 0
+                    else v
+                )
+                for v in row
+            )
+        )
+    return out
 
 
 QUERY_NAMES = sorted(entry_mod.queries().keys())
@@ -56,25 +93,34 @@ def test_oracle_parity(spark, sf_dir, name):
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     sdf = queries[name](spark, sf_dir)
-    spark_cols = list(sdf.columns)
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = sdf.toPandas()
+    spark_cols = list(spark_pdf.columns)
 
     if name not in oracles:
-        assert len(spark_rows) >= 0  # rows-only check
+        assert len(spark_pdf) >= 0  # rows-only check
         return
 
     con = _duck(sf_dir)
-    res = con.execute(oracles[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pdf = con.execute(oracles[name]).df()
+    duck_cols = list(duck_pdf.columns)
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
-    sc = _canon_rows(spark_cols, spark_rows)
-    dc = _canon_rows(duck_cols, duck_rows)
+    # dtype-kind parity: catches DuckDB HUGEINT→float64 Arrow degradation
+    # (the driver-red sessionize/json_extraction failure mode) structurally.
+    for c in spark_cols:
+        sk = spark_pdf[c].dtype.kind
+        dk = duck_pdf[c].dtype.kind
+        if "O" in (sk, dk) or len(spark_pdf) == 0:
+            continue  # object columns (strings/dates/lists) compare by value
+        assert (sk == dk) or ({sk, dk} <= {"i", "u"}) or ({sk, dk} <= {"M", "m"}), (
+            f"{name}: dtype kind mismatch on {c}: spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}"
+        )
+    sc = _canon_rows(spark_cols, _pdf_cells(spark_pdf))
+    dc = _canon_rows(duck_cols, _pdf_cells(duck_pdf))
     mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} differing rows; first 3: {mismatches[:3]}"
