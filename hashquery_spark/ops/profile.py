@@ -363,25 +363,45 @@ def winsorize(
     hi: float = 0.99,
     by=None,
     out_name: str | None = None,
+    exact: bool | None = None,
+    accuracy: int = 10000,
 ) -> DataFrame:
-    """Clip ``value_col`` to its exact interpolated [lo, hi] percentiles
-    (optionally per ``by`` group) — the standard outlier-robust value
-    treatment before training on numeric features. Adds
-    ``{value_col}_winsorized``; NULL values stay NULL (greatest/least
-    would silently coerce them to a bound — guarded).
+    """Clip ``value_col`` to its [lo, hi] percentiles (optionally per
+    ``by`` group) — the standard outlier-robust value treatment before
+    training on numeric features. Adds ``{value_col}_winsorized``; NULL
+    values stay NULL (greatest/least would silently coerce them to a
+    bound — guarded).
 
-    Scale: ONE aggregate computes both bounds (exact ``percentile`` —
-    sort-based within the agg, the oracle-checkable choice; at extreme
-    scale swap to approx_percentile upstream), then the tiny bounds frame
+    Scale: ONE aggregate computes both bounds, then the tiny bounds frame
     joins back — a 1-row broadcast cross join globally, an AQE-broadcast
     equi-join per group. The clip itself is a narrow codegen'd projection.
+    ``exact=None`` (auto) picks exact interpolated ``percentile`` for
+    grouped calls (partitioned aggregate, oracle-checkable) and the
+    bounded-memory Greenwald-Khanna ``percentile_approx`` sketch for the
+    UNGROUPED call: an ungrouped exact percentile buffers every distinct
+    value on one reducer — a 100 TB scale-killer (plan_lint flags it).
+    Force either with ``exact=True/False``.
     """
     out_name = out_name or f"{value_col}_winsorized"
     v = F.col(value_col)
-    bounds_aggs = [
-        F.percentile(v, F.lit(float(lo))).alias("__lo__"),
-        F.percentile(v, F.lit(float(hi))).alias("__hi__"),
-    ]
+    if exact is None:
+        exact = bool(by)
+    if exact:
+        bounds_aggs = [
+            F.percentile(v, F.lit(float(lo))).alias("__lo__"),
+            F.percentile(v, F.lit(float(hi))).alias("__hi__"),
+        ]
+    else:
+        bounds_aggs = [
+            F.expr(
+                f"CAST(percentile_approx(`{value_col}`, {float(lo)!r}D, "
+                f"{int(accuracy)}) AS DOUBLE)"
+            ).alias("__lo__"),
+            F.expr(
+                f"CAST(percentile_approx(`{value_col}`, {float(hi)!r}D, "
+                f"{int(accuracy)}) AS DOUBLE)"
+            ).alias("__hi__"),
+        ]
     if by:
         by = [by] if isinstance(by, str) else list(by)
         bounds = df.groupBy(*by).agg(*bounds_aggs)
@@ -401,6 +421,8 @@ def mad_outliers(
     group_col=None,
     threshold: float = 3.0,
     keep_cols=None,
+    exact: bool | None = None,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Rows whose ROBUST z-score — |x − median| / (1.4826·MAD), the
     consistency-scaled median-absolute-deviation — exceeds ``threshold``.
@@ -413,11 +435,16 @@ def mad_outliers(
     deviation-median agg, broadcast join-back, narrow filter. All four
     frames beyond the scans are group-cardinality small.
 
-    Determinism: medians are exact interpolated percentiles (engine-
-    agreeing, see quantiles); robust_z computes in IEEE doubles with
-    identical operation order in the oracle and rounds to 4 dp BEFORE the
-    threshold compare, so the flag can't flip between engines. Zero-MAD
-    groups (majority-constant values) emit no rows.
+    Determinism: with ``exact`` medians (interpolated percentiles,
+    engine-agreeing — see quantiles) robust_z computes in IEEE doubles
+    with identical operation order in the oracle and rounds to 4 dp
+    BEFORE the threshold compare, so the flag can't flip between engines.
+    Zero-MAD groups (majority-constant values) emit no rows.
+
+    ``exact=None`` (auto) = exact medians for grouped calls, bounded-
+    memory GK ``percentile_approx`` medians for the UNGROUPED call (an
+    ungrouped exact percentile buffers every distinct value on one
+    reducer — a 100 TB scale-killer; plan_lint flags it).
     """
     groups = (
         [group_col] if isinstance(group_col, str) else list(group_col or [])
@@ -425,6 +452,16 @@ def mad_outliers(
     keep_cols = list(keep_cols or [])
     v = F.col(value_col)
     base = df.where(v.isNotNull())
+    if exact is None:
+        exact = bool(groups)
+
+    def median_of(col_name):
+        if exact:
+            return F.percentile(F.col(col_name), F.lit(0.5))
+        return F.expr(
+            f"CAST(percentile_approx(`{col_name}`, 0.5D, {int(accuracy)}) "
+            "AS DOUBLE)"
+        )
 
     def agg_back(frame, expr_col, alias):
         if groups:
@@ -436,9 +473,9 @@ def mad_outliers(
             F.broadcast(frame.agg(expr_col.alias(alias)))
         )
 
-    med = agg_back(base, F.percentile(v, F.lit(0.5)), "__med__")
+    med = agg_back(base, median_of(value_col), "__med__")
     dev = med.withColumn("__dev__", F.abs(v.cast("double") - F.col("__med__")))
-    mad = agg_back(dev, F.percentile(F.col("__dev__"), F.lit(0.5)), "__mad__")
+    mad = agg_back(dev, median_of("__dev__"), "__mad__")
     rz = F.round(
         F.col("__dev__") / (F.lit(1.4826) * F.col("__mad__")), 4
     )

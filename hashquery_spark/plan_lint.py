@@ -53,6 +53,13 @@ def plan_report(df) -> Dict[str, Any]:
     unpartitioned_windows = len(
         re.findall(r"windowspecdefinition\((?:[^,()]+ (?:ASC|DESC))", plan)
     )
+    # exact `percentile(...)` inside an aggregate with NO grouping keys:
+    # every distinct value buffers on one reducer — unbounded memory at
+    # scale. (percentile_approx / approx_percentile never match the
+    # `percentile(` literal.)
+    unpartitioned_exact_percentiles = len(
+        re.findall(r"keys=\[\],\s*functions=\[[^\]]*\bpercentile\(", plan)
+    )
     warnings: List[str] = []
     if n_cartesian:
         warnings.append(
@@ -65,6 +72,13 @@ def plan_report(df) -> Dict[str, Any]:
             f"{n_bnlj} BroadcastNestedLoopJoin(s): only safe when the "
             "broadcast side is deliberately tiny (1-row stats frames); "
             "verify the build side is bounded."
+        )
+    if unpartitioned_exact_percentiles:
+        warnings.append(
+            f"{unpartitioned_exact_percentiles} unpartitioned EXACT "
+            "percentile(s): the aggregate buffers every distinct value on "
+            "one reducer — unbounded memory at scale. Use percentile_approx "
+            "(ops.approx_quantiles / exact=False) or group the percentile."
         )
     if unpartitioned_windows:
         warnings.append(
@@ -86,5 +100,6 @@ def plan_report(df) -> Dict[str, Any]:
         "cartesian_products": n_cartesian,
         "broadcast_nested_loop_joins": n_bnlj,
         "unpartitioned_windows": unpartitioned_windows,
+        "unpartitioned_exact_percentiles": unpartitioned_exact_percentiles,
         "warnings": warnings,
     }

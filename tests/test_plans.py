@@ -318,3 +318,34 @@ def test_scale_report_flags_each_smell(spark, sf_dir):
     tri = plan_report(a.crossJoin(b).crossJoin(c))
     assert tri["scans"] == 3
     assert any("separate file scans" in s for s in tri["warnings"])
+
+
+def test_ungrouped_percentiles_default_to_gk_sketch(spark, sf_dir):
+    """The ungrouped winsorize/mad_outliers default path must NOT plan an
+    unpartitioned exact percentile (single-reducer value buffer — the 100 TB
+    scale-killer); exact=True keeps it for oracle parity and plan_lint
+    flags it as a smell."""
+    from hashquery_spark.connection import connection_for_dir
+    from hashquery_spark.ops import mad_outliers, winsorize
+    from hashquery_spark.plan_lint import plan_report
+
+    conn = connection_for_dir(sf_dir, spark)
+    orders = conn.table("orders")
+
+    for frame in (
+        winsorize(orders, "o_totalprice"),
+        mad_outliers(orders, "o_totalprice", threshold=3.0),
+    ):
+        rep = plan_report(frame)
+        assert rep["unpartitioned_exact_percentiles"] == 0, rep
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "percentile_approx" in plan
+
+    exact_rep = plan_report(winsorize(orders, "o_totalprice", exact=True))
+    assert exact_rep["unpartitioned_exact_percentiles"] >= 1
+    assert any("EXACT percentile" in s for s in exact_rep["warnings"])
+
+    # grouped default stays exact (partitioned aggregate, oracle-checked)
+    grouped = winsorize(orders, "o_totalprice", by="o_orderstatus")
+    gplan = grouped._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" not in gplan

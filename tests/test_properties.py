@@ -810,7 +810,7 @@ def test_winsorize_matches_numpy_percentiles(spark, vals, lo, hi):
 
     got = {
         r["id"]: r["v_winsorized"]
-        for r in winsorize(df, "v", lo=lo, hi=hi).collect()
+        for r in winsorize(df, "v", lo=lo, hi=hi, exact=True).collect()
     }
     plo = float(np.percentile(vals, lo * 100, method="linear"))
     phi = float(np.percentile(vals, hi * 100, method="linear"))
