@@ -349,3 +349,33 @@ def test_ungrouped_percentiles_default_to_gk_sketch(spark, sf_dir):
     grouped = winsorize(orders, "o_totalprice", by="o_orderstatus")
     gplan = grouped._jdf.queryExecution().executedPlan().toString()
     assert "percentile_approx" not in gplan
+
+
+def test_ivf_search_reuses_cached_index(spark, sf_dir):
+    """ivf_index(cache=True) pays its centroid collect ONCE: constructing a
+    further ivf_search plan against the cached index launches ZERO driver
+    jobs (the collect lives in ivf_index only), and the persisted cell
+    assignment is read from the InMemory relation, not re-derived."""
+    from hashquery_spark.connection import connection_for_dir
+    from hashquery_spark.ops import ivf_index, ivf_search
+
+    conn = connection_for_dir(sf_dir, spark)
+    emb = conn.table("embeddings")
+    probes = emb.where("vec_id < 5")
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before_index = len(tracker.getJobIdsForGroup())
+    index = ivf_index(emb, "embedding", "vec_id", n_centroids=8, cache=True)
+    assert len(tracker.getJobIdsForGroup()) > jobs_before_index  # the collect
+
+    first = ivf_search(index, probes, k=10, n_probe=2)
+    n_first = first.count()
+    assert n_first > 0
+
+    jobs_before_search = len(tracker.getJobIdsForGroup())
+    second = ivf_search(index, probes, k=10, n_probe=2)
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    assert len(tracker.getJobIdsForGroup()) == jobs_before_search
+    assert "InMemoryTableScan" in plan  # assignment reused, not re-scanned
+    assert second.count() == n_first
+    index.unpersist()
