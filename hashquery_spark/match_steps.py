@@ -28,8 +28,11 @@ Reference semantics (ported exactly):
 Physical design (Spark-first, NOT the reference's N-way self-join cascade):
 
 * ONE scan of the events source: each event computes an array of (step)
-  matches and explodes — the reference instead unions N filtered copies of
-  the table (reference :79-113).
+  matches and explode_outer's — the reference instead unions N filtered
+  copies of the table (reference :79-113) and re-scans the base for the
+  distinct-entity universe (reference :234-283); here zero-match events
+  ride the same aggregate as NULL structs (skipped by collect_list), so
+  entity presence is the group key and no second scan/join exists.
 * ONE shuffle: ``groupBy(entity).agg(array_sort(collect_list(struct(...))))``
   gives the journey hash, the match indices (string arithmetic), AND every
   step's timestamp (``element_at``) with no join-backs. The reference needs
@@ -204,8 +207,15 @@ class MatchStepsSource(Source):
         ]
         if need_full_rows:
             event_cols.append(F.struct(*[F.col(c) for c in base_df.columns]).alias("__row__"))
+        # explode_outer, not explode: non-matching events pass through with a
+        # NULL match so their ENTITY still reaches the journey aggregate —
+        # entity presence comes free from the group key and the old second
+        # scan (distinct entities + left join back) disappears. The NULL
+        # matches are skipped when the array is collected, so shuffle volume
+        # for them is just the per-task partial group entry — the same bytes
+        # the distinct's partial aggregation used to shuffle.
         events = (
-            base_df.select(*event_cols, F.explode(matches_arr).alias("__m__"))
+            base_df.select(*event_cols, F.explode_outer(matches_arr).alias("__m__"))
             .withColumn("__inv__", F.col("__m__.inv"))
             .withColumn("__ch__", F.col("__m__.ch"))
             .drop("__m__")
@@ -220,6 +230,14 @@ class MatchStepsSource(Source):
         ]
         if need_full_rows:
             struct_fields.append(F.col("__row__").alias("row"))
+        # NULL-match events (and NULL-entity matches, mirroring the
+        # reference's uniq-LEFT-JOIN semantics where a NULL entity never
+        # equi-joins its journey) collapse to NULL structs, which
+        # collect_list skips — the group row survives with an empty array.
+        event_struct = F.when(
+            F.col("__ch__").isNotNull() & F.col(GROUP_LABEL).isNotNull(),
+            F.struct(*struct_fields),
+        )
         if self.salt_partials:
             # two-stage assembly: partial sorted arrays per (entity, salt),
             # then merge — array_sort(flatten(partials)) == full sort
@@ -230,7 +248,7 @@ class MatchStepsSource(Source):
             partials = (
                 events.withColumn("__salt__", salt)
                 .groupBy(F.col(GROUP_LABEL), F.col("__salt__"))
-                .agg(F.collect_list(F.struct(*struct_fields)).alias("__part__"))
+                .agg(F.collect_list(event_struct).alias("__part__"))
             )
             sorted_events = F.array_sort(F.flatten(F.collect_list(F.col("__part__"))))
             if self.max_events_per_entity is not None:
@@ -239,7 +257,7 @@ class MatchStepsSource(Source):
                 sorted_events.alias(EVENTS_ARRAY_LABEL)
             )
         else:
-            sorted_events = F.array_sort(F.collect_list(F.struct(*struct_fields)))
+            sorted_events = F.array_sort(F.collect_list(event_struct))
             if self.max_events_per_entity is not None:
                 sorted_events = F.slice(sorted_events, 1, self.max_events_per_entity)
             grouped = events.groupBy(F.col(GROUP_LABEL)).agg(
@@ -313,21 +331,18 @@ class MatchStepsSource(Source):
                 col = F.when(within, col)
             journeys = journeys.withColumn(step_ts_label(i), col)
 
-        # ---- 5. all unique entities LEFT JOIN journeys (reference :234-283) --
-        uniq_fs = self.base.compile(state)
-        uniq_ctx = uniq_fs.prepare([group_expr])
-        uniq = uniq_fs.df.select(group_expr.compile(uniq_ctx).alias(gid)).distinct()
-
-        keep_cols = (
-            [F.col(GROUP_LABEL)]
-            + [F.col(p) for p in part_names]
-            + [F.col(_step_index_col(i)) for i in range(n_steps)]
-            + [F.col(step_ts_label(i)) for i in range(n_steps)]
+        # ---- 5. every unique entity is ALREADY a journey row ----
+        # The reference re-scans the base for distinct entities and LEFT
+        # JOINs journeys back (reference :234-283); here explode_outer in
+        # step 1 routed zero-match entities through the same aggregate with
+        # empty arrays, so the entity universe is the journey group keys —
+        # ONE scan, ONE shuffle, no join.
+        entity = journeys.select(
+            F.col(GROUP_LABEL).alias(gid),
+            *[F.col(p) for p in part_names],
+            *[F.col(_step_index_col(i)) for i in range(n_steps)],
+            *[F.col(step_ts_label(i)) for i in range(n_steps)],
         )
-        journeys_slim = journeys.select(*keep_cols)
-        entity = uniq.join(
-            journeys_slim, uniq[gid] == journeys_slim[GROUP_LABEL], "left"
-        ).drop(GROUP_LABEL)
         if partitions:
             entity = entity.where(F.col(_step_index_col(0)).isNotNull())
 

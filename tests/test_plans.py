@@ -35,13 +35,16 @@ def test_aggregate_has_mapside_partials(spark, sf_dir):
 
 
 def test_funnel_shuffle_budget(spark, sf_dir):
-    """The funnel pipeline should stay within a small, fixed number of
-    exchanges: journeys groupBy, unique-entities distinct, final aggregate,
-    and the output sort. A regression to the reference's per-step join
-    cascade would blow this budget."""
+    """The funnel pipeline is ONE scan of events (zero-match entities ride
+    the journey aggregate via explode_outer — no distinct-entities rescan,
+    no left join) and a small fixed number of exchanges: journeys groupBy,
+    final aggregate, output sort. A regression to the reference's per-step
+    join cascade or uniq-rescan would blow this budget."""
     plan = _physical(entry_mod.q_funnel(spark, sf_dir))
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"funnel plan scans events {n_scans}x:\n{plan[:2000]}"
     n_exchanges = plan.count("Exchange ")
-    assert n_exchanges <= 5, f"funnel plan has {n_exchanges} exchanges:\n{plan[:2000]}"
+    assert n_exchanges <= 3, f"funnel plan has {n_exchanges} exchanges:\n{plan[:2000]}"
     # single events-table aggregation builds hash + indices + timestamps
     assert plan.count("collect_list") <= 2  # partial + final of ONE aggregation
 
