@@ -1274,7 +1274,17 @@ class Model:
 
     WIRE_VERSION = 7
 
-    def to_wire(self) -> dict:
+    def to_wire(self, format: str = "native") -> dict:
+        """Serialize. ``format="native"`` (default) is this engine's own
+        wire format; ``format="reference"`` emits reference wire-format v7
+        JSON that the reference client can hydrate (for the shared
+        Source/ColumnExpression subset — see wire_reference.py)."""
+        if format == "reference":
+            from .wire_reference import native_to_reference
+
+            return native_to_reference(self.to_wire())
+        if format != "native":
+            raise ValueError(f"unknown wire format {format!r}")
         return {
             "type": "model",
             "version": self.WIRE_VERSION,
@@ -1291,6 +1301,13 @@ class Model:
 
     @classmethod
     def from_wire(cls, data: dict, connection: Optional[Connection] = None) -> "Model":
+        from .wire_reference import is_reference_wire, reference_to_native
+
+        if is_reference_wire(data):
+            # a model serialized by the reference client (v7) — transform
+            # to the native payload, dropping its (secret-censored)
+            # connection envelope in favor of the Spark connection given
+            data = reference_to_native(data)
         model = cls(connection)
         if data.get("source"):
             model._source = Source.from_wire(data["source"])
