@@ -117,6 +117,47 @@ class Connection:
     def register_records(self, name: str, records: list, schema=None) -> "Connection":
         return self.register_table(name, self.spark.createDataFrame(records, schema=schema))
 
+    def register_excel(self, name: str, path: str, **options) -> "Connection":
+        """Load an ``.xlsx``/``.xls`` sheet (reference:
+        src/model/connection/duckdb_connection.py:91-111 loads excel
+        through pandas). Small dimension/config files only — the frame is
+        driver-materialized through pandas and distributed from memory, so
+        it broadcasts in joins; columnar formats are the data path.
+        Requires an excel engine (openpyxl); raises ImportError with
+        guidance otherwise."""
+        import pandas as pd
+
+        try:
+            pdf = pd.read_excel(path, **options)
+        except ImportError as e:
+            raise ImportError(
+                "register_excel needs an excel engine (pip install openpyxl); "
+                f"pandas could not read {path!r}: {e}"
+            ) from e
+        return self.register_table(name, self.spark.createDataFrame(pdf))
+
+    def register_file(self, name: str, path: str, **options) -> "Connection":
+        """Extension-dispatched loader mirroring the reference's
+        ``_load_df_from_content_ref`` (duckdb_connection.py:91-111):
+        csv / parquet / json / orc / avro / xlsx by suffix."""
+        lower = path.lower()
+        if lower.endswith(".csv"):
+            return self.register_csv(name, path, **options)
+        if lower.endswith(".parquet"):
+            return self.register_parquet(name, path)
+        if lower.endswith(".json") or lower.endswith(".jsonl"):
+            return self.register_json(name, path, **options)
+        if lower.endswith(".orc"):
+            return self.register_orc(name, path, **options)
+        if lower.endswith(".avro"):
+            return self.register_avro(name, path, **options)
+        if lower.endswith(".xlsx") or lower.endswith(".xls"):
+            return self.register_excel(name, path, **options)
+        raise ValueError(
+            "Cannot load file. Please provide a CSV, Parquet, JSON, ORC, "
+            "Avro, or Excel file."
+        )
+
     def register_dir(self, sf_dir: str) -> "Connection":
         """Register every ``<table>.parquet`` in a directory by stem name."""
         for fname in sorted(os.listdir(sf_dir)):

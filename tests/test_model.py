@@ -296,6 +296,38 @@ def test_register_orc_roundtrip(spark, tmp_path):
     assert m.run().df["n"][0] == 25
 
 
+def test_register_excel_plumbing(spark, tmp_path, monkeypatch):
+    """register_excel loads a sheet through pandas into a Spark frame
+    (reference duckdb_connection.py:91-111). No excel engine ships in this
+    container, so the pandas decode is faked deterministically — the real
+    surface under test is the register/createDataFrame/query plumbing and
+    the extension dispatch of register_file."""
+    import pandas as pd
+
+    from hashquery_spark import Connection
+
+    fake = pd.DataFrame({"region": ["EU", "US", "EU"], "quota": [10, 20, 30]})
+    seen = {}
+
+    def fake_read_excel(path, **options):
+        seen["path"] = path
+        return fake
+
+    monkeypatch.setattr(pd, "read_excel", fake_read_excel)
+    xlsx = tmp_path / "quotas.xlsx"
+    xlsx.write_bytes(b"")
+    conn = Connection(spark).register_file("quotas", str(xlsx))
+    assert seen["path"] == str(xlsx)
+    m = Model(conn, "quotas").aggregate(
+        groups=[attr.region], measures=[func.sum(attr.quota).named("total")]
+    )
+    got = {r["region"]: r["total"] for r in m.to_df().collect()}
+    assert got == {"EU": 40, "US": 20}
+
+    with pytest.raises(ValueError, match="Cannot load file"):
+        Connection(spark).register_file("nope", "data.txt")
+
+
 def test_dead_join_elision_applies_to_inner_joins_too(conn):
     """Reference-pinned footgun (compilers/join_one.py:59-60): an
     UNREFERENCED join is elided even with drop_unmatched=True, so a
