@@ -123,17 +123,47 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # DuckDB twin: time the IDENTICAL oracle SQL over the same parquet on
+    # the same machine so bench-vs-baseline is reproducible from this one
+    # JSON line (queries without a SQL twin are skipped and listed).
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        import duckdb
+
+        oracles = entry_mod.oracle_sql()
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count()}")
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            path = os.path.join(SF_DIR, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        duck_timings: dict[str, float] = {}
+        skipped = []
+        for name in HEADLINE:
+            if name not in oracles:
+                skipped.append(name)
+                continue
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck_timings[name] = round(best, 3)
+        out["duckdb_twin_total_sec"] = round(sum(duck_timings.values()), 3)
+        out["duckdb_twin_queries"] = duck_timings
+        out["duckdb_twin_skipped"] = skipped
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
