@@ -2665,6 +2665,39 @@ def q_gap_fill(spark, sf_dir):
     )
 
 
+def q_gopher_rules(spark, sf_dir):
+    """The published Gopher document-quality rules (Rae et al. 2022
+    A1.1) as per-rule measurement columns + a pass flag — one codegen
+    pass, arrays materialized once (ops/rules.py). Thresholds tuned so
+    the synthetic tech-word corpus exercises BOTH branches of the gate
+    (min_words=20, min_stop_hits=1 — the empty-oracle audit rule)."""
+    from hashquery_spark.ops import gopher_rules
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return gopher_rules(docs, "text", "doc_id", min_words=20, min_stop_hits=1)
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 line-level page cleaning (Raffel et al. 2020 §2.2): terminal-
+    punctuation + >=5-word + no-javascript line keeps, lorem-ipsum /
+    curly-brace / <3-kept-lines page flags, cleaned text re-joined.
+
+    The synthetic corpus has no punctuation/newlines at all, so the query
+    first builds deterministic page structure ('.\\n' after every 8th
+    word — regexp identical in both engines, verified bit-exact) so the
+    line gate actually exercises both branches (empty-oracle audit)."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import c4_filters
+
+    docs = _conn(spark, sf_dir).table("documents")
+    paged = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+\s+){7}\S+)\s*", "$1.\n").alias("text"),
+    )
+    return c4_filters(paged, "text", "doc_id")
+
+
 # ===========================================================================
 # Driver entry points
 # ===========================================================================
@@ -2825,6 +2858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        # round-2 additions
+        "gopher_rules": q_gopher_rules,
+        "c4_filters": q_c4_filters,
     }
 
 

@@ -93,6 +93,7 @@ from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 
 from .graph import degree_centrality, pagerank
 from .retrieval import bm25_search
+from .rules import c4_filters, gopher_rules
 from .urls import host_rollup, parse_urls
 from .masking import plan_span_corruption
 

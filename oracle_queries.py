@@ -2435,3 +2435,95 @@ SELECT host, n_docs,
 FROM c
 QUALIFY rank <= 5
 """
+
+# round-2 additions -------------------------------------------------------
+
+ORACLE_SQL["gopher_rules"] = r"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\s+') END AS toks,
+    string_split(text, chr(10)) AS lines,
+    text AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    greatest(len(toks), 1) AS nw1,
+    greatest(len(lines), 1) AS nl1,
+    round(CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE)
+          / greatest(len(toks), 1), 4) AS mean_word_len,
+    (len(t) - len(replace(t, '#', ''))) AS n_hash,
+    (len(t) - len(replace(t, '...', ''))) / 3 AS n_ellipsis,
+    len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-*•]'))) AS bullet_lines,
+    len(list_filter(lines, x -> ends_with(rtrim(x), '...'))) AS ellipsis_lines,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+    (CAST(list_contains(list_transform(toks, x -> lower(x)), 'the') AS INT)
+     + CAST(list_contains(list_transform(toks, x -> lower(x)), 'be') AS INT)
+     + CAST(list_contains(list_transform(toks, x -> lower(x)), 'to') AS INT)
+     + CAST(list_contains(list_transform(toks, x -> lower(x)), 'of') AS INT)
+     + CAST(list_contains(list_transform(toks, x -> lower(x)), 'and') AS INT)
+     + CAST(list_contains(list_transform(toks, x -> lower(x)), 'that') AS INT)
+     + CAST(list_contains(list_transform(toks, x -> lower(x)), 'have') AS INT)
+     + CAST(list_contains(list_transform(toks, x -> lower(x)), 'with') AS INT)
+    ) AS stop_hits
+  FROM base
+),
+r AS (
+  SELECT doc_id,
+    CAST(n_words AS INT) AS n_words,
+    mean_word_len,
+    round((n_hash + n_ellipsis) / CAST(nw1 AS DOUBLE), 4) AS symbol_ratio,
+    round(bullet_lines / CAST(nl1 AS DOUBLE), 4) AS bullet_line_ratio,
+    round(ellipsis_lines / CAST(nl1 AS DOUBLE), 4) AS ellipsis_line_ratio,
+    round(alpha_words / CAST(nw1 AS DOUBLE), 4) AS alpha_word_ratio,
+    stop_hits
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+  ellipsis_line_ratio, alpha_word_ratio, stop_hits,
+  (n_words >= 20 AND n_words <= 100000
+   AND mean_word_len >= 3 AND mean_word_len <= 10
+   AND symbol_ratio < 0.1
+   AND bullet_line_ratio < 0.9
+   AND ellipsis_line_ratio < 0.3
+   AND alpha_word_ratio > 0.8
+   AND stop_hits >= 1) AS passes
+FROM r
+"""
+
+ORACLE_SQL["c4_filters"] = r"""
+WITH paged AS (
+  SELECT doc_id,
+    regexp_replace(text, '((\S+\s+){7}\S+)\s*', '\1.' || chr(10), 'g') AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    string_split(text, chr(10)) AS lines,
+    lower(text) AS lowered
+  FROM paged
+),
+k AS (
+  SELECT doc_id, lines, lowered,
+    list_filter(lines, x ->
+      regexp_matches(rtrim(x), '[.!?"]$')
+      AND len(string_split_regex(trim(x), '\s+')) >= 5
+      AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM base
+),
+r AS (
+  SELECT doc_id,
+    coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+    CAST(len(kept) AS INT) AS n_lines_kept,
+    CAST(len(lines) AS INT) AS n_lines_total,
+    contains(lowered, 'lorem ipsum') AS has_lorem_ipsum,
+    contains(lowered, '{') AS has_brace
+  FROM k
+)
+SELECT doc_id, clean_text, n_lines_kept, n_lines_total, has_lorem_ipsum,
+  has_brace,
+  (n_lines_kept >= 3 AND NOT has_lorem_ipsum AND NOT has_brace) AS passes
+FROM r
+"""

@@ -1434,3 +1434,60 @@ def test_bigram_lm_score_penalizes_word_salad(spark):
     # one-token docs drop out
     short = spark.createDataFrame([(1, "word")], "doc_id long, text string")
     assert bigram_lm_score(short, "text", "doc_id").count() == 0
+
+
+def test_gopher_rules_each_branch(spark):
+    """Every Gopher rule (Rae et al. A1.1) flips on its own fixture doc."""
+    from hashquery_spark.ops import gopher_rules
+
+    good_words = "the quick brown fox has to be of and that have with it " * 6
+    docs = [
+        (1, good_words),                               # passes (72 words)
+        (2, "the of to"),                              # too few words
+        (3, "a " * 80),                                # mean_word_len < 3
+        (4, good_words + " " + "#" * 40),              # symbol ratio >= 0.1
+        (5, "\n".join(["- the be to of and that have with item"] * 10)),  # bullets
+        (6, "\n".join([good_words[:40] + "..."] * 10) + "\n" + good_words),
+        (7, good_words + " " + "1234 5678 9012 " * 30),  # alpha ratio <= 0.8
+        (8, "zebra quagga lion tiger puma jaguar " * 10),  # stop_hits < 2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(df, "text", "doc_id", min_words=20).collect()}
+    assert out[1]["passes"] is True
+    assert out[2]["n_words"] == 3 and out[2]["passes"] is False
+    assert out[3]["mean_word_len"] < 3 and out[3]["passes"] is False
+    assert out[4]["symbol_ratio"] >= 0.1 and out[4]["passes"] is False
+    assert out[5]["bullet_line_ratio"] >= 0.9 and out[5]["passes"] is False
+    assert out[6]["ellipsis_line_ratio"] >= 0.3 and out[6]["passes"] is False
+    assert out[7]["alpha_word_ratio"] <= 0.8 and out[7]["passes"] is False
+    assert out[8]["stop_hits"] < 2 and out[8]["passes"] is False
+
+
+def test_c4_filters_line_semantics(spark):
+    from hashquery_spark.ops import c4_filters
+
+    text = "\n".join(
+        [
+            "This is a proper sentence with enough words.",   # kept
+            "Short line.",                                     # < 5 words
+            "no terminal punctuation here at all",             # no punct
+            "Please enable javascript to view this page.",     # javascript
+            "Another proper sentence is right here folks!",    # kept
+            'He said "this ends with a quote"',                # quote, kept? ends with "
+            "And a third proper sentence appears here.",       # kept
+        ]
+    )
+    docs = [
+        (1, text),
+        (2, "Lorem ipsum dolor sit amet, consectetur adipiscing elit."),
+        (3, "var x = {a: 1}; this page has code in it everywhere."),
+        (4, "One good sentence only, which is not enough lines."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in c4_filters(df, "text", "doc_id").collect()}
+    assert out[1]["n_lines_kept"] == 4 and out[1]["passes"] is True
+    assert "javascript" not in out[1]["clean_text"]
+    assert "Short line." not in out[1]["clean_text"]
+    assert out[2]["has_lorem_ipsum"] is True and out[2]["passes"] is False
+    assert out[3]["has_brace"] is True and out[3]["passes"] is False
+    assert out[4]["n_lines_kept"] == 1 and out[4]["passes"] is False
