@@ -2698,6 +2698,18 @@ def q_c4_filters(spark, sf_dir):
     return c4_filters(paged, "text", "doc_id")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic deduplication: cluster-blocked cosine pruning,
+    kept rows returned with their cell. Threshold 0.4 — the synthetic
+    embeddings have no pairs above cosine 0.8 (empty-oracle audit)."""
+    from hashquery_spark.ops import semantic_dedup
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    return semantic_dedup(
+        emb, "embedding", "vec_id", n_clusters=8, threshold=0.4
+    )
+
+
 # ===========================================================================
 # Driver entry points
 # ===========================================================================
@@ -2861,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-2 additions
         "gopher_rules": q_gopher_rules,
         "c4_filters": q_c4_filters,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

@@ -27,6 +27,7 @@ from .similarity import (
     ivf_index,
     ivf_search,
     ann_brute_force,
+    semantic_dedup,
     embedding_near_dup,
     embedding_join,
     ivf_ann,

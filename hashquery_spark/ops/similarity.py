@@ -267,6 +267,62 @@ def ivf_ann(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    threshold: float = 0.7,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then drop any vector whose cell contains a
+    LOWER-id vector within ``threshold`` cosine. Returns the KEPT rows as
+    ``(id, cell)``.
+
+    Scale design: clustering bounds the candidate comparison to
+    within-cell pairs — O(Σ|cell|²) instead of O(n²); the paper's recipe
+    is k ∝ √n so cells stay small (their 100k clusters over 5B
+    embeddings). Cell assignment is a narrow codegen'd pass against
+    centroid literals (no join, see :func:`ivf_index`); the in-cell
+    self-join shuffles on the cell key only.
+
+    Determinism / oracle: ``kmeans_iters=0`` (default) uses the first-k
+    centroids so a DuckDB oracle can reproduce assignments exactly
+    (4-dp-rounded similarities, lowest-centroid-id tiebreak); the
+    drop rule (any similar lower-id predecessor in the cell) is a plain
+    NOT EXISTS. ``kmeans_iters>0`` trains Lloyd's centroids for better-
+    balanced cells (rows-only checkable)."""
+    index = ivf_index(
+        corpus, vec_col, id_col, n_centroids=n_clusters, kmeans_iters=kmeans_iters
+    )
+    a = index.assigned.select(
+        F.col("neighbor_id").alias("__id__"),
+        F.col("__cvec__"),
+        F.col("__cell__"),
+    )
+    left = a.select(
+        F.col("__cell__"), F.col("__id__").alias("id_a"), F.col("__cvec__").alias("__va__")
+    )
+    right = a.select(
+        F.col("__cell__"), F.col("__id__").alias("id_b"), F.col("__cvec__").alias("__vb__")
+    )
+    sim = F.round(cosine(F.col("__va__"), F.col("__vb__")), 4)
+    dropped = (
+        left.join(right, on="__cell__")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(sim >= threshold)
+        .select(F.col("id_b").alias("__drop__"))
+        .distinct()
+    )
+    kept = a.join(
+        dropped, a["__id__"] == dropped["__drop__"], "left_anti"
+    )
+    return kept.select(
+        F.col("__id__").alias(id_col), F.col("__cell__").alias("cell")
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     vec_col: str = "embedding",

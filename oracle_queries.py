@@ -2527,3 +2527,31 @@ SELECT doc_id, clean_text, n_lines_kept, n_lines_total, has_lorem_ipsum,
   (n_lines_kept >= 3 AND NOT has_lorem_ipsum AND NOT has_brace) AS passes
 FROM r
 """
+
+ORACLE_SQL["semantic_dedup"] = """
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
+asn AS (
+  SELECT c.vec_id, c.v, cents.cid,
+    round(list_dot_product(c.v, cents.cv) /
+          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents.cv, cents.cv))), 4) AS s
+  FROM c, cents
+),
+cells AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM asn
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+)
+SELECT cl.vec_id, cl.cell
+FROM cells cl
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = cl.vec_id)
+"""

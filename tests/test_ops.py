@@ -1491,3 +1491,27 @@ def test_c4_filters_line_semantics(spark):
     assert out[2]["has_lorem_ipsum"] is True and out[2]["passes"] is False
     assert out[3]["has_brace"] is True and out[3]["passes"] is False
     assert out[4]["n_lines_kept"] == 1 and out[4]["passes"] is False
+
+
+def test_semantic_dedup_drop_rule(spark):
+    """In-cell lower-id-predecessor rule: near-identical vectors collapse
+    to the lowest id; distinct directions all survive."""
+    from hashquery_spark.ops import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # ~dup of 0
+        (3, [0.0, 0.98, 0.02, 0.0]),   # ~dup of 1
+        (4, [0.0, 0.0, 1.0, 0.0]),     # unique direction
+        (5, [1.0, 0.001, 0.0, 0.0]),   # ~dup of 0 (and of 2)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", n_clusters=2, threshold=0.95
+        ).collect()
+    }
+    assert 0 in kept and 1 in kept and 4 in kept
+    assert 2 not in kept and 5 not in kept and 3 not in kept
