@@ -2698,6 +2698,15 @@ def q_c4_filters(spark, sf_dir):
     return c4_filters(paged, "text", "doc_id")
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail corpus split: per-language fluency
+    terciles over the corpus-trained bigram LM score."""
+    from hashquery_spark.ops import perplexity_buckets
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return perplexity_buckets(docs, "text", "doc_id")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup semantic deduplication: cluster-blocked cosine pruning,
     kept rows returned with their cell. Threshold 0.4 — the synthetic
@@ -2874,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "c4_filters": q_c4_filters,
         "semantic_dedup": q_semantic_dedup,
+        "perplexity_buckets": q_perplexity_buckets,
     }
 
 

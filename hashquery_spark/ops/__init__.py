@@ -64,6 +64,7 @@ from .text import (
     token_count,
     unigram_lm_score,
     bigram_lm_score,
+    perplexity_buckets,
     vocabulary,
 )
 from .multimodal import (
@@ -115,6 +116,9 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "ann_brute_force",
+    "semantic_dedup",
+    "gopher_rules",
+    "c4_filters",
     "embedding_near_dup",
     "embedding_join",
     "ivf_ann",
@@ -131,6 +135,7 @@ __all__ = [
     "boilerplate_ngrams",
     "unigram_lm_score",
     "bigram_lm_score",
+    "perplexity_buckets",
     "pii_scrub",
     "redact_pii",
     "pack_sequences",

@@ -614,3 +614,52 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).alias("lm2_score"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, lang_pred, lm2_score, bucket) — CCNet-style head/middle/tail
+    corpus partition (Wenzek et al. 2020): score fluency with the
+    corpus-trained bigram LM (:func:`bigram_lm_score`), then split each
+    LANGUAGE at its own fluency terciles — ``head`` = most fluent third.
+    CCNet buckets by per-language Wikipedia-LM perplexity; the in-corpus
+    LM is the self-contained stand-in (higher mean logprob = lower
+    perplexity, so ``head`` is ``lm2_score >= t2``).
+
+    Scale: language-ID is a narrow pass, the LM join is the
+    bigram_lm_score pipeline, and the tercile thresholds are a per-language
+    aggregate over per-DOC rows (corpus-cardinality ÷ docs) broadcast
+    back. Per-language exact percentiles partition the aggregate; docs
+    with < 2 tokens have no bigrams and drop out (CCNet also drops them).
+
+    Determinism: lm2 scores are integer-scaled-exact; interpolated
+    tercile thresholds are bit-identical cross-engine (lo + (hi-lo)*frac
+    in doubles, see the quantiles query); tercile fractions are computed
+    as 1/3 and 2/3 in double on BOTH engines.
+    """
+    lang = df.select(F.col(id_col), *langid_cols(F.col(text_col))).select(
+        id_col, "lang_pred"
+    )
+    lm = bigram_lm_score(df, text_col, id_col)
+    scored = lm.join(lang, on=id_col)
+    th = scored.groupBy("lang_pred").agg(
+        F.percentile(F.col("lm2_score"), F.lit(1.0 / 3.0)).alias("__t1__"),
+        F.percentile(F.col("lm2_score"), F.lit(2.0 / 3.0)).alias("__t2__"),
+    )
+    bucket = (
+        F.when(F.col("lm2_score") >= F.col("__t2__"), "head")
+        .when(F.col("lm2_score") >= F.col("__t1__"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(th), on="lang_pred")
+        .select(
+            F.col(id_col),
+            "lang_pred",
+            "lm2_score",
+            bucket.alias("bucket"),
+        )
+    )

@@ -2555,3 +2555,62 @@ SELECT cl.vec_id, cl.cell
 FROM cells cl
 WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = cl.vec_id)
 """
+
+ORACLE_SQL["perplexity_buckets"] = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents
+  WHERE text IS NOT NULL
+),
+ex AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+    list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))
+    ELSE [] END) AS bigram
+  FROM toks
+),
+bc AS (SELECT bigram, count(*) AS cab FROM ex GROUP BY bigram),
+ctx AS (
+  SELECT string_split(bigram, ' ')[1] AS a, CAST(sum(cab) AS BIGINT) AS ca
+  FROM bc GROUP BY 1
+),
+logp AS (
+  SELECT bigram,
+    CAST(round(ln(cab / CAST(ca AS DOUBLE)) * 10000.0, 0) AS BIGINT) AS lp
+  FROM bc JOIN ctx ON string_split(bc.bigram, ' ')[1] = ctx.a
+),
+lm AS (
+  SELECT e.doc_id,
+    round(CAST(sum(lp) AS BIGINT) / (count(*) * 10000.0), 4) AS lm2_score
+  FROM ex e JOIN logp USING (bigram)
+  GROUP BY e.doc_id
+),
+lscore AS (
+  SELECT doc_id,
+  {_LANG_SCORES},
+  greatest(s_de, s_en, s_es, s_fr) AS best
+  FROM toks
+),
+lang AS (
+  SELECT doc_id,
+    CASE WHEN s_de > 0 AND s_de = best THEN 'de'
+         WHEN s_en > 0 AND s_en = best THEN 'en'
+         WHEN s_es > 0 AND s_es = best THEN 'es'
+         WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+         ELSE 'unknown' END AS lang_pred
+  FROM lscore
+),
+s AS (
+  SELECT l.doc_id, g.lang_pred, l.lm2_score
+  FROM lm l JOIN lang g USING (doc_id)
+),
+th AS (
+  SELECT lang_pred,
+    quantile_cont(lm2_score, CAST(1 AS DOUBLE) / 3) AS t1,
+    quantile_cont(lm2_score, CAST(2 AS DOUBLE) / 3) AS t2
+  FROM s GROUP BY lang_pred
+)
+SELECT s.doc_id, s.lang_pred, s.lm2_score,
+  CASE WHEN s.lm2_score >= th.t2 THEN 'head'
+       WHEN s.lm2_score >= th.t1 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM s JOIN th USING (lang_pred)
+"""
