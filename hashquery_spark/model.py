@@ -20,6 +20,7 @@ import warnings
 from typing import Any, Dict, List, Optional, Union
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from . import func
 from .connection import Connection
@@ -1208,6 +1209,9 @@ class Model:
         mode: str = "overwrite",
         partition_by: Optional[List[str]] = None,
         sort_by: Optional[List[str]] = None,
+        zorder_by: Optional[List[str]] = None,
+        zorder_bits: int = 4,
+        zorder_partitions: Optional[int] = None,
     ) -> None:
         """Write the result to a table sink — net-new beyond the reference,
         which has no sinks (SURVEY.md §2.8). ``partition_by`` produces
@@ -1215,10 +1219,27 @@ class Model:
         ``sort_by`` sorts WITHIN each output task (sortWithinPartitions —
         a narrow, shuffle-free sort) so parquet row-group min/max
         statistics become selective: downstream scans filtered on the
-        sort column skip non-matching row groups entirely — the poor
-        man's Z-order, free at write time."""
+        sort column skip non-matching row groups entirely.
+
+        ``zorder_by`` generalizes that to SEVERAL filter columns at once:
+        each column is quantile-bucketed into 2**zorder_bits ranks (one
+        small percentile_approx job collects the boundaries), the ranks'
+        bits are interleaved into a Morton/Z-value, and the frame is
+        range-repartitioned + sorted on it — so row-group min/max stats
+        stay tight on EVERY zorder column, not just the first sort key.
+        This is the standard multi-dimensional data-skipping layout for
+        100 TB fact tables scanned along different dimensions; it costs
+        one extra shuffle at write time."""
         df = self.to_df()
-        if sort_by:
+        if zorder_by:
+            df = _with_zvalue(df, zorder_by, zorder_bits)
+            range_args = ([zorder_partitions] if zorder_partitions else []) + [
+                F.col(_ZVALUE)
+            ]
+            df = df.repartitionByRange(*range_args).sortWithinPartitions(
+                _ZVALUE
+            ).drop(_ZVALUE)
+        elif sort_by:
             df = df.sortWithinPartitions(*sort_by)
         writer = df.write.format(format).mode(mode)
         if partition_by:
@@ -1334,6 +1355,42 @@ class Model:
         lines.append(f"  measures: {', '.join(self._measures.keys()) or '(none)'}")
         lines.append(f"  relations: {', '.join(self._namespaces.keys()) or '(none)'}")
         return "\n".join(lines)
+
+
+_ZVALUE = "__zvalue__"
+
+
+def _with_zvalue(df: DataFrame, cols: List[str], bits: int) -> DataFrame:
+    """Append a Morton/Z-value column interleaving the quantile ranks of
+    ``cols`` (``bits`` bits per column).
+
+    One bounded percentile_approx job collects 2**bits - 1 boundaries per
+    column (GK sketch — no full sort); rank assignment is then a FLAT
+    codegen'd sum of boundary comparisons (no HOF, no join), and the bit
+    interleave is shift/or arithmetic. Total driver data: cols × 2**bits
+    doubles."""
+    if not 1 <= bits <= 16:
+        raise ValueError("zorder_bits must be in [1, 16]")
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    prob_sql = "array(" + ",".join(f"{p!r}D" for p in probs) + ")"
+    bounds_row = df.selectExpr(
+        *[
+            f"percentile_approx(CAST(`{c}` AS DOUBLE), {prob_sql}, 10000) AS `{c}`"
+            for c in cols
+        ]
+    ).collect()[0]
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        boundaries = sorted(set(b for b in (bounds_row[c] or []) if b is not None))
+        rank = F.lit(0)
+        for b in boundaries:
+            rank = rank + (F.col(c).cast("double") >= F.lit(float(b))).cast("int")
+        rank = F.coalesce(rank, F.lit(0))  # NULLs sort first
+        for k in range(bits):
+            bit = F.shiftright(rank, k).bitwiseAND(F.lit(1)).cast("long")
+            z = z.bitwiseOR(F.shiftleft(bit, k * len(cols) + j))
+    return df.withColumn(_ZVALUE, z)
 
 
 def _dedupe_output_columns(df: DataFrame) -> DataFrame:

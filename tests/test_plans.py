@@ -382,3 +382,57 @@ def test_ivf_search_reuses_cached_index(spark, sf_dir):
     assert "InMemoryTableScan" in plan  # assignment reused, not re-scanned
     assert second.count() == n_first
     index.unpersist()
+
+
+def test_zorder_write_skips_on_every_dimension(spark, sf_dir, tmp_path):
+    """Model.write(zorder_by=[a, b]) must leave row-group min/max stats
+    selective on BOTH columns: for a point-ish predicate on each
+    dimension alone, most row groups' [min, max] must exclude the probe.
+    A plain single-column sort achieves this only for its leading key."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hashquery_spark import Model
+    from hashquery_spark.connection import connection_for_dir
+
+    conn = connection_for_dir(sf_dir, spark)
+    zout = str(tmp_path / "z_orders")
+    sout = str(tmp_path / "s_orders")
+    Model(conn, "orders").write(
+        zout, zorder_by=["o_custkey", "o_totalprice"], zorder_bits=4,
+        zorder_partitions=16,
+    )
+    # comparison layout: globally ordered on custkey only (16 range files)
+    Model(conn, "orders").to_df().repartitionByRange(
+        16, "o_custkey"
+    ).sortWithinPartitions("o_custkey").write.mode("overwrite").parquet(sout)
+
+    def coverage(path, col, probe):
+        touching = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                total += 1
+                if st.min <= probe <= st.max:
+                    touching += 1
+        assert total >= 8, f"need several row groups, got {total}"
+        return touching / total
+
+    med_cust = Model(conn, "orders").to_df().selectExpr(
+        "percentile_approx(o_custkey, 0.5D) AS m"
+    ).collect()[0]["m"]
+    med_price = Model(conn, "orders").to_df().selectExpr(
+        "percentile_approx(o_totalprice, 0.5D) AS m"
+    ).collect()[0]["m"]
+    # z-order: BOTH dimensions skip most row groups
+    assert coverage(zout, "o_custkey", med_cust) <= 0.6
+    assert coverage(zout, "o_totalprice", med_price) <= 0.6
+    # single-key sort: the non-sort dimension cannot skip
+    assert coverage(sout, "o_totalprice", med_price) >= 0.8
+
+    # round-trip: no rows lost or duplicated
+    n_src = Model(conn, "orders").to_df().count()
+    assert spark.read.parquet(zout).count() == n_src
