@@ -2698,6 +2698,17 @@ def q_c4_filters(spark, sf_dir):
     return c4_filters(paged, "text", "doc_id")
 
 
+def q_k_anonymity(spark, sf_dir):
+    """Privacy gate: (nation, market segment) combinations identifying
+    fewer than k=8 customers — the releasable-dataset k-anonymity check."""
+    from hashquery_spark.ops import k_anonymity
+
+    cust = _conn(spark, sf_dir).table("customer")
+    return k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment"], k=8, sample_ids="c_custkey"
+    )
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet-style head/middle/tail corpus split: per-language fluency
     terciles over the corpus-trained bigram LM score."""
@@ -2884,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "semantic_dedup": q_semantic_dedup,
         "perplexity_buckets": q_perplexity_buckets,
+        "k_anonymity": q_k_anonymity,
     }
 
 

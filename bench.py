@@ -78,6 +78,11 @@ HEADLINE = [
     # so the timing is dominated by the Arrow collect, not engine work.
     "url_normalize",
     "mad_outliers",
+    # round-2 extensions (appended)
+    "gopher_rules",
+    "c4_filters",
+    "semantic_dedup",
+    "perplexity_buckets",
 ]
 
 

@@ -81,6 +81,7 @@ from .chunking import chunk_documents, dedup_paragraphs, repeated_spans
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
 from .profile import (
     approx_quantiles,
+    k_anonymity,
     winsorize,
     check_constraints,
     distribution_drift,
@@ -183,6 +184,7 @@ __all__ = [
     "repeated_spans",
     "compression_ratio",
     "approx_quantiles",
+    "k_anonymity",
     "mix_corpora",
     "ws_token_count",
     "snapshot_diff",

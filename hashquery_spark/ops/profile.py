@@ -554,3 +554,32 @@ def standardize(
             scaled = F.when(hi > lo, F.round((v - lo) / (hi - lo), 4))
         out = out.withColumn(f"{c}_scaled", scaled)
     return out.drop(*[f.name for f in stats.schema.fields if f.name.startswith("__")])
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols,
+    k: int = 5,
+    sample_ids: str | None = None,
+) -> DataFrame:
+    """Privacy/governance gate: quasi-identifier combinations shared by
+    FEWER than ``k`` rows (the k-anonymity violations — combinations that
+    could single out individuals if this dataset were released). Output:
+    quasi columns + ``group_size`` (+ ``example_id`` when ``sample_ids``
+    names an id column), smallest groups first.
+
+    Scale: one hash aggregate on the quasi columns (map-side partials),
+    then a narrow ``HAVING count < k`` — violation cardinality is small
+    by definition, so the result collects cheaply even on 100 TB.
+    Deterministic: example_id is min(id), ordering has full tiebreaks.
+    """
+    quasi = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    aggs = [F.count(F.lit(1)).alias("group_size")]
+    if sample_ids:
+        aggs.append(F.min(F.col(sample_ids)).alias("example_id"))
+    out = (
+        df.groupBy(*[F.col(c) for c in quasi])
+        .agg(*aggs)
+        .where(F.col("group_size") < k)
+    )
+    return out.orderBy(F.col("group_size").asc(), *[F.col(c).asc() for c in quasi])

@@ -2614,3 +2614,13 @@ SELECT s.doc_id, s.lang_pred, s.lm2_score,
        ELSE 'tail' END AS bucket
 FROM s JOIN th USING (lang_pred)
 """
+
+ORACLE_SQL["k_anonymity"] = """
+SELECT c_nationkey, c_mktsegment,
+       count(*) AS group_size,
+       min(c_custkey) AS example_id
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING count(*) < 8
+ORDER BY group_size, c_nationkey, c_mktsegment
+"""
