@@ -2698,6 +2698,18 @@ def q_c4_filters(spark, sf_dir):
     return c4_filters(paged, "text", "doc_id")
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Learned BPE merge table (rank, left, right, merged): one corpus
+    scan to a capped word-frequency table, then bounded driver-side merge
+    iterations — the sentencepiece/HF factorization. Deterministic
+    (tie-break pinned) but iterative → rows-only check, like
+    dedup_clusters."""
+    from hashquery_spark.ops import bpe_merges_df
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return bpe_merges_df(docs, "text", num_merges=60)
+
+
 def q_k_anonymity(spark, sf_dir):
     """Privacy gate: (nation, market segment) combinations identifying
     fewer than k=8 customers — the releasable-dataset k-anonymity check."""
@@ -2896,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "perplexity_buckets": q_perplexity_buckets,
         "k_anonymity": q_k_anonymity,
+        "bpe_merges": q_bpe_merges,
     }
 
 

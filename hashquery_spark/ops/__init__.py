@@ -97,6 +97,7 @@ from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 from .graph import degree_centrality, pagerank
 from .retrieval import bm25_search
 from .rules import c4_filters, gopher_rules
+from .tokenizer import bpe_apply, bpe_merges_df, bpe_train
 from .urls import host_rollup, parse_urls
 from .masking import plan_span_corruption
 
@@ -160,6 +161,9 @@ __all__ = [
     "chunk_documents",
     "dedup_paragraphs",
     "bpe_pair_counts",
+    "bpe_train",
+    "bpe_merges_df",
+    "bpe_apply",
     "pmi_bigrams",
     "embedding_centroids",
     "kmeans_assign",

@@ -1515,3 +1515,37 @@ def test_semantic_dedup_drop_rule(spark):
     }
     assert 0 in kept and 1 in kept and 4 in kept
     assert 2 not in kept and 5 not in kept and 3 not in kept
+
+
+def test_bpe_train_classic_example(spark):
+    """The Sennrich low/lower/newest/widest fixture: 'es'+'t' family and
+    'lo'+'w' merges emerge in frequency order; apply() reconstructs each
+    word's characters exactly."""
+    from hashquery_spark.ops import bpe_apply, bpe_train
+
+    corpus = [(1, "low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = bpe_train(df, "text", num_merges=10)
+    assert ("e", "s") in merges and ("es", "t") in merges
+    assert ("l", "o") in merges and ("lo", "w") in merges
+    assert merges.index(("e", "s")) < merges.index(("es", "t"))
+
+    out = {r["doc_id"]: r for r in bpe_apply(df, merges, "text", "doc_id").collect()}
+    toks = out[1]["bpe_tokens"]
+    assert "".join(toks).replace("</w>", "") == "low" * 5 + "lower" * 2 + "newest" * 6 + "widest" * 3
+    assert out[1]["n_bpe_tokens"] == len(toks)
+    # 'newest' (most frequent) should compress to few units
+    joined = " ".join(toks)
+    assert "est</w>" in joined
+
+
+def test_bpe_train_deterministic(spark, sf_dir):
+    """Merge sequence is a pure function of the corpus (tie-break pinned)."""
+    from hashquery_spark.connection import connection_for_dir
+    from hashquery_spark.ops import bpe_train
+
+    conn = connection_for_dir(sf_dir, spark)
+    docs = conn.table("documents")
+    m1 = bpe_train(docs, "text", num_merges=20)
+    m2 = bpe_train(docs.repartition(7), "text", num_merges=20)
+    assert m1 == m2 and len(m1) == 20
