@@ -248,3 +248,33 @@ def test_span_corruption_two_million(spark):
     assert agg["rows"] == 2 * n
     assert agg["docs"] == n
     assert agg["out_of_bucket"] == 0
+
+
+def test_rules_gates_two_million(spark):
+    """Gopher/C4 gates over a 2M-row generated corpus: narrow single-pass
+    plans survive volume; per-rule aggregates are partitioning-independent."""
+    from hashquery_spark.ops import c4_filters, gopher_rules
+
+    docs = _synthetic_docs(spark, 2_000_000, 50_000, tokens=14)
+    g = gopher_rules(docs, "text", "doc_id", min_words=10, min_stop_hits=0)
+    agg1 = g.agg(
+        F.sum(F.col("passes").cast("long")).alias("n_pass"),
+        F.sum("stop_hits").alias("hits"),
+        F.sum("n_words").alias("w"),
+    ).collect()[0]
+    assert agg1.n_pass == 2_000_000  # uniform synthetic docs all pass
+    assert agg1.w == 2_000_000 * 14
+    agg2 = (
+        gopher_rules(
+            docs.repartition(13), "text", "doc_id", min_words=10, min_stop_hits=0
+        )
+        .agg(F.sum(F.col("passes").cast("long")).alias("n_pass"))
+        .collect()[0]
+    )
+    assert agg2.n_pass == agg1.n_pass
+
+    c = c4_filters(docs, "text", "doc_id")
+    row = c.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_lines_kept").alias("kept")
+    ).collect()[0]
+    assert row.n == 2_000_000 and row.kept == 0  # no terminal punctuation
