@@ -2072,10 +2072,13 @@ def q_winsorize(spark, sf_dir):
 
     orders = _conn(spark, sf_dir).table("orders")
     out = winsorize(orders, "o_totalprice", lo=0.05, hi=0.95, by="o_orderstatus")
+    # round to 3 dp: prices are 2-dp and the interpolated clip bounds live
+    # on the 0.005 grid, so 3-dp rounding is the identity — a 2-dp round
+    # would hit true .xx5 ties (HALF_UP vs half-even, the quantiles bug)
     return out.select(
         "o_orderkey",
         "o_orderstatus",
-        F.round("o_totalprice_winsorized", 2).alias("winsorized"),
+        F.round("o_totalprice_winsorized", 3).alias("winsorized"),
     )
 
 

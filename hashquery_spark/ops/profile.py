@@ -277,7 +277,7 @@ def zscore_outliers(
     q_d = F.col("__q__").cast("double")
     mean = s_d / n
     var = (q_d - s_d * s_d / n) / (n - 1)
-    z = F.round((v - mean) / F.sqrt(var), 4)
+    z = F.round((v - mean) / F.sqrt(var), 4) + F.lit(0.0)
     return (
         joined.where((n > 1) & (var > 0))
         .withColumn("z", z)
@@ -546,12 +546,12 @@ def standardize(
             mean = s_d / n
             var = (q_d - s_d * s_d / n) / (n - 1)
             scaled = F.when(
-                (n > 1) & (var > 0), F.round((v - mean) / F.sqrt(var), 4)
+                (n > 1) & (var > 0), F.round((v - mean) / F.sqrt(var), 4) + F.lit(0.0)
             )
         else:
             lo = F.col(f"__lo{i}__").cast("double")
             hi = F.col(f"__hi{i}__").cast("double")
-            scaled = F.when(hi > lo, F.round((v - lo) / (hi - lo), 4))
+            scaled = F.when(hi > lo, F.round((v - lo) / (hi - lo), 4) + F.lit(0.0))
         out = out.withColumn(f"{c}_scaled", scaled)
     return out.drop(*[f.name for f in stats.schema.fields if f.name.startswith("__")])
 

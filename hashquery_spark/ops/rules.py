@@ -24,6 +24,20 @@ from pyspark.sql import functions as F
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def round4_ratio_sql(num: str, den: str) -> str:
+    """``round(num/den, 4)`` computed HALF-UP in EXACT integer arithmetic:
+    ``(100000*num + 5*den) DIV (10*den) / 10^4``. A float round() hits a
+    TRUE decimal tie whenever the reduced denominator divides 10^5 (e.g.
+    1/32 = 0.03125) and Spark (half-up) and DuckDB (half-even) then
+    disagree on the last digit — the char_entropy sf0.1 bug. ``num`` and
+    ``den`` must be non-negative integer SQL expressions; the same
+    formula with ``//`` is the DuckDB twin."""
+    return (
+        f"(CAST((100000L * ({num}) + 5L * ({den})) DIV (10L * ({den})) "
+        "AS DOUBLE) / CAST(10000.0 AS DOUBLE))"
+    )
+
+
 def _raw_tokens(text):
     """Whitespace tokens of the RAW text (empty array for blank docs) —
     unlike dedup.tokens(), punctuation stays attached (the Gopher rules
@@ -61,19 +75,14 @@ def gopher_rules(
         F.col(text_col).alias("__t__"),
     ).withColumn("__ltoks__", F.transform(F.col("__toks__"), F.lower))
     n_words = F.size(F.col("__toks__"))
-    nw1 = F.greatest(n_words, F.lit(1))
-    n_lines = F.greatest(F.size(F.col("__lines__")), F.lit(1))
-    mean_word_len = F.round(
-        F.aggregate(F.col("__toks__"), F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-        / nw1.cast("double"),
-        4,
+    sum_word_len = F.aggregate(
+        F.col("__toks__"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
     n_hash = F.length(F.col("__t__")) - F.length(F.regexp_replace("__t__", "#", ""))
-    n_ellipsis = (
-        F.length(F.col("__t__"))
-        - F.length(F.regexp_replace("__t__", r"\.\.\.", ""))
-    ) / F.lit(3)
-    symbol_ratio = F.round((n_hash + n_ellipsis) / nw1.cast("double"), 4)
+    # chars removed by stripping '...' — exactly 3× the ellipsis count
+    ellipsis_chars = F.length(F.col("__t__")) - F.length(
+        F.regexp_replace("__t__", r"\.\.\.", "")
+    )
     bullet_lines = F.size(
         F.filter(
             F.col("__lines__"),
@@ -90,17 +99,31 @@ def gopher_rules(
     for w in GOPHER_STOPWORDS:
         stop_hits = stop_hits + F.array_contains(F.col("__ltoks__"), w).cast("int")
 
-    metrics = base.select(
+    counts = base.select(
         F.col(id_col),
         n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        F.round(bullet_lines / n_lines.cast("double"), 4).alias("bullet_line_ratio"),
-        F.round(ellipsis_lines / n_lines.cast("double"), 4).alias(
-            "ellipsis_line_ratio"
-        ),
-        F.round(alpha_words / nw1.cast("double"), 4).alias("alpha_word_ratio"),
+        sum_word_len.alias("__swl__"),
+        n_hash.alias("__nh__"),
+        ellipsis_chars.alias("__ne3__"),
+        F.greatest(F.size(F.col("__lines__")), F.lit(1)).alias("__nl__"),
+        bullet_lines.alias("__bl__"),
+        ellipsis_lines.alias("__el__"),
+        alpha_words.alias("__aw__"),
         stop_hits.alias("stop_hits"),
+    )
+    # every ratio rounds HALF-UP in exact integer arithmetic (see
+    # round4_ratio_sql); symbol_ratio = (n_hash + n_ellipsis/3) / nw
+    # = (3*n_hash + ellipsis_chars) / (3*nw), still an integer ratio
+    metrics = counts.selectExpr(
+        f"`{id_col}`",
+        "n_words",
+        f"{round4_ratio_sql('__swl__', 'greatest(n_words, 1)')} AS mean_word_len",
+        f"{round4_ratio_sql('3L * __nh__ + __ne3__', '3L * greatest(n_words, 1)')}"
+        " AS symbol_ratio",
+        f"{round4_ratio_sql('__bl__', '__nl__')} AS bullet_line_ratio",
+        f"{round4_ratio_sql('__el__', '__nl__')} AS ellipsis_line_ratio",
+        f"{round4_ratio_sql('__aw__', 'greatest(n_words, 1)')} AS alpha_word_ratio",
+        "stop_hits",
     )
     passes = (
         (F.col("n_words") >= min_words)

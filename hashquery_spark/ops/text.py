@@ -484,13 +484,17 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         f" CAST(n_chars_norm AS DOUBLE)) * 10000.0, 0) AS BIGINT) ELSE 0L END)"
         for i in range(len(symbols))
     )
-    # 10000.0 bare would parse as a DECIMAL literal in Spark SQL and turn
-    # the whole expression decimal-typed — force DOUBLE
+    # The 4-dp rounding happens in EXACT integer arithmetic: with
+    # P = -sum (a non-negative BIGINT) and n chars, the half-up-rounded
+    # scaled entropy is (10*P + 5*n) DIV (10*n) — a float round() here
+    # once hit a true decimal tie (P/n = x.5) where Spark rounds half-up
+    # and DuckDB half-even, flipping the last digit at sf0.1.
     return counted.selectExpr(
         f"`{id_col}`",
         "n_chars_norm",
         "CASE WHEN n_chars_norm = 0 THEN CAST(0.0 AS DOUBLE) "
-        f"ELSE round(-({terms}) / (n_chars_norm * CAST(10000.0 AS DOUBLE)), 4) "
+        f"ELSE CAST((10L * (-({terms})) + 5L * n_chars_norm) "
+        "DIV (10L * n_chars_norm) AS DOUBLE) / CAST(10000.0 AS DOUBLE) "
         "END AS entropy",
     )
 

@@ -1559,11 +1559,11 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_orderkey, l_linenumber, l.l_returnflag,
           CASE WHEN n0 > 1 AND (q0 - s0 * s0 / n0) / (n0 - 1) > 0
                THEN round((l_quantity - s0 / n0)
-                          / sqrt((q0 - s0 * s0 / n0) / (n0 - 1)), 4) END
+                          / sqrt((q0 - s0 * s0 / n0) / (n0 - 1)), 4) + 0.0 END
             AS l_quantity_scaled,
           CASE WHEN n1 > 1 AND (q1 - s1 * s1 / n1) / (n1 - 1) > 0
                THEN round((l_extendedprice - s1 / n1)
-                          / sqrt((q1 - s1 * s1 / n1) / (n1 - 1)), 4) END
+                          / sqrt((q1 - s1 * s1 / n1) / (n1 - 1)), 4) + 0.0 END
             AS l_extendedprice_scaled
         FROM lineitem l JOIN st USING (l_returnflag)
     """,
@@ -1900,7 +1900,7 @@ rbuck AS (
         SELECT o_orderkey, o.o_orderstatus,
                round(CASE WHEN o_totalprice IS NULL THEN NULL
                      ELSE least(greatest(CAST(o_totalprice AS DOUBLE), lo), hi)
-                     END, 2) AS winsorized
+                     END, 3) AS winsorized
         FROM orders o JOIN b USING (o_orderstatus)
     """,
     "kfold_split": f"""
@@ -2310,7 +2310,8 @@ def _char_entropy_sql() -> str:
         )
         SELECT doc_id, n_chars_norm,
           CASE WHEN n_chars_norm = 0 THEN 0.0
-               ELSE round(-({terms}) / (n_chars_norm * 10000.0), 4)
+               ELSE ((10 * (-({terms})) + 5 * n_chars_norm)
+                     // (10 * n_chars_norm)) / 10000.0
           END AS entropy
         FROM cnts
     """
@@ -2452,10 +2453,11 @@ m AS (
     len(toks) AS n_words,
     greatest(len(toks), 1) AS nw1,
     greatest(len(lines), 1) AS nl1,
-    round(CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE)
-          / greatest(len(toks), 1), 4) AS mean_word_len,
+    ((100000 * coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+      + 5 * greatest(len(toks), 1)) // (10 * greatest(len(toks), 1))) / 10000.0
+      AS mean_word_len,
     (len(t) - len(replace(t, '#', ''))) AS n_hash,
-    (len(t) - len(replace(t, '...', ''))) / 3 AS n_ellipsis,
+    (len(t) - len(replace(t, '...', ''))) AS ne3,
     len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-*•]'))) AS bullet_lines,
     len(list_filter(lines, x -> ends_with(rtrim(x), '...'))) AS ellipsis_lines,
     len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
@@ -2474,10 +2476,11 @@ r AS (
   SELECT doc_id,
     CAST(n_words AS INT) AS n_words,
     mean_word_len,
-    round((n_hash + n_ellipsis) / CAST(nw1 AS DOUBLE), 4) AS symbol_ratio,
-    round(bullet_lines / CAST(nl1 AS DOUBLE), 4) AS bullet_line_ratio,
-    round(ellipsis_lines / CAST(nl1 AS DOUBLE), 4) AS ellipsis_line_ratio,
-    round(alpha_words / CAST(nw1 AS DOUBLE), 4) AS alpha_word_ratio,
+    ((100000 * (3 * n_hash + ne3) + 5 * (3 * nw1)) // (10 * (3 * nw1))) / 10000.0
+      AS symbol_ratio,
+    ((100000 * bullet_lines + 5 * nl1) // (10 * nl1)) / 10000.0 AS bullet_line_ratio,
+    ((100000 * ellipsis_lines + 5 * nl1) // (10 * nl1)) / 10000.0 AS ellipsis_line_ratio,
+    ((100000 * alpha_words + 5 * nw1) // (10 * nw1)) / 10000.0 AS alpha_word_ratio,
     stop_hits
   FROM m
 )
