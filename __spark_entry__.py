@@ -2741,7 +2741,7 @@ def q_semantic_dedup(spark, sf_dir):
 
     emb = _conn(spark, sf_dir).table("embeddings")
     return semantic_dedup(
-        emb, "embedding", "vec_id", n_clusters=8, threshold=0.4
+        emb, "embedding", "vec_id", n_clusters=16, threshold=0.4
     )
 
 

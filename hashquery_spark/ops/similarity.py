@@ -296,18 +296,46 @@ def semantic_dedup(
     index = ivf_index(
         corpus, vec_col, id_col, n_centroids=n_clusters, kmeans_iters=kmeans_iters
     )
+    # norms computed ONCE per vector here — the pair loop below would
+    # otherwise re-fold |v| inside every candidate cosine (interpreted
+    # HOFs; hoisting measured ~3x on this op, same lesson as ivf_index)
     a = index.assigned.select(
         F.col("neighbor_id").alias("__id__"),
         F.col("__cvec__"),
         F.col("__cell__"),
+        _norm(F.col("__cvec__")).alias("__nrm__"),
     )
-    left = a.select(
-        F.col("__cell__"), F.col("__id__").alias("id_a"), F.col("__cvec__").alias("__va__")
+    # three consumers (left, right, keeper anti-join) with different
+    # column pruning = three structurally different subtrees — the
+    # centroid assignment would run 3x (no ReusedExchange; the
+    # dedup_against_fuzzy lesson). Materialize it once.
+    a = a.localCheckpoint(eager=False)
+    # The in-cell pair loop is the hot path: an aggregate()-HOF dot
+    # product is INTERPRETED (~19 µs/pair measured) — flatten the vector
+    # into scalar columns once per side so the 64-term multiply-add runs
+    # inside whole-stage codegen. Same left-to-right sum order as the HOF
+    # fold and DuckDB's list_dot_product, so values are bit-identical.
+    dim = len(index.cents[0][1]) if index.cents else 0
+    left = a.selectExpr(
+        "__cell__",
+        "__id__ AS id_a",
+        "__nrm__ AS __na__",
+        *[
+            f"CAST(try_element_at(__cvec__, {i + 1}) AS DOUBLE) AS __a{i}__"
+            for i in range(dim)
+        ],
     )
-    right = a.select(
-        F.col("__cell__"), F.col("__id__").alias("id_b"), F.col("__cvec__").alias("__vb__")
+    right = a.selectExpr(
+        "__cell__",
+        "__id__ AS id_b",
+        "__nrm__ AS __nb__",
+        *[
+            f"CAST(try_element_at(__cvec__, {i + 1}) AS DOUBLE) AS __b{i}__"
+            for i in range(dim)
+        ],
     )
-    sim = F.round(cosine(F.col("__va__"), F.col("__vb__")), 4)
+    dot_sql = " + ".join(f"__a{i}__ * __b{i}__" for i in range(dim)) or "0.0D"
+    sim = F.expr(f"round(({dot_sql}) / (__na__ * __nb__), 4)")
     dropped = (
         left.join(right, on="__cell__")
         .where(F.col("id_a") < F.col("id_b"))

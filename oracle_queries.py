@@ -2536,7 +2536,7 @@ WITH c AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-cents AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
+cents AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 16),
 asn AS (
   SELECT c.vec_id, c.v, cents.cid,
     round(list_dot_product(c.v, cents.cv) /
