@@ -123,6 +123,30 @@ class IvfIndex:
         self.id_col = id_col
         self.vec_col = vec_col
 
+    @property
+    def dim(self) -> int:
+        return len(self.cents[0][1]) if self.cents else 0
+
+    def flat_cols_sql(self, vec: str, prefix: str) -> list:
+        """SQL select items extracting the vector into scalar DOUBLE
+        columns ``{prefix}{i}`` — the codegen trick: every similarity
+        below then runs as flat multiply-adds inside whole-stage codegen
+        instead of interpreted aggregate()/zip_with() folds (measured
+        ~19 µs/pair interpreted vs ns flat on the semantic_dedup pair
+        loop)."""
+        return [
+            f"CAST(try_element_at(`{vec}`, {i + 1}) AS DOUBLE) AS `{prefix}{i}`"
+            for i in range(self.dim)
+        ]
+
+    def norm_sql(self, prefix: str) -> str:
+        """|v| from the flat columns — same left-to-right sum order as the
+        HOF fold and DuckDB's list_dot_product, so values are bit-equal."""
+        terms = " + ".join(
+            f"`{prefix}{i}` * `{prefix}{i}`" for i in range(self.dim)
+        )
+        return f"sqrt({terms or '0.0D'})"
+
     def sim_structs_sql(self, vec: str, vnorm: str) -> str:
         # (-rounded_sim, cid) structs: natural struct ordering makes min =
         # argmax-sim with lowest-cid tiebreak. Each dot appears exactly
@@ -132,6 +156,14 @@ class IvfIndex:
         # Column-by-Column build paid one py4j round-trip per literal float
         # (n_centroids × dim × 2 sides ≈ thousands) — ~1 s of driver time
         # per call, measured. The parsed tree is identical.
+        #
+        # Deliberately HOF (interpreted) rather than flat columns: the
+        # argmax runs ONCE per row, and a flat formulation inlined through
+        # CollapseProject grows the generated method past Janino's 64 KB
+        # limit at n_centroids >= ~16 (measured: codegen abort + OOM from
+        # repeated giant compiles). Flat multiply-adds are reserved for
+        # the per-PAIR dot products behind a materialization barrier
+        # (semantic_dedup / ivf_search candidate scoring).
         structs = []
         for cid, cvec in self.cents:
             arr = "array(" + ",".join(f"{v!r}D" for v in cvec) + ")"
@@ -201,6 +233,7 @@ def ivf_index(
     ).select(
         "neighbor_id",
         "__cvec__",
+        "__vnorm__",
         F.expr(
             f"array_min({index.sim_structs_sql('__cvec__', '__vnorm__')}).cid"
         ).alias("__cell__"),
@@ -221,25 +254,49 @@ def ivf_search(
     nearest cells — the probe→corpus match is an equi-join on the cell id,
     so at 100 TB each probe touches n_probe/n_centroids of the data
     instead of all of it."""
-    p = probes.select(
-        F.col(index.id_col).alias("probe_id"),
-        F.col(index.vec_col).alias("__pvec__"),
-        _norm(F.col(index.vec_col)).alias("__vnorm__"),
-    ).select(
-        "probe_id",
-        "__pvec__",
-        F.explode(
-            F.expr(
-                f"transform(slice(array_sort("
-                f"{index.sim_structs_sql('__pvec__', '__vnorm__')}), 1, {n_probe}), "
-                "s -> s.cid)"
-            )
-        ).alias("__cell__"),
+    dim = index.dim
+    p = (
+        probes.select(
+            F.col(index.id_col).alias("probe_id"),
+            F.col(index.vec_col).alias("__pvec__"),
+            _norm(F.col(index.vec_col)).alias("__pn__"),
+        )
+        .select(
+            "probe_id",
+            "__pvec__",
+            "__pn__",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort("
+                    f"{index.sim_structs_sql('__pvec__', '__pn__')}), 1, {n_probe}), "
+                    "s -> s.cid)"
+                )
+            ).alias("__cell__"),
+        )
+        # probe flats derived ABOVE the Generate (explode) — the Generate
+        # is a CollapseProject barrier, so the cell-selection structs
+        # never inline into these and the generated method stays bounded
+        .selectExpr(
+            "probe_id",
+            "__pn__",
+            "__cell__",
+            *index.flat_cols_sql("__pvec__", "__pb"),
+        )
     )
-    joined = index.assigned.join(F.broadcast(p), on="__cell__").where(
+    # corpus side flattened above the assignment projection; the per-pair
+    # dot below is then flat multiply-adds in codegen (the measured ~15x
+    # over an aggregate() fold per candidate)
+    c = index.assigned.selectExpr(
+        "__cell__",
+        "neighbor_id",
+        "__vnorm__",
+        *index.flat_cols_sql("__cvec__", "__ca"),
+    )
+    joined = c.join(F.broadcast(p), on="__cell__").where(
         F.col("neighbor_id") != F.col("probe_id")
     )
-    sim = F.round(cosine(F.col("__pvec__"), F.col("__cvec__")), 4)
+    dot_sql = " + ".join(f"__ca{i} * __pb{i}" for i in range(dim)) or "0.0D"
+    sim = F.expr(f"round(({dot_sql}) / (__vnorm__ * __pn__), 4)")
     scored = joined.select("probe_id", "neighbor_id", sim.alias("cos_sim"))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -296,14 +353,13 @@ def semantic_dedup(
     index = ivf_index(
         corpus, vec_col, id_col, n_centroids=n_clusters, kmeans_iters=kmeans_iters
     )
-    # norms computed ONCE per vector here — the pair loop below would
-    # otherwise re-fold |v| inside every candidate cosine (interpreted
-    # HOFs; hoisting measured ~3x on this op, same lesson as ivf_index)
+    # norms come from the assignment pass (computed once per vector) —
+    # the pair loop below must never re-fold |v| per candidate
     a = index.assigned.select(
         F.col("neighbor_id").alias("__id__"),
         F.col("__cvec__"),
         F.col("__cell__"),
-        _norm(F.col("__cvec__")).alias("__nrm__"),
+        F.col("__vnorm__").alias("__nrm__"),
     )
     # three consumers (left, right, keeper anti-join) with different
     # column pruning = three structurally different subtrees — the
