@@ -2701,6 +2701,44 @@ def q_c4_filters(spark, sf_dir):
     return c4_filters(paged, "text", "doc_id")
 
 
+def q_union_by_name(spark, sf_dir):
+    """Name-matched UNION ALL (net-new Model.union_by_name): two
+    projections with swapped column order combine correctly by name."""
+    conn = _conn(spark, sf_dir)
+    a = Model(conn, "nation").pick(
+        column("n_name"), column("n_regionkey"), column("n_nationkey")
+    )
+    b = Model(conn, "nation").pick(
+        column("n_nationkey"), column("n_name"), column("n_regionkey")
+    )
+    return a.union_by_name(b).to_df()
+
+
+def q_stats_moments(spark, sf_dir):
+    """Second-moment aggregate surface (net-new func.stddev/variance/
+    corr/covar/median): per returnflag over lineitem. Double accumulation
+    is merge-order-dependent at ~1e-15 relative — rounding to 4 dp makes
+    both engines agree (values are irrational, never on the decimal tie
+    grid, unlike the integer-ratio tie class)."""
+    return (
+        Model(_conn(spark, sf_dir), "lineitem")
+        .aggregate(
+            groups=[attr.l_returnflag],
+            measures=[
+                func.round(func.stddev(attr.l_quantity), 4).named("sd_qty"),
+                func.round(func.variance(attr.l_discount), 4).named("var_disc"),
+                func.round(func.corr(attr.l_quantity, attr.l_extendedprice), 4)
+                .named("corr_qty_price"),
+                func.round(func.covar(attr.l_quantity, attr.l_discount), 4)
+                .named("covar_qty_disc"),
+                func.median(attr.l_extendedprice).named("median_price"),
+            ],
+        )
+        .sort(column("l_returnflag"), small=True)
+        .to_df()
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """Learned BPE merge table (rank, left, right, merged): one corpus
     scan to a capped word-frequency table, then bounded driver-side merge
@@ -2912,6 +2950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "k_anonymity": q_k_anonymity,
         "bpe_merges": q_bpe_merges,
+        "stats_moments": q_stats_moments,
+        "union_by_name": q_union_by_name,
     }
 
 

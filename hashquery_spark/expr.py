@@ -1150,6 +1150,16 @@ class SqlFunctionExpression(ColumnExpression):
             return F.percentile(self.args[0].compile(ctx), F.lit(self.percentile_p))
         if fn in ("min", "max", "sum", "avg"):
             return getattr(F, fn)(self.args[0].compile(ctx))
+        if fn == "stddev":
+            return F.stddev_samp(self.args[0].compile(ctx))
+        if fn == "variance":
+            return F.var_samp(self.args[0].compile(ctx))
+        if fn == "corr":
+            return F.corr(self.args[0].compile(ctx), self.args[1].compile(ctx))
+        if fn == "covar":
+            return F.covar_samp(self.args[0].compile(ctx), self.args[1].compile(ctx))
+        if fn == "anyValue":
+            return F.any_value(self.args[0].compile(ctx))
         if fn == "floor":
             return F.floor(self.args[0].compile(ctx))
         if fn == "ceiling":

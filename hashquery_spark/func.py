@@ -525,3 +525,45 @@ def split(expr: Any, pattern: str) -> SqlFunctionExpression:
     node = SqlFunctionExpression("split", [expr])
     node.regex_pattern = str(pattern)
     return node
+
+
+@defer_keypath_args
+def stddev(expr: Any) -> SqlFunctionExpression:
+    """Sample standard deviation (net-new; maps to Spark stddev_samp).
+    Double accumulation is merge-order-dependent — for cross-engine-exact
+    results route moments through DECIMAL sums (the zscore_outliers /
+    standardize pattern) or round the output."""
+    return SqlFunctionExpression("stddev", [expr])
+
+
+@defer_keypath_args
+def variance(expr: Any) -> SqlFunctionExpression:
+    """Sample variance (net-new; maps to Spark var_samp)."""
+    return SqlFunctionExpression("variance", [expr])
+
+
+@defer_keypath_args
+def corr(x: Any, y: Any) -> SqlFunctionExpression:
+    """Pearson correlation (net-new; maps to Spark corr)."""
+    return SqlFunctionExpression("corr", [x, y])
+
+
+@defer_keypath_args
+def covar(x: Any, y: Any) -> SqlFunctionExpression:
+    """Sample covariance (net-new; maps to Spark covar_samp)."""
+    return SqlFunctionExpression("covar", [x, y])
+
+
+@defer_keypath_args
+def median(expr: Any) -> SqlFunctionExpression:
+    """Exact interpolated median — sugar for percentile(expr, 0.5)."""
+    node = SqlFunctionExpression("percentile", [expr])
+    node.percentile_p = 0.5
+    return node
+
+
+@defer_keypath_args
+def any_value(expr: Any) -> SqlFunctionExpression:
+    """An arbitrary (first-seen, non-deterministic across partitionings)
+    value per group — the cheap representative-picker."""
+    return SqlFunctionExpression("anyValue", [expr])

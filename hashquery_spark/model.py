@@ -472,6 +472,19 @@ class Model:
         self._namespaces = IdentifiableMap()
 
     @builder_method
+    def union_by_name(
+        self, other: "Model", allow_missing: bool = False
+    ) -> "Model":
+        """UNION ALL matched by column NAME (net-new; the reference union
+        is positional only). ``allow_missing=True`` fills columns absent
+        on one side with NULL — the schema-drift-tolerant union for
+        multi-snapshot corpus pipelines."""
+        self._source = UnionSource(
+            self._source, other._source, by_name=True, allow_missing=allow_missing
+        )
+        self._namespaces = IdentifiableMap()
+
+    @builder_method
     def top_k(self, k: int, by, *, per=None, dir: str = "desc", rank_name=None, tiebreak=None) -> "Model":
         """Per-group top-k (net-new; the reference only has global
         sort+limit). ``per`` gives the partition columns; ``rank_name``

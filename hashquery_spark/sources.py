@@ -540,13 +540,24 @@ class LimitSource(Source):
 class UnionSource(Source):
     """UNION ALL by column position (reference: src/model/source/union.py:6).
     ``DataFrame.union`` is positional and ALL — an exact match; Catalyst's
-    CombineUnions folds consecutive unions (compilers/union.py:19-23)."""
+    CombineUnions folds consecutive unions (compilers/union.py:19-23).
+    ``by_name=True`` (net-new) matches columns by NAME instead — with
+    ``allow_missing`` filling absent columns with NULL — the schema-drift-
+    tolerant union a multi-snapshot corpus pipeline needs."""
 
     __TYPE_KEY__ = "union"
 
-    def __init__(self, base: Source, union_source: Source) -> None:
+    def __init__(
+        self,
+        base: Source,
+        union_source: Source,
+        by_name: bool = False,
+        allow_missing: bool = False,
+    ) -> None:
         self.base = base
         self.union_source = union_source
+        self.by_name = by_name
+        self.allow_missing = allow_missing
 
     def child_sources(self):
         return [self.base, self.union_source]
@@ -557,17 +568,33 @@ class UnionSource(Source):
     def compile(self, state: CompileState) -> FrameState:
         fs = self.base.compile(state)
         other = self.union_source.compile(state)
-        fs.df = fs.df.union(other.df)
+        if self.by_name:
+            fs.df = fs.df.unionByName(
+                other.df, allowMissingColumns=self.allow_missing
+            )
+        else:
+            fs.df = fs.df.union(other.df)
         fs.flatten_namespaces()
         fs.sort_exprs = []
         return fs
 
     def to_wire(self):
-        return {**super().to_wire(), "base": self.base.to_wire(), "unionSource": self.union_source.to_wire()}
+        return {
+            **super().to_wire(),
+            "base": self.base.to_wire(),
+            "unionSource": self.union_source.to_wire(),
+            "byName": self.by_name,
+            "allowMissing": self.allow_missing,
+        }
 
     @classmethod
     def _from_wire(cls, data):
-        return cls(Source.from_wire(data["base"]), Source.from_wire(data["unionSource"]))
+        return cls(
+            Source.from_wire(data["base"]),
+            Source.from_wire(data["unionSource"]),
+            data.get("byName", False),
+            data.get("allowMissing", False),
+        )
 
 
 class TopKSource(Source):

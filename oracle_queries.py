@@ -2627,3 +2627,21 @@ GROUP BY c_nationkey, c_mktsegment
 HAVING count(*) < 8
 ORDER BY group_size, c_nationkey, c_mktsegment
 """
+
+ORACLE_SQL["stats_moments"] = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_discount), 4) AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+       quantile_cont(l_extendedprice, 0.5) AS median_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["union_by_name"] = """
+SELECT n_name, n_regionkey, n_nationkey FROM nation
+UNION ALL BY NAME
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""

@@ -620,3 +620,31 @@ def test_pipe_chains_ops_into_the_dsl(spark, sf_dir):
     # new attribute from the op's schema is addressable via attr
     m2 = Model(conn, "orders").pipe(winsorize, "o_totalprice")
     assert "o_totalprice_winsorized" in [a.identifier for a in m2._attributes]
+
+
+def test_union_by_name_matches_columns_and_fills_missing(spark):
+    from hashquery_spark import Connection
+
+    conn = Connection(spark)
+    conn.register_records("ubn_a", [(1, "x")], schema="id long, name string")
+    conn.register_records("ubn_b", [("y", 2)], schema="name string, id long")
+    out = Model(conn, "ubn_a").union_by_name(Model(conn, "ubn_b")).to_df()
+    rows = sorted((r["id"], r["name"]) for r in out.collect())
+    assert rows == [(1, "x"), (2, "y")]
+
+    conn.register_records("ubn_c", [(3,)], schema="id long")
+    filled = (
+        Model(conn, "ubn_a")
+        .union_by_name(Model(conn, "ubn_c"), allow_missing=True)
+        .to_df()
+    )
+    rows = sorted((r["id"], r["name"]) for r in filled.collect())
+    assert rows == [(1, "x"), (3, None)]
+
+    # wire round-trip keeps the by-name semantics
+    m = Model(conn, "ubn_a").union_by_name(Model(conn, "ubn_b"))
+    again = Model.from_wire(m.to_wire(), conn).to_df()
+    assert sorted((r["id"], r["name"]) for r in again.collect()) == [
+        (1, "x"),
+        (2, "y"),
+    ]
