@@ -1304,6 +1304,15 @@ class Model:
 
         return plan_report(self.to_df())
 
+    def run_metrics(self) -> dict:
+        """Execute the model and return the executed plan's SQL metrics
+        (shuffle bytes/records, spill, scan rows/files, peak operator
+        memory) — the measured twin of :meth:`scale_report`; see
+        :func:`hashquery_spark.plan_lint.run_metrics`."""
+        from .plan_lint import run_metrics
+
+        return run_metrics(self.to_df())
+
     # --- serialization (wire format, reference: serializable version 7) ---
 
     WIRE_VERSION = 7

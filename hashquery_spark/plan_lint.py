@@ -103,3 +103,76 @@ def plan_report(df) -> Dict[str, Any]:
         "unpartitioned_exact_percentiles": unpartitioned_exact_percentiles,
         "warnings": warnings,
     }
+
+
+def run_metrics(df, collect: bool = True) -> Dict[str, Any]:
+    """Execute (optionally) and read back the executed plan's SQL metrics
+    — the post-run twin of :func:`plan_report`. Where plan_report predicts
+    scale smells from plan SHAPE, this measures what actually happened:
+    shuffle volume, spill, per-operator rows, peak aggregate memory — the
+    numbers you check before promoting a pipeline from a sample run to
+    the 100 TB cluster ("did it spill?", "how many bytes crossed the
+    wire?", "did the filter actually cut the rows?").
+
+    Returns ``{"totals": {...}, "nodes": [(node, metric, value), ...]}``.
+    Totals (summed across operators, zeros omitted from nodes):
+
+    * ``shuffle_bytes_written`` / ``shuffle_records_written`` — Exchange
+      write volume (the wire cost a bigger cluster multiplies)
+    * ``spill_bytes_memory`` / ``spill_bytes_disk`` — sort/agg spills; any
+      non-zero here means executor memory was too small for a partition
+    * ``scan_output_rows`` / ``files_read`` / ``scan_bytes_read`` — leaf
+      scan volume (pushdown effectiveness)
+    * ``peak_memory_max`` — largest single-operator memory high-water mark
+    """
+    jdf = df._jdf
+    if collect:
+        df.collect()
+    nodes: List[tuple] = []
+
+    def walk(n):
+        cls = n.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(n.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(n.plan())
+        it = n.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            v = kv._2().value()
+            if v:
+                nodes.append((n.nodeName(), kv._1(), v))
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(jdf.queryExecution().executedPlan())
+    totals = {
+        "shuffle_bytes_written": 0,
+        "shuffle_records_written": 0,
+        "spill_bytes_memory": 0,
+        "spill_bytes_disk": 0,
+        "scan_output_rows": 0,
+        "files_read": 0,
+        "scan_bytes_read": 0,
+        "peak_memory_max": 0,
+    }
+    for node, name, value in nodes:
+        if node == "Exchange" and name == "shuffleBytesWritten":
+            totals["shuffle_bytes_written"] += value
+        elif node == "Exchange" and name == "shuffleRecordsWritten":
+            totals["shuffle_records_written"] += value
+        elif name == "spillSize" or name == "memoryBytesSpilled":
+            totals["spill_bytes_memory"] += value
+        elif name == "diskBytesSpilled":
+            totals["spill_bytes_disk"] += value
+        elif node.startswith("Scan") and name == "numOutputRows":
+            totals["scan_output_rows"] += value
+        elif name == "numFiles":
+            totals["files_read"] += value
+        elif name in ("filesSize", "bytesRead") and node.startswith("Scan"):
+            totals["scan_bytes_read"] += value
+        elif name == "peakMemory":
+            totals["peak_memory_max"] = max(totals["peak_memory_max"], value)
+    return {"totals": totals, "nodes": nodes}

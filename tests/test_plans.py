@@ -436,3 +436,24 @@ def test_zorder_write_skips_on_every_dimension(spark, sf_dir, tmp_path):
     # round-trip: no rows lost or duplicated
     n_src = Model(conn, "orders").to_df().count()
     assert spark.read.parquet(zout).count() == n_src
+
+
+def test_run_metrics_measures_shuffle_and_scan(spark, sf_dir):
+    """Model.run_metrics(): executed-plan SQL metrics surface real
+    numbers — scan rows equal the table, the aggregate shuffles a
+    bounded record count, and nothing spills at this scale."""
+    from hashquery_spark import Model, attr, func
+    from hashquery_spark.connection import connection_for_dir
+
+    conn = connection_for_dir(sf_dir, spark)
+    m = Model(conn, "orders").aggregate(
+        groups=[attr.o_orderstatus], measures=[func.count().named("n")]
+    )
+    rep = m.run_metrics()
+    t = rep["totals"]
+    n_orders = Model(conn, "orders").to_df().count()
+    assert t["scan_output_rows"] == n_orders
+    assert 0 < t["shuffle_records_written"] <= 3 * 32  # partials per task
+    assert t["spill_bytes_memory"] == 0 and t["spill_bytes_disk"] == 0
+    assert t["files_read"] >= 1
+    assert any(n == "HashAggregate" for n, _, _ in rep["nodes"])
