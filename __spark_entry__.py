@@ -2450,14 +2450,51 @@ def q_retention_curve(spark, sf_dir):
 
 
 def q_approx_quantiles(spark, sf_dir):
-    """Sketch-based percentiles (rows-only: rank-error <= 1/accuracy is
-    guaranteed and unit-tested against the exact percentile, but the
-    sketch output is not SQL-reproducible; the exact twin is `quantiles`).
-    One scan, one global agg for all columns x probs."""
+    """Sketch-based percentiles, made driver-checkable (the
+    approx_distinct contract): the GK sketch guarantees rank error
+    <= n/accuracy, so each approx value must lie between the EXACT
+    interpolated percentiles at prob +- eps — emit that boolean, which
+    both engines agree on deterministically, instead of the
+    engine-specific sketch value."""
+    from pyspark.sql import functions as F
+
     from hashquery_spark.ops import approx_quantiles
 
+    cols = ["l_extendedprice", "l_quantity"]
+    probs = [0.25, 0.5, 0.75, 0.9]
+    eps = 4.0 / 10000.0
     li = _conn(spark, sf_dir).table("lineitem")
-    return approx_quantiles(li, ["l_extendedprice", "l_quantity"])
+    aq = approx_quantiles(li, cols, probs)
+    lo = [max(0.0, p - eps) for p in probs]
+    hi = [min(1.0, p + eps) for p in probs]
+    bound_aggs = []
+    for c in cols:
+        arr_lo = "array(" + ",".join(f"{p!r}D" for p in lo) + ")"
+        arr_hi = "array(" + ",".join(f"{p!r}D" for p in hi) + ")"
+        bound_aggs += [
+            f"percentile(`{c}`, {arr_lo}) AS `__lo_{c}`",
+            f"percentile(`{c}`, {arr_hi}) AS `__hi_{c}`",
+        ]
+    wide = li.selectExpr(*bound_aggs)
+    pieces = []
+    for c in cols:
+        for j, p in enumerate(probs):
+            pieces.append(
+                f"'{c}', {p!r}D, try_element_at(`__lo_{c}`, {j + 1}), "
+                f"try_element_at(`__hi_{c}`, {j + 1})"
+            )
+    stack = f"stack({len(cols) * len(probs)}, " + ", ".join(pieces) + ")"
+    bounds = wide.selectExpr(f"{stack} AS (column_name, prob, lo, hi)")
+    return (
+        aq.join(bounds, on=["column_name", "prob"])
+        .select(
+            "column_name",
+            "prob",
+            ((F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))).alias(
+                "within_band"
+            ),
+        )
+    )
 
 
 def q_compression_ratio(spark, sf_dir):

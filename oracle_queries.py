@@ -2645,3 +2645,13 @@ SELECT n_name, n_regionkey, n_nationkey FROM nation
 UNION ALL BY NAME
 SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
+
+ORACLE_SQL["approx_quantiles"] = """
+WITH g(column_name, prob) AS (
+  VALUES ('l_extendedprice', 0.25), ('l_extendedprice', 0.5),
+         ('l_extendedprice', 0.75), ('l_extendedprice', 0.9),
+         ('l_quantity', 0.25), ('l_quantity', 0.5),
+         ('l_quantity', 0.75), ('l_quantity', 0.9)
+)
+SELECT column_name, CAST(prob AS DOUBLE) AS prob, TRUE AS within_band FROM g
+"""
