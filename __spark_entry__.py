@@ -1634,7 +1634,9 @@ def q_dedup_minhash(spark, sf_dir):
 
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over MinHash candidate pairs -> dedup groups.
-    Iterative label propagation; no SQL oracle exists (rows-only check)."""
+    Iterative label propagation on Spark; the DuckDB oracle expresses the
+    same closure with WITH RECURSIVE (bounded: near-dup clusters are
+    small), so this is hash-checked despite being iterative here."""
     docs = _conn(spark, sf_dir).table("documents")
     pairs = minhash_lsh_candidates(docs, "text", "doc_id", num_perm=16, bands=4)
     return dedup_clusters(pairs)
@@ -1644,8 +1646,8 @@ def q_fuzzy_dedup_e2e(spark, sf_dir):
     """END-TO-END fuzzy dedup: MinHash LSH pairs → connected components →
     exactly one surviving doc per near-dup cluster (smallest id keeps,
     matching exact_dedup's keeper rule); singleton docs always survive.
-    The complete near-dedup pipeline as one surface — iterative CC step ⇒
-    rows-only (each stage is separately oracle/fixture-checked)."""
+    The complete near-dedup pipeline as one surface; the CC step's DuckDB
+    twin is a WITH RECURSIVE closure, so the whole pipeline hash-checks."""
     from pyspark.sql import functions as F
 
     docs = _conn(spark, sf_dir).table("documents")

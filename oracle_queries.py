@@ -2655,3 +2655,50 @@ WITH g(column_name, prob) AS (
 )
 SELECT column_name, CAST(prob AS DOUBLE) AS prob, TRUE AS within_band FROM g
 """
+
+# connected components ARE SQL-expressible in DuckDB via WITH RECURSIVE —
+# the UNION-dedup'd reachability closure terminates, and near-dup clusters
+# are small so the closure stays bounded. This upgrades the iterative
+# dedup_clusters / fuzzy_dedup_e2e queries from rows-only to hash-checked.
+ORACLE_SQL["dedup_clusters"] = f"""
+WITH RECURSIVE {_MINHASH_BUCKETS},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM buckets a JOIN buckets c ON a.band = c.band AND a.key = c.key
+  WHERE a.doc_id < c.doc_id
+),
+edges(src, dst) AS (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+ORACLE_SQL["fuzzy_dedup_e2e"] = f"""
+WITH RECURSIVE {_MINHASH_BUCKETS},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM buckets a JOIN buckets c ON a.band = c.band AND a.key = c.key
+  WHERE a.doc_id < c.doc_id
+),
+edges(src, dst) AS (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+),
+clusters AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+dropped AS (
+  SELECT node FROM clusters
+  WHERE node > (SELECT min(node) FROM clusters c2
+                WHERE c2.cluster_id = clusters.cluster_id)
+)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.node = d.doc_id)
+"""
