@@ -2113,8 +2113,10 @@ def q_degree_centrality(spark, sf_dir):
 def q_pagerank(spark, sf_dir):
     """Damped PageRank (3 iterations) over the user→event-type graph —
     crawl/host prioritization. Iterative driver loop with checkpointed
-    rank frames ⇒ rows-only (no SQL oracle; fixtures + a pure-Python
-    integer replica pin semantics in tests/test_graph.py)."""
+    rank frames on Spark; the DuckDB oracle UNROLLS the fixed iterations
+    into chained CTEs — every step is BIGINT nano-unit integer DIV
+    arithmetic, so the replica is bit-identical and the query
+    hash-checks."""
     from hashquery_spark.ops import pagerank
 
     return pagerank(_event_edges(spark, sf_dir), "src", "dst", iters=3)
@@ -2144,8 +2146,10 @@ def q_embedding_centroids(spark, sf_dir):
 
 
 def q_kmeans_clusters(spark, sf_dir):
-    """Lloyd's k-means assignment after 3 iterations. Iterative —
-    rows-only check (each assign/update step is individually exact)."""
+    """Lloyd's k-means assignment after 3 iterations. The DuckDB oracle
+    unrolls the fixed iterations into chained CTEs: centroid updates are
+    exact integer micro-unit sums and distances use the same sequential
+    double arithmetic as list_dot_product, so assignments hash-match."""
     from hashquery_spark.ops import kmeans_fit
 
     emb = _conn(spark, sf_dir).table("embeddings")

@@ -112,8 +112,8 @@ def kmeans_fit(
 
     Deterministic: init = the ``k`` vectors with the smallest ids;
     updates use exact integer-scaled sums; empty clusters keep their
-    previous centroid. Iterative by nature — no SQL oracle exists
-    (the per-iteration assign+update steps are individually checkable)."""
+    previous centroid. Fixed iteration counts unroll into chained-CTE SQL
+    (see oracle_queries._kmeans_sql) — the replica is bit-identical."""
     init = (
         df.where(F.col(vec_col).isNotNull())
         .select(id_col, vec_col)

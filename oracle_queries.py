@@ -2702,3 +2702,114 @@ dropped AS (
 SELECT d.doc_id FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.node = d.doc_id)
 """
+
+
+def _pagerank_sql(iters: int = 3, d_num: int = 85, d_den: int = 100) -> str:
+    """Fixed-iteration PageRank unrolled into chained CTEs — the Spark op
+    is a driver loop, but every step is exact BIGINT nano-unit arithmetic
+    (integer DIV everywhere), so an unrolled SQL replica is bit-identical.
+    """
+    u = 1_000_000_000
+    parts = [f"""
+e AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS src, event_type AS dst
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+topo AS (SELECT n.node, d.deg FROM nodes n LEFT JOIN deg d USING (node)),
+r0 AS (SELECT node, CAST({u} // (SELECT n FROM nn) AS BIGINT) AS r FROM topo)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+d{i} AS (
+  SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm
+  FROM r{p} JOIN topo USING (node) WHERE topo.deg IS NULL
+),
+c{i} AS (
+  SELECT e.dst AS node,
+         CAST(sum((CAST({d_num} AS BIGINT) * p.r) // (CAST({d_den} AS BIGINT) * t.deg)) AS BIGINT) AS c
+  FROM e JOIN r{p} p ON e.src = p.node JOIN topo t ON e.src = t.node
+  WHERE t.deg IS NOT NULL GROUP BY e.dst
+),
+r{i} AS (
+  SELECT t.node,
+    CAST((CAST({d_den} - {d_num} AS BIGINT) * {u}) // ({d_den} * (SELECT n FROM nn))
+         + (CAST({d_num} AS BIGINT) * (SELECT dm FROM d{i})) // ({d_den} * (SELECT n FROM nn))
+         + coalesce(c.c, 0) AS BIGINT) AS r
+  FROM topo t LEFT JOIN c{i} c USING (node)
+)""")
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT node, round(CAST(r AS BIGINT) / CAST({u}.0 AS DOUBLE), 9) AS pagerank
+FROM r{iters}
+"""
+
+
+ORACLE_SQL["pagerank"] = _pagerank_sql(3)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+    """Fixed-iteration Lloyd's k-means unrolled into chained CTEs. The
+    Spark op's centroid updates are exact integer micro-unit sums and its
+    distances/means use the same sequential double arithmetic DuckDB's
+    list_dot_product performs, so the unrolled replica assigns
+    identically (ties break to the lowest cluster id on both sides)."""
+    d = "CAST(1000000.0 AS DOUBLE)"
+    parts = [f"""
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+c0 AS (
+  SELECT CAST(rn - 1 AS BIGINT) AS cluster, v AS c FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v
+    FROM ev ORDER BY vec_id LIMIT {k}
+  )
+)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+a{i} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, kk.cluster,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (list_dot_product(kk.c, kk.c) - 2 * list_dot_product(e.v, kk.c)),
+        kk.cluster) AS rn
+    FROM ev e CROSS JOIN c{p} kk
+  ) WHERE rn = 1
+),
+u{i} AS (
+  SELECT cluster, pos,
+         CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM (
+    SELECT cluster, CAST(unnest(range(len(v))) AS BIGINT) AS pos,
+           unnest(v) AS x
+    FROM a{i}
+  ) GROUP BY cluster, pos
+),
+c{i} AS (
+  SELECT kk.cluster, coalesce(nc.c, kk.c) AS c
+  FROM c{p} kk LEFT JOIN (
+    SELECT cluster,
+           list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {d}) ORDER BY pos) AS c
+    FROM u{i} GROUP BY cluster
+  ) nc USING (cluster)
+)""")
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT vec_id, cluster FROM (
+  SELECT e.vec_id, kk.cluster,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      (list_dot_product(kk.c, kk.c) - 2 * list_dot_product(e.v, kk.c)),
+      kk.cluster) AS rn
+  FROM ev e CROSS JOIN c{iters} kk
+) WHERE rn = 1
+"""
+
+
+ORACLE_SQL["kmeans_clusters"] = _kmeans_sql(8, 3)
