@@ -278,3 +278,43 @@ def test_rules_gates_two_million(spark):
         F.count(F.lit(1)).alias("n"), F.sum("n_lines_kept").alias("kept")
     ).collect()[0]
     assert row.n == 2_000_000 and row.kept == 0  # no terminal punctuation
+
+
+def test_semantic_dedup_two_million_vectors(spark):
+    """Cluster-blocked semantic dedup at volume: 200k 8-dim vectors in
+    64 cells; near-identical planted duplicates collapse to the lowest
+    id, and the kept count is partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import semantic_dedup
+
+    # 100k base directions, each duplicated once with id+100000 (cos=1)
+    base = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), j -> CAST(pmod(hash(id * 31 + j), 97) AS DOUBLE) + 1.0)"
+        ).alias("embedding"),
+    )
+    dup = base.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), F.col("embedding")
+    )
+    corpus = base.union(dup)
+    kept = semantic_dedup(
+        corpus, "embedding", "vec_id", n_clusters=64, threshold=0.9999
+    )
+    n = kept.count()
+    assert n < 200_000  # the planted twins collapsed
+    # a twin pair may never survive whole: if the low id is kept its
+    # high twin (cosine 1.0, same cell) must have been dropped
+    twins_both_kept = (
+        kept.alias("a")
+        .join(kept.alias("b"), F.col("a.vec_id") + 100_000 == F.col("b.vec_id"))
+        .count()
+    )
+    assert twins_both_kept == 0
+    # determinism across partitionings
+    n2 = semantic_dedup(
+        corpus.repartition(13), "embedding", "vec_id",
+        n_clusters=64, threshold=0.9999,
+    ).count()
+    assert n2 == n
