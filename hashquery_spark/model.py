@@ -1051,7 +1051,12 @@ class Model:
             column("period_offset"),
             column("active"),
             column("cohort_size"),
-            column(sql="round(active / CAST(cohort_size AS DOUBLE), 4)").named(
+            # tie-proof 4-dp half-up (ops.dedup.round4_ratio rationale)
+            column(
+                sql="floor((CAST(100000 AS DOUBLE) * active"
+                " + CAST(5 AS DOUBLE) * cohort_size)"
+                " / (CAST(10 AS DOUBLE) * cohort_size)) / CAST(10000 AS DOUBLE)"
+            ).named(
                 "retention_rate"
             ),
         )

@@ -39,6 +39,20 @@ def md5_hash32_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
 
 
+def round4_ratio(num: Column, den: Column) -> Column:
+    """round(num/den, 4) half-up via the floor form — num, den
+    non-negative integer columns. ``round()`` itself is the cross-engine
+    hazard: when num/den is EXACTLY x.xxxx5 (reduced den = 2^5·5^b) Spark
+    rounds the shortest decimal repr half-UP while DuckDB rounds the
+    binary double half-even, flipping the last digit (the char_entropy
+    sf0.1 bug). The floor form uses only IEEE ops both engines perform
+    bit-identically, so they always AGREE; floor misrounding would need
+    den > ~1e10 (quotient within ulp of an integer)."""
+    return F.floor(
+        (F.lit(100000.0) * num + F.lit(5.0) * den) / (F.lit(10.0) * den)
+    ) / F.lit(10000.0)
+
+
 def normalize_text(col: Column) -> Column:
     """Lowercase, strip non-alphanumerics to spaces, collapse whitespace."""
     c = F.lower(col)
@@ -402,11 +416,10 @@ def ngram_jaccard_pairs(
     joined = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # tie-proof 4-dp half-up (see round4_ratio) — inter/union are ints
+    jac = F.when(union > 0, round4_ratio(inter, union)).otherwise(F.lit(0.0))
     return (
-        joined.select(
-            "id_a", "id_b", F.round(jac, 4).alias("jaccard")
-        )
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -110,8 +110,12 @@ def fuzzy_join(
         .selectExpr(
             "id_l",
             "id_r",
-            "round(size(array_intersect(__gl__, __gr__)) / "
-            "CAST(size(array_union(__gl__, __gr__)) AS DOUBLE), 4) AS sim",
+            # tie-proof 4-dp half-up (ops.dedup.round4_ratio rationale):
+            # round() diverges cross-engine on exact decimal ties
+            "floor((CAST(100000 AS DOUBLE) * size(array_intersect(__gl__, __gr__))"
+            " + CAST(5 AS DOUBLE) * size(array_union(__gl__, __gr__)))"
+            " / (CAST(10 AS DOUBLE) * size(array_union(__gl__, __gr__))))"
+            " / CAST(10000 AS DOUBLE) AS sim",
         )
     )
     return verified.where(F.col("sim") >= threshold)

@@ -139,9 +139,13 @@ def dedup_against_fuzzy(
             )
         )
 
+    from .dedup import round4_ratio
+
     inter = F.size(F.array_intersect("__shn__", "__shs__"))
     union = F.size(F.array_union("__shn__", "__shs__"))
-    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 4)
+    # tie-proof 4-dp half-up (round4_ratio): a round() here can flip the
+    # >= threshold gate on exact decimal ties cross-engine
+    jac = F.when(union > 0, round4_ratio(inter, union)).otherwise(F.lit(0.0))
     matched = (
         cands.join(shingle_sets(new, "__idn__", "__shn__"), on="__idn__")
         .join(shingle_sets(seen, "__ids__", "__shs__"), on="__ids__")

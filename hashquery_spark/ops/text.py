@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import ensure_parallelism, normalize_text, tokens, word_shingles
+from .dedup import ensure_parallelism, normalize_text, round4_ratio, tokens, word_shingles
 
 # Tiny deterministic stopword lists per language — a real deployment would
 # swap in fastText-style n-gram models; the *plumbing* (argmax over per-lang
@@ -36,14 +36,19 @@ def langid_cols(text_col: Column) -> list:
     :func:`language_id` and the fused curation pipeline)."""
     toks = tokens(text_col)
     n = F.greatest(F.size(toks), F.lit(1))
-    scores = {lang: _hits(toks, words) / n for lang, words in STOPWORDS.items()}
+    hits = {lang: _hits(toks, words) for lang, words in STOPWORDS.items()}
+    scores = {lang: h / n for lang, h in hits.items()}
     best_score = F.greatest(*scores.values())
+    best_hits = F.greatest(*hits.values())  # same n ⇒ same argmax
     lang = F.lit("unknown")
     for code in reversed(LANGS):  # first lang in order wins ties
         lang = F.when(
             (scores[code] > 0) & (scores[code] == best_score), F.lit(code)
         ).otherwise(lang)
-    return [lang.alias("lang_pred"), F.round(best_score, 4).alias("lang_score")]
+    return [
+        lang.alias("lang_pred"),
+        round4_ratio(best_hits, n).alias("lang_score"),
+    ]
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -80,15 +85,22 @@ def quality_cols(text_col: Column) -> list:
         toks, F.lit(0.0), lambda acc, x: acc + F.length(x)
     ) / n_toks
     word_len_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.5)
+    # the blend's round() is a residual decimal-tie site but its value is
+    # a deep rational whose exact-tie cases need num > 2^53/1e5 to express
+    # integer-exactly — left as-is; the three PLAIN integer ratios below
+    # use the tie-proof floor form (see round4_ratio)
     quality = F.round(
         (alpha_ratio * 0.5 + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3) * word_len_ok
         + 0.2 * F.least(n_toks / 100.0, F.lit(1.0)),
         4,
     )
+    sum_word_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
     return [
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
+        round4_ratio(alpha_len, total_len).alias("alpha_ratio"),
+        round4_ratio(_hits(toks, STOPWORDS["en"]), n_toks).alias("stopword_ratio"),
+        round4_ratio(sum_word_len, n_toks).alias("mean_word_len"),
         quality.alias("quality"),
     ]
 
@@ -135,7 +147,7 @@ def script_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ratios = []
     for name, cls in _SCRIPTS:
         cnt = total - F.length(F.regexp_replace(t, f"[{cls}]", ""))
-        r = F.round(cnt / safe_total.cast("double"), 4)
+        r = round4_ratio(cnt, safe_total)  # tie-proof 4-dp half-up
         cols.append(r.alias(f"{name}_ratio"))
         ratios.append((name, f"{name}_ratio"))
     out = df.where(t.isNotNull()).select(*cols)

@@ -262,11 +262,12 @@ pairs AS (
 ),
 sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
 SELECT p.id_a, p.id_b,
-  round(
-    CASE WHEN len(list_distinct(list_concat(x.s, y.s))) > 0
-         THEN len(list_intersect(x.s, y.s))
-              / len(list_distinct(list_concat(x.s, y.s)))
-         ELSE 0.0 END, 4) AS jaccard
+  CASE WHEN len(list_distinct(list_concat(x.s, y.s))) > 0
+       THEN floor((CAST(100000 AS DOUBLE) * len(list_intersect(x.s, y.s))
+                   + CAST(5 AS DOUBLE) * len(list_distinct(list_concat(x.s, y.s))))
+                  / (CAST(10 AS DOUBLE) * len(list_distinct(list_concat(x.s, y.s)))))
+            / CAST(10000 AS DOUBLE)
+       ELSE 0.0 END AS jaccard
 FROM pairs p
 JOIN sets x ON p.id_a = x.doc_id
 JOIN sets y ON p.id_b = y.doc_id
@@ -427,6 +428,17 @@ _STOP = {
 }
 
 
+def _round4_ratio_sql(num: str, den: str) -> str:
+    """DuckDB twin of ops.text.round4_ratio — identical IEEE ops, so both
+    engines always agree on the 4-dp half-up value (see the Spark-side
+    docstring for why round() itself diverges on exact decimal ties)."""
+    D = "CAST({} AS DOUBLE)"
+    return (
+        f"floor(({D.format('100000')} * ({num}) + {D.format('5')} * ({den}))"
+        f" / ({D.format('10')} * ({den}))) / {D.format('10000')}"
+    )
+
+
 def _hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in sorted(set(_STOP[lang])))
     return f"len(list_filter(t, w -> list_contains([{words}], w)))"
@@ -436,6 +448,10 @@ _LANG_SCORES = ",\n  ".join(
     f"{_hits(lang)} / greatest(len(t), 1) AS s_{lang}" for lang in sorted(_STOP)
 )
 
+_LANG_HITS = ",\n  ".join(
+    f"{_hits(lang)} AS h_{lang}" for lang in sorted(_STOP)
+)
+
 LANGID_SQL = f"""
 WITH toks AS (
   SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents
@@ -443,7 +459,10 @@ WITH toks AS (
 scores AS (
   SELECT doc_id,
   {_LANG_SCORES},
-  greatest(s_de, s_en, s_es, s_fr) AS best
+  {_LANG_HITS},
+  greatest(s_de, s_en, s_es, s_fr) AS best,
+  greatest(h_de, h_en, h_es, h_fr) AS best_h,
+  t
   FROM toks
 )
 SELECT doc_id,
@@ -452,7 +471,7 @@ SELECT doc_id,
        WHEN s_es > 0 AND s_es = best THEN 'es'
        WHEN s_fr > 0 AND s_fr = best THEN 'fr'
        ELSE 'unknown' END AS lang_pred,
-  round(best, 4) AS lang_score
+  {_round4_ratio_sql('best_h', 'greatest(len(t), 1)')} AS lang_score
 FROM scores
 """
 
@@ -462,6 +481,10 @@ WITH toks AS (
 ),
 m AS (
   SELECT doc_id,
+    len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_len,
+    greatest(len(text), 1) AS total_len,
+    {_hits('en')} AS stop_hits,
+    coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS sum_wl,
     len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
       / greatest(len(text), 1) AS alpha_ratio,
     {_hits('en')} / greatest(len(t), 1) AS stop_ratio,
@@ -471,9 +494,9 @@ m AS (
   FROM toks
 )
 SELECT doc_id,
-  round(alpha_ratio, 4) AS alpha_ratio,
-  round(stop_ratio, 4) AS stopword_ratio,
-  round(mwl, 4) AS mean_word_len,
+  {_round4_ratio_sql('alpha_len', 'total_len')} AS alpha_ratio,
+  {_round4_ratio_sql('stop_hits', 'n_toks')} AS stopword_ratio,
+  {_round4_ratio_sql('sum_wl', 'n_toks')} AS mean_word_len,
   round((alpha_ratio * 0.5 + least(stop_ratio * 5, 1.0) * 0.3)
           * (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END)
         + 0.2 * least(n_toks / 100.0, 1.0), 4) AS quality
@@ -1401,7 +1424,10 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT cohort, CAST(period_offset AS BIGINT) AS period_offset, active,
                first_value(active) OVER w AS cohort_size,
-               round(active / CAST(first_value(active) OVER w AS DOUBLE), 4)
+               floor((CAST(100000 AS DOUBLE) * active
+                      + CAST(5 AS DOUBLE) * first_value(active) OVER w)
+                     / (CAST(10 AS DOUBLE) * first_value(active) OVER w))
+               / CAST(10000 AS DOUBLE)
                  AS retention_rate
         FROM agg
         WINDOW w AS (PARTITION BY cohort ORDER BY period_offset
@@ -1462,17 +1488,15 @@ ORACLE_SQL: dict[str, str] = {
     "script_profile": r"""
         WITH r AS (
           SELECT doc_id, length(text) AS n_chars,
-            round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
-                  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS latin_ratio,
-            round((length(text) - length(regexp_replace(text,
+            floor((CAST(100000 AS DOUBLE) * (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) + CAST(5 AS DOUBLE) * greatest(length(text), 1)) / (CAST(10 AS DOUBLE) * greatest(length(text), 1))) / CAST(10000 AS DOUBLE) AS latin_ratio,
+            floor((CAST(100000 AS DOUBLE) * (length(text) - length(regexp_replace(text,
                   '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]', '', 'g')))
-                  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS cjk_ratio,
-            round((length(text) - length(regexp_replace(text, '[\x{400}-\x{4ff}]', '', 'g')))
-                  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS cyrillic_ratio,
-            round((length(text) - length(regexp_replace(text, '[\x{600}-\x{6ff}]', '', 'g')))
-                  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS arabic_ratio,
-            round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-                  / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS digit_ratio
+                  + CAST(5 AS DOUBLE) * greatest(length(text), 1))
+                  / (CAST(10 AS DOUBLE) * greatest(length(text), 1)))
+                  / CAST(10000 AS DOUBLE) AS cjk_ratio,
+            floor((CAST(100000 AS DOUBLE) * (length(text) - length(regexp_replace(text, '[\x{400}-\x{4ff}]', '', 'g'))) + CAST(5 AS DOUBLE) * greatest(length(text), 1)) / (CAST(10 AS DOUBLE) * greatest(length(text), 1))) / CAST(10000 AS DOUBLE) AS cyrillic_ratio,
+            floor((CAST(100000 AS DOUBLE) * (length(text) - length(regexp_replace(text, '[\x{600}-\x{6ff}]', '', 'g'))) + CAST(5 AS DOUBLE) * greatest(length(text), 1)) / (CAST(10 AS DOUBLE) * greatest(length(text), 1))) / CAST(10000 AS DOUBLE) AS arabic_ratio,
+            floor((CAST(100000 AS DOUBLE) * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) + CAST(5 AS DOUBLE) * greatest(length(text), 1)) / (CAST(10 AS DOUBLE) * greatest(length(text), 1))) / CAST(10000 AS DOUBLE) AS digit_ratio
           FROM documents WHERE text IS NOT NULL
         )
         SELECT doc_id, n_chars, latin_ratio, cjk_ratio, cyrillic_ratio,
@@ -1840,8 +1864,10 @@ rbuck AS (
                   WHERE id_r IN (SELECT id_r FROM cands))
         SELECT * FROM (
           SELECT c.id_l, c.id_r,
-                 round(len(list_intersect(x.s, y.s))
-                       / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE), 4) AS sim
+                 floor((CAST(100000 AS DOUBLE) * len(list_intersect(x.s, y.s))
+                        + CAST(5 AS DOUBLE) * len(list_distinct(list_concat(x.s, y.s))))
+                       / (CAST(10 AS DOUBLE) * len(list_distinct(list_concat(x.s, y.s)))))
+                       / CAST(10000 AS DOUBLE) AS sim
           FROM cands c JOIN lsets x ON c.id_l = x.id_l
                        JOIN rsets y ON c.id_r = y.id_r
         ) WHERE sim >= 0.6
@@ -1939,11 +1965,12 @@ rbuck AS (
           FROM cands c
           JOIN sets x ON c.idn = x.doc_id
           JOIN sets y ON c.ids = y.doc_id
-          WHERE round(
-            CASE WHEN len(list_distinct(list_concat(x.s, y.s))) > 0
-                 THEN len(list_intersect(x.s, y.s))
-                      / len(list_distinct(list_concat(x.s, y.s)))
-                 ELSE 0.0 END, 4) >= 0.8
+          WHERE (CASE WHEN len(list_distinct(list_concat(x.s, y.s))) > 0
+                 THEN floor((CAST(100000 AS DOUBLE) * len(list_intersect(x.s, y.s))
+                             + CAST(5 AS DOUBLE) * len(list_distinct(list_concat(x.s, y.s))))
+                            / (CAST(10 AS DOUBLE) * len(list_distinct(list_concat(x.s, y.s)))))
+                      / CAST(10000 AS DOUBLE)
+                 ELSE 0.0 END) >= 0.8
         )
         SELECT doc_id FROM documents
         WHERE doc_id % 3 <> 0
