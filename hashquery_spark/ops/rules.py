@@ -38,13 +38,21 @@ def round4_ratio_sql(num: str, den: str) -> str:
     )
 
 
+def _ws_strip(text):
+    # trim() strips SPACES only in both engines — a leading/trailing
+    # newline or tab would survive and split() would emit a phantom empty
+    # token (caught by the python-reference hypothesis property)
+    return F.regexp_replace(text, r"^\s+|\s+$", "")
+
+
 def _raw_tokens(text):
     """Whitespace tokens of the RAW text (empty array for blank docs) —
     unlike dedup.tokens(), punctuation stays attached (the Gopher rules
     measure words as typed, e.g. 'words containing an alphabetic char')."""
+    stripped = _ws_strip(text)
     return F.when(
-        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(text), r"\s+"))
+        F.length(stripped) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(stripped, r"\s+"))
 
 
 def gopher_rules(

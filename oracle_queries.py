@@ -2469,8 +2469,10 @@ QUALIFY rank <= 5
 ORACLE_SQL["gopher_rules"] = r"""
 WITH base AS (
   SELECT doc_id,
-    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         ELSE string_split_regex(trim(text), '\s+') END AS toks,
+    CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+         THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                                 '\s+') END AS toks,
     string_split(text, chr(10)) AS lines,
     text AS t
   FROM documents

@@ -819,3 +819,63 @@ def test_winsorize_matches_numpy_percentiles(spark, vals, lo, hi):
         assert got[i] == pytest.approx(expected, rel=1e-12, abs=1e-12), (
             i, v, plo, phi
         )
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab C.#\n-•*…xyz the of and 0123",
+            min_size=0,
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gopher_rules_match_python_reference(spark, texts):
+    """Every Gopher metric equals a straightforward Python replica on
+    arbitrary text (newlines, bullets, ellipses, hashes, unicode)."""
+    import re
+
+    from hashquery_spark.ops import gopher_rules
+    from hashquery_spark.ops.rules import GOPHER_STOPWORDS
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(df, "text", "doc_id", min_words=2).collect()
+    }
+
+    def round4(num, den):
+        import math
+
+        return math.floor((100000.0 * num + 5.0 * den) / (10.0 * den)) / 10000.0
+
+    for i, t in enumerate(texts):
+        toks = t.strip().split() if t.strip() else []
+        nw1 = max(len(toks), 1)
+        lines = t.split("\n")
+        nl1 = max(len(lines), 1)
+        n_hash = t.count("#")
+        n_ell3 = len(t) - len(t.replace("...", ""))
+        exp = {
+            "n_words": len(toks),
+            "mean_word_len": round4(sum(len(w) for w in toks), nw1),
+            "symbol_ratio": round4(3 * n_hash + n_ell3, 3 * nw1),
+            "bullet_line_ratio": round4(
+                sum(bool(re.match(r"^[-*•]", l.lstrip())) for l in lines), nl1
+            ),
+            "ellipsis_line_ratio": round4(
+                sum(l.rstrip().endswith("...") for l in lines), nl1
+            ),
+            "alpha_word_ratio": round4(
+                sum(bool(re.search("[A-Za-z]", w)) for w in toks), nw1
+            ),
+            "stop_hits": sum(
+                w in {x.lower() for x in toks} for w in GOPHER_STOPWORDS
+            ),
+        }
+        for k, v in exp.items():
+            assert got[i][k] == v, (i, k, got[i][k], v, repr(t))
