@@ -548,6 +548,10 @@ def _src_n2r(native: dict) -> dict:
             offset=native.get("offset", 0),
         )
     if t == "union":
+        if native.get("byName"):
+            # the reference's union is strictly positional — emitting this
+            # as a plain union would silently change semantics
+            _raise_unrepresentable({"type": "union(by_name)"})
         return _src_env(
             "union",
             base=_src_n2r(native["base"]),

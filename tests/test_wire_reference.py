@@ -237,3 +237,14 @@ def test_primary_key_and_custom_meta_roundtrip(spark, sf_dir):
     hydrated = Model.from_wire(json.loads(json.dumps(wire)), conn)
     assert hydrated._custom_meta == {"owner": "analytics"}
     assert hydrated._primary_key.to_wire()["name"] == "n_nationkey"
+
+
+def test_union_by_name_refuses_reference_emit(spark, sf_dir):
+    """The reference's union is positional; a by-name union must refuse
+    reference-format emit instead of silently changing semantics."""
+    conn = connection_for_dir(sf_dir, spark)
+    a = Model(conn, "nation").pick(column("n_name"), column("n_regionkey"))
+    b = Model(conn, "nation").pick(column("n_regionkey"), column("n_name"))
+    m = a.union_by_name(b)
+    with pytest.raises(ReferenceWireError, match="no reference wire-format"):
+        m.to_wire(format="reference")
