@@ -2782,6 +2782,17 @@ def q_stats_moments(spark, sf_dir):
     )
 
 
+def q_dp_count(spark, sf_dir):
+    """Seeded-Laplace noisy per-segment customer counts (the releasable
+    aggregate; true counts never emitted). ln() is libm — both engines'
+    ln agree to the 4-dp round on irrational arguments (no decimal
+    ties)."""
+    from hashquery_spark.ops import dp_count
+
+    cust = _conn(spark, sf_dir).table("customer")
+    return dp_count(cust, ["c_mktsegment"], epsilon=0.5)
+
+
 def q_bpe_merges(spark, sf_dir):
     """Learned BPE merge table (rank, left, right, merged): one corpus
     scan to a capped word-frequency table, then bounded driver-side merge
@@ -2995,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "stats_moments": q_stats_moments,
         "union_by_name": q_union_by_name,
+        "dp_count": q_dp_count,
     }
 
 

@@ -82,6 +82,7 @@ from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
 from .profile import (
     approx_quantiles,
     k_anonymity,
+    dp_count,
     winsorize,
     check_constraints,
     distribution_drift,
@@ -189,6 +190,7 @@ __all__ = [
     "compression_ratio",
     "approx_quantiles",
     "k_anonymity",
+    "dp_count",
     "mix_corpora",
     "ws_token_count",
     "snapshot_diff",

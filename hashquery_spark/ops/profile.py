@@ -583,3 +583,51 @@ def k_anonymity(
         .where(F.col("group_size") < k)
     )
     return out.orderBy(F.col("group_size").asc(), *[F.col(c).asc() for c in quasi])
+
+
+def dp_count(
+    df: DataFrame,
+    group_cols,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Per-group counts with seeded Laplace(1/epsilon) noise — the
+    releasable-aggregate companion to :func:`k_anonymity`. Output:
+    group columns + ``n_dp`` (noisy count, 4 dp); the TRUE count is
+    deliberately not emitted.
+
+    Noise is derived deterministically from md5(seed:group-key) via the
+    inverse Laplace CDF (u uniform in (0,1) →
+    ``-(1/ε)·sign(u-½)·ln(1-2|u-½|)``) — the repo's md5-not-RNG
+    contract, so results are stable across runs/partitionings/engines and
+    oracle-checkable. NOTE: deterministic seeded noise gives the Laplace
+    MECHANISM's utility profile for testing/pipelines, but formal DP
+    requires fresh randomness per release and an epsilon budget — swap
+    the seed per release and account externally.
+
+    Scale: one hash aggregate (map-side partials) + a narrow noise
+    projection; never touches row data beyond the group keys.
+    """
+    from .dedup import md5_hash32
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not 0 < epsilon:
+        raise ValueError("epsilon must be positive")
+    counts = df.groupBy(*[F.col(c) for c in groups]).agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    key = F.concat_ws(
+        ":", F.lit(seed), *[F.col(c).cast("string") for c in groups]
+    )
+    # u in (0,1): (h32 + 0.5) / 2^32 — never exactly 0, 0.5 or 1
+    u = (md5_hash32(key) + F.lit(0.5)) / F.lit(4294967296.0)
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        *[F.col(c) for c in groups],
+        F.round(F.col("__n__") + noise, 4).alias("n_dp"),
+    )

@@ -2842,3 +2842,21 @@ SELECT vec_id, cluster FROM (
 
 
 ORACLE_SQL["kmeans_clusters"] = _kmeans_sql(8, 3)
+
+ORACLE_SQL["dp_count"] = f"""
+WITH c AS (
+  SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment
+),
+noise AS (
+  SELECT c_mktsegment, n,
+    ({H32.format(x="'dp:' || CAST(c_mktsegment AS VARCHAR)")} + 0.5)
+      / CAST(4294967296.0 AS DOUBLE) AS u
+  FROM c
+)
+SELECT c_mktsegment,
+  round(n + (-CAST(2.0 AS DOUBLE))
+            * sign(u - CAST(0.5 AS DOUBLE))
+            * ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE))), 4)
+    AS n_dp
+FROM noise
+"""

@@ -1549,3 +1549,26 @@ def test_bpe_train_deterministic(spark, sf_dir):
     m1 = bpe_train(docs, "text", num_merges=20)
     m2 = bpe_train(docs.repartition(7), "text", num_merges=20)
     assert m1 == m2 and len(m1) == 20
+
+
+def test_dp_count_noise_properties(spark):
+    """Seeded Laplace mechanism: deterministic under repartitioning,
+    bounded utility at the chosen epsilon, never emits the true count
+    column, and different seeds decorrelate."""
+    from hashquery_spark.ops import dp_count
+
+    rows = [(i, f"g{i % 5}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out1 = {r["g"]: r["n_dp"] for r in dp_count(df, "g", epsilon=1.0).collect()}
+    out2 = {
+        r["g"]: r["n_dp"]
+        for r in dp_count(df.repartition(7), "g", epsilon=1.0).collect()
+    }
+    assert out1 == out2 and set(out1) == {f"g{i}" for i in range(5)}
+    assert "n" not in dp_count(df, "g").columns  # true count withheld
+    for g, v in out1.items():
+        assert abs(v - 200) < 30  # Laplace(1) tail at 5 groups
+    out_seed = {
+        r["g"]: r["n_dp"] for r in dp_count(df, "g", seed="other").collect()
+    }
+    assert out_seed != out1
