@@ -879,3 +879,54 @@ def test_gopher_rules_match_python_reference(spark, texts):
         }
         for k, v in exp.items():
             assert got[i][k] == v, (i, k, got[i][k], v, repr(t))
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet='ab c.!?" {}\nlorem ipsum javascript xyz',
+            min_size=0,
+            max_size=160,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_c4_filters_match_python_reference(spark, texts):
+    """Every C4 output equals a straightforward Python replica on
+    arbitrary multi-line pages."""
+    import re
+
+    from hashquery_spark.ops import c4_filters
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict() for r in c4_filters(df, "text", "doc_id").collect()
+    }
+
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+
+        def kept_line(l):
+            r = l.rstrip(" ")  # Spark rtrim strips spaces only — match it
+            return (
+                bool(re.search(r'[.!?"]$', r))
+                and len(l.strip().split()) >= 5
+                and "javascript" not in l.lower()
+            )
+
+        kept = [l for l in lines if kept_line(l)]
+        exp = {
+            "clean_text": "\n".join(kept),
+            "n_lines_kept": len(kept),
+            "n_lines_total": len(lines),
+            "has_lorem_ipsum": "lorem ipsum" in t.lower(),
+            "has_brace": "{" in t.lower(),
+            "passes": len(kept) >= 3
+            and "lorem ipsum" not in t.lower()
+            and "{" not in t.lower(),
+        }
+        for k, v in exp.items():
+            assert got[i][k] == v, (i, k, got[i][k], v, repr(t))
