@@ -930,3 +930,55 @@ def test_c4_filters_match_python_reference(spark, texts):
         }
         for k, v in exp.items():
             assert got[i][k] == v, (i, k, got[i][k], v, repr(t))
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-3, max_value=3).map(float),
+            min_size=4,
+            max_size=4,
+        ).filter(lambda v: any(x != 0 for x in v)),
+        min_size=3,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.5, 0.8, 0.95]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_semantic_dedup_matches_numpy_reference(spark, vecs, threshold):
+    """Kept set equals a straight numpy replica of the whole algorithm:
+    first-k centroids, 4-dp-rounded cosine cell assignment with
+    lowest-centroid tiebreak, in-cell lower-id-similar drop rule."""
+    import math
+
+    from hashquery_spark.ops import semantic_dedup
+
+    k = 2
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", n_clusters=k, threshold=threshold
+        ).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 4)
+
+    cents = [(cid, vecs[cid]) for cid in range(min(k, len(vecs)))]
+    cell = {
+        i: min(cents, key=lambda c: (-cos(v, c[1]), c[0]))[0]
+        for i, v in enumerate(vecs)
+    }
+    dropped = {
+        j
+        for j in range(len(vecs))
+        for i in range(j)
+        if cell[i] == cell[j] and cos(vecs[i], vecs[j]) >= threshold
+    }
+    expected = {i: cell[i] for i in range(len(vecs)) if i not in dropped}
+    assert got == expected, (got, expected)
