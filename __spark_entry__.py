@@ -2073,7 +2073,11 @@ def q_winsorize(spark, sf_dir):
     from hashquery_spark.ops import winsorize
 
     orders = _conn(spark, sf_dir).table("orders")
-    out = winsorize(orders, "o_totalprice", lo=0.05, hi=0.95, by="o_orderstatus")
+    # exact=True: oracle-pinned interpolated percentiles (the distributed
+    # histogram path — prices are a 2-dp grid, so it's also scale-safe)
+    out = winsorize(
+        orders, "o_totalprice", lo=0.05, hi=0.95, by="o_orderstatus", exact=True
+    )
     # round to 3 dp: prices are 2-dp and the interpolated clip bounds live
     # on the 0.005 grid, so 3-dp rounding is the identity — a 2-dp round
     # would hit true .xx5 ties (HALF_UP vs half-even, the quantiles bug)
@@ -2592,7 +2596,7 @@ def q_mad_outliers(spark, sf_dir):
     orders = _conn(spark, sf_dir).table("orders")
     return mad_outliers(
         orders, "o_totalprice", "o_orderpriority",
-        threshold=1.2, keep_cols=["o_orderkey"],
+        threshold=1.2, keep_cols=["o_orderkey"], exact=True,
     )
 
 

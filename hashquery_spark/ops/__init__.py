@@ -81,6 +81,7 @@ from .chunking import chunk_documents, dedup_paragraphs, repeated_spans
 from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
 from .profile import (
     approx_quantiles,
+    grid_percentiles,
     k_anonymity,
     dp_count,
     winsorize,
@@ -204,6 +205,7 @@ __all__ = [
     "plan_span_corruption",
     "host_rollup",
     "char_entropy",
+    "grid_percentiles",
     "winsorize",
     "kfold_split",
     "degree_centrality",

@@ -147,6 +147,89 @@ def approx_quantiles(
     return wide.selectExpr(f"{stack} AS (column_name, prob, value)")
 
 
+def grid_percentiles(
+    df: DataFrame,
+    value_col: str,
+    qs: dict,
+    by=None,
+) -> DataFrame:
+    """DISTRIBUTED exact interpolated percentiles via a value histogram —
+    one row per group with one column per requested quantile
+    (``qs`` maps output name -> probability in [0, 1]).
+
+    This replaces Spark's exact ``percentile(...)`` aggregate wherever the
+    value column lives on a bounded grid (rounded scores, 2-dp prices,
+    integer counts): ``percentile`` buffers EVERY value of a group in one
+    non-spillable ObjectHashAggregate buffer — the 100 TB killer when a
+    group is huge (e.g. per-language stats on an English-skewed corpus).
+    Here the data reduces map-side to a ``(group, value) -> count``
+    histogram (bounded by grid cardinality, NOT row count), a per-group
+    running count over the histogram locates the bracketing order
+    statistics, and one tiny aggregate interpolates.
+
+    Plan shape: one shuffle for the histogram aggregate (map-side
+    combined), one for the per-group window sort over histogram rows
+    (external-sortable — spills instead of OOM even for continuous
+    values), then the final per-group aggregate reuses the window's
+    partitioning. No ``percentile(`` buffer aggregate anywhere.
+
+    Determinism: replicates Spark ``Percentile.getPercentile`` bit-for-bit
+    — ``pos = q * (n-1)`` in doubles, result =
+    ``(ceil(pos)-pos)*v_lo + (pos-floor(pos))*v_hi`` — which the oracle
+    suite has established is itself bit-identical to DuckDB
+    ``quantile_cont`` (see the ``quantiles`` query); a parity test pins
+    grid_percentiles == F.percentile on real data.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col)
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(*by, value_col)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    w_ord = (
+        Window.partitionBy(*by)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*by)
+    hist = hist.select(
+        *by,
+        value_col,
+        "__c__",
+        F.sum("__c__").over(w_ord).alias("__cum__"),
+        F.sum("__c__").over(w_all).alias("__n__"),
+    )
+    # histogram row covers 0-based sorted positions [__cum__-__c__, __cum__-1]
+    aggs = [F.max("__n__").alias("__n__")]
+    for name, q in qs.items():
+        pos = F.lit(float(q)) * (F.col("__n__") - F.lit(1)).cast("double")
+        lo_i, hi_i = F.floor(pos), F.ceil(pos)
+        lo_at = F.col("__cum__") - F.col("__c__")
+        aggs.append(
+            F.max(F.when((lo_i >= lo_at) & (lo_i < F.col("__cum__")), v))
+            .cast("double")
+            .alias(f"__lo_{name}__")
+        )
+        aggs.append(
+            F.max(F.when((hi_i >= lo_at) & (hi_i < F.col("__cum__")), v))
+            .cast("double")
+            .alias(f"__hi_{name}__")
+        )
+    agg = hist.groupBy(*by).agg(*aggs)
+    outs = list(by)
+    for name, q in qs.items():
+        pos = F.lit(float(q)) * (F.col("__n__") - F.lit(1)).cast("double")
+        lo_d, hi_d = F.floor(pos).cast("double"), F.ceil(pos).cast("double")
+        lo_v, hi_v = F.col(f"__lo_{name}__"), F.col(f"__hi_{name}__")
+        outs.append(
+            F.when(lo_d == hi_d, lo_v)
+            .otherwise((hi_d - pos) * lo_v + (pos - lo_d) * hi_v)
+            .alias(name)
+        )
+    return agg.select(*outs)
+
+
 def distribution_drift(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -375,22 +458,25 @@ def winsorize(
     Scale: ONE aggregate computes both bounds, then the tiny bounds frame
     joins back — a 1-row broadcast cross join globally, an AQE-broadcast
     equi-join per group. The clip itself is a narrow codegen'd projection.
-    ``exact=None`` (auto) picks exact interpolated ``percentile`` for
-    grouped calls (partitioned aggregate, oracle-checkable) and the
-    bounded-memory Greenwald-Khanna ``percentile_approx`` sketch for the
-    UNGROUPED call: an ungrouped exact percentile buffers every distinct
-    value on one reducer — a 100 TB scale-killer (plan_lint flags it).
-    Force either with ``exact=True/False``.
+    ``exact=None`` (auto) uses the bounded-memory Greenwald-Khanna
+    ``percentile_approx`` sketch — grouped or not. A ``by=`` key with a
+    handful of huge groups (status codes, languages) has the same
+    single-reducer buffer problem per group as the ungrouped call, so
+    groupedness alone proves nothing about safety (plan_lint flags exact
+    percentiles either way). ``exact=True`` routes through the
+    distributed histogram percentile (:func:`grid_percentiles`) — exact,
+    oracle-checkable, map-side-reduced and spillable, best when values
+    live on a grid (prices, rounded scores).
     """
     out_name = out_name or f"{value_col}_winsorized"
     v = F.col(value_col)
     if exact is None:
-        exact = bool(by)
+        exact = False
+    by = [by] if isinstance(by, str) else list(by or [])
     if exact:
-        bounds_aggs = [
-            F.percentile(v, F.lit(float(lo))).alias("__lo__"),
-            F.percentile(v, F.lit(float(hi))).alias("__hi__"),
-        ]
+        bounds = grid_percentiles(
+            df, value_col, {"__lo__": float(lo), "__hi__": float(hi)}, by=by
+        )
     else:
         bounds_aggs = [
             F.expr(
@@ -402,12 +488,10 @@ def winsorize(
                 f"{int(accuracy)}) AS DOUBLE)"
             ).alias("__hi__"),
         ]
+        bounds = df.groupBy(*by).agg(*bounds_aggs) if by else df.agg(*bounds_aggs)
     if by:
-        by = [by] if isinstance(by, str) else list(by)
-        bounds = df.groupBy(*by).agg(*bounds_aggs)
-        joined = df.join(bounds, on=by)
+        joined = df.join(F.broadcast(bounds), on=by)
     else:
-        bounds = df.agg(*bounds_aggs)
         joined = df.crossJoin(F.broadcast(bounds))
     clipped = F.when(
         v.isNull(), F.lit(None).cast("double")
@@ -441,10 +525,13 @@ def mad_outliers(
     BEFORE the threshold compare, so the flag can't flip between engines.
     Zero-MAD groups (majority-constant values) emit no rows.
 
-    ``exact=None`` (auto) = exact medians for grouped calls, bounded-
-    memory GK ``percentile_approx`` medians for the UNGROUPED call (an
-    ungrouped exact percentile buffers every distinct value on one
-    reducer — a 100 TB scale-killer; plan_lint flags it).
+    ``exact=None`` (auto) = bounded-memory GK ``percentile_approx``
+    medians, grouped or not — a low-cardinality ``group_col`` (priority
+    band, language) buffers a giant group on one reducer exactly like the
+    ungrouped call would, so groupedness is no safety proof (plan_lint
+    flags exact percentiles either way). ``exact=True`` = distributed
+    histogram medians (:func:`grid_percentiles`): exact, spillable,
+    oracle-checkable — preferred when values live on a grid.
     """
     groups = (
         [group_col] if isinstance(group_col, str) else list(group_col or [])
@@ -453,29 +540,24 @@ def mad_outliers(
     v = F.col(value_col)
     base = df.where(v.isNotNull())
     if exact is None:
-        exact = bool(groups)
+        exact = False
 
-    def median_of(col_name):
+    def agg_back(frame, col_name, alias):
         if exact:
-            return F.percentile(F.col(col_name), F.lit(0.5))
-        return F.expr(
-            f"CAST(percentile_approx(`{col_name}`, 0.5D, {int(accuracy)}) "
-            "AS DOUBLE)"
-        )
-
-    def agg_back(frame, expr_col, alias):
+            stats = grid_percentiles(frame, col_name, {alias: 0.5}, by=groups)
+        else:
+            med = F.expr(
+                f"CAST(percentile_approx(`{col_name}`, 0.5D, {int(accuracy)}) "
+                "AS DOUBLE)"
+            ).alias(alias)
+            stats = frame.groupBy(*groups).agg(med) if groups else frame.agg(med)
         if groups:
-            stats = frame.groupBy(*[F.col(g) for g in groups]).agg(
-                expr_col.alias(alias)
-            )
             return frame.join(F.broadcast(stats), on=groups)
-        return frame.crossJoin(
-            F.broadcast(frame.agg(expr_col.alias(alias)))
-        )
+        return frame.crossJoin(F.broadcast(stats))
 
-    med = agg_back(base, median_of(value_col), "__med__")
+    med = agg_back(base, value_col, "__med__")
     dev = med.withColumn("__dev__", F.abs(v.cast("double") - F.col("__med__")))
-    mad = agg_back(dev, median_of("__dev__"), "__mad__")
+    mad = agg_back(dev, "__dev__", "__mad__")
     rz = F.round(
         F.col("__dev__") / (F.lit(1.4826) * F.col("__mad__")), 4
     )

@@ -646,24 +646,32 @@ def perplexity_buckets(
     perplexity, so ``head`` is ``lm2_score >= t2``).
 
     Scale: language-ID is a narrow pass, the LM join is the
-    bigram_lm_score pipeline, and the tercile thresholds are a per-language
-    aggregate over per-DOC rows (corpus-cardinality ÷ docs) broadcast
-    back. Per-language exact percentiles partition the aggregate; docs
-    with < 2 tokens have no bigrams and drop out (CCNet also drops them).
+    bigram_lm_score pipeline, and the tercile thresholds come from
+    :func:`~hashquery_spark.ops.profile.grid_percentiles` — lm2 scores
+    live on a 1e-4 grid, so the per-language score HISTOGRAM (not the
+    docs) is what aggregates: exact terciles with bounded memory even
+    when one language holds half of a 100 TB corpus (real corpora are
+    English-skewed; a per-language exact ``percentile`` buffer aggregate
+    would put billions of doubles on one reducer). Docs with < 2 tokens
+    have no bigrams and drop out (CCNet also drops them).
 
     Determinism: lm2 scores are integer-scaled-exact; interpolated
     tercile thresholds are bit-identical cross-engine (lo + (hi-lo)*frac
     in doubles, see the quantiles query); tercile fractions are computed
     as 1/3 and 2/3 in double on BOTH engines.
     """
+    from .profile import grid_percentiles
+
     lang = df.select(F.col(id_col), *langid_cols(F.col(text_col))).select(
         id_col, "lang_pred"
     )
     lm = bigram_lm_score(df, text_col, id_col)
     scored = lm.join(lang, on=id_col)
-    th = scored.groupBy("lang_pred").agg(
-        F.percentile(F.col("lm2_score"), F.lit(1.0 / 3.0)).alias("__t1__"),
-        F.percentile(F.col("lm2_score"), F.lit(2.0 / 3.0)).alias("__t2__"),
+    th = grid_percentiles(
+        scored,
+        "lm2_score",
+        {"__t1__": 1.0 / 3.0, "__t2__": 2.0 / 3.0},
+        by="lang_pred",
     )
     bucket = (
         F.when(F.col("lm2_score") >= F.col("__t2__"), "head")

@@ -60,6 +60,15 @@ def plan_report(df) -> Dict[str, Any]:
     unpartitioned_exact_percentiles = len(
         re.findall(r"keys=\[\],\s*functions=\[[^\]]*\bpercentile\(", plan)
     )
+    # exact percentile over a GROUPED aggregate is the same smell wearing
+    # a disguise: the buffer is per GROUP, and plans can't see group
+    # cardinality — a low-cardinality skewed key (language, status code)
+    # still puts billions of values on one reducer. Safe only when every
+    # group is provably small; prefer percentile_approx or the
+    # histogram-based ops.grid_percentiles (exact AND spillable).
+    grouped_exact_percentiles = len(
+        re.findall(r"keys=\[[^\]]+\],\s*functions=\[[^\]]*\bpercentile\(", plan)
+    )
     warnings: List[str] = []
     if n_cartesian:
         warnings.append(
@@ -79,6 +88,14 @@ def plan_report(df) -> Dict[str, Any]:
             "percentile(s): the aggregate buffers every distinct value on "
             "one reducer — unbounded memory at scale. Use percentile_approx "
             "(ops.approx_quantiles / exact=False) or group the percentile."
+        )
+    if grouped_exact_percentiles:
+        warnings.append(
+            f"{grouped_exact_percentiles} grouped EXACT percentile(s): the "
+            "aggregate buffers every value of a GROUP on one reducer — safe "
+            "only if every group is provably small (a low-cardinality skewed "
+            "key is the classic trap). Prefer percentile_approx or the "
+            "distributed histogram percentile (ops.grid_percentiles)."
         )
     if unpartitioned_windows:
         warnings.append(
@@ -101,6 +118,7 @@ def plan_report(df) -> Dict[str, Any]:
         "broadcast_nested_loop_joins": n_bnlj,
         "unpartitioned_windows": unpartitioned_windows,
         "unpartitioned_exact_percentiles": unpartitioned_exact_percentiles,
+        "grouped_exact_percentiles": grouped_exact_percentiles,
         "warnings": warnings,
     }
 

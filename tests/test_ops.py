@@ -1090,6 +1090,55 @@ def test_dedup_keep_best_prefers_high_score(spark):
     assert out == {2: (50.0, 3), 4: (1.0, 1)}
 
 
+def test_grid_percentiles_bitmatch_exact_percentile(spark, sf_dir):
+    """The distributed histogram percentile must reproduce Spark's exact
+    ``F.percentile`` BIT-FOR-BIT (same q*(n-1) position, same
+    (ceil-pos)*lo + (pos-floor)*hi interpolation) — that identity is what
+    lets the exact=True winsorize/mad paths keep their quantile_cont
+    oracles while dropping the single-reducer buffer aggregate."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import grid_percentiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qs = {"p05": 0.05, "p50": 0.5, "p90": 0.9, "p0": 0.0, "p100": 1.0}
+    got = {
+        r["l_returnflag"]: r.asDict()
+        for r in grid_percentiles(
+            li, "l_extendedprice", qs, by="l_returnflag"
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: r.asDict()
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.percentile(F.col("l_extendedprice"), F.lit(q)).alias(n)
+                for n, q in qs.items()
+            ]
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        for name in qs:
+            assert repr(got[k][name]) == repr(want[k][name]), (k, name)
+
+    # heavy-duplicate random doubles, ungrouped
+    random.seed(11)
+    rows = [(round(random.uniform(-3, 3), 3),) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "x DOUBLE")
+    g2 = grid_percentiles(df, "x", {"q1": 1 / 3, "q2": 2 / 3}).collect()[0]
+    w2 = df.agg(
+        F.percentile(F.col("x"), F.lit(1 / 3)).alias("q1"),
+        F.percentile(F.col("x"), F.lit(2 / 3)).alias("q2"),
+    ).collect()[0]
+    assert repr(g2["q1"]) == repr(w2["q1"])
+    assert repr(g2["q2"]) == repr(w2["q2"])
+
+
 def test_winsorize_clips_per_group_and_keeps_null(spark):
     from hashquery_spark.ops import winsorize
 
@@ -1099,7 +1148,7 @@ def test_winsorize_clips_per_group_and_keeps_null(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     out = {
         (r["g"], r["v"]): r["v_winsorized"]
-        for r in winsorize(df, "v", lo=0.0, hi=0.5, by="g").collect()
+        for r in winsorize(df, "v", lo=0.0, hi=0.5, by="g", exact=True).collect()
     }
     # group a: median 5.5 caps the top half; min (lo=0) leaves bottom alone
     assert out[("a", 10.0)] == 5.5

@@ -323,11 +323,16 @@ def test_scale_report_flags_each_smell(spark, sf_dir):
     assert any("separate file scans" in s for s in tri["warnings"])
 
 
-def test_ungrouped_percentiles_default_to_gk_sketch(spark, sf_dir):
-    """The ungrouped winsorize/mad_outliers default path must NOT plan an
-    unpartitioned exact percentile (single-reducer value buffer — the 100 TB
-    scale-killer); exact=True keeps it for oracle parity and plan_lint
-    flags it as a smell."""
+def test_percentiles_default_to_gk_sketch(spark, sf_dir):
+    """winsorize/mad_outliers default (exact=None) must NOT plan an exact
+    ``percentile(`` buffer aggregate — grouped OR ungrouped (a
+    low-cardinality skewed group key buffers a giant group on one reducer
+    just like the ungrouped call; the perplexity_buckets lesson).
+    exact=True routes through the distributed histogram percentile, which
+    also plans no buffer aggregate; a hand-built F.percentile is what
+    plan_lint flags."""
+    from pyspark.sql import functions as F
+
     from hashquery_spark.connection import connection_for_dir
     from hashquery_spark.ops import mad_outliers, winsorize
     from hashquery_spark.plan_lint import plan_report
@@ -338,20 +343,54 @@ def test_ungrouped_percentiles_default_to_gk_sketch(spark, sf_dir):
     for frame in (
         winsorize(orders, "o_totalprice"),
         mad_outliers(orders, "o_totalprice", threshold=3.0),
+        winsorize(orders, "o_totalprice", by="o_orderstatus"),
+        mad_outliers(orders, "o_totalprice", "o_orderpriority"),
     ):
         rep = plan_report(frame)
         assert rep["unpartitioned_exact_percentiles"] == 0, rep
+        assert rep["grouped_exact_percentiles"] == 0, rep
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "percentile_approx" in plan
 
-    exact_rep = plan_report(winsorize(orders, "o_totalprice", exact=True))
-    assert exact_rep["unpartitioned_exact_percentiles"] >= 1
-    assert any("EXACT percentile" in s for s in exact_rep["warnings"])
+    # exact=True = distributed histogram percentile: still no buffer agg
+    for frame in (
+        winsorize(orders, "o_totalprice", exact=True),
+        winsorize(orders, "o_totalprice", by="o_orderstatus", exact=True),
+    ):
+        rep = plan_report(frame)
+        assert rep["unpartitioned_exact_percentiles"] == 0, rep
+        assert rep["grouped_exact_percentiles"] == 0, rep
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "percentile_approx" not in plan
 
-    # grouped default stays exact (partitioned aggregate, oracle-checked)
-    grouped = winsorize(orders, "o_totalprice", by="o_orderstatus")
-    gplan = grouped._jdf.queryExecution().executedPlan().toString()
-    assert "percentile_approx" not in gplan
+    # the raw buffer aggregates are what plan_lint exists to flag
+    ungrouped = orders.agg(F.percentile(F.col("o_totalprice"), F.lit(0.5)))
+    rep = plan_report(ungrouped)
+    assert rep["unpartitioned_exact_percentiles"] >= 1
+    assert any("EXACT percentile" in s for s in rep["warnings"])
+    grouped = orders.groupBy("o_orderstatus").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5))
+    )
+    grep = plan_report(grouped)
+    assert grep["grouped_exact_percentiles"] >= 1
+    assert any("grouped EXACT percentile" in s for s in grep["warnings"])
+
+
+def test_perplexity_buckets_plans_no_percentile_buffer(spark, sf_dir):
+    """perplexity_buckets' default path must compute its per-language
+    terciles from the score HISTOGRAM (grid_percentiles) — no exact
+    ``percentile(`` buffer aggregate, no GK sketch, exact thresholds."""
+    from hashquery_spark.connection import connection_for_dir
+    from hashquery_spark.ops import perplexity_buckets
+    from hashquery_spark.plan_lint import plan_report
+
+    docs = connection_for_dir(sf_dir, spark).table("documents")
+    frame = perplexity_buckets(docs, "text", "doc_id")
+    rep = plan_report(frame)
+    assert rep["unpartitioned_exact_percentiles"] == 0, rep
+    assert rep["grouped_exact_percentiles"] == 0, rep
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" not in plan
 
 
 def test_ivf_search_reuses_cached_index(spark, sf_dir):

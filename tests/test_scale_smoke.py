@@ -318,3 +318,41 @@ def test_semantic_dedup_two_million_vectors(spark):
         n_clusters=64, threshold=0.9999,
     ).count()
     assert n2 == n
+
+
+def test_perplexity_buckets_skewed_language_two_million(spark):
+    """2M docs where one 'language' holds ~95% of the corpus — the
+    English-skew shape that kills per-group exact percentile buffers at
+    real scale. The histogram tercile path (grid_percentiles) must (a)
+    complete, (b) put each language's docs in non-empty head/middle/tail
+    with head <= 40% of the language (terciles can't exceed a third by
+    much — duplicate scores may spill a boundary), and (c) be
+    partition-count independent."""
+    from hashquery_spark.ops import perplexity_buckets
+
+    # ~95% of ids share lang-A-ish trigrams ('the and ing'); 5% get
+    # distinctly non-English-looking tokens. Text varies per doc so LM
+    # scores spread across a real distribution.
+    docs = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 10), j -> "
+            "CASE WHEN pmod(id, 20) < 19 "
+            "THEN concat('the', pmod(hash(id * 37 + j), 50)) "
+            "ELSE concat('zzq', pmod(hash(id * 37 + j), 50)) END))"
+        ).alias("text"),
+    )
+    out = perplexity_buckets(docs, "text", "doc_id")
+    counts = {
+        (r["lang_pred"], r["bucket"]): r["n"]
+        for r in out.groupBy("lang_pred", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(counts.values()) == 2_000_000
+    langs = {k[0] for k in counts}
+    for lang in langs:
+        per = {b: counts.get((lang, b), 0) for b in ("head", "middle", "tail")}
+        total = sum(per.values())
+        assert per["head"] > 0 and per["tail"] > 0, per
+        assert per["head"] <= 0.4 * total, per
