@@ -525,7 +525,7 @@ def q_scalar_functions(spark, sf_dir):
             func.upper(attr.c_name).named("name_upper"),
             func.length(attr.c_name).named("name_len"),
             func.concat(attr.c_mktsegment, column(value="#"), attr.c_name).named("tag"),
-            func.round(func.abs(attr.c_acctbal) / 100.0, 2).named("bal_hundreds"),
+            (func.floor(func.abs(attr.c_acctbal.cast("double")) / 100.0 * 100.0 + 0.5) / 100.0).named("bal_hundreds"),
             func.coalesce(
                 func.cases((attr.c_acctbal < 0, column(value="neg"))),
                 column(value="nonneg"),
@@ -750,20 +750,18 @@ def q_window_percentiles(spark, sf_dir):
         .pick(
             attr.o_orderkey,
             attr.o_orderstatus,
-            func.round(
+            (func.floor(
                 func.percent_rank(
                     partition=[attr.o_orderstatus],
                     order=[attr.o_totalprice, attr.o_orderkey],
-                ),
-                6,
-            ).named("pr"),
-            func.round(
+                ) * 1000000.0 + 0.5
+            ) / 1000000.0).named("pr"),
+            (func.floor(
                 func.cume_dist(
                     partition=[attr.o_orderstatus],
                     order=[attr.o_totalprice, attr.o_orderkey],
-                ),
-                6,
-            ).named("cd"),
+                ) * 1000000.0 + 0.5
+            ) / 1000000.0).named("cd"),
         )
         .to_df()
     )
@@ -788,7 +786,7 @@ def q_window_moving_avg(spark, sf_dir):
         .pick(
             attr.o_orderkey,
             attr.o_orderstatus,
-            func.round(msum / mcount, 4).named("mavg3"),
+            (func.floor(msum / mcount * 10000.0 + 0.5) / 10000.0).named("mavg3"),
         )
         .to_df()
     )
@@ -2313,7 +2311,7 @@ def q_train_test_split(spark, sf_dir):
         split.groupBy("source", "split")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            (F.floor(F.avg("n_chars") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias("avg_chars"),
         )
         .select("source", "split", "n_docs", "avg_chars")
     )

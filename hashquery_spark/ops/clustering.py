@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import fround
+
 # micro-unit scaling: floor(v*1e6 + 0.5) = round-half-up, exact in both
 # Spark and DuckDB (floor over IEEE doubles), negative-safe.
 _SCALE_SQL = "CAST(floor(CAST({v} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
@@ -61,7 +63,7 @@ def embedding_centroids(
                 F.collect_list(
                     F.struct(
                         F.col("pos"),
-                        F.round(F.col("s") / (F.col("n") * 1000000.0), 6).alias("c"),
+                        fround(F.col("s") / (F.col("n") * 1000000.0), 6).alias("c"),
                     )
                 )
             ),

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import ensure_parallelism, word_shingles
+from .dedup import ensure_parallelism, fround, word_shingles
 
 
 def ngram_contamination(
@@ -65,7 +65,7 @@ def ngram_contamination(
             F.count("__hit__").alias("n_contaminated_grams"),
         )
     )
-    contamination = F.round(
+    contamination = fround(
         F.col("n_contaminated_grams")
         / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
         4,

@@ -53,6 +53,24 @@ def round4_ratio(num: Column, den: Column) -> Column:
     ) / F.lit(10000.0)
 
 
+def fround(col: Column, dp: int) -> Column:
+    """Half-up round of a DOUBLE to ``dp`` decimals via the pure-IEEE
+    floor form ``floor(x*10^dp + 0.5)/10^dp`` — for rounded values that
+    are NOT plain integer ratios (deep rational blends, logs, products),
+    where :func:`round4_ratio`'s exact integer form can't apply.
+
+    Why not ``round()``: Spark rounds the SHORTEST DECIMAL REPR half-up
+    while DuckDB rounds the BINARY double half-even — they disagree
+    exactly when the value sits on a decimal tie (reduced denominator
+    2^(k+1)·5^b; two sf0.1 red rows in round 2). The floor form uses only
+    IEEE ops (multiply, add, floor) that both engines perform
+    bit-identically, so written on BOTH sides they always AGREE. The
+    DuckDB twin is ``floor((x) * 1e{dp} + 5e-1) / 1e{dp}``.
+    """
+    s = F.lit(float(10**dp))
+    return F.floor(col * s + F.lit(0.5)) / s
+
+
 def normalize_text(col: Column) -> Column:
     """Lowercase, strip non-alphanumerics to spaces, collapse whitespace."""
     c = F.lower(col)

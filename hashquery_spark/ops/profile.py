@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import fround
+
 
 def profile_table(df: DataFrame, cols=None, approx: bool = False) -> DataFrame:
     """(column_name, n_rows, n_nonnull, n_null, n_distinct, min_value,
@@ -292,14 +294,18 @@ def distribution_drift(
     with_p = spine.select(
         "bin", "n_a", "n_b", pa.alias("pa"), pb.alias("pb")
     )
-    ln_r = F.round(F.log(F.col("pa") / F.col("pb")), 4)
-    term_scaled = F.round((F.col("pa") - F.col("pb")) * ln_r * 1e8, 0).cast("long")
+    # fround (pure-IEEE floor form) everywhere a plain round() could hit a
+    # decimal tie: pa/pb ARE integer ratios (the 2^(k+1)·5^b hazard class)
+    ln_r = fround(F.log(F.col("pa") / F.col("pb")), 4)
+    term_scaled = F.floor(
+        (F.col("pa") - F.col("pb")) * ln_r * F.lit(1e8) + F.lit(0.5)
+    )
     with_terms = with_p.select(
         "bin",
         "n_a",
         "n_b",
-        F.round("pa", 8).alias("pa"),
-        F.round("pb", 8).alias("pb"),
+        fround(F.col("pa"), 8).alias("pa"),
+        fround(F.col("pb"), 8).alias("pb"),
         term_scaled.alias("__t__"),
     )
     return with_terms.select(
@@ -360,7 +366,7 @@ def zscore_outliers(
     q_d = F.col("__q__").cast("double")
     mean = s_d / n
     var = (q_d - s_d * s_d / n) / (n - 1)
-    z = F.round((v - mean) / F.sqrt(var), 4) + F.lit(0.0)
+    z = fround((v - mean) / F.sqrt(var), 4) + F.lit(0.0)
     return (
         joined.where((n > 1) & (var > 0))
         .withColumn("z", z)
@@ -558,7 +564,7 @@ def mad_outliers(
     med = agg_back(base, value_col, "__med__")
     dev = med.withColumn("__dev__", F.abs(v.cast("double") - F.col("__med__")))
     mad = agg_back(dev, "__dev__", "__mad__")
-    rz = F.round(
+    rz = fround(
         F.col("__dev__") / (F.lit(1.4826) * F.col("__mad__")), 4
     )
     return (
@@ -628,12 +634,12 @@ def standardize(
             mean = s_d / n
             var = (q_d - s_d * s_d / n) / (n - 1)
             scaled = F.when(
-                (n > 1) & (var > 0), F.round((v - mean) / F.sqrt(var), 4) + F.lit(0.0)
+                (n > 1) & (var > 0), fround((v - mean) / F.sqrt(var), 4) + F.lit(0.0)
             )
         else:
             lo = F.col(f"__lo{i}__").cast("double")
             hi = F.col(f"__hi{i}__").cast("double")
-            scaled = F.when(hi > lo, F.round((v - lo) / (hi - lo), 4) + F.lit(0.0))
+            scaled = F.when(hi > lo, fround((v - lo) / (hi - lo), 4) + F.lit(0.0))
         out = out.withColumn(f"{c}_scaled", scaled)
     return out.drop(*[f.name for f in stats.schema.fields if f.name.startswith("__")])
 

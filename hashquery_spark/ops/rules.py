@@ -38,6 +38,14 @@ def round4_ratio_sql(num: str, den: str) -> str:
     )
 
 
+def fround_sql(expr: str, dp: int) -> str:
+    """SQL twin of :func:`hashquery_spark.ops.dedup.fround` — half-up
+    round via pure-IEEE ``floor(x*10^dp + 0.5)/10^dp``; parses to the
+    same double ops in Spark SQL and DuckDB (``1e{dp}``/``5e-1`` are
+    DOUBLE literals in both; a bare ``0.5`` would be DECIMAL)."""
+    return f"(floor(({expr}) * 1e{dp} + 5e-1) / 1e{dp})"
+
+
 def _ws_strip(text):
     # trim() strips SPACES only in both engines — a leading/trailing
     # newline or tab would survive and split() would emit a phantom empty

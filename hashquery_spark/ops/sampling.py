@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import md5_hash32
+from .dedup import fround, md5_hash32
 
 _U32 = 4294967296.0  # 2^32
 
@@ -134,7 +134,7 @@ def weighted_sample(
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "keep_prob",
-            F.round(F.least(F.lit(1.0), target_fraction * w / F.col("__mw__")), 6),
+            fround(F.least(F.lit(1.0), target_fraction * w / F.col("__mw__")), 6),
         )
         .where(u * F.col("__mw__") < target_fraction * w)
         .drop("__mw__")
@@ -147,7 +147,7 @@ def repetition_cols(text_col: Column) -> list:
     lines = F.filter(F.split(text_col, "\n"), lambda x: F.trim(x) != "")
     n = F.size(lines)
     d = F.size(F.array_distinct(lines))
-    ratio = F.round(
+    ratio = fround(
         (n - d) / F.greatest(n, F.lit(1)).cast("double"), 4
     )
     return [

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import ensure_parallelism, normalize_text, round4_ratio, tokens, word_shingles
+from .dedup import ensure_parallelism, fround, normalize_text, round4_ratio, tokens, word_shingles
 
 # Tiny deterministic stopword lists per language — a real deployment would
 # swap in fastText-style n-gram models; the *plumbing* (argmax over per-lang
@@ -85,11 +85,10 @@ def quality_cols(text_col: Column) -> list:
         toks, F.lit(0.0), lambda acc, x: acc + F.length(x)
     ) / n_toks
     word_len_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.5)
-    # the blend's round() is a residual decimal-tie site but its value is
-    # a deep rational whose exact-tie cases need num > 2^53/1e5 to express
-    # integer-exactly — left as-is; the three PLAIN integer ratios below
-    # use the tie-proof floor form (see round4_ratio)
-    quality = F.round(
+    # the blend is a deep rational (int64-unsafe to express integer-
+    # exactly), so the tie-proof form is fround's pure-IEEE floor round —
+    # the three PLAIN integer ratios below use round4_ratio instead
+    quality = fround(
         (alpha_ratio * 0.5 + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3) * word_len_ok
         + 0.2 * F.least(n_toks / 100.0, F.lit(1.0)),
         4,
@@ -202,7 +201,7 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str, level: int = 6)
         F.col("__z__.compressed_bytes").alias("compressed_bytes"),
         F.when(
             F.col("__z__.raw_bytes") > 0,
-            F.round(
+            fround(
                 F.col("__z__.compressed_bytes")
                 / F.col("__z__.raw_bytes").cast("double"),
                 4,
@@ -298,7 +297,7 @@ def boilerplate_ngrams(
             F.count("__boiler__").alias("n_boilerplate_grams"),
         )
     )
-    ratio = F.round(
+    ratio = fround(
         F.col("n_boilerplate_grams")
         / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
         4,
@@ -344,7 +343,7 @@ def unigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .select(
             F.col(id_col),
             "n_tokens",
-            F.round(F.col("__lp__") / (F.col("n_tokens") * 10000.0), 4).alias("lm_score"),
+            fround(F.col("__lp__") / (F.col("n_tokens") * 10000.0), 4).alias("lm_score"),
         )
     )
 
@@ -625,7 +624,7 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .select(
             F.col(id_col),
             "n_bigrams",
-            F.round(
+            fround(
                 F.col("__s__") / (F.col("n_bigrams") * F.lit(10000.0)), 4
             ).alias("lm2_score"),
         )

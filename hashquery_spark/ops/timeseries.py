@@ -418,8 +418,12 @@ def time_weighted_avg(
         overlap_us.alias("__dur__"),
         (F.col("__v__") * overlap_us.cast("decimal(19,0)")).alias("__wv__"),
     ).where(F.col("__dur__") > 0)
+    from .dedup import fround
+
     return weighted.groupBy(*g, "bucket").agg(
-        F.round(
+        # fround: the quotient is an integer ratio (micro-unit sums) — the
+        # decimal-tie class where native round() diverges cross-engine
+        fround(
             F.sum("__wv__").cast("double") / F.sum("__dur__").cast("double"), 6
         ).alias("twa"),
         (F.sum("__dur__") / F.lit(1_000_000.0)).alias("obs_seconds"),

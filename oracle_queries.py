@@ -439,6 +439,14 @@ def _round4_ratio_sql(num: str, den: str) -> str:
     )
 
 
+def _fround_sql(expr: str, dp: int) -> str:
+    """DuckDB twin of ops.dedup.fround — half-up round via pure-IEEE
+    ``floor(x*10^dp + 0.5)/10^dp`` for rounded doubles that are NOT plain
+    integer ratios (blends, logs); both engines compute it bit-identically
+    where their native round() semantics diverge on decimal ties."""
+    return f"(floor(({expr}) * 1e{dp} + 5e-1) / 1e{dp})"
+
+
 def _hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in sorted(set(_STOP[lang])))
     return f"len(list_filter(t, w -> list_contains([{words}], w)))"
@@ -497,9 +505,9 @@ SELECT doc_id,
   {_round4_ratio_sql('alpha_len', 'total_len')} AS alpha_ratio,
   {_round4_ratio_sql('stop_hits', 'n_toks')} AS stopword_ratio,
   {_round4_ratio_sql('sum_wl', 'n_toks')} AS mean_word_len,
-  round((alpha_ratio * 0.5 + least(stop_ratio * 5, 1.0) * 0.3)
+  {_fround_sql('''(alpha_ratio * 0.5 + least(stop_ratio * 5, 1.0) * 0.3)
           * (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END)
-        + 0.2 * least(n_toks / 100.0, 1.0), 4) AS quality
+        + 0.2 * least(n_toks / 100.0, 1.0)''', 4)} AS quality
 FROM m
 """
 
@@ -659,7 +667,7 @@ ORACLE_SQL: dict[str, str] = {
           FROM bc JOIN ctx ON string_split(bc.bigram, ' ')[1] = ctx.a
         )
         SELECT e.doc_id, count(*) AS n_bigrams,
-          round(CAST(sum(lp) AS BIGINT) / (count(*) * 10000.0), 4) AS lm2_score
+          floor(CAST(sum(lp) AS DOUBLE) / (count(*) * 1e4) * 1e4 + 5e-1) / 1e4 AS lm2_score
         FROM ex e JOIN logp USING (bigram)
         GROUP BY e.doc_id
     """,
@@ -743,9 +751,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "window_moving_avg": """
         SELECT o_orderkey, o_orderstatus,
-          round(
+          floor(
             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
-            / count(*) OVER w, 4) AS mavg3
+            / count(*) OVER w * 1e4 + 5e-1) / 1e4 AS mavg3
         FROM orders
         WINDOW w AS (PARTITION BY o_orderstatus
                      ORDER BY o_totalprice, o_orderkey
@@ -765,10 +773,10 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "window_percentiles": """
         SELECT o_orderkey, o_orderstatus,
-          round(percent_rank() OVER (PARTITION BY o_orderstatus
-                ORDER BY o_totalprice, o_orderkey), 6) AS pr,
-          round(cume_dist() OVER (PARTITION BY o_orderstatus
-                ORDER BY o_totalprice, o_orderkey), 6) AS cd
+          floor(percent_rank() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey) * 1e6 + 5e-1) / 1e6 AS pr,
+          floor(cume_dist() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice, o_orderkey) * 1e6 + 5e-1) / 1e6 AS cd
         FROM orders
     """,
     "window_lag_rank": """
@@ -784,7 +792,7 @@ ORACLE_SQL: dict[str, str] = {
           upper(c_name) AS name_upper,
           length(c_name) AS name_len,
           c_mktsegment || '#' || c_name AS tag,
-          round(abs(c_acctbal) / 100.0, 2) AS bal_hundreds,
+          floor(abs(CAST(c_acctbal AS DOUBLE)) / 1e2 * 1e2 + 5e-1) / 1e2 AS bal_hundreds,
           COALESCE(CASE WHEN c_acctbal < 0 THEN 'neg' END, 'nonneg') AS balance_sign
         FROM customer
         WHERE c_custkey < 200
@@ -1514,7 +1522,7 @@ ORACLE_SQL: dict[str, str] = {
                     ELSE 'digit' END AS dominant_script
         FROM r
     """,
-    "distribution_drift": """
+    "distribution_drift": f"""
         WITH tagged AS (
           SELECT least(7, CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0)
                  / 65000.0) AS BIGINT)) AS bin, 'a' AS side
@@ -1544,9 +1552,11 @@ ORACLE_SQL: dict[str, str] = {
           FROM spine
         ),
         t AS (
-          SELECT bin, n_a, n_b, round(pa, 8) AS pa, round(pb, 8) AS pb,
-                 CAST(round((pa - pb) * round(ln(pa / pb), 4) * 1e8, 0)
-                      AS BIGINT) AS ts
+          SELECT bin, n_a, n_b,
+                 {_fround_sql('pa', 8)} AS pa,
+                 {_fround_sql('pb', 8)} AS pb,
+                 CAST(floor((pa - pb) * {_fround_sql('ln(pa / pb)', 4)}
+                            * 1e8 + 5e-1) AS BIGINT) AS ts
           FROM p
         )
         SELECT bin, n_a, n_b, pa, pb,
@@ -1561,7 +1571,7 @@ ORACLE_SQL: dict[str, str] = {
           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
         )
         SELECT d.doc_id, d.source, d.n_chars,
-               round(least(1.0, 0.3 * CAST(d.n_chars AS DOUBLE) / m.mw), 6)
+               floor(least(1.0, 0.3 * CAST(d.n_chars AS DOUBLE) / m.mw) * 1e6 + 5e-1) / 1e6
                  AS keep_prob
         FROM documents d CROSS JOIN m
         WHERE d.n_chars IS NOT NULL AND d.n_chars > 0
@@ -1582,12 +1592,12 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT l_orderkey, l_linenumber, l.l_returnflag,
           CASE WHEN n0 > 1 AND (q0 - s0 * s0 / n0) / (n0 - 1) > 0
-               THEN round((l_quantity - s0 / n0)
-                          / sqrt((q0 - s0 * s0 / n0) / (n0 - 1)), 4) + 0.0 END
+               THEN floor((l_quantity - s0 / n0)
+                          / sqrt((q0 - s0 * s0 / n0) / (n0 - 1)) * 1e4 + 5e-1) / 1e4 + 0.0 END
             AS l_quantity_scaled,
           CASE WHEN n1 > 1 AND (q1 - s1 * s1 / n1) / (n1 - 1) > 0
-               THEN round((l_extendedprice - s1 / n1)
-                          / sqrt((q1 - s1 * s1 / n1) / (n1 - 1)), 4) + 0.0 END
+               THEN floor((l_extendedprice - s1 / n1)
+                          / sqrt((q1 - s1 * s1 / n1) / (n1 - 1)) * 1e4 + 5e-1) / 1e4 + 0.0 END
             AS l_extendedprice_scaled
         FROM lineitem l JOIN st USING (l_returnflag)
     """,
@@ -1609,10 +1619,10 @@ ORACLE_SQL: dict[str, str] = {
           FROM dev GROUP BY o_orderpriority
         )
         SELECT o_orderkey, dv.o_orderpriority, o_totalprice,
-               round(d / (CAST(1.4826 AS DOUBLE) * madv), 4) AS robust_z
+               floor(d / (CAST(1.4826 AS DOUBLE) * madv) * 1e4 + 5e-1) / 1e4 AS robust_z
         FROM dev dv JOIN mad USING (o_orderpriority)
         WHERE madv > 0
-          AND round(d / (CAST(1.4826 AS DOUBLE) * madv), 4) > 1.2
+          AND floor(d / (CAST(1.4826 AS DOUBLE) * madv) * 1e4 + 5e-1) / 1e4 > 1.2
     """,
     "zscore_outliers": """
         WITH st AS (
@@ -1628,12 +1638,12 @@ ORACLE_SQL: dict[str, str] = {
           WHERE o.o_totalprice IS NOT NULL
         )
         SELECT o_orderkey, o_orderpriority, o_totalprice,
-               round((o_totalprice - sd / n)
-                     / sqrt((qd - sd * sd / n) / (n - 1)), 4) AS z
+               floor((o_totalprice - sd / n)
+                     / sqrt((qd - sd * sd / n) / (n - 1)) * 1e4 + 5e-1) / 1e4 AS z
         FROM j
         WHERE n > 1 AND (qd - sd * sd / n) / (n - 1) > 0
-          AND abs(round((o_totalprice - sd / n)
-                        / sqrt((qd - sd * sd / n) / (n - 1)), 4)) > 1.7
+          AND abs(floor((o_totalprice - sd / n)
+                        / sqrt((qd - sd * sd / n) / (n - 1)) * 1e4 + 5e-1) / 1e4) > 1.7
     """,
     "counter_delta": """
         WITH base AS (
@@ -1658,7 +1668,7 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n
         FROM customer WHERE c_custkey < 200 GROUP BY 1
     """,
-    "time_weighted_avg": """
+    "time_weighted_avg": f"""
         WITH base AS (
           SELECT event_type AS g, ts, CAST(value AS DECIMAL(19,6)) AS v
           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
@@ -1690,7 +1700,7 @@ ORACLE_SQL: dict[str, str] = {
           FROM spanned
         )
         SELECT g AS event_type, bucket,
-               round(CAST(sum(wv) AS DOUBLE) / CAST(sum(dur) AS DOUBLE), 6)
+               {_fround_sql('CAST(sum(wv) AS DOUBLE) / CAST(sum(dur) AS DOUBLE)', 6)}
                  AS twa,
                sum(dur) / 1000000.0 AS obs_seconds
         FROM weighted WHERE dur > 0 GROUP BY 1, 2
@@ -1990,7 +2000,7 @@ rbuck AS (
           FROM ex GROUP BY label, pos
         )
         SELECT label, count(*) AS dim,
-               list(round(s / (n * 1000000.0), 6) ORDER BY pos) AS centroid
+               list(floor(CAST(s AS DOUBLE) / (n * 1e6) * 1e6 + 5e-1) / 1e6 ORDER BY pos) AS centroid
         FROM cell GROUP BY label
     """,
     "text_langid": LANGID_SQL,
@@ -2026,7 +2036,7 @@ rbuck AS (
         )
         SELECT s.doc_id, len(s.g) AS n_grams,
           COALESCE(h.nb, 0) AS n_boilerplate_grams,
-          round(COALESCE(h.nb, 0) / greatest(len(s.g), 1), 4) AS boilerplate_ratio
+          floor(COALESCE(h.nb, 0) / greatest(len(s.g), 1) * 1e4 + 5e-1) / 1e4 AS boilerplate_ratio
         FROM sh s LEFT JOIN hits h USING (doc_id)
     """,
     "lm_score": f"""
@@ -2042,7 +2052,7 @@ rbuck AS (
           FROM vocab, tot
         )
         SELECT e.doc_id, count(*) AS n_tokens,
-          round(CAST(sum(lp) AS BIGINT) / (count(*) * 10000.0), 4) AS lm_score
+          floor(CAST(sum(lp) AS DOUBLE) / (count(*) * 1e4) * 1e4 + 5e-1) / 1e4 AS lm_score
         FROM ex2 e JOIN logp USING (token)
         GROUP BY e.doc_id
     """,
@@ -2174,7 +2184,7 @@ rbuck AS (
                      / 4294967296.0) < 0.2
                THEN 'test' ELSE 'train' END AS split,
           count(*) AS n_docs,
-          round(avg(n_chars), 4) AS avg_chars
+          floor(avg(n_chars) * 1e4 + 5e-1) / 1e4 AS avg_chars
         FROM documents
         GROUP BY source, split
     """,
@@ -2187,8 +2197,8 @@ rbuck AS (
         SELECT doc_id,
           len(lines) AS n_lines,
           len(list_distinct(lines)) AS n_distinct_lines,
-          round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
-                / greatest(len(lines), 1), 4) AS dup_line_ratio
+          floor(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                / greatest(len(lines), 1) * 1e4 + 5e-1) / 1e4 AS dup_line_ratio
         FROM L
     """,
     "vocabulary": f"""
@@ -2256,8 +2266,8 @@ rbuck AS (
         SELECT s.doc_id,
           len(s.g) AS n_grams,
           COALESCE(h.n_hits, 0) AS n_contaminated_grams,
-          round(COALESCE(h.n_hits, 0) / greatest(len(s.g), 1), 4) AS contamination,
-          round(COALESCE(h.n_hits, 0) / greatest(len(s.g), 1), 4) >= 0.2 AS is_contaminated
+          floor(COALESCE(h.n_hits, 0) / greatest(len(s.g), 1) * 1e4 + 5e-1) / 1e4 AS contamination,
+          floor(COALESCE(h.n_hits, 0) / greatest(len(s.g), 1) * 1e4 + 5e-1) / 1e4 >= 0.2 AS is_contaminated
         FROM sh s LEFT JOIN hits h USING (doc_id)
         WHERE s.doc_id >= 25
     """,
@@ -2271,8 +2281,8 @@ rbuck AS (
             FROM documents
           )
           SELECT doc_id,
-            round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
-                  / greatest(len(lines), 1), 4) AS dup_line_ratio
+            floor(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                  / greatest(len(lines), 1) * 1e4 + 5e-1) / 1e4 AS dup_line_ratio
           FROM RL
         ),
         H AS (SELECT doc_id, md5({NORM.format(c='text')}) AS content_hash FROM documents),
@@ -2611,7 +2621,7 @@ logp AS (
 ),
 lm AS (
   SELECT e.doc_id,
-    round(CAST(sum(lp) AS BIGINT) / (count(*) * 10000.0), 4) AS lm2_score
+    floor(CAST(sum(lp) AS DOUBLE) / (count(*) * 1e4) * 1e4 + 5e-1) / 1e4 AS lm2_score
   FROM ex e JOIN logp USING (bigram)
   GROUP BY e.doc_id
 ),

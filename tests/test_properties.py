@@ -982,3 +982,44 @@ def test_semantic_dedup_matches_numpy_reference(spark, vecs, threshold):
     }
     expected = {i: cell[i] for i in range(len(vecs)) if i not in dropped}
     assert got == expected, (got, expected)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    nums=st.lists(st.integers(1, 10**7), min_size=8, max_size=40),
+    b=st.integers(0, 4),
+    dp=st.sampled_from([4, 6, 8]),
+)
+def test_fround_agrees_cross_engine_on_decimal_ties(spark, nums, b, dp):
+    """fround (the pure-IEEE floor-form round) must agree bit-for-bit
+    between Spark, DuckDB, and Python ON THE TIE GRID: values num/den with
+    den = 2^(dp+1)*5^b are EXACTLY representable doubles whose (dp+1)-th
+    decimal can be a literal 5 — the class where Spark round() (shortest-
+    repr half-up) and DuckDB round() (binary half-even) disagree (two
+    sf0.1 red rows in round 2). Sweeps the quality-blend/psi/twa dps."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops.dedup import fround
+    from hashquery_spark.ops.rules import fround_sql
+
+    den = (2 ** (dp + 1)) * (5**b)
+    xs = sorted({n / den for n in nums} | {-n / den for n in nums})
+    df = spark.createDataFrame([(x,) for x in xs], "x DOUBLE")
+    got_spark = [
+        r["v"]
+        for r in df.select(fround(F.col("x"), dp).alias("v"))
+        .orderBy("x")
+        .collect()
+    ]
+    sql_vals = ", ".join(f"({x!r})" for x in xs)
+    got_duck = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {fround_sql('x', dp)} FROM (VALUES {sql_vals}) t(x) ORDER BY x"
+        ).fetchall()
+    ]
+    expect = [math.floor(x * 10**dp + 0.5) / 10**dp for x in xs]
+    assert list(map(repr, got_spark)) == list(map(repr, got_duck))
+    assert list(map(repr, got_spark)) == list(map(repr, expect))
