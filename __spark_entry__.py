@@ -2808,13 +2808,22 @@ def q_bpe_merges(spark, sf_dir):
 
 
 def q_k_anonymity(spark, sf_dir):
-    """Privacy gate: (nation, market segment) combinations identifying
-    fewer than k=8 customers — the releasable-dataset k-anonymity check."""
+    """Privacy gate: (nation, market segment, account-balance band)
+    combinations identifying fewer than k=8 customers — the
+    releasable-dataset k-anonymity check. The balance band keeps the
+    quasi-identifier space sparse at EVERY SF (a 2-column key saturates
+    above ~sf0.01 and the violation set goes empty — the empty-oracle
+    trap the preaudit exists to catch)."""
+    from pyspark.sql import functions as F
+
     from hashquery_spark.ops import k_anonymity
 
-    cust = _conn(spark, sf_dir).table("customer")
+    cust = _conn(spark, sf_dir).table("customer").withColumn(
+        "bal_band", F.expr("CAST(floor(CAST(c_acctbal AS DOUBLE) / 100.0) AS BIGINT)")
+    )
     return k_anonymity(
-        cust, ["c_nationkey", "c_mktsegment"], k=8, sample_ids="c_custkey"
+        cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=8,
+        sample_ids="c_custkey",
     )
 
 

@@ -2659,12 +2659,13 @@ FROM s JOIN th USING (lang_pred)
 
 ORACLE_SQL["k_anonymity"] = """
 SELECT c_nationkey, c_mktsegment,
+       CAST(floor(CAST(c_acctbal AS DOUBLE) / 100.0) AS BIGINT) AS bal_band,
        count(*) AS group_size,
        min(c_custkey) AS example_id
 FROM customer
-GROUP BY c_nationkey, c_mktsegment
+GROUP BY 1, 2, 3
 HAVING count(*) < 8
-ORDER BY group_size, c_nationkey, c_mktsegment
+ORDER BY group_size, c_nationkey, c_mktsegment, bal_band
 """
 
 ORACLE_SQL["stats_moments"] = """

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Pre-audit EVERY queries() entry as if the driver ran it — at sf0.01
+(the driver's correctness SF) AND sf0.1 (the bench SF) — using the exact
+driver gate from hashquery_spark.parity, plus the one check the driver
+doesn't make: a paired oracle whose result set is EMPTY compares green
+while verifying nothing (the embedding_near_dup trap from round 1).
+
+Usage:  python scripts/preaudit.py [sf_dir ...]
+Writes PREAUDIT.json at the repo root and exits non-zero on any failed
+gate or any empty paired result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from hashquery_spark.parity import audit_query, duck_connection  # noqa: E402
+
+
+def main(sf_dirs):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .appName("preaudit")
+        .getOrCreate()
+    )
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    report, failures = {}, []
+    for sf_dir in sf_dirs:
+        con = duck_connection(sf_dir)
+        sf_report = {}
+        for name in sorted(queries):
+            try:
+                res = audit_query(spark, sf_dir, name, queries, oracles, con)
+            except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+                res = {"ok": False, "paired": name in oracles,
+                       "error": f"{type(e).__name__}: {e}"}
+            sf_report[name] = res
+            if not res.get("ok"):
+                failures.append(f"{sf_dir} {name}: GATE FAILED {res}")
+            elif res.get("paired") and not res.get("nonempty"):
+                failures.append(f"{sf_dir} {name}: EMPTY paired result — oracle verifies nothing")
+        report[sf_dir] = {
+            "n_queries": len(queries),
+            "n_paired": sum(1 for r in sf_report.values() if r.get("paired")),
+            "n_ok": sum(1 for r in sf_report.values() if r.get("ok")),
+            "queries": sf_report,
+        }
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PREAUDIT.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1, default=str)
+    for sf_dir, r in report.items():
+        print(f"{sf_dir}: {r['n_ok']}/{r['n_queries']} ok ({r['n_paired']} paired)")
+    if failures:
+        print("\nFAILURES:")
+        for line in failures:
+            print(" ", line)
+        return 1
+    print(f"\nall green; report written to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    raise SystemExit(main(dirs))

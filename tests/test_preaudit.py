@@ -1,0 +1,28 @@
+"""CI hook for the driver-gate pre-audit (slow marker): every paired
+queries() entry must pass the exact driver gate AND return a non-empty
+result at the driver SF (sf0.01) and the bench SF (sf0.1) — the
+empty-oracle trap (a threshold query comparing two empty sets) is the
+one event the per-query parity test can't see as a failure."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from hashquery_spark.parity import audit_query, duck_connection
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("audit_sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_preaudit_all_queries_green_and_nonempty(spark, audit_sf):
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duck_connection(audit_sf)
+    bad = []
+    for name in sorted(queries):
+        res = audit_query(spark, audit_sf, name, queries, oracles, con)
+        if not res.get("ok"):
+            bad.append(f"{name}: gate failed {res}")
+        elif res.get("paired") and not res.get("nonempty"):
+            bad.append(f"{name}: EMPTY paired result")
+    assert not bad, f"{audit_sf}: {len(bad)} failures: " + "; ".join(bad[:5])
