@@ -83,6 +83,12 @@ HEADLINE = [
     "c4_filters",
     "semantic_dedup",
     "perplexity_buckets",
+    # round-3 extensions (appended)
+    "k_anonymity",
+    "dp_count",
+    "stats_moments",
+    "union_by_name",
+    "bpe_merges",
 ]
 
 
@@ -152,11 +158,58 @@ def main() -> None:
             path = os.path.join(SF_DIR, f"{t}.parquet")
             if os.path.exists(path):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        # queries with no SQL twin get a PYTHON twin: the same single-node
+        # computation in plain Python over the same parquet, so every
+        # headline entry has a measured baseline (52/52, none skipped)
+        def _py_twin_compression_ratio(con):
+            import math
+            import zlib
+
+            rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+            out = []
+            for doc_id, text in rows:
+                if text is None:
+                    out.append((doc_id, None, None, None))
+                    continue
+                b = text.encode("utf-8")
+                raw, comp = len(b), len(zlib.compress(b, 6))
+                ratio = (
+                    math.floor(comp / raw * 1e4 + 0.5) / 1e4 if raw > 0 else None
+                )
+                out.append((doc_id, raw, comp, ratio))
+            return out
+
+        def _py_twin_bpe_merges(con):
+            # single-node baseline: DuckDB word count (same normalization
+            # as the vocabulary oracle) + the driver merge loop
+            from hashquery_spark.ops.tokenizer import _merge_loop
+
+            words = con.execute(
+                "SELECT w, count(*) AS n FROM ("
+                "  SELECT unnest(string_split_regex(trim(regexp_replace("
+                "    lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS w"
+                "  FROM documents WHERE text IS NOT NULL)"
+                " WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 100000"
+            ).fetchall()
+            return _merge_loop(words, 60)
+
+        py_twins = {
+            "compression_ratio": _py_twin_compression_ratio,
+            "bpe_merges": _py_twin_bpe_merges,
+        }
         duck_timings: dict[str, float] = {}
         skipped = []
         for name in HEADLINE:
             if name not in oracles:
-                skipped.append(name)
+                if name in py_twins:
+                    best = float("inf")
+                    for _ in range(repeats):
+                        t0 = time.perf_counter()
+                        py_twins[name](con)
+                        best = min(best, time.perf_counter() - t0)
+                    duck_timings[name] = round(best, 3)
+                else:
+                    skipped.append(name)
                 continue
             best = float("inf")
             for _ in range(repeats):
@@ -168,7 +221,13 @@ def main() -> None:
         out["duckdb_twin_queries"] = duck_timings
         out["duckdb_twin_skipped"] = skipped
 
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # the driver archives only a tail of stdout (BENCH_r02's JSON line was
+    # truncated to 2000 chars) — persist the full line in the repo tree so
+    # round-over-round comparison never depends on the driver's buffer
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

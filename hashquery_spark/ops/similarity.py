@@ -122,6 +122,7 @@ class IvfIndex:
         self.assigned = assigned
         self.id_col = id_col
         self.vec_col = vec_col
+        self._flat = None
 
     @property
     def dim(self) -> int:
@@ -177,7 +178,27 @@ class IvfIndex:
             )
         return "array(" + ",".join(structs) + ")"
 
+    def flat_assigned(self) -> DataFrame:
+        """The corpus assignment FLATTENED to scalar vector columns — the
+        form every search consumes. Built once per index and persisted
+        when the assignment is (serving caches the search-ready layout,
+        not the array form): without this, repeat probe batches re-ran
+        the flatten projection per call."""
+        if self._flat is None:
+            flat = self.assigned.selectExpr(
+                "__cell__",
+                "neighbor_id",
+                "__vnorm__",
+                *self.flat_cols_sql("__cvec__", "__ca"),
+            )
+            if self.assigned.is_cached:
+                flat = flat.persist()
+            self._flat = flat
+        return self._flat
+
     def unpersist(self):
+        if self._flat is not None and self._flat.is_cached:
+            self._flat.unpersist()
         self.assigned.unpersist()
 
 
@@ -286,12 +307,7 @@ def ivf_search(
     # corpus side flattened above the assignment projection; the per-pair
     # dot below is then flat multiply-adds in codegen (the measured ~15x
     # over an aggregate() fold per candidate)
-    c = index.assigned.selectExpr(
-        "__cell__",
-        "neighbor_id",
-        "__vnorm__",
-        *index.flat_cols_sql("__cvec__", "__ca"),
-    )
+    c = index.flat_assigned()
     joined = c.join(F.broadcast(p), on="__cell__").where(
         F.col("neighbor_id") != F.col("probe_id")
     )

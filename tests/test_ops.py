@@ -1621,3 +1621,105 @@ def test_dp_count_noise_properties(spark):
         r["g"]: r["n_dp"] for r in dp_count(df, "g", seed="other").collect()
     }
     assert out_seed != out1
+
+
+def test_compression_ratio_matches_python_reference(spark, sf_dir):
+    """compression_ratio's zlib computation has no SQL twin — this is its
+    oracle: the identical md5-free zlib/floor-round computation in plain
+    driver-side Python over the same parquet, compared through the exact
+    driver gate (hashquery_spark.parity.compare_frames)."""
+    import math
+    import zlib
+
+    import duckdb
+    import pandas as pd
+
+    from hashquery_spark.ops import compression_ratio
+    from hashquery_spark.parity import compare_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = compression_ratio(docs, "text", "doc_id").toPandas()
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    ref = []
+    for doc_id, text in rows:
+        if text is None:
+            ref.append((doc_id, None, None, None))
+            continue
+        b = text.encode("utf-8")
+        raw, comp = len(b), len(zlib.compress(b, 6))
+        ratio = (
+            math.floor(comp / raw * 1e4 + 0.5) / 1e4 if raw > 0 else None
+        )
+        ref.append((doc_id, raw, comp, ratio))
+    want = pd.DataFrame(
+        ref, columns=["doc_id", "raw_bytes", "compressed_bytes", "compression_ratio"]
+    )
+    res = compare_frames(got, want)
+    assert res["ok"] and len(got) > 0, res
+
+
+def test_bpe_merge_loop_matches_python_reference():
+    """The vectorized numpy merge loop must produce the IDENTICAL merge
+    sequence as the textbook per-word dict loop (count desc, pair lex asc,
+    left-to-right non-overlapping application) on adversarial corpora —
+    including repeated-symbol runs ('aaaa', the overlap case)."""
+    import random
+
+    from hashquery_spark.ops.tokenizer import END_OF_WORD, _merge_loop
+
+    def reference(words, num_merges):
+        vocab = {tuple(w) + (END_OF_WORD,): n for w, n in words}
+        merges = []
+        for _ in range(num_merges):
+            pair_counts = {}
+            for symbols, n in vocab.items():
+                for a, b in zip(symbols, symbols[1:]):
+                    pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+            if not pair_counts:
+                break
+            best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if pair_counts[best] < 2:
+                break
+            merges.append(best)
+            merged = best[0] + best[1]
+            new_vocab = {}
+            for symbols, n in vocab.items():
+                out, i = [], 0
+                while i < len(symbols):
+                    if (
+                        i + 1 < len(symbols)
+                        and symbols[i] == best[0]
+                        and symbols[i + 1] == best[1]
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(symbols[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+            vocab = new_vocab
+        return merges
+
+    rng = random.Random(42)
+    for trial in range(8):
+        n_words = rng.randint(1, 60)
+        words = []
+        seen = set()
+        for _ in range(n_words):
+            w = "".join(rng.choice("aabcde") for _ in range(rng.randint(1, 9)))
+            if w in seen:
+                continue
+            seen.add(w)
+            words.append((w, rng.randint(1, 50)))
+        # deterministic input order (the distributed word count sorts by
+        # count desc, word asc)
+        words.sort(key=lambda t: (-t[1], t[0]))
+        for nm in (1, 5, 40):
+            assert _merge_loop(words, nm) == reference(words, nm), (trial, nm, words)
+    # the canonical overlap corpus
+    assert _merge_loop([("aaaa", 3), ("aa", 2)], 3) == reference(
+        [("aaaa", 3), ("aa", 2)], 3
+    )

@@ -419,6 +419,31 @@ def test_ivf_search_reuses_cached_index(spark, sf_dir):
     plan = second._jdf.queryExecution().executedPlan().toString()
     assert len(tracker.getJobIdsForGroup()) == jobs_before_search
     assert "InMemoryTableScan" in plan  # assignment reused, not re-scanned
+    # the SEARCH-READY (flattened) projection is what's cached: the second
+    # search reads the corpus side straight from the InMemory relation, so
+    # the plan TREE's only file-scan leaf is the probe side. (String greps
+    # are contaminated here — an InMemoryRelation prints its cached child
+    # plan, scans and all — so walk the actual leaves.)
+    kinds = []
+
+    def walk(n):
+        cls = n.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(n.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(n.plan())
+            return
+        ch = n.children()
+        if ch.size() == 0:
+            kinds.append(n.nodeName())
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(second._jdf.queryExecution().executedPlan())
+    assert sum("Scan parquet" in k or "FileScan" in k for k in kinds) == 1, kinds
+    assert any("InMemoryTableScan" in k for k in kinds), kinds
+    assert index.flat_assigned() is index.flat_assigned()  # memoized
     assert second.count() == n_first
     index.unpersist()
 
