@@ -2853,6 +2853,154 @@ def q_semantic_dedup(spark, sf_dir):
 # ===========================================================================
 
 
+def q_binary_auc(spark, sf_dir):
+    """Distributed ROC-AUC (Mann-Whitney with tie-averaged ranks) of
+    order totals as a predictor of finished status, per priority band —
+    histogram-reduced (score-grid cardinality, never row count), exact
+    DECIMAL rank sums, tie-proof floor round."""
+    from hashquery_spark.ops import binary_auc
+    from pyspark.sql import functions as F
+
+    orders = _conn(spark, sf_dir).table("orders")
+    labelled = orders.withColumn("is_f", F.col("o_orderstatus") == "F")
+    return binary_auc(labelled, "o_totalprice", "is_f", by="o_orderpriority")
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins + ECE of the text quality score against
+    an 'is English' label — the calibration check a quality-classifier
+    gate ships with. Integer micro-unit score sums; ≤ bins rows after
+    one aggregate."""
+    from hashquery_spark.ops import calibration_bins, quality_score
+    from pyspark.sql import functions as F
+
+    docs = _conn(spark, sf_dir).table("documents")
+    scored = quality_score(docs, "text", "doc_id").join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_en")),
+        on="doc_id",
+    )
+    return calibration_bins(scored, "quality", "is_en", bins=8)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023) importance weights of the whole corpus
+    against a two-source target sample: hashed-unigram bucket
+    distributions, broadcast log-ratio table, one streaming score pass.
+    Per-bucket log-ratios snap to a 1e-4 BIGINT grid so document sums are
+    partition-order-exact."""
+    from hashquery_spark.ops import dsir_weights
+    from pyspark.sql import functions as F
+
+    docs = _conn(spark, sf_dir).table("documents")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    return dsir_weights(docs, target, "text", "doc_id", n_buckets=512)
+
+
+def q_reservoir_sample(spark, sf_dir):
+    """Weighted exact-k reservoir (Efraimidis-Spirakis A-ES): md5-uniform
+    draws, ln snapped to a 1e-9 grid, rank ln(u)/w with id tiebreak — one
+    TakeOrdered(k), no shuffle; selection is repartition-stable."""
+    from hashquery_spark.ops import reservoir_sample
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return reservoir_sample(
+        orders, "o_orderkey", k=200, weight_col="o_totalprice", seed=7
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def q_sketch_rollup(spark, sf_dir):
+    """Mergeable HLL distinct sketches: fine (flag, status) partials
+    UNION-merged up to flag WITHOUT rescanning raw data — the incremental
+    distinct-count maintenance story. Contract (approx_distinct pattern):
+    exact distinct + an in-band boolean; the oracle emits exact + TRUE."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import merge_sketch_rollup, sketch_rollup
+
+    li = _conn(spark, sf_dir).table("lineitem")
+    parts = sketch_rollup(li, ["l_returnflag", "l_linestatus"], "l_partkey")
+    merged = merge_sketch_rollup(parts, "l_returnflag")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return (
+        merged.join(exact, on="l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "exact_parts",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("exact_parts"))
+                <= F.col("exact_parts") * 0.05
+            ).alias("within_3rsd"),
+        )
+    )
+
+
+def q_corpus_overlap(spark, sf_dir):
+    """Theta-sketch corpus overlap (|A∩B| with NO join of A to B): click
+    vs view user populations. Emits the exact set sizes plus in-band
+    booleans for the sketch estimates."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import corpus_overlap
+
+    ev = _conn(spark, sf_dir).table("events")
+    a = ev.where("event_type = 'click'").select("user_id")
+    b = ev.where("event_type = 'view'").select("user_id")
+    est = corpus_overlap(a, b, "user_id")
+    exact = (
+        a.agg(F.countDistinct("user_id").alias("exact_a"))
+        .crossJoin(b.agg(F.countDistinct("user_id").alias("exact_b")))
+        .crossJoin(
+            a.distinct()
+            .join(b.distinct(), on="user_id")
+            .agg(F.count(F.lit(1)).alias("exact_intersection"))
+        )
+    )
+    j = est.crossJoin(F.broadcast(exact))
+    band = lambda e, x: F.abs(F.col(e) - F.col(x)) <= F.col(x) * 0.05 + 1
+    return j.select(
+        "exact_a",
+        "exact_b",
+        "exact_intersection",
+        band("est_a", "exact_a").alias("a_in_band"),
+        band("est_b", "exact_b").alias("b_in_band"),
+        band("est_intersection", "exact_intersection").alias("inter_in_band"),
+    )
+
+
+def q_kll_quantiles(spark, sf_dir):
+    """Mergeable KLL quantile sketches per return flag: estimates must
+    land inside the exact [q−2%, q+2%] RANK bracket (KLL guarantees rank
+    error, not value error) — brackets from the distributed histogram
+    percentile; oracle recomputes them with quantile_cont and emits
+    TRUE."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import grid_percentiles, kll_quantiles
+
+    li = _conn(spark, sf_dir).table("lineitem")
+    est = kll_quantiles(li, "l_extendedprice", probs=(0.5, 0.9), by="l_returnflag")
+    brackets = grid_percentiles(
+        li,
+        "l_extendedprice",
+        {
+            "__lo50__": 0.48, "__hi50__": 0.52,
+            "__lo90__": 0.88, "__hi90__": 0.92,
+        },
+        by="l_returnflag",
+    )
+    j = est.join(F.broadcast(brackets), on="l_returnflag")
+    lo = F.when(F.col("prob") == 0.5, F.col("__lo50__")).otherwise(F.col("__lo90__"))
+    hi = F.when(F.col("prob") == 0.5, F.col("__hi50__")).otherwise(F.col("__hi90__"))
+    return j.select(
+        "l_returnflag",
+        "prob",
+        ((F.col("value") >= lo) & (F.col("value") <= hi)).alias("in_rank_band"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2987,6 +3135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "bm25": q_bm25,
         "validity_join": q_validity_join,
+        "binary_auc": q_binary_auc,
+        "sketch_rollup": q_sketch_rollup,
+        "corpus_overlap": q_corpus_overlap,
+        "kll_quantiles": q_kll_quantiles,
+        "calibration_bins": q_calibration_bins,
+        "dsir_weights": q_dsir_weights,
+        "reservoir_sample": q_reservoir_sample,
         "embedding_join": q_embedding_join,
         "mad_outliers": q_mad_outliers,
         "url_normalize": q_url_normalize,

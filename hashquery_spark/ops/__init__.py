@@ -43,6 +43,7 @@ from .sampling import (
     pack_sequences,
     pack_texts,
     repetition_score,
+    reservoir_sample,
     stratified_sample,
     train_test_split,
     uniform01,
@@ -96,6 +97,9 @@ from .profile import (
 from .timeseries import counter_delta, gap_fill, multi_grain_rollup, refresh_rollup, time_weighted_avg, trailing_agg
 from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 
+from .evaluation import binary_auc, calibration_bins
+from .sketches import corpus_overlap, kll_quantiles, merge_sketch_rollup, sketch_rollup
+from .importance import dsir_weights
 from .graph import degree_centrality, pagerank
 from .retrieval import bm25_search
 from .rules import c4_filters, gopher_rules
@@ -123,6 +127,7 @@ __all__ = [
     "semantic_dedup",
     "gopher_rules",
     "c4_filters",
+    "calibration_bins",
     "embedding_near_dup",
     "embedding_join",
     "ivf_ann",
@@ -154,6 +159,7 @@ __all__ = [
     "curate",
     "global_shuffle",
     "repetition_score",
+    "reservoir_sample",
     "stratified_sample",
     "train_test_split",
     "uniform01",
@@ -192,6 +198,7 @@ __all__ = [
     "approx_quantiles",
     "k_anonymity",
     "dp_count",
+    "dsir_weights",
     "mix_corpora",
     "ws_token_count",
     "snapshot_diff",
@@ -201,6 +208,11 @@ __all__ = [
     "salted_aggregate",
     "salted_join",
     "bm25_search",
+    "binary_auc",
+    "sketch_rollup",
+    "merge_sketch_rollup",
+    "corpus_overlap",
+    "kll_quantiles",
     "parse_urls",
     "plan_span_corruption",
     "host_rollup",

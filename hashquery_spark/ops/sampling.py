@@ -341,3 +341,51 @@ def pack_texts(
             ).alias("text"),
         )
     )
+
+
+def reservoir_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    weight_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Exact-size-k (weighted) reservoir sample — Efraimidis-Spirakis
+    A-ES: each row draws a deterministic md5-uniform u and ranks by
+    ``ln(u)/w`` descending (equivalent to the classic ``u^(1/w)`` key);
+    the top k win. Unweighted (``weight_col=None``) this is a uniform
+    exact-k sample; weighted, inclusion probability is proportional to
+    weight — the standard one-pass distributed reservoir.
+
+    Scale: a narrow key projection + ONE distributed TakeOrdered(k) — no
+    shuffle of the corpus, no per-partition state; the only data movement
+    is k rows per partition to the driver-side merge. Rows with NULL or
+    non-positive weight are excluded (zero-weight items can never win).
+
+    Determinism: u comes from md5 (repartition-stable), ln(u) is snapped
+    to a 1e-9-grid BIGINT before the weight division (the lm_score
+    libm-ulp precedent), and the ordering tie-breaks on id — so the
+    selected SET is a pure function of (data, k, seed) and a DuckDB
+    oracle reproduces it row-for-row.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = uniform01(F.col(id_col), seed)
+    # u in [0, 2^32)/2^32; shift by +1/2^32 so u > 0 and ln is finite
+    lnu_scaled = (
+        F.round(F.log((u * F.lit(_U32) + 1) / F.lit(_U32)) * F.lit(1e9), 0)
+        .cast("long")
+    )
+    if weight_col is None:
+        key = lnu_scaled.cast("double")
+        base = df
+    else:
+        w = F.col(weight_col)
+        base = df.where(w.isNotNull() & (w.cast("double") > 0))
+        key = fround(lnu_scaled.cast("double") / w.cast("double"), 6)
+    return (
+        base.withColumn("__rk__", key)
+        .orderBy(F.col("__rk__").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__rk__")
+    )

@@ -1,0 +1,116 @@
+"""Mergeable DataSketches operators (Apache DataSketches via Spark 4's
+native ``hll_sketch_agg`` / ``theta_sketch_agg`` / ``kll_sketch_agg_*``
+SQL functions) — the 100 TB answer to "keep distinct counts, quantiles,
+and set overlaps INCREMENTALLY maintainable".
+
+Why sketches and not exact aggregates: an exact distinct count can't be
+rolled up (distincts don't sum), so incremental pipelines either rescan
+history or store exploded key sets. A sketch is a small mergeable binary:
+store one per (fine-grained key, partition/day), then ``merge`` answers
+any coarser grouping or any longer time range WITHOUT touching raw data —
+the refresh_rollup story extended to distincts and quantiles.
+
+Determinism: DataSketches HLL/Theta/KLL are hash-based and
+insertion-order independent, so estimates are bit-stable under any
+partitioning (unit-tested: merged-by-parts == direct). Estimates are
+engine-specific, so driver oracles use the approx_distinct within-band
+contract: emit the EXACT value plus an in-band boolean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sketch_rollup(
+    df: DataFrame,
+    keys,
+    col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """(keys…, n_rows, distinct_sketch, n_distinct_est) — per-key row
+    counts plus a mergeable HLL distinct sketch of ``col`` (lgK=12 ⇒
+    ~1.6% relative standard error in ~4 KB). Store this instead of raw
+    keys; :func:`merge_sketch_rollup` rolls it up later."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.hll_sketch_agg(F.col(col), F.lit(int(lgk))).alias("distinct_sketch"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(col), F.lit(int(lgk)))
+        ).alias("n_distinct_est"),
+    )
+
+
+def merge_sketch_rollup(parts: DataFrame, keys) -> DataFrame:
+    """Roll stored sketch partials up to coarser keys — sums the row
+    counts and UNIONs the HLL sketches; never rescans raw data. Input is
+    :func:`sketch_rollup` output (or a union of many stored snapshots of
+    it)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return parts.groupBy(*keys).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_union_agg(F.col("distinct_sketch")).alias("distinct_sketch"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("distinct_sketch"))
+        ).alias("n_distinct_est"),
+    )
+
+
+def corpus_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """One row: Theta-sketch distinct estimates for each side plus their
+    intersection/union and the derived Jaccard — the cheap first answer
+    to "how much does corpus B overlap corpus A?" before any pairwise
+    dedup. Theta (unlike HLL) supports set INTERSECTION, which is the
+    point: |A∩B| without ever joining A to B.
+
+    Scale: each side reduces to one ~KB sketch in a single aggregate;
+    the set algebra happens on two 1-row frames. Exactness: estimates
+    only (emit alongside exact counts for toy-SF oracles)."""
+    a = df_a.agg(F.theta_sketch_agg(F.col(col)).alias("__ska__"))
+    b = df_b.agg(F.theta_sketch_agg(F.col(col)).alias("__skb__"))
+    both = a.crossJoin(F.broadcast(b))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("__ska__"), F.col("__skb__"))
+    )
+    union = F.theta_sketch_estimate(
+        F.theta_union(F.col("__ska__"), F.col("__skb__"))
+    )
+    return both.select(
+        F.theta_sketch_estimate(F.col("__ska__")).alias("est_a"),
+        F.theta_sketch_estimate(F.col("__skb__")).alias("est_b"),
+        inter.alias("est_intersection"),
+        union.alias("est_union"),
+        (inter.cast("double") / union.cast("double")).alias("jaccard_est"),
+    )
+
+
+def kll_quantiles(
+    df: DataFrame,
+    col: str,
+    probs=(0.25, 0.5, 0.75, 0.9),
+    by=None,
+    k: int = 800,
+) -> DataFrame:
+    """(group…, prob, value) — MERGEABLE quantile estimates via KLL
+    sketches (rank error ~1.7%/k=200-scaled; k=800 ⇒ ~0.4%). Unlike
+    ``percentile_approx`` (whose GK sketch exists only inside one query),
+    the KLL binary can be STORED per partition/day and merged later —
+    pair with :func:`sketch_rollup` for incrementally-maintained
+    distribution monitoring."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    probs = [float(p) for p in probs]
+    sk = F.kll_sketch_agg_double(F.col(col).cast("double"), F.lit(int(k)))
+    agg = df.groupBy(*by).agg(sk.alias("__kll__"))
+    pieces = []
+    for p in probs:
+        pieces.append(
+            f"{p!r}D, kll_sketch_get_quantile_double(__kll__, {p!r}D)"
+        )
+    stack = f"stack({len(probs)}, " + ", ".join(pieces) + ") AS (prob, value)"
+    return agg.selectExpr(*by, stack)

@@ -2871,3 +2871,145 @@ SELECT c_mktsegment,
     AS n_dp
 FROM noise
 """
+
+
+ORACLE_SQL["binary_auc"] = """
+WITH h AS (
+  SELECT o_orderpriority, o_totalprice AS s,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS p,
+         count(*) FILTER (WHERE o_orderstatus <> 'F') AS q
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT o_orderpriority, p, q,
+         sum(p + q) OVER (PARTITION BY o_orderpriority ORDER BY s
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+),
+a AS (
+  SELECT o_orderpriority,
+         CAST(sum(p) AS BIGINT) AS n_pos,
+         CAST(sum(q) AS BIGINT) AS n_neg,
+         sum(CAST(p * (2 * cum - (p + q) + 1) AS DECIMAL(38,0))) AS r2
+  FROM r GROUP BY 1
+)
+SELECT o_orderpriority, n_pos, n_neg,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    floor(CAST(r2 - CAST(n_pos AS DECIMAL(19,0)) * (CAST(n_pos AS DECIMAL(19,0)) + 1)
+               AS DOUBLE)
+          / (2e0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+          * 1e6 + 5e-1) / 1e6
+  END AS auc
+FROM a
+"""
+
+ORACLE_SQL["calibration_bins"] = f"""
+WITH Q AS ({QUALITY_SQL}),
+scored AS (
+  SELECT Q.doc_id, Q.quality AS s, (d.lang = 'en') AS lab
+  FROM Q JOIN documents d USING (doc_id)
+  WHERE Q.quality IS NOT NULL AND d.lang IS NOT NULL
+),
+binned AS (
+  SELECT least(7, greatest(0, CAST(floor((s - 0e0) / 1.25e-1) AS INT))) AS bin,
+         CASE WHEN lab THEN 1 ELSE 0 END AS pos,
+         CAST(floor(s * 1e6 + 5e-1) AS BIGINT) AS s6
+  FROM scored
+),
+per_bin AS (
+  SELECT bin, count(*) AS n,
+         CAST(sum(pos) AS BIGINT) AS np,
+         sum(CAST(s6 AS DECIMAL(38,0))) AS ss
+  FROM binned GROUP BY bin
+)
+SELECT bin, n,
+  floor(CAST(np AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 5e-1) / 1e6 AS frac_pos,
+  floor(CAST(ss AS DOUBLE) / (n * 1e6) * 1e6 + 5e-1) / 1e6 AS mean_score,
+  floor((CAST(sum(abs(CAST(np AS DECIMAL(38,0)) * 1000000 - ss)) OVER () AS DOUBLE)
+         / CAST(sum(n) OVER () AS DOUBLE)) / 1e6 * 1e6 + 5e-1) / 1e6 AS ece
+FROM per_bin
+ORDER BY bin
+"""
+
+ORACLE_SQL["dsir_weights"] = f"""
+WITH ctok AS (
+  SELECT doc_id,
+         unnest({TOKS.format(c='text')}) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+cb AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('dsir:' || w), 1, 8) AS BIGINT) % 512 AS b
+  FROM ctok WHERE w <> ''
+),
+tb AS (
+  SELECT CAST('0x' || substr(md5('dsir:' || w), 1, 8) AS BIGINT) % 512 AS b
+  FROM (
+    SELECT unnest({TOKS.format(c='text')}) AS w
+    FROM documents WHERE text IS NOT NULL AND source IN ('src0', 'src1')
+  ) WHERE w <> ''
+),
+cq AS (SELECT b, count(*) AS nq FROM cb GROUP BY b),
+tp AS (SELECT b, count(*) AS np FROM tb GROUP BY b),
+spine AS (
+  SELECT s.b, coalesce(tp.np, 0) AS np, coalesce(cq.nq, 0) AS nq
+  FROM (SELECT unnest(generate_series(0, 511)) AS b) s
+  LEFT JOIN tp USING (b) LEFT JOIN cq USING (b)
+),
+ratios AS (
+  SELECT b,
+    CAST(round(ln(
+      (CAST(np + 1 AS DOUBLE) / CAST(sum(np) OVER () + 512 AS DOUBLE))
+      / (CAST(nq + 1 AS DOUBLE) / CAST(sum(nq) OVER () + 512 AS DOUBLE))
+    ) * 10000.0, 0) AS BIGINT) AS lr
+  FROM spine
+)
+SELECT cb.doc_id, count(*) AS n_tokens,
+       CAST(sum(lr) AS BIGINT) / 1e4 AS dsir_logw
+FROM cb JOIN ratios USING (b)
+GROUP BY cb.doc_id
+"""
+
+ORACLE_SQL["reservoir_sample"] = """
+WITH t AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+    CAST(round(ln(
+      (CAST('0x' || substr(md5('7:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+            AS BIGINT) + 1) / 4294967296.0
+    ) * 1e9, 0) AS BIGINT) AS lnu
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND CAST(o_totalprice AS DOUBLE) > 0
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM t
+ORDER BY floor(CAST(lnu AS DOUBLE) / CAST(o_totalprice AS DOUBLE) * 1e6 + 5e-1)
+           / 1e6 DESC,
+         o_orderkey
+LIMIT 200
+"""
+
+
+ORACLE_SQL["sketch_rollup"] = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_3rsd
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+ORACLE_SQL["corpus_overlap"] = """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+SELECT (SELECT count(*) FROM a) AS exact_a,
+       (SELECT count(*) FROM b) AS exact_b,
+       (SELECT count(*) FROM a JOIN b USING (user_id)) AS exact_intersection,
+       TRUE AS a_in_band, TRUE AS b_in_band, TRUE AS inter_in_band
+"""
+
+ORACLE_SQL["kll_quantiles"] = """
+SELECT l_returnflag, prob, TRUE AS in_rank_band
+FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+CROSS JOIN (SELECT unnest([5e-1, 9e-1]) AS prob)
+"""

@@ -1723,3 +1723,192 @@ def test_bpe_merge_loop_matches_python_reference():
     assert _merge_loop([("aaaa", 3), ("aa", 2)], 3) == reference(
         [("aaaa", 3), ("aa", 2)], 3
     )
+
+
+def test_binary_auc_known_values_and_python_reference(spark):
+    from hashquery_spark.ops import binary_auc
+
+    # perfect separation -> 1.0; with a tie pair -> 0.75
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.3, 1), (0.4, 1)], "s double, y int"
+    )
+    assert binary_auc(df, "s", "y").collect()[0]["auc"] == 1.0
+    df2 = spark.createDataFrame([(1.0, 1), (1.0, 0), (2.0, 1)], "s double, y int")
+    r = binary_auc(df2, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 1, 0.75)
+    # one-class group -> NULL auc
+    df3 = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
+    assert binary_auc(df3, "s", "y").collect()[0]["auc"] is None
+
+    # python reference (rank-sum with average ranks) on random data
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (float(rng.randint(0, 30)) / 4.0, rng.randint(0, 1), rng.choice("ab"))
+        for _ in range(500)
+    ]
+    df4 = spark.createDataFrame(rows, "s double, y int, g string")
+    got = {r["g"]: r["auc"] for r in binary_auc(df4, "s", "y", by="g").collect()}
+
+    def ref_auc(pairs):
+        pairs = sorted(pairs)
+        n = len(pairs)
+        ranks = {}
+        i = 0
+        while i < n:
+            j = i
+            while j < n and pairs[j][0] == pairs[i][0]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for t in range(i, j):
+                ranks[t] = avg
+            i = j
+        npos = sum(y for _, y in pairs)
+        nneg = n - npos
+        rpos = sum(ranks[t] for t, (_, y) in enumerate(pairs) if y)
+        return (rpos - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+    import math
+
+    for g in "ab":
+        want = ref_auc([(s, y) for s, y, gg in rows if gg == g])
+        assert math.isclose(got[g], want, abs_tol=1e-6), (g, got[g], want)
+
+
+def test_calibration_bins_ece_known(spark):
+    from hashquery_spark.ops import calibration_bins
+
+    # two bins: scores 0.1 (4 rows, 1 pos) and 0.9 (4 rows, 3 pos)
+    rows = [(0.1, 1), (0.1, 0), (0.1, 0), (0.1, 0),
+            (0.9, 1), (0.9, 1), (0.9, 1), (0.9, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r["bin"]: r for r in calibration_bins(df, "s", "y", bins=10).collect()}
+    assert set(out) == {1, 9}
+    assert out[1]["frac_pos"] == 0.25 and out[1]["mean_score"] == 0.1
+    assert out[9]["frac_pos"] == 0.75 and out[9]["mean_score"] == 0.9
+    # ECE = (4*|0.25-0.1| + 4*|0.75-0.9|)/8 = 0.15
+    assert out[1]["ece"] == 0.15 and out[9]["ece"] == 0.15
+
+
+def test_reservoir_sample_exact_k_stable_and_weight_aware(spark):
+    from hashquery_spark.ops import reservoir_sample
+
+    rows = [(i, 1000.0 if i % 10 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = reservoir_sample(df, "id", k=100, weight_col="w", seed=3)
+    ids = sorted(r["id"] for r in got.collect())
+    assert len(ids) == 100
+    # repartition-stable selection
+    ids2 = sorted(
+        r["id"]
+        for r in reservoir_sample(
+            df.repartition(17), "id", k=100, weight_col="w", seed=3
+        ).collect()
+    )
+    assert ids2 == ids
+    # the 10% heavy-weight (1000x) population dominates the sample
+    heavy = sum(1 for i in ids if i % 10 == 0)
+    assert heavy > 80
+    # zero/negative weights can never win; k >= survivors returns all
+    dfz = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 2.0), (4, None)], "id long, w double"
+    )
+    assert sorted(
+        r["id"] for r in reservoir_sample(dfz, "id", k=10, weight_col="w").collect()
+    ) == [3]
+    # unweighted: exact-k uniform, stable
+    u1 = sorted(r["id"] for r in reservoir_sample(df, "id", k=50, seed=1).collect())
+    assert len(u1) == 50
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import dsir_weights
+
+    # population A speaks vocab {apple banana cherry}; B speaks {xq zr wv}
+    a = [(i, "apple banana cherry apple banana") for i in range(100)]
+    b = [(i + 100, "xq zr wv xq zr") for i in range(100)]
+    corpus = spark.createDataFrame(a + b, "doc_id long, text string")
+    target = corpus.where(F.col("doc_id") < 50)  # A-flavored target
+    out = dsir_weights(corpus, target, "text", "doc_id", n_buckets=64)
+    rows = {r["doc_id"]: r["dsir_logw"] for r in out.collect()}
+    mean_a = sum(rows[i] for i in range(100)) / 100
+    mean_b = sum(rows[i + 100] for i in range(100)) / 100
+    assert mean_a > mean_b + 1.0
+    # partitioning-independent (grid-snapped per-bucket log ratios)
+    out2 = dsir_weights(
+        corpus.repartition(13), target, "text", "doc_id", n_buckets=64
+    )
+    assert {(r["doc_id"], r["dsir_logw"]) for r in out2.collect()} == set(
+        (k, v) for k, v in rows.items()
+    )
+
+
+def test_sketch_rollup_merge_is_partitioning_independent(spark, sf_dir):
+    """DataSketches HLL is hash-based and insertion-order independent, so
+    (a) fine partials union-merged == a direct coarse sketch, exactly,
+    and (b) repartitioning changes nothing — the property that makes
+    stored sketch partials trustworthy for incremental maintenance."""
+    from hashquery_spark.ops import merge_sketch_rollup, sketch_rollup
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    direct = {
+        r["l_returnflag"]: (r["n_rows"], r["n_distinct_est"])
+        for r in sketch_rollup(li, "l_returnflag", "l_partkey").collect()
+    }
+    fine = sketch_rollup(li, ["l_returnflag", "l_linestatus"], "l_partkey")
+    merged = {
+        r["l_returnflag"]: (r["n_rows"], r["n_distinct_est"])
+        for r in merge_sketch_rollup(fine, "l_returnflag").collect()
+    }
+    assert merged == direct
+    re = {
+        r["l_returnflag"]: (r["n_rows"], r["n_distinct_est"])
+        for r in sketch_rollup(
+            li.repartition(13), "l_returnflag", "l_partkey"
+        ).collect()
+    }
+    assert re == direct
+    # estimates are actually close to truth
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(direct[k][1] - n) <= 0.05 * n + 1
+
+
+def test_corpus_overlap_theta_on_constructed_sets(spark):
+    """A = 0..999, B = 500..1499: |A∩B| = 500, |A∪B| = 1500 — theta
+    estimates land within 5% and the jaccard follows."""
+    from hashquery_spark.ops import corpus_overlap
+
+    a = spark.range(0, 1000).select(F.col("id").alias("k"))
+    b = spark.range(500, 1500).select(F.col("id").alias("k"))
+    r = corpus_overlap(a, b, "k").collect()[0]
+    assert abs(r["est_a"] - 1000) <= 50
+    assert abs(r["est_b"] - 1000) <= 50
+    assert abs(r["est_intersection"] - 500) <= 50
+    assert abs(r["est_union"] - 1500) <= 75
+    assert 0.25 <= r["jaccard_est"] <= 0.42
+
+
+def test_kll_quantiles_mergeable_and_close(spark):
+    """KLL median of uniform 0..9999 is ~5000 (rank error ~0.4% at
+    k=800); grouped output has one row per (group, prob)."""
+    from hashquery_spark.ops import kll_quantiles
+
+    df = spark.range(10000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("double").alias("x")
+    )
+    rows = {
+        (r["g"], r["prob"]): r["value"]
+        for r in kll_quantiles(df, "x", probs=(0.5,), by="g").collect()
+    }
+    assert set(rows) == {(0, 0.5), (1, 0.5)}
+    for v in rows.values():
+        assert abs(v - 5000) < 200
