@@ -2761,11 +2761,19 @@ def q_union_by_name(spark, sf_dir):
 
 def q_stats_moments(spark, sf_dir):
     """Second-moment aggregate surface (net-new func.stddev/variance/
-    corr/covar/median): per returnflag over lineitem. Double accumulation
-    is merge-order-dependent at ~1e-15 relative — rounding to 4 dp makes
+    corr/covar): per returnflag over lineitem. Double accumulation is
+    merge-order-dependent at ~1e-15 relative — rounding to 4 dp makes
     both engines agree (values are irrational, never on the decimal tie
-    grid, unlike the integer-ratio tie class)."""
-    return (
+    grid, unlike the integer-ratio tie class). The exact median comes
+    from grid_percentiles JOINED in, not a median() measure: one exact
+    percentile inside the aggregate forces ALL five measures out of
+    codegen into an interpreted ObjectHashAggregate (measured ~2x on
+    this query), and its buffer is the per-group scale hazard anyway."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import grid_percentiles
+
+    moments = (
         Model(_conn(spark, sf_dir), "lineitem")
         .aggregate(
             groups=[attr.l_returnflag],
@@ -2776,11 +2784,21 @@ def q_stats_moments(spark, sf_dir):
                 .named("corr_qty_price"),
                 func.round(func.covar(attr.l_quantity, attr.l_discount), 4)
                 .named("covar_qty_disc"),
-                func.median(attr.l_extendedprice).named("median_price"),
             ],
         )
-        .sort(column("l_returnflag"), small=True)
         .to_df()
+    )
+    med = grid_percentiles(
+        _conn(spark, sf_dir).table("lineitem"),
+        "l_extendedprice",
+        {"median_price": 0.5},
+        by="l_returnflag",
+    )
+    return moments.join(F.broadcast(med), on="l_returnflag").orderBy(
+        "l_returnflag"
+    ).select(
+        "l_returnflag", "sd_qty", "var_disc", "corr_qty_price",
+        "covar_qty_disc", "median_price",
     )
 
 

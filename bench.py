@@ -89,6 +89,14 @@ HEADLINE = [
     "stats_moments",
     "union_by_name",
     "bpe_merges",
+    # round-3 net-new ops (appended)
+    "binary_auc",
+    "calibration_bins",
+    "dsir_weights",
+    "reservoir_sample",
+    "sketch_rollup",
+    "corpus_overlap",
+    "kll_quantiles",
 ]
 
 
