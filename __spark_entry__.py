@@ -3019,6 +3019,64 @@ def q_kll_quantiles(spark, sf_dir):
     )
 
 
+def q_pass_at_k(spark, sf_dir):
+    """Unbiased pass@k (Chen et al. 2021 eq. 1) over per-user event
+    "attempts" (purchase = success), reported per md5-stable cohort.
+    Exact: fixed-order IEEE quotient products snapped to a 1e-6 grid,
+    group means as exact integer ratios."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import pass_at_k
+
+    ev = _conn(spark, sf_dir).table("events")
+    attempts = ev.select(
+        "user_id",
+        (F.col("event_type") == "purchase").alias("ok"),
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("cohort"),
+    )
+    return pass_at_k(
+        attempts, "user_id", "ok", ks=(1, 5), by="cohort"
+    ).orderBy("cohort")
+
+
+def q_translation_metrics(spark, sf_dir):
+    """Clipped n-gram precision/recall + unsmoothed BLEU-2 per
+    (candidate, reference) pair — each doc scored against the next
+    doc_id as reference. One explode, no self-join; every ratio an exact
+    integer round, bleu via IEEE sqrt + grid-snapped-exponent exp."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import translation_metrics
+
+    docs = _conn(spark, sf_dir).table("documents")
+    a = docs.select(F.col("doc_id"), F.col("text").alias("cand"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("ref"))
+    pairs = a.join(b, on="doc_id")
+    return translation_metrics(pairs, "cand", "ref", "doc_id", max_n=2).orderBy(
+        "doc_id"
+    )
+
+
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strengths (MM, Hunter 2004) over pairwise
+    "preferences": each user's consecutive event-type transitions as
+    (winner=current, loser=previous) matches. One distributed pair-count
+    agg; exact-integer driver MM (partitioning-independent); oracle is
+    the same iterations unrolled into HUGEINT CTEs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import bradley_terry
+
+    ev = _conn(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    matches = ev.select(
+        F.col("event_type").alias("w"),
+        F.lag("event_type").over(w).alias("l"),
+    )
+    return bradley_terry(matches, "w", "l", iters=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3157,6 +3215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup": q_sketch_rollup,
         "corpus_overlap": q_corpus_overlap,
         "kll_quantiles": q_kll_quantiles,
+        "pass_at_k": q_pass_at_k,
+        "translation_metrics": q_translation_metrics,
+        "bradley_terry": q_bradley_terry,
         "calibration_bins": q_calibration_bins,
         "dsir_weights": q_dsir_weights,
         "reservoir_sample": q_reservoir_sample,

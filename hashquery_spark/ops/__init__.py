@@ -97,7 +97,13 @@ from .profile import (
 from .timeseries import counter_delta, gap_fill, multi_grain_rollup, refresh_rollup, time_weighted_avg, trailing_agg
 from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 
-from .evaluation import binary_auc, calibration_bins
+from .preference import bradley_terry, bradley_terry_oracle_sql
+from .evaluation import (
+    binary_auc,
+    calibration_bins,
+    pass_at_k,
+    translation_metrics,
+)
 from .sketches import corpus_overlap, kll_quantiles, merge_sketch_rollup, sketch_rollup
 from .importance import dsir_weights
 from .graph import degree_centrality, pagerank
@@ -209,6 +215,10 @@ __all__ = [
     "salted_join",
     "bm25_search",
     "binary_auc",
+    "bradley_terry",
+    "bradley_terry_oracle_sql",
+    "pass_at_k",
+    "translation_metrics",
     "sketch_rollup",
     "merge_sketch_rollup",
     "corpus_overlap",

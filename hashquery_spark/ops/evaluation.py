@@ -172,3 +172,210 @@ def calibration_bins(
             6,
         ).alias("ece"),
     ).orderBy("bin")
+
+
+def pass_at_k(
+    df: DataFrame,
+    problem_col: str,
+    correct_col: str,
+    ks=(1, 5),
+    by=None,
+) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    Models Trained on Code", eq. 1) over per-sample rows: each row is one
+    attempt at ``problem_col`` with boolean ``correct_col``. Output: the
+    ``by`` group columns (if any) + ``n_problems`` + one ``pass_at_{k}``
+    column per k — the mean over problems of
+    ``1 − C(n−c, k)/C(n, k)`` (n samples, c correct; 1 when n−c < k,
+    0/undefined-problem rows with n < k are kept, estimator clamps k at n
+    per the reference implementation's ``k > n`` guard: problems with
+    n < k use pass@n semantics via the same product form, which
+    telescopes to 1 − prod over the available terms).
+
+    Scale: one groupBy(problem) (map-side combined) then one tiny
+    groupBy(by). Exactness: the estimator is computed as a FIXED
+    left-to-right product of IEEE double quotients
+    ``prod_j (n−c−j)/(n−j)`` (each step correctly rounded — identical in
+    any engine), snapped to a 1e-6 BIGINT grid per problem so the group
+    mean is an exact integer ratio (floor-form round at 6 dp).
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    ks = sorted(set(int(k) for k in ks))
+    if not ks or ks[0] < 1:
+        raise ValueError("ks must be positive integers")
+    lab = F.col(correct_col)
+    per_problem = df.groupBy(problem_col, *by).agg(
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+        F.sum(F.when(lab.cast("boolean"), 1).otherwise(0))
+        .cast("long")
+        .alias("__c__"),
+    )
+
+    def est6(k: int):
+        # fail-prob product, unrolled: fixed left-to-right IEEE order.
+        # term j exists only while j < k AND j <= n-c-1 AND j <= n-1;
+        # guard each factor with CASE so short problems telescope.
+        prod = "CAST(1.0 AS DOUBLE)"
+        for j in range(k):
+            prod = (
+                f"({prod}) * (CASE WHEN __n__ - {j} > 0 AND __n__ - __c__ - {j} > 0 "
+                f"THEN CAST(__n__ - __c__ - {j} AS DOUBLE) / CAST(__n__ - {j} AS DOUBLE) "
+                f"ELSE 1.0 END)"
+            )
+        fail = (
+            f"CASE WHEN __c__ = 0 THEN 1.0 "
+            f"WHEN __n__ - __c__ < {k} THEN 0.0 ELSE {prod} END"
+        )
+        return F.expr(
+            f"CAST(floor((1.0 - ({fail})) * 1e6 + 5e-1) AS BIGINT)"
+        ).alias(f"__p{k}__")
+
+    snapped = per_problem.select(*by, *[est6(k) for k in ks])
+    out = snapped.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_problems"),
+        *[F.sum(f"__p{k}__").alias(f"__s{k}__") for k in ks],
+    )
+    # exact integer-ratio mean at 6 dp: num = Σp6, den = n_problems·1e6
+    cols = [*by, "n_problems"]
+    for k in ks:
+        num, den = F.col(f"__s{k}__"), F.col("n_problems") * F.lit(1000000)
+        cols.append(
+            (
+                F.floor(
+                    (F.lit(1e7) * num + F.lit(5.0) * den) / (F.lit(10.0) * den)
+                )
+                / F.lit(1e6)
+            ).alias(f"pass_at_{k}")
+        )
+    return out.select(*cols)
+
+
+def translation_metrics(
+    pairs: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+    max_n: int = 2,
+) -> DataFrame:
+    """Per (candidate, reference) row: clipped word n-gram precision
+    ``p{n}`` and recall ``r{n}`` for n = 1..max_n (BLEU / ROUGE-N
+    numerators, Papineni et al. 2002 / Lin 2004), token lengths, and an
+    unsmoothed corpus-convention ``bleu`` = BP · (Π p_n)^(1/max_n)
+    (NULL when any p_n is NULL; 0 when any p_n is 0; max_n must be 1, 2
+    or 4 so the root is a chain of IEEE-exact sqrts).
+
+    Plan shape: ONE scan — both sides' grams for every n are tagged into
+    a single array (side, n, gram) and exploded ONCE (the size+explode
+    duplication trap), then groupBy(id, n, gram) computes per-gram
+    candidate/reference counts WITHOUT a self-join, and groupBy(id)
+    rolls up clipped-match sums. Shuffle keys (id, gram) are uniform and
+    high-cardinality — scale-safe.
+
+    Exactness: every p/r is an exact integer ratio (floor-form 4 dp);
+    ``bleu`` multiplies grid-snapped ratios, takes sqrt (correctly
+    rounded per IEEE-754), applies BP = exp(1 − ref_len/cand_len) with
+    the exponent snapped to a 1e-4 grid, and floor-rounds at 4 dp — the
+    lm2_score fround-on-libm contract.
+    """
+    if max_n not in (1, 2, 4):
+        raise ValueError("max_n must be 1, 2, or 4 (IEEE-exact sqrt root)")
+    from .dedup import round4_ratio, tokens
+
+    def tagged(col, side):
+        # single-level transform with the (side, n) tag built inside the
+        # lambda — a transform-over-word_shingles would nest HOFs and
+        # fall out of whole-stage codegen (measured trap).
+        toks = tokens(F.col(col))
+        sz = F.size(toks)
+
+        def shingle_fn(n):
+            # NOTE: a two-parameter lambda (e.g. ``lambda i, n=n``) makes
+            # pyspark's transform() pass the ARRAY INDEX as the second
+            # argument, silently shadowing the captured n — close over n
+            # with a factory instead.
+            return lambda i: F.concat_ws(
+                "\x01",
+                F.lit(side),
+                F.lit(str(n)),
+                F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+
+        parts = []
+        for n in range(1, max_n + 1):
+            parts.append(
+                F.when(
+                    sz >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), sz - (n - 1)), shingle_fn(n)
+                    ),
+                ).otherwise(F.array())
+            )
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    exploded = pairs.select(
+        F.col(id_col).alias("__pid__"),
+        F.explode_outer(
+            F.concat(tagged(cand_col, "c"), tagged(ref_col, "r"))
+        ).alias("__t__"),
+    ).select(
+        "__pid__",
+        F.split_part(F.col("__t__"), F.lit("\x01"), F.lit(1)).alias("__side__"),
+        F.split_part(F.col("__t__"), F.lit("\x01"), F.lit(2)).cast("int").alias("__n__"),
+        F.split_part(F.col("__t__"), F.lit("\x01"), F.lit(3)).alias("__g__"),
+    )
+    per_gram = exploded.groupBy("__pid__", "__n__", "__g__").agg(
+        F.count(F.when(F.col("__side__") == "c", 1)).alias("__cc__"),
+        F.count(F.when(F.col("__side__") == "r", 1)).alias("__rc__"),
+    )
+    rollup = per_gram.groupBy("__pid__").agg(
+        *[
+            x
+            for n in range(1, max_n + 1)
+            for x in (
+                F.sum(
+                    F.when(F.col("__n__") == n, F.least("__cc__", "__rc__"))
+                ).alias(f"__m{n}__"),
+                F.sum(F.when(F.col("__n__") == n, F.col("__cc__"))).alias(
+                    f"__ct{n}__"
+                ),
+                F.sum(F.when(F.col("__n__") == n, F.col("__rc__"))).alias(
+                    f"__rt{n}__"
+                ),
+            )
+        ]
+    )
+    pr = [
+        x
+        for n in range(1, max_n + 1)
+        for x in (
+            F.when(
+                F.col(f"__ct{n}__") > 0,
+                round4_ratio(F.col(f"__m{n}__"), F.col(f"__ct{n}__")),
+            ).alias(f"p{n}"),
+            F.when(
+                F.col(f"__rt{n}__") > 0,
+                round4_ratio(F.col(f"__m{n}__"), F.col(f"__rt{n}__")),
+            ).alias(f"r{n}"),
+        )
+    ]
+    out = rollup.select(
+        F.col("__pid__").alias(id_col),
+        F.coalesce(F.col("__ct1__"), F.lit(0)).alias("cand_len"),
+        F.coalesce(F.col("__rt1__"), F.lit(0)).alias("ref_len"),
+        *pr,
+    )
+    geo = F.col("p1")
+    for n in range(2, max_n + 1):
+        geo = geo * F.col(f"p{n}")
+    for _ in range(max_n.bit_length() - 1):  # 1->0, 2->1, 4->2 sqrts
+        geo = F.sqrt(geo)
+    exponent = fround(
+        F.lit(1.0) - F.col("ref_len").cast("double") / F.col("cand_len"), 4
+    )
+    bp = F.when(F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)).otherwise(
+        F.exp(exponent)
+    )
+    return out.select(
+        "*",
+        F.when(F.col("cand_len") > 0, fround(bp * geo, 4)).alias("bleu"),
+    )

@@ -3013,3 +3013,129 @@ SELECT l_returnflag, prob, TRUE AS in_rank_band
 FROM (SELECT DISTINCT l_returnflag FROM lineitem)
 CROSS JOIN (SELECT unnest([5e-1, 9e-1]) AS prob)
 """
+
+
+# --------------------------------------------------------------------------
+# round-3: evaluation + preference ops
+# --------------------------------------------------------------------------
+
+
+def _pass_at_k_fail_sql(k: int) -> str:
+    """The exact fail-probability product from ops.evaluation.pass_at_k:
+    same factor guards, same left-to-right parenthesization — identical
+    IEEE quotient/product chain in both engines."""
+    prod = "CAST(1.0 AS DOUBLE)"
+    for j in range(k):
+        prod = (
+            f"({prod}) * (CASE WHEN n - {j} > 0 AND n - c - {j} > 0 "
+            f"THEN CAST(n - c - {j} AS DOUBLE) / CAST(n - {j} AS DOUBLE) "
+            f"ELSE 1.0 END)"
+        )
+    return (
+        f"CASE WHEN c = 0 THEN 1.0 "
+        f"WHEN n - c < {k} THEN 0.0 ELSE {prod} END"
+    )
+
+
+def _pass_at_k_p6_sql(k: int) -> str:
+    return (
+        f"CAST(floor((1.0 - ({_pass_at_k_fail_sql(k)})) * 1e6 + 5e-1) "
+        f"AS BIGINT)"
+    )
+
+
+def _mean6_sql(num: str, cnt: str) -> str:
+    """Exact integer-ratio mean at 6 dp (den = cnt*1e6), floor form."""
+    den = f"CAST({cnt} * 1000000 AS DOUBLE)"
+    return (
+        f"floor((1e7 * CAST({num} AS DOUBLE) + 5e0 * {den}) "
+        f"/ (1e1 * {den})) / 1e6"
+    )
+
+
+ORACLE_SQL["pass_at_k"] = f"""
+WITH a AS (
+  SELECT user_id, CAST(user_id % 4 AS INT) AS cohort,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT cohort, {_pass_at_k_p6_sql(1)} AS p1, {_pass_at_k_p6_sql(5)} AS p5
+  FROM a
+)
+SELECT cohort, CAST(count(*) AS BIGINT) AS n_problems,
+  {_mean6_sql('sum(p1)', 'count(*)')} AS pass_at_1,
+  {_mean6_sql('sum(p5)', 'count(*)')} AS pass_at_5
+FROM p GROUP BY 1 ORDER BY cohort
+"""
+
+
+ORACLE_SQL["translation_metrics"] = f"""
+WITH t AS (
+  SELECT doc_id, {TOKS.format(c='text')} AS toks FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS pid, a.toks AS ct, b.toks AS rt
+  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+),
+ex AS (
+  SELECT pid, 'c' AS side, 1 AS n, unnest(list_transform(range(1, len(ct) + 1), i -> array_to_string(ct[i:i], ' '))) AS g FROM pairs
+  UNION ALL
+  SELECT pid, 'r', 1, unnest(list_transform(range(1, len(rt) + 1), i -> array_to_string(rt[i:i], ' '))) FROM pairs
+  UNION ALL
+  SELECT pid, 'c', 2, unnest(CASE WHEN len(ct) >= 2 THEN list_transform(range(1, len(ct)), i -> array_to_string(ct[i:i+1], ' ')) ELSE [] END) FROM pairs
+  UNION ALL
+  SELECT pid, 'r', 2, unnest(CASE WHEN len(rt) >= 2 THEN list_transform(range(1, len(rt)), i -> array_to_string(rt[i:i+1], ' ')) ELSE [] END) FROM pairs
+),
+pg AS (
+  SELECT pid, n, g,
+         CAST(count(*) FILTER (WHERE side = 'c') AS BIGINT) AS cc,
+         CAST(count(*) FILTER (WHERE side = 'r') AS BIGINT) AS rc
+  FROM ex GROUP BY 1, 2, 3
+),
+roll AS (
+  SELECT pid,
+    CAST(sum(CASE WHEN n = 1 THEN least(cc, rc) END) AS BIGINT) AS m1,
+    CAST(sum(CASE WHEN n = 1 THEN cc END) AS BIGINT) AS ct1,
+    CAST(sum(CASE WHEN n = 1 THEN rc END) AS BIGINT) AS rt1,
+    CAST(sum(CASE WHEN n = 2 THEN least(cc, rc) END) AS BIGINT) AS m2,
+    CAST(sum(CASE WHEN n = 2 THEN cc END) AS BIGINT) AS ct2,
+    CAST(sum(CASE WHEN n = 2 THEN rc END) AS BIGINT) AS rt2
+  FROM pg GROUP BY 1
+),
+m AS (
+  SELECT pid AS doc_id,
+    coalesce(ct1, 0) AS cand_len, coalesce(rt1, 0) AS ref_len,
+    CASE WHEN ct1 > 0 THEN floor((1e5 * CAST(m1 AS DOUBLE) + 5e0 * CAST(ct1 AS DOUBLE)) / (1e1 * CAST(ct1 AS DOUBLE))) / 1e4 END AS p1,
+    CASE WHEN rt1 > 0 THEN floor((1e5 * CAST(m1 AS DOUBLE) + 5e0 * CAST(rt1 AS DOUBLE)) / (1e1 * CAST(rt1 AS DOUBLE))) / 1e4 END AS r1,
+    CASE WHEN ct2 > 0 THEN floor((1e5 * CAST(m2 AS DOUBLE) + 5e0 * CAST(ct2 AS DOUBLE)) / (1e1 * CAST(ct2 AS DOUBLE))) / 1e4 END AS p2,
+    CASE WHEN rt2 > 0 THEN floor((1e5 * CAST(m2 AS DOUBLE) + 5e0 * CAST(rt2 AS DOUBLE)) / (1e1 * CAST(rt2 AS DOUBLE))) / 1e4 END AS r2
+  FROM roll
+)
+SELECT doc_id, cand_len, ref_len, p1, r1, p2, r2,
+  CASE WHEN cand_len > 0 THEN
+    floor((CASE WHEN cand_len >= ref_len THEN 1e0
+           ELSE exp(floor((1e0 - CAST(ref_len AS DOUBLE) / cand_len) * 1e4 + 5e-1) / 1e4)
+           END) * sqrt(p1 * p2) * 1e4 + 5e-1) / 1e4
+  END AS bleu
+FROM m
+ORDER BY doc_id
+"""
+
+
+def _bt_oracle() -> str:
+    from hashquery_spark.ops.preference import bradley_terry_oracle_sql
+
+    return bradley_terry_oracle_sql(
+        """SELECT event_type AS wv,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lv
+           FROM events""",
+        "wv",
+        "lv",
+        iters=20,
+        smoothing=1,
+    )
+
+
+ORACLE_SQL["bradley_terry"] = _bt_oracle()

@@ -1912,3 +1912,76 @@ def test_kll_quantiles_mergeable_and_close(spark):
     assert set(rows) == {(0, 0.5), (1, 0.5)}
     for v in rows.values():
         assert abs(v - 5000) < 200
+
+
+def test_pass_at_k_matches_combinatorial_reference(spark):
+    """pass@k from row-level attempts == the exact 1 - C(n-c,k)/C(n,k)
+    mean computed in Python (math.comb)."""
+    import math
+
+    from hashquery_spark.ops import pass_at_k
+
+    problems = {  # problem -> (n, c)
+        "p1": (10, 3),
+        "p2": (5, 0),
+        "p3": (4, 4),
+        "p4": (8, 1),
+        "p5": (3, 2),  # n - c < k=5 -> pass@5 = 1
+    }
+    rows = [
+        (p, i < c) for p, (n, c) in problems.items() for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "prob string, ok boolean")
+    got = {
+        r["n_problems"]: r for r in pass_at_k(df, "prob", "ok", ks=(1, 5)).collect()
+    }[len(problems)]
+
+    def ref(k):
+        vals = []
+        for n, c in problems.values():
+            if c == 0:
+                est = 0.0
+            elif n - c < k:
+                est = 1.0
+            else:
+                est = 1.0 - math.comb(n - c, k) / math.comb(n, k)
+            vals.append(math.floor(est * 1e6 + 0.5))
+        num, den = sum(vals), len(vals) * 10**6
+        return math.floor((1e7 * num + 5.0 * den) / (10.0 * den)) / 1e6
+
+    assert got["pass_at_1"] == ref(1)
+    assert got["pass_at_5"] == ref(5)
+
+
+def test_translation_metrics_known_pair(spark):
+    """BLEU-2 numerators on a hand-checked pair (clipping exercised)."""
+    from hashquery_spark.ops import translation_metrics
+
+    df = spark.createDataFrame(
+        [(1, "the the the cat", "the cat sat")], "id long, cand string, ref string"
+    )
+    r = translation_metrics(df, "cand", "ref", "id", max_n=2).collect()[0]
+    # unigrams: cand {the:3, cat:1}; ref {the:1, cat:1} -> clipped 2/4
+    assert (r["cand_len"], r["ref_len"]) == (4, 3)
+    assert r["p1"] == 0.5
+    assert r["r1"] == 0.6667  # 2/3 floor-rounded half-up at 4 dp
+    # bigrams: cand {the the:2, the cat:1}; ref {the cat:1, cat sat:1}
+    assert r["p2"] == 0.3333 and r["r2"] == 0.5
+    # cand_len >= ref_len -> BP = 1; bleu = sqrt(p1 * p2) rounded
+    import math
+
+    assert r["bleu"] == math.floor(math.sqrt(0.5 * 0.3333) * 1e4 + 0.5) / 1e4
+
+
+def test_bradley_terry_dominant_player_and_partition_independence(spark):
+    from hashquery_spark.ops import bradley_terry
+
+    rows = [("a", "b")] * 8 + [("b", "c")] * 4 + [("c", "a")] * 1
+    df = spark.createDataFrame(rows, "w string, l string")
+    r1 = bradley_terry(df, "w", "l", iters=20).collect()
+    r2 = bradley_terry(df.repartition(7), "w", "l", iters=20).collect()
+    assert [tuple(x) for x in r1] == [tuple(x) for x in r2]
+    order = [x["player"] for x in r1]
+    assert order[0] == "a" and order[-1] == "c"
+    total = sum(x["rating"] for x in r1)
+    assert 0.999 <= total <= 1.0
