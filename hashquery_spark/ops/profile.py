@@ -154,80 +154,153 @@ def grid_percentiles(
     value_col: str,
     qs: dict,
     by=None,
+    accuracy: int = 10000,
 ) -> DataFrame:
-    """DISTRIBUTED exact interpolated percentiles via a value histogram —
-    one row per group with one column per requested quantile
-    (``qs`` maps output name -> probability in [0, 1]).
+    """DISTRIBUTED exact interpolated percentiles — one row per group
+    with one column per requested quantile (``qs`` maps output name ->
+    probability in [0, 1]). Results are bit-identical to Spark's exact
+    ``percentile(...)`` aggregate (pinned by a parity test) and to DuckDB
+    ``quantile_cont`` — but with bounded memory everywhere, so it is the
+    scale-safe replacement wherever an exact percentile must survive a
+    huge or skewed group (``percentile`` buffers EVERY value of a group
+    in one non-spillable ObjectHashAggregate buffer — the 100 TB killer
+    when e.g. one language holds half the corpus).
 
-    This replaces Spark's exact ``percentile(...)`` aggregate wherever the
-    value column lives on a bounded grid (rounded scores, 2-dp prices,
-    integer counts): ``percentile`` buffers EVERY value of a group in one
-    non-spillable ObjectHashAggregate buffer — the 100 TB killer when a
-    group is huge (e.g. per-language stats on an English-skewed corpus).
-    Here the data reduces map-side to a ``(group, value) -> count``
-    histogram (bounded by grid cardinality, NOT row count), a per-group
-    running count over the histogram locates the bracketing order
-    statistics, and one tiny aggregate interpolates.
-
-    Plan shape: one shuffle for the histogram aggregate (map-side
-    combined), one for the per-group window sort over histogram rows
-    (external-sortable — spills instead of OOM even for continuous
-    values), then the final per-group aggregate reuses the window's
-    partitioning. No ``percentile(`` buffer aggregate anywhere.
+    Algorithm (approximate-bracket exact refinement): one
+    ``percentile_approx`` (Greenwald-Khanna) pass per group brackets each
+    target with value bounds whose RANK error is guaranteed ≤
+    n/accuracy, plus the group count; a second narrow aggregate counts
+    rows strictly below each lower bound (the bracket's exact global
+    rank offset); the third pass sorts ONLY the in-bracket rows (≈
+    8·n/accuracy rows per quantile, 10⁴× smaller than the group) in a
+    per-(group, quantile) window and reads the two exact order
+    statistics at ``floor/ceil(q·(n−1))``. The GK sketch is partial-
+    mergeable and bounded; no full-group sort, shuffle, or buffer exists
+    anywhere — worst-case per-reducer work is O(n/accuracy), tunable.
+    The approx bounds only GATE the refinement: any bracket satisfying
+    the GK guarantee yields the same exact result, so nondeterminism in
+    sketch merging cannot reach the output.
 
     Determinism: replicates Spark ``Percentile.getPercentile`` bit-for-bit
     — ``pos = q * (n-1)`` in doubles, result =
     ``(ceil(pos)-pos)*v_lo + (pos-floor(pos))*v_hi`` — which the oracle
     suite has established is itself bit-identical to DuckDB
-    ``quantile_cont`` (see the ``quantiles`` query); a parity test pins
-    grid_percentiles == F.percentile on real data.
+    ``quantile_cont`` (see the ``quantiles`` query).
     """
     by = [by] if isinstance(by, str) else list(by or [])
     v = F.col(value_col)
-    hist = (
-        df.where(v.isNotNull())
-        .groupBy(*by, value_col)
-        .agg(F.count(F.lit(1)).alias("__c__"))
+    base = df.where(v.isNotNull()).select(*by, value_col)
+    names = list(qs)
+    eps4 = 4.0 / accuracy
+
+    def _nullsafe_join(left, right, keys):
+        """Broadcast equi-join that (unlike on=keys) keeps NULL group
+        keys matched — NULL is a normal group value here."""
+        if not keys:
+            return left.crossJoin(F.broadcast(right))
+        r = right
+        for k in keys:
+            r = r.withColumnRenamed(k, f"__r_{k}__")
+        cond = None
+        for k in keys:
+            c = left[k].eqNullSafe(r[f"__r_{k}__"])
+            cond = c if cond is None else (cond & c)
+        return left.join(F.broadcast(r), cond).drop(
+            *[f"__r_{k}__" for k in keys]
+        )
+
+    probs = [max(0.0, min(1.0, qs[n] - eps4)) for n in names] + [
+        max(0.0, min(1.0, qs[n] + eps4)) for n in names
+    ]
+    gk = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(p) for p in probs]), F.lit(int(accuracy))
+        ).alias("__gk__"),
     )
-    w_ord = (
-        Window.partitionBy(*by)
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy(*by)
-    hist = hist.select(
+    nq = len(names)
+    gk = gk.select(
         *by,
-        value_col,
-        "__c__",
-        F.sum("__c__").over(w_ord).alias("__cum__"),
-        F.sum("__c__").over(w_all).alias("__n__"),
+        "__n__",
+        *[F.col("__gk__")[i].alias(f"__blo_{n}__") for i, n in enumerate(names)],
+        *[
+            F.col("__gk__")[nq + i].alias(f"__bhi_{n}__")
+            for i, n in enumerate(names)
+        ],
     )
-    # histogram row covers 0-based sorted positions [__cum__-__c__, __cum__-1]
+    joined = _nullsafe_join(base, gk, by)
+    counts = joined.groupBy(*by).agg(
+        *[
+            F.count(F.when(v < F.col(f"__blo_{n}__"), 1)).alias(
+                f"__below_{n}__"
+            )
+            for n in names
+        ]
+    )
+    ex = joined.select(
+        "*", F.explode(F.array(*[F.lit(n) for n in names])).alias("__q__")
+    )
+    # Small-group guard: the ±4/accuracy probability padding is ≥3 ranks
+    # of slack only when n ≥ accuracy (for n ≥ accuracy the slack is
+    # 4n/accuracy ranks minus the GK error n/accuracy — ≥ 3 ranks, which
+    # covers the one-position difference between GK's rank-q·n convention
+    # and the interpolation's ceil(q·(n−1)) index). Below that, the
+    # bracket can clip the ceil position (observed: a 2-row group's q1
+    # came back NULL) — so groups with n ≤ accuracy skip the bracket
+    # filter and sort whole (≤ accuracy rows per partition — trivial).
+    in_bracket = F.col("__n__") <= F.lit(int(accuracy))
+    for n in names:
+        c = (F.col("__q__") == n) & (v >= F.col(f"__blo_{n}__")) & (
+            v <= F.col(f"__bhi_{n}__")
+        )
+        in_bracket = in_bracket | c
+    ex = ex.where(in_bracket)
+    ex = _nullsafe_join(ex, counts, by)
+    w_in = Window.partitionBy(*by, "__q__").orderBy(value_col)
+    below = F.lit(None)
+    qlit = F.lit(None)
+    for n in names:
+        below = F.when(F.col("__q__") == n, F.col(f"__below_{n}__")).otherwise(
+            below
+        )
+        qlit = F.when(F.col("__q__") == n, F.lit(float(qs[n]))).otherwise(qlit)
+    # whole-group windows (small-group path) start at rank 0 — their
+    # below-bracket rows are IN the window, so the offset must be zero
+    below = F.when(F.col("__n__") <= F.lit(int(accuracy)), F.lit(0)).otherwise(
+        below
+    )
+    pos = qlit * (F.col("__n__") - F.lit(1)).cast("double")
+    g0 = (below + F.row_number().over(w_in) - F.lit(1)).alias("__g0__")
+    ex = ex.select(
+        *by, value_col, "__q__", "__n__", pos.alias("__pos__"), g0
+    )
     aggs = [F.max("__n__").alias("__n__")]
-    for name, q in qs.items():
-        pos = F.lit(float(q)) * (F.col("__n__") - F.lit(1)).cast("double")
-        lo_i, hi_i = F.floor(pos), F.ceil(pos)
-        lo_at = F.col("__cum__") - F.col("__c__")
+    for n in names:
+        sel = F.col("__q__") == n
         aggs.append(
-            F.max(F.when((lo_i >= lo_at) & (lo_i < F.col("__cum__")), v))
+            F.max(
+                F.when(
+                    sel & (F.col("__g0__") == F.floor("__pos__")), v
+                )
+            )
             .cast("double")
-            .alias(f"__lo_{name}__")
+            .alias(f"__lo_{n}__")
         )
         aggs.append(
-            F.max(F.when((hi_i >= lo_at) & (hi_i < F.col("__cum__")), v))
+            F.max(F.when(sel & (F.col("__g0__") == F.ceil("__pos__")), v))
             .cast("double")
-            .alias(f"__hi_{name}__")
+            .alias(f"__hi_{n}__")
         )
-    agg = hist.groupBy(*by).agg(*aggs)
+    agg = ex.groupBy(*by).agg(*aggs)
     outs = list(by)
-    for name, q in qs.items():
-        pos = F.lit(float(q)) * (F.col("__n__") - F.lit(1)).cast("double")
+    for n in names:
+        pos = F.lit(float(qs[n])) * (F.col("__n__") - F.lit(1)).cast("double")
         lo_d, hi_d = F.floor(pos).cast("double"), F.ceil(pos).cast("double")
-        lo_v, hi_v = F.col(f"__lo_{name}__"), F.col(f"__hi_{name}__")
+        lo_v, hi_v = F.col(f"__lo_{n}__"), F.col(f"__hi_{n}__")
         outs.append(
             F.when(lo_d == hi_d, lo_v)
             .otherwise((hi_d - pos) * lo_v + (pos - lo_d) * hi_v)
-            .alias(name)
+            .alias(n)
         )
     return agg.select(*outs)
 

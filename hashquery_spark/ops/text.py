@@ -665,7 +665,11 @@ def perplexity_buckets(
         id_col, "lang_pred"
     )
     lm = bigram_lm_score(df, text_col, id_col)
-    scored = lm.join(lang, on=id_col)
+    # checkpoint: the tercile aggregate and the final join are two
+    # structurally different consumers (different column pruning) — an
+    # unmaterialized `scored` re-runs the whole bigram-LM pipeline for
+    # each (the measured no-ReusedExchange trap; ~2x on this op).
+    scored = lm.join(lang, on=id_col).localCheckpoint(eager=True)
     th = grid_percentiles(
         scored,
         "lm2_score",

@@ -79,6 +79,12 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "tfidf", "lm_score", "ann_bruteforce",
         # 1-row (N, avgdl) stats frame replicated to the scored terms:
         "bm25",
+        # 1-row exact-count frames crossed with the 1-row sketch estimate:
+        "corpus_overlap",
+        # ungrouped grid_percentiles: 1-row GK-bracket/offset frames
+        # broadcast onto the probe rows (no group key to hash-join on):
+        "quantiles", "stats_moments", "kll_quantiles", "winsorize",
+        "mad_outliers", "perplexity_buckets", "grid_percentiles",
         # 1-row corpus-total frame replicated to the gated bigrams:
         "pmi_bigrams",
         # 1-row mean-weight frame replicated to the corpus filter:
@@ -328,9 +334,10 @@ def test_percentiles_default_to_gk_sketch(spark, sf_dir):
     ``percentile(`` buffer aggregate — grouped OR ungrouped (a
     low-cardinality skewed group key buffers a giant group on one reducer
     just like the ungrouped call; the perplexity_buckets lesson).
-    exact=True routes through the distributed histogram percentile, which
-    also plans no buffer aggregate; a hand-built F.percentile is what
-    plan_lint flags."""
+    exact=True routes through grid_percentiles' GK-bracketed exact
+    refinement, which also plans no buffer aggregate (its
+    percentile_approx is the bounded bracket pre-pass, not the result);
+    a hand-built F.percentile is what plan_lint flags."""
     from pyspark.sql import functions as F
 
     from hashquery_spark.connection import connection_for_dir
@@ -352,7 +359,8 @@ def test_percentiles_default_to_gk_sketch(spark, sf_dir):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "percentile_approx" in plan
 
-    # exact=True = distributed histogram percentile: still no buffer agg
+    # exact=True = GK-bracketed exact refinement: still no buffer agg
+    # (percentile_approx appears only as the bounded bracket pre-pass)
     for frame in (
         winsorize(orders, "o_totalprice", exact=True),
         winsorize(orders, "o_totalprice", by="o_orderstatus", exact=True),
@@ -360,8 +368,6 @@ def test_percentiles_default_to_gk_sketch(spark, sf_dir):
         rep = plan_report(frame)
         assert rep["unpartitioned_exact_percentiles"] == 0, rep
         assert rep["grouped_exact_percentiles"] == 0, rep
-        plan = frame._jdf.queryExecution().executedPlan().toString()
-        assert "percentile_approx" not in plan
 
     # the raw buffer aggregates are what plan_lint exists to flag
     ungrouped = orders.agg(F.percentile(F.col("o_totalprice"), F.lit(0.5)))
@@ -378,8 +384,10 @@ def test_percentiles_default_to_gk_sketch(spark, sf_dir):
 
 def test_perplexity_buckets_plans_no_percentile_buffer(spark, sf_dir):
     """perplexity_buckets' default path must compute its per-language
-    terciles from the score HISTOGRAM (grid_percentiles) — no exact
-    ``percentile(`` buffer aggregate, no GK sketch, exact thresholds."""
+    terciles via grid_percentiles (GK-bracketed exact refinement) — no
+    exact ``percentile(`` buffer aggregate anywhere; the terciles stay
+    exact (the percentile_approx in the plan is only the bracket
+    pre-pass, whose bounds never reach the output)."""
     from hashquery_spark.connection import connection_for_dir
     from hashquery_spark.ops import perplexity_buckets
     from hashquery_spark.plan_lint import plan_report
@@ -390,7 +398,7 @@ def test_perplexity_buckets_plans_no_percentile_buffer(spark, sf_dir):
     assert rep["unpartitioned_exact_percentiles"] == 0, rep
     assert rep["grouped_exact_percentiles"] == 0, rep
     plan = frame._jdf.queryExecution().executedPlan().toString()
-    assert "percentile_approx" not in plan
+    assert "percentile_approx" in plan  # the bracket pre-pass
 
 
 def test_ivf_search_reuses_cached_index(spark, sf_dir):
