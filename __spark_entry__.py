@@ -3077,6 +3077,43 @@ def q_bradley_terry(spark, sf_dir):
     return bradley_terry(matches, "w", "l", iters=20)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact (the C4/FineWeb-style scrub): the corpus is
+    alphanumeric-only, so deterministic synthetic PII (emails/phones/
+    IPs/cards keyed off doc_id mod classes) is injected identically in
+    both engines; output = per-doc counts + md5 of the redacted text
+    (proves byte-identical redaction without shipping the text)."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import pii_redact, pii_stats
+
+    docs = _conn(spark, sf_dir).table("documents")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 2 == 0,
+                F.concat(F.lit(" user"), d.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(d % 3 == 0, F.lit(" +1 555 867 5309")).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" 10.0."), (d % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" 4111 1111 1111 1111")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    stats = pii_stats(injected, "text", "doc_id")
+    red = pii_redact(injected, "text").select(
+        "doc_id", F.md5(F.col("text")).alias("redacted_md5")
+    )
+    return stats.join(red, on="doc_id").orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3218,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pass_at_k": q_pass_at_k,
         "translation_metrics": q_translation_metrics,
         "bradley_terry": q_bradley_terry,
+        "pii_scrub": q_pii_scrub,
         "calibration_bins": q_calibration_bins,
         "dsir_weights": q_dsir_weights,
         "reservoir_sample": q_reservoir_sample,

@@ -97,6 +97,11 @@ HEADLINE = [
     "sketch_rollup",
     "corpus_overlap",
     "kll_quantiles",
+    # round-3 second batch (appended)
+    "pass_at_k",
+    "translation_metrics",
+    "bradley_terry",
+    "pii_scrub",
 ]
 
 

@@ -98,6 +98,7 @@ from .timeseries import counter_delta, gap_fill, multi_grain_rollup, refresh_rol
 from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 
 from .preference import bradley_terry, bradley_terry_oracle_sql
+from .pii import PII_PATTERNS, pii_redact, pii_stats
 from .evaluation import (
     binary_auc,
     calibration_bins,
@@ -218,6 +219,8 @@ __all__ = [
     "bradley_terry",
     "bradley_terry_oracle_sql",
     "pass_at_k",
+    "pii_redact",
+    "pii_stats",
     "translation_metrics",
     "sketch_rollup",
     "merge_sketch_rollup",

@@ -3139,3 +3139,39 @@ def _bt_oracle() -> str:
 
 
 ORACLE_SQL["bradley_terry"] = _bt_oracle()
+
+
+def _pii_oracle() -> str:
+    from hashquery_spark.ops.pii import PII_PATTERNS
+
+    inj = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 2 = 0 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 3 = 0 THEN ' +1 555 867 5309' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' 4111 1111 1111 1111' ELSE '' END
+  AS text
+FROM documents
+"""
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{rx}')) AS BIGINT) AS n_{kind}"
+        for kind, rx, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
+    red = "text"
+    for _, rx, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{rx}', '{token}', 'g')"
+    return f"""
+WITH inj AS ({inj}),
+s AS (
+  SELECT doc_id, {counts}, md5({red}) AS redacted_md5
+  FROM inj
+)
+SELECT doc_id, n_email, n_card, n_ipv4, n_phone,
+  {total} AS n_pii, ({total}) > 0 AS has_pii, redacted_md5
+FROM s ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["pii_scrub"] = _pii_oracle()

@@ -1985,3 +1985,26 @@ def test_bradley_terry_dominant_player_and_partition_independence(spark):
     assert order[0] == "a" and order[-1] == "c"
     total = sum(x["rating"] for x in r1)
     assert 0.999 <= total <= 1.0
+
+
+def test_pii_stats_and_redact_semantics(spark):
+    from hashquery_spark.ops import pii_redact, pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.co.uk and 192.168.1.254 twice 10.0.0.1"),
+            (2, "card 4111 1111 1111 1111 phone +44 20 7946 0958"),
+            (3, "clean text with digits 12345 and at sign alone @ nothing"),
+        ],
+        "id long, text string",
+    )
+    s = {r["id"]: r for r in pii_stats(df, "text", "id").collect()}
+    assert (s[1]["n_email"], s[1]["n_ipv4"]) == (1, 2)
+    assert s[2]["n_card"] == 1 and s[2]["n_phone"] == 1
+    assert s[3]["n_pii"] == 0 and s[3]["has_pii"] is False
+    red = {r["id"]: r["text"] for r in pii_redact(df, "text").collect()}
+    assert "<EMAIL>" in red[1] and red[1].count("<IP>") == 2
+    assert "@" not in red[1].replace("<EMAIL>", "")
+    assert "<CARD>" in red[2] and "<PHONE>" in red[2]
+    assert "4111" not in red[2]
+    assert red[3] == df.collect()[2]["text"]
