@@ -3114,6 +3114,29 @@ def q_pii_scrub(spark, sf_dir):
     return stats.join(red, on="doc_id").orderBy("doc_id")
 
 
+def q_unigram_tokenize(spark, sf_dir):
+    """Unigram-LM tokenizer (Kudo 2018 / SentencePiece): train on the
+    corpus word table (one distributed scan + bounded driver EM, the
+    bpe_train factorization), Viterbi-segment every document with the
+    memoized Arrow UDF. Iterative EM fit ⇒ rows-only (the bpe_merges
+    precedent); pinned by determinism + reconstruction unit tests."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import unigram_apply, unigram_train
+
+    docs = _conn(spark, sf_dir).table("documents")
+    pieces = unigram_train(docs, "text", vocab_size=48, em_iters=3)
+    return (
+        unigram_apply(docs, "text", "doc_id", pieces)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.concat_ws("\x01", F.col("tokens"))).alias("tokens_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3256,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translation_metrics": q_translation_metrics,
         "bradley_terry": q_bradley_terry,
         "pii_scrub": q_pii_scrub,
+        "unigram_tokenize": q_unigram_tokenize,
         "calibration_bins": q_calibration_bins,
         "dsir_weights": q_dsir_weights,
         "reservoir_sample": q_reservoir_sample,

@@ -99,6 +99,7 @@ from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 
 from .preference import bradley_terry, bradley_terry_oracle_sql
 from .pii import PII_PATTERNS, pii_redact, pii_stats
+from .tokenizer import unigram_apply, unigram_pieces_df, unigram_train
 from .evaluation import (
     binary_auc,
     calibration_bins,
@@ -220,6 +221,9 @@ __all__ = [
     "bradley_terry_oracle_sql",
     "pass_at_k",
     "pii_redact",
+    "unigram_apply",
+    "unigram_pieces_df",
+    "unigram_train",
     "pii_stats",
     "translation_metrics",
     "sketch_rollup",

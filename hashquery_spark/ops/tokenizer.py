@@ -222,3 +222,182 @@ def bpe_apply(
         F.col(id_col),
         seg(F.col(text_col)).alias("bpe_tokens"),
     ).withColumn("n_bpe_tokens", F.size(F.col("bpe_tokens")))
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model tokenizer (Kudo 2018, the SentencePiece unigram
+# algorithm) — the BPE alternative used by T5/ALBERT/XLNet tokenizers.
+# Same two-level factorization as bpe_train: ONE distributed (word, count)
+# scan bounded at max_vocab_words, then EM + pruning driver-side on that
+# bounded table, so corpus size only affects the single scan.
+# --------------------------------------------------------------------------
+
+
+def _viterbi(word: str, logp: dict) -> Tuple[List[str], float]:
+    """Best segmentation of ``word`` under piece log-probs (every single
+    character is guaranteed in ``logp``, so a path always exists). Ties
+    break toward FEWER pieces, then by the fixed split-point scan order
+    — fully deterministic."""
+    n = len(word)
+    best = [(0.0, 0, "")] + [(float("-inf"), 0, "")] * n  # (score, nseg, tie)
+    back = [None] * (n + 1)
+    for i in range(1, n + 1):
+        cand = None
+        for j in range(max(0, i - 16), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None or best[j][0] == float("-inf"):
+                continue
+            key = (best[j][0] + lp, -(best[j][1] + 1))
+            if cand is None or key > cand[0]:
+                cand = (key, j, piece)
+        if cand is not None:
+            (score, negseg), j, piece = cand
+            best[i] = (score, -negseg, "")
+            back[i] = (j, piece)
+    pieces = []
+    i = n
+    while i > 0:
+        j, piece = back[i]
+        pieces.append(piece)
+        i = j
+    return pieces[::-1], best[n][0]
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 512,
+    max_piece_len: int = 8,
+    em_iters: int = 4,
+    prune_frac: float = 0.25,
+    max_vocab_words: int = 100_000,
+):
+    """Learn a unigram-LM tokenizer vocabulary (Kudo 2018): seed with
+    every ≤``max_piece_len``-char substring of the word table weighted by
+    occurrence, then alternate Viterbi-EM re-estimation with pruning of
+    the lowest-likelihood pieces (single characters are never pruned)
+    until ``vocab_size`` pieces remain. Returns ``[(piece, logprob)]``
+    sorted by logprob desc then piece — a pure function of the corpus
+    (the word table is deterministic and the driver loop has no float
+    nondeterminism sources), so fits are partitioning-independent.
+
+    Iterative driver loop over the bounded word table ⇒ rows-only
+    (the bpe_merges precedent); pinned by python-reference and
+    determinism tests instead."""
+    import math
+
+    words = _word_counts(df, text_col, max_vocab_words)
+    if not words:
+        return []
+    # seed: substring counts (weighted by word frequency), all chars kept
+    seed: dict = {}
+    for w, c in words:
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + max_piece_len) + 1):
+                s = w[i:j]
+                seed[s] = seed.get(s, 0) + c
+    chars = {w[i] for w, _ in words for i in range(len(w))}
+    # initial probs from seed counts
+    total = sum(seed.values())
+    logp = {s: math.log(c / total) for s, c in seed.items()}
+    vocab = set(seed)
+    while True:
+        for _ in range(em_iters):
+            counts: dict = {}
+            for w, c in words:
+                pieces, _ = _viterbi(w, logp)
+                for p in pieces:
+                    counts[p] = counts.get(p, 0) + c
+            tot = sum(counts.values())
+            # unused pieces keep a floor so they can re-enter... no:
+            # standard EM drops them; keep chars alive with count 1
+            for ch in chars:
+                counts.setdefault(ch, 1)
+            tot = sum(counts.values())
+            logp = {p: math.log(c / tot) for p, c in counts.items() if p in vocab}
+        vocab = set(logp)
+        if len(vocab) <= vocab_size:
+            break
+        # prune lowest-logprob multi-char pieces (chars immortal)
+        prunable = sorted(
+            (p for p in vocab if len(p) > 1),
+            key=lambda p: (logp[p], p),
+        )
+        n_drop = max(1, int(len(vocab) * prune_frac))
+        n_drop = min(n_drop, len(vocab) - vocab_size, len(prunable))
+        if n_drop <= 0:
+            break
+        for p in prunable[:n_drop]:
+            del logp[p]
+        vocab = set(logp)
+    out = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+def unigram_pieces_df(df: DataFrame, text_col: str, **kw) -> DataFrame:
+    """:func:`unigram_train` as a DataFrame ``(piece, logprob, rank)`` —
+    logprob floor-rounded to 6 dp for display stability."""
+    import math
+
+    pieces = unigram_train(df, text_col, **kw)
+    rows = [
+        (p, math.floor(lp * 1e6 + 0.5) / 1e6, i)
+        for i, (p, lp) in enumerate(pieces)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "piece string, logprob double, rank long"
+    )
+
+
+def unigram_apply(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pieces,
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens) — Viterbi-segment every
+    document's words with a trained unigram vocabulary. Arrow-batched
+    pandas UDF with a per-batch word memo (each distinct word segments
+    once per batch), the bpe_apply pattern. Unknown characters fall back
+    to themselves as singleton pieces."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    logp = {p: lp for p, lp in pieces}
+
+    def segment_series(texts):
+        import re
+
+        memo: dict = {}
+
+        def seg_word(w):
+            got = memo.get(w)
+            if got is None:
+                lp = dict(logp)
+                missing = {ch for ch in w if ch not in lp}
+                for ch in missing:  # OOV chars: worst prob, keeps a path
+                    lp[ch] = -1e9
+                got = _viterbi(w, lp)[0]
+                memo[w] = got
+            return got
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = []
+            for w in re.split(r"\s+", re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()):
+                if w:
+                    toks.extend(seg_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    seg = pandas_udf(segment_series, "array<string>")
+    return df.select(
+        F.col(id_col),
+        seg(F.col(text_col)).alias("tokens"),
+    ).select(
+        id_col, "tokens", F.size("tokens").cast("long").alias("n_tokens")
+    )

@@ -2008,3 +2008,40 @@ def test_pii_stats_and_redact_semantics(spark):
     assert "<CARD>" in red[2] and "<PHONE>" in red[2]
     assert "4111" not in red[2]
     assert red[3] == df.collect()[2]["text"]
+
+
+def test_unigram_train_and_apply(spark):
+    """Unigram-LM tokenizer: frequent whole words become pieces, apply
+    reconstructs text, fits are partitioning-independent, chars never
+    pruned."""
+    from hashquery_spark.ops import unigram_apply, unigram_train
+
+    rows = [("the quick brown fox jumps over the lazy dog " * 3,)] * 20 + [
+        ("unseen zebra quokka",)
+    ] * 2
+    df = spark.createDataFrame(rows, "text string")
+    pieces = unigram_train(df, "text", vocab_size=40, em_iters=3)
+    vocab = {p for p, _ in pieces}
+    assert len(pieces) <= 40
+    # frequent words survive as whole pieces
+    assert "the" in vocab and "quick" in vocab
+    # all corpus chars present
+    chars = set("thequickbrownfoxjumpsoverlazydogunseenzebraquokka")
+    assert chars <= vocab
+    # deterministic under repartitioning
+    pieces2 = unigram_train(df.repartition(7), "text", vocab_size=40, em_iters=3)
+    assert pieces == pieces2
+    seg = unigram_apply(df.limit(1), "text", "text", pieces).collect()[0]
+    assert "".join(seg["tokens"]) == "".join(
+        "thequickbrownfoxjumpsoverthelazydog" * 3
+    )
+    assert seg["n_tokens"] >= 9 * 3  # at most word-level granularity
+
+
+def test_unigram_apply_oov_chars(spark):
+    from hashquery_spark.ops import unigram_apply
+
+    df = spark.createDataFrame([(1, "zz9 abc")], "id long, text string")
+    pieces = [("abc", -1.0), ("a", -3.0), ("b", -3.0), ("c", -3.0)]
+    r = unigram_apply(df, "text", "id", pieces).collect()[0]
+    assert r["tokens"] == ["z", "z", "9", "abc"]
