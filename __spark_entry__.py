@@ -3137,6 +3137,42 @@ def q_unigram_tokenize(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Frequent-item sketch (approx_top_k): top-5 tokens per language
+    with deterministic re-rank, verified against exact counts of the
+    RETURNED items only (broadcast semi-join — the sketch's point is
+    avoiding the full (group, item) count shuffle). Corpus vocabulary
+    fits the sketch capacity, so est == exact and the row set equals the
+    oracle's exact top-5."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import heavy_hitters
+    from hashquery_spark.ops.dedup import tokens
+
+    docs = _conn(spark, sf_dir).table("documents")
+    toks = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    hh = heavy_hitters(toks, "tok", k=5, by="lang")
+    exact = (
+        toks.join(F.broadcast(hh.select("lang", "tok")), on=["lang", "tok"])
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        hh.join(F.broadcast(exact), on=["lang", "tok"])
+        .select(
+            "lang",
+            "tok",
+            "est_count",
+            "rank",
+            "exact_count",
+            (F.col("est_count") == F.col("exact_count")).alias("est_exact"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3280,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bradley_terry": q_bradley_terry,
         "pii_scrub": q_pii_scrub,
         "unigram_tokenize": q_unigram_tokenize,
+        "heavy_hitters": q_heavy_hitters,
         "calibration_bins": q_calibration_bins,
         "dsir_weights": q_dsir_weights,
         "reservoir_sample": q_reservoir_sample,

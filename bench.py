@@ -102,6 +102,8 @@ HEADLINE = [
     "translation_metrics",
     "bradley_terry",
     "pii_scrub",
+    "unigram_tokenize",
+    "heavy_hitters",
 ]
 
 

@@ -106,7 +106,7 @@ from .evaluation import (
     pass_at_k,
     translation_metrics,
 )
-from .sketches import corpus_overlap, kll_quantiles, merge_sketch_rollup, sketch_rollup
+from .sketches import heavy_hitters, corpus_overlap, kll_quantiles, merge_sketch_rollup, sketch_rollup
 from .importance import dsir_weights
 from .graph import degree_centrality, pagerank
 from .retrieval import bm25_search
@@ -229,6 +229,7 @@ __all__ = [
     "sketch_rollup",
     "merge_sketch_rollup",
     "corpus_overlap",
+    "heavy_hitters",
     "kll_quantiles",
     "parse_urls",
     "plan_span_corruption",

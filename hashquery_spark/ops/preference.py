@@ -107,7 +107,7 @@ def bradley_terry(
         (
             p,
             raw_wins.get(p, 0),
-            sum(raw_games.get((p, j), 0) for j in players) // 1,
+            sum(raw_games.get((p, j), 0) for j in players),
             s[p] / 1e9,
         )
         for p in players

@@ -114,3 +114,54 @@ def kll_quantiles(
         )
     stack = f"stack({len(probs)}, " + ", ".join(pieces) + ") AS (prob, value)"
     return agg.selectExpr(*by, stack)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 10,
+    by=None,
+    max_tracked: int = 10000,
+) -> DataFrame:
+    """Per-group frequent items via Spark's ``approx_top_k`` sketch
+    (Misra-Gries-family; counts are EXACT whenever a group's distinct
+    items fit in ``max_tracked``, and over-estimates by at most the
+    eviction error otherwise). Output: group cols + ``(item, est_count,
+    rank)`` with rank ≤ k.
+
+    The sketch's own top-k tie order is nondeterministic, so the op
+    over-fetches (``min(4k, max_tracked)``) and re-ranks
+    deterministically by (est_count desc, item asc) — for
+    bounded-cardinality columns the result is therefore the exact
+    deterministic top-k (oracle-checkable); for heavy-tailed columns
+    it is the standard sketch contract. ``approx_top_k_accumulate`` /
+    ``_combine`` / ``_estimate`` exist for mergeable rollups of the
+    same sketch (the sketch_rollup pattern).
+
+    Scale: ONE aggregate (partial-mergeable sketch, map-side combined,
+    state bounded by max_tracked) + a window over ≤ min(4k, max_tracked)
+    rows per group. No full (group, item) count table — the exact
+    ``vocabulary`` op's shuffle is what this avoids at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    fetch = min(max(4 * k, k + 8), max_tracked)
+    agg = df.where(F.col(item_col).isNotNull()).groupBy(*by).agg(
+        F.expr(
+            f"approx_top_k(`{item_col}`, {int(fetch)}, {int(max_tracked)})"
+        ).alias("__tk__")
+    )
+    ex = agg.select(*by, F.explode("__tk__").alias("__e__")).select(
+        *by,
+        F.col("__e__.item").alias(item_col),
+        F.col("__e__.count").cast("long").alias("est_count"),
+    )
+    w = Window.partitionBy(*by).orderBy(
+        F.desc("est_count"), F.asc(item_col)
+    )
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*by, item_col, "est_count", "rank")
+    )

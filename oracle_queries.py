@@ -3175,3 +3175,24 @@ FROM s ORDER BY doc_id
 
 
 ORACLE_SQL["pii_scrub"] = _pii_oracle()
+
+
+ORACLE_SQL["heavy_hitters"] = f"""
+WITH toks AS (
+  SELECT lang, unnest({TOKS.format(c='text')}) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks WHERE tok <> '' GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, tok, exact_count,
+         CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY exact_count DESC, tok ASC) AS INT) AS rank
+  FROM counts
+)
+SELECT lang, tok, exact_count AS est_count, rank, exact_count, TRUE AS est_exact
+FROM ranked WHERE rank <= 5
+ORDER BY lang, rank
+"""

@@ -2045,3 +2045,21 @@ def test_unigram_apply_oov_chars(spark):
     pieces = [("abc", -1.0), ("a", -3.0), ("b", -3.0), ("c", -3.0)]
     r = unigram_apply(df, "text", "id", pieces).collect()[0]
     assert r["tokens"] == ["z", "z", "9", "abc"]
+
+
+def test_heavy_hitters_exact_when_tracked(spark):
+    from hashquery_spark.ops import heavy_hitters
+
+    rows = (
+        [("g1", "a")] * 10 + [("g1", "b")] * 5 + [("g1", "c")] * 5
+        + [("g1", "d")] * 1 + [("g2", "x")] * 3 + [("g2", "y")] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, item string")
+    out = heavy_hitters(df, "item", k=2, by="g").collect()
+    got = {(r["g"], r["rank"]): (r["item"], r["est_count"]) for r in out}
+    # deterministic tie-break: b before c at count 5
+    assert got[("g1", 1)] == ("a", 10) and got[("g1", 2)] == ("b", 5)
+    assert got[("g2", 1)] == ("x", 3) and got[("g2", 2)] == ("y", 2)
+    # partitioning-independent
+    out2 = heavy_hitters(df.repartition(5), "item", k=2, by="g").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
