@@ -1023,3 +1023,89 @@ def test_fround_agrees_cross_engine_on_decimal_ties(spark, nums, b, dp):
     expect = [math.floor(x * 10**dp + 0.5) / 10**dp for x in xs]
     assert list(map(repr, got_spark)) == list(map(repr, got_duck))
     assert list(map(repr, got_spark)) == list(map(repr, expect))
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    problems=st.lists(
+        st.tuples(st.integers(1, 30), st.integers(0, 30)).map(
+            lambda t: (t[0] + t[1], min(t[1], t[0] + t[1]))
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(1, 8),
+)
+def test_pass_at_k_matches_math_comb(spark, problems, k):
+    """pass_at_k == the closed-form 1 - C(n-c,k)/C(n,k) estimator mean
+    (math.comb), for arbitrary (n, c) mixes and k."""
+    import math
+
+    from hashquery_spark.ops import pass_at_k
+
+    rows = [
+        (f"p{i}", j < c) for i, (n, c) in enumerate(problems) for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "prob string, ok boolean")
+    got = pass_at_k(df, "prob", "ok", ks=(k,)).collect()[0]
+
+    vals = []
+    for n, c in problems:
+        if c == 0:
+            est = 0.0
+        elif n - c < k:
+            est = 1.0
+        else:
+            est = 1.0 - math.comb(n - c, k) / math.comb(n, k)
+        vals.append(math.floor(est * 1e6 + 0.5))
+    num, den = sum(vals), len(vals) * 10**6
+    want = math.floor((1e7 * num + 5.0 * den) / (10.0 * den)) / 1e6
+    assert got["n_problems"] == len(problems)
+    assert abs(got[f"pass_at_{k}"] - want) < 1e-12
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("ab cd ef gh ij".split()), min_size=0, max_size=8),
+            st.lists(st.sampled_from("ab cd ef gh ij".split()), min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_translation_metrics_match_python_reference(spark, pairs):
+    """Clipped n-gram precision/recall == a Counter-based python
+    reference for arbitrary token streams (incl. empty sides)."""
+    import math
+    from collections import Counter
+
+    from hashquery_spark.ops import translation_metrics
+
+    rows = [(i, " ".join(c), " ".join(r)) for i, (c, r) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, cand string, ref string")
+    got = {
+        r["id"]: r
+        for r in translation_metrics(df, "cand", "ref", "id", max_n=2).collect()
+    }
+
+    def grams(toks, n):
+        return Counter(
+            tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+
+    def r4(num, den):
+        return math.floor((1e5 * num + 5.0 * den) / (10.0 * den)) / 1e4
+
+    for i, (c, r) in enumerate(pairs):
+        # empty text tokenizes to [''] (split semantics) in the engine
+        c2, r2 = (c or [""]), (r or [""])
+        row = got[i]
+        assert row["cand_len"] == len(c2) and row["ref_len"] == len(r2)
+        for n in (1, 2):
+            gc, gr = grams(c2, n), grams(r2, n)
+            m = sum(min(gc[g], gr[g]) for g in gc)
+            ct, rt = sum(gc.values()), sum(gr.values())
+            assert row[f"p{n}"] == (r4(m, ct) if ct else None)
+            assert row[f"r{n}"] == (r4(m, rt) if rt else None)
