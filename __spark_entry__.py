@@ -3173,6 +3173,25 @@ def q_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_embedding_pca(spark, sf_dir):
+    """PCA projection of the embedding corpus (k=2): exact integer
+    moment matrix (ONE d² pair-expansion agg, bounded shuffle) +
+    driver-side eigh — partitioning-independent fit. Eig step ⇒
+    rows-only; pinned by the numpy parity test."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import embedding_pca
+    from hashquery_spark.ops.dedup import fround
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    proj, _comps, _lams = embedding_pca(emb, "embedding", "vec_id", k=2)
+    return proj.select(
+        "vec_id",
+        fround(F.col("pca")[0], 6).alias("pc1"),
+        fround(F.col("pca")[1], 6).alias("pc2"),
+    ).orderBy("vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3317,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "unigram_tokenize": q_unigram_tokenize,
         "heavy_hitters": q_heavy_hitters,
+        "embedding_pca": q_embedding_pca,
         "calibration_bins": q_calibration_bins,
         "dsir_weights": q_dsir_weights,
         "reservoir_sample": q_reservoir_sample,

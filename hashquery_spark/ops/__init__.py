@@ -79,7 +79,7 @@ from .skew import salted_aggregate, salted_join
 from .asof import asof_join
 from .range_join import range_join, validity_join
 from .chunking import chunk_documents, dedup_paragraphs, repeated_spans
-from .clustering import embedding_centroids, kmeans_assign, kmeans_fit
+from .clustering import embedding_pca, embedding_centroids, kmeans_assign, kmeans_fit
 from .profile import (
     approx_quantiles,
     grid_percentiles,
@@ -229,6 +229,7 @@ __all__ = [
     "sketch_rollup",
     "merge_sketch_rollup",
     "corpus_overlap",
+    "embedding_pca",
     "heavy_hitters",
     "kll_quantiles",
     "parse_urls",

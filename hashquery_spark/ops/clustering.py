@@ -144,3 +144,102 @@ def kmeans_fit(
             for vals in (by_cluster.get(cid),)
         ]
     return cents, kmeans_assign(df, vec_col, id_col, cents)
+
+
+def embedding_pca(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 2,
+    whiten: bool = False,
+):
+    """(projected DataFrame, components, eigenvalues) — principal-
+    component projection of an embedding column: the standard
+    dimensionality reduction / whitening step before embedding dedup or
+    visualization (SemDeDup-style pipelines).
+
+    Returns a 3-tuple: the projected frame ``(id, pca array<double>)``
+    with ``k`` components, the ``k×d`` component matrix (python lists,
+    rows sign-fixed so the max-|coeff| element is positive), and the
+    eigenvalue list.
+
+    Scale design: mean and covariance reduce distributively — vectors
+    are snapped to a 1e-6 integer grid (the embedding_centroids
+    convention), the d² second-moment sums come from ONE
+    posexplode×posexplode pair expansion with map-side combine (shuffle
+    bounded at d² keys, linear streaming cost — d=64 ⇒ 4096 cells), and
+    the d×d eigendecomposition runs driver-side in numpy on the EXACT
+    integer moment matrix (bounded, deterministic, partitioning-
+    independent — the classifier_fit precedent). The projection is one
+    broadcast-literal matmul per component, flat-codegen'd.
+
+    Iterative/eig driver step ⇒ rows-only (the bpe_merges precedent);
+    pinned by a numpy python-reference parity test instead.
+    """
+    import numpy as np
+
+    base = df.where(F.col(vec_col).isNotNull())
+    ex = base.select(
+        F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).selectExpr("pos", _SCALE_SQL.format(v="v") + " AS sv")
+    mom1 = (
+        ex.groupBy("pos")
+        .agg(F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .orderBy("pos")
+        .collect()
+    )
+    if not mom1:
+        return base.select(F.col(id_col)), [], []
+    d = len(mom1)
+    n = mom1[0]["n"]
+    mean_units = np.array([r["s"] for r in mom1], dtype=np.float64) / n
+    # second moments: pair expansion, exact integer products (1e-12 grid)
+    pairs = (
+        base.select(F.posexplode(F.col(vec_col)).alias("i", "vi"), F.col(vec_col).alias("__v__"))
+        .select("i", "vi", F.posexplode(F.col("__v__")).alias("j", "vj"))
+        .where(F.col("j") >= F.col("i"))
+        .selectExpr(
+            "i",
+            "j",
+            "CAST("
+            + _SCALE_SQL.format(v="vi")
+            + " AS DECIMAL(38,0)) * "
+            + _SCALE_SQL.format(v="vj")
+            + " AS p",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sp"))
+        .collect()
+    )
+    m2 = np.zeros((d, d))
+    for r in pairs:
+        v = float(r["sp"])
+        m2[r["i"], r["j"]] = v
+        m2[r["j"], r["i"]] = v
+    cov = m2 / n - np.outer(mean_units, mean_units)  # 1e-12 units²
+    evals, evecs = np.linalg.eigh(cov / 1e12)
+    order = np.argsort(evals)[::-1][:k]
+    comps, lams = [], []
+    for idx in order:
+        vec = evecs[:, idx]
+        top = np.argmax(np.abs(vec))
+        if vec[top] < 0:
+            vec = -vec
+        lam = float(evals[idx])
+        if whiten and lam > 0:
+            vec = vec / np.sqrt(lam)
+        comps.append([float(x) for x in vec])
+        lams.append(lam)
+    mean = [float(x) for x in mean_units / 1e6]
+    # flat per-component dot products against literal components
+    proj_cols = []
+    for ci, comp in enumerate(comps):
+        terms = " + ".join(
+            f"(CAST({vec_col}[{i}] AS DOUBLE) - ({mean[i]!r})) * ({w!r})"
+            for i, w in enumerate(comp)
+        )
+        proj_cols.append(f"CAST(({terms}) AS DOUBLE)")
+    projected = base.selectExpr(
+        id_col, f"array({', '.join(proj_cols)}) AS pca"
+    )
+    return projected, comps, lams

@@ -2063,3 +2063,43 @@ def test_heavy_hitters_exact_when_tracked(spark):
     # partitioning-independent
     out2 = heavy_hitters(df.repartition(5), "item", k=2, by="g").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_embedding_pca_matches_numpy(spark):
+    """embedding_pca == numpy PCA on the grid-snapped vectors (same
+    sign convention), and the fit is partitioning-independent."""
+    import math
+    import random
+
+    import numpy as np
+
+    from hashquery_spark.ops import embedding_pca
+
+    random.seed(3)
+    base = [[random.gauss(0, 1), random.gauss(0, 0.1), random.gauss(0, 0.01)] for _ in range(200)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    proj, comps, lams = embedding_pca(df, "vec", "id", k=2)
+
+    # numpy reference on the same 1e-6 grid snap (incl. float32 cast)
+    x = np.array([
+        [math.floor(float(np.float32(v)) * 1e6 + 0.5) / 1e6 for v in row]
+        for row in base
+    ])
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / len(x)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    for ci, idx in enumerate(order):
+        vec = evecs[:, idx]
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        assert np.allclose(comps[ci], vec, atol=1e-6), ci
+        assert abs(lams[ci] - evals[idx]) < 1e-9
+    got = {r["id"]: r["pca"] for r in proj.collect()}
+    want = (x - mu) @ np.array(comps).T
+    for i in range(len(base)):
+        assert np.allclose(got[i], want[i], atol=1e-5), i
+    # partitioning independence
+    _, comps2, lams2 = embedding_pca(df.repartition(7), "vec", "id", k=2)
+    assert comps == comps2 and lams == lams2
