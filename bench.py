@@ -208,9 +208,51 @@ def main() -> None:
             ).fetchall()
             return _merge_loop(words, 60)
 
+        def _py_twin_unigram_tokenize(con):
+            # single-node baseline: DuckDB word counts + the IDENTICAL
+            # driver EM core + pure-python Viterbi segmentation per doc
+            import re
+
+            from hashquery_spark.ops.tokenizer import (
+                _viterbi,
+                unigram_train_from_words,
+            )
+
+            words = con.execute(
+                "SELECT w, count(*) AS n FROM ("
+                "  SELECT unnest(string_split_regex(trim(regexp_replace("
+                "    lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS w"
+                "  FROM documents WHERE text IS NOT NULL)"
+                " WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 100000"
+            ).fetchall()
+            pieces = unigram_train_from_words(words, vocab_size=48, em_iters=3)
+            logp = dict(pieces)
+            memo = {}
+            out = []
+            for doc_id, text in con.execute(
+                "SELECT doc_id, text FROM documents ORDER BY doc_id"
+            ).fetchall():
+                toks = []
+                for w in re.split(
+                    r"\s+", re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+                ):
+                    if not w:
+                        continue
+                    seg = memo.get(w)
+                    if seg is None:
+                        lp = dict(logp)
+                        for ch in {c for c in w if c not in lp}:
+                            lp[ch] = -1e9
+                        seg = _viterbi(w, lp)[0]
+                        memo[w] = seg
+                    toks.extend(seg)
+                out.append((doc_id, len(toks)))
+            return out
+
         py_twins = {
             "compression_ratio": _py_twin_compression_ratio,
             "bpe_merges": _py_twin_bpe_merges,
+            "unigram_tokenize": _py_twin_unigram_tokenize,
         }
         duck_timings: dict[str, float] = {}
         skipped = []

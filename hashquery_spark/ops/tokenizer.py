@@ -285,9 +285,28 @@ def unigram_train(
     Iterative driver loop over the bounded word table ⇒ rows-only
     (the bpe_merges precedent); pinned by python-reference and
     determinism tests instead."""
+    words = _word_counts(df, text_col, max_vocab_words)
+    return unigram_train_from_words(
+        words,
+        vocab_size=vocab_size,
+        max_piece_len=max_piece_len,
+        em_iters=em_iters,
+        prune_frac=prune_frac,
+    )
+
+
+def unigram_train_from_words(
+    words,
+    vocab_size: int = 512,
+    max_piece_len: int = 8,
+    em_iters: int = 4,
+    prune_frac: float = 0.25,
+):
+    """Driver core of :func:`unigram_train` over an explicit
+    ``[(word, count)]`` table — shared by the bench python twin so the
+    single-node baseline runs the IDENTICAL algorithm."""
     import math
 
-    words = _word_counts(df, text_col, max_vocab_words)
     if not words:
         return []
     # seed: substring counts (weighted by word frequency), all chars kept
