@@ -3192,6 +3192,25 @@ def q_embedding_pca(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between consecutive event labels per user
+    (the LLM-judge inter-rater statistic): kappa, po, pe are pure
+    integer ratios — (n·A − Σaᵢbᵢ)/(n² − Σaᵢbᵢ) in DECIMAL(38)
+    accumulators — so the oracle matches bit-for-bit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import cohens_kappa
+
+    ev = _conn(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    )
+    return cohens_kappa(pairs, "a", "b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3337,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokenize": q_unigram_tokenize,
         "heavy_hitters": q_heavy_hitters,
         "embedding_pca": q_embedding_pca,
+        "cohens_kappa": q_cohens_kappa,
         "calibration_bins": q_calibration_bins,
         "dsir_weights": q_dsir_weights,
         "reservoir_sample": q_reservoir_sample,

@@ -104,6 +104,7 @@ HEADLINE = [
     "pii_scrub",
     "unigram_tokenize",
     "heavy_hitters",
+    "cohens_kappa",
 ]
 
 

@@ -103,6 +103,7 @@ from .tokenizer import unigram_apply, unigram_pieces_df, unigram_train
 from .evaluation import (
     binary_auc,
     calibration_bins,
+    cohens_kappa,
     pass_at_k,
     translation_metrics,
 )
@@ -136,6 +137,7 @@ __all__ = [
     "gopher_rules",
     "c4_filters",
     "calibration_bins",
+    "cohens_kappa",
     "embedding_near_dup",
     "embedding_join",
     "ivf_ann",

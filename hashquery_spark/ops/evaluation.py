@@ -379,3 +379,81 @@ def translation_metrics(
         "*",
         F.when(F.col("cand_len") > 0, fround(bp * geo, 4)).alias("bleu"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    by=None,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two label columns
+    (the LLM-judge-agreement statistic), optionally per ``by`` group.
+    Output: group cols + ``n, po, pe, kappa`` (NULL kappa when pe = 1,
+    i.e. both raters constant).
+
+    Exactness: with integer marginal counts a_k, b_k and agreement count
+    A over n pairs, ``kappa = (n·A − Σ a_k b_k) / (n² − Σ a_k b_k)`` —
+    a pure integer ratio; po = A/n and pe = Σ a_k b_k / n² likewise.
+    All three round via the tie-proof floor form, so the oracle matches
+    bit-for-bit. DECIMAL(38,0) accumulators: n² and Σ a_k b_k are
+    int64-unsafe past ~3e9 pairs.
+
+    Scale: one narrow agg for (n, A), one groupBy per rater for the
+    marginals (all map-side combined, bounded by label cardinality),
+    and a broadcast join of the two marginal frames — no shuffle of the
+    pair rows beyond the partial aggregates.
+    """
+    from .dedup import round4_ratio
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    a, b = F.col(col_a), F.col(col_b)
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        *by, a.cast("string").alias("__a__"), b.cast("string").alias("__b__")
+    )
+    totals = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("__a__") == F.col("__b__"), 1)).alias("__agree__"),
+    )
+    ma = base.groupBy(*by, F.col("__a__").alias("__lab__")).agg(
+        F.count(F.lit(1)).alias("__ca__")
+    )
+    mb = base.groupBy(*by, F.col("__b__").alias("__lab__")).agg(
+        F.count(F.lit(1)).alias("__cb__")
+    )
+    join_keys = by + ["__lab__"]
+    prods = (
+        ma.join(mb, on=join_keys, how="inner")
+        .groupBy(*by)
+        .agg(
+            F.sum(
+                F.col("__ca__").cast("decimal(38,0)") * F.col("__cb__")
+            ).alias("__sab__")
+        )
+    )
+    j = totals.join(prods, on=by) if by else totals.crossJoin(prods)
+    n_d = F.col("n").cast("decimal(38,0)")
+    sab = F.coalesce(F.col("__sab__"), F.lit(0).cast("decimal(38,0)"))
+    num = n_d * F.col("__agree__") - sab
+    den = n_d * n_d - sab
+    return j.select(
+        *by,
+        "n",
+        round4_ratio(F.col("__agree__"), F.col("n")).alias("po"),
+        # pe = Σab/n² — exact integer ratio, 4dp floor form
+        (
+            F.floor(
+                (F.lit(100000.0) * sab.cast("double") + F.lit(5.0) * (n_d * n_d).cast("double"))
+                / (F.lit(10.0) * (n_d * n_d).cast("double"))
+            )
+            / F.lit(10000.0)
+        ).alias("pe"),
+        F.when(
+            den != 0,
+            F.floor(
+                (F.lit(100000.0) * num.cast("double") + F.lit(5.0) * den.cast("double"))
+                / (F.lit(10.0) * den.cast("double"))
+            )
+            / F.lit(10000.0),
+        ).alias("kappa"),
+    )

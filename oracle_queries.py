@@ -3196,3 +3196,37 @@ SELECT lang, tok, exact_count AS est_count, rank, exact_count, TRUE AS est_exact
 FROM ranked WHERE rank <= 5
 ORDER BY lang, rank
 """
+
+
+ORACLE_SQL["cohens_kappa"] = f"""
+WITH base AS (
+  SELECT CAST(event_type AS VARCHAR) AS a,
+         CAST(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS VARCHAR) AS b
+  FROM events
+),
+b2 AS (SELECT * FROM base WHERE a IS NOT NULL AND b IS NOT NULL),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE a = b) AS BIGINT) AS agree
+  FROM b2
+),
+ma AS (SELECT a AS lab, count(*) AS ca FROM b2 GROUP BY 1),
+mb AS (SELECT b AS lab, count(*) AS cb FROM b2 GROUP BY 1),
+pr AS (
+  SELECT coalesce(CAST(sum(CAST(ca AS HUGEINT) * cb) AS HUGEINT),
+                  CAST(0 AS HUGEINT)) AS sab
+  FROM ma JOIN mb USING (lab)
+)
+SELECT n,
+  {_round4_ratio_sql('agree', 'n')} AS po,
+  floor((1e5 * CAST(sab AS DOUBLE)
+         + 5e0 * CAST(CAST(n AS HUGEINT) * n AS DOUBLE))
+        / (1e1 * CAST(CAST(n AS HUGEINT) * n AS DOUBLE))) / 1e4 AS pe,
+  CASE WHEN CAST(n AS HUGEINT) * n - sab <> 0 THEN
+    floor((1e5 * CAST(CAST(n AS HUGEINT) * agree - sab AS DOUBLE)
+           + 5e0 * CAST(CAST(n AS HUGEINT) * n - sab AS DOUBLE))
+          / (1e1 * CAST(CAST(n AS HUGEINT) * n - sab AS DOUBLE))) / 1e4
+  END AS kappa
+FROM tot, pr
+"""

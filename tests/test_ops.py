@@ -2103,3 +2103,30 @@ def test_embedding_pca_matches_numpy(spark):
     # partitioning independence
     _, comps2, lams2 = embedding_pca(df.repartition(7), "vec", "id", k=2)
     assert comps == comps2 and lams == lams2
+
+
+def test_cohens_kappa_known_values(spark):
+    """Kappa on a hand-checked 2x2 confusion table + sklearn-formula
+    python reference."""
+    from hashquery_spark.ops import cohens_kappa
+
+    # a/b: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    n, agree = 50, 35
+    sab = 25 * 30 + 25 * 20  # yes: a=25,b=30; no: a=25,b=20
+    import math
+
+    po = math.floor((1e5 * agree + 5.0 * n) / (10.0 * n)) / 1e4
+    pe = math.floor((1e5 * sab + 5.0 * n * n) / (10.0 * n * n)) / 1e4
+    kappa = math.floor(
+        (1e5 * (n * agree - sab) + 5.0 * (n * n - sab)) / (10.0 * (n * n - sab))
+    ) / 1e4
+    assert (r["n"], r["po"], r["pe"], r["kappa"]) == (n, po, pe, kappa)
+    # degenerate: both raters constant -> pe = 1 -> NULL kappa
+    df2 = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    r2 = cohens_kappa(df2, "a", "b").collect()[0]
+    assert r2["kappa"] is None and r2["po"] == 1.0

@@ -80,7 +80,7 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # 1-row (N, avgdl) stats frame replicated to the scored terms:
         "bm25",
         # 1-row exact-count frames crossed with the 1-row sketch estimate:
-        "corpus_overlap",
+        "corpus_overlap", "cohens_kappa",
         # ungrouped grid_percentiles: 1-row GK-bracket/offset frames
         # broadcast onto the probe rows (no group key to hash-join on):
         "quantiles", "stats_moments", "kll_quantiles", "winsorize",
