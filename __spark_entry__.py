@@ -3211,6 +3211,17 @@ def q_cohens_kappa(spark, sf_dir):
     return cohens_kappa(pairs, "a", "b")
 
 
+def q_l_diversity(spark, sf_dir):
+    """l-diversity violations (Machanavajjhala et al.): customers whose
+    order-status 'sensitive attribute' has < 3 distinct values (the
+    rare 'P' status is what most customers lack, so violations exist at
+    every SF) — two map-side-combined hash aggregates."""
+    from hashquery_spark.ops import l_diversity
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return l_diversity(orders, "o_custkey", "o_orderstatus", l=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3357,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "embedding_pca": q_embedding_pca,
         "cohens_kappa": q_cohens_kappa,
+        "l_diversity": q_l_diversity,
         "calibration_bins": q_calibration_bins,
         "dsir_weights": q_dsir_weights,
         "reservoir_sample": q_reservoir_sample,

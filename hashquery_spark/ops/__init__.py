@@ -84,6 +84,7 @@ from .profile import (
     approx_quantiles,
     grid_percentiles,
     k_anonymity,
+    l_diversity,
     dp_count,
     winsorize,
     check_constraints,
@@ -207,6 +208,7 @@ __all__ = [
     "compression_ratio",
     "approx_quantiles",
     "k_anonymity",
+    "l_diversity",
     "dp_count",
     "dsir_weights",
     "mix_corpora",

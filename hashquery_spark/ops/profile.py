@@ -746,6 +746,46 @@ def k_anonymity(
     return out.orderBy(F.col("group_size").asc(), *[F.col(c).asc() for c in quasi])
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_cols,
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy gate complementing :func:`k_anonymity` (Machanavajjhala
+    et al. 2007): quasi-identifier groups whose SENSITIVE attribute has
+    fewer than ``l`` distinct values — groups where re-identification
+    also reveals the sensitive value. Output: quasi columns +
+    ``group_size, n_sensitive, l_diverse`` for every violating group,
+    smallest diversity first.
+
+    Scale: one exact count-distinct aggregate over (quasi, sensitive) —
+    two map-side-combined hash aggregates (the Expand-free two-level
+    form: distinct pairs first, then counts), no buffers. Violations are
+    small by definition.
+    """
+    quasi = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    pairs = (
+        df.where(F.col(sensitive_col).isNotNull())
+        .groupBy(*quasi, sensitive_col)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    out = (
+        pairs.groupBy(*quasi)
+        .agg(
+            F.sum("__c__").cast("long").alias("group_size"),
+            F.count(F.lit(1)).alias("n_sensitive"),
+        )
+        .where(F.col("n_sensitive") < l)
+        .select(*quasi, "group_size", "n_sensitive", F.lit(False).alias("l_diverse"))
+    )
+    return out.orderBy(
+        F.col("n_sensitive").asc(),
+        F.col("group_size").asc(),
+        *[F.col(c).asc() for c in quasi],
+    )
+
+
 def dp_count(
     df: DataFrame,
     group_cols,

@@ -3230,3 +3230,16 @@ SELECT n,
   END AS kappa
 FROM tot, pr
 """
+
+
+ORACLE_SQL["l_diversity"] = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_sensitive,
+       FALSE AS l_diverse
+FROM orders
+WHERE o_orderstatus IS NOT NULL
+GROUP BY o_custkey
+HAVING count(DISTINCT o_orderstatus) < 3
+ORDER BY n_sensitive, group_size, o_custkey
+"""
