@@ -3222,6 +3222,18 @@ def q_l_diversity(spark, sf_dir):
     return l_diversity(orders, "o_custkey", "o_orderstatus", l=3)
 
 
+def q_trimmed_mean(spark, sf_dir):
+    """10%-trimmed mean of order totals per priority band: exact
+    GK-refined percentile bounds + one integer-micro-unit conditional
+    aggregate (order-independent DECIMAL sums) — bit-exact oracle."""
+    from hashquery_spark.ops import trimmed_mean
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return trimmed_mean(
+        orders, "o_totalprice", by="o_orderpriority", trim=0.1
+    ).orderBy("o_orderpriority")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3369,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "cohens_kappa": q_cohens_kappa,
         "l_diversity": q_l_diversity,
+        "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,
         "dsir_weights": q_dsir_weights,
         "reservoir_sample": q_reservoir_sample,

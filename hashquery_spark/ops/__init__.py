@@ -85,6 +85,7 @@ from .profile import (
     grid_percentiles,
     k_anonymity,
     l_diversity,
+    trimmed_mean,
     dp_count,
     winsorize,
     check_constraints,
@@ -209,6 +210,7 @@ __all__ = [
     "approx_quantiles",
     "k_anonymity",
     "l_diversity",
+    "trimmed_mean",
     "dp_count",
     "dsir_weights",
     "mix_corpora",

@@ -746,6 +746,66 @@ def k_anonymity(
     return out.orderBy(F.col("group_size").asc(), *[F.col(c).asc() for c in quasi])
 
 
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    by=None,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Robust trimmed mean: the mean of values inside the
+    [trim, 1−trim] interpolated-percentile bounds per group. Output:
+    group cols + ``n_kept, lo_bound, hi_bound, trimmed_mean``.
+
+    Scale: bounds come from :func:`grid_percentiles` (GK-bracketed exact
+    refinement — no full-group sort), broadcast back; the mean is one
+    narrow conditional aggregate in exact 1e-6-grid integer micro-units
+    (DECIMAL(38) sums — order-independent), floor-rounded at 6 dp, so
+    the oracle (quantile_cont bounds + the same integer sum) matches
+    bit-for-bit.
+    """
+    from .dedup import fround
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    if not 0 <= trim < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    v = F.col(value_col)
+    base = df.where(v.isNotNull())
+    bounds = grid_percentiles(
+        base, value_col, {"lo_bound": trim, "hi_bound": 1.0 - trim}, by=by
+    )
+    j = (
+        base.join(F.broadcast(bounds), on=by)
+        if by
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    keep = (v.cast("double") >= F.col("lo_bound")) & (
+        v.cast("double") <= F.col("hi_bound")
+    )
+    units = F.floor(v.cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    agg = j.groupBy(*by).agg(
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.max("lo_bound").alias("lo_bound"),
+        F.max("hi_bound").alias("hi_bound"),
+        F.sum(F.when(keep, units)).alias("__su__"),
+    )
+    return agg.select(
+        *by,
+        "n_kept",
+        fround(F.col("lo_bound"), 6).alias("lo_bound"),
+        fround(F.col("hi_bound"), 6).alias("hi_bound"),
+        F.when(
+            F.col("n_kept") > 0,
+            fround(
+                F.col("__su__").cast("double")
+                / (F.col("n_kept").cast("double") * F.lit(1e6)),
+                6,
+            ),
+        ).alias("trimmed_mean"),
+    )
+
+
 def l_diversity(
     df: DataFrame,
     quasi_cols,

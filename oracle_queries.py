@@ -3243,3 +3243,33 @@ GROUP BY o_custkey
 HAVING count(DISTINCT o_orderstatus) < 3
 ORDER BY n_sensitive, group_size, o_custkey
 """
+
+
+ORACLE_SQL["trimmed_mean"] = """
+WITH b AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.1) AS lo,
+         quantile_cont(o_totalprice, 0.9) AS hi
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderpriority, CAST(o.o_totalprice AS DOUBLE) AS v, b.lo, b.hi
+  FROM orders o JOIN b USING (o_orderpriority)
+  WHERE o.o_totalprice IS NOT NULL
+),
+a AS (
+  SELECT o_orderpriority,
+    CAST(count(*) FILTER (WHERE v >= lo AND v <= hi) AS BIGINT) AS n_kept,
+    max(lo) AS lo, max(hi) AS hi,
+    sum(CAST(floor(v * 1e6 + 5e-1) AS HUGEINT))
+      FILTER (WHERE v >= lo AND v <= hi) AS su
+  FROM j GROUP BY 1
+)
+SELECT o_orderpriority, n_kept,
+  floor(lo * 1e6 + 5e-1) / 1e6 AS lo_bound,
+  floor(hi * 1e6 + 5e-1) / 1e6 AS hi_bound,
+  CASE WHEN n_kept > 0 THEN
+    floor(CAST(su AS DOUBLE) / (CAST(n_kept AS DOUBLE) * 1e6) * 1e6 + 5e-1) / 1e6
+  END AS trimmed_mean
+FROM a ORDER BY o_orderpriority
+"""
