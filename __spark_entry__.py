@@ -3211,6 +3211,26 @@ def q_cohens_kappa(spark, sf_dir):
     return cohens_kappa(pairs, "a", "b")
 
 
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa multi-rater agreement: each user's first 3 events
+    are 3 'raters' labeling the user with an event_type; po/pe/kappa are
+    pure integer ratios in DECIMAL(38) accumulators (Fleiss 1971), so
+    the oracle matches bit-for-bit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import fleiss_kappa
+
+    ev = _conn(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ratings = (
+        ev.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= 3)
+        .select("user_id", "event_type")
+    )
+    return fleiss_kappa(ratings, "user_id", "event_type", raters=3)
+
+
 def q_l_diversity(spark, sf_dir):
     """l-diversity violations (Machanavajjhala et al.): customers whose
     order-status 'sensitive attribute' has < 3 distinct values (the
@@ -3380,6 +3400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "embedding_pca": q_embedding_pca,
         "cohens_kappa": q_cohens_kappa,
+        "fleiss_kappa": q_fleiss_kappa,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

@@ -106,6 +106,7 @@ from .evaluation import (
     binary_auc,
     calibration_bins,
     cohens_kappa,
+    fleiss_kappa,
     pass_at_k,
     translation_metrics,
 )
@@ -140,6 +141,7 @@ __all__ = [
     "c4_filters",
     "calibration_bins",
     "cohens_kappa",
+    "fleiss_kappa",
     "embedding_near_dup",
     "embedding_join",
     "ivf_ann",

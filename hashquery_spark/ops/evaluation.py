@@ -457,3 +457,82 @@ def cohens_kappa(
             / F.lit(10000.0),
         ).alias("kappa"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    subject_col: str,
+    label_col: str,
+    raters: int,
+) -> DataFrame:
+    """Fleiss' kappa multi-rater agreement over a long-form
+    ``(subject, label)`` ratings table — the >2-annotator generalization
+    of :func:`cohens_kappa` (Fleiss 1971). Each row is one rater's label
+    for one subject; only subjects rated by EXACTLY ``raters`` raters
+    enter the statistic (the fixed-r requirement of the formula —
+    partially-rated subjects are dropped, standard practice).
+
+    Output (one row): ``n_subjects, raters, po, pe, kappa`` (kappa NULL
+    when pe = 1, i.e. every rating identical).
+
+    Exactness: with per-(subject,label) integer counts n_ik, A = N·r,
+    S2 = Σ n_ik², T_k = Σ_i n_ik, SS = Σ T_k²:
+
+        po = (S2 − A) / (A·(r−1))        pe = SS / A²
+        kappa = (A·(S2 − A) − (r−1)·SS) / ((r−1)·(A² − SS))
+
+    — all pure integer ratios in DECIMAL(38,0) accumulators, rounded via
+    the tie-proof floor form, so the DuckDB oracle matches bit-for-bit.
+    (A² and SS are int64-unsafe past ~3e9 total ratings — same caveat as
+    cohens_kappa.)
+
+    Scale: one groupBy(subject,label) with map-side combine (the only
+    shuffle of rating rows), a subject-partitioned window for the per-
+    subject rater totals, then a groupBy(label) whose output is bounded
+    by label cardinality and a final tiny aggregate. No per-subject data
+    ever buffers on one reducer beyond its own label counts.
+    """
+    from .dedup import round4_ratio
+
+    r = int(raters)
+    if r < 2:
+        raise ValueError("fleiss_kappa requires raters >= 2")
+    counts = (
+        df.where(F.col(subject_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(
+            F.col(subject_col).alias("__subj__"),
+            F.col(label_col).cast("string").alias("__lab__"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    w = Window.partitionBy("__subj__")
+    kept = counts.withColumn("__ri__", F.sum("__c__").over(w)).where(
+        F.col("__ri__") == r
+    )
+    per_label = kept.groupBy("__lab__").agg(
+        F.sum("__c__").cast("decimal(38,0)").alias("__tk__"),
+        F.sum(F.col("__c__") * F.col("__c__")).cast("decimal(38,0)").alias("__s2k__"),
+    )
+    g = per_label.groupBy().agg(
+        F.sum("__tk__").alias("__a__"),
+        F.sum(F.col("__tk__") * F.col("__tk__")).alias("__ss__"),
+        F.sum("__s2k__").alias("__s2__"),
+    )
+    a = F.col("__a__")
+    ss = F.col("__ss__")
+    s2 = F.col("__s2__")
+    d = F.lit(r - 1).cast("decimal(38,0)")
+    kap_num = a * (s2 - a) - d * ss
+    kap_den = d * (a * a - ss)
+    return g.select(
+        (a / F.lit(r)).cast("long").alias("n_subjects"),
+        F.lit(r).alias("raters"),
+        round4_ratio(
+            (s2 - a).cast("double"), (a * d).cast("double")
+        ).alias("po"),
+        round4_ratio(ss.cast("double"), (a * a).cast("double")).alias("pe"),
+        F.when(
+            kap_den != 0,
+            round4_ratio(kap_num.cast("double"), kap_den.cast("double")),
+        ).alias("kappa"),
+    )

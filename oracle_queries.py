@@ -3232,6 +3232,40 @@ FROM tot, pr
 """
 
 
+ORACLE_SQL["fleiss_kappa"] = f"""
+WITH ranked AS (
+  SELECT user_id, CAST(event_type AS VARCHAR) AS lab,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+counts AS (
+  SELECT user_id AS subj, lab, CAST(count(*) AS BIGINT) AS c
+  FROM ranked WHERE rn <= 3 GROUP BY 1, 2
+),
+kept AS (
+  SELECT * FROM (
+    SELECT subj, lab, c, sum(c) OVER (PARTITION BY subj) AS ri FROM counts
+  ) WHERE ri = 3
+),
+per_label AS (
+  SELECT lab, CAST(sum(c) AS HUGEINT) AS tk, CAST(sum(c * c) AS HUGEINT) AS s2k
+  FROM kept GROUP BY 1
+),
+g AS (
+  SELECT sum(tk) AS a, sum(tk * tk) AS ss, sum(s2k) AS s2 FROM per_label
+)
+SELECT CAST(a // 3 AS BIGINT) AS n_subjects,
+  CAST(3 AS INT) AS raters,
+  {_round4_ratio_sql('CAST(s2 - a AS DOUBLE)', 'CAST(a * 2 AS DOUBLE)')} AS po,
+  {_round4_ratio_sql('CAST(ss AS DOUBLE)', 'CAST(a * a AS DOUBLE)')} AS pe,
+  CASE WHEN 2 * (a * a - ss) <> 0 THEN
+    {_round4_ratio_sql('CAST(a * (s2 - a) - 2 * ss AS DOUBLE)',
+                       'CAST(2 * (a * a - ss) AS DOUBLE)')}
+  END AS kappa
+FROM g
+"""
+
+
 ORACLE_SQL["l_diversity"] = """
 SELECT o_custkey,
        CAST(count(*) AS BIGINT) AS group_size,

@@ -2130,3 +2130,54 @@ def test_cohens_kappa_known_values(spark):
     df2 = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
     r2 = cohens_kappa(df2, "a", "b").collect()[0]
     assert r2["kappa"] is None and r2["po"] == 1.0
+
+
+def test_fleiss_kappa_published_fixture(spark):
+    """The Fleiss 1971 textbook table (10 subjects x 14 raters x 5
+    categories): kappa ~= 0.210. Expected values recomputed from the
+    exact integer formula the op documents."""
+    import math
+
+    from hashquery_spark.ops import fleiss_kappa
+
+    table = [
+        [0, 0, 0, 0, 14],
+        [0, 2, 6, 4, 2],
+        [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0],
+        [2, 2, 8, 1, 1],
+        [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0],
+        [2, 5, 3, 2, 2],
+        [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7],
+    ]
+    rows = [
+        (subj, f"cat{k}")
+        for subj, counts in enumerate(table)
+        for k, c in enumerate(counts)
+        for _ in range(c)
+    ]
+    df = spark.createDataFrame(rows, ["subject", "label"])
+    got = fleiss_kappa(df, "subject", "label", raters=14).collect()[0]
+
+    r, n_subj = 14, len(table)
+    a = n_subj * r
+    s2 = sum(c * c for row in table for c in row)
+    tks = [sum(row[k] for row in table) for k in range(5)]
+    ss = sum(t * t for t in tks)
+
+    def round4(num, den):
+        return math.floor((100000.0 * num + 5.0 * den) / (10.0 * den)) / 10000.0
+
+    assert got["n_subjects"] == n_subj
+    assert got["raters"] == r
+    assert got["po"] == round4(s2 - a, a * (r - 1))
+    assert got["pe"] == round4(ss, a * a)
+    assert got["kappa"] == round4(a * (s2 - a) - (r - 1) * ss, (r - 1) * (a * a - ss))
+    assert abs(got["kappa"] - 0.210) < 2e-3  # published value
+
+    # subjects not rated by exactly r raters are dropped
+    df2 = df.union(spark.createDataFrame([(99, "cat0")], ["subject", "label"]))
+    got2 = fleiss_kappa(df2, "subject", "label", raters=14).collect()[0]
+    assert got2["n_subjects"] == n_subj and got2["kappa"] == got["kappa"]
