@@ -3231,6 +3231,17 @@ def q_fleiss_kappa(spark, sf_dir):
     return fleiss_kappa(ratings, "user_id", "event_type", raters=3)
 
 
+def q_mutual_information(spark, sf_dir):
+    """Mutual information between document language and source (the
+    'is lang independent of source' corpus diagnostic): all entropies in
+    exact integer log-micro-units, final values exact DOUBLE quotients —
+    no rounding site, bit-identical oracle."""
+    from hashquery_spark.ops import mutual_information
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return mutual_information(docs, "lang", "source")
+
+
 def q_l_diversity(spark, sf_dir):
     """l-diversity violations (Machanavajjhala et al.): customers whose
     order-status 'sensitive attribute' has < 3 distinct values (the
@@ -3401,6 +3412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "cohens_kappa": q_cohens_kappa,
         "fleiss_kappa": q_fleiss_kappa,
+        "mutual_information": q_mutual_information,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

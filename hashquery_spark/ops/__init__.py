@@ -85,6 +85,7 @@ from .profile import (
     grid_percentiles,
     k_anonymity,
     l_diversity,
+    mutual_information,
     trimmed_mean,
     dp_count,
     winsorize,
@@ -212,6 +213,7 @@ __all__ = [
     "approx_quantiles",
     "k_anonymity",
     "l_diversity",
+    "mutual_information",
     "trimmed_mean",
     "dp_count",
     "dsir_weights",

@@ -892,3 +892,73 @@ def dp_count(
         *[F.col(c) for c in groups],
         F.round(F.col("__n__") + noise, 4).alias("n_dp"),
     )
+
+
+def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    the marginal and joint Shannon entropies — the corpus-diagnostics
+    question "is lang independent of source?" / feature-selection MI.
+    Output (one row): ``n, h_x, h_y, h_xy, mi`` with
+    ``mi = h_x + h_y − h_xy`` (≥ 0 up to log-grid jitter of a few
+    1e-6 — independent columns land within microunits of 0, not AT 0,
+    because floor(ln·1e6) is not additive).
+
+    Exactness: every entropy reduces to integer arithmetic over
+    log-micro-units ``L(c) = floor(ln(c)·1e6 + 0.5)`` of integer counts
+    (H_x·n·1e6 = n·L(n) − Σ c_x·L(c_x) — all DECIMAL(38,0) sums, order-
+    independent), and the final values are DOUBLE quotients of exactly-
+    represented operands, so both engines agree bit-for-bit with NO
+    rounding site. ln() itself carries the documented tfidf-class 1-ulp
+    libm risk, shrunk ~1e-9 by the micro-unit floor.
+
+    Scale — ONE scan, ONE data shuffle: groupBy(x,y) with map-side
+    combine produces the pair-count table (bounded by |X|·|Y|, not rows);
+    a cube() over THAT table yields pair/marginal/total levels in a
+    single small Expand, and the final aggregate classifies levels by
+    rolled-up NULLs. No checkpoint, no join, no crossJoin.
+    """
+    x, y = F.col(col_x), F.col(col_y)
+    pairs = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(
+            x.cast("string").alias("__x__"), y.cast("string").alias("__y__")
+        )
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    levels = pairs.cube("__x__", "__y__").agg(F.sum("__c__").alias("__c__"))
+    c = F.col("__c__")
+    lmicro = F.floor(F.log(c.cast("double")) * F.lit(1000000.0) + F.lit(0.5))
+    w = (c.cast("decimal(38,0)") * lmicro).alias("__w__")
+    xn, yn = F.col("__x__").isNull(), F.col("__y__").isNull()
+    terms = levels.select(xn.alias("__xn__"), yn.alias("__yn__"), c, w)
+    g = terms.groupBy().agg(
+        F.max(F.when(F.col("__xn__") & F.col("__yn__"), c)).alias("__n__"),
+        F.max(F.when(F.col("__xn__") & F.col("__yn__"), F.col("__w__"))).alias(
+            "__nln__"
+        ),
+        F.sum(
+            F.when(~F.col("__xn__") & F.col("__yn__"), F.col("__w__"))
+        ).alias("__sx__"),
+        F.sum(
+            F.when(F.col("__xn__") & ~F.col("__yn__"), F.col("__w__"))
+        ).alias("__sy__"),
+        F.sum(
+            F.when(~F.col("__xn__") & ~F.col("__yn__"), F.col("__w__"))
+        ).alias("__sxy__"),
+    )
+    den = (
+        F.col("__n__").cast("decimal(38,0)") * F.lit(1000000).cast("decimal(38,0)")
+    ).cast("double")
+    nln, sx, sy, sxy = (
+        F.col("__nln__"),
+        F.col("__sx__"),
+        F.col("__sy__"),
+        F.col("__sxy__"),
+    )
+    return g.select(
+        F.col("__n__").cast("long").alias("n"),
+        ((nln - sx).cast("double") / den).alias("h_x"),
+        ((nln - sy).cast("double") / den).alias("h_y"),
+        ((nln - sxy).cast("double") / den).alias("h_xy"),
+        ((nln + sxy - sx - sy).cast("double") / den).alias("mi"),
+    )

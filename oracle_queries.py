@@ -3266,6 +3266,42 @@ FROM g
 """
 
 
+ORACLE_SQL["mutual_information"] = """
+WITH pairs AS (
+  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+),
+levels AS (
+  SELECT x, y, CAST(sum(c) AS BIGINT) AS c
+  FROM pairs GROUP BY CUBE (x, y)
+),
+terms AS (
+  SELECT x IS NULL AS xn, y IS NULL AS yn, c,
+         CAST(c AS HUGEINT)
+           * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)
+           AS w
+  FROM levels
+),
+g AS (
+  SELECT max(CASE WHEN xn AND yn THEN c END) AS n,
+         max(CASE WHEN xn AND yn THEN w END) AS nln,
+         sum(CASE WHEN NOT xn AND yn THEN w END) AS sx,
+         sum(CASE WHEN xn AND NOT yn THEN w END) AS sy,
+         sum(CASE WHEN NOT xn AND NOT yn THEN w END) AS sxy
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(nln - sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS h_x,
+  CAST(nln - sy AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS h_y,
+  CAST(nln - sxy AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS h_xy,
+  CAST(nln + sxy - sx - sy AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mi
+FROM g
+"""
+
+
 ORACLE_SQL["l_diversity"] = """
 SELECT o_custkey,
        CAST(count(*) AS BIGINT) AS group_size,

@@ -2181,3 +2181,36 @@ def test_fleiss_kappa_published_fixture(spark):
     df2 = df.union(spark.createDataFrame([(99, "cat0")], ["subject", "label"]))
     got2 = fleiss_kappa(df2, "subject", "label", raters=14).collect()[0]
     assert got2["n_subjects"] == n_subj and got2["kappa"] == got["kappa"]
+
+
+def test_mutual_information_known_cases(spark):
+    """Perfect dependence (X == Y) gives mi = h_x = h_y = ln 2 on the
+    micro-grid; independence gives mi = 0 exactly (the integer identity
+    nln + sxy - sx - sy cancels term-for-term)."""
+    import math
+
+    from hashquery_spark.ops import mutual_information
+
+    def lmicro(c):
+        return math.floor(math.log(c) * 1e6 + 0.5)
+
+    # dependence: 4 rows (a,a) + 4 rows (b,b)
+    dep = spark.createDataFrame(
+        [("a", "a")] * 4 + [("b", "b")] * 4, ["x", "y"]
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    n = 8
+    expect_h = (n * lmicro(n) - 2 * 4 * lmicro(4)) / (n * 1e6)
+    assert r["n"] == n
+    assert r["h_x"] == expect_h and r["h_y"] == expect_h and r["h_xy"] == expect_h
+    assert r["mi"] == expect_h
+    assert abs(r["mi"] - math.log(2)) < 1e-5
+
+    # independence: uniform 2x2 grid
+    ind = spark.createDataFrame(
+        [("a", "u")] * 2 + [("a", "v")] * 2 + [("b", "u")] * 2 + [("b", "v")] * 2,
+        ["x", "y"],
+    )
+    r2 = mutual_information(ind, "x", "y").collect()[0]
+    assert abs(r2["mi"]) <= 4e-6  # log-grid jitter, not exact 0
+    assert abs(r2["h_xy"] - math.log(4)) < 1e-5
