@@ -3231,6 +3231,23 @@ def q_fleiss_kappa(spark, sf_dir):
     return fleiss_kappa(ratings, "user_id", "event_type", raters=3)
 
 
+def q_ks_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov distance between the value
+    distributions of 'click' and 'view' events — ECDF prefix sums via
+    the two-phase monotone-bucket form (no global window); d_num is an
+    exact integer, ks_d an exact-rational double quotient."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import ks_test
+
+    ev = _conn(spark, sf_dir).table("events")
+    return ks_test(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"),
+        "value",
+    )
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3413,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "fleiss_kappa": q_fleiss_kappa,
         "mutual_information": q_mutual_information,
+        "ks_test": q_ks_test,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

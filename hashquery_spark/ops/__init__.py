@@ -84,6 +84,7 @@ from .profile import (
     approx_quantiles,
     grid_percentiles,
     k_anonymity,
+    ks_test,
     l_diversity,
     mutual_information,
     trimmed_mean,
@@ -212,6 +213,7 @@ __all__ = [
     "compression_ratio",
     "approx_quantiles",
     "k_anonymity",
+    "ks_test",
     "l_diversity",
     "mutual_information",
     "trimmed_mean",

@@ -962,3 +962,103 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
         ((nln - sxy).cast("double") / den).alias("h_xy"),
         ((nln + sxy - sx - sy).cast("double") / den).alias("mi"),
     )
+
+
+def ks_test(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    ``col`` distributions of two frames — the nonparametric companion to
+    :func:`distribution_drift` (no binning, no range parameters).
+    Output (one row): ``n_a, n_b, d_num, ks_d`` where
+    ``ks_d = d_num/(n_a·n_b) = sup_x |F_a(x) − F_b(x)|`` and ``d_num =
+    max |cumA·n_b − cumB·n_a|`` is an exact integer (BIGINT — int64-safe
+    to ~3e9 rows per side, the cohens_kappa caveat).
+
+    Scale — the ECDF prefix sums NEVER run through one global window:
+    values group to a distinct-value count table (one shuffle, map-side
+    combined), then the pack_sequences two-phase prefix sum applies with
+    a MONOTONE bucket key (sign-folded octave of the value: any weakly
+    monotone bucketing is correct since bucket ids cancel out of the
+    global cumulative counts): per-bucket windows run ~2k-way parallel
+    and only the tiny bucket-total frame sees an unpartitioned window.
+    The final max is one global aggregate. Cross-engine: pure integer
+    arithmetic until the last division, which divides two exactly-
+    represented doubles — bit-identical, no rounding site (ks_d is the
+    correctly-rounded double of an exact rational).
+    """
+    v = F.col(col).cast("double")
+    u = df_a.where(v.isNotNull()).select(
+        v.alias("__v__"), F.lit(1).alias("__sa__"), F.lit(0).alias("__sb__")
+    ).unionAll(
+        df_b.where(v.isNotNull()).select(
+            v.alias("__v__"), F.lit(0).alias("__sa__"), F.lit(1).alias("__sb__")
+        )
+    )
+    counts = u.groupBy("__v__").agg(
+        F.sum("__sa__").cast("long").alias("__ca__"),
+        F.sum("__sb__").cast("long").alias("__cb__"),
+    )
+    # weakly monotone, data-independent bucket: sign-folded octave.
+    # floor(log2|v|) spans [-1075, 1024], so ±2000 offsets keep the
+    # positive range (≥ 925), zero (0) and the negative range (≤ -925)
+    # strictly separated and ordered.
+    av = F.abs(F.col("__v__"))
+    bkt = (
+        F.when(F.col("__v__") > 0, F.lit(2000) + F.floor(F.log2(av)))
+        .when(F.col("__v__") < 0, F.lit(-2000) - F.floor(F.log2(av)))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    bucketed = counts.withColumn("__bkt__", bkt)
+    w_in = (
+        Window.partitionBy("__bkt__")
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bucketed.select(
+        "__bkt__",
+        "__v__",
+        F.sum("__ca__").over(w_in).alias("__cuma__"),
+        F.sum("__cb__").over(w_in).alias("__cumb__"),
+    )
+    btot = bucketed.groupBy("__bkt__").agg(
+        F.sum("__ca__").alias("__ba__"), F.sum("__cb__").alias("__bb__")
+    )
+    prior = Window.orderBy("__bkt__").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    whole = Window.orderBy("__bkt__").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = btot.select(
+        "__bkt__",
+        F.coalesce(F.sum("__ba__").over(prior), F.lit(0)).alias("__basea__"),
+        F.coalesce(F.sum("__bb__").over(prior), F.lit(0)).alias("__baseb__"),
+        F.sum("__ba__").over(whole).alias("__na__"),
+        F.sum("__bb__").over(whole).alias("__nb__"),
+    )
+    fa = F.col("__basea__") + F.col("__cuma__")
+    fb = F.col("__baseb__") + F.col("__cumb__")
+    diff = F.abs(
+        fa.cast("decimal(38,0)") * F.col("__nb__")
+        - fb.cast("decimal(38,0)") * F.col("__na__")
+    )
+    g = (
+        cum.join(F.broadcast(offsets), on="__bkt__")
+        .groupBy()
+        .agg(
+            F.max("__na__").alias("__na__"),
+            F.max("__nb__").alias("__nb__"),
+            F.max(diff).alias("__dnum__"),
+        )
+    )
+    return g.select(
+        F.col("__na__").cast("long").alias("n_a"),
+        F.col("__nb__").cast("long").alias("n_b"),
+        F.col("__dnum__").cast("long").alias("d_num"),
+        (
+            F.col("__dnum__").cast("double")
+            / (
+                F.col("__na__").cast("decimal(38,0)") * F.col("__nb__")
+            ).cast("double")
+        ).alias("ks_d"),
+    )

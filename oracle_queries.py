@@ -3266,6 +3266,39 @@ FROM g
 """
 
 
+ORACLE_SQL["ks_test"] = """
+WITH u AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS sa,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS sb
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+),
+counts AS (
+  SELECT v, CAST(sum(sa) AS BIGINT) AS ca, CAST(sum(sb) AS BIGINT) AS cb
+  FROM u GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v) AS fa,
+         sum(cb) OVER (ORDER BY v) AS fb
+  FROM counts
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM counts
+)
+SELECT na AS n_a, nb AS n_b,
+  CAST(max(abs(CAST(fa AS HUGEINT) * nb - CAST(fb AS HUGEINT) * na))
+       AS BIGINT) AS d_num,
+  CAST(max(abs(CAST(fa AS HUGEINT) * nb - CAST(fb AS HUGEINT) * na))
+       AS DOUBLE)
+    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) AS ks_d
+FROM cum, tot
+GROUP BY na, nb
+"""
+
+
 ORACLE_SQL["mutual_information"] = """
 WITH pairs AS (
   SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y,

@@ -2214,3 +2214,30 @@ def test_mutual_information_known_cases(spark):
     r2 = mutual_information(ind, "x", "y").collect()[0]
     assert abs(r2["mi"]) <= 4e-6  # log-grid jitter, not exact 0
     assert abs(r2["h_xy"] - math.log(4)) < 1e-5
+
+
+def test_ks_test_vs_python_reference(spark):
+    """Brute-force ECDF sup-distance on samples spanning negatives,
+    zero, sub-1 magnitudes and duplicates — exercises every branch of
+    the monotone octave bucketing."""
+    from fractions import Fraction
+
+    from hashquery_spark.ops import ks_test
+
+    a = [-8.0, -0.5, 0.0, 0.25, 1.0, 1.0, 3.5, 100.0, 0.75, -0.25]
+    b = [-4.0, 0.0, 0.5, 2.0, 2.0, 7.0, 0.125, -16.0]
+    dfa = spark.createDataFrame([(x,) for x in a], ["value"])
+    dfb = spark.createDataFrame([(x,) for x in b], ["value"])
+    got = ks_test(dfa, dfb, "value").collect()[0]
+
+    xs = sorted(set(a) | set(b))
+    d_num = max(
+        abs(
+            sum(1 for v in a if v <= x) * len(b)
+            - sum(1 for v in b if v <= x) * len(a)
+        )
+        for x in xs
+    )
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["d_num"] == d_num
+    assert got["ks_d"] == float(Fraction(d_num, len(a) * len(b)))
