@@ -3248,6 +3248,20 @@ def q_ks_test(spark, sf_dir):
     )
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """int8 symmetric quantization of the embeddings table: q stats and
+    reconstruction MSE — floor-form IEEE quantizer + integer-picounit
+    squared errors, so the oracle matches bit-for-bit (q array itself is
+    returned by the op but kept out of the compared columns: list
+    rendering differs across Arrow paths)."""
+    from hashquery_spark.ops import embedding_quantize
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    return embedding_quantize(emb, "embedding", "vec_id").select(
+        "vec_id", "n_dims", "scale", "q_sum", "q_l1", "mse"
+    ).orderBy("vec_id")
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3431,6 +3445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_kappa": q_fleiss_kappa,
         "mutual_information": q_mutual_information,
         "ks_test": q_ks_test,
+        "embedding_quantize": q_embedding_quantize,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

@@ -24,6 +24,7 @@ from .dedup import (
     simhash,
 )
 from .similarity import (
+    embedding_quantize,
     ivf_index,
     ivf_search,
     ann_brute_force,
@@ -145,6 +146,7 @@ __all__ = [
     "cohens_kappa",
     "fleiss_kappa",
     "embedding_near_dup",
+    "embedding_quantize",
     "embedding_join",
     "ivf_ann",
     "ivf_index",

@@ -3266,6 +3266,46 @@ FROM g
 """
 
 
+ORACLE_SQL["embedding_quantize"] = """
+WITH p1 AS (
+  SELECT vec_id, embedding AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS amax
+  FROM embeddings
+),
+terms AS (
+  SELECT vec_id, amax, len(v) AS n_dims, unnest(v) AS x FROM p1
+),
+qe AS (
+  SELECT vec_id, amax, n_dims,
+    CASE WHEN amax = CAST(0.0 AS DOUBLE) THEN CAST(0 AS BIGINT)
+         ELSE CAST(greatest(CAST(-127.0 AS DOUBLE), least(CAST(127.0 AS DOUBLE),
+              floor((CAST(x AS DOUBLE) * CAST(127.0 AS DOUBLE)) / amax
+                    + CAST(0.5 AS DOUBLE)))) AS BIGINT) END AS qi,
+    CASE WHEN amax = CAST(0.0 AS DOUBLE) THEN CAST(0 AS BIGINT)
+         ELSE CAST(floor(
+           (CAST(x AS DOUBLE)
+            - (greatest(CAST(-127.0 AS DOUBLE), least(CAST(127.0 AS DOUBLE),
+                floor((CAST(x AS DOUBLE) * CAST(127.0 AS DOUBLE)) / amax
+                      + CAST(0.5 AS DOUBLE)))) * amax) / CAST(127.0 AS DOUBLE))
+           * (CAST(x AS DOUBLE)
+            - (greatest(CAST(-127.0 AS DOUBLE), least(CAST(127.0 AS DOUBLE),
+                floor((CAST(x AS DOUBLE) * CAST(127.0 AS DOUBLE)) / amax
+                      + CAST(0.5 AS DOUBLE)))) * amax) / CAST(127.0 AS DOUBLE))
+           * 1e12 + 5e-1) AS BIGINT) END AS mi
+  FROM terms
+)
+SELECT vec_id, CAST(n_dims AS INT) AS n_dims,
+  amax / CAST(127.0 AS DOUBLE) AS scale,
+  CAST(sum(qi) AS BIGINT) AS q_sum,
+  CAST(sum(abs(qi)) AS BIGINT) AS q_l1,
+  CAST(sum(mi) AS DOUBLE) / (CAST(n_dims AS DOUBLE) * 1e12) AS mse
+FROM qe
+GROUP BY vec_id, amax, n_dims
+ORDER BY vec_id
+"""
+
+
 ORACLE_SQL["ks_test"] = """
 WITH u AS (
   SELECT CAST(value AS DOUBLE) AS v,

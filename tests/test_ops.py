@@ -2241,3 +2241,45 @@ def test_ks_test_vs_python_reference(spark):
     assert got["n_a"] == len(a) and got["n_b"] == len(b)
     assert got["d_num"] == d_num
     assert got["ks_d"] == float(Fraction(d_num, len(a) * len(b)))
+
+
+def test_embedding_quantize_vs_numpy(spark):
+    """numpy mirror of the int8 quantizer on hand vectors, plus the
+    dequant error bound |e| <= scale/2 and the zero-vector branch."""
+    import math
+
+    from hashquery_spark.ops import embedding_quantize
+
+    vecs = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [3.0, 3.0, -3.0, 1.5]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, [1e-3, -2e-3, 5e-4, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    rows = {r["vec_id"]: r for r in embedding_quantize(df, "embedding", "vec_id").collect()}
+
+    for vid, v in vecs:
+        amax = max(abs(x) for x in v)
+        if amax == 0.0:
+            q = [0] * len(v)
+            msum = 0
+        else:
+            q = [
+                int(max(-127.0, min(127.0, math.floor(x * 127.0 / amax + 0.5))))
+                for x in v
+            ]
+            msum = sum(
+                math.floor(
+                    (x - qi * amax / 127.0) * (x - qi * amax / 127.0) * 1e12 + 0.5
+                )
+                for x, qi in zip(v, q)
+            )
+        r = rows[vid]
+        assert list(r["q"]) == q, (vid, list(r["q"]), q)
+        assert r["q_sum"] == sum(q) and r["q_l1"] == sum(abs(x) for x in q)
+        assert r["scale"] == amax / 127.0
+        assert r["mse"] == msum / (len(v) * 1e12)
+        scale = amax / 127.0
+        for x, qi in zip(v, q):
+            assert abs(x - qi * scale) <= scale / 2 + 1e-12
