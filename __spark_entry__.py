@@ -3262,6 +3262,29 @@ def q_embedding_quantize(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_bloom_contamination(spark, sf_dir):
+    """Bloom-filter decontamination: the benchmark gram set (doc_id < 25)
+    compressed to a deterministic md5/KM bitset (m_words=256, k=3 — small
+    enough that false positives actually occur, demonstrating the
+    conservative-overcount semantics vs exact `contamination`), probed by
+    the corpus via k broadcast word-index joins."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import bloom_contamination
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return bloom_contamination(
+        docs.where(F.col("doc_id") >= 25),
+        docs.where(F.col("doc_id") < 25),
+        "text",
+        "doc_id",
+        n=3,
+        m_words=256,
+        k=3,
+        threshold=0.2,
+    )
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3446,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": q_mutual_information,
         "ks_test": q_ks_test,
         "embedding_quantize": q_embedding_quantize,
+        "bloom_contamination": q_bloom_contamination,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

@@ -35,7 +35,7 @@ from .similarity import (
     lsh_ann,
     random_hyperplanes,
 )
-from .contamination import ngram_contamination
+from .contamination import bloom_contamination, ngram_contamination
 from .curation import curate
 from .sampling import (
     cap_per_group,
@@ -173,6 +173,7 @@ __all__ = [
     "frame_sample",
     "resize_image",
     "with_binary_column",
+    "bloom_contamination",
     "ngram_contamination",
     "curate",
     "global_shuffle",

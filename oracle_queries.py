@@ -3266,6 +3266,77 @@ FROM g
 """
 
 
+ORACLE_SQL["bloom_contamination"] = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         ELSE [] END) AS g
+  FROM toks
+),
+bgrams AS (
+  SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id < 25
+),
+bh AS (
+  SELECT CAST('0x' || substr(md5('bloom:' || gram), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5('bloom:' || gram), 9, 8) AS BIGINT) AS h2
+  FROM bgrams
+),
+bpos AS (
+  SELECT (h1 + j * h2) % 16128 AS pos
+  FROM bh, (SELECT unnest([0, 1, 2]) AS j)
+),
+bloom AS (
+  SELECT pos // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+  FROM bpos GROUP BY 1
+),
+exploded AS (
+  SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id >= 25
+),
+ph AS (
+  SELECT doc_id, gram,
+         CAST('0x' || substr(md5('bloom:' || gram), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5('bloom:' || gram), 9, 8) AS BIGINT) AS h2
+  FROM exploded
+),
+probes AS (
+  SELECT doc_id, gram,
+    ((h1 + 0 * h2) % 16128) // 63 AS w0,
+    CAST(1 AS BIGINT) << CAST(((h1 + 0 * h2) % 16128) % 63 AS INT) AS m0,
+    ((h1 + 1 * h2) % 16128) // 63 AS w1,
+    CAST(1 AS BIGINT) << CAST(((h1 + 1 * h2) % 16128) % 63 AS INT) AS m1,
+    ((h1 + 2 * h2) % 16128) // 63 AS w2,
+    CAST(1 AS BIGINT) << CAST(((h1 + 2 * h2) % 16128) % 63 AS INT) AS m2
+  FROM ph
+),
+hits AS (
+  SELECT p.doc_id,
+    count(CASE WHEN b0.bits IS NOT NULL AND (b0.bits & p.m0) = p.m0
+                AND b1.bits IS NOT NULL AND (b1.bits & p.m1) = p.m1
+                AND b2.bits IS NOT NULL AND (b2.bits & p.m2) = p.m2
+          THEN 1 END) AS n_hits
+  FROM probes p
+  LEFT JOIN bloom b0 ON p.w0 = b0.word
+  LEFT JOIN bloom b1 ON p.w1 = b1.word
+  LEFT JOIN bloom b2 ON p.w2 = b2.word
+  GROUP BY p.doc_id
+)
+SELECT s.doc_id,
+  len(s.g) AS n_grams,
+  COALESCE(h.n_hits, 0) AS n_flagged,
+  floor(COALESCE(h.n_hits, 0) / greatest(len(s.g), 1) * 1e4 + 5e-1) / 1e4
+    AS contamination,
+  floor(COALESCE(h.n_hits, 0) / greatest(len(s.g), 1) * 1e4 + 5e-1) / 1e4 >= 0.2
+    AS is_contaminated
+FROM sh s LEFT JOIN hits h USING (doc_id)
+WHERE s.doc_id >= 25
+"""
+
+
 ORACLE_SQL["embedding_quantize"] = """
 WITH p1 AS (
   SELECT vec_id, embedding AS v,

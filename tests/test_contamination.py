@@ -47,3 +47,41 @@ def test_contamination_case_and_punct_normalized(spark):
     )
     row = ngram_contamination(corpus, benchmark, "text", "doc_id", n=3).collect()[0]
     assert row["n_contaminated_grams"] == row["n_grams"] == 2
+
+
+def test_bloom_contamination_bounds_exact(spark):
+    """The Bloom gate never under-counts the exact gram overlap; with a
+    roomy filter it EQUALS the exact op, with a degenerate 2-word filter
+    every gram-bearing doc is flagged (fill ratio -> 1)."""
+    from hashquery_spark.ops import bloom_contamination, ngram_contamination
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = [
+        (i, " ".join(words[j % len(words)] for j in range(i, i + 6)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bench = df.where("doc_id < 10")
+    corpus = df.where("doc_id >= 10")
+
+    exact = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in ngram_contamination(corpus, bench, "text", "doc_id", n=3).collect()
+    }
+    roomy = {
+        r["doc_id"]: r["n_flagged"]
+        for r in bloom_contamination(
+            corpus, bench, "text", "doc_id", n=3, m_words=4096, k=3
+        ).collect()
+    }
+    tiny = bloom_contamination(
+        corpus, bench, "text", "doc_id", n=3, m_words=2, k=3
+    ).collect()
+
+    assert set(exact) == set(roomy)
+    for d, nf in roomy.items():
+        assert nf >= exact[d]  # no false negatives, ever
+    assert roomy == exact  # fp ~ 0 at 4096 words for ~30 distinct grams
+    for r in tiny:
+        if r["n_grams"] > 0:
+            assert r["n_flagged"] == r["n_grams"]  # saturated filter
