@@ -105,6 +105,12 @@ HEADLINE = [
     "unigram_tokenize",
     "heavy_hitters",
     "cohens_kappa",
+    # round-3 third batch (appended)
+    "fleiss_kappa",
+    "mutual_information",
+    "ks_test",
+    "embedding_quantize",
+    "bloom_contamination",
 ]
 
 
