@@ -3285,6 +3285,26 @@ def q_bloom_contamination(spark, sf_dir):
     )
 
 
+def q_fairness_report(spark, sf_dir):
+    """Per-source fairness audit of a length-based pseudo-classifier
+    against a character-count ground truth: base/pred rates + TPR/FPR
+    per source and the cross-group demographic-parity / equalized-odds
+    gaps — all integer ratios, bit-exact oracle."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import fairness_report
+
+    docs = _conn(spark, sf_dir).table("documents")
+    scored = docs.select(
+        "source",
+        (F.col("n_chars") > 300).alias("label"),
+        (
+            F.size(F.split(F.trim(F.col("text")), r"\s+")) > 55
+        ).alias("pred"),
+    )
+    return fairness_report(scored, "source", "label", "pred").orderBy("grp")
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3470,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "embedding_quantize": q_embedding_quantize,
         "bloom_contamination": q_bloom_contamination,
+        "fairness_report": q_fairness_report,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

@@ -109,6 +109,7 @@ from .evaluation import (
     binary_auc,
     calibration_bins,
     cohens_kappa,
+    fairness_report,
     fleiss_kappa,
     pass_at_k,
     translation_metrics,
@@ -144,6 +145,7 @@ __all__ = [
     "c4_filters",
     "calibration_bins",
     "cohens_kappa",
+    "fairness_report",
     "fleiss_kappa",
     "embedding_near_dup",
     "embedding_quantize",

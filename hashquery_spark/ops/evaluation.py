@@ -536,3 +536,71 @@ def fleiss_kappa(
             round4_ratio(kap_num.cast("double"), kap_den.cast("double")),
         ).alias("kappa"),
     )
+
+
+def fairness_report(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-group classification fairness audit — the bias check run on
+    every quality/safety classifier before it gates a corpus. One row
+    per group: ``n, base_rate`` (P(label)), ``pred_rate`` (P(pred) —
+    demographic parity), ``tpr``/``fpr`` (equalized odds), plus the
+    cross-group ``dp_gap``/``tpr_gap``/``fpr_gap`` (max − min) repeated
+    on every row (the distribution_drift total-psi idiom). Groups where
+    a rate's denominator is 0 have NULL for that rate and are skipped by
+    the gap (max/min ignore NULLs in both engines).
+
+    Exactness: every rate is a pure integer ratio through the tie-proof
+    floor round; gaps subtract two correctly-rounded grid doubles —
+    identical IEEE both engines, no further rounding site.
+
+    Scale: ONE scan → one groupBy(group) with map-side-combined
+    conditional counts (output bounded by group cardinality); the gap
+    windows run over that tiny frame only.
+    """
+    from .dedup import round4_ratio
+
+    lab = F.col(label_col).cast("boolean")
+    prd = F.col(pred_col).cast("boolean")
+    per = (
+        df.where(lab.isNotNull() & prd.isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(lab, 1)).alias("__pos__"),
+            F.count(F.when(~lab, 1)).alias("__neg__"),
+            F.count(F.when(prd, 1)).alias("__ppos__"),
+            F.count(F.when(lab & prd, 1)).alias("__tp__"),
+            F.count(F.when(~lab & prd, 1)).alias("__fp__"),
+        )
+    )
+    rates = per.select(
+        "grp",
+        "n",
+        round4_ratio(F.col("__pos__"), F.col("n")).alias("base_rate"),
+        round4_ratio(F.col("__ppos__"), F.col("n")).alias("pred_rate"),
+        F.when(
+            F.col("__pos__") > 0, round4_ratio(F.col("__tp__"), F.col("__pos__"))
+        ).alias("tpr"),
+        F.when(
+            F.col("__neg__") > 0, round4_ratio(F.col("__fp__"), F.col("__neg__"))
+        ).alias("fpr"),
+    )
+    everything = Window.orderBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gap = lambda c: (F.max(c).over(everything) - F.min(c).over(everything))  # noqa: E731
+    return rates.select(
+        "grp",
+        "n",
+        "base_rate",
+        "pred_rate",
+        "tpr",
+        "fpr",
+        gap("pred_rate").alias("dp_gap"),
+        gap("tpr").alias("tpr_gap"),
+        gap("fpr").alias("fpr_gap"),
+    )

@@ -3266,6 +3266,41 @@ FROM g
 """
 
 
+ORACLE_SQL["fairness_report"] = f"""
+WITH scored AS (
+  SELECT source AS grp,
+         (n_chars > 300) AS lab,
+         (len(string_split_regex(trim(text), '\\s+')) > 55) AS prd
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND text IS NOT NULL
+),
+per AS (
+  SELECT grp,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(count(CASE WHEN lab THEN 1 END) AS BIGINT) AS pos,
+    CAST(count(CASE WHEN NOT lab THEN 1 END) AS BIGINT) AS neg,
+    CAST(count(CASE WHEN prd THEN 1 END) AS BIGINT) AS ppos,
+    CAST(count(CASE WHEN lab AND prd THEN 1 END) AS BIGINT) AS tp,
+    CAST(count(CASE WHEN NOT lab AND prd THEN 1 END) AS BIGINT) AS fp
+  FROM scored GROUP BY 1
+),
+rates AS (
+  SELECT grp, n,
+    {_round4_ratio_sql('pos', 'n')} AS base_rate,
+    {_round4_ratio_sql('ppos', 'n')} AS pred_rate,
+    CASE WHEN pos > 0 THEN {_round4_ratio_sql('tp', 'pos')} END AS tpr,
+    CASE WHEN neg > 0 THEN {_round4_ratio_sql('fp', 'neg')} END AS fpr
+  FROM per
+)
+SELECT grp, n, base_rate, pred_rate, tpr, fpr,
+  max(pred_rate) OVER () - min(pred_rate) OVER () AS dp_gap,
+  max(tpr) OVER () - min(tpr) OVER () AS tpr_gap,
+  max(fpr) OVER () - min(fpr) OVER () AS fpr_gap
+FROM rates
+ORDER BY grp
+"""
+
+
 ORACLE_SQL["bloom_contamination"] = f"""
 WITH toks AS (
   SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents

@@ -2283,3 +2283,29 @@ def test_embedding_quantize_vs_numpy(spark):
         scale = amax / 127.0
         for x, qi in zip(v, q):
             assert abs(x - qi * scale) <= scale / 2 + 1e-12
+
+
+def test_fairness_report_known_values(spark):
+    """Hand-computed rates/gaps on a 2-group fixture, including a group
+    with zero negatives (fpr NULL, skipped by the gap)."""
+    from hashquery_spark.ops import fairness_report
+
+    rows = (
+        # grp a: pos=2 (tp=1), neg=2 (fp=1) -> base .5, pred .5, tpr .5, fpr .5
+        [("a", True, True), ("a", True, False), ("a", False, True), ("a", False, False)]
+        # grp b: all positive (neg=0 -> fpr NULL); tp=1 of pos=2
+        + [("b", True, True), ("b", True, False)]
+    )
+    df = spark.createDataFrame(rows, ["g", "label", "pred"])
+    got = {r["grp"]: r for r in fairness_report(df, "g", "label", "pred").collect()}
+
+    a, b = got["a"], got["b"]
+    assert (a["n"], a["base_rate"], a["pred_rate"], a["tpr"], a["fpr"]) == (
+        4, 0.5, 0.5, 0.5, 0.5,
+    )
+    assert (b["n"], b["base_rate"], b["pred_rate"], b["tpr"], b["fpr"]) == (
+        2, 1.0, 0.5, 0.5, None,
+    )
+    assert a["dp_gap"] == 0.0 and a["tpr_gap"] == 0.0
+    assert a["fpr_gap"] == 0.0  # max and min over the single non-null fpr
+    assert b["dp_gap"] == a["dp_gap"]
