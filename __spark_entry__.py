@@ -3305,6 +3305,21 @@ def q_fairness_report(spark, sf_dir):
     return fairness_report(scored, "source", "label", "pred").orderBy("grp")
 
 
+def q_rouge_l(spark, sf_dir):
+    """ROUGE-L per (doc, next-doc) pair — quadratic LCS DP in an
+    Arrow-batched pandas UDF (not SQL-expressible; rows-only like
+    compression_ratio), ratios as exact integer rounds."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import rouge_l
+
+    docs = _conn(spark, sf_dir).table("documents")
+    a = docs.select(F.col("doc_id"), F.col("text").alias("cand"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("ref"))
+    pairs = a.join(b, on="doc_id")
+    return rouge_l(pairs, "cand", "ref", "doc_id").orderBy("doc_id")
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3491,6 +3506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "bloom_contamination": q_bloom_contamination,
         "fairness_report": q_fairness_report,
+        "rouge_l": q_rouge_l,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

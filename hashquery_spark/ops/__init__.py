@@ -112,6 +112,7 @@ from .evaluation import (
     fairness_report,
     fleiss_kappa,
     pass_at_k,
+    rouge_l,
     translation_metrics,
 )
 from .sketches import heavy_hitters, corpus_overlap, kll_quantiles, merge_sketch_rollup, sketch_rollup
@@ -242,6 +243,7 @@ __all__ = [
     "unigram_pieces_df",
     "unigram_train",
     "pii_stats",
+    "rouge_l",
     "translation_metrics",
     "sketch_rollup",
     "merge_sketch_rollup",

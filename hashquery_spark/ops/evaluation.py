@@ -604,3 +604,93 @@ def fairness_report(
         gap("tpr").alias("tpr_gap"),
         gap("fpr").alias("fpr_gap"),
     )
+
+
+def rouge_l(
+    pairs: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str,
+) -> DataFrame:
+    """ROUGE-L (Lin 2004 §3) per (candidate, reference) row — the
+    longest-common-subsequence companion to :func:`translation_metrics`'
+    n-gram ROUGE-N. Output: ``(id, cand_len, ref_len, lcs_len,
+    rouge_l_p, rouge_l_r, rouge_l_f)``; empty-token sides give NULL
+    ratios. The F-measure reduces EXACTLY: with β=1,
+    f = 2pr/(p+r) = 2·lcs/(cand_len+ref_len) — a pure integer ratio, so
+    all three ratios use the tie-proof floor round.
+
+    Python is unavoidable (LCS is a quadratic DP, not SQL-expressible:
+    aggregation inside a recursive CTE is illegal — the bpe_merges
+    precedent), so this is the Arrow-batched pandas UDF path:
+    tokenization (same normalize-lowercase-split as ops.dedup.tokens)
+    and the rolling-row DP run per batch, O(len_a·len_b) per pair, no
+    shuffle — embarrassingly parallel. Rows-only driver check + a
+    python-reference unit test; determinism is exact (pure integer DP).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup import round4_ratio
+
+    def _lcs_batch(cands, refs):  # annotation-free (pandas_udf hint trap)
+        import re
+
+        def toks(t):
+            if t is None:
+                return None
+            return re.sub(r"[^a-z0-9]+", " ", t.lower()).split()
+
+        out = []
+        for a, b in zip(cands, refs):
+            ta, tb = toks(a), toks(b)
+            if ta is None or tb is None:
+                out.append((None, None, None))
+                continue
+            if len(ta) > len(tb):  # DP over the shorter row
+                ta, tb = tb, ta
+                swapped = True
+            else:
+                swapped = False
+            prev = [0] * (len(ta) + 1)
+            for x in tb:
+                cur = [0]
+                for i, y in enumerate(ta):
+                    cur.append(
+                        prev[i] + 1 if x == y else max(prev[i + 1], cur[i])
+                    )
+                prev = cur
+            la, lb = (len(tb), len(ta)) if swapped else (len(ta), len(tb))
+            out.append((la, lb, prev[-1]))
+        return pd.DataFrame(out, columns=["la", "lb", "lcs"])
+
+    _lcs = pandas_udf(_lcs_batch, "struct<la: long, lb: long, lcs: long>")
+
+    z = _lcs(F.col(cand_col), F.col(ref_col))
+    base = pairs.select(F.col(id_col), z.alias("__z__")).select(
+        id_col,
+        F.col("__z__.la").alias("cand_len"),
+        F.col("__z__.lb").alias("ref_len"),
+        F.col("__z__.lcs").alias("lcs_len"),
+    )
+    return base.select(
+        id_col,
+        "cand_len",
+        "ref_len",
+        "lcs_len",
+        F.when(
+            F.col("cand_len") > 0,
+            round4_ratio(F.col("lcs_len"), F.col("cand_len")),
+        ).alias("rouge_l_p"),
+        F.when(
+            F.col("ref_len") > 0,
+            round4_ratio(F.col("lcs_len"), F.col("ref_len")),
+        ).alias("rouge_l_r"),
+        F.when(
+            F.col("cand_len") + F.col("ref_len") > 0,
+            round4_ratio(
+                F.lit(2) * F.col("lcs_len"),
+                F.col("cand_len") + F.col("ref_len"),
+            ),
+        ).alias("rouge_l_f"),
+    )

@@ -2309,3 +2309,49 @@ def test_fairness_report_known_values(spark):
     assert a["dp_gap"] == 0.0 and a["tpr_gap"] == 0.0
     assert a["fpr_gap"] == 0.0  # max and min over the single non-null fpr
     assert b["dp_gap"] == a["dp_gap"]
+
+
+def test_rouge_l_vs_python_reference(spark):
+    """LCS F-measure against an independent full-matrix DP, plus the
+    identity f = 2·lcs/(la+lb) and hand-checked values."""
+    import math
+    import re
+
+    from hashquery_spark.ops import rouge_l
+
+    def ref_lcs(a, b):
+        ta = re.sub(r"[^a-z0-9]+", " ", a.lower()).split()
+        tb = re.sub(r"[^a-z0-9]+", " ", b.lower()).split()
+        m = [[0] * (len(tb) + 1) for _ in range(len(ta) + 1)]
+        for i in range(len(ta)):
+            for j in range(len(tb)):
+                m[i + 1][j + 1] = (
+                    m[i][j] + 1 if ta[i] == tb[j] else max(m[i][j + 1], m[i + 1][j])
+                )
+        return len(ta), len(tb), m[-1][-1]
+
+    def round4(num, den):
+        return math.floor((100000.0 * num + 5.0 * den) / (10.0 * den)) / 10000.0
+
+    rows = [
+        (1, "the cat sat on the mat", "the cat lay on the mat"),
+        (2, "a b c d e", "e d c b a"),
+        (3, "police killed the gunman", "the gunman police killed"),
+        (4, "hello world", "entirely different tokens"),
+        (5, "", "something"),
+        (6, "x Y z", "X y z"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "cand", "ref"])
+    got = {r["id"]: r for r in rouge_l(df, "cand", "ref", "id").collect()}
+    for i, c, r in rows:
+        la, lb, lcs = ref_lcs(c, r)
+        g = got[i]
+        assert (g["cand_len"], g["ref_len"], g["lcs_len"]) == (la, lb, lcs), i
+        if la > 0:
+            assert g["rouge_l_p"] == round4(lcs, la)
+        else:
+            assert g["rouge_l_p"] is None
+        assert g["rouge_l_f"] == round4(2 * lcs, la + lb)
+    # Lin 2004's own example: LCS("police killed the gunman",
+    # "the gunman police killed") = 2 ("police killed" or "the gunman")
+    assert got[3]["lcs_len"] == 2
