@@ -3320,6 +3320,29 @@ def q_rouge_l(spark, sf_dir):
     return rouge_l(pairs, "cand", "ref", "doc_id").orderBy("doc_id")
 
 
+def q_retrieval_metrics(spark, sf_dir):
+    """nDCG@10 / MRR / P@10 / R@10 per language over a deterministic
+    length-ranked retrieval with graded source relevance — DCG discounts
+    on a Python-precomputed integer micro-grid shared verbatim with the
+    oracle; one scan, one (query, rel) shuffle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import retrieval_metrics
+
+    docs = _conn(spark, sf_dir).table("documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = docs.select(
+        "lang",
+        F.row_number().over(w).alias("rank"),
+        F.when(F.col("source").isin("src0", "src1", "src2"), 2)
+        .when(F.col("source").isin("src3", "src4", "src5"), 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return retrieval_metrics(ranked, "lang", "rank", "rel", k=10).orderBy("lang")
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3507,6 +3530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contamination": q_bloom_contamination,
         "fairness_report": q_fairness_report,
         "rouge_l": q_rouge_l,
+        "retrieval_metrics": q_retrieval_metrics,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

@@ -118,7 +118,7 @@ from .evaluation import (
 from .sketches import heavy_hitters, corpus_overlap, kll_quantiles, merge_sketch_rollup, sketch_rollup
 from .importance import dsir_weights
 from .graph import degree_centrality, pagerank
-from .retrieval import bm25_search
+from .retrieval import bm25_search, retrieval_metrics
 from .rules import c4_filters, gopher_rules
 from .tokenizer import bpe_apply, bpe_merges_df, bpe_train
 from .urls import host_rollup, parse_urls
@@ -234,6 +234,7 @@ __all__ = [
     "salted_aggregate",
     "salted_join",
     "bm25_search",
+    "retrieval_metrics",
     "binary_auc",
     "bradley_terry",
     "bradley_terry_oracle_sql",

@@ -117,3 +117,116 @@ def _py_tokens(text: str):
     import re
 
     return re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+
+
+def _ndcg_weight_micros(k: int):
+    """floor(1e6/log2(rank+1) + 0.5) for rank = 1..k, plus the 0-prefixed
+    cumulative sums — computed ONCE in Python and embedded as literals in
+    BOTH engines (the classifier-fixture single-source pattern), so the
+    log2 grid cannot drift between Spark, DuckDB and the docstring."""
+    import math
+
+    w = [int(math.floor(1e6 / math.log2(r + 1) + 0.5)) for r in range(1, k + 1)]
+    cum = [0]
+    for x in w:
+        cum.append(cum[-1] + x)
+    return w, cum
+
+
+def retrieval_metrics(
+    df: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality metrics per query over a ranked results table
+    (one row per (query, result) with its 1-based ``rank`` and a
+    non-negative integer graded relevance): ``n_rel, dcg, idcg, ndcg,
+    rr`` (reciprocal rank of the first relevant hit within top-k, 0 if
+    none), ``p_at_k, r_at_k`` — the evaluation harness for bm25_search /
+    ANN retrieval (Järvelin & Kekäläinen 2002 nDCG). Queries with zero
+    relevant results carry no signal and are absent from the output.
+
+    Exactness: the 1/log2(rank+1) discount lives on a Python-precomputed
+    integer micro-unit grid shared verbatim with the oracle, so dcg/idcg
+    are exact integer sums; ndcg is a double quotient of two integers,
+    rr is the floor-form half-up micro-round of 1/rank, and p@k / r@k
+    are tie-proof integer ratios — bit-identical cross-engine.
+
+    Scale — ONE scan, one (query, rel) shuffle: per-(query, rel-level)
+    aggregates carry the top-k discount sums; the IDCG closed form needs
+    only the level counts and the cumulative discount literals (ranks
+    ``prior+1 .. min(prior+count, k)`` of the ideal ordering), computed
+    with a window partitioned by query over REL LEVELS (bounded by the
+    relevance-grade cardinality, never by result-list length).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w, cum = _ndcg_weight_micros(k)
+    w_arr = "array(" + ",".join(f"{x}L" for x in w) + ")"
+    cum_arr = "array(" + ",".join(f"{x}L" for x in cum) + ")"
+    q, rank, rel = F.col(query_col), F.col(rank_col), F.col(rel_col)
+    base = df.where(
+        q.isNotNull() & rank.isNotNull() & (rel.cast("long") > 0)
+    ).select(
+        q.alias("__q__"),
+        rank.cast("long").alias("__rank__"),
+        rel.cast("long").alias("__rel__"),
+    )
+    lev = base.groupBy("__q__", "__rel__").agg(
+        F.count(F.lit(1)).alias("__cnt__"),
+        F.sum(
+            F.when(
+                F.col("__rank__") <= k,
+                F.expr(f"try_element_at({w_arr}, CAST(__rank__ AS INT))"),
+            )
+        ).alias("__sumw__"),
+        F.count(F.when(F.col("__rank__") <= k, 1)).alias("__hits__"),
+        F.min(F.when(F.col("__rank__") <= k, F.col("__rank__"))).alias(
+            "__minrank__"
+        ),
+    )
+    wnd = (
+        Window.partitionBy("__q__")
+        .orderBy(F.col("__rel__").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    lev2 = lev.withColumn(
+        "__prior__", F.coalesce(F.sum("__cnt__").over(wnd), F.lit(0))
+    ).withColumn(
+        "__ipart__",
+        F.col("__rel__")
+        * (
+            F.expr(
+                f"try_element_at({cum_arr}, "
+                f"CAST(least(__prior__ + __cnt__, {k}L) AS INT) + 1)"
+            )
+            - F.expr(
+                f"try_element_at({cum_arr}, CAST(least(__prior__, {k}L) AS INT) + 1)"
+            )
+        ),
+    )
+    per_q = lev2.groupBy("__q__").agg(
+        F.sum("__cnt__").alias("n_rel"),
+        F.sum(F.col("__rel__") * F.coalesce(F.col("__sumw__"), F.lit(0))).alias(
+            "__dcg__"
+        ),
+        F.sum("__ipart__").alias("__idcg__"),
+        F.sum("__hits__").alias("__h__"),
+        F.min("__minrank__").alias("__mr__"),
+    )
+    return per_q.selectExpr(
+        f"__q__ AS `{query_col}`",
+        "n_rel",
+        "CAST(__dcg__ AS DOUBLE) / 1e6 AS dcg",
+        "CAST(__idcg__ AS DOUBLE) / 1e6 AS idcg",
+        "CAST(__dcg__ AS DOUBLE) / CAST(__idcg__ AS DOUBLE) AS ndcg",
+        "CASE WHEN __mr__ IS NOT NULL THEN "
+        "CAST((2000000L + __mr__) DIV (2L * __mr__) AS DOUBLE) / 1e6 "
+        "ELSE CAST(0.0 AS DOUBLE) END AS rr",
+        f"floor((CAST(100000 AS DOUBLE) * __h__ + CAST(5 AS DOUBLE) * {k}) "
+        f"/ (CAST(10 AS DOUBLE) * {k})) / CAST(10000 AS DOUBLE) AS p_at_k",
+        "floor((CAST(100000 AS DOUBLE) * __h__ + CAST(5 AS DOUBLE) * n_rel) "
+        "/ (CAST(10 AS DOUBLE) * n_rel)) / CAST(10000 AS DOUBLE) AS r_at_k",
+    )

@@ -11,6 +11,7 @@ similarities — see __spark_entry__.py's module docstring.
 
 from __future__ import annotations
 
+from hashquery_spark.ops.retrieval import _ndcg_weight_micros
 from hashquery_spark.ops.similarity import random_hyperplanes
 
 NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
@@ -3263,6 +3264,60 @@ SELECT CAST(a // 3 AS BIGINT) AS n_subjects,
                        'CAST(2 * (a * a - ss) AS DOUBLE)')}
   END AS kappa
 FROM g
+"""
+
+
+_NDCG_W, _NDCG_CUM = _ndcg_weight_micros(10)
+ORACLE_SQL["retrieval_metrics"] = f"""
+WITH ranked AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+           AS rank,
+         CASE WHEN source IN ('src0','src1','src2') THEN 2
+              WHEN source IN ('src3','src4','src5') THEN 1 ELSE 0 END AS rel
+  FROM documents
+),
+base AS (
+  SELECT lang AS q, CAST(rank AS BIGINT) AS rank, CAST(rel AS BIGINT) AS rel
+  FROM ranked WHERE rel > 0
+),
+lev AS (
+  SELECT q, rel, CAST(count(*) AS BIGINT) AS cnt,
+         sum(CASE WHEN rank <= 10
+             THEN {list(_NDCG_W)}[CAST(rank AS INT)] END) AS sumw,
+         CAST(count(CASE WHEN rank <= 10 THEN 1 END) AS BIGINT) AS hits,
+         min(CASE WHEN rank <= 10 THEN rank END) AS minrank
+  FROM base GROUP BY 1, 2
+),
+lev2 AS (
+  SELECT *, COALESCE(sum(cnt) OVER (PARTITION BY q ORDER BY rel DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM lev
+),
+lev3 AS (
+  SELECT *, rel * ({list(_NDCG_CUM)}[CAST(least(prior + cnt, 10) AS INT) + 1]
+                   - {list(_NDCG_CUM)}[CAST(least(prior, 10) AS INT) + 1])
+            AS ipart
+  FROM lev2
+),
+per_q AS (
+  SELECT q, sum(cnt) AS n_rel, sum(rel * COALESCE(sumw, 0)) AS dcg_m,
+         sum(ipart) AS idcg_m, sum(hits) AS h, min(minrank) AS mr
+  FROM lev3 GROUP BY 1
+)
+SELECT q AS lang, CAST(n_rel AS BIGINT) AS n_rel,
+  CAST(dcg_m AS DOUBLE) / 1e6 AS dcg,
+  CAST(idcg_m AS DOUBLE) / 1e6 AS idcg,
+  CAST(dcg_m AS DOUBLE) / CAST(idcg_m AS DOUBLE) AS ndcg,
+  CASE WHEN mr IS NOT NULL
+       THEN CAST((2000000 + mr) // (2 * mr) AS DOUBLE) / 1e6
+       ELSE CAST(0.0 AS DOUBLE) END AS rr,
+  floor((CAST(100000 AS DOUBLE) * h + CAST(5 AS DOUBLE) * 10)
+        / (CAST(10 AS DOUBLE) * 10)) / CAST(10000 AS DOUBLE) AS p_at_k,
+  floor((CAST(100000 AS DOUBLE) * h + CAST(5 AS DOUBLE) * n_rel)
+        / (CAST(10 AS DOUBLE) * n_rel)) / CAST(10000 AS DOUBLE) AS r_at_k
+FROM per_q
+ORDER BY lang
 """
 
 

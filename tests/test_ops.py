@@ -2355,3 +2355,53 @@ def test_rouge_l_vs_python_reference(spark):
     # Lin 2004's own example: LCS("police killed the gunman",
     # "the gunman police killed") = 2 ("police killed" or "the gunman")
     assert got[3]["lcs_len"] == 2
+
+
+def test_retrieval_metrics_vs_python_reference(spark):
+    """nDCG/MRR/P@k/R@k against a brute-force Python reference using the
+    SAME micro-unit discount grid — graded rels, ties, relevant docs
+    beyond k, and a query with no top-k hits (rr = 0)."""
+    import math
+
+    from hashquery_spark.ops import retrieval_metrics
+    from hashquery_spark.ops.retrieval import _ndcg_weight_micros
+
+    k = 3
+    w, _ = _ndcg_weight_micros(k)
+
+    rows = [
+        # q1: graded, ideal != actual
+        ("q1", 1, 0), ("q1", 2, 2), ("q1", 3, 1), ("q1", 4, 2), ("q1", 5, 0),
+        # q2: only hit far beyond k
+        ("q2", 1, 0), ("q2", 2, 0), ("q2", 3, 0), ("q2", 4, 1),
+        # q3: everything relevant, ties
+        ("q3", 1, 1), ("q3", 2, 1), ("q3", 3, 1),
+    ]
+    df = spark.createDataFrame(rows, ["q", "rank", "rel"])
+    got = {r["q"]: r for r in retrieval_metrics(df, "q", "rank", "rel", k=k).collect()}
+
+    by_q = {}
+    for q, rank, rel in rows:
+        by_q.setdefault(q, []).append((rank, rel))
+    for q, items in by_q.items():
+        rels = [r for _, r in items if r > 0]
+        if not rels:
+            assert q not in got
+            continue
+        dcg_m = sum(rel * w[rank - 1] for rank, rel in items if rel > 0 and rank <= k)
+        ideal = sorted(rels, reverse=True)[:k]
+        idcg_m = sum(rel * w[i] for i, rel in enumerate(ideal))
+        hits = sum(1 for rank, rel in items if rel > 0 and rank <= k)
+        mrs = [rank for rank, rel in items if rel > 0 and rank <= k]
+        g = got[q]
+        assert g["n_rel"] == len(rels)
+        assert g["dcg"] == dcg_m / 1e6 and g["idcg"] == idcg_m / 1e6
+        assert g["ndcg"] == dcg_m / idcg_m
+        if mrs:
+            mr = min(mrs)
+            assert g["rr"] == ((2000000 + mr) // (2 * mr)) / 1e6
+        else:
+            assert g["rr"] == 0.0
+        assert g["p_at_k"] == math.floor((1e5 * hits + 5 * k) / (10 * k)) / 1e4
+    assert got["q2"]["rr"] == 0.0 and got["q2"]["p_at_k"] == 0.0
+    assert got["q3"]["ndcg"] == 1.0
