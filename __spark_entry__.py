@@ -3343,6 +3343,16 @@ def q_retrieval_metrics(spark, sf_dir):
     return retrieval_metrics(ranked, "lang", "rank", "rel", k=10).orderBy("lang")
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Power-law tail exponent of the corpus token frequencies (Hill/CSN
+    continuous MLE over f >= 5): one explode + one vocab groupBy; alpha
+    = 1 + an exact integer-microunit quotient — bit-exact oracle."""
+    from hashquery_spark.ops import zipf_fit
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return zipf_fit(docs, "text", f_min=5)
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3531,6 +3541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fairness_report": q_fairness_report,
         "rouge_l": q_rouge_l,
         "retrieval_metrics": q_retrieval_metrics,
+        "zipf_fit": q_zipf_fit,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

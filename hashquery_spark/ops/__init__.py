@@ -68,6 +68,7 @@ from .text import (
     bigram_lm_score,
     perplexity_buckets,
     vocabulary,
+    zipf_fit,
 )
 from .multimodal import (
     decode_blob_metadata,
@@ -161,6 +162,7 @@ __all__ = [
     "token_count",
     "doc_fingerprint",
     "vocabulary",
+    "zipf_fit",
     "tfidf_top_terms",
     "boilerplate_ngrams",
     "unigram_lm_score",

@@ -690,3 +690,58 @@ def perplexity_buckets(
             bucket.alias("bucket"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str, f_min: int = 5
+) -> DataFrame:
+    """Zipf/power-law tail exponent of the corpus token-frequency
+    distribution — the 'does this corpus look like natural language'
+    diagnostic (natural text sits near alpha ≈ 2 on frequencies;
+    templated/synthetic corpora drift). Continuous-MLE (Hill) estimator
+    over token frequencies ≥ ``f_min`` (Clauset-Shalizi-Newman 2009
+    eq. 3.1 applied to frequencies): ``alpha = 1 + m / Σ ln(f_i/f_min)``.
+    Output (one row): ``n_tokens, n_types, m, f_min, alpha`` (alpha NULL
+    when every qualifying frequency equals f_min).
+
+    Exactness: frequencies are integers; the log sum lives on the integer
+    micro-unit grid (Σ L(f_i) − m·L(f_min), L = floor(ln·1e6 + 0.5) — the
+    mutual_information machinery), so alpha is 1 + an exact double
+    quotient of two integers. Scale: one token explode + one
+    groupBy(token) with map-side combine (bounded by vocabulary), then a
+    single global aggregate over the type table.
+    """
+    from .dedup import tokens
+
+    if f_min < 1:
+        raise ValueError("f_min must be >= 1")
+    toks = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__tok__"))
+        .where(F.col("__tok__") != "")
+        .groupBy("__tok__")
+        .agg(F.count(F.lit(1)).alias("__f__"))
+    )
+    lmicro = F.floor(
+        F.log(F.col("__f__").cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    g = toks.groupBy().agg(
+        F.sum("__f__").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.count(F.when(F.col("__f__") >= f_min, 1)).alias("m"),
+        F.sum(F.when(F.col("__f__") >= f_min, lmicro)).alias("__sl__"),
+    )
+    import math
+
+    lf_min = int(math.floor(math.log(f_min) * 1e6 + 0.5))
+    denom = F.col("__sl__") - F.col("m") * F.lit(lf_min)
+    return g.select(
+        "n_tokens",
+        "n_types",
+        "m",
+        F.lit(f_min).cast("long").alias("f_min"),
+        F.when(
+            denom > 0,
+            F.lit(1.0)
+            + (F.col("m") * F.lit(1000000)).cast("double") / denom.cast("double"),
+        ).alias("alpha"),
+    )

@@ -11,6 +11,8 @@ similarities — see __spark_entry__.py's module docstring.
 
 from __future__ import annotations
 
+import math
+
 from hashquery_spark.ops.retrieval import _ndcg_weight_micros
 from hashquery_spark.ops.similarity import random_hyperplanes
 
@@ -3318,6 +3320,32 @@ SELECT q AS lang, CAST(n_rel AS BIGINT) AS n_rel,
         / (CAST(10 AS DOUBLE) * n_rel)) / CAST(10000 AS DOUBLE) AS r_at_k
 FROM per_q
 ORDER BY lang
+"""
+
+
+_LF_MIN5 = int(math.floor(math.log(5) * 1e6 + 0.5))
+ORACLE_SQL["zipf_fit"] = f"""
+WITH toks AS (
+  SELECT unnest({TOKS.format(c='text')}) AS tok FROM documents
+),
+freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS f
+  FROM toks WHERE tok <> '' GROUP BY 1
+),
+g AS (
+  SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(count(CASE WHEN f >= 5 THEN 1 END) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN f >= 5 THEN
+              CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+              END) AS BIGINT) AS sl
+  FROM freq
+)
+SELECT n_tokens, n_types, m, CAST(5 AS BIGINT) AS f_min,
+  CASE WHEN sl - m * {_LF_MIN5} > 0 THEN
+    1.0 + CAST(m * 1000000 AS DOUBLE) / CAST(sl - m * {_LF_MIN5} AS DOUBLE)
+  END AS alpha
+FROM g
 """
 
 

@@ -2405,3 +2405,30 @@ def test_retrieval_metrics_vs_python_reference(spark):
         assert g["p_at_k"] == math.floor((1e5 * hits + 5 * k) / (10 * k)) / 1e4
     assert got["q2"]["rr"] == 0.0 and got["q2"]["p_at_k"] == 0.0
     assert got["q3"]["ndcg"] == 1.0
+
+
+def test_zipf_fit_known_distribution(spark):
+    """Hand-built frequency table: tokens repeated per a known power-ish
+    law; alpha matches the integer-microunit Hill formula exactly, and a
+    constant-frequency corpus (denominator 0) yields NULL alpha."""
+    import math
+
+    from hashquery_spark.ops import zipf_fit
+
+    freqs = {"a": 64, "b": 32, "c": 16, "d": 8, "e": 5, "f": 3, "g": 1}
+    text = " ".join(tok for tok, f in freqs.items() for _ in range(f))
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = zipf_fit(df, "text", f_min=5).collect()[0]
+
+    L = lambda x: math.floor(math.log(x) * 1e6 + 0.5)  # noqa: E731
+    tail = [f for f in freqs.values() if f >= 5]
+    denom = sum(L(f) for f in tail) - len(tail) * L(5)
+    assert got["n_tokens"] == sum(freqs.values())
+    assert got["n_types"] == len(freqs)
+    assert got["m"] == len(tail)
+    assert got["alpha"] == 1.0 + (len(tail) * 1000000) / denom
+    # sanity: estimator in a plausible language-like band
+    assert 1.2 < got["alpha"] < 3.5
+
+    flat = spark.createDataFrame([("x x x x x y y y y y",)], ["text"])
+    assert zipf_fit(flat, "text", f_min=5).collect()[0]["alpha"] is None
