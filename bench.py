@@ -111,6 +111,10 @@ HEADLINE = [
     "ks_test",
     "embedding_quantize",
     "bloom_contamination",
+    "fairness_report",
+    "rouge_l",
+    "retrieval_metrics",
+    "zipf_fit",
 ]
 
 
@@ -256,10 +260,36 @@ def main() -> None:
                 out.append((doc_id, len(toks)))
             return out
 
+        def _py_twin_rouge_l(con):
+            # same tokenization + rolling-row LCS DP as ops.evaluation.rouge_l
+            import re
+
+            rows = con.execute(
+                "SELECT a.doc_id, a.text, b.text FROM documents a "
+                "JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY a.doc_id"
+            ).fetchall()
+            out = []
+            for did, cand, ref in rows:
+                ta = re.sub(r"[^a-z0-9]+", " ", (cand or "").lower()).split()
+                tb = re.sub(r"[^a-z0-9]+", " ", (ref or "").lower()).split()
+                if len(ta) > len(tb):
+                    ta, tb = tb, ta
+                prev = [0] * (len(ta) + 1)
+                for x in tb:
+                    cur = [0]
+                    for i, y in enumerate(ta):
+                        cur.append(prev[i] + 1 if x == y else max(prev[i + 1], cur[i]))
+                    prev = cur
+                la, lb = len(ta), len(tb)
+                lcs = prev[-1]
+                out.append((did, lcs, (2 * lcs) / (la + lb) if la + lb else None))
+            return out
+
         py_twins = {
             "compression_ratio": _py_twin_compression_ratio,
             "bpe_merges": _py_twin_bpe_merges,
             "unigram_tokenize": _py_twin_unigram_tokenize,
+            "rouge_l": _py_twin_rouge_l,
         }
         duck_timings: dict[str, float] = {}
         skipped = []
