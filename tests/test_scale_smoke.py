@@ -356,3 +356,105 @@ def test_perplexity_buckets_skewed_language_two_million(spark):
         total = sum(per.values())
         assert per["head"] > 0 and per["tail"] > 0, per
         assert per["head"] <= 0.4 * total, per
+
+
+def test_ks_test_two_million_planted_shift(spark):
+    """1M + 1M samples, B = A shifted by exactly 100 of 1000 uniform
+    levels: sup|F_a − F_b| is EXACTLY 0.1, so d_num = n_a·n_b/10 — the
+    two-phase prefix sum must reproduce it bit-exactly at volume."""
+    from hashquery_spark.ops import ks_test
+
+    a = spark.range(1_000_000).select(
+        F.pmod(F.col("id"), F.lit(1000)).cast("double").alias("v")
+    )
+    b = spark.range(1_000_000).select(
+        (F.pmod(F.col("id"), F.lit(1000)) + 100).cast("double").alias("v")
+    )
+    r = ks_test(a, b, "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1_000_000, 1_000_000)
+    assert r["d_num"] == 1_000_000 * 1_000_000 // 10
+    assert r["ks_d"] == 0.1
+
+
+def test_mutual_information_two_million_dependent(spark):
+    """X == Y uniform over 8 levels on 2M rows: h_x = h_y = h_xy = mi =
+    the exact integer-microunit ln 8 value — checks the cube levels and
+    DECIMAL accumulators at volume."""
+    import math
+
+    from hashquery_spark.ops import mutual_information
+
+    n, levels = 2_000_000, 8
+    df = spark.range(n).select(
+        F.pmod(F.col("id"), F.lit(levels)).alias("x"),
+        F.pmod(F.col("id"), F.lit(levels)).alias("y"),
+    )
+    r = mutual_information(df, "x", "y").collect()[0]
+    L = lambda c: math.floor(math.log(c) * 1e6 + 0.5)  # noqa: E731
+    expect = (n * L(n) - levels * (n // levels) * L(n // levels)) / (n * 1e6)
+    assert r["n"] == n
+    assert r["h_x"] == expect == r["h_y"] == r["h_xy"] == r["mi"]
+    assert abs(r["mi"] - math.log(levels)) < 1e-5
+
+
+def test_bloom_contamination_half_million(spark):
+    """500k-doc corpus vs a 1k-doc benchmark: the Bloom gate never
+    under-counts the exact gram overlap at volume, and docs sharing
+    their full text with a benchmark doc are always fully flagged."""
+    from hashquery_spark.ops import bloom_contamination, ngram_contamination
+
+    docs = _synthetic_docs(spark, 500_000, 5_000)
+    bench = docs.where("doc_id < 1000")
+    corpus = docs.where("doc_id >= 1000")
+    bl = bloom_contamination(
+        corpus, bench, "text", "doc_id", n=3, m_words=4096, k=3
+    )
+    ex = ngram_contamination(corpus, bench, "text", "doc_id", n=3)
+    j = bl.select("doc_id", "n_flagged").join(
+        ex.select("doc_id", F.col("n_contaminated_grams").alias("n_exact")),
+        on="doc_id",
+    )
+    agg = j.agg(
+        F.count(F.when(F.col("n_flagged") < F.col("n_exact"), 1)).alias("under"),
+        F.sum("n_flagged").alias("fl"),
+        F.sum("n_exact").alias("exa"),
+    ).collect()[0]
+    assert agg["under"] == 0  # no false negatives anywhere
+    assert agg["fl"] >= agg["exa"] > 0
+    # texts replicate every 5000 ids, so corpus docs with id%5000 < 1000
+    # share their FULL text with a benchmark doc -> fully flagged
+    full = (
+        j.join(ex.select("doc_id", "n_grams"), on="doc_id")
+        .where("doc_id % 5000 < 1000")
+        .agg(F.count(F.when(F.col("n_flagged") < F.col("n_grams"), 1)))
+        .collect()[0][0]
+    )
+    assert full == 0
+
+
+def test_retrieval_metrics_thousand_queries_ideal(spark):
+    """1000 queries x 1000 ranked results where relevance is
+    non-increasing in rank (the ideal ordering): every query's ndcg is
+    exactly 1.0, rr is exactly 1.0, and p@10 is exactly 1.0."""
+    from hashquery_spark.ops import retrieval_metrics
+
+    df = spark.range(1_000_000).select(
+        (F.col("id") % 1000).alias("q"),
+        (F.floor(F.col("id") / 1000) + 1).alias("rank"),
+        F.greatest(
+            F.lit(0), F.lit(3) - F.floor((F.floor(F.col("id") / 1000)) / 100)
+        ).alias("rel"),
+    )
+    out = retrieval_metrics(df, "q", "rank", "rel", k=10)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("nq"),
+        F.min("ndcg").alias("lo"),
+        F.max("ndcg").alias("hi"),
+        F.min("rr").alias("rlo"),
+        F.min("p_at_k").alias("plo"),
+        F.min("n_rel").alias("nrel"),
+    ).collect()[0]
+    assert agg["nq"] == 1000
+    assert agg["lo"] == 1.0 == agg["hi"]  # actual ordering IS ideal
+    assert agg["rlo"] == 1.0 and agg["plo"] == 1.0
+    assert agg["nrel"] == 300  # ranks 1..300 carry rel > 0
