@@ -279,13 +279,18 @@ def translation_metrics(
     """
     if max_n not in (1, 2, 4):
         raise ValueError("max_n must be 1, 2, or 4 (IEEE-exact sqrt root)")
-    from .dedup import round4_ratio, tokens
+    from .dedup import ensure_parallelism, round4_ratio, tokens
 
     def tagged(col, side):
         # single-level transform with the (side, n) tag built inside the
         # lambda — a transform-over-word_shingles would nest HOFs and
-        # fall out of whole-stage codegen (measured trap).
-        toks = tokens(F.col(col))
+        # fall out of whole-stage codegen (measured trap). `col` MUST be
+        # a bound attribute (the Generate-barrier struct below), never
+        # the raw tokens() tree: a lambda body capturing that tree
+        # re-evaluates the regex tokenizer PER SHINGLE ELEMENT in the
+        # interpreted HOF path — measured 32 s for 5k pairs at sf0.1,
+        # 0.9 s after hoisting.
+        toks = F.col(col)
         sz = F.size(toks)
 
         def shingle_fn(n):
@@ -312,10 +317,25 @@ def translation_metrics(
             )
         return F.concat(*parts) if len(parts) > 1 else parts[0]
 
-    exploded = pairs.select(
+    # tokenize ONCE per row behind a Generate barrier (explode of a
+    # 1-element struct array): CollapseProject cannot inline the regex
+    # tokenizer into the shingle lambdas, which then read a bound struct
+    # field per element instead of re-running the tokenizer.
+    toked = ensure_parallelism(pairs).select(
         F.col(id_col).alias("__pid__"),
+        F.explode(
+            F.array(
+                F.struct(
+                    tokens(F.col(cand_col)).alias("ct"),
+                    tokens(F.col(ref_col)).alias("rt"),
+                )
+            )
+        ).alias("__tk__"),
+    )
+    exploded = toked.select(
+        "__pid__",
         F.explode_outer(
-            F.concat(tagged(cand_col, "c"), tagged(ref_col, "r"))
+            F.concat(tagged("__tk__.ct", "c"), tagged("__tk__.rt", "r"))
         ).alias("__t__"),
     ).select(
         "__pid__",
@@ -666,8 +686,12 @@ def rouge_l(
 
     _lcs = pandas_udf(_lcs_batch, "struct<la: long, lb: long, lcs: long>")
 
+    from .dedup import ensure_parallelism
+
     z = _lcs(F.col(cand_col), F.col(ref_col))
-    base = pairs.select(F.col(id_col), z.alias("__z__")).select(
+    # repartition first: a single-file scan feeds the quadratic DP one
+    # Arrow batch on one core otherwise
+    base = ensure_parallelism(pairs).select(F.col(id_col), z.alias("__z__")).select(
         id_col,
         F.col("__z__.la").alias("cand_len"),
         F.col("__z__.lb").alias("ref_len"),
