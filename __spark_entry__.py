@@ -3353,6 +3353,23 @@ def q_zipf_fit(spark, sf_dir):
     return zipf_fit(docs, "text", f_min=5)
 
 
+def q_interarrival_stats(spark, sf_dir):
+    """Per-user inter-arrival burstiness (mean gap + CV^2) over the
+    events stream — integer-microsecond gaps, DECIMAL(38) moment sums,
+    exact integer-ratio outputs. Top-20 busiest users for a bounded
+    result."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import interarrival_stats
+
+    ev = _conn(spark, sf_dir).table("events")
+    return (
+        interarrival_stats(ev, "ts", "user_id")
+        .orderBy(F.col("n_gaps").desc(), F.col("grp"))
+        .limit(20)
+    )
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3542,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_l": q_rouge_l,
         "retrieval_metrics": q_retrieval_metrics,
         "zipf_fit": q_zipf_fit,
+        "interarrival_stats": q_interarrival_stats,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

@@ -100,7 +100,7 @@ from .profile import (
     mad_outliers,
     standardize,
 )
-from .timeseries import counter_delta, gap_fill, multi_grain_rollup, refresh_rollup, time_weighted_avg, trailing_agg
+from .timeseries import counter_delta, gap_fill, interarrival_stats, multi_grain_rollup, refresh_rollup, time_weighted_avg, trailing_agg
 from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 
 from .preference import bradley_terry, bradley_terry_oracle_sql
@@ -208,6 +208,7 @@ __all__ = [
     "gap_fill",
     "time_weighted_avg",
     "counter_delta",
+    "interarrival_stats",
     "trailing_agg",
     "zscore_outliers",
     "mad_outliers",

@@ -3323,6 +3323,36 @@ ORDER BY lang
 """
 
 
+ORACLE_SQL["interarrival_stats"] = f"""
+WITH gaps AS (
+  SELECT user_id AS grp,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id ORDER BY ts ASC) AS gap
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(CAST(gap AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS q
+  FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT grp, n_gaps,
+  CASE WHEN n_gaps > 0 THEN
+    {_round4_ratio_sql('CAST(s AS DOUBLE)',
+                       'CAST(CAST(n_gaps AS HUGEINT) * 1000000 AS DOUBLE)')}
+  END AS mean_gap_s,
+  CASE WHEN s > 0 THEN
+    {_round4_ratio_sql('CAST(CAST(n_gaps AS HUGEINT) * q - s * s AS DOUBLE)',
+                       'CAST(s * s AS DOUBLE)')}
+  END AS cv2
+FROM g
+ORDER BY n_gaps DESC, grp
+LIMIT 20
+"""
+
+
 _LF_MIN5 = int(math.floor(math.log(5) * 1e6 + 0.5))
 ORACLE_SQL["zipf_fit"] = f"""
 WITH toks AS (

@@ -2432,3 +2432,28 @@ def test_zipf_fit_known_distribution(spark):
 
     flat = spark.createDataFrame([("x x x x x y y y y y",)], ["text"])
     assert zipf_fit(flat, "text", f_min=5).collect()[0]["alpha"] is None
+
+
+def test_interarrival_stats_known_values(spark):
+    """Hand-computed gaps: metronomic user (cv2 = 0), bursty user, and a
+    single-event user (absent)."""
+    from datetime import datetime, timedelta
+
+    from hashquery_spark.ops import interarrival_stats
+
+    t0 = datetime(2024, 1, 1)
+    rows = (
+        # user 1: gaps exactly 10s, 10s, 10s -> mean 10.0, cv2 = 0
+        [(1, t0 + timedelta(seconds=10 * i)) for i in range(4)]
+        # user 2: gaps 1s and 9s -> mean 5.0, var/mean^2: n*Q - S^2 =
+        # 2*(1+81)e12 - (10e6)^2 = 64e12; S^2 = 100e12 -> cv2 = 0.64
+        + [(2, t0), (2, t0 + timedelta(seconds=1)), (2, t0 + timedelta(seconds=10))]
+        + [(3, t0)]
+    )
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {r["grp"]: r for r in interarrival_stats(df, "ts", "user_id").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_gaps"] == 3 and got[1]["mean_gap_s"] == 10.0
+    assert got[1]["cv2"] == 0.0
+    assert got[2]["n_gaps"] == 2 and got[2]["mean_gap_s"] == 5.0
+    assert got[2]["cv2"] == 0.64
