@@ -3370,6 +3370,20 @@ def q_interarrival_stats(spark, sf_dir):
     )
 
 
+def q_chi_square_drift(spark, sf_dir):
+    """Chi-square homogeneity between early and late order-priority
+    mixes (categorical drift, completing PSI/KS): per-category exact
+    integer numerators floored onto a 1e-8 grid — deterministic oracle."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import chi_square_drift
+
+    orders = _conn(spark, sf_dir).table("orders")
+    early = orders.where(F.year("o_orderdate") <= 1997)
+    late = orders.where(F.year("o_orderdate") >= 1998)
+    return chi_square_drift(early, late, "o_orderpriority")
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3560,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_metrics": q_retrieval_metrics,
         "zipf_fit": q_zipf_fit,
         "interarrival_stats": q_interarrival_stats,
+        "chi_square_drift": q_chi_square_drift,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

@@ -93,6 +93,7 @@ from .profile import (
     dp_count,
     winsorize,
     check_constraints,
+    chi_square_drift,
     distribution_drift,
     histogram,
     profile_table,
@@ -213,6 +214,7 @@ __all__ = [
     "zscore_outliers",
     "mad_outliers",
     "standardize",
+    "chi_square_drift",
     "distribution_drift",
     "script_profile",
     "dedup_keep_best",

@@ -1062,3 +1062,78 @@ def ks_test(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
             ).cast("double")
         ).alias("ks_d"),
     )
+
+
+def chi_square_drift(
+    df_a: DataFrame, df_b: DataFrame, col: str
+) -> DataFrame:
+    """Pearson chi-square homogeneity test between the CATEGORICAL
+    ``col`` distributions of two frames — completing the drift family
+    (PSI :func:`distribution_drift` = binned numeric, :func:`ks_test` =
+    continuous, this = categorical). Output (one row): ``n_a, n_b,
+    n_categories, dof, chi2``.
+
+    Identity: for the 2×C homogeneity table the per-category cell terms
+    collapse to ``chi2 = Σ_j d_j² / (n_a·n_b·c_j)`` with
+    ``d_j = o_aj·n_b − o_bj·n_a`` and ``c_j = o_aj + o_bj`` — one exact
+    integer numerator per category. Each term floors onto a 1e-8 grid
+    (integer micro-sums, order-independent; the calibration_bins ECE
+    pattern) so chi2 is deterministic cross-engine; d_j² runs in
+    DECIMAL(38,0) (int64-unsafe past ~3e9 rows/side, the cohens_kappa
+    caveat) and the DECIMAL→DOUBLE casts are correctly rounded in both
+    engines.
+
+    Scale: ONE scan of the tagged union → one groupBy(category) with
+    map-side combine (bounded by category cardinality); the totals ride
+    an unpartitioned window over that tiny frame.
+    """
+    v = F.col(col)
+    u = df_a.where(v.isNotNull()).select(
+        v.cast("string").alias("__v__"),
+        F.lit(1).alias("__sa__"),
+        F.lit(0).alias("__sb__"),
+    ).unionAll(
+        df_b.where(v.isNotNull()).select(
+            v.cast("string").alias("__v__"),
+            F.lit(0).alias("__sa__"),
+            F.lit(1).alias("__sb__"),
+        )
+    )
+    counts = u.groupBy("__v__").agg(
+        F.sum("__sa__").cast("long").alias("__oa__"),
+        F.sum("__sb__").cast("long").alias("__ob__"),
+    )
+    everything = Window.partitionBy()
+    with_tot = counts.select(
+        "__oa__",
+        "__ob__",
+        F.sum("__oa__").over(everything).alias("__na__"),
+        F.sum("__ob__").over(everything).alias("__nb__"),
+    )
+    d = (
+        F.col("__oa__").cast("decimal(38,0)") * F.col("__nb__")
+        - F.col("__ob__").cast("decimal(38,0)") * F.col("__na__")
+    )
+    den = (
+        F.col("__na__").cast("decimal(38,0)")
+        * F.col("__nb__")
+        * (F.col("__oa__") + F.col("__ob__"))
+    )
+    term8 = F.floor(
+        (d * d).cast("double") / den.cast("double") * F.lit(1e8) + F.lit(0.5)
+    ).cast("long")
+    g = with_tot.select(
+        "__na__", "__nb__", term8.alias("__t8__")
+    ).groupBy().agg(
+        F.max("__na__").alias("n_a"),
+        F.max("__nb__").alias("n_b"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum("__t8__").alias("__chi8__"),
+    )
+    return g.select(
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.col("n_categories").cast("long"),
+        (F.col("n_categories") - 1).cast("long").alias("dof"),
+        (F.col("__chi8__").cast("double") / F.lit(1e8)).alias("chi2"),
+    )

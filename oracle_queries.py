@@ -3323,6 +3323,42 @@ ORDER BY lang
 """
 
 
+ORACLE_SQL["chi_square_drift"] = """
+WITH u AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS v,
+         CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END AS sa,
+         CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END AS sb
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL
+    AND (year(o_orderdate) <= 1997 OR year(o_orderdate) >= 1998)
+),
+counts AS (
+  SELECT v, CAST(sum(sa) AS BIGINT) AS oa, CAST(sum(sb) AS BIGINT) AS ob
+  FROM u GROUP BY 1
+),
+tot AS (
+  SELECT v, oa, ob,
+         sum(oa) OVER () AS na, sum(ob) OVER () AS nb
+  FROM counts
+),
+terms AS (
+  SELECT na, nb,
+    CAST(floor(
+      CAST((CAST(oa AS HUGEINT) * nb - CAST(ob AS HUGEINT) * na)
+           * (CAST(oa AS HUGEINT) * nb - CAST(ob AS HUGEINT) * na) AS DOUBLE)
+      / CAST(CAST(na AS HUGEINT) * nb * (oa + ob) AS DOUBLE) * 1e8 + 0.5
+    ) AS BIGINT) AS t8
+  FROM tot
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_categories,
+       CAST(count(*) - 1 AS BIGINT) AS dof,
+       CAST(sum(t8) AS DOUBLE) / 1e8 AS chi2
+FROM terms
+"""
+
+
 ORACLE_SQL["interarrival_stats"] = f"""
 WITH gaps AS (
   SELECT user_id AS grp,

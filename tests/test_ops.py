@@ -2457,3 +2457,23 @@ def test_interarrival_stats_known_values(spark):
     assert got[1]["cv2"] == 0.0
     assert got[2]["n_gaps"] == 2 and got[2]["mean_gap_s"] == 5.0
     assert got[2]["cv2"] == 0.64
+
+
+def test_chi_square_drift_vs_scipy_formula(spark):
+    """Hand-computed 2xC chi-square on a known table, plus the
+    identical-distribution zero case."""
+    from hashquery_spark.ops import chi_square_drift
+
+    # a: 30 x, 10 y ; b: 10 x, 30 y
+    a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 10, ["c"])
+    b = spark.createDataFrame([("x",)] * 10 + [("y",)] * 30, ["c"])
+    r = chi_square_drift(a, b, "c").collect()[0]
+    # classic formula: chi2 = N * (ad - bc)^2 / (r1*r2*c1*c2) for 2x2
+    n = 80
+    expect = n * (30 * 30 - 10 * 10) ** 2 / (40 * 40 * 40 * 40)
+    assert (r["n_a"], r["n_b"], r["n_categories"], r["dof"]) == (40, 40, 2, 1)
+    assert abs(r["chi2"] - expect) <= 2e-8  # 1e-8 grid, one floor per cell
+    assert r["chi2"] == 20.0  # exact here: integer-valued statistic
+
+    same = chi_square_drift(a, a, "c").collect()[0]
+    assert same["chi2"] == 0.0
