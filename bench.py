@@ -115,6 +115,8 @@ HEADLINE = [
     "rouge_l",
     "retrieval_metrics",
     "zipf_fit",
+    "interarrival_stats",
+    "chi_square_drift",
 ]
 
 
