@@ -1109,3 +1109,78 @@ def test_translation_metrics_match_python_reference(spark, pairs):
             ct, rt = sum(gc.values()), sum(gr.values())
             assert row[f"p{n}"] == (r4(m, ct) if ct else None)
             assert row[f"r{n}"] == (r4(m, rt) if rt else None)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    a=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=60,
+    ),
+    b=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_ks_test_matches_python_ecdf(spark, a, b):
+    """ks_test equals the brute-force ECDF sup-distance on arbitrary
+    float samples (negatives, zeros, denormals, duplicates) — hammers
+    the monotone octave bucketing and the two-phase prefix sum."""
+    from hashquery_spark.ops import ks_test
+
+    dfa = spark.createDataFrame([(float(x),) for x in a], "value double")
+    dfb = spark.createDataFrame([(float(x),) for x in b], "value double")
+    got = ks_test(dfa, dfb, "value").collect()[0]
+    xs = sorted(set(a) | set(b))
+    d_num = max(
+        abs(
+            sum(1 for v in a if v <= x) * len(b)
+            - sum(1 for v in b if v <= x) * len(a)
+        )
+        for x in xs
+    )
+    assert got["d_num"] == d_num
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 3)),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_mutual_information_matches_python_reference(spark, pairs):
+    """mutual_information equals the integer log-microunit replica for
+    arbitrary categorical pairs, and mi = h_x + h_y - h_xy exactly."""
+    import math
+    from collections import Counter
+
+    from hashquery_spark.ops import mutual_information
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = mutual_information(df, "x", "y").collect()[0]
+
+    L = lambda c: math.floor(math.log(c) * 1e6 + 0.5)  # noqa: E731
+    n = len(pairs)
+    cxy = Counter(pairs)
+    cx = Counter(x for x, _ in pairs)
+    cy = Counter(y for _, y in pairs)
+
+    def h(counter):
+        return (n * L(n) - sum(c * L(c) for c in counter.values())) / (n * 1e6)
+
+    assert got["n"] == n
+    assert got["h_x"] == h(cx) and got["h_y"] == h(cy) and got["h_xy"] == h(cxy)
+    # the exact identity holds in MICROUNITS (float h sums may differ in
+    # the last ulp): recompute mi the op's way
+    mi_micro = (
+        n * L(n)
+        + sum(c * L(c) for c in cxy.values())
+        - sum(c * L(c) for c in cx.values())
+        - sum(c * L(c) for c in cy.values())
+    )
+    assert got["mi"] == mi_micro / (n * 1e6)
