@@ -3384,6 +3384,30 @@ def q_chi_square_drift(spark, sf_dir):
     return chi_square_drift(early, late, "o_orderpriority")
 
 
+def q_k_suppress(spark, sf_dir):
+    """k-anonymity ENFORCEMENT: orders rows whose customer has fewer
+    than 12 orders are suppressed — one count window on the quasi key,
+    no join-back; output is the released (orderkey, custkey) set."""
+    from hashquery_spark.ops import k_suppress
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return k_suppress(orders, ["o_custkey"], k=12).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+def q_dp_sum(spark, sf_dir):
+    """Per-status differentially-private clipped revenue: cent-grid
+    integer sums + seeded inverse-CDF Laplace(clip/eps) — bit-exact
+    oracle (same md5-not-RNG contract as dp_count)."""
+    from hashquery_spark.ops import dp_sum
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return dp_sum(
+        orders, "o_totalprice", ["o_orderstatus"], clip=100000.0, epsilon=0.5
+    ).orderBy("o_orderstatus")
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3575,6 +3599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "interarrival_stats": q_interarrival_stats,
         "chi_square_drift": q_chi_square_drift,
+        "k_suppress": q_k_suppress,
+        "dp_sum": q_dp_sum,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

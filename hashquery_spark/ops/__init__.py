@@ -86,11 +86,13 @@ from .profile import (
     approx_quantiles,
     grid_percentiles,
     k_anonymity,
+    k_suppress,
     ks_test,
     l_diversity,
     mutual_information,
     trimmed_mean,
     dp_count,
+    dp_sum,
     winsorize,
     check_constraints,
     chi_square_drift,
@@ -224,11 +226,13 @@ __all__ = [
     "compression_ratio",
     "approx_quantiles",
     "k_anonymity",
+    "k_suppress",
     "ks_test",
     "l_diversity",
     "mutual_information",
     "trimmed_mean",
     "dp_count",
+    "dp_sum",
     "dsir_weights",
     "mix_corpora",
     "ws_token_count",

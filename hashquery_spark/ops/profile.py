@@ -1137,3 +1137,80 @@ def chi_square_drift(
         (F.col("n_categories") - 1).cast("long").alias("dof"),
         (F.col("__chi8__").cast("double") / F.lit(1e8)).alias("chi2"),
     )
+
+
+def k_suppress(df: DataFrame, quasi_cols, k: int = 5) -> DataFrame:
+    """ENFORCE k-anonymity by suppression: drop every row whose
+    quasi-identifier combination occurs fewer than ``k`` times — the
+    release step after :func:`k_anonymity` reports violations (Sweeney
+    2002; suppression is the baseline mechanism, generalization is data-
+    specific). Returns the input columns unchanged, minus suppressed
+    rows; NULL quasi values form their own group (standard).
+
+    Scale: one window COUNT partitioned by the quasi columns — a single
+    shuffle on the quasi key with no join-back; group sizes are exactly
+    what k-anonymity is about, so the window partition is the unit of
+    privacy and cannot be avoided (and never sorts — count only).
+    """
+    quasi = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(*[F.col(c) for c in quasi])
+    return (
+        df.withColumn("__gn__", F.count(F.lit(1)).over(w))
+        .where(F.col("__gn__") >= k)
+        .drop("__gn__")
+    )
+
+
+def dp_sum(
+    df: DataFrame,
+    value_col: str,
+    group_cols,
+    clip: float,
+    epsilon: float = 1.0,
+    seed: str = "dpsum",
+) -> DataFrame:
+    """Per-group CLIPPED sums with seeded Laplace(clip/epsilon) noise —
+    the bounded-sensitivity companion to :func:`dp_count` (values clamp
+    to [0, clip], so one individual moves the sum by at most ``clip``).
+    Output: group columns + ``sum_dp`` (4 dp); the true sum is not
+    emitted. Same md5-not-RNG contract and formal-DP caveat as dp_count.
+
+    Exactness: clipped values land on an integer CENT grid
+    (``floor(v·100 + 0.5)``, DECIMAL(38,0) sums — order-independent),
+    and the noise is the same deterministic inverse-CDF draw, so the
+    oracle reproduces the release bit-for-bit.
+    """
+    from .dedup import md5_hash32
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not 0 < epsilon:
+        raise ValueError("epsilon must be positive")
+    clip = float(clip)
+    if not clip > 0:
+        raise ValueError("clip must be positive")
+    v = F.col(value_col).cast("double")
+    clipped = F.greatest(F.lit(0.0), F.least(F.lit(clip), v))
+    cents = F.floor(clipped * F.lit(100.0) + F.lit(0.5)).cast("decimal(38,0)")
+    sums = (
+        df.where(v.isNotNull())
+        .groupBy(*[F.col(c) for c in groups])
+        .agg(F.sum(cents).alias("__s__"))
+    )
+    key = F.concat_ws(
+        ":", F.lit(seed), *[F.col(c).cast("string") for c in groups]
+    )
+    u = (md5_hash32(key) + F.lit(0.5)) / F.lit(4294967296.0)
+    centered = u - F.lit(0.5)
+    noise = (
+        -F.lit(clip / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return sums.select(
+        *[F.col(c) for c in groups],
+        F.round(
+            F.col("__s__").cast("double") / F.lit(100.0) + noise, 4
+        ).alias("sum_dp"),
+    )

@@ -3323,6 +3323,39 @@ ORDER BY lang
 """
 
 
+ORACLE_SQL["k_suppress"] = """
+SELECT o_orderkey, o_custkey FROM (
+  SELECT o_orderkey, o_custkey,
+         count(*) OVER (PARTITION BY o_custkey) AS gn
+  FROM orders
+) WHERE gn >= 12
+"""
+
+
+ORACLE_SQL["dp_sum"] = f"""
+WITH sums AS (
+  SELECT o_orderstatus,
+    CAST(sum(CAST(floor(greatest(0.0, least(100000.0,
+         CAST(o_totalprice AS DOUBLE))) * 100.0 + 0.5) AS HUGEINT))
+         AS HUGEINT) AS s
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+noised AS (
+  SELECT o_orderstatus, s,
+    ({H32.format(x="'dpsum:' || CAST(o_orderstatus AS VARCHAR)")} + 0.5)
+      / 4294967296.0 AS u
+  FROM sums
+)
+SELECT o_orderstatus,
+  round(CAST(s AS DOUBLE) / 100.0
+        + (-(100000.0 / 0.5) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))),
+        4) AS sum_dp
+FROM noised
+ORDER BY o_orderstatus
+"""
+
+
 ORACLE_SQL["chi_square_drift"] = """
 WITH u AS (
   SELECT CAST(o_orderpriority AS VARCHAR) AS v,

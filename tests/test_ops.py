@@ -2477,3 +2477,44 @@ def test_chi_square_drift_vs_scipy_formula(spark):
 
     same = chi_square_drift(a, a, "c").collect()[0]
     assert same["chi2"] == 0.0
+
+
+def test_k_suppress_boundary(spark):
+    """Groups of size k-1 are suppressed, size k kept, NULL quasi forms
+    its own group."""
+    from hashquery_spark.ops import k_suppress
+
+    rows = (
+        [("a", i) for i in range(3)]
+        + [("b", i) for i in range(2)]
+        + [(None, i) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, ["q", "i"])
+    kept = k_suppress(df, ["q"], k=3).collect()
+    got = sorted((r["q"] or "", r["i"]) for r in kept)
+    assert got == sorted(
+        [("a", i) for i in range(3)] + [("", i) for i in range(3)]
+    )
+
+
+def test_dp_sum_deterministic_and_clipped(spark):
+    """Seeded noise is reproducible; clipping bounds one row's influence
+    by exactly clip (cent grid)."""
+    from hashquery_spark.ops import dp_sum
+
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 20.0), ("g", 999.0)], ["grp", "v"]
+    )
+    a = dp_sum(df, "v", ["grp"], clip=100.0, epsilon=1.0).collect()[0]
+    b = dp_sum(df, "v", ["grp"], clip=100.0, epsilon=1.0).collect()[0]
+    assert a["sum_dp"] == b["sum_dp"]  # md5-seeded, run-stable
+    # true clipped sum = 10 + 20 + 100 = 130; Laplace(100) noise is
+    # unbounded but the deterministic draw for this key is small enough
+    # to keep the release within a few hundred of 130
+    assert abs(a["sum_dp"] - 130.0) < 2000.0
+    # outlier influence is bounded: doubling the outlier changes nothing
+    df2 = spark.createDataFrame(
+        [("g", 10.0), ("g", 20.0), ("g", 2000.0)], ["grp", "v"]
+    )
+    c = dp_sum(df2, "v", ["grp"], clip=100.0, epsilon=1.0).collect()[0]
+    assert c["sum_dp"] == a["sum_dp"]
