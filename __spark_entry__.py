@@ -3408,6 +3408,18 @@ def q_dp_sum(spark, sf_dir):
     ).orderBy("o_orderstatus")
 
 
+def q_lsh_tuning(spark, sf_dir):
+    """MinHash-LSH candidate precision/recall vs exact inverted-index
+    Jaccard truth at threshold 0.5 — the num_perm/bands tuning harness;
+    every count exact, ratios tie-proof."""
+    from hashquery_spark.ops import lsh_tuning_report
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return lsh_tuning_report(
+        docs, "text", "doc_id", threshold=0.5, num_perm=16, bands=4
+    )
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3601,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square_drift": q_chi_square_drift,
         "k_suppress": q_k_suppress,
         "dp_sum": q_dp_sum,
+        "lsh_tuning": q_lsh_tuning,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

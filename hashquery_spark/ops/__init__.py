@@ -18,6 +18,7 @@ from .dedup import (
     connected_components,
     dedup_keep_best,
     exact_dedup,
+    lsh_tuning_report,
     minhash_lsh_candidates,
     minhash_signature,
     ngram_jaccard_pairs,
@@ -141,6 +142,7 @@ __all__ = [
     "dedup_clusters",
     "exact_dedup",
     "minhash_signature",
+    "lsh_tuning_report",
     "minhash_lsh_candidates",
     "simhash",
     "ngram_jaccard_pairs",

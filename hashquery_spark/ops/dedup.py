@@ -445,3 +445,81 @@ def ngram_jaccard_pairs(
 # General-purpose alias: dedup_clusters is plain min-label connected
 # components over ANY (id_a, id_b) edge frame, not just near-dup pairs.
 connected_components = dedup_clusters
+
+
+def lsh_tuning_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate stage against EXACT
+    n-gram Jaccard ground truth — the harness for tuning ``num_perm`` /
+    ``bands`` before a full-corpus dedup run (the S-curve P[candidate] =
+    1−(1−j^r)^b is theory; this measures it on YOUR corpus). Output (one
+    row): ``threshold, n_true_pairs, n_candidates, tp, fp, fn,
+    precision, recall``.
+
+    Ground truth is computed WITHOUT an all-pairs join: an inverted
+    shingle index (explode distinct shingles, self-join on shingle,
+    groupBy pair) — exact for any threshold > 0 since a pair with
+    positive Jaccard shares at least one shingle. Hot shingles make this
+    quadratic in their document frequency, which is the point of a
+    TUNING harness: run it on a representative sample, then dedup the
+    full corpus with the chosen parameters. All counts are exact
+    integers; precision/recall use the tie-proof floor round.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    sets = df.select(
+        F.col(id_col).alias("__id__"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("__sh__"),
+    )
+    sizes = sets.select("__id__", F.size("__sh__").alias("__sz__"))
+    ex = sets.select("__id__", F.explode("__sh__").alias("__s__"))
+    a = ex.select(F.col("__id__").alias("id_a"), F.col("__s__"))
+    b = ex.select(F.col("__id__").alias("id_b"), F.col("__s__"))
+    inter = (
+        a.join(b, on="__s__")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i__"))
+    )
+    sa = sizes.select(F.col("__id__").alias("id_a"), F.col("__sz__").alias("__sa__"))
+    sb = sizes.select(F.col("__id__").alias("id_b"), F.col("__sz__").alias("__sb__"))
+    truth = (
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round4_ratio(
+                F.col("__i__"), F.col("__sa__") + F.col("__sb__") - F.col("__i__")
+            ).alias("__jac__"),
+        )
+        .where(F.col("__jac__") >= threshold)
+        .select("id_a", "id_b", F.lit(1).alias("__t__"))
+    )
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_perm, bands, shingle_k
+    ).select("id_a", "id_b", F.lit(1).alias("__c__"))
+    both = truth.join(cands, on=["id_a", "id_b"], how="full_outer")
+    g = both.groupBy().agg(
+        F.count("__t__").alias("n_true_pairs"),
+        F.count("__c__").alias("n_candidates"),
+        F.count(F.when(F.col("__t__").isNotNull() & F.col("__c__").isNotNull(), 1)).alias("tp"),
+    )
+    tp, nt, nc = F.col("tp"), F.col("n_true_pairs"), F.col("n_candidates")
+    return g.select(
+        F.lit(float(threshold)).alias("threshold"),
+        "n_true_pairs",
+        "n_candidates",
+        "tp",
+        (nc - tp).cast("long").alias("fp"),
+        (nt - tp).cast("long").alias("fn"),
+        F.when(nc > 0, round4_ratio(tp, nc)).alias("precision"),
+        F.when(nt > 0, round4_ratio(tp, nt)).alias("recall"),
+    )

@@ -3323,6 +3323,49 @@ ORDER BY lang
 """
 
 
+ORACLE_SQL["lsh_tuning"] = f"""
+WITH {_MINHASH_BUCKETS},
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM buckets a JOIN buckets c ON a.band = c.band AND a.key = c.key
+  WHERE a.doc_id < c.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sets),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sets sa ON sa.doc_id = inter.id_a
+  JOIN sets sb ON sb.doc_id = inter.id_b
+  WHERE {_round4_ratio_sql('i', 'len(sa.s) + len(sb.s) - i')} >= 0.5
+),
+matched AS (
+  SELECT t.id_a IS NOT NULL AS is_t, c.id_a IS NOT NULL AS is_c
+  FROM truth t FULL OUTER JOIN cands c
+    ON t.id_a = c.id_a AND t.id_b = c.id_b
+),
+g AS (
+  SELECT CAST(count(CASE WHEN is_t THEN 1 END) AS BIGINT) AS n_true_pairs,
+         CAST(count(CASE WHEN is_c THEN 1 END) AS BIGINT) AS n_candidates,
+         CAST(count(CASE WHEN is_t AND is_c THEN 1 END) AS BIGINT) AS tp
+  FROM matched
+)
+SELECT CAST(0.5 AS DOUBLE) AS threshold, n_true_pairs, n_candidates, tp,
+  n_candidates - tp AS fp,
+  n_true_pairs - tp AS fn,
+  CASE WHEN n_candidates > 0
+       THEN {_round4_ratio_sql('tp', 'n_candidates')} END AS precision,
+  CASE WHEN n_true_pairs > 0
+       THEN {_round4_ratio_sql('tp', 'n_true_pairs')} END AS recall
+FROM g
+"""
+
+
 ORACLE_SQL["k_suppress"] = """
 SELECT o_orderkey, o_custkey FROM (
   SELECT o_orderkey, o_custkey,

@@ -2518,3 +2518,57 @@ def test_dp_sum_deterministic_and_clipped(spark):
     )
     c = dp_sum(df2, "v", ["grp"], clip=100.0, epsilon=1.0).collect()[0]
     assert c["sum_dp"] == a["sum_dp"]
+
+
+def test_lsh_tuning_report_consistency(spark):
+    """The report's counts equal a brute-force Python truth (exact
+    Jaccard over all pairs) crossed with the op's own candidate set;
+    a strict threshold makes weak candidates count as fp."""
+    import math
+    import re
+
+    from hashquery_spark.ops import lsh_tuning_report, minhash_lsh_candidates
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    words = base.split()
+    texts = [
+        base,
+        base,  # exact dup of 0
+        " ".join(words[:6] + ["iota", "kappa"]),  # partial overlap
+        " ".join(words[:4] + ["lambda", "mu", "nu", "xi"]),  # weaker overlap
+        "completely different tokens here now yes indeed ok",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    thr = 0.95
+    got = lsh_tuning_report(
+        df, "text", "doc_id", threshold=thr, num_perm=16, bands=4
+    ).collect()[0]
+
+    def shingles(t):
+        toks = re.sub(r"[^a-z0-9]+", " ", t.lower()).split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def round4(num, den):
+        return math.floor((100000.0 * num + 5.0 * den) / (10.0 * den)) / 10000.0
+
+    truth = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            si, sj = shingles(texts[i]), shingles(texts[j])
+            inter = len(si & sj)
+            if inter and round4(inter, len(si | sj)) >= thr:
+                truth.add((i, j))
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(df, "text", "doc_id", 16, 4).collect()
+    }
+    assert got["n_true_pairs"] == len(truth) == 1  # only the exact dup
+    assert got["n_candidates"] == len(cands)
+    assert got["tp"] == len(truth & cands)
+    assert got["fp"] == len(cands - truth) > 0  # weak candidates at 0.95
+    assert got["fn"] == len(truth - cands)
+    assert got["tp"] + got["fp"] == got["n_candidates"]
+    assert got["tp"] + got["fn"] == got["n_true_pairs"]
