@@ -117,6 +117,9 @@ HEADLINE = [
     "zipf_fit",
     "interarrival_stats",
     "chi_square_drift",
+    "k_suppress",
+    "dp_sum",
+    "lsh_tuning",
 ]
 
 
