@@ -3420,6 +3420,16 @@ def q_lsh_tuning(spark, sf_dir):
     )
 
 
+def q_soft_dedup(spark, sf_dir):
+    """SoftDeDup reweighting: every doc kept, weight = 1/dup_count on
+    the exact integer-ratio grid — one md5-key shuffle, text never
+    moves."""
+    from hashquery_spark.ops import soft_dedup
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return soft_dedup(docs, "text", "doc_id")
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3614,6 +3624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_suppress": q_k_suppress,
         "dp_sum": q_dp_sum,
         "lsh_tuning": q_lsh_tuning,
+        "soft_dedup": q_soft_dedup,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

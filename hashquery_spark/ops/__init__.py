@@ -23,6 +23,7 @@ from .dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
+    soft_dedup,
 )
 from .similarity import (
     embedding_quantize,
@@ -145,6 +146,7 @@ __all__ = [
     "lsh_tuning_report",
     "minhash_lsh_candidates",
     "simhash",
+    "soft_dedup",
     "ngram_jaccard_pairs",
     "ann_brute_force",
     "semantic_dedup",

@@ -523,3 +523,33 @@ def lsh_tuning_report(
         F.when(nc > 0, round4_ratio(tp, nc)).alias("precision"),
         F.when(nt > 0, round4_ratio(tp, nt)).alias("recall"),
     )
+
+
+def soft_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """SOFT exact dedup: keep every row but DOWN-WEIGHT duplicates so
+    each distinct content contributes unit total mass —
+    ``weight = 1/dup_count`` per row (the SoftDeDup idea, cf. He et al.
+    2024: reweighting beats dropping when duplicates carry distinct
+    metadata; also the standard loss-weighting export for trainers that
+    can't drop rows). Output: ``(id, content_hash, dup_count, weight)``
+    — one row per INPUT row, weight on the exact 4-dp integer-ratio
+    grid.
+
+    Scale: the text never shuffles — one groupBy on the uniform md5 key
+    builds the (hash, dup_count) table and a hash-key window joins it
+    back implicitly; written as a window over the hash partition so
+    there is exactly ONE shuffle and no join."""
+    key = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col), key)
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .select(
+            id_col,
+            "content_hash",
+            "dup_count",
+            round4_ratio(F.lit(1), F.col("dup_count")).alias("weight"),
+        )
+    )

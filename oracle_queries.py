@@ -3366,6 +3366,19 @@ FROM g
 """
 
 
+ORACLE_SQL["soft_dedup"] = f"""
+SELECT doc_id, content_hash, dup_count,
+  {_round4_ratio_sql('1', 'dup_count')} AS weight
+FROM (
+  SELECT doc_id,
+         md5({NORM.format(c='text')}) AS content_hash,
+         CAST(count(*) OVER (
+           PARTITION BY md5({NORM.format(c='text')})) AS BIGINT) AS dup_count
+  FROM documents
+)
+"""
+
+
 ORACLE_SQL["k_suppress"] = """
 SELECT o_orderkey, o_custkey FROM (
   SELECT o_orderkey, o_custkey,

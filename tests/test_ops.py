@@ -2572,3 +2572,20 @@ def test_lsh_tuning_report_consistency(spark):
     assert got["fn"] == len(truth - cands)
     assert got["tp"] + got["fp"] == got["n_candidates"]
     assert got["tp"] + got["fn"] == got["n_true_pairs"]
+
+
+def test_soft_dedup_weights_sum_to_distinct_mass(spark):
+    """Every row kept; per-content weights are 1/dup_count; total weight
+    equals the number of distinct contents (unit mass each) up to the
+    4-dp grid."""
+    from hashquery_spark.ops import soft_dedup
+
+    rows = [(0, "a b c"), (1, "a b c"), (2, "a b c"), (3, "x y"), (4, "z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = soft_dedup(df, "text", "doc_id").collect()
+    assert len(out) == 5
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["dup_count"] == 3 and by_id[0]["weight"] == 0.3333
+    assert by_id[3]["dup_count"] == 1 and by_id[3]["weight"] == 1.0
+    total = sum(r["weight"] for r in out)
+    assert abs(total - 3.0) < 1e-3
