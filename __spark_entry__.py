@@ -3430,6 +3430,16 @@ def q_soft_dedup(spark, sf_dir):
     return soft_dedup(docs, "text", "doc_id")
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty (fraction of grams unique to the doc) —
+    one distinct-gram explode feeds both the global doc-frequency agg
+    and the per-doc rollup; exact integer-ratio novelty."""
+    from hashquery_spark.ops import ngram_novelty
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return ngram_novelty(docs, "text", "doc_id", n=3)
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3625,6 +3635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_sum": q_dp_sum,
         "lsh_tuning": q_lsh_tuning,
         "soft_dedup": q_soft_dedup,
+        "ngram_novelty": q_ngram_novelty,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

@@ -69,6 +69,7 @@ from .text import (
     unigram_lm_score,
     bigram_lm_score,
     perplexity_buckets,
+    ngram_novelty,
     vocabulary,
     zipf_fit,
 )
@@ -170,6 +171,7 @@ __all__ = [
     "doc_fingerprint",
     "vocabulary",
     "zipf_fit",
+    "ngram_novelty",
     "tfidf_top_terms",
     "boilerplate_ngrams",
     "unigram_lm_score",

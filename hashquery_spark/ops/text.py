@@ -745,3 +745,51 @@ def zipf_fit(
             + (F.col("m") * F.lit(1000000)).cast("double") / denom.cast("double"),
         ).alias("alpha"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct word ``n``-grams that appear in NO other document — the
+    corpus-diversity / memorization-risk diagnostic (cf. McCoy et al.
+    2023 "raw novelty"; low-novelty docs are template spam or near-dups
+    that survived hashing). Output: ``(id, n_grams, n_novel, novelty)``
+    with novelty on the exact 4-dp integer-ratio grid; gram-less docs
+    score 0.
+
+    Scale: one explode of per-doc DISTINCT grams feeds BOTH the global
+    gram document-frequency aggregate and the per-doc rollup; the
+    (gram → df) table joins back on the uniform gram key (shuffle join —
+    the gram table is corpus-sized, never broadcast). Three shuffles
+    total, all on uniform keys, text never moves.
+    """
+    from .dedup import ensure_parallelism, round4_ratio, word_shingles
+
+    ex = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("__g__"),
+    )
+    dfreq = (
+        ex.where(F.col("__g__").isNotNull())
+        .groupBy("__g__")
+        .agg(F.count(F.lit(1)).alias("__df__"))
+    )
+    scored = (
+        ex.join(dfreq, on="__g__", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("__g__").alias("n_grams"),
+            F.count(F.when(F.col("__df__") == 1, 1)).alias("n_novel"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_grams",
+        "n_novel",
+        round4_ratio(
+            F.col("n_novel"), F.greatest(F.col("n_grams"), F.lit(1))
+        ).alias("novelty"),
+    )

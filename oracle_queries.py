@@ -3366,6 +3366,35 @@ FROM g
 """
 
 
+ORACLE_SQL["ngram_novelty"] = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         ELSE [] END) AS g
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+dfreq AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY 1),
+per_doc AS (
+  SELECT e.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(CASE WHEN d.df = 1 THEN 1 END) AS BIGINT) AS n_novel
+  FROM ex e JOIN dfreq d USING (gram)
+  GROUP BY 1
+)
+SELECT s.doc_id,
+  COALESCE(p.n_grams, 0) AS n_grams,
+  COALESCE(p.n_novel, 0) AS n_novel,
+  {_round4_ratio_sql('COALESCE(p.n_novel, 0)',
+                     'greatest(COALESCE(p.n_grams, 0), 1)')} AS novelty
+FROM sh s LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 ORACLE_SQL["soft_dedup"] = f"""
 SELECT doc_id, content_hash, dup_count,
   {_round4_ratio_sql('1', 'dup_count')} AS weight

@@ -2589,3 +2589,24 @@ def test_soft_dedup_weights_sum_to_distinct_mass(spark):
     assert by_id[3]["dup_count"] == 1 and by_id[3]["weight"] == 1.0
     total = sum(r["weight"] for r in out)
     assert abs(total - 3.0) < 1e-3
+
+
+def test_ngram_novelty_known_values(spark):
+    """Duplicated docs have novelty 0; a unique doc scores 1; a doc
+    sharing a prefix with another scores between."""
+    from hashquery_spark.ops import ngram_novelty
+
+    rows = [
+        (0, "a b c d e"),
+        (1, "a b c d e"),   # dup of 0 -> all grams shared -> 0.0
+        (2, "p q r s t"),   # unique -> 1.0
+        (3, "a b c x y"),   # shares gram "a b c" with 0/1 only
+        (4, "zz"),          # too short: 0 grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ngram_novelty(df, "text", "doc_id", n=3).collect()}
+    assert got[0]["novelty"] == 0.0 and got[1]["novelty"] == 0.0
+    assert got[2]["novelty"] == 1.0 and got[2]["n_grams"] == 3
+    assert got[3]["n_grams"] == 3 and got[3]["n_novel"] == 2
+    assert got[3]["novelty"] == 0.6667
+    assert got[4]["n_grams"] == 0 and got[4]["novelty"] == 0.0
