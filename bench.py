@@ -120,6 +120,8 @@ HEADLINE = [
     "k_suppress",
     "dp_sum",
     "lsh_tuning",
+    "soft_dedup",
+    "ngram_novelty",
 ]
 
 
