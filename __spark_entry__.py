@@ -3444,6 +3444,30 @@ def q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(docs, "text", "doc_id", n=3)
 
 
+def q_quantile_bucketize(spark, sf_dir):
+    """Quartile features over order totals per priority: exact
+    grid_percentiles bounds (bit-identical to quantile_cont) broadcast
+    back, one narrow bucket projection; per-bucket rollup keeps the
+    compared result bounded."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import quantile_bucketize
+
+    orders = _conn(spark, sf_dir).table("orders")
+    b = quantile_bucketize(
+        orders, "o_totalprice", k=4, by="o_orderpriority"
+    )
+    return (
+        b.groupBy("o_orderpriority", "o_totalprice_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("o_orderpriority", "o_totalprice_bucket")
+    )
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3640,6 +3664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_tuning": q_lsh_tuning,
         "soft_dedup": q_soft_dedup,
         "ngram_novelty": q_ngram_novelty,
+        "quantile_bucketize": q_quantile_bucketize,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

@@ -102,6 +102,7 @@ from .profile import (
     distribution_drift,
     histogram,
     profile_table,
+    quantile_bucketize,
     zscore_outliers,
     mad_outliers,
     standardize,
@@ -273,6 +274,7 @@ __all__ = [
     "char_entropy",
     "grid_percentiles",
     "winsorize",
+    "quantile_bucketize",
     "kfold_split",
     "degree_centrality",
     "pagerank",

@@ -1214,3 +1214,57 @@ def dp_sum(
             F.col("__s__").cast("double") / F.lit(100.0) + noise, 4
         ).alias("sum_dp"),
     )
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    value_col: str,
+    k: int = 4,
+    by=None,
+    out_name: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Equal-frequency discretizer: adds ``{value_col}_bucket`` in
+    0..k-1 — the feature-engineering staple (quartile/decile features,
+    monotone binning for drift monitors). Bucket = the number of the
+    k−1 interior exact percentile bounds strictly below the value, so
+    ties at a bound all land in the SAME bucket (deterministic, unlike
+    rank-based ntile which splits ties arbitrarily); NULLs stay NULL.
+
+    ``exact=True`` (default) computes bounds via
+    :func:`grid_percentiles` — distributed, bounded-memory, and
+    bit-identical to DuckDB quantile_cont, so the whole bucketing is
+    oracle-checkable. Scale: the bounds frame is tiny (one row per
+    group) and broadcast back; the bucket expression is one narrow
+    codegen'd projection (k−1 comparisons).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    out_name = out_name or f"{value_col}_bucket"
+    by = [by] if isinstance(by, str) else list(by or [])
+    qs = {f"__b{i}__": i / k for i in range(1, k)}
+    if exact:
+        bounds = grid_percentiles(df, value_col, qs, by=by, accuracy=accuracy)
+    else:
+        aggs = [
+            F.expr(
+                f"CAST(percentile_approx(`{value_col}`, {p!r}D, "
+                f"{int(accuracy)}) AS DOUBLE)"
+            ).alias(name)
+            for name, p in qs.items()
+        ]
+        bounds = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+    joined = (
+        df.join(F.broadcast(bounds), on=by)
+        if by
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(0)
+    for i in range(1, k):
+        bucket = bucket + F.when(v > F.col(f"__b{i}__"), 1).otherwise(0)
+    return joined.withColumn(
+        out_name,
+        F.when(v.isNotNull(), bucket.cast("int")),
+    ).drop(*qs.keys())

@@ -3369,6 +3369,33 @@ FROM g
 """
 
 
+ORACLE_SQL["quantile_bucketize"] = """
+WITH bounds AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.25) AS b1,
+         quantile_cont(o_totalprice, 0.5) AS b2,
+         quantile_cont(o_totalprice, 0.75) AS b3
+  FROM orders GROUP BY 1
+),
+bucketed AS (
+  SELECT o.o_orderpriority, o.o_totalprice,
+    CASE WHEN o.o_totalprice IS NULL THEN NULL ELSE
+      CAST((CASE WHEN CAST(o.o_totalprice AS DOUBLE) > b.b1 THEN 1 ELSE 0 END)
+         + (CASE WHEN CAST(o.o_totalprice AS DOUBLE) > b.b2 THEN 1 ELSE 0 END)
+         + (CASE WHEN CAST(o.o_totalprice AS DOUBLE) > b.b3 THEN 1 ELSE 0 END)
+        AS INT) END AS o_totalprice_bucket
+  FROM orders o JOIN bounds b USING (o_orderpriority)
+)
+SELECT o_orderpriority, o_totalprice_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM bucketed
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 ORACLE_SQL["ngram_novelty"] = f"""
 WITH toks AS (
   SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents

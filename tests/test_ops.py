@@ -2610,3 +2610,28 @@ def test_ngram_novelty_known_values(spark):
     assert got[3]["n_grams"] == 3 and got[3]["n_novel"] == 2
     assert got[3]["novelty"] == 0.6667
     assert got[4]["n_grams"] == 0 and got[4]["novelty"] == 0.0
+
+
+def test_quantile_bucketize_equal_frequency(spark):
+    """On 100 distinct values the quartile buckets hold 25 each; ties at
+    a bound land in one bucket; NULLs stay NULL."""
+    from hashquery_spark.ops import quantile_bucketize
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], ["v"]
+    )
+    out = quantile_bucketize(df, "v", k=4).collect()
+    from collections import Counter
+
+    c = Counter(r["v_bucket"] for r in out)
+    assert c[None] == 1
+    assert all(abs(c[b] - 25) <= 1 for b in range(4)), c
+    # monotone: bucket non-decreasing in v
+    vals = sorted((r["v"], r["v_bucket"]) for r in out if r["v"] is not None)
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(vals, vals[1:]))
+
+    # massive ties: one value spanning a bound -> single bucket for all
+    tied = spark.createDataFrame([(1.0,)] * 50 + [(2.0,)] * 50, ["v"])
+    out2 = quantile_bucketize(tied, "v", k=4).collect()
+    assert {r["v_bucket"] for r in out2 if r["v"] == 1.0} == {0}
+    assert len({r["v_bucket"] for r in out2 if r["v"] == 2.0}) == 1
