@@ -122,6 +122,7 @@ HEADLINE = [
     "lsh_tuning",
     "soft_dedup",
     "ngram_novelty",
+    "quantile_bucketize",
 ]
 
 
