@@ -3468,6 +3468,22 @@ def q_quantile_bucketize(spark, sf_dir):
     )
 
 
+def q_ab_test(spark, sf_dir):
+    """Welch's t-test between click and view event values (the numeric
+    companion to ks_test): micro-unit integer sums, exact-rational
+    means/variances, fround(6) only at the end."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import ab_test_report
+
+    ev = _conn(spark, sf_dir).table("events")
+    return ab_test_report(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"),
+        "value",
+    )
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3665,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": q_soft_dedup,
         "ngram_novelty": q_ngram_novelty,
         "quantile_bucketize": q_quantile_bucketize,
+        "ab_test": q_ab_test,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

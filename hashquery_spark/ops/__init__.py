@@ -114,6 +114,7 @@ from .preference import bradley_terry, bradley_terry_oracle_sql
 from .pii import PII_PATTERNS, pii_redact, pii_stats
 from .tokenizer import unigram_apply, unigram_pieces_df, unigram_train
 from .evaluation import (
+    ab_test_report,
     binary_auc,
     calibration_bins,
     cohens_kappa,
@@ -251,6 +252,7 @@ __all__ = [
     "salted_join",
     "bm25_search",
     "retrieval_metrics",
+    "ab_test_report",
     "binary_auc",
     "bradley_terry",
     "bradley_terry_oracle_sql",

@@ -718,3 +718,81 @@ def rouge_l(
             ),
         ).alias("rouge_l_f"),
     )
+
+
+def ab_test_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    grid: float = 1e6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between the ``col`` means of two
+    frames — the A/B experiment readout (and the numeric companion to
+    :func:`~hashquery_spark.ops.profile.ks_test`, which compares whole
+    distributions). Output (one row): ``n_a, n_b, mean_a, mean_b, diff,
+    welch_t, welch_df`` (t/df NULL when either side has < 2 rows or both
+    variances are 0).
+
+    Exactness: values snap to an integer micro-unit grid
+    (``floor(v·grid + 0.5)``, default 1e-6 units) so sums S and Σx² run
+    order-independently in DECIMAL(38,0); means and sample variances are
+    then exact-rational double quotients, and t / Welch–Satterthwaite df
+    are short fixed-order IEEE chains (sqrt is correctly rounded) — both
+    engines agree bit-for-bit with fround(6) only at the very end.
+
+    Scale: one narrow aggregate per side over one scan each — no
+    shuffle beyond the 1-row partials.
+    """
+    from .dedup import fround
+
+    def side(df, tag):
+        v = F.col(col).cast("double")
+        m = F.floor(v * F.lit(float(grid)) + F.lit(0.5)).cast("decimal(38,0)")
+        return df.where(v.isNotNull()).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(m).alias(f"__s{tag}__"),
+            F.sum(m * m).alias(f"__q{tag}__"),
+        )
+
+    g = side(df_a, "a").crossJoin(F.broadcast(side(df_b, "b")))
+    out = []
+    for tag in ("a", "b"):
+        n = F.col(f"n_{tag}").cast("decimal(38,0)")
+        s = F.col(f"__s{tag}__")
+        q = F.col(f"__q{tag}__")
+        mean = s.cast("double") / (
+            F.col(f"n_{tag}").cast("double") * F.lit(float(grid))
+        )
+        # sample variance in grid^2 units: (n·Q − S²) / (n·(n−1))
+        var = F.when(
+            F.col(f"n_{tag}") >= 2,
+            (n * q - s * s).cast("double")
+            / (
+                F.col(f"n_{tag}").cast("double")
+                * (F.col(f"n_{tag}").cast("double") - F.lit(1.0))
+            ),
+        )
+        out += [mean.alias(f"__m{tag}__"), var.alias(f"__v{tag}__")]
+    g2 = g.select("n_a", "n_b", *out)
+    g2_scale = float(grid) * float(grid)
+    sea = F.col("__va__") / (F.col("n_a").cast("double") * F.lit(g2_scale))
+    seb = F.col("__vb__") / (F.col("n_b").cast("double") * F.lit(g2_scale))
+    se2 = sea + seb
+    diff = F.col("__ma__") - F.col("__mb__")
+    t = diff / F.sqrt(se2)
+    dfree = (se2 * se2) / (
+        sea * sea / (F.col("n_a").cast("double") - F.lit(1.0))
+        + seb * seb / (F.col("n_b").cast("double") - F.lit(1.0))
+    )
+    ok = (
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    )
+    return g2.select(
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        fround(F.col("__ma__"), 6).alias("mean_a"),
+        fround(F.col("__mb__"), 6).alias("mean_b"),
+        fround(diff, 6).alias("diff"),
+        F.when(ok, fround(t, 6)).alias("welch_t"),
+        F.when(ok, fround(dfree, 6)).alias("welch_df"),
+    )

@@ -3369,6 +3369,49 @@ FROM g
 """
 
 
+ORACLE_SQL["ab_test"] = f"""
+WITH sa AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_a,
+         sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)) AS s,
+         sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)
+             * CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)) AS q
+  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+),
+sb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_b,
+         sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)) AS s,
+         sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)
+             * CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)) AS q
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+),
+m AS (
+  SELECT n_a, n_b,
+    CAST(sa.s AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1000000.0) AS ma,
+    CAST(sb.s AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0) AS mb,
+    CAST(CAST(n_a AS HUGEINT) * sa.q - sa.s * sa.s AS DOUBLE)
+      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS va,
+    CAST(CAST(n_b AS HUGEINT) * sb.q - sb.s * sb.s AS DOUBLE)
+      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS vb
+  FROM sa, sb
+),
+z AS (
+  SELECT n_a, n_b, ma, mb,
+    va / (CAST(n_a AS DOUBLE) * (1000000.0 * 1000000.0)) AS sea,
+    vb / (CAST(n_b AS DOUBLE) * (1000000.0 * 1000000.0)) AS seb
+  FROM m
+)
+SELECT n_a, n_b,
+  {_fround_sql('ma', 6)} AS mean_a,
+  {_fround_sql('mb', 6)} AS mean_b,
+  {_fround_sql('ma - mb', 6)} AS diff,
+  CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0 THEN
+    {_fround_sql('(ma - mb) / sqrt(sea + seb)', 6)} END AS welch_t,
+  CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0 THEN
+    {_fround_sql('''((sea + seb) * (sea + seb)) / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0) + seb * seb / (CAST(n_b AS DOUBLE) - 1.0))''', 6)} END AS welch_df
+FROM z
+"""
+
+
 ORACLE_SQL["quantile_bucketize"] = """
 WITH bounds AS (
   SELECT o_orderpriority,

@@ -2635,3 +2635,41 @@ def test_quantile_bucketize_equal_frequency(spark):
     out2 = quantile_bucketize(tied, "v", k=4).collect()
     assert {r["v_bucket"] for r in out2 if r["v"] == 1.0} == {0}
     assert len({r["v_bucket"] for r in out2 if r["v"] == 2.0}) == 1
+
+
+def test_ab_test_report_vs_python_welch(spark):
+    """Welch t/df against a plain-Python replica on the same micro-unit
+    grid; a < 2-row side gives NULL t."""
+    import math
+
+    from hashquery_spark.ops import ab_test_report
+
+    a = [1.25, 2.5, 3.75, 2.0, 1.0]
+    b = [4.5, 3.25, 5.0, 4.0]
+    dfa = spark.createDataFrame([(x,) for x in a], "value double")
+    dfb = spark.createDataFrame([(x,) for x in b], "value double")
+    r = ab_test_report(dfa, dfb, "value").collect()[0]
+
+    def stats(xs):
+        g = 1e6
+        m = [math.floor(x * g + 0.5) for x in xs]
+        n, s, q = len(m), sum(m), sum(v * v for v in m)
+        mean = s / (n * g)
+        var = (n * q - s * s) / (n * (n - 1.0))
+        return n, mean, var / (n * g * g)
+
+    na, ma, sea = stats(a)
+    nb, mb, seb = stats(b)
+    fr = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    t = (ma - mb) / math.sqrt(sea + seb)
+    dof = (sea + seb) ** 2 / (sea**2 / (na - 1) + seb**2 / (nb - 1))
+    assert (r["n_a"], r["n_b"]) == (5, 4)
+    assert r["mean_a"] == fr(ma) and r["mean_b"] == fr(mb)
+    assert r["welch_t"] == fr(t) and r["welch_df"] == fr(dof)
+    assert r["welch_t"] < 0  # b's mean is higher
+    # sanity vs the textbook two-sample result (|t| ~ 3.1 here)
+    assert 2.0 < abs(r["welch_t"]) < 5.0
+
+    tiny = spark.createDataFrame([(1.0,)], "value double")
+    r2 = ab_test_report(tiny, dfb, "value").collect()[0]
+    assert r2["welch_t"] is None and r2["welch_df"] is None
