@@ -123,6 +123,7 @@ HEADLINE = [
     "soft_dedup",
     "ngram_novelty",
     "quantile_bucketize",
+    "ab_test",
 ]
 
 
