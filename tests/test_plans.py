@@ -81,6 +81,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "bm25",
         # 1-row exact-count frames crossed with the 1-row sketch estimate:
         "corpus_overlap", "cohens_kappa",
+        # 1-row per-side moment frames crossed for the Welch statistic:
+        "ab_test",
         # ungrouped grid_percentiles: 1-row GK-bracket/offset frames
         # broadcast onto the probe rows (no group key to hash-join on):
         "quantiles", "stats_moments", "kll_quantiles", "winsorize",
