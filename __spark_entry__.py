@@ -3484,6 +3484,24 @@ def q_ab_test(spark, sf_dir):
     )
 
 
+def q_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between the language mixes of two
+    source halves — integer micro-unit logs of the reduced integer
+    ratios 2·a·n_b/D, exact-rational final quotients, no rounding
+    site."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import js_divergence
+
+    docs = _conn(spark, sf_dir).table("documents")
+    first = [f"src{i}" for i in range(10)]
+    return js_divergence(
+        docs.where(F.col("source").isin(first)),
+        docs.where(~F.col("source").isin(first)),
+        "lang",
+    )
+
+
 def q_mutual_information(spark, sf_dir):
     """Mutual information between document language and source (the
     'is lang independent of source' corpus diagnostic): all entropies in
@@ -3682,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "quantile_bucketize": q_quantile_bucketize,
         "ab_test": q_ab_test,
+        "js_divergence": q_js_divergence,
         "l_diversity": q_l_diversity,
         "trimmed_mean": q_trimmed_mean,
         "calibration_bins": q_calibration_bins,

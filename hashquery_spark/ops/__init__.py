@@ -101,6 +101,7 @@ from .profile import (
     chi_square_drift,
     distribution_drift,
     histogram,
+    js_divergence,
     profile_table,
     quantile_bucketize,
     zscore_outliers,
@@ -226,6 +227,7 @@ __all__ = [
     "standardize",
     "chi_square_drift",
     "distribution_drift",
+    "js_divergence",
     "script_profile",
     "dedup_keep_best",
     "connected_components",

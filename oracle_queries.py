@@ -3369,6 +3369,42 @@ FROM g
 """
 
 
+ORACLE_SQL["js_divergence"] = """
+WITH u AS (
+  SELECT CAST(lang AS VARCHAR) AS v,
+         CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4', 'src5', 'src6', 'src7', 'src8', 'src9') THEN 1 ELSE 0 END AS sa,
+         CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4', 'src5', 'src6', 'src7', 'src8', 'src9') THEN 0 ELSE 1 END AS sb
+  FROM documents WHERE lang IS NOT NULL
+),
+counts AS (
+  SELECT v, CAST(sum(sa) AS BIGINT) AS a, CAST(sum(sb) AS BIGINT) AS b
+  FROM u GROUP BY 1
+),
+tot AS (
+  SELECT a, b, sum(a) OVER () AS na, sum(b) OVER () AS nb FROM counts
+),
+terms AS (
+  SELECT na, nb,
+    CASE WHEN a > 0 THEN CAST(a AS HUGEINT) *
+      (CAST(floor(ln(CAST(2 * a * nb AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       - CAST(floor(ln(CAST(a * nb + b * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+    END AS ta,
+    CASE WHEN b > 0 THEN CAST(b AS HUGEINT) *
+      (CAST(floor(ln(CAST(2 * b * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       - CAST(floor(ln(CAST(a * nb + b * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+    END AS tb
+  FROM tot
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_categories,
+       (CAST(COALESCE(sum(ta), 0) AS DOUBLE) / CAST(max(na) AS DOUBLE)
+        + CAST(COALESCE(sum(tb), 0) AS DOUBLE) / CAST(max(nb) AS DOUBLE))
+         / 2000000.0 AS jsd
+FROM terms
+"""
+
+
 ORACLE_SQL["ab_test"] = f"""
 WITH sa AS (
   SELECT CAST(count(*) AS BIGINT) AS n_a,

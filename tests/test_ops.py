@@ -2673,3 +2673,43 @@ def test_ab_test_report_vs_python_welch(spark):
     tiny = spark.createDataFrame([(1.0,)], "value double")
     r2 = ab_test_report(tiny, dfb, "value").collect()[0]
     assert r2["welch_t"] is None and r2["welch_df"] is None
+
+
+def test_js_divergence_known_cases(spark):
+    """Identical distributions -> ~0; disjoint supports -> ~ln 2;
+    a hand case matches the micro-unit Python replica exactly."""
+    import math
+
+    from hashquery_spark.ops import js_divergence
+
+    def jsd_ref(ca, cb):
+        L = lambda x: math.floor(math.log(x) * 1e6 + 0.5)  # noqa: E731
+        na, nb = sum(ca.values()), sum(cb.values())
+        sa = sb = 0
+        for k in set(ca) | set(cb):
+            a, b = ca.get(k, 0), cb.get(k, 0)
+            d = a * nb + b * na
+            if a:
+                sa += a * (L(2 * a * nb) - L(d))
+            if b:
+                sb += b * (L(2 * b * na) - L(d))
+        return (sa / na + sb / nb) / 2e6
+
+    def run(rows_a, rows_b):
+        dfa = spark.createDataFrame([(x,) for x in rows_a], "lang string")
+        dfb = spark.createDataFrame([(x,) for x in rows_b], "lang string")
+        return js_divergence(dfa, dfb, "lang").collect()[0]
+
+    from collections import Counter
+
+    a = ["en"] * 6 + ["fr"] * 3 + ["de"]
+    b = ["en"] * 2 + ["fr"] * 5 + ["zh"] * 3
+    r = run(a, b)
+    assert r["jsd"] == jsd_ref(Counter(a), Counter(b))
+    assert 0.0 < r["jsd"] < math.log(2)
+
+    same = run(a, list(a))
+    assert abs(same["jsd"]) < 5e-6  # micro-grid jitter around 0
+
+    disj = run(["en"] * 5, ["zh"] * 7)
+    assert abs(disj["jsd"] - math.log(2)) < 5e-6
