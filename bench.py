@@ -124,6 +124,7 @@ HEADLINE = [
     "ngram_novelty",
     "quantile_bucketize",
     "ab_test",
+    "js_divergence",
 ]
 
 
