@@ -2810,7 +2810,7 @@ def q_dp_count(spark, sf_dir):
     from hashquery_spark.ops import dp_count
 
     cust = _conn(spark, sf_dir).table("customer")
-    return dp_count(cust, ["c_mktsegment"], epsilon=0.5)
+    return dp_count(cust, ["c_mktsegment"], epsilon=0.5, seed="dp")
 
 
 def q_bpe_merges(spark, sf_dir):
@@ -3404,7 +3404,8 @@ def q_dp_sum(spark, sf_dir):
 
     orders = _conn(spark, sf_dir).table("orders")
     return dp_sum(
-        orders, "o_totalprice", ["o_orderstatus"], clip=100000.0, epsilon=0.5
+        orders, "o_totalprice", ["o_orderstatus"], clip=100000.0,
+        epsilon=0.5, seed="dpsum"
     ).orderBy("o_orderstatus")
 
 

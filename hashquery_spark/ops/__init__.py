@@ -113,7 +113,12 @@ from .snapshot import dedup_against, dedup_against_fuzzy, snapshot_diff
 
 from .preference import bradley_terry, bradley_terry_oracle_sql
 from .pii import PII_PATTERNS, pii_redact, pii_stats
-from .tokenizer import unigram_apply, unigram_pieces_df, unigram_train
+from .tokenizer import (
+    unigram_apply,
+    unigram_pieces_df,
+    unigram_train,
+    unigram_train_from_words,
+)
 from .evaluation import (
     ab_test_report,
     binary_auc,
@@ -263,6 +268,7 @@ __all__ = [
     "unigram_apply",
     "unigram_pieces_df",
     "unigram_train",
+    "unigram_train_from_words",
     "pii_stats",
     "rouge_l",
     "translation_metrics",

@@ -73,12 +73,15 @@ def binary_auc(
     c = F.col("__p__") + F.col("__q__")
     two_rank = 2 * F.col("__cum__") - c + 1
     # DECIMAL(38,0) accumulators: 2R is O(n²) — int64 overflows past
-    # ~2e9 rows, a 100 TB corpus is 1000x that. DECIMAL→DOUBLE casts are
-    # correctly rounded in both engines, so the final fround still agrees.
+    # ~2e9 rows, a 100 TB corpus is 1000x that. The CAST must sit on an
+    # OPERAND, not the product: p·two_rank computed in LONG first would
+    # overflow at exactly the scale the decimal protects against.
+    # DECIMAL→DOUBLE casts are correctly rounded in both engines, so the
+    # final fround still agrees.
     agg = hist.groupBy(*by).agg(
         F.sum("__p__").alias("n_pos"),
         F.sum("__q__").alias("n_neg"),
-        F.sum((F.col("__p__") * two_rank).cast("decimal(38,0)")).alias("__2R__"),
+        F.sum(F.col("__p__").cast("decimal(38,0)") * two_rank).alias("__2R__"),
     )
     np_d = F.col("n_pos").cast("decimal(19,0)")
     num = F.col("__2R__") - np_d * (np_d + 1)  # exact DECIMAL(38,0)
@@ -451,7 +454,10 @@ def cohens_kappa(
             ).alias("__sab__")
         )
     )
-    j = totals.join(prods, on=by) if by else totals.crossJoin(prods)
+    # LEFT join: a group where the raters use fully disjoint label sets
+    # produces no prods row at all — it must still report pe=0, kappa=po
+    # (the coalesce below), not vanish from the output.
+    j = totals.join(prods, on=by, how="left") if by else totals.crossJoin(prods)
     n_d = F.col("n").cast("decimal(38,0)")
     sab = F.coalesce(F.col("__sab__"), F.lit(0).cast("decimal(38,0)"))
     num = n_d * F.col("__agree__") - sab

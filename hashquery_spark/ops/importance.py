@@ -7,11 +7,13 @@ Method: hash unigrams into ``n_buckets`` features; estimate add-one-
 smoothed bucket distributions p (target) and q (corpus); a document's
 log importance weight is Σ_tokens ln(p[b]/q[b]). High = target-like.
 
-Scale design: the two bucket tables are ONE count aggregate each
-(bounded at n_buckets rows, map-side combined) joined into a single
-broadcast log-ratio table; the corpus then streams once through
-explode → broadcast-join → per-doc sum. Nothing driver-side, nothing
-quadratic, no UDF.
+Scale design: the corpus is scanned ONCE — per-(doc, bucket) counts
+are aggregated from a single explode pass and localCheckpointed; the
+global corpus bucket table is a sum over that frame (bounded at
+n_buckets rows), the target table is one count aggregate over the
+(small) target sample, and scoring is a broadcast log-ratio join back
+onto the same checkpointed frame. Nothing driver-side, nothing
+quadratic, no UDF, no second pass over the raw text.
 
 Determinism: ln(p/q) snaps to a 1e-4-grid BIGINT per BUCKET (the
 lm_score libm-ulp precedent), so per-doc sums are exact integers under
@@ -54,9 +56,20 @@ def dsir_weights(
     result to :func:`~hashquery_spark.ops.sampling.weighted_sample` (on
     ``exp(dsir_logw)`` clipped to taste) or a top-fraction filter to
     materialize the resampled training set."""
-    ct = _bucketed_tokens(corpus, text_col, None, n_buckets).groupBy("__b__").agg(
-        F.count(F.lit(1)).alias("__nq__")
+    # SINGLE corpus scan: per-(doc, bucket) token counts are built once
+    # and feed BOTH the global corpus bucket table (sum over docs) and
+    # the per-doc scoring join. The two consumers prune differently →
+    # structurally different subtrees → no ReusedExchange without a
+    # barrier (the dedup_against_fuzzy lesson), so the frame is
+    # localCheckpointed; before this the op tokenized + scanned the
+    # corpus twice — 2 full passes over the crawl at 100 TB.
+    db = (
+        _bucketed_tokens(corpus, text_col, id_col, n_buckets)
+        .groupBy(id_col, "__b__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .localCheckpoint(eager=True)
     )
+    ct = db.groupBy("__b__").agg(F.sum("__c__").alias("__nq__"))
     tt = _bucketed_tokens(target, text_col, None, n_buckets).groupBy("__b__").agg(
         F.count(F.lit(1)).alias("__np__")
     )
@@ -78,17 +91,22 @@ def dsir_weights(
     q = (F.col("__nq__") + 1).cast("double") / (
         F.sum("__nq__").over(everything) + F.lit(n_buckets)
     ).cast("double")
+    # floor form, not round(): a 1-ulp Spark-vs-DuckDB ln divergence
+    # exactly at a .5 grid boundary would flip a bare round (the
+    # mutual_information precedent); floor(x*1e4 + 0.5) is pure IEEE and
+    # bit-identical in both engines.
     ratios = spine.select(
         "__b__",
-        F.round(F.log(p / q) * F.lit(10000.0), 0).cast("long").alias("__lr__"),
+        F.floor(F.log(p / q) * F.lit(1e4) + F.lit(0.5)).cast("long").alias("__lr__"),
     )
+    # per-doc sums from the same checkpointed frame: Σ_tokens lr ==
+    # Σ_buckets c·lr exactly (integer arithmetic, partitioning-free)
     return (
-        _bucketed_tokens(corpus, text_col, id_col, n_buckets)
-        .join(F.broadcast(ratios), on="__b__")
+        db.join(F.broadcast(ratios), on="__b__")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("__lr__").alias("__s__"),
+            F.sum("__c__").alias("n_tokens"),
+            F.sum(F.col("__c__") * F.col("__lr__")).alias("__s__"),
         )
         .select(
             F.col(id_col),

@@ -850,7 +850,8 @@ def dp_count(
     df: DataFrame,
     group_cols,
     epsilon: float = 1.0,
-    seed: str = "dp",
+    *,
+    seed: str,
 ) -> DataFrame:
     """Per-group counts with seeded Laplace(1/epsilon) noise — the
     releasable-aggregate companion to :func:`k_anonymity`. Output:
@@ -861,10 +862,13 @@ def dp_count(
     inverse Laplace CDF (u uniform in (0,1) →
     ``-(1/ε)·sign(u-½)·ln(1-2|u-½|)``) — the repo's md5-not-RNG
     contract, so results are stable across runs/partitionings/engines and
-    oracle-checkable. NOTE: deterministic seeded noise gives the Laplace
-    MECHANISM's utility profile for testing/pipelines, but formal DP
-    requires fresh randomness per release and an epsilon budget — swap
-    the seed per release and account externally.
+    oracle-checkable. SECURITY: the release is EXACTLY INVERTIBLE by
+    anyone holding the seed (recompute the noise, subtract) — that is
+    why ``seed`` is REQUIRED with no default: treat it as a secret,
+    never publish it alongside the release, and rotate it per release.
+    Deterministic seeded noise gives the Laplace MECHANISM's utility
+    profile for testing/pipelines, but formal DP requires fresh secret
+    randomness per release and an external epsilon budget.
 
     Scale: one hash aggregate (map-side partials) + a narrow noise
     projection; never touches row data beyond the group keys.
@@ -1169,13 +1173,17 @@ def dp_sum(
     group_cols,
     clip: float,
     epsilon: float = 1.0,
-    seed: str = "dpsum",
+    *,
+    seed: str,
 ) -> DataFrame:
     """Per-group CLIPPED sums with seeded Laplace(clip/epsilon) noise —
     the bounded-sensitivity companion to :func:`dp_count` (values clamp
     to [0, clip], so one individual moves the sum by at most ``clip``).
     Output: group columns + ``sum_dp`` (4 dp); the true sum is not
-    emitted. Same md5-not-RNG contract and formal-DP caveat as dp_count.
+    emitted. Same md5-not-RNG contract, and the same SECURITY contract:
+    the release is exactly invertible by anyone holding the seed, so
+    ``seed`` is required with no default — keep it secret, rotate per
+    release (see :func:`dp_count`).
 
     Exactness: clipped values land on an integer CENT grid
     (``floor(v·100 + 0.5)``, DECIMAL(38,0) sums — order-independent),

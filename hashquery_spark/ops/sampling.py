@@ -371,9 +371,11 @@ def reservoir_sample(
     if k < 1:
         raise ValueError("k must be >= 1")
     u = uniform01(F.col(id_col), seed)
-    # u in [0, 2^32)/2^32; shift by +1/2^32 so u > 0 and ln is finite
+    # u in [0, 2^32)/2^32; shift by +1/2^32 so u > 0 and ln is finite.
+    # floor form, not round(): immune to a 1-ulp ln divergence landing
+    # exactly on the .5 grid boundary (mutual_information precedent).
     lnu_scaled = (
-        F.round(F.log((u * F.lit(_U32) + 1) / F.lit(_U32)) * F.lit(1e9), 0)
+        F.floor(F.log((u * F.lit(_U32) + 1) / F.lit(_U32)) * F.lit(1e9) + F.lit(0.5))
         .cast("long")
     )
     if weight_col is None:

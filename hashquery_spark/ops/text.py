@@ -327,9 +327,11 @@ def unigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     vocab = ex.groupBy("token").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
+    # floor form, not round(): immune to a 1-ulp ln divergence landing
+    # exactly on the .5 grid boundary (mutual_information precedent)
     logp = vocab.crossJoin(F.broadcast(total)).select(
         "token",
-        F.round(F.log(F.col("cnt") / F.col("total")) * 10000.0, 0)
+        F.floor(F.log(F.col("cnt") / F.col("total")) * F.lit(1e4) + F.lit(0.5))
         .cast("long")
         .alias("logp_scaled"),
     )

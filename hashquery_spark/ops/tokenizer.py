@@ -233,17 +233,19 @@ def bpe_apply(
 # --------------------------------------------------------------------------
 
 
-def _viterbi(word: str, logp: dict) -> Tuple[List[str], float]:
+def _viterbi(word: str, logp: dict, max_len: int = 16) -> Tuple[List[str], float]:
     """Best segmentation of ``word`` under piece log-probs (every single
     character is guaranteed in ``logp``, so a path always exists). Ties
     break toward FEWER pieces, then by the fixed split-point scan order
-    — fully deterministic."""
+    — fully deterministic. ``max_len`` bounds the split-point scan and
+    MUST be >= the longest piece in ``logp``, else long pieces silently
+    never match (callers pass the trained max_piece_len / vocab max)."""
     n = len(word)
     best = [(0.0, 0, "")] + [(float("-inf"), 0, "")] * n  # (score, nseg, tie)
     back = [None] * (n + 1)
     for i in range(1, n + 1):
         cand = None
-        for j in range(max(0, i - 16), i):
+        for j in range(max(0, i - max_len), i):
             piece = word[j:i]
             lp = logp.get(piece)
             if lp is None or best[j][0] == float("-inf"):
@@ -325,7 +327,7 @@ def unigram_train_from_words(
         for _ in range(em_iters):
             counts: dict = {}
             for w, c in words:
-                pieces, _ = _viterbi(w, logp)
+                pieces, _ = _viterbi(w, logp, max_piece_len)
                 for p in pieces:
                     counts[p] = counts.get(p, 0) + c
             tot = sum(counts.values())
@@ -384,6 +386,9 @@ def unigram_apply(
     from pyspark.sql.functions import pandas_udf
 
     logp = {p: lp for p, lp in pieces}
+    # scan bound derived from the TRAINED vocab, not a hardcoded 16 —
+    # pieces longer than the bound would silently never match
+    vocab_max_len = max((len(p) for p in logp), default=1)
 
     def segment_series(texts):
         import re
@@ -397,7 +402,7 @@ def unigram_apply(
                 missing = {ch for ch in w if ch not in lp}
                 for ch in missing:  # OOV chars: worst prob, keeps a path
                     lp[ch] = -1e9
-                got = _viterbi(w, lp)[0]
+                got = _viterbi(w, lp, vocab_max_len)[0]
                 memo[w] = got
             return got
 

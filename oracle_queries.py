@@ -2051,7 +2051,7 @@ rbuck AS (
         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
         logp AS (
           SELECT token,
-                 CAST(round(ln(cnt / total) * 10000.0, 0) AS BIGINT) AS lp
+                 CAST(floor(ln(cnt / total) * 1e4 + 5e-1) AS BIGINT) AS lp
           FROM vocab, tot
         )
         SELECT e.doc_id, count(*) AS n_tokens,
@@ -2894,7 +2894,7 @@ a AS (
   SELECT o_orderpriority,
          CAST(sum(p) AS BIGINT) AS n_pos,
          CAST(sum(q) AS BIGINT) AS n_neg,
-         sum(CAST(p * (2 * cum - (p + q) + 1) AS DECIMAL(38,0))) AS r2
+         sum(CAST(p AS DECIMAL(38,0)) * (2 * cum - (p + q) + 1)) AS r2
   FROM r GROUP BY 1
 )
 SELECT o_orderpriority, n_pos, n_neg,
@@ -2962,10 +2962,10 @@ spine AS (
 ),
 ratios AS (
   SELECT b,
-    CAST(round(ln(
+    CAST(floor(ln(
       (CAST(np + 1 AS DOUBLE) / CAST(sum(np) OVER () + 512 AS DOUBLE))
       / (CAST(nq + 1 AS DOUBLE) / CAST(sum(nq) OVER () + 512 AS DOUBLE))
-    ) * 10000.0, 0) AS BIGINT) AS lr
+    ) * 1e4 + 5e-1) AS BIGINT) AS lr
   FROM spine
 )
 SELECT cb.doc_id, count(*) AS n_tokens,
@@ -2977,10 +2977,10 @@ GROUP BY cb.doc_id
 ORACLE_SQL["reservoir_sample"] = """
 WITH t AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice,
-    CAST(round(ln(
+    CAST(floor(ln(
       (CAST('0x' || substr(md5('7:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
             AS BIGINT) + 1) / 4294967296.0
-    ) * 1e9, 0) AS BIGINT) AS lnu
+    ) * 1e9 + 5e-1) AS BIGINT) AS lnu
   FROM orders
   WHERE o_totalprice IS NOT NULL AND CAST(o_totalprice AS DOUBLE) > 0
 )

@@ -1608,19 +1608,25 @@ def test_dp_count_noise_properties(spark):
 
     rows = [(i, f"g{i % 5}") for i in range(1000)]
     df = spark.createDataFrame(rows, "id long, g string")
-    out1 = {r["g"]: r["n_dp"] for r in dp_count(df, "g", epsilon=1.0).collect()}
+    out1 = {r["g"]: r["n_dp"] for r in dp_count(df, "g", epsilon=1.0, seed="dp").collect()}
     out2 = {
         r["g"]: r["n_dp"]
-        for r in dp_count(df.repartition(7), "g", epsilon=1.0).collect()
+        for r in dp_count(df.repartition(7), "g", epsilon=1.0, seed="dp").collect()
     }
     assert out1 == out2 and set(out1) == {f"g{i}" for i in range(5)}
-    assert "n" not in dp_count(df, "g").columns  # true count withheld
+    assert "n" not in dp_count(df, "g", seed="dp").columns  # true count withheld
     for g, v in out1.items():
         assert abs(v - 200) < 30  # Laplace(1) tail at 5 groups
     out_seed = {
         r["g"]: r["n_dp"] for r in dp_count(df, "g", seed="other").collect()
     }
     assert out_seed != out1
+    # seed is REQUIRED (the release is invertible by a seed holder):
+    # no default means you can't publish noise derived from a known key
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        dp_count(df, "g")
 
 
 def test_compression_ratio_matches_python_reference(spark, sf_dir):
@@ -2047,6 +2053,23 @@ def test_unigram_apply_oov_chars(spark):
     assert r["tokens"] == ["z", "z", "9", "abc"]
 
 
+def test_unigram_long_pieces_beyond_16_chars(spark):
+    """max_piece_len > 16 actually works end-to-end: the Viterbi scan
+    bound follows the trained/applied vocab instead of a hardcoded 16
+    (round-4 advice fix — long pieces used to silently never match)."""
+    from hashquery_spark.ops import unigram_apply, unigram_train_from_words
+
+    long_word = "abcdefghijklmnopqrst"  # 20 chars
+    pieces = unigram_train_from_words(
+        [(long_word, 50), ("xy", 5)], vocab_size=30, max_piece_len=20, em_iters=2
+    )
+    vocab = {p for p, _ in pieces}
+    assert long_word in vocab  # the 20-char piece survives training
+    df = spark.createDataFrame([(1, long_word)], "id long, text string")
+    r = unigram_apply(df, "text", "id", pieces).collect()[0]
+    assert r["tokens"] == [long_word]  # and actually matches at apply
+
+
 def test_heavy_hitters_exact_when_tracked(spark):
     from hashquery_spark.ops import heavy_hitters
 
@@ -2130,6 +2153,21 @@ def test_cohens_kappa_known_values(spark):
     df2 = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
     r2 = cohens_kappa(df2, "a", "b").collect()[0]
     assert r2["kappa"] is None and r2["po"] == 1.0
+
+
+def test_cohens_kappa_grouped_disjoint_labels(spark):
+    """A group where the raters use fully DISJOINT label sets has no
+    marginal-product row — it must still appear (pe=0, kappa=po), not be
+    dropped by an inner join (round-4 advice fix)."""
+    from hashquery_spark.ops import cohens_kappa
+
+    rows = [("g1", "y", "y"), ("g1", "y", "n"), ("g2", "a", "b"), ("g2", "c", "d")]
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    out = {r["g"]: r for r in cohens_kappa(df, "a", "b", by="g").collect()}
+    assert set(out) == {"g1", "g2"}
+    # g2: disjoint labels -> sab=0 -> pe=0, po=0, kappa=po=0
+    assert out["g2"]["pe"] == 0.0 and out["g2"]["po"] == 0.0
+    assert out["g2"]["kappa"] == 0.0
 
 
 def test_fleiss_kappa_published_fixture(spark):
@@ -2505,8 +2543,8 @@ def test_dp_sum_deterministic_and_clipped(spark):
     df = spark.createDataFrame(
         [("g", 10.0), ("g", 20.0), ("g", 999.0)], ["grp", "v"]
     )
-    a = dp_sum(df, "v", ["grp"], clip=100.0, epsilon=1.0).collect()[0]
-    b = dp_sum(df, "v", ["grp"], clip=100.0, epsilon=1.0).collect()[0]
+    a = dp_sum(df, "v", ["grp"], clip=100.0, epsilon=1.0, seed="dpsum").collect()[0]
+    b = dp_sum(df, "v", ["grp"], clip=100.0, epsilon=1.0, seed="dpsum").collect()[0]
     assert a["sum_dp"] == b["sum_dp"]  # md5-seeded, run-stable
     # true clipped sum = 10 + 20 + 100 = 130; Laplace(100) noise is
     # unbounded but the deterministic draw for this key is small enough
@@ -2516,7 +2554,7 @@ def test_dp_sum_deterministic_and_clipped(spark):
     df2 = spark.createDataFrame(
         [("g", 10.0), ("g", 20.0), ("g", 2000.0)], ["grp", "v"]
     )
-    c = dp_sum(df2, "v", ["grp"], clip=100.0, epsilon=1.0).collect()[0]
+    c = dp_sum(df2, "v", ["grp"], clip=100.0, epsilon=1.0, seed="dpsum").collect()[0]
     assert c["sum_dp"] == a["sum_dp"]
 
 

