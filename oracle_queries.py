@@ -3334,7 +3334,14 @@ cands AS (
   WHERE a.doc_id < c.doc_id
 ),
 sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
-ex AS (SELECT doc_id, unnest(s) AS shingle FROM sets),
+ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sets),
+-- mirror the op's max_shingle_df=1000 truth-index cap (no-op at 500 docs)
+ex AS (
+  SELECT * FROM ex0 WHERE shingle NOT IN (
+    SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 1000
+  )
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ex GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
   FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
@@ -3343,9 +3350,9 @@ inter AS (
 truth AS (
   SELECT id_a, id_b
   FROM inter
-  JOIN sets sa ON sa.doc_id = inter.id_a
-  JOIN sets sb ON sb.doc_id = inter.id_b
-  WHERE {_round4_ratio_sql('i', 'len(sa.s) + len(sb.s) - i')} >= 0.5
+  JOIN sizes sa ON sa.doc_id = inter.id_a
+  JOIN sizes sb ON sb.doc_id = inter.id_b
+  WHERE {_round4_ratio_sql('i', 'sa.sz + sb.sz - i')} >= 0.5
 ),
 matched AS (
   SELECT t.id_a IS NOT NULL AS is_t, c.id_a IS NOT NULL AS is_c

@@ -1993,6 +1993,25 @@ def test_bradley_terry_dominant_player_and_partition_independence(spark):
     assert 0.999 <= total <= 1.0
 
 
+def test_bradley_terry_player_cardinality_guard(spark):
+    """k over max_players raises CLEANLY before the driver collect —
+    the O(k^2*iters) MM loop must never silently inherit a runaway key
+    like a user id (round-4 verdict item). At or under the bound the
+    result is unchanged."""
+    import pytest as _pytest
+
+    from hashquery_spark.ops import bradley_terry
+
+    big = spark.range(500).selectExpr(
+        "concat('u', id) AS w", "concat('u', (id + 1) % 500) AS l"
+    )
+    with _pytest.raises(ValueError, match="max_players"):
+        bradley_terry(big, "w", "l", max_players=100)
+    # exactly at the bound: runs fine
+    out = bradley_terry(big, "w", "l", iters=2, max_players=500).collect()
+    assert len(out) == 500
+
+
 def test_pii_stats_and_redact_semantics(spark):
     from hashquery_spark.ops import pii_redact, pii_stats
 
