@@ -26,12 +26,21 @@ DECODED_SCHEMA = (
 
 
 def decode_image(payload: bytes):
-    """The real codec hook. STUB: no image libraries in this container
-    (would be e.g. PIL.Image.open(io.BytesIO(payload)))."""
+    """The real codec hook: ``payload -> (width, height)``. STUB: no
+    image libraries in this container (a real deployment replaces this
+    with e.g. ``PIL.Image.open(io.BytesIO(payload)).size``); while the
+    stub is in place :func:`decode_blob_metadata` emits deterministic
+    fake features instead. The drop-in contract — swap this one function
+    (or pass ``codec=``) and the metadata columns carry real dimensions
+    through the same schema/batching — is pinned end-to-end by
+    tests/test_ops.py::test_multimodal_codec_drop_in_contract."""
     raise NotImplementedError(
         "image decoding requires an image library not present in this "
         "environment; decode_blob_metadata uses deterministic fake features"
     )
+
+
+decode_image.__is_stub__ = True  # cleared by any real replacement
 
 
 def with_binary_column(df: DataFrame, text_col: str, out_col: str = "payload") -> DataFrame:
@@ -41,13 +50,22 @@ def with_binary_column(df: DataFrame, text_col: str, out_col: str = "payload") -
 
 
 def decode_blob_metadata(
-    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id", codec=None
 ) -> DataFrame:
     """Extract typed metadata from an opaque binary column via Arrow-batched
     mapInPandas. Output schema: (doc_id, n_bytes, head_hex, fake_width,
-    fake_height). The "decode" is a deterministic fake (byte-length
-    arithmetic) so results are oracle-checkable; swap :func:`decode_image`
-    in for real features."""
+    fake_height) — STABLE whether the decode is real or fake.
+
+    ``codec`` (or a real :func:`decode_image` replacement — the stub is
+    marked ``__is_stub__`` and skipped) is ``payload -> (width, height)``;
+    when active, the ``fake_width``/``fake_height`` columns carry the
+    codec's real dimensions through the identical schema and Arrow batch
+    shape. With the stub in place the "decode" is a deterministic fake
+    (byte-length arithmetic) so results stay oracle-checkable. The
+    drop-in contract is pinned by
+    tests/test_ops.py::test_multimodal_codec_drop_in_contract."""
+    if codec is None and not getattr(decode_image, "__is_stub__", False):
+        codec = decode_image  # a real replacement was installed
     src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("__blob__"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -57,14 +75,21 @@ def decode_blob_metadata(
             head_hex = blobs.map(
                 lambda b: b[:4].hex().upper() if b is not None else ""
             )
+            if codec is not None:
+                dims = blobs.map(lambda b: codec(b) if b is not None else (0, 0))
+                width = dims.map(lambda d: d[0])
+                height = dims.map(lambda d: d[1])
+            else:
+                # deterministic fake decode (stubbed decode_image)
+                width = n_bytes % 640
+                height = n_bytes % 480
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes.astype("int32"),
-                    # deterministic fake decode: a real impl calls decode_image
                     "head_hex": head_hex,
-                    "fake_width": (n_bytes % 640).astype("int32"),
-                    "fake_height": (n_bytes % 480).astype("int32"),
+                    "fake_width": width.astype("int32"),
+                    "fake_height": height.astype("int32"),
                 }
             )
 

@@ -130,18 +130,88 @@ def compare_frames(spark_pdf, duck_pdf) -> Dict[str, Any]:
     return res
 
 
+def compare_frames_tolerant(spark_pdf, twin_pdf, atol: float) -> Dict[str, Any]:
+    """Twin gate with a declared float tolerance: rows align on the
+    non-float columns (exact canon), floats compare by |Δ| <= atol —
+    for the documented engine-float twins (Java Math.exp vs C libm
+    class) where the exact repr canon would be flaky by construction."""
+    res: Dict[str, Any] = {
+        "spark_rows": len(spark_pdf),
+        "oracle_rows": len(twin_pdf),
+        "rows_match": len(spark_pdf) == len(twin_pdf),
+        "schema_match": sorted(spark_pdf.columns) == sorted(twin_pdf.columns),
+    }
+    if not (res["schema_match"] and res["rows_match"]):
+        res.update(hash_match=False, dtype_kinds=[], first_mismatches=[], ok=False)
+        return res
+    res["dtype_kinds"] = dtype_kinds_ok(spark_pdf, twin_pdf)
+    cols = sorted(spark_pdf.columns)
+    float_cols = {
+        c for c in cols
+        if spark_pdf[c].dtype.kind == "f" or twin_pdf[c].dtype.kind == "f"
+    }
+    key_cols = [c for c in cols if c not in float_cols]
+
+    def keyed(pdf):
+        cells = pdf_cells(pdf[cols])
+        idx = {c: i for i, c in enumerate(cols)}
+        return sorted(
+            cells, key=lambda r: tuple(canon_value(r[idx[c]]) for c in key_cols)
+        )
+
+    sc, tc = keyed(spark_pdf), keyed(twin_pdf)
+    mismatches = []
+    for a, b in zip(sc, tc):
+        for i, c in enumerate(cols):
+            if c in float_cols:
+                va, vb = a[i], b[i]
+                na = va is None or (isinstance(va, float) and math.isnan(va))
+                nb = vb is None or (isinstance(vb, float) and math.isnan(vb))
+                if na != nb or (not na and abs(va - vb) > atol):
+                    mismatches.append((c, va, vb))
+            elif canon_value(a[i]) != canon_value(b[i]):
+                mismatches.append((c, a[i], b[i]))
+    res["hash_match"] = not mismatches
+    res["first_mismatches"] = mismatches[:3]
+    res["ok"] = res["hash_match"] and not res["dtype_kinds"]
+    return res
+
+
 def audit_query(spark, sf_dir: str, name: str, queries=None, oracles=None,
                 con=None) -> Dict[str, Any]:
     """Run one queries() entry through the driver gate at ``sf_dir``.
-    Rows-only entries (no oracle) report row count and ``paired=False``."""
+    Rows-only entries check against their python-reference twin
+    (py_twins.PY_TWINS) when one exists — "rows-only" never means
+    "runs but unchecked"; entries with neither report ``paired=False,
+    twinned=False``."""
     import __spark_entry__ as entry_mod
 
     queries = queries or entry_mod.queries()
     oracles = oracles or entry_mod.oracle_sql()
     spark_pdf = queries[name](spark, sf_dir).toPandas()
     if name not in oracles:
+        from .py_twins import PY_TWINS
+
+        if name in PY_TWINS:
+            fn, opts = PY_TWINS[name]
+            con = con or duck_connection(sf_dir)
+            twin_pdf = fn(con)
+            drop = [c for c in opts.get("drop_cols", ())]
+            sp = spark_pdf.drop(columns=[c for c in drop if c in spark_pdf.columns])
+            tw = twin_pdf.drop(columns=[c for c in drop if c in twin_pdf.columns])
+            atol = opts.get("float_atol")
+            res = (
+                compare_frames(sp, tw)
+                if atol is None
+                else compare_frames_tolerant(sp, tw, atol)
+            )
+            res["paired"] = False
+            res["twinned"] = True
+            res["nonempty"] = len(spark_pdf) > 0 and len(twin_pdf) > 0
+            return res
         return {
             "paired": False,
+            "twinned": False,
             "spark_rows": len(spark_pdf),
             "nonempty": len(spark_pdf) > 0,
             "ok": True,

