@@ -2884,6 +2884,34 @@ def q_binary_auc(spark, sf_dir):
     return binary_auc(labelled, "o_totalprice", "is_f", by="o_orderpriority")
 
 
+def q_average_precision(spark, sf_dir):
+    """Average precision (PR-AUC, sklearn step-wise blocks) of order
+    totals predicting finished status per priority band — histogram-
+    reduced like binary_auc; per-block integer ratios snapped to a 1e-9
+    grid through correctly-rounded DECIMAL→DOUBLE casts, so group sums
+    are partition-order-exact."""
+    from hashquery_spark.ops import average_precision
+    from pyspark.sql import functions as F
+
+    orders = _conn(spark, sf_dir).table("orders")
+    labelled = orders.withColumn("is_f", F.col("o_orderstatus") == "F")
+    return average_precision(
+        labelled, "o_totalprice", "is_f", by="o_orderpriority"
+    )
+
+
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation (tie-averaged ranks, exact DECIMAL
+    Pearson-on-ranks) between quantity and extended price per return
+    flag — histogram-ranked, rows never sort globally."""
+    from hashquery_spark.ops import spearman_corr
+
+    li = _conn(spark, sf_dir).table("lineitem")
+    return spearman_corr(
+        li, "l_quantity", "l_extendedprice", by="l_returnflag"
+    ).orderBy("l_returnflag")
+
+
 def q_calibration_bins(spark, sf_dir):
     """Reliability-diagram bins + ECE of the text quality score against
     an 'is English' label — the calibration check a quality-classifier
@@ -3514,6 +3542,16 @@ def q_mutual_information(spark, sf_dir):
     return mutual_information(docs, "lang", "source")
 
 
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V association between document language and source —
+    chi² via the collapsed observed-cells identity over ONE bounded
+    pair-count table, per-cell integer ratios snapped to a 1e-9 grid."""
+    from hashquery_spark.ops import cramers_v
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return cramers_v(docs, "lang", "source")
+
+
 def q_l_diversity(spark, sf_dir):
     """l-diversity violations (Machanavajjhala et al.): customers whose
     order-status 'sensitive attribute' has < 3 distinct values (the
@@ -3672,6 +3710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "validity_join": q_validity_join,
         "binary_auc": q_binary_auc,
+        "average_precision": q_average_precision,
+        "spearman": q_spearman,
         "sketch_rollup": q_sketch_rollup,
         "corpus_overlap": q_corpus_overlap,
         "kll_quantiles": q_kll_quantiles,
@@ -3685,6 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "fleiss_kappa": q_fleiss_kappa,
         "mutual_information": q_mutual_information,
+        "cramers_v": q_cramers_v,
         "ks_test": q_ks_test,
         "embedding_quantize": q_embedding_quantize,
         "bloom_contamination": q_bloom_contamination,

@@ -104,6 +104,79 @@ def binary_auc(
     )
 
 
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by=None,
+) -> DataFrame:
+    """Average precision (the PR-AUC summary, sklearn's step-wise
+    definition) of ``score_col`` against binary ``label_col``, optionally
+    per ``by`` group — the class-imbalance-robust companion to
+    :func:`binary_auc`. Output: group cols + ``n_pos, n_neg,
+    average_precision`` (NULL when no positives).
+
+    Definition: thresholds at DISTINCT scores descending;
+    AP = Σ_blocks (ΔTP/n_pos)·P_block with P = TP/(TP+FP) at the block —
+    exactly sklearn's ``average_precision_score`` (which also operates
+    on distinct-score blocks, so tie handling matches).
+
+    Scale/exactness: the corpus reduces to a (score)→(n_pos, n_neg)
+    histogram first (map-side combined, the binary_auc shape), one
+    descending running-sum window over histogram rows builds TP/FP, and
+    each block's term ΔTP·TP/(n_pos·(TP+FP)) — an exact integer ratio
+    in DECIMAL(38) (int64-unsafe past ~2e9 rows) — is snapped to a 1e-9
+    BIGINT grid via correctly-rounded casts + identical IEEE ops, so
+    per-group sums are partition-order-exact and the oracle matches
+    bit-for-bit.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    s, lab = F.col(score_col), F.col(label_col)
+    pos = F.when(lab.cast("boolean"), 1).otherwise(0)
+    hist = (
+        df.where(s.isNotNull() & lab.isNotNull())
+        .groupBy(*by, s.alias("__s__"))
+        .agg(
+            F.sum(pos).cast("long").alias("__p__"),
+            F.sum(1 - pos).cast("long").alias("__q__"),
+        )
+    )
+    w_desc = (
+        Window.partitionBy(*by)
+        .orderBy(F.desc("__s__"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    hist = hist.select(
+        *by,
+        "__p__",
+        "__q__",
+        F.sum("__p__").over(w_desc).alias("__tp__"),
+        F.sum(F.col("__p__") + F.col("__q__")).over(w_desc).alias("__cum__"),
+        F.sum("__p__").over(w_all).alias("__npos__"),
+    )
+    num = F.col("__p__").cast("decimal(38,0)") * F.col("__tp__")
+    den = F.col("__npos__").cast("decimal(38,0)") * F.col("__cum__")
+    term = F.floor(
+        num.cast("double") / den.cast("double") * F.lit(1e9)
+    ).cast("long")
+    agg = hist.groupBy(*by).agg(
+        F.max("__npos__").alias("n_pos"),
+        F.sum("__q__").alias("n_neg"),
+        F.sum(F.when(F.col("__p__") > 0, term).otherwise(F.lit(0))).alias("__ap__"),
+    )
+    return agg.select(
+        *by,
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.col("n_pos") > 0, F.col("__ap__") / F.lit(1e9)
+        ).alias("average_precision"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

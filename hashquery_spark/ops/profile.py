@@ -968,6 +968,146 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     )
 
 
+def cramers_v(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Cramér's V association strength between two categorical columns —
+    the [0,1]-normalized companion to :func:`mutual_information` (V=0
+    independent, V=1 one column determines the other). Output (one row):
+    ``n, n_x, n_y, chi2, cramers_v`` (NULL V when either column is
+    constant).
+
+    Identity: over OBSERVED cells only, χ² = Σ o²·n/(r_x·c_y) − n (the
+    chi_square_drift collapse — zero cells contribute exactly the
+    subtracted mass), V = sqrt(χ² / (n·min(n_x−1, n_y−1))).
+
+    Scale/exactness: one groupBy(x,y) pair-count table (bounded by
+    category-pair cardinality, map-side combined); marginals come from
+    two windows over that bounded table, never the rows. Per-cell terms
+    o²n/(r·c) are exact integer ratios in DECIMAL(38) snapped to a 1e-9
+    BIGINT grid via correctly-rounded casts + identical IEEE ops
+    (the average_precision pattern), so the sum is partition-order-exact
+    and the oracle matches bit-for-bit.
+    """
+    x, y = F.col(col_x), F.col(col_y)
+    pairs = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(
+            x.cast("string").alias("__x__"), y.cast("string").alias("__y__")
+        )
+        .agg(F.count(F.lit(1)).alias("__o__"))
+    )
+    wx = Window.partitionBy("__x__")
+    wy = Window.partitionBy("__y__")
+    everything = Window.partitionBy()
+    cells = pairs.select(
+        "__o__",
+        F.sum("__o__").over(wx).alias("__rx__"),
+        F.sum("__o__").over(wy).alias("__cy__"),
+        F.sum("__o__").over(everything).alias("__n__"),
+    )
+    d38 = "decimal(38,0)"
+    num = F.col("__o__").cast(d38) * F.col("__o__") * F.col("__n__")
+    den = F.col("__rx__").cast(d38) * F.col("__cy__")
+    term = F.floor(num.cast("double") / den.cast("double") * F.lit(1e9)).cast(
+        "long"
+    )
+    # distinct category counts come from the pair table, not the rows
+    dims = pairs.agg(
+        F.countDistinct("__x__").alias("n_x"),
+        F.countDistinct("__y__").alias("n_y"),
+    )
+    # the term SUM is ~(χ²+n)·1e9 ≤ n·min(r,c)·1e9 — int64-unsafe, so it
+    # accumulates in DECIMAL(38) (the binary_auc precedent)
+    g = cells.agg(
+        F.max("__n__").alias("n"), F.sum(term.cast(d38)).alias("__t__")
+    ).crossJoin(F.broadcast(dims))
+    chi2 = (
+        F.col("__t__") - F.col("n").cast(d38) * F.lit(1000000000)
+    ).cast("double") / F.lit(1e9)
+    k = F.least(F.col("n_x") - 1, F.col("n_y") - 1)
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        "n_x",
+        "n_y",
+        fround(chi2, 6).alias("chi2"),
+        F.when(
+            k > 0,
+            fround(F.sqrt(chi2 / (F.col("n") * k).cast("double")), 6),
+        ).alias("cramers_v"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame, col_x: str, col_y: str, by=None
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns, optionally
+    per ``by`` group — the monotone-association companion to Pearson
+    ``func.corr`` (robust to outliers and nonlinear-but-monotone
+    relationships; the standard "does quality score track human rating"
+    statistic). Output: group cols + ``n, spearman_rho`` (NULL when
+    either column is constant). Ties get AVERAGE ranks (the textbook
+    tie-corrected rho = Pearson over average ranks — NOT the 6Σd²
+    shortcut, which is tie-wrong).
+
+    Scale/exactness: each column reduces to a value histogram (map-side
+    combined, bounded by value-grid cardinality), a running-count window
+    over histogram rows assigns tie-averaged 2× ranks (exact integers,
+    the binary_auc doubling), and rows join their rank by value — rows
+    never sort globally. All Pearson sums over 2×-ranks are exact
+    DECIMAL(38) integers (Σr² ~ 4n³: int64-unsafe past ~1.6e6 rows);
+    the final rho divides the exact integer numerator by
+    sqrt(A)·sqrt(B) computed in fixed-order IEEE doubles from
+    correctly-rounded DECIMAL→DOUBLE casts — identical both engines —
+    and frounds to 6 dp.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    x, y = F.col(col_x), F.col(col_y)
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        *by, x.cast("double").alias("__x__"), y.cast("double").alias("__y__")
+    )
+
+    def ranks(col_name, rank_name):
+        hist = base.groupBy(*by, F.col(col_name)).agg(
+            F.count(F.lit(1)).alias("__c__")
+        )
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(col_name)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum("__c__").over(w)
+        # tie run of c rows ending at cum: doubled average rank
+        return hist.select(
+            *by,
+            col_name,
+            (2 * cum - F.col("__c__") + 1).alias(rank_name),
+        )
+
+    rx = ranks("__x__", "__rx__")
+    ry = ranks("__y__", "__ry__")
+    ranked = base.join(rx, on=by + ["__x__"]).join(ry, on=by + ["__y__"])
+    d38 = "decimal(38,0)"
+    agg = ranked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__rx__").cast(d38)).alias("__sx__"),
+        F.sum(F.col("__ry__").cast(d38)).alias("__sy__"),
+        F.sum(F.col("__rx__").cast(d38) * F.col("__ry__")).alias("__sxy__"),
+        F.sum(F.col("__rx__").cast(d38) * F.col("__rx__")).alias("__sxx__"),
+        F.sum(F.col("__ry__").cast(d38) * F.col("__ry__")).alias("__syy__"),
+    )
+    n_d = F.col("n").cast(d38)
+    num = n_d * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")
+    a = n_d * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    b = n_d * F.col("__syy__") - F.col("__sy__") * F.col("__sy__")
+    den = F.sqrt(a.cast("double")) * F.sqrt(b.cast("double"))
+    return agg.select(
+        *by,
+        "n",
+        F.when(
+            (a > 0) & (b > 0), fround(num.cast("double") / den, 6)
+        ).alias("spearman_rho"),
+    )
+
+
 def ks_test(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov statistic between the
     ``col`` distributions of two frames — the nonparametric companion to

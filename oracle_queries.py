@@ -2907,6 +2907,127 @@ SELECT o_orderpriority, n_pos, n_neg,
 FROM a
 """
 
+ORACLE_SQL["average_precision"] = """
+WITH h AS (
+  SELECT o_orderpriority, o_totalprice AS s,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS p,
+         count(*) FILTER (WHERE o_orderstatus <> 'F') AS q
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT o_orderpriority, p, q,
+         sum(p) OVER (PARTITION BY o_orderpriority ORDER BY s DESC
+                      ROWS UNBOUNDED PRECEDING) AS tp,
+         sum(p + q) OVER (PARTITION BY o_orderpriority ORDER BY s DESC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(p) OVER (PARTITION BY o_orderpriority) AS npos
+  FROM h
+),
+t AS (
+  SELECT o_orderpriority, q, npos,
+    CASE WHEN p > 0 THEN
+      CAST(floor(CAST(CAST(p AS HUGEINT) * tp AS DOUBLE)
+                 / CAST(CAST(npos AS HUGEINT) * cum AS DOUBLE) * 1e9)
+           AS BIGINT)
+    ELSE 0 END AS term
+  FROM r
+)
+SELECT o_orderpriority,
+       CAST(max(npos) AS BIGINT) AS n_pos,
+       CAST(sum(q) AS BIGINT) AS n_neg,
+       CASE WHEN max(npos) > 0
+            THEN CAST(sum(term) AS DOUBLE) / 1e9 END AS average_precision
+FROM t GROUP BY 1
+"""
+
+
+ORACLE_SQL["spearman"] = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+hx AS (SELECT l_returnflag, x, count(*) AS c FROM base GROUP BY 1, 2),
+rx AS (
+  SELECT l_returnflag, x,
+         2 * sum(c) OVER (PARTITION BY l_returnflag ORDER BY x
+                          ROWS UNBOUNDED PRECEDING) - c + 1 AS rx2
+  FROM hx
+),
+hy AS (SELECT l_returnflag, y, count(*) AS c FROM base GROUP BY 1, 2),
+ry AS (
+  SELECT l_returnflag, y,
+         2 * sum(c) OVER (PARTITION BY l_returnflag ORDER BY y
+                          ROWS UNBOUNDED PRECEDING) - c + 1 AS ry2
+  FROM hy
+),
+ranked AS (
+  SELECT b.l_returnflag, rx2, ry2
+  FROM base b
+  JOIN rx USING (l_returnflag, x)
+  JOIN ry USING (l_returnflag, y)
+),
+a AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(rx2 AS HUGEINT)) AS sx,
+         sum(CAST(ry2 AS HUGEINT)) AS sy,
+         sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy,
+         sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+         sum(CAST(ry2 AS HUGEINT) * ry2) AS syy
+  FROM ranked GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+        AND CAST(n AS HUGEINT) * syy - sy * sy > 0 THEN
+    floor(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)))
+          * 1e6 + 5e-1) / 1e6
+  END AS spearman_rho
+FROM a ORDER BY l_returnflag
+"""
+
+
+ORACLE_SQL["cramers_v"] = """
+WITH pairs AS (
+  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y,
+         CAST(count(*) AS BIGINT) AS o
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT o,
+         sum(o) OVER (PARTITION BY x) AS rx,
+         sum(o) OVER (PARTITION BY y) AS cy,
+         sum(o) OVER () AS n
+  FROM pairs
+),
+dims AS (
+  SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_x,
+         CAST(count(DISTINCT y) AS BIGINT) AS n_y
+  FROM pairs
+),
+t AS (
+  SELECT max(n) AS n,
+    sum(CAST(CAST(floor(CAST(CAST(o AS HUGEINT) * o * n AS DOUBLE)
+                        / CAST(CAST(rx AS HUGEINT) * cy AS DOUBLE) * 1e9)
+                  AS BIGINT) AS HUGEINT)) AS ts
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n, n_x, n_y,
+  floor(CAST(ts - CAST(n AS HUGEINT) * 1000000000 AS DOUBLE) / 1e9 * 1e6 + 5e-1)
+    / 1e6 AS chi2,
+  CASE WHEN least(n_x - 1, n_y - 1) > 0 THEN
+    floor(sqrt((CAST(ts - CAST(n AS HUGEINT) * 1000000000 AS DOUBLE) / 1e9)
+               / CAST(n * least(n_x - 1, n_y - 1) AS DOUBLE)) * 1e6 + 5e-1) / 1e6
+  END AS cramers_v
+FROM t, dims
+"""
+
+
 ORACLE_SQL["calibration_bins"] = f"""
 WITH Q AS ({QUALITY_SQL}),
 scored AS (

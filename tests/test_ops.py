@@ -2179,6 +2179,129 @@ def test_embedding_pca_matches_numpy(spark):
     assert comps == comps2 and lams == lams2
 
 
+def test_cramers_v_known_values(spark):
+    """Hand-computed 2x2 table + the degenerate cases (perfect
+    association -> 1, independence -> 0, constant column -> NULL)."""
+    import math
+
+    from hashquery_spark.ops import cramers_v
+
+    # 2x2: [[30, 10], [10, 30]] -> chi2 = n(ad-bc)^2/(r1 r2 c1 c2)
+    rows = (
+        [("a", "p")] * 30 + [("a", "q")] * 10 + [("b", "p")] * 10 + [("b", "q")] * 30
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = cramers_v(df, "x", "y").collect()[0]
+    n = 80
+    chi2_exact = n * (30 * 30 - 10 * 10) ** 2 / (40 * 40 * 40 * 40)  # = 20.0
+    assert r["n"] == n and (r["n_x"], r["n_y"]) == (2, 2)
+    assert abs(r["chi2"] - chi2_exact) < 1e-6  # 1e-9-grid per-cell snap
+    assert abs(r["cramers_v"] - math.sqrt(chi2_exact / n)) < 1e-6
+    # perfect association -> V = 1
+    df2 = spark.createDataFrame(
+        [("a", "p")] * 5 + [("b", "q")] * 5, "x string, y string"
+    )
+    assert cramers_v(df2, "x", "y").collect()[0]["cramers_v"] == 1.0
+    # exact independence -> chi2 = 0 -> V = 0
+    df3 = spark.createDataFrame(
+        [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")] * 3, "x string, y string"
+    )
+    assert cramers_v(df3, "x", "y").collect()[0]["cramers_v"] == 0.0
+    # constant y -> NULL
+    df4 = spark.createDataFrame([("a", "p"), ("b", "p")], "x string, y string")
+    assert cramers_v(df4, "x", "y").collect()[0]["cramers_v"] is None
+
+
+def test_spearman_corr_python_reference(spark):
+    """Tie-averaged Spearman vs a python Pearson-on-ranks reference,
+    plus exact monotone (+1) and antitone (-1) cases."""
+    import math
+
+    from hashquery_spark.ops import spearman_corr
+
+    def ref(xs, ys):
+        def avg_ranks2(vals):  # doubled average ranks
+            order = {}
+            for v in vals:
+                order[v] = order.get(v, 0) + 1
+            cum, r2 = 0, {}
+            for v in sorted(order):
+                c = order[v]
+                cum += c
+                r2[v] = 2 * cum - c + 1
+            return [r2[v] for v in vals]
+
+        rx, ry = avg_ranks2(xs), avg_ranks2(ys)
+        n = len(xs)
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        a, b = n * sxx - sx * sx, n * syy - sy * sy
+        if a <= 0 or b <= 0:
+            return None
+        rho = float(n * sxy - sx * sy) / (math.sqrt(float(a)) * math.sqrt(float(b)))
+        return math.floor(rho * 1e6 + 0.5) / 1e6
+
+    cases = [
+        ([1.0, 2.0, 3.0, 4.0], [10.0, 20.0, 25.0, 90.0]),   # monotone -> 1
+        ([1.0, 2.0, 3.0, 4.0], [9.0, 7.0, 5.0, 1.0]),       # antitone -> -1
+        ([1.0, 2.0, 2.0, 3.0, 5.0], [4.0, 1.0, 8.0, 8.0, 2.0]),  # ties
+    ]
+    rows = [(gi, x, y) for gi, (xs, ys) in enumerate(cases) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    out = {r["g"]: r for r in spearman_corr(df, "x", "y", by="g").collect()}
+    for gi, (xs, ys) in enumerate(cases):
+        assert out[gi]["spearman_rho"] == ref(xs, ys), gi
+    assert out[0]["spearman_rho"] == 1.0 and out[1]["spearman_rho"] == -1.0
+    # constant column -> NULL
+    df2 = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, y double")
+    assert spearman_corr(df2, "x", "y").collect()[0]["spearman_rho"] is None
+
+
+def test_average_precision_python_reference(spark):
+    """AP against a step-wise (sklearn-definition) python reference with
+    tie blocks, plus known closed-form cases."""
+    import math
+
+    from hashquery_spark.ops import average_precision
+
+    def ap_ref(pairs):
+        blocks = {}
+        for s, y in pairs:
+            p, q = blocks.get(s, (0, 0))
+            blocks[s] = (p + 1, q) if y else (p, q + 1)
+        npos = sum(p for p, _ in blocks.values())
+        tp = cum = 0
+        nano = 0
+        for s in sorted(blocks, reverse=True):
+            p, q = blocks[s]
+            tp += p
+            cum += p + q
+            if p > 0:
+                nano += math.floor(p * tp / (npos * cum) * 1e9)
+        return nano / 1e9 if npos else None
+
+    cases = [
+        # perfect ranking: AP = 1
+        [(0.9, 1), (0.8, 1), (0.3, 0), (0.1, 0)],
+        # interleaved with a tie block
+        [(0.9, 1), (0.7, 0), (0.7, 1), (0.5, 0), (0.4, 1), (0.2, 0)],
+        # all positives at the bottom
+        [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)],
+    ]
+    rows = [(gi, s, y) for gi, c in enumerate(cases) for s, y in c]
+    df = spark.createDataFrame(rows, "g int, s double, y int")
+    out = {r["g"]: r for r in average_precision(df, "s", "y", by="g").collect()}
+    for gi, c in enumerate(cases):
+        assert out[gi]["average_precision"] == ap_ref(c), gi
+    assert out[0]["average_precision"] == 1.0
+    # no positives -> NULL
+    df2 = spark.createDataFrame([(0.5, 0), (0.4, 0)], "s double, y int")
+    r = average_precision(df2, "s", "y").collect()[0]
+    assert r["average_precision"] is None and r["n_neg"] == 2
+
+
 def test_cohens_kappa_known_values(spark):
     """Kappa on a hand-checked 2x2 confusion table + sklearn-formula
     python reference."""
