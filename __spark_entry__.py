@@ -2802,6 +2802,17 @@ def q_stats_moments(spark, sf_dir):
     )
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for the mean order total (Chamandy et
+    al. 2012 scalable bootstrap): md5-seeded inverse-CDF Poisson(1)
+    weights from shared cross-engine literals, exact integer-cent
+    replicate means, nearest-rank order-statistic bounds."""
+    from hashquery_spark.ops import bootstrap_ci
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return bootstrap_ci(orders, "o_totalprice", "o_orderkey", n_replicates=100)
+
+
 def q_dp_count(spark, sf_dir):
     """Seeded-Laplace noisy per-segment customer counts (the releasable
     aggregate; true counts never emitted). ln() is libm — both engines'
@@ -3542,6 +3553,33 @@ def q_mutual_information(spark, sf_dir):
     return mutual_information(docs, "lang", "source")
 
 
+def q_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-duplicate pairs with PIGEONHOLE band
+    blocking (hamming <= 3 => one of 4 15-bit bands equal — a recall
+    GUARANTEE, unlike the MinHash S-curve): equi-join on (band, value),
+    exact bit_count(xor) verify per distinct candidate. md5-fake hashes
+    (no image lib) make exact-dup payloads collide at hamming 0."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import phash_near_dup, with_binary_column
+
+    # the synthetic corpus has no exact-dup texts, so both engines plant
+    # identical duplicates deterministically (the pii_redaction
+    # precedent): every 7th doc re-enters under id+10_000_000 -> a
+    # guaranteed hamming-0 pair per planted doc at every SF (the
+    # empty-oracle trap audit)
+    docs = _conn(spark, sf_dir).table("documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    blobs = with_binary_column(docs.unionAll(planted), "text")
+    return phash_near_dup(blobs, "payload", "doc_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_cramers_v(spark, sf_dir):
     """Cramér's V association between document language and source —
     chi² via the collapsed observed-cells identity over ONE bounded
@@ -3550,6 +3588,16 @@ def q_cramers_v(spark, sf_dir):
 
     docs = _conn(spark, sf_dir).table("documents")
     return cramers_v(docs, "lang", "source")
+
+
+def q_v_measure(spark, sf_dir):
+    """Homogeneity/completeness/V-measure of the source grouping against
+    document language (external clustering evaluation) — ratios of
+    exact log-micro-unit entropy sums from ONE cube, jitter-clipped MI."""
+    from hashquery_spark.ops import v_measure
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return v_measure(docs, "lang", "source")
 
 
 def q_l_diversity(spark, sf_dir):
@@ -3726,6 +3774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_kappa": q_fleiss_kappa,
         "mutual_information": q_mutual_information,
         "cramers_v": q_cramers_v,
+        "phash_near_dup": q_phash_near_dup,
+        "v_measure": q_v_measure,
         "ks_test": q_ks_test,
         "embedding_quantize": q_embedding_quantize,
         "bloom_contamination": q_bloom_contamination,
@@ -3779,6 +3829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_moments": q_stats_moments,
         "union_by_name": q_union_by_name,
         "dp_count": q_dp_count,
+        "bootstrap_ci": q_bootstrap_ci,
     }
 
 

@@ -197,3 +197,89 @@ def resize_image(
     return src.mapInPandas(
         batches, schema="doc_id long, resized binary, width int, height int"
     )
+
+
+def phash(
+    df: DataFrame, blob_col: str = "payload", id_col: str = "doc_id", codec=None
+) -> DataFrame:
+    """(doc_id, phash) — a 60-bit perceptual-hash slot per binary
+    payload. ``codec`` is ``payload -> int`` (a real pHash/dHash over the
+    decoded image — DCT low-frequency signs, Zauner 2010); without one
+    the hash is the deterministic md5 fake (first 15 hex chars → 60
+    bits, oracle-reproducible): identical payloads collide exactly, so
+    the blocking/verify plumbing is fully testable without an image lib.
+    60 bits, not 64: a 16-hex parse overflows signed BIGINT in both
+    engines (the bloom_contamination 63-bit lesson, minus sign games).
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("__blob__"))
+    if codec is not None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _ph(blobs):
+            return blobs.map(lambda b: codec(b) if b is not None else None)
+
+        _phc = pandas_udf(_ph, "long")
+        return src.select("doc_id", _phc(F.col("__blob__")).alias("phash"))
+    return src.selectExpr(
+        "doc_id",
+        "CAST(conv(substr(md5(__blob__), 1, 15), 16, 10) AS BIGINT) AS phash",
+    )
+
+
+def phash_near_dup(
+    df: DataFrame,
+    blob_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    codec=None,
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over 60-bit perceptual
+    hashes — image dedup at corpus scale. Output: ``(id_a, id_b,
+    hamming)`` with ``id_a < id_b`` and ``hamming <= max_hamming``.
+
+    Scale design — pigeonhole blocking, NEVER all-pairs: the hash splits
+    into ``max_hamming + 1`` bands; two hashes within ``max_hamming``
+    bit flips must agree EXACTLY on at least one band (pigeonhole), so
+    candidates come from an equi-join on (band index, band value) —
+    the MinHash-LSH shape with a recall GUARANTEE (no S-curve misses).
+    Exact ``bit_count(xor)`` verifies each distinct candidate pair once.
+    Bands are equal-width slices of the 60-bit hash; md5-uniform fakes
+    (and real pHashes of non-degenerate corpora) spread buckets evenly.
+
+    Requires ``1 <= max_hamming <= 5`` (6+ bands under 10 bits each
+    would bucket too coarsely — pre-filter or raise the hash width).
+    """
+    if not 1 <= max_hamming <= 5:
+        raise ValueError("max_hamming must be in [1, 5]")
+    n_bands = max_hamming + 1
+    width = 60 // n_bands
+    ph = phash(df, blob_col, id_col, codec).where(F.col("phash").isNotNull())
+    bands = ph.selectExpr(
+        "doc_id",
+        "phash",
+        f"explode(sequence(0, {n_bands - 1})) AS band",
+    ).selectExpr(
+        "doc_id",
+        "phash",
+        "band",
+        f"shiftright(phash, band * {width}) & {(1 << width) - 1} AS bv",
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("phash").alias("__pa__"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("phash").alias("__pb__"), "band", "bv"
+    )
+    cand = (
+        a.join(b, on=["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__pa__", "__pb__")
+        .distinct()
+    )
+    return (
+        cand.selectExpr(
+            "id_a", "id_b", "bit_count(__pa__ ^ __pb__) AS hamming"
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -898,6 +898,42 @@ def dp_count(
     )
 
 
+def _entropy_cube(df: DataFrame, col_x: str, col_y: str):
+    """Shared core of mutual_information / v_measure: ONE groupBy(x,y)
+    pair-count table, ONE cube over it, and a final aggregate yielding
+    exact DECIMAL(38) log-micro-unit sums — __n__, __nln__ (n·L(n)),
+    __sx__ (Σ c_x·L(c_x)), __sy__, __sxy__."""
+    x, y = F.col(col_x), F.col(col_y)
+    pairs = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(
+            x.cast("string").alias("__x__"), y.cast("string").alias("__y__")
+        )
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    levels = pairs.cube("__x__", "__y__").agg(F.sum("__c__").alias("__c__"))
+    c = F.col("__c__")
+    lmicro = F.floor(F.log(c.cast("double")) * F.lit(1000000.0) + F.lit(0.5))
+    w = (c.cast("decimal(38,0)") * lmicro).alias("__w__")
+    xn, yn = F.col("__x__").isNull(), F.col("__y__").isNull()
+    terms = levels.select(xn.alias("__xn__"), yn.alias("__yn__"), c, w)
+    return terms.groupBy().agg(
+        F.max(F.when(F.col("__xn__") & F.col("__yn__"), c)).alias("__n__"),
+        F.max(F.when(F.col("__xn__") & F.col("__yn__"), F.col("__w__"))).alias(
+            "__nln__"
+        ),
+        F.sum(
+            F.when(~F.col("__xn__") & F.col("__yn__"), F.col("__w__"))
+        ).alias("__sx__"),
+        F.sum(
+            F.when(F.col("__xn__") & ~F.col("__yn__"), F.col("__w__"))
+        ).alias("__sy__"),
+        F.sum(
+            F.when(~F.col("__xn__") & ~F.col("__yn__"), F.col("__w__"))
+        ).alias("__sxy__"),
+    )
+
+
 def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     """Mutual information (nats) between two categorical columns, plus
     the marginal and joint Shannon entropies — the corpus-diagnostics
@@ -921,35 +957,7 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     single small Expand, and the final aggregate classifies levels by
     rolled-up NULLs. No checkpoint, no join, no crossJoin.
     """
-    x, y = F.col(col_x), F.col(col_y)
-    pairs = (
-        df.where(x.isNotNull() & y.isNotNull())
-        .groupBy(
-            x.cast("string").alias("__x__"), y.cast("string").alias("__y__")
-        )
-        .agg(F.count(F.lit(1)).alias("__c__"))
-    )
-    levels = pairs.cube("__x__", "__y__").agg(F.sum("__c__").alias("__c__"))
-    c = F.col("__c__")
-    lmicro = F.floor(F.log(c.cast("double")) * F.lit(1000000.0) + F.lit(0.5))
-    w = (c.cast("decimal(38,0)") * lmicro).alias("__w__")
-    xn, yn = F.col("__x__").isNull(), F.col("__y__").isNull()
-    terms = levels.select(xn.alias("__xn__"), yn.alias("__yn__"), c, w)
-    g = terms.groupBy().agg(
-        F.max(F.when(F.col("__xn__") & F.col("__yn__"), c)).alias("__n__"),
-        F.max(F.when(F.col("__xn__") & F.col("__yn__"), F.col("__w__"))).alias(
-            "__nln__"
-        ),
-        F.sum(
-            F.when(~F.col("__xn__") & F.col("__yn__"), F.col("__w__"))
-        ).alias("__sx__"),
-        F.sum(
-            F.when(F.col("__xn__") & ~F.col("__yn__"), F.col("__w__"))
-        ).alias("__sy__"),
-        F.sum(
-            F.when(~F.col("__xn__") & ~F.col("__yn__"), F.col("__w__"))
-        ).alias("__sxy__"),
-    )
+    g = _entropy_cube(df, col_x, col_y)
     den = (
         F.col("__n__").cast("decimal(38,0)") * F.lit(1000000).cast("decimal(38,0)")
     ).cast("double")
@@ -965,6 +973,52 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
         ((nln - sy).cast("double") / den).alias("h_y"),
         ((nln - sxy).cast("double") / den).alias("h_xy"),
         ((nln + sxy - sx - sy).cast("double") / den).alias("mi"),
+    )
+
+
+def v_measure(df: DataFrame, class_col: str, cluster_col: str) -> DataFrame:
+    """Homogeneity / completeness / V-measure (Rosenberg & Hirschberg
+    2007) of a cluster assignment against reference classes — the
+    standard external clustering-evaluation triple (e.g. "do my semantic-
+    dedup clusters track document language?"). Output (one row):
+    ``n, homogeneity, completeness, v_measure``.
+
+    Identities (all from the one entropy cube): homogeneity =
+    MI/H(class), completeness = MI/H(cluster), and the harmonic mean
+    collapses to v = 2·MI/(H(class)+H(cluster)) — so every statistic is
+    a ratio of exact DECIMAL(38) log-micro-unit sums (the
+    mutual_information machinery; the common n·1e6 factor cancels),
+    frounded at 6 dp from correctly-rounded casts + identical IEEE ops.
+    MI's log-grid jitter is clipped at 0 from BELOW, so independent
+    columns report within a few positive micro-units of 0 (the
+    mutual_information contract: floor(ln·1e6) is not additive), never
+    negative. Conventions follow sklearn: an entropy-0 side scores 1.0;
+    both trivial → v = 1.0.
+
+    Scale: identical to mutual_information — ONE scan, ONE bounded
+    pair-count shuffle, one small Expand; no joins.
+    """
+    g = _entropy_cube(df, class_col, cluster_col)
+    nln, sx, sy, sxy = (
+        F.col("__nln__"),
+        F.col("__sx__"),
+        F.col("__sy__"),
+        F.col("__sxy__"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    a = nln - sx           # H(class)·n·1e6, exact
+    b = nln - sy           # H(cluster)·n·1e6, exact
+    m = F.greatest(nln + sxy - sx - sy, zero)  # MI·n·1e6, jitter-clipped
+    def ratio(num, den):
+        return fround(num.cast("double") / den.cast("double"), 6)
+
+    return g.select(
+        F.col("__n__").cast("long").alias("n"),
+        F.when(a > zero, ratio(m, a)).otherwise(F.lit(1.0)).alias("homogeneity"),
+        F.when(b > zero, ratio(m, b)).otherwise(F.lit(1.0)).alias("completeness"),
+        F.when(a + b > zero, ratio(F.lit(2).cast("decimal(38,0)") * m, a + b))
+        .otherwise(F.lit(1.0))
+        .alias("v_measure"),
     )
 
 

@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import fround, md5_hash32
@@ -390,4 +390,120 @@ def reservoir_sample(
         .orderBy(F.col("__rk__").desc(), F.col(id_col).asc())
         .limit(k)
         .drop("__rk__")
+    )
+
+
+# Cumulative Poisson(1) CDF for k = 0..9, computed once and embedded as
+# IDENTICAL literals in the Spark expression and the DuckDB oracle (the
+# retrieval_metrics discount-grid pattern) — both engines parse the same
+# shortest-repr decimal to the same double, so the inverse-CDF draw is
+# bit-identical. Draws are capped at 10 (P ≈ 1.1e-7; deterministic,
+# documented, negligible bias).
+import math as _math
+
+_POISSON1_CDF = tuple(
+    sum(_math.exp(-1.0) / _math.factorial(j) for j in range(k + 1))
+    for k in range(10)
+)
+
+
+def poisson1_case_sql(u_expr: str) -> str:
+    """Inverse-CDF Poisson(1) draw as a SQL CASE over ``u_expr`` — the
+    SAME string renders in Spark SQL and DuckDB (shared literals)."""
+    branches = "".join(
+        f"WHEN {u_expr} < {c!r}e0 THEN {k} " for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"(CASE {branches}ELSE 10 END)"
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 200,
+    alpha: float = 0.05,
+    seed: str = "boot",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean of
+    ``value_col`` — the distribution-free uncertainty readout for any
+    corpus statistic (mean quality score, mean doc length) where a
+    normal-approximation (ab_test_report) assumption is unwanted.
+    Output (one row): ``n, mean, ci_lo, ci_hi, n_replicates``.
+
+    POISSON bootstrap (the scalable form: Chamandy et al. 2012 — each
+    row enters replicate b with weight ~ Poisson(1), so no global
+    resample pass is needed): weights come from the md5-not-RNG contract
+    via the shared inverse-CDF literals, replicate means are exact
+    integer-cent ratios, and the CI bounds are nearest-rank order
+    statistics of the ``n_replicates`` means (tie-broken by replicate
+    id) — every step reproduces bit-for-bit in the oracle.
+
+    Scale: one explode (rows × B) feeding a B-group aggregate — map-side
+    combine reduces it to B·n_partitions records before the shuffle;
+    the order-statistics window runs on B rows. Nothing driver-side.
+    """
+    if n_replicates < 2:
+        raise ValueError("n_replicates must be >= 2")
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        F.col(id_col).cast("string").alias("__id__"),
+        F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("long").alias("__cents__"),
+    )
+    ex = base.select(
+        "__id__",
+        "__cents__",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__b__"),
+    )
+    u_sql = (
+        "(CAST(conv(substr(md5(concat('" + seed + ":', __id__, ':', "
+        "CAST(__b__ AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296e0)"
+    )
+    w = F.expr(poisson1_case_sql(u_sql))
+    per_rep = (
+        ex.select("__b__", "__cents__", w.alias("__w__"))
+        .groupBy("__b__")
+        .agg(
+            F.sum("__w__").alias("__sw__"),
+            F.sum(F.col("__w__").cast("decimal(38,0)") * F.col("__cents__")).alias(
+                "__swx__"
+            ),
+        )
+        .where(F.col("__sw__") > 0)
+        .select(
+            "__b__",
+            (
+                F.col("__swx__").cast("double")
+                / (F.col("__sw__").cast("double") * F.lit(100.0))
+            ).alias("__m__"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("__m__").asc(), F.col("__b__").asc())
+    ranked = per_rep.select(
+        "__m__", F.row_number().over(w_rank).alias("__r__")
+    )
+    # nearest-rank order statistics over the B replicate means
+    lo_r = int(_math.floor(alpha / 2 * (n_replicates - 1))) + 1
+    hi_r = int(_math.ceil((1 - alpha / 2) * (n_replicates - 1))) + 1
+    stats = df.where(v.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("decimal(38,0)"))
+            .cast("double")
+            / (F.count(F.lit(1)) * F.lit(100.0)).cast("double")
+        ).alias("mean"),
+    )
+    bounds = ranked.agg(
+        F.max(F.when(F.col("__r__") == lo_r, F.col("__m__"))).alias("ci_lo"),
+        F.max(F.when(F.col("__r__") == min(hi_r, n_replicates), F.col("__m__"))).alias(
+            "ci_hi"
+        ),
+    )
+    return stats.crossJoin(F.broadcast(bounds)).select(
+        "n",
+        "mean",
+        "ci_lo",
+        "ci_hi",
+        F.lit(n_replicates).cast("long").alias("n_replicates"),
     )

@@ -3985,6 +3985,53 @@ FROM g
 """
 
 
+ORACLE_SQL["v_measure"] = """
+WITH pairs AS (
+  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+),
+levels AS (
+  SELECT x, y, CAST(sum(c) AS BIGINT) AS c
+  FROM pairs GROUP BY CUBE (x, y)
+),
+terms AS (
+  SELECT x IS NULL AS xn, y IS NULL AS yn, c,
+         CAST(c AS HUGEINT)
+           * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)
+           AS w
+  FROM levels
+),
+g AS (
+  SELECT max(CASE WHEN xn AND yn THEN c END) AS n,
+         max(CASE WHEN xn AND yn THEN w END) AS nln,
+         sum(CASE WHEN NOT xn AND yn THEN w END) AS sx,
+         sum(CASE WHEN xn AND NOT yn THEN w END) AS sy,
+         sum(CASE WHEN NOT xn AND NOT yn THEN w END) AS sxy
+  FROM terms
+),
+v AS (
+  SELECT n, nln - sx AS a, nln - sy AS b,
+         greatest(nln + sxy - sx - sy, CAST(0 AS HUGEINT)) AS m
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CASE WHEN a > 0
+       THEN floor(CAST(m AS DOUBLE) / CAST(a AS DOUBLE) * 1e6 + 5e-1) / 1e6
+       ELSE CAST(1.0 AS DOUBLE) END AS homogeneity,
+  CASE WHEN b > 0
+       THEN floor(CAST(m AS DOUBLE) / CAST(b AS DOUBLE) * 1e6 + 5e-1) / 1e6
+       ELSE CAST(1.0 AS DOUBLE) END AS completeness,
+  CASE WHEN a + b > 0
+       THEN floor(CAST(CAST(2 AS HUGEINT) * m AS DOUBLE)
+                  / CAST(a + b AS DOUBLE) * 1e6 + 5e-1) / 1e6
+       ELSE CAST(1.0 AS DOUBLE) END AS v_measure
+FROM v
+"""
+
+
 ORACLE_SQL["l_diversity"] = """
 SELECT o_custkey,
        CAST(count(*) AS BIGINT) AS group_size,
@@ -4025,4 +4072,66 @@ SELECT o_orderpriority, n_kept,
     floor(CAST(su AS DOUBLE) / (CAST(n_kept AS DOUBLE) * 1e6) * 1e6 + 5e-1) / 1e6
   END AS trimmed_mean
 FROM a ORDER BY o_orderpriority
+"""
+
+
+from hashquery_spark.ops.sampling import poisson1_case_sql as _poisson1_case_sql
+
+_BOOT_U = ("(CAST('0x' || substr(md5('boot:' || id || ':' || "
+           "CAST(b AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296e0)")
+ORACLE_SQL["bootstrap_ci"] = f"""
+WITH base AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+ex AS (SELECT id, cents, unnest(generate_series(0, 99)) AS b FROM base),
+wts AS (SELECT b, cents, {_poisson1_case_sql(_BOOT_U)} AS w FROM ex),
+per AS (
+  SELECT b, sum(w) AS sw, sum(CAST(w AS HUGEINT) * cents) AS swx
+  FROM wts GROUP BY b
+),
+means AS (
+  SELECT b, CAST(swx AS DOUBLE) / (CAST(sw AS DOUBLE) * 100.0) AS m
+  FROM per WHERE sw > 0
+),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+           / (CAST(count(*) AS DOUBLE) * 100.0) AS mean
+  FROM base
+)
+SELECT n, mean,
+  max(CASE WHEN r = 3 THEN m END) AS ci_lo,
+  max(CASE WHEN r = 98 THEN m END) AS ci_hi,
+  CAST(100 AS BIGINT) AS n_replicates
+FROM stats, ranked GROUP BY n, mean
+"""
+
+
+ORACLE_SQL["phash_near_dup"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id % 7 = 0
+),
+ph AS (
+  SELECT doc_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS phash
+  FROM corpus
+),
+bands AS (
+  SELECT doc_id, phash, b AS band, (phash >> (b * 15)) & 32767 AS bv
+  FROM ph, (SELECT unnest(generate_series(0, 3)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                  a.phash AS pa, c.phash AS pb
+  FROM bands a
+  JOIN bands c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(pa, pb)) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+ORDER BY id_a, id_b
 """

@@ -2179,6 +2179,120 @@ def test_embedding_pca_matches_numpy(spark):
     assert comps == comps2 and lams == lams2
 
 
+def test_phash_near_dup_pigeonhole_recall(spark):
+    """Pigeonhole GUARANTEE: any pair within max_hamming bit flips IS
+    found (some band must match exactly), verified with a codec that
+    plants controlled flips; pairs beyond the radius are rejected by the
+    exact verify even when a band collides."""
+    from hashquery_spark.ops import phash_near_dup
+
+    base = 0x0ABCDEF0123456F  # 60-bit
+    flips = {
+        1: base,
+        2: base ^ 0b1,                      # 1 flip, band 0
+        3: base ^ (1 << 16) ^ (1 << 31) ^ (1 << 46),  # 3 flips, bands 1..3
+        4: base ^ 0b11 ^ (1 << 16) ^ (1 << 31) ^ (1 << 46),  # 5 flips
+        5: 0x7FFFFFFFFFFFFFF ^ base ^ base,  # far away (no dup of base)
+    }
+
+    def codec(payload):
+        return flips[int(payload.decode())]
+
+    df = spark.createDataFrame(
+        [(i, str(i).encode()) for i in flips], "doc_id long, payload binary"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup(df, "payload", "doc_id", 3, codec=codec).collect()
+    }
+    assert out[(1, 2)] == 1
+    assert out[(1, 3)] == 3  # flips spread over 3 bands — band 0 matches
+    assert (1, 4) not in out  # hamming 5 > 3: rejected by exact verify
+    # 2 vs 3 differ in 4 bits across all 4 bands: no band collides AND
+    # hamming 4 > 3 — absent on both grounds
+    assert (2, 3) not in out
+    assert all(5 not in pair for pair in out)
+    # identical payloads (default md5 fake) collide at hamming 0
+    df2 = spark.createDataFrame(
+        [(1, b"same"), (2, b"same"), (3, b"other")], "doc_id long, payload binary"
+    )
+    out2 = phash_near_dup(df2, "payload", "doc_id").collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out2] == [(1, 2, 0)]
+
+
+def test_bootstrap_ci_semantics(spark):
+    """Degenerate (constant) data gives a zero-width interval at the
+    value; a real sample brackets its mean, is repartition-stable, and
+    tightens as n grows."""
+    from hashquery_spark.ops import bootstrap_ci
+
+    const = spark.range(500).selectExpr("id", "42.0 AS v")
+    r = bootstrap_ci(const, "v", "id", n_replicates=50).collect()[0]
+    assert (r["mean"], r["ci_lo"], r["ci_hi"]) == (42.0, 42.0, 42.0)
+    assert (r["n"], r["n_replicates"]) == (500, 50)
+
+    df = spark.range(2000).selectExpr("id", "CAST(id % 100 AS DOUBLE) AS v")
+    a = bootstrap_ci(df, "v", "id", n_replicates=80).collect()[0]
+    b = bootstrap_ci(df.repartition(7), "v", "id", n_replicates=80).collect()[0]
+    assert tuple(a) == tuple(b)  # md5-seeded: partitioning-independent
+    assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
+    assert a["ci_lo"] < a["ci_hi"]
+    # mean of 0..99 uniform = 49.5; the CI at n=2000 is ~±1.3
+    assert abs(a["mean"] - 49.5) < 1e-9
+    assert a["ci_hi"] - a["ci_lo"] < 5.0
+
+    big = spark.range(20000).selectExpr("id", "CAST(id % 100 AS DOUBLE) AS v")
+    c = bootstrap_ci(big, "v", "id", n_replicates=80).collect()[0]
+    assert (c["ci_hi"] - c["ci_lo"]) < (a["ci_hi"] - a["ci_lo"])  # tightens
+
+
+def test_v_measure_known_values(spark):
+    """sklearn-convention fixtures: perfect clustering -> (1,1,1);
+    single cluster -> homogeneity 0, completeness 1; independence -> 0;
+    sklearn-formula python reference on a mixed case."""
+    import math
+
+    from hashquery_spark.ops import v_measure
+
+    # perfect: clusters == classes
+    df = spark.createDataFrame(
+        [("a", "k1")] * 3 + [("b", "k2")] * 3, "cls string, k string"
+    )
+    r = v_measure(df, "cls", "k").collect()[0]
+    assert (r["homogeneity"], r["completeness"], r["v_measure"]) == (1.0, 1.0, 1.0)
+    # everything in one cluster: h=0 (classes mixed), c=1 (each class whole)
+    df2 = spark.createDataFrame(
+        [("a", "k")] * 3 + [("b", "k")] * 3, "cls string, k string"
+    )
+    r2 = v_measure(df2, "cls", "k").collect()[0]
+    assert r2["homogeneity"] == 0.0 and r2["completeness"] == 1.0
+    assert r2["v_measure"] == 0.0
+    # exact independence: within log-grid jitter of 0 (the documented
+    # mutual_information contract — floor(ln·1e6) is not additive, so MI
+    # lands within a few micro-units of 0, never below it)
+    df3 = spark.createDataFrame(
+        [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")] * 2, "cls string, k string"
+    )
+    r3 = v_measure(df3, "cls", "k").collect()[0]
+    assert 0.0 <= r3["homogeneity"] <= 2e-6 and 0.0 <= r3["v_measure"] <= 2e-6
+    # mixed case vs the micro-unit python reference
+    rows = [("a", "p")] * 4 + [("a", "q")] * 1 + [("b", "p")] * 1 + [("b", "q")] * 4
+    df4 = spark.createDataFrame(rows, "cls string, k string")
+    r4 = v_measure(df4, "cls", "k").collect()[0]
+
+    def L(c):
+        return math.floor(math.log(c) * 1e6 + 0.5)
+
+    n = 10
+    nln = n * L(n)
+    sx = 5 * L(5) + 5 * L(5)
+    sy = 5 * L(5) + 5 * L(5)
+    sxy = 4 * L(4) + 1 * L(1) + 1 * L(1) + 4 * L(4)
+    a, b, m = nln - sx, nln - sy, max(nln + sxy - sx - sy, 0)
+    assert r4["homogeneity"] == math.floor(m / a * 1e6 + 0.5) / 1e6
+    assert r4["v_measure"] == math.floor(2 * m / (a + b) * 1e6 + 0.5) / 1e6
+
+
 def test_cramers_v_known_values(spark):
     """Hand-computed 2x2 table + the degenerate cases (perfect
     association -> 1, independence -> 0, constant column -> NULL)."""

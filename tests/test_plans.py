@@ -91,6 +91,12 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "pmi_bigrams",
         # 1-row mean-weight frame replicated to the corpus filter:
         "weighted_sample",
+        # 1-row chi²/entropy aggregate crossed with the 1-row
+        # category-dimension frame:
+        "cramers_v",
+        # 1-row (n, mean) stats frame crossed with the 1-row CI-bounds
+        # frame (both ungrouped aggregates):
+        "bootstrap_ci",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
