@@ -3553,6 +3553,27 @@ def q_mutual_information(spark, sf_dir):
     return mutual_information(docs, "lang", "source")
 
 
+def q_containment_join(spark, sf_dir):
+    """Asymmetric containment join (prefix filtering, PPJoin-style
+    counting recall guarantee — not an LSH S-curve): 120-char snippets
+    of every 5th doc located inside the full corpus by char-3-gram
+    containment >= 0.8; exact verify on the tie-proof 4-dp grid."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import containment_join
+
+    docs = _conn(spark, sf_dir).table("documents").where(F.col("text").isNotNull())
+    # 5-grams at threshold 0.9: selective enough that matches are true
+    # provenance hits, not vocabulary-soup coincidences (k=3 at 0.8
+    # matched ~13 docs per snippet on this 500-word-vocab corpus)
+    snippets = docs.where(F.col("doc_id") % 53 == 0).select(
+        "doc_id", F.expr("substring(text, 1, 200)").alias("snippet")
+    )
+    return containment_join(
+        snippets, docs, "snippet", "text", "doc_id", "doc_id", k=5, threshold=0.9
+    ).orderBy("id_l", "id_r")
+
+
 def q_phash_near_dup(spark, sf_dir):
     """Perceptual-hash near-duplicate pairs with PIGEONHOLE band
     blocking (hamming <= 3 => one of 4 15-bit bands equal — a recall
@@ -3775,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": q_mutual_information,
         "cramers_v": q_cramers_v,
         "phash_near_dup": q_phash_near_dup,
+        "containment_join": q_containment_join,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,
         "embedding_quantize": q_embedding_quantize,

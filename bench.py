@@ -125,6 +125,14 @@ HEADLINE = [
     "quantile_bucketize",
     "ab_test",
     "js_divergence",
+    # round-4 extensions (appended)
+    "average_precision",
+    "spearman",
+    "cramers_v",
+    "v_measure",
+    "bootstrap_ci",
+    "phash_near_dup",
+    "containment_join",
 ]
 
 

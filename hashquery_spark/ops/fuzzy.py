@@ -119,3 +119,108 @@ def fuzzy_join(
         )
     )
     return verified.where(F.col("sim") >= threshold)
+
+
+def containment_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_id: str,
+    right_id: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id_l, id_r, containment) — pairs where at least ``threshold`` of
+    the LEFT row's normalized char-``k``-gram set appears in the RIGHT
+    row's: asymmetric near-dup detection (a snippet contained in a
+    longer document, quote/boilerplate provenance, benchmark-prompt
+    containment) where Jaccard — and therefore MinHash LSH — goes blind
+    as the size ratio grows.
+
+    Scale design — PREFIX FILTERING (Chaudhuri et al. 2006 / PPJoin,
+    Xiao et al. 2008), a COUNTING recall guarantee, not an LSH S-curve:
+    if containment(A in B) ≥ t then B misses at most ⌊(1−t)·|A|⌋ of A's
+    grams, so among any ⌊(1−t)·|A|⌋+1 distinct grams of A at least one
+    is in B. Each left row therefore emits only that PREFIX of its gram
+    set — ordered rarest-first by the right side's gram document
+    frequency (order is free for recall; rarest-first minimizes the
+    candidate join) — and candidates come from an equi-join of prefix
+    grams against the right side's inverted gram index. Exact
+    verification (array_intersect over candidate ids only, the
+    fuzzy_join shape) computes true containment on the tie-proof 4-dp
+    grid. Rare-gram blocking keys make the join naturally skew-free;
+    strings never shuffle during blocking.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+
+    def prep(df: DataFrame, text: str, idc: str, out_id: str):
+        normed = (
+            df.where(F.col(text).isNotNull())
+            .select(
+                F.col(idc).alias(out_id),
+                normalize_text(F.col(text)).alias("__norm__"),
+            )
+            .where(F.length("__norm__") >= k)
+        )
+        ex = ensure_parallelism(normed).selectExpr(
+            out_id,
+            f"explode(array_distinct({_char_shingle_expr('__norm__', k)}))"
+            " AS __s__",
+        )
+        return normed, ex
+
+    ln, lex = prep(left, left_on, left_id, "id_l")
+    rn, rex = prep(right, right_on, right_id, "id_r")
+    rdf = rex.groupBy("__s__").agg(F.count(F.lit(1)).alias("__df__"))
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("id_l").orderBy(
+        F.asc_nulls_first("__df__"), F.asc("__s__")
+    )
+    w_cnt = Window.partitionBy("id_l")
+    ranked = (
+        lex.join(rdf, on="__s__", how="left")
+        .select(
+            "id_l",
+            "__s__",
+            F.row_number().over(w_doc).alias("__rn__"),
+            F.count(F.lit(1)).over(w_cnt).alias("__m__"),
+        )
+    )
+    # prefix length ⌊(1−t)·m⌋ + 1 in EXACT integer arithmetic: never
+    # floor a float product both engines could round differently —
+    # with t on the 1e-4 grid, ⌊(1−t)·m⌋ = (10000−t·10⁴)·m DIV 10000
+    t4 = int(round(threshold * 10000))
+    prefix = ranked.where(
+        F.col("__rn__") <= F.expr(f"({10000 - t4}L * __m__) DIV 10000L") + 1
+    ).select("id_l", "__s__")
+    cands = (
+        prefix.join(rex, on="__s__")
+        .select("id_l", "id_r")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def gram_sets(normed: DataFrame, out_id: str, alias: str):
+        only = normed.join(cands.select(out_id).distinct(), on=out_id)
+        return only.selectExpr(
+            out_id,
+            f"array_distinct({_char_shingle_expr('__norm__', k)}) AS {alias}",
+        )
+
+    verified = (
+        cands.join(gram_sets(ln, "id_l", "__gl__"), on="id_l")
+        .join(gram_sets(rn, "id_r", "__gr__"), on="id_r")
+        .selectExpr(
+            "id_l",
+            "id_r",
+            "floor((CAST(100000 AS DOUBLE)"
+            " * size(array_intersect(__gl__, __gr__))"
+            " + CAST(5 AS DOUBLE) * size(__gl__))"
+            " / (CAST(10 AS DOUBLE) * size(__gl__)))"
+            " / CAST(10000 AS DOUBLE) AS containment",
+        )
+    )
+    return verified.where(F.col("containment") >= threshold)

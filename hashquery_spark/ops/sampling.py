@@ -438,27 +438,41 @@ def bootstrap_ci(
     statistics of the ``n_replicates`` means (tie-broken by replicate
     id) — every step reproduces bit-for-bit in the oracle.
 
-    Scale: one explode (rows × B) feeding a B-group aggregate — map-side
-    combine reduces it to B·n_partitions records before the shuffle;
-    the order-statistics window runs on B rows. Nothing driver-side.
+    Scale: ONE md5 per ROW (not per row×replicate): the hash's two
+    32-bit halves seed Kirsch-Mitzenmacher double hashing
+    ``g_b = (h1 + b·h2) mod 2^32`` (the minhash-permutation lesson), so
+    the per-(row, replicate) work after the explode is a few integer
+    ops — and because the md5 projection sits BELOW the Generate, the
+    11-branch inverse-CDF CASE re-references a bound attribute, never
+    the md5 tree (the expression-referenced-many-times codegen trap; a
+    first draft with md5 inside the CASE measured 12 s vs 1 s at
+    sf0.1). The B-group aggregate map-side combines to B·n_partitions
+    records; the order-statistics window runs on B rows. Nothing
+    driver-side.
     """
     if n_replicates < 2:
         raise ValueError("n_replicates must be >= 2")
     if not 0 < alpha < 1:
         raise ValueError("alpha must be in (0, 1)")
     v = F.col(value_col).cast("double")
-    base = df.where(v.isNotNull()).select(
-        F.col(id_col).cast("string").alias("__id__"),
-        F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("long").alias("__cents__"),
+    md5_expr = f"md5(concat('{seed}:', CAST({id_col} AS STRING)))"
+    base = df.where(v.isNotNull()).selectExpr(
+        f"CAST(conv(substr({md5_expr}, 1, 8), 16, 10) AS BIGINT) AS __h1__",
+        f"CAST(conv(substr({md5_expr}, 9, 8), 16, 10) AS BIGINT) AS __h2__",
+        f"CAST(floor(CAST({value_col} AS DOUBLE) * 100e0 + 0.5e0) AS BIGINT)"
+        " AS __cents__",
     )
+    # the explode (Generate) BINDS __h1__/__h2__: the CASE below touches
+    # only attributes + integer ops, the md5 runs once per row
     ex = base.select(
-        "__id__",
+        "__h1__",
+        "__h2__",
         "__cents__",
         F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__b__"),
     )
     u_sql = (
-        "(CAST(conv(substr(md5(concat('" + seed + ":', __id__, ':', "
-        "CAST(__b__ AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296e0)"
+        "((pmod(__h1__ + __b__ * __h2__, 4294967296L) + 0.5e0)"
+        " / 4294967296e0)"
     )
     w = F.expr(poisson1_case_sql(u_sql))
     per_rep = (

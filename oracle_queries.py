@@ -4077,15 +4077,18 @@ FROM a ORDER BY o_orderpriority
 
 from hashquery_spark.ops.sampling import poisson1_case_sql as _poisson1_case_sql
 
-_BOOT_U = ("(CAST('0x' || substr(md5('boot:' || id || ':' || "
-           "CAST(b AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296e0)")
+_BOOT_U = "(((h1 + b * h2) % 4294967296 + 0.5e0) / 4294967296e0)"
 ORACLE_SQL["bootstrap_ci"] = f"""
 WITH base AS (
-  SELECT CAST(o_orderkey AS VARCHAR) AS id,
-         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS cents
+  SELECT CAST('0x' || substr(md5('boot:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+              AS BIGINT) AS h1,
+         CAST('0x' || substr(md5('boot:' || CAST(o_orderkey AS VARCHAR)), 9, 8)
+              AS BIGINT) AS h2,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100e0 + 0.5e0) AS BIGINT)
+           AS cents
   FROM orders WHERE o_totalprice IS NOT NULL
 ),
-ex AS (SELECT id, cents, unnest(generate_series(0, 99)) AS b FROM base),
+ex AS (SELECT h1, h2, cents, unnest(generate_series(0, 99)) AS b FROM base),
 wts AS (SELECT b, cents, {_poisson1_case_sql(_BOOT_U)} AS w FROM ex),
 per AS (
   SELECT b, sum(w) AS sw, sum(CAST(w AS HUGEINT) * cents) AS swx
@@ -4134,4 +4137,58 @@ cand AS (
 SELECT id_a, id_b, bit_count(xor(pa, pb)) AS hamming
 FROM cand WHERE bit_count(xor(pa, pb)) <= 3
 ORDER BY id_a, id_b
+"""
+
+
+ORACLE_SQL["containment_join"] = """
+WITH lnorm AS (
+  SELECT doc_id AS id_l,
+         trim(regexp_replace(lower(substr(text, 1, 200)),
+              '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM documents WHERE text IS NOT NULL AND doc_id % 53 = 0
+),
+lgr AS (
+  SELECT id_l, list_distinct(
+           list_transform(range(1, length(n) - 3), i -> substr(n, i, 5))
+         ) AS g
+  FROM lnorm WHERE length(n) >= 5
+),
+rnorm AS (
+  SELECT doc_id AS id_r,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+rgr AS (
+  SELECT id_r, list_distinct(
+           list_transform(range(1, length(n) - 3), i -> substr(n, i, 5))
+         ) AS g
+  FROM rnorm WHERE length(n) >= 5
+),
+rex AS (SELECT id_r, unnest(g) AS s FROM rgr),
+rdf AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM rex GROUP BY s),
+lex AS (SELECT id_l, unnest(g) AS s FROM lgr),
+ranked AS (
+  SELECT id_l, s,
+         row_number() OVER (PARTITION BY id_l
+                            ORDER BY df ASC NULLS FIRST, s ASC) AS rn,
+         count(*) OVER (PARTITION BY id_l) AS m
+  FROM lex LEFT JOIN rdf USING (s)
+),
+prefix AS (
+  SELECT id_l, s FROM ranked WHERE rn <= (1000 * m) // 10000 + 1
+),
+cands AS (
+  SELECT DISTINCT id_l, id_r FROM prefix JOIN rex USING (s)
+),
+verified AS (
+  SELECT c.id_l, c.id_r,
+    floor((CAST(100000 AS DOUBLE)
+           * CAST(length(list_intersect(l.g, r.g)) AS DOUBLE)
+           + CAST(5 AS DOUBLE) * CAST(length(l.g) AS DOUBLE))
+          / (CAST(10 AS DOUBLE) * CAST(length(l.g) AS DOUBLE)))
+      / CAST(10000 AS DOUBLE) AS containment
+  FROM cands c JOIN lgr l ON l.id_l = c.id_l JOIN rgr r ON r.id_r = c.id_r
+)
+SELECT id_l, id_r, containment FROM verified
+WHERE containment >= 0.9 ORDER BY id_l, id_r
 """

@@ -2179,6 +2179,64 @@ def test_embedding_pca_matches_numpy(spark):
     assert comps == comps2 and lams == lams2
 
 
+def test_containment_join_prefix_filter_recall(spark):
+    """A snippet fully inside a long doc is found (containment 1.0)
+    despite tiny Jaccard — the case MinHash LSH goes blind on — and the
+    prefix-filter candidate stage never misses a pair above threshold
+    (counting guarantee, checked against brute force)."""
+    from hashquery_spark.ops import containment_join
+    from hashquery_spark.ops.dedup import normalize_text  # noqa: F401
+
+    long_doc = " ".join(f"w{i} common filler" for i in range(40))
+    snippet = " ".join(f"w{i} common filler" for i in range(5, 9))
+    other = "completely different content zzz qqq xxx yyy"
+    left = spark.createDataFrame(
+        [(1, snippet), (2, other)], "sid long, snip string"
+    )
+    right = spark.createDataFrame(
+        [(10, long_doc), (20, "unrelated body of text entirely")],
+        "rid long, body string",
+    )
+    out = {
+        (r["id_l"], r["id_r"]): r["containment"]
+        for r in containment_join(
+            left, right, "snip", "body", "sid", "rid", k=3, threshold=0.8
+        ).collect()
+    }
+    assert out[(1, 10)] == 1.0  # snippet ⊂ doc, Jaccard ≈ 0.1
+    assert all(pair[0] != 2 for pair in out)  # 'other' matches nothing
+    # brute-force agreement on a small random-ish corpus: every pair
+    # with true containment >= t is produced (recall guarantee)
+    import itertools
+
+    docs = [
+        (i, " ".join(f"t{(i * 7 + j) % 23}" for j in range(12))) for i in range(12)
+    ]
+    L = spark.createDataFrame(docs, "lid long, t string")
+    R = spark.createDataFrame(docs, "rid long, u string")
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in containment_join(
+            L, R, "t", "u", "lid", "rid", k=3, threshold=0.6
+        ).collect()
+    }
+
+    def grams(s):
+        import re
+
+        n = re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+        return {n[i : i + 3] for i in range(len(n) - 2)}
+
+    for (i, a), (j, b) in itertools.product(docs, docs):
+        ga, gb = grams(a), grams(b)
+        import math
+
+        cont = math.floor(
+            (100000.0 * len(ga & gb) + 5.0 * len(ga)) / (10.0 * len(ga))
+        ) / 10000.0
+        assert ((i, j) in got) == (cont >= 0.6), (i, j, cont)
+
+
 def test_phash_near_dup_pigeonhole_recall(spark):
     """Pigeonhole GUARANTEE: any pair within max_hamming bit flips IS
     found (some band must match exactly), verified with a codec that

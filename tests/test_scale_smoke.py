@@ -581,3 +581,29 @@ def test_ks_test_two_million_planted_shift_exact(spark):
     assert (r["n_a"], r["n_b"]) == (n, n)
     assert r["d_num"] == n * n // 10
     assert r["ks_d"] == 0.1
+
+
+def test_phash_near_dup_two_million_planted_pairs(spark):
+    """2M payloads with 1M planted exact-dup pairs: the pigeonhole band
+    join finds exactly the planted pairs (md5-fake hashes are uniform —
+    no spurious near-collisions at 60 bits), candidate volume stays
+    linear, and every found pair verifies at hamming 0."""
+    from hashquery_spark.ops import phash_near_dup
+
+    n = 1_000_000
+    docs = spark.range(2 * n).select(
+        F.col("id").alias("doc_id"),
+        F.encode(
+            F.concat(F.lit("payload"), (F.col("id") % n).cast("string")), "UTF-8"
+        ).alias("payload"),
+    )
+    out = phash_near_dup(docs, "payload", "doc_id", max_hamming=2)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.max("hamming").alias("maxh"),
+        F.count(
+            F.when((F.col("id_b") - F.col("id_a")) == n, 1)
+        ).alias("planted"),
+    ).collect()[0]
+    assert agg["pairs"] == n == agg["planted"]  # exactly the planted pairs
+    assert agg["maxh"] == 0
