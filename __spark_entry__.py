@@ -3601,6 +3601,26 @@ def q_phash_near_dup(spark, sf_dir):
     )
 
 
+def q_gini(spark, sf_dir):
+    """Per-source Gini coefficient of document lengths (corpus-
+    composition inequality): tie-correct average-rank identity over the
+    value histogram, exact DECIMAL(38) sums, fround-6 quotient."""
+    from hashquery_spark.ops import gini
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return gini(docs, "n_chars", by="source").orderBy("source")
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-evaluation report: per-doc OOV rate + chars-per-token
+    against the corpus's own top-200 word vocabulary — one explode feeds
+    both the vocab build and the rollup, bounded vocab broadcast back."""
+    from hashquery_spark.ops import vocab_coverage
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return vocab_coverage(docs, "text", "doc_id", top_k=200)
+
+
 def q_cramers_v(spark, sf_dir):
     """Cramér's V association between document language and source —
     chi² via the collapsed observed-cells identity over ONE bounded
@@ -3797,6 +3817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": q_cramers_v,
         "phash_near_dup": q_phash_near_dup,
         "containment_join": q_containment_join,
+        "gini": q_gini,
+        "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,
         "embedding_quantize": q_embedding_quantize,

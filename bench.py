@@ -133,6 +133,8 @@ HEADLINE = [
     "bootstrap_ci",
     "phash_near_dup",
     "containment_join",
+    "gini",
+    "vocab_coverage",
 ]
 
 

@@ -1022,6 +1022,74 @@ def v_measure(df: DataFrame, class_col: str, cluster_col: str) -> DataFrame:
     )
 
 
+def gini(df: DataFrame, value_col: str, by=None) -> DataFrame:
+    """Gini coefficient of ``value_col``'s distribution (0 = perfectly
+    even, →1 = concentrated), optionally per ``by`` group — the
+    inequality diagnostic for corpus composition: token mass per source,
+    documents per domain, sample counts per class. Output: group cols +
+    ``n, total, gini`` (NULL when the total is 0; intended for
+    non-negative values — the standard economic definition).
+
+    Identity (tie-correct, over the value HISTOGRAM): with distinct
+    values v_j, counts c_j and ascending cumulative counts cum_j,
+    G = [Σ_j v_j·c_j·(2·cum_j − c_j + 1) − (n+1)·Σ v·c] / (n·Σ v·c) —
+    the average-rank form of G = Σ(2i−n−1)x_(i)/(n·Σx), so ties get the
+    exact averaged rank.
+
+    Scale/exactness: values snap to the integer cent grid; the corpus
+    reduces to a value histogram (map-side combined), one running-count
+    window over histogram rows builds cum, and every sum is exact
+    DECIMAL(38) — the final quotient frounds at 6 dp from
+    correctly-rounded casts, bit-identical in the oracle. Same
+    histogram-cardinality caveat as :func:`spearman_corr`.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(
+            *by,
+            F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("long").alias("__cv__"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__cv__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d38 = "decimal(38,0)"
+    cum = F.sum("__c__").over(w)
+    terms = hist.select(
+        *by,
+        "__c__",
+        "__cv__",
+        (
+            F.col("__cv__").cast(d38)
+            * F.col("__c__")
+            * (2 * cum - F.col("__c__") + 1)
+        ).alias("__t__"),
+        (F.col("__cv__").cast(d38) * F.col("__c__")).alias("__vc__"),
+    )
+    agg = terms.groupBy(*by).agg(
+        F.sum("__c__").alias("n"),
+        F.sum("__vc__").alias("__sv__"),
+        F.sum("__t__").alias("__st__"),
+    )
+    n_d = F.col("n").cast(d38)
+    num = F.col("__st__") - (n_d + 1) * F.col("__sv__")
+    den = n_d * F.col("__sv__")
+    return agg.select(
+        *by,
+        "n",
+        (F.col("__sv__").cast("double") / F.lit(100.0)).alias("total"),
+        F.when(
+            F.col("__sv__") != 0,
+            fround(num.cast("double") / den.cast("double"), 6),
+        ).alias("gini"),
+    )
+
+
 def cramers_v(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     """Cramér's V association strength between two categorical columns —
     the [0,1]-normalized companion to :func:`mutual_information` (V=0
@@ -1112,6 +1180,14 @@ def spearman_corr(
     sqrt(A)·sqrt(B) computed in fixed-order IEEE doubles from
     correctly-rounded DECIMAL→DOUBLE casts — identical both engines —
     and frounds to 6 dp.
+
+    Caveat for NEAR-CONTINUOUS columns: the rank histogram approaches
+    row count when values are almost all distinct, so its per-group
+    window approaches a per-group row sort and the rank table stops
+    being broadcastable (AQE falls back to a shuffled join — correct,
+    just not small). Spearman only needs ORDER, so quantize first
+    (``fround(col, k)``) when the value grid is finer than the
+    statistic warrants.
     """
     by = [by] if isinstance(by, str) else list(by or [])
     x, y = F.col(col_x), F.col(col_y)

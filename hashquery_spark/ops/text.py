@@ -795,3 +795,53 @@ def ngram_novelty(
             F.col("n_novel"), F.greatest(F.col("n_grams"), F.lit(1))
         ).alias("novelty"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, id_col: str, top_k: int = 1000
+) -> DataFrame:
+    """(id, n_tokens, n_oov, oov_rate, chars_per_token) — per-document
+    coverage of a frequency vocabulary: the tokenizer-evaluation report
+    (how much of each doc a ``top_k`` word vocabulary explains, and the
+    fertility proxy chars-per-token that drives sequence-length budgets).
+    High ``oov_rate`` flags foreign/garbage docs under a target vocab;
+    ``chars_per_token`` rises on agglutinative or junk text.
+
+    Scale: ONE explode feeds both the vocabulary build (token groupBy,
+    map-side combined, top-k via sort+limit) and the per-doc rollup; the
+    bounded vocab broadcasts back onto the exploded tokens (left join —
+    misses are the OOVs). Ratios are exact integer ratios on the
+    tie-proof 4-dp grid; deterministic top-k tie-break by token.
+    """
+    from .dedup import ensure_parallelism, round4_ratio
+
+    ex = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    vocab = (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__tf__"))
+        .orderBy(F.desc("__tf__"), F.asc("token"))
+        .limit(top_k)
+        .select("token", F.lit(1).alias("__in__"))
+    )
+    rolled = (
+        ex.join(F.broadcast(vocab), on="token", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("__in__").isNull(), 1)).alias("n_oov"),
+            F.sum(F.length("token")).alias("__chars__"),
+        )
+    )
+    return rolled.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_oov",
+        round4_ratio(F.col("n_oov"), F.col("n_tokens")).alias("oov_rate"),
+        round4_ratio(F.col("__chars__"), F.col("n_tokens")).alias(
+            "chars_per_token"
+        ),
+    )

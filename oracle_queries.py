@@ -4192,3 +4192,58 @@ verified AS (
 SELECT id_l, id_r, containment FROM verified
 WHERE containment >= 0.9 ORDER BY id_l, id_r
 """
+
+
+ORACLE_SQL["gini"] = """
+WITH h AS (
+  SELECT source,
+         CAST(floor(CAST(n_chars AS DOUBLE) * 100e0 + 0.5e0) AS BIGINT) AS cv,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE n_chars IS NOT NULL
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT source, c, cv,
+    CAST(cv AS HUGEINT) * c
+      * (2 * sum(c) OVER (PARTITION BY source ORDER BY cv
+                          ROWS UNBOUNDED PRECEDING) - c + 1) AS tt,
+    CAST(cv AS HUGEINT) * c AS vc
+  FROM h
+),
+a AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n, sum(vc) AS sv, sum(tt) AS st
+  FROM t GROUP BY 1
+)
+SELECT source, n,
+  CAST(sv AS DOUBLE) / 100.0 AS total,
+  CASE WHEN sv <> 0 THEN
+    floor(CAST(st - (CAST(n AS HUGEINT) + 1) * sv AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * sv AS DOUBLE) * 1e6 + 5e-1) / 1e6
+  END AS gini
+FROM a ORDER BY source
+"""
+
+ORACLE_SQL["vocab_coverage"] = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({TOKS.format(c='text')}) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+ex2 AS (SELECT doc_id, token FROM ex WHERE token <> ''),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS tf FROM ex2 GROUP BY 1
+  ) QUALIFY row_number() OVER (ORDER BY tf DESC, token ASC) <= 200
+),
+rolled AS (
+  SELECT e.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(CASE WHEN v.token IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+         CAST(sum(length(e.token)) AS BIGINT) AS chars
+  FROM ex2 e LEFT JOIN vocab v USING (token)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_oov,
+  {_round4_ratio_sql('n_oov', 'n_tokens')} AS oov_rate,
+  {_round4_ratio_sql('chars', 'n_tokens')} AS chars_per_token
+FROM rolled
+"""

@@ -2179,6 +2179,61 @@ def test_embedding_pca_matches_numpy(spark):
     assert comps == comps2 and lams == lams2
 
 
+def test_gini_known_values(spark):
+    """Closed-form fixtures: perfect equality -> 0; one-holder
+    concentration -> (n-1)/n; numpy-style python reference with ties."""
+    import math
+
+    from hashquery_spark.ops import gini
+
+    eq = spark.createDataFrame([(i, 5.0) for i in range(8)], "id long, v double")
+    r = gini(eq, "v").collect()[0]
+    assert r["gini"] == 0.0 and r["total"] == 40.0 and r["n"] == 8
+    # all mass on one row: G = (n-1)/n = 0.9 for n=10
+    conc = spark.createDataFrame(
+        [(0, 100.0)] + [(i, 0.0) for i in range(1, 10)], "id long, v double"
+    )
+    assert gini(conc, "v").collect()[0]["gini"] == 0.9
+
+    def ref(vals):
+        n = len(vals)
+        s = sorted(vals)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(s))
+        return math.floor(num / (n * sum(s)) * 1e6 + 0.5) / 1e6
+
+    vals = [1.0, 2.0, 2.0, 3.0, 10.0, 10.0, 50.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    assert gini(df, "v").collect()[0]["gini"] == ref(vals)
+    # grouped: groups are independent
+    g = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 0.0), ("b", 10.0)], "g string, v double"
+    )
+    out = {r["g"]: r["gini"] for r in gini(g, "v", by="g").collect()}
+    assert out["a"] == 0.0 and out["b"] == 0.5  # (n-1)/n = 1/2
+
+
+def test_vocab_coverage_semantics(spark):
+    """Known tiny corpus: OOV counting against the top-k vocab, exact
+    integer-ratio fertility, zero-token docs absent (no explode rows)."""
+    from hashquery_spark.ops import vocab_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb"),     # aa tf=3, bb tf=1
+            (2, "aa zz"),           # zz is rare -> OOV at top_k=2
+            (3, "bb bb cc"),        # cc OOV
+        ],
+        "id long, text string",
+    )
+    # top-2 vocab by (tf desc, token asc): aa (tf 5), bb (tf 3)
+    out = {r["id"]: r for r in vocab_coverage(df, "text", "id", top_k=2).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (4, 0)
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (2, 1)
+    assert (out[3]["n_tokens"], out[3]["n_oov"]) == (3, 1)
+    assert out[2]["oov_rate"] == 0.5
+    assert out[1]["chars_per_token"] == 2.0
+
+
 def test_containment_join_prefix_filter_recall(spark):
     """A snippet fully inside a long doc is found (containment 1.0)
     despite tiny Jaccard — the case MinHash LSH goes blind on — and the
