@@ -3601,6 +3601,46 @@ def q_phash_near_dup(spark, sf_dir):
     )
 
 
+def q_validate_json(spark, sf_dir):
+    """JSON payload hygiene over a deterministic synthesized sidecar
+    (planted truncation + missing-key rows — the corpus has no JSON
+    column): validity + required-key presence as filterable booleans,
+    one narrow pass."""
+    from hashquery_spark.ops import validate_json
+
+    docs = _conn(spark, sf_dir).table("documents")
+    j = docs.selectExpr(
+        "doc_id",
+        "CASE"
+        " WHEN doc_id % 5 = 0 THEN concat('{\"doc_id\": ', CAST(doc_id AS STRING), ', \"lang\": \"', coalesce(lang, 'xx'), '\"')"
+        " WHEN doc_id % 5 = 1 THEN concat('{\"doc_id\": ', CAST(doc_id AS STRING), '}')"
+        " ELSE concat('{\"doc_id\": ', CAST(doc_id AS STRING), ', \"lang\": \"', coalesce(lang, 'xx'), '\", \"source\": \"', coalesce(source, 's'), '\"}')"
+        " END AS payload",
+    )
+    return validate_json(j, "payload", "doc_id", ["doc_id", "lang", "source"])
+
+
+def q_chat_validate(spark, sf_dir):
+    """SFT chat-structure hygiene over deterministic synthesized
+    transcripts (valid / system-led / broken-alternation / blank-content
+    / unparsable variants planted per doc_id mod 5): alternation,
+    non-blank contents, ends-on-assistant — one narrow JSON+HOF pass."""
+    from hashquery_spark.ops import chat_validate
+
+    docs = _conn(spark, sf_dir).table("documents")
+    m = docs.selectExpr(
+        "doc_id",
+        "CASE"
+        " WHEN doc_id % 5 = 0 THEN concat('[{\"role\":\"user\",\"content\":\"q', CAST(doc_id AS STRING), '\"},{\"role\":\"assistant\",\"content\":\"a', CAST(doc_id AS STRING), '\"}]')"
+        " WHEN doc_id % 5 = 1 THEN concat('[{\"role\":\"system\",\"content\":\"sys\"},{\"role\":\"user\",\"content\":\"q', CAST(doc_id AS STRING), '\"},{\"role\":\"assistant\",\"content\":\"a\"}]')"
+        " WHEN doc_id % 5 = 2 THEN concat('[{\"role\":\"user\",\"content\":\"q1\"},{\"role\":\"user\",\"content\":\"q2\"}]')"
+        " WHEN doc_id % 5 = 3 THEN concat('[{\"role\":\"user\",\"content\":\"q\"},{\"role\":\"assistant\",\"content\":\"\"}]')"
+        " ELSE concat('oops {', CAST(doc_id AS STRING))"
+        " END AS messages",
+    )
+    return chat_validate(m, "messages", "doc_id")
+
+
 def q_gini(spark, sf_dir):
     """Per-source Gini coefficient of document lengths (corpus-
     composition inequality): tie-correct average-rank identity over the
@@ -3818,6 +3858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,
         "containment_join": q_containment_join,
         "gini": q_gini,
+        "validate_json": q_validate_json,
+        "chat_validate": q_chat_validate,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

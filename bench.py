@@ -135,6 +135,8 @@ HEADLINE = [
     "containment_join",
     "gini",
     "vocab_coverage",
+    "validate_json",
+    "chat_validate",
 ]
 
 

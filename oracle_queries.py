@@ -4247,3 +4247,88 @@ SELECT doc_id, n_tokens, n_oov,
   {_round4_ratio_sql('chars', 'n_tokens')} AS chars_per_token
 FROM rolled
 """
+
+
+ORACLE_SQL["validate_json"] = """
+WITH raw AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 5 = 0 THEN concat('{"doc_id": ', CAST(doc_id AS VARCHAR), ', "lang": "', coalesce(lang, 'xx'), '"')
+      WHEN doc_id % 5 = 1 THEN concat('{"doc_id": ', CAST(doc_id AS VARCHAR), '}')
+      ELSE concat('{"doc_id": ', CAST(doc_id AS VARCHAR), ', "lang": "', coalesce(lang, 'xx'), '", "source": "', coalesce(source, 's'), '"}')
+    END AS j
+  FROM documents
+),
+base AS (
+  SELECT doc_id, coalesce(json_valid(j), FALSE) AS is_valid,
+    CASE WHEN coalesce(json_valid(j), FALSE) THEN concat_ws(',',
+      CASE WHEN json_extract_string(j, '$.doc_id') IS NULL THEN 'doc_id' END,
+      CASE WHEN json_extract_string(j, '$.lang') IS NULL THEN 'lang' END,
+      CASE WHEN json_extract_string(j, '$.source') IS NULL THEN 'source' END)
+    END AS miss
+  FROM raw
+)
+SELECT doc_id, is_valid,
+  CASE WHEN is_valid
+       THEN CAST(len(list_filter(string_split(miss, ','), x -> x != ''))
+                 AS INT) END AS n_missing,
+  CASE WHEN is_valid THEN miss END AS missing_keys,
+  coalesce(is_valid AND miss = '', FALSE) AS ok
+FROM base
+"""
+
+ORACLE_SQL["chat_validate"] = """
+WITH raw AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 5 = 0 THEN concat('[{"role":"user","content":"q', CAST(doc_id AS VARCHAR), '"},{"role":"assistant","content":"a', CAST(doc_id AS VARCHAR), '"}]')
+      WHEN doc_id % 5 = 1 THEN concat('[{"role":"system","content":"sys"},{"role":"user","content":"q', CAST(doc_id AS VARCHAR), '"},{"role":"assistant","content":"a"}]')
+      WHEN doc_id % 5 = 2 THEN '[{"role":"user","content":"q1"},{"role":"user","content":"q2"}]'
+      WHEN doc_id % 5 = 3 THEN '[{"role":"user","content":"q"},{"role":"assistant","content":""}]'
+      ELSE concat('oops {', CAST(doc_id AS VARCHAR))
+    END AS m
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+    CASE WHEN coalesce(json_valid(m), FALSE) THEN
+      (CASE WHEN json_type(m) = 'ARRAY' THEN
+         json_transform(m, '[{"role":"VARCHAR","content":"VARCHAR"}]') END)
+    END AS arr
+  FROM raw
+),
+q AS (
+  SELECT doc_id, arr,
+         arr IS NOT NULL AS is_parsed,
+         CASE WHEN arr IS NOT NULL THEN CAST(len(arr) AS INT) END AS n_turns,
+         CASE WHEN arr IS NOT NULL THEN
+           (CASE WHEN arr[1].role = 'system' THEN arr[2:] ELSE arr END)
+         END AS body
+  FROM p
+),
+r AS (
+  SELECT doc_id, is_parsed, n_turns,
+    CASE WHEN is_parsed THEN
+      (CASE WHEN len(body) = 0 THEN FALSE ELSE body[1].role = 'user' END)
+    END AS starts_ok,
+    CASE WHEN is_parsed THEN
+      (CASE WHEN len(body) = 0 THEN FALSE ELSE
+        len(list_filter(range(1, len(body) + 1),
+            i -> body[i].role !=
+                 (CASE WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END))) = 0
+      END)
+    END AS alternates,
+    CASE WHEN is_parsed THEN
+      len(list_filter(arr, mm -> mm.role IS NULL OR mm.content IS NULL
+                                 OR length(trim(mm.content)) = 0)) = 0
+    END AS contents_ok,
+    CASE WHEN is_parsed THEN arr[len(arr)].role = 'assistant'
+    END AS ends_assistant
+  FROM q
+)
+SELECT doc_id, is_parsed, n_turns, starts_ok, alternates, contents_ok,
+       ends_assistant,
+       coalesce(is_parsed AND n_turns >= 2 AND starts_ok AND alternates
+                AND contents_ok AND ends_assistant, FALSE) AS chat_ok
+FROM r
+"""

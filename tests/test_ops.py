@@ -3152,3 +3152,50 @@ def test_js_divergence_known_cases(spark):
 
     disj = run(["en"] * 5, ["zh"] * 7)
     assert abs(disj["jsd"] - math.log(2)) < 5e-6
+
+
+def test_validate_json_semantics(spark):
+    """Validity + missing-or-null required keys on hand-built payloads."""
+    from hashquery_spark.ops import validate_json
+
+    rows = [
+        (1, '{"a": 1, "b": "x"}'),
+        (2, '{"a": 1}'),
+        (3, 'bad{'),
+        (4, '{"a": null, "b": 2}'),   # explicit null counts as missing
+        (5, '[1, 2]'),                # valid JSON, not an object
+    ]
+    df = spark.createDataFrame(rows, "id long, j string")
+    out = {r["id"]: r for r in validate_json(df, "j", "id", ["a", "b"]).collect()}
+    assert out[1]["ok"] is True and out[1]["n_missing"] == 0
+    assert out[2]["missing_keys"] == "b" and out[2]["ok"] is False
+    assert out[3]["is_valid"] is False and out[3]["ok"] is False
+    assert out[4]["missing_keys"] == "a"
+    assert out[5]["is_valid"] is True and out[5]["n_missing"] == 2
+
+
+def test_chat_validate_semantics(spark):
+    """Structure gate over every planted failure mode: valid 2-turn,
+    system-led, broken alternation, blank content, unparsable,
+    system-only, assistant-first."""
+    from hashquery_spark.ops import chat_validate
+
+    rows = [
+        (1, '[{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]'),
+        (2, '[{"role":"system","content":"s"},{"role":"user","content":"q"},{"role":"assistant","content":"a"}]'),
+        (3, '[{"role":"user","content":"a"},{"role":"user","content":"b"}]'),
+        (4, 'truncated {'),
+        (5, '[{"role":"user","content":"hi"},{"role":"assistant","content":""}]'),
+        (6, '[{"role":"system","content":"s"}]'),
+        (7, '[{"role":"assistant","content":"hello"}]'),
+        (8, '[{"role":"user","content":"q"},{"role":"assistant","content":"a"},{"role":"user","content":"q2"}]'),
+    ]
+    df = spark.createDataFrame(rows, "id long, m string")
+    out = {r["id"]: r for r in chat_validate(df, "m", "id").collect()}
+    assert out[1]["chat_ok"] is True and out[2]["chat_ok"] is True
+    assert out[3]["alternates"] is False and out[3]["chat_ok"] is False
+    assert out[4]["is_parsed"] is False and out[4]["chat_ok"] is False
+    assert out[5]["contents_ok"] is False
+    assert out[6]["starts_ok"] is False  # system-only: empty body
+    assert out[7]["starts_ok"] is False
+    assert out[8]["ends_assistant"] is False and out[8]["alternates"] is True
