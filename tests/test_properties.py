@@ -1184,3 +1184,113 @@ def test_mutual_information_matches_python_reference(spark, pairs):
         - sum(c * L(c) for c in cy.values())
     )
     assert got["mi"] == mi_micro / (n * 1e6)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 6), st.booleans()), min_size=2, max_size=40
+    )
+)
+def test_average_precision_matches_python_reference(spark, data):
+    """AP on random (score, label) multisets with heavy ties must equal
+    the step-wise python reference exactly (1e-9-grid block terms)."""
+    import math
+
+    from hashquery_spark.ops import average_precision
+
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in data], "s double, y int"
+    )
+    r = average_precision(df, "s", "y").collect()[0]
+    blocks = {}
+    for s, y in data:
+        p, q = blocks.get(float(s), (0, 0))
+        blocks[float(s)] = (p + 1, q) if y else (p, q + 1)
+    npos = sum(p for p, _ in blocks.values())
+    if npos == 0:
+        assert r["average_precision"] is None
+        return
+    tp = cum = nano = 0
+    for s in sorted(blocks, reverse=True):
+        p, q = blocks[s]
+        tp += p
+        cum += p + q
+        if p > 0:
+            nano += math.floor(p * tp / (npos * cum) * 1e9)
+    assert r["average_precision"] == nano / 1e9
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(-5, 5), st.integers(-5, 5)),
+        min_size=3,
+        max_size=30,
+    )
+)
+def test_spearman_matches_python_reference(spark, pairs):
+    """Tie-averaged Spearman on random integer pairs == the python
+    Pearson-on-ranks reference (exact integer sums, fround 6)."""
+    import math
+
+    from hashquery_spark.ops import spearman_corr
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pairs], "x double, y double"
+    )
+    r = spearman_corr(df, "x", "y").collect()[0]
+
+    def avg_ranks2(vals):
+        order = {}
+        for v in vals:
+            order[v] = order.get(v, 0) + 1
+        cum, r2 = 0, {}
+        for v in sorted(order):
+            c = order[v]
+            cum += c
+            r2[v] = 2 * cum - c + 1
+        return [r2[v] for v in vals]
+
+    xs = [float(x) for x, _ in pairs]
+    ys = [float(y) for _, y in pairs]
+    rx, ry = avg_ranks2(xs), avg_ranks2(ys)
+    n = len(pairs)
+    sx, sy = sum(rx), sum(ry)
+    a = n * sum(v * v for v in rx) - sx * sx
+    b = n * sum(v * v for v in ry) - sy * sy
+    if a <= 0 or b <= 0:
+        assert r["spearman_rho"] is None
+        return
+    num = n * sum(p * q for p, q in zip(rx, ry)) - sx * sy
+    rho = float(num) / (math.sqrt(float(a)) * math.sqrt(float(b)))
+    assert r["spearman_rho"] == math.floor(rho * 1e6 + 0.5) / 1e6
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.integers(0, 1000).map(lambda v: v / 4.0), min_size=2, max_size=40
+    )
+)
+def test_gini_matches_python_reference(spark, vals):
+    """Gini over random non-negative values (quarter-grid → exact cents)
+    == the sorted average-rank python reference."""
+    import math
+
+    from hashquery_spark.ops import gini
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    r = gini(df, "v").collect()[0]
+    cents = [math.floor(v * 100.0 + 0.5) for v in vals]
+    n, tot = len(cents), sum(cents)
+    if tot == 0:
+        assert r["gini"] is None
+        return
+    s = sorted(cents)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(s))
+    assert r["gini"] == math.floor(num / (n * tot) * 1e6 + 0.5) / 1e6
+    assert r["total"] == tot / 100.0
