@@ -3601,6 +3601,28 @@ def q_phash_near_dup(spark, sf_dir):
     )
 
 
+def q_transition_matrix(spark, sf_dir):
+    """First-order Markov transitions of per-user event types (ordered
+    by ts with event_id tiebreak): bounded |states|^2 pair table, row-
+    normalized on the tie-proof 4-dp grid."""
+    from hashquery_spark.ops import transition_matrix
+
+    ev = _conn(spark, sf_dir).table("events")
+    return transition_matrix(
+        ev, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    ).orderBy("from_state", "to_state")
+
+
+def q_flesch(spark, sf_dir):
+    """Flesch reading ease per document (vowel-group syllables,
+    punctuation-run sentences floored at 1): one regexp-count pass,
+    exact integer component ratios, fround blend."""
+    from hashquery_spark.ops import flesch_reading_ease
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return flesch_reading_ease(docs, "text", "doc_id")
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -3860,6 +3882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": q_gini,
         "validate_json": q_validate_json,
         "chat_validate": q_chat_validate,
+        "transition_matrix": q_transition_matrix,
+        "flesch": q_flesch,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

@@ -137,6 +137,8 @@ HEADLINE = [
     "vocab_coverage",
     "validate_json",
     "chat_validate",
+    "transition_matrix",
+    "flesch",
 ]
 
 

@@ -845,3 +845,41 @@ def vocab_coverage(
             "chars_per_token"
         ),
     )
+
+
+def flesch_reading_ease(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_sentences, n_words, n_syllables, flesch) — Flesch reading
+    ease (206.835 − 1.015·words/sentences − 84.6·syllables/words), the
+    classic readability gate some quality-filter stacks add next to the
+    Gopher heuristics. Syllables use the standard vowel-group
+    approximation (runs of ``[aeiouy]+`` per word); sentences are
+    ``[.!?]+`` runs, floored at 1 so punctuation-free text degrades to
+    one long sentence instead of dividing by zero.
+
+    One narrow codegen'd pass (regexp counts only — no tokenize
+    explode, no UDF, no shuffle); both component ratios are exact
+    integer ratios and the blend uses the tie-proof fround, so the
+    oracle matches bit-for-bit.
+    """
+    t = F.col(text_col)
+    low = F.lower(t)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    words = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit(r"[a-z0-9]+"), 0)), F.lit(1)
+    )
+    syll = F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), 0))
+    flesch = fround(
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (syll.cast("double") / words.cast("double")),
+        4,
+    )
+    return df.where(t.isNotNull()).select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        words.alias("n_words"),
+        syll.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

@@ -589,3 +589,48 @@ def interarrival_stats(
             ),
         ).alias("cv2"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(from_state, to_state, n, prob) — the first-order Markov
+    transition matrix of per-entity state sequences (event-flow
+    analytics: "what follows a page_view?"; also the behavioral
+    anomaly baseline). ``prob`` row-normalizes per ``from_state`` on
+    the tie-proof 4-dp grid; NULL states and single-event entities
+    contribute no transitions.
+
+    Scale: one entity-partitioned lead window (ordered by ts +
+    ``tiebreak_col`` for determinism under equal timestamps) + one
+    groupBy(from, to) with map-side combine — the pair table is bounded
+    by |states|², and the row marginal is a window over that bounded
+    table, never the events.
+    """
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    pairs = (
+        df.where(F.col(state_col).isNotNull())
+        .select(
+            F.col(state_col).cast("string").alias("from_state"),
+            F.lead(F.col(state_col).cast("string")).over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = F.sum("n").over(Window.partitionBy("from_state"))
+    from .dedup import round4_ratio
+
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n",
+        round4_ratio(F.col("n"), row_total).alias("prob"),
+    )

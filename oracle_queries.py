@@ -4332,3 +4332,40 @@ SELECT doc_id, is_parsed, n_turns, starts_ok, alternates, contents_ok,
                 AND contents_ok AND ends_assistant, FALSE) AS chat_ok
 FROM r
 """
+
+
+ORACLE_SQL["transition_matrix"] = f"""
+WITH seq AS (
+  SELECT CAST(event_type AS VARCHAR) AS from_state,
+         CAST(lead(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS VARCHAR)
+           AS to_state
+  FROM events WHERE event_type IS NOT NULL
+),
+pairs AS (
+  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_state IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_state, to_state, n,
+  {{r4}} AS prob
+FROM pairs ORDER BY from_state, to_state
+""".format(r4=_round4_ratio_sql('n', 'sum(n) OVER (PARTITION BY from_state)'))
+
+ORACLE_SQL["flesch"] = """
+WITH base AS (
+  SELECT doc_id,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+    greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS n_words,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  CAST(n_sentences AS INT) AS n_sentences,
+  CAST(n_words AS INT) AS n_words,
+  CAST(n_syllables AS INT) AS n_syllables,
+  floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+        * 1e4 + 5e-1) / 1e4 AS flesch
+FROM base
+"""

@@ -3199,3 +3199,48 @@ def test_chat_validate_semantics(spark):
     assert out[6]["starts_ok"] is False  # system-only: empty body
     assert out[7]["starts_ok"] is False
     assert out[8]["ends_assistant"] is False and out[8]["alternates"] is True
+
+
+def test_transition_matrix_semantics(spark):
+    """Hand-built sequences: counts per ordered pair, row-normalized
+    probs, single-event entities contribute nothing, ties ordered by
+    the tiebreak column."""
+    from hashquery_spark.ops import transition_matrix
+
+    rows = [
+        ("u1", "a", 1, 1), ("u1", "b", 2, 2), ("u1", "a", 3, 3),
+        ("u2", "a", 1, 1), ("u2", "b", 2, 2),
+        ("u3", "c", 5, 5),                      # lone event: no pairs
+        ("u4", "a", 7, 1), ("u4", "x", 7, 2),   # same ts: event order
+    ]
+    df = spark.createDataFrame(rows, "u string, s string, ts long, eid long")
+    out = {
+        (r["from_state"], r["to_state"]): (r["n"], r["prob"])
+        for r in transition_matrix(df, "u", "s", "ts", tiebreak_col="eid").collect()
+    }
+    # from 'a': a->b twice (u1, u2), a->x once (u4) => probs 2/3, 1/3
+    assert out[("a", "b")][0] == 2 and out[("a", "x")][0] == 1
+    assert out[("a", "b")][1] == 0.6667 and out[("a", "x")][1] == 0.3333
+    assert out[("b", "a")] == (1, 1.0)
+    assert all(k[0] != "c" for k in out)
+
+
+def test_flesch_reading_ease_known_values(spark):
+    """Hand-counted sentences/words/vowel-groups reproduce the formula;
+    punctuation-free text floors at one sentence."""
+    import math
+
+    from hashquery_spark.ops import flesch_reading_ease
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "no punctuation here at all")],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in flesch_reading_ease(df, "text", "id").collect()}
+    r1 = out[1]
+    assert (r1["n_sentences"], r1["n_words"]) == (2, 6)
+    # the, cat, sat, the, dog, ran -> vowel groups: e,a,a,e,o,a = 6
+    assert r1["n_syllables"] == 6
+    want = math.floor((206.835 - 1.015 * 3.0 - 84.6 * 1.0) * 1e4 + 0.5) / 1e4
+    assert r1["flesch"] == want
+    assert out[2]["n_sentences"] == 1 and out[2]["n_words"] == 5
