@@ -117,3 +117,43 @@ def test_model_centric_pipeline_with_classifier_and_packing(spark, corpus):
     # every pack's text contains every member doc's first token
     sample = packs.limit(3).collect()
     assert all(r["text"] for r in sample)
+
+
+def test_sft_data_prep_pipeline(spark):
+    """Round-4 chain: synthesize chat transcripts with planted failure
+    modes -> chat_validate gate -> exact dedup of surviving transcripts
+    -> pack_texts for training export. Conservation invariants at every
+    stage; the gate drops EXACTLY the planted-bad share."""
+    from hashquery_spark.ops import chat_validate, exact_dedup, pack_texts
+
+    n = 600
+    # ids 0..599: %3==0 valid unique, %3==1 valid DUPLICATE content
+    # (all share one transcript), %3==2 broken (no assistant turn)
+    base = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "CASE"
+        " WHEN id % 3 = 0 THEN concat('[{\"role\":\"user\",\"content\":\"q', CAST(id AS STRING), '\"},{\"role\":\"assistant\",\"content\":\"a', CAST(id AS STRING), '\"}]')"
+        " WHEN id % 3 = 1 THEN '[{\"role\":\"user\",\"content\":\"same\"},{\"role\":\"assistant\",\"content\":\"same\"}]'"
+        " ELSE '[{\"role\":\"user\",\"content\":\"only user\"}]'"
+        " END AS messages",
+    )
+    gated = chat_validate(base, "messages", "doc_id").where("chat_ok")
+    assert gated.count() == 400  # %3==0 and %3==1 survive, %3==2 dropped
+
+    survivors = base.join(gated.select("doc_id"), on="doc_id")
+    deduped = exact_dedup(survivors, "messages", "doc_id")
+    # 200 unique valid + 1 canonical copy of the duplicate transcript
+    assert deduped.count() == 201
+    dup_row = deduped.where("dup_count > 1").collect()
+    assert len(dup_row) == 1 and dup_row[0]["dup_count"] == 200
+
+    kept = survivors.join(
+        deduped.selectExpr("keep_id AS doc_id"), on="doc_id"
+    )
+    packed = pack_texts(kept, "messages", "doc_id", budget=64)
+    agg = packed.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("n_docs").alias("docs"),
+    ).collect()[0]
+    assert agg["docs"] == 201  # every kept transcript packed exactly once
+    assert agg["n_packs"] >= 1
