@@ -3623,6 +3623,30 @@ def q_flesch(spark, sf_dir):
     return flesch_reading_ease(docs, "text", "doc_id")
 
 
+def q_anova_f(spark, sf_dir):
+    """One-way ANOVA of order totals across priority bands: micro-unit
+    DECIMAL moments per group, remainder-subtraction floor for the
+    between-group term, exact-integer F components, fround(6)."""
+    from hashquery_spark.ops import anova_f
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return anova_f(orders, "o_totalprice", "o_orderpriority")
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Tie-corrected Mann-Whitney U of order totals between finished
+    and unfinished orders, per priority band — the same histogram-rank
+    reduction as binary_auc plus the exact tie-run cubic sum."""
+    from hashquery_spark.ops import mann_whitney
+    from pyspark.sql import functions as F
+
+    orders = _conn(spark, sf_dir).table("orders")
+    sided = orders.where(F.col("o_orderstatus").isNotNull()).withColumn(
+        "is_f", F.col("o_orderstatus") == "F"
+    )
+    return mann_whitney(sided, "o_totalprice", "is_f", by="o_orderpriority")
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -3884,6 +3908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_validate": q_chat_validate,
         "transition_matrix": q_transition_matrix,
         "flesch": q_flesch,
+        "anova_f": q_anova_f,
+        "mann_whitney": q_mann_whitney,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

@@ -139,6 +139,8 @@ HEADLINE = [
     "chat_validate",
     "transition_matrix",
     "flesch",
+    "anova_f",
+    "mann_whitney",
 ]
 
 

@@ -875,3 +875,151 @@ def ab_test_report(
         F.when(ok, fround(t, 6)).alias("welch_t"),
         F.when(ok, fround(dfree, 6)).alias("welch_df"),
     )
+
+
+def anova_f(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    grid: float = 1e6,
+) -> DataFrame:
+    """One-way ANOVA of ``value_col`` across the levels of ``group_col``
+    — "does the mean differ between sources/shards/label buckets?", the
+    k-group generalization of :func:`ab_test_report`. Output (one row):
+    ``k, n, f_stat, eta_sq`` (NULL stats when k < 2, n <= k, or SSW = 0).
+
+    Exactness: values snap to the integer ``grid`` (micro-units by
+    default) so per-group S_g and global Q = SUM(m^2) are exact
+    DECIMAL(38,0) sums. The between-group sum of squares needs
+    SUM_g(S_g^2 / n_g); each term is floored to an exact integer via
+    remainder subtraction ((S^2 - S^2 mod n) / n — decimal-exact in
+    Spark, ``//`` in DuckDB; per-group truncation < 1 grid^2 unit, i.e.
+    < 1e-12 of a squared value, while keeping the sum order-independent).
+    F and eta^2 are then single IEEE quotients of exact big integers,
+    snapped with the tie-proof floor round at 6 dp.
+
+    Scale: one scan -> one map-side-combined groupBy(group_col) to a
+    k-row frame -> one global 1-row aggregate. S_g^2 is O(n^2 grid^2):
+    DECIMAL(38) holds to ~1e19 micro-unit sums (n*|v| ~ 1e13 at a
+    trillion rows of unit-scale values) — same accumulator contract as
+    binary_auc's rank sums.
+    """
+    v = F.col(value_col).cast("double")
+    m = F.floor(v * F.lit(float(grid)) + F.lit(0.5)).cast("decimal(19,0)")
+    per_g = (
+        df.where(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("decimal(19,0)").alias("__n__"),
+            F.sum(m).cast("decimal(19,0)").alias("__s__"),
+            F.sum(m.cast("decimal(38,0)") * m).alias("__q__"),
+        )
+    )
+    s2 = F.col("__s__") * F.col("__s__")  # decimal(38,0), exact
+    tg = (s2 - s2 % F.col("__n__")) / F.col("__n__")  # exact integer value
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("__n__")).alias("__N__"),
+        F.sum(F.col("__s__").cast("decimal(38,0)")).alias("__S__"),
+        F.sum(F.col("__q__")).alias("__Q__"),
+        F.sum(tg).alias("__A__"),
+    )
+    S2 = F.col("__S__") * F.col("__S__")
+    big_n = F.col("__N__")
+    b = (S2 - S2 % big_n) / big_n  # floor(S^2 / N), exact
+    ssb = F.col("__A__").cast("double") - b.cast("double")
+    ssw = F.col("__Q__").cast("double") - F.col("__A__").cast("double")
+    sst = F.col("__Q__").cast("double") - b.cast("double")
+    kd = F.col("k").cast("double")
+    nd = big_n.cast("double")
+    f_stat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    ok = (F.col("k") >= 2) & (big_n > F.col("k")) & (ssw > 0)
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        big_n.cast("long").alias("n"),
+        F.when(ok, fround(f_stat, 6)).alias("f_stat"),
+        F.when(ok & (sst > 0), fround(ssb / sst, 6)).alias("eta_sq"),
+    )
+
+
+def mann_whitney(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    by=None,
+) -> DataFrame:
+    """Mann-Whitney U test of ``value_col`` between the two samples
+    split by truthy ``side_col`` (truthy = sample A), optionally per
+    ``by`` group — the nonparametric two-sample location test (the
+    distribution-free companion to :func:`ab_test_report`, and the
+    significance readout on top of :func:`binary_auc`'s effect size).
+    Output: group cols + ``n_a, n_b, u, z`` (z is the tie-corrected
+    normal approximation; NULL when a sample is empty or all values tie).
+
+    Exactness: the same score-histogram reduction as binary_auc — exact
+    doubled rank sums in DECIMAL(38,0), so 2U = 2R_a - n_a(n_a+1) is an
+    exact integer (u emits 2U/2, exact in binary since halves are
+    representable). The tie correction T = SUM(t^3 - t) over tie runs is
+    an exact DECIMAL sum off the same histogram. z's variance term
+    4*Var(U) = n_a*n_b*((N+1)*N*(N-1) - T) / (3*N*(N-1)) is evaluated as
+    a fixed-order IEEE chain over correctly-rounded casts of those exact
+    integers; z is snapped with the tie-proof floor round at 6 dp.
+
+    Scale: histogram rows bound all state (score-grid cardinality, not
+    row count); one running-sum window over the bounded histogram.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    v, side = F.col(value_col), F.col(side_col)
+    a_flag = F.when(side.cast("boolean"), 1).otherwise(0)
+    hist = (
+        df.where(v.isNotNull() & side.isNotNull())
+        .groupBy(*by, v.alias("__s__"))
+        .agg(
+            F.sum(a_flag).cast("long").alias("__p__"),
+            F.sum(1 - a_flag).cast("long").alias("__q__"),
+        )
+    )
+    w_ord = (
+        Window.partitionBy(*by)
+        .orderBy("__s__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = hist.select(
+        *by,
+        "__p__",
+        "__q__",
+        F.sum(F.col("__p__") + F.col("__q__")).over(w_ord).alias("__cum__"),
+    )
+    c = F.col("__p__") + F.col("__q__")
+    two_rank = 2 * F.col("__cum__") - c + 1
+    cd = c.cast("decimal(38,0)")
+    agg = hist.groupBy(*by).agg(
+        F.sum("__p__").alias("n_a"),
+        F.sum("__q__").alias("n_b"),
+        F.sum(F.col("__p__").cast("decimal(38,0)") * two_rank).alias("__2R__"),
+        F.sum(cd * cd * cd - cd).alias("__T__"),
+    )
+    na = F.col("n_a").cast("decimal(19,0)")
+    two_u = F.col("__2R__") - na * (na + 1)  # exact integer, = 2*U_a
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    # 4*Var(2U/2)*4 — work with doubled U: Var(2U) = 4 Var(U), so
+    # z = (2U - n_a n_b) / sqrt(4 Var(U)); fixed op order both engines
+    big_b = (
+        (nd + F.lit(1.0)) * nd * (nd - F.lit(1.0))
+        - F.col("__T__").cast("double")
+    )
+    four_var = nad * nbd * big_b / (F.lit(3.0) * nd * (nd - F.lit(1.0)))
+    z = (two_u.cast("double") - nad * nbd) / F.sqrt(four_var)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (four_var > 0)
+    return agg.select(
+        *by,
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            two_u.cast("double") / F.lit(2.0),
+        ).alias("u"),
+        F.when(ok, fround(z, 6)).alias("z"),
+    )

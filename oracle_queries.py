@@ -4369,3 +4369,87 @@ SELECT doc_id,
         * 1e4 + 5e-1) / 1e4 AS flesch
 FROM base
 """
+
+
+ORACLE_SQL["anova_f"] = f"""
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000.0 + 0.5)
+                  AS HUGEINT)) AS s,
+         sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000.0 + 0.5)
+                  AS HUGEINT)
+             * CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000.0 + 0.5)
+                    AS HUGEINT)) AS q
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         sum(n) AS nn, sum(s) AS ss, sum(q) AS qq,
+         sum((s * s) // n) AS aa
+  FROM g
+),
+d AS (
+  SELECT k, nn,
+         CAST(aa AS DOUBLE) - CAST((ss * ss) // nn AS DOUBLE) AS ssb,
+         CAST(qq AS DOUBLE) - CAST(aa AS DOUBLE) AS ssw,
+         CAST(qq AS DOUBLE) - CAST((ss * ss) // nn AS DOUBLE) AS sst
+  FROM a
+)
+SELECT k, CAST(nn AS BIGINT) AS n,
+  CASE WHEN k >= 2 AND nn > k AND ssw > 0 THEN
+    {_fround_sql('(ssb / (CAST(k AS DOUBLE) - 1.0)) / (ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))', 6)}
+  END AS f_stat,
+  CASE WHEN k >= 2 AND nn > k AND ssw > 0 AND sst > 0 THEN
+    {_fround_sql('ssb / sst', 6)}
+  END AS eta_sq
+FROM d
+"""
+
+
+ORACLE_SQL["mann_whitney"] = f"""
+WITH h AS (
+  SELECT o_orderpriority, o_totalprice AS s,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS p,
+         count(*) FILTER (WHERE o_orderstatus <> 'F') AS q
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT o_orderpriority, p, q,
+         sum(p + q) OVER (PARTITION BY o_orderpriority ORDER BY s
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+),
+a AS (
+  SELECT o_orderpriority,
+         CAST(sum(p) AS BIGINT) AS n_a,
+         CAST(sum(q) AS BIGINT) AS n_b,
+         sum(CAST(p AS DECIMAL(38,0)) * (2 * cum - (p + q) + 1)) AS r2,
+         sum(CAST(p + q AS HUGEINT) * (p + q) * (p + q) - (p + q)) AS t
+  FROM r GROUP BY 1
+),
+z AS (
+  SELECT o_orderpriority, n_a, n_b,
+    CAST(r2 - CAST(n_a AS DECIMAL(19,0)) * (CAST(n_a AS DECIMAL(19,0)) + 1)
+         AS DOUBLE) AS two_u,
+    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+    CAST(n_a + n_b AS DOUBLE) AS nd, CAST(t AS DOUBLE) AS td
+  FROM a
+),
+v AS (
+  SELECT o_orderpriority, n_a, n_b, two_u, nad, nbd,
+    (nad * nbd * ((((nd + 1.0) * nd) * (nd - 1.0)) - td))
+      / ((3.0 * nd) * (nd - 1.0)) AS four_var
+  FROM z
+)
+SELECT o_orderpriority, n_a, n_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN two_u / 2.0 END AS u,
+  CASE WHEN n_a > 0 AND n_b > 0 AND four_var > 0 THEN
+    {_fround_sql('(two_u - nad * nbd) / sqrt(four_var)', 6)}
+  END AS z
+FROM v
+"""

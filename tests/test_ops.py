@@ -3244,3 +3244,57 @@ def test_flesch_reading_ease_known_values(spark):
     want = math.floor((206.835 - 1.015 * 3.0 - 84.6 * 1.0) * 1e4 + 0.5) / 1e4
     assert r1["flesch"] == want
     assert out[2]["n_sentences"] == 1 and out[2]["n_words"] == 5
+
+
+def test_anova_f_known_values(spark):
+    """Three hand-built groups reproduce the textbook one-way F and
+    eta-squared (python twin replicating the micro-unit integer
+    arithmetic, cross-checked against the raw-float formula)."""
+    import math
+
+    from hashquery_spark.ops import anova_f
+
+    groups = {"a": [1.0, 2.0, 3.0], "b": [2.0, 3.0, 4.0], "c": [8.0, 9.0, 10.0]}
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = anova_f(df, "v", "g").collect()[0]
+    # python twin of the op's exact integer arithmetic
+    ss = {g: sum(int(math.floor(v * 1e6 + 0.5)) for v in vals) for g, vals in groups.items()}
+    qq = sum(int(math.floor(v * 1e6 + 0.5)) ** 2 for vals in groups.values() for v in vals)
+    aa = sum(s * s // len(groups[g]) for g, s in ss.items())
+    n = sum(len(v) for v in groups.values())
+    bb = sum(ss.values()) ** 2 // n
+    ssb, ssw, sst = float(aa) - float(bb), float(qq) - float(aa), float(qq) - float(bb)
+    k = len(groups)
+    f_want = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["k"] == 3 and out["n"] == 9
+    assert out["f_stat"] == math.floor(f_want * 1e6 + 0.5) / 1e6
+    assert out["eta_sq"] == math.floor(ssb / sst * 1e6 + 0.5) / 1e6
+    # sanity vs the raw-float textbook formula (grand mean 4.666..)
+    means = {g: sum(v) / len(v) for g, v in groups.items()}
+    gm = sum(sum(v) for v in groups.values()) / n
+    ssb_f = sum(len(v) * (means[g] - gm) ** 2 for g, v in groups.items())
+    ssw_f = sum((x - means[g]) ** 2 for g, v in groups.items() for x in v)
+    assert abs(out["f_stat"] - (ssb_f / 2) / (ssw_f / 6)) < 1e-5
+
+
+def test_mann_whitney_known_values(spark):
+    """Tie-heavy 7-point sample reproduces hand-ranked U and the
+    tie-corrected z (R_a = 1 + 2.5 + 4.5 + 6 = 14, U = 4, T = 12)."""
+    import math
+
+    from hashquery_spark.ops import mann_whitney
+
+    rows = [(1.0, True), (2.0, True), (3.0, True), (4.0, True),
+            (2.0, False), (3.0, False), (5.0, False)]
+    df = spark.createDataFrame(rows, "v double, is_a boolean")
+    out = mann_whitney(df, "v", "is_a").collect()[0]
+    assert (out["n_a"], out["n_b"]) == (4, 3)
+    assert out["u"] == 4.0
+    four_var = 4.0 * 3.0 * (((7.0 + 1.0) * 7.0) * (7.0 - 1.0) - 12.0) / ((3.0 * 7.0) * (7.0 - 1.0))
+    z_want = (8.0 - 12.0) / math.sqrt(four_var)
+    assert out["z"] == math.floor(z_want * 1e6 + 0.5) / 1e6
+    # degenerate: all values tie -> z NULL, u still defined
+    df2 = spark.createDataFrame([(1.0, True), (1.0, False)], "v double, is_a boolean")
+    out2 = mann_whitney(df2, "v", "is_a").collect()[0]
+    assert out2["z"] is None and out2["u"] == 0.5
