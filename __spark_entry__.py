@@ -3647,6 +3647,29 @@ def q_mann_whitney(spark, sf_dir):
     return mann_whitney(sided, "o_totalprice", "is_f", by="o_orderpriority")
 
 
+def q_distinct_n(spark, sf_dir):
+    """Corpus distinct-n diversity profile (n=1..3): one barrier
+    tokenize, one tagged explode, vocab-bounded aggregates, tie-proof
+    integer ratios."""
+    from hashquery_spark.ops import distinct_n
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return distinct_n(docs, "text", max_n=3)
+
+
+def q_lm3_score(spark, sf_dir):
+    """Stupid-backoff trigram LM: train on the md5-even half of the
+    corpus, score ALL documents — unseen trigrams exercise the bigram/
+    unigram backoff tiers (the train/score domain-shift readout)."""
+    from hashquery_spark.ops import trigram_lm_score
+    from hashquery_spark.ops.dedup import md5_hash32
+    from pyspark.sql import functions as F
+
+    docs = _conn(spark, sf_dir).table("documents")
+    model = docs.where(md5_hash32(F.col("doc_id").cast("string")) % 2 == 0)
+    return trigram_lm_score(docs, "text", "doc_id", model_df=model)
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -3910,6 +3933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flesch": q_flesch,
         "anova_f": q_anova_f,
         "mann_whitney": q_mann_whitney,
+        "distinct_n": q_distinct_n,
+        "lm3_score": q_lm3_score,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

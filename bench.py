@@ -141,6 +141,8 @@ HEADLINE = [
     "flesch",
     "anova_f",
     "mann_whitney",
+    "distinct_n",
+    "lm3_score",
 ]
 
 

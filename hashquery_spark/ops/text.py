@@ -883,3 +883,245 @@ def flesch_reading_ease(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         syll.alias("n_syllables"),
         flesch.alias("flesch"),
     )
+
+
+def distinct_n(df: DataFrame, text_col: str, max_n: int = 3) -> DataFrame:
+    """(n, total_ngrams, distinct_ngrams, distinct_ratio) for n =
+    1..``max_n`` — the corpus-level distinct-n diversity profile (Li et
+    al. 2016's Distinct-N, the standard mode-collapse / template-spam
+    readout: a synthetic or boilerplate-heavy corpus shows a collapsed
+    distinct-2/distinct-3 ratio long before exact dedup finds anything).
+
+    Scale: tokenize ONCE per row behind a Generate barrier (the measured
+    HOF-capture trap — a lambda over the raw tokens() tree re-runs the
+    regex tokenizer per shingle), emit all n-gram sizes in ONE tagged
+    explode, then one groupBy(n, gram) with map-side combine (state
+    bounded by vocabulary, not corpus) and a bounded rollup per n.
+    distinct_ratio is the tie-proof integer ratio.
+    """
+    toked = ensure_parallelism(
+        df.where(F.col(text_col).isNotNull())
+    ).select(
+        F.explode(F.array(F.struct(tokens(F.col(text_col)).alias("t")))).alias(
+            "__tk__"
+        )
+    )
+    toks = F.col("__tk__.t")
+    sz = F.size(toks)
+
+    def shingle_fn(n):
+        return lambda i: F.concat_ws(
+            "\x01", F.lit(str(n)), F.concat_ws(" ", F.slice(toks, i, n))
+        )
+
+    parts = [
+        F.when(
+            sz >= n,
+            F.transform(F.sequence(F.lit(1), sz - (n - 1)), shingle_fn(n)),
+        ).otherwise(F.array())
+        for n in range(1, max_n + 1)
+    ]
+    exploded = (
+        toked.select(F.explode(F.concat(*parts)).alias("__t__"))
+        .select(
+            F.split_part(F.col("__t__"), F.lit("\x01"), F.lit(1))
+            .cast("int")
+            .alias("n"),
+            F.split_part(F.col("__t__"), F.lit("\x01"), F.lit(2)).alias("__g__"),
+        )
+        .where(F.col("__g__") != "")  # empty-normalized docs tokenize to ['']
+    )
+    per_gram = exploded.groupBy("n", "__g__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    return (
+        per_gram.groupBy("n")
+        .agg(
+            F.sum("__c__").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).alias("distinct_ngrams"),
+        )
+        .select(
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            round4_ratio(
+                F.col("distinct_ngrams"), F.greatest(F.col("total_ngrams"), F.lit(1))
+            ).alias("distinct_ratio"),
+        )
+    )
+
+
+def trigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model_df: DataFrame | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """(id, n_trigrams, n_tri_hits, n_bi_backoff, n_uni_backoff,
+    lm3_score) — mean trigram log-score under a Stupid Backoff LM
+    (Brants et al. 2007) trained on ``model_df`` (default: ``df``
+    itself): S(w3|w1 w2) = c(w1w2w3)/c(w1w2) when the trigram is seen,
+    else alpha * c(w2w3)/c(w2), else alpha^2 * c(w3)/N (OOV words floor
+    at count 1). The third-order fluency gate above
+    :func:`bigram_lm_score` — and with a held-out ``model_df`` the
+    backoff counters become a train/score domain-shift readout.
+
+    Scale: the model side is ONE tagged explode -> one vocab-bounded
+    groupBy, localCheckpointed (three differently-pruned consumers — the
+    measured no-ReusedExchange trap); the scored side explodes token
+    positions once behind a Generate barrier and left-joins the three
+    count tables on gram keys (vocab ≪ corpus — AQE broadcasts; at
+    100 TB these are plain shuffle joins on uniform gram keys). N rides
+    a 1-row broadcast crossJoin (the ab_test/bm25 pattern).
+
+    Determinism: each position's ln is snapped to the 1e-4 grid with the
+    floor form and summed as BIGINTs; the mean is the exact integer
+    ratio fround(4) — the bigram_lm_score contract.
+    """
+    src = model_df if model_df is not None else df
+    toked_m = ensure_parallelism(
+        src.where(F.col(text_col).isNotNull())
+    ).select(
+        F.explode(F.array(F.struct(tokens(F.col(text_col)).alias("t")))).alias(
+            "__tk__"
+        )
+    )
+    mtoks = F.col("__tk__.t")
+    msz = F.size(mtoks)
+
+    def tag_fn(n):
+        return lambda i: F.concat_ws(
+            "\x01", F.lit(str(n)), F.concat_ws(" ", F.slice(mtoks, i, n))
+        )
+
+    mparts = [
+        F.when(
+            msz >= n,
+            F.transform(F.sequence(F.lit(1), msz - (n - 1)), tag_fn(n)),
+        ).otherwise(F.array())
+        for n in (1, 2, 3)
+    ]
+    per_gram = (
+        toked_m.select(F.explode(F.concat(*mparts)).alias("__t__"))
+        .select(
+            F.split_part(F.col("__t__"), F.lit("\x01"), F.lit(1))
+            .cast("int")
+            .alias("__n__"),
+            F.split_part(F.col("__t__"), F.lit("\x01"), F.lit(2)).alias("__g__"),
+        )
+        .where(F.col("__g__") != "")
+        .groupBy("__n__", "__g__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .localCheckpoint(eager=True)
+    )
+    f1 = per_gram.where(F.col("__n__") == 1).select(
+        F.col("__g__").alias("__w__"), F.col("__c__").alias("__c1__")
+    )
+    f2 = per_gram.where(F.col("__n__") == 2).select(
+        F.col("__g__").alias("__b__"), F.col("__c__").alias("__c2__")
+    )
+    f3 = per_gram.where(F.col("__n__") == 3).select(
+        F.col("__g__").alias("__tri__"), F.col("__c__").alias("__c3__")
+    )
+    totals = f1.agg(F.sum("__c1__").cast("double").alias("__N__"))
+
+    toked = ensure_parallelism(
+        df.where(F.col(text_col).isNotNull())
+    ).select(
+        F.col(id_col),
+        F.explode(F.array(F.struct(tokens(F.col(text_col)).alias("t")))).alias(
+            "__tk__"
+        ),
+    )
+    dtoks = F.col("__tk__.t")
+    # per-position trigram strings built INSIDE one single-level
+    # transform over the bound token attribute (exploding positions and
+    # carrying the token array per row would copy the array O(len^2))
+    tri_strings = F.when(
+        F.size(dtoks) >= 3,
+        F.transform(
+            F.sequence(F.lit(3), F.size(dtoks)),
+            lambda i: F.concat_ws(
+                "\x01",
+                F.try_element_at(dtoks, i - 2),
+                F.try_element_at(dtoks, i - 1),
+                F.try_element_at(dtoks, i),
+            ),
+        ),
+    ).otherwise(F.array())
+    pos = toked.select(
+        id_col, F.explode(tri_strings).alias("__t3__")
+    ).select(
+        id_col,
+        F.split_part(F.col("__t3__"), F.lit("\x01"), F.lit(1)).alias("__w1__"),
+        F.split_part(F.col("__t3__"), F.lit("\x01"), F.lit(2)).alias("__w2__"),
+        F.split_part(F.col("__t3__"), F.lit("\x01"), F.lit(3)).alias("__w3__"),
+    ).where(F.col("__w1__") != "")
+    keyed = pos.select(
+        id_col,
+        "__w2__",
+        "__w3__",
+        F.concat_ws(" ", "__w1__", "__w2__", "__w3__").alias("__tri__"),
+        F.concat_ws(" ", "__w1__", "__w2__").alias("__bctx__"),
+        F.concat_ws(" ", "__w2__", "__w3__").alias("__b__"),
+    )
+    joined = (
+        keyed.join(f3, on="__tri__", how="left")
+        .join(
+            f2.select(
+                F.col("__b__").alias("__bctx__"), F.col("__c2__").alias("__c2ctx__")
+            ),
+            on="__bctx__",
+            how="left",
+        )
+        .join(f2, on="__b__", how="left")
+        .join(
+            f1.select(F.col("__w__").alias("__w2__"), F.col("__c1__").alias("__c1w2__")),
+            on="__w2__",
+            how="left",
+        )
+        .join(
+            f1.select(F.col("__w__").alias("__w3__"), F.col("__c1__").alias("__c1w3__")),
+            on="__w3__",
+            how="left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    a = F.lit(float(alpha))
+    score = (
+        F.when(
+            F.col("__c3__").isNotNull(),
+            F.log(F.col("__c3__") / F.col("__c2ctx__").cast("double")),
+        )
+        .when(
+            F.col("__c2__").isNotNull(),
+            F.log(a * (F.col("__c2__") / F.col("__c1w2__").cast("double"))),
+        )
+        .otherwise(
+            F.log(
+                a
+                * a
+                * (F.coalesce(F.col("__c1w3__"), F.lit(1)).cast("double") / F.col("__N__"))
+            )
+        )
+    )
+    tier = (
+        F.when(F.col("__c3__").isNotNull(), F.lit(3))
+        .when(F.col("__c2__").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    scored = joined.select(
+        id_col,
+        tier.alias("__tier__"),
+        F.floor(score * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("__lp__"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.count(F.when(F.col("__tier__") == 3, 1)).alias("n_tri_hits"),
+        F.count(F.when(F.col("__tier__") == 2, 1)).alias("n_bi_backoff"),
+        F.count(F.when(F.col("__tier__") == 1, 1)).alias("n_uni_backoff"),
+        fround(
+            F.sum("__lp__") / (F.count(F.lit(1)) * F.lit(10000.0)), 4
+        ).alias("lm3_score"),
+    )

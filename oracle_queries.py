@@ -4453,3 +4453,100 @@ SELECT o_orderpriority, n_a, n_b,
   END AS z
 FROM v
 """
+
+
+_TOKS_D = TOKS.format(c="text")
+
+ORACLE_SQL["distinct_n"] = f"""
+WITH toks AS (
+  SELECT {_TOKS_D} AS t FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT 1 AS n, unnest(list_filter(t, x -> x <> '')) AS gram FROM toks
+  UNION ALL
+  SELECT 2, unnest(CASE WHEN len(t) >= 2 THEN
+    list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))
+    ELSE [] END) FROM toks
+  UNION ALL
+  SELECT 3, unnest(CASE WHEN len(t) >= 3 THEN
+    list_transform(range(1, len(t) - 1),
+                   i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+    ELSE [] END) FROM toks
+)
+SELECT n,
+  CAST(count(*) AS BIGINT) AS total_ngrams,
+  CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+  {_round4_ratio_sql('count(DISTINCT gram)', 'greatest(count(*), 1)')}
+    AS distinct_ratio
+FROM g GROUP BY n
+"""
+
+
+ORACLE_SQL["lm3_score"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_D} AS t FROM documents WHERE text IS NOT NULL
+),
+model AS (
+  SELECT t FROM toks
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+),
+mg AS (
+  SELECT 1 AS n, unnest(list_filter(t, x -> x <> '')) AS g FROM model
+  UNION ALL
+  SELECT 2, unnest(CASE WHEN len(t) >= 2 THEN
+    list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))
+    ELSE [] END) FROM model
+  UNION ALL
+  SELECT 3, unnest(CASE WHEN len(t) >= 3 THEN
+    list_transform(range(1, len(t) - 1),
+                   i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+    ELSE [] END) FROM model
+),
+cnt AS (SELECT n, g, CAST(count(*) AS BIGINT) AS c FROM mg GROUP BY 1, 2),
+f1 AS (SELECT g AS w, c AS c1 FROM cnt WHERE n = 1),
+f2 AS (SELECT g AS b, c AS c2 FROM cnt WHERE n = 2),
+f3 AS (SELECT g AS tri, c AS c3 FROM cnt WHERE n = 3),
+nn AS (SELECT CAST(sum(c1) AS DOUBLE) AS nw FROM f1),
+pos AS (
+  SELECT doc_id,
+         t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2,
+         t[CAST(i AS INT) + 2] AS w3
+  FROM (SELECT doc_id, t,
+               unnest(CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1)
+                      ELSE [] END) AS i
+        FROM toks)
+  WHERE t[CAST(i AS INT)] <> ''
+),
+joined AS (
+  SELECT p.doc_id,
+         f3.c3, f2c.c2 AS c2ctx, f2b.c2 AS c2b, f1a.c1 AS c1w2,
+         f1b.c1 AS c1w3, nn.nw
+  FROM pos p
+  LEFT JOIN f3 ON f3.tri = concat(p.w1, ' ', p.w2, ' ', p.w3)
+  LEFT JOIN f2 f2c ON f2c.b = concat(p.w1, ' ', p.w2)
+  LEFT JOIN f2 f2b ON f2b.b = concat(p.w2, ' ', p.w3)
+  LEFT JOIN f1 f1a ON f1a.w = p.w2
+  LEFT JOIN f1 f1b ON f1b.w = p.w3
+  CROSS JOIN nn
+),
+lp AS (
+  SELECT doc_id,
+    CASE WHEN c3 IS NOT NULL THEN 3 WHEN c2b IS NOT NULL THEN 2 ELSE 1 END
+      AS tier,
+    CAST(floor(
+      CASE WHEN c3 IS NOT NULL THEN ln(CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
+           WHEN c2b IS NOT NULL THEN
+             ln(4e-1 * (CAST(c2b AS DOUBLE) / CAST(c1w2 AS DOUBLE)))
+           ELSE ln((4e-1 * 4e-1) * (CAST(COALESCE(c1w3, 1) AS DOUBLE) / nw))
+      END * 1e4 + 5e-1) AS BIGINT) AS lp
+  FROM joined
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_trigrams,
+  CAST(count(CASE WHEN tier = 3 THEN 1 END) AS BIGINT) AS n_tri_hits,
+  CAST(count(CASE WHEN tier = 2 THEN 1 END) AS BIGINT) AS n_bi_backoff,
+  CAST(count(CASE WHEN tier = 1 THEN 1 END) AS BIGINT) AS n_uni_backoff,
+  {_fround_sql('CAST(sum(lp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e4)', 4)}
+    AS lm3_score
+FROM lp GROUP BY doc_id
+"""

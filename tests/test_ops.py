@@ -3298,3 +3298,45 @@ def test_mann_whitney_known_values(spark):
     df2 = spark.createDataFrame([(1.0, True), (1.0, False)], "v double, is_a boolean")
     out2 = mann_whitney(df2, "v", "is_a").collect()[0]
     assert out2["z"] is None and out2["u"] == 0.5
+
+
+def test_distinct_n_known_values(spark):
+    """Hand-counted n-gram totals/distincts on a 2-doc corpus."""
+    from hashquery_spark.ops import distinct_n
+
+    df = spark.createDataFrame([(1, "a b a"), (2, "b c")], "id long, text string")
+    out = {r["n"]: r for r in distinct_n(df, "text").collect()}
+    assert (out[1]["total_ngrams"], out[1]["distinct_ngrams"]) == (5, 3)
+    assert out[1]["distinct_ratio"] == 0.6
+    assert (out[2]["total_ngrams"], out[2]["distinct_ngrams"]) == (3, 3)
+    assert out[2]["distinct_ratio"] == 1.0
+    assert (out[3]["total_ngrams"], out[3]["distinct_ngrams"]) == (1, 1)
+
+
+def test_trigram_lm_score_backoff_tiers(spark):
+    """Each Stupid-Backoff tier reproduces the hand-computed log-score:
+    seen trigram ln(c3/c2ctx), unseen-trigram-seen-bigram ln(0.4*c2/c1),
+    OOV ln(0.16 * 1/N)."""
+    import math
+
+    from hashquery_spark.ops import trigram_lm_score
+
+    model = spark.createDataFrame([(0, "a b c a b d")], "id long, text string")
+    score = spark.createDataFrame(
+        [(1, "a b c x"), (2, "d a b")], "id long, text string"
+    )
+    out = {
+        r["id"]: r
+        for r in trigram_lm_score(score, "text", "id", model_df=model).collect()
+    }
+    # doc 1: (a,b,c) tri hit ln(1/2); (b,c,x) OOV ln(0.4*0.4*(1/6))
+    lp1 = math.floor(math.log(1.0 / 2.0) * 1e4 + 0.5)
+    lp2 = math.floor(math.log(0.4 * 0.4 * (1.0 / 6.0)) * 1e4 + 0.5)
+    r1 = out[1]
+    assert (r1["n_trigrams"], r1["n_tri_hits"], r1["n_bi_backoff"], r1["n_uni_backoff"]) == (2, 1, 0, 1)
+    assert r1["lm3_score"] == math.floor((lp1 + lp2) / (2 * 1e4) * 1e4 + 0.5) / 1e4
+    # doc 2: trigram 'd a b' unseen, bigram 'a b' seen: ln(0.4 * 2/2)
+    r2 = out[2]
+    assert (r2["n_trigrams"], r2["n_tri_hits"], r2["n_bi_backoff"], r2["n_uni_backoff"]) == (1, 0, 1, 0)
+    lp3 = math.floor(math.log(0.4 * (2.0 / 2.0)) * 1e4 + 0.5)
+    assert r2["lm3_score"] == math.floor(lp3 / 1e4 * 1e4 + 0.5) / 1e4

@@ -97,6 +97,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # 1-row (n, mean) stats frame crossed with the 1-row CI-bounds
         # frame (both ungrouped aggregates):
         "bootstrap_ci",
+        # 1-row corpus-word-total frame replicated to the scored
+        # trigram positions (the bm25/ab_test pattern):
+        "lm3_score",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
