@@ -3670,6 +3670,38 @@ def q_lm3_score(spark, sf_dir):
     return trigram_lm_score(docs, "text", "doc_id", model_df=model)
 
 
+def q_triangle_count(spark, sf_dir):
+    """Global triangle census (degree-ordered orientation, O(m^1.5)
+    wedge join) over the user→event-type graph augmented with
+    event-type co-occurrence edges (bipartite graphs alone have no
+    triangles)."""
+    from hashquery_spark.ops import triangle_count
+    from pyspark.sql import functions as F
+
+    ev = _conn(spark, sf_dir).table("events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tt = (
+        ut.alias("x")
+        .join(ut.alias("y"), on="user_id")
+        .where(F.col("x.event_type") < F.col("y.event_type"))
+        .select(
+            F.col("x.event_type").alias("src"), F.col("y.event_type").alias("dst")
+        )
+    )
+    edges = _event_edges(spark, sf_dir).unionAll(tt)
+    return triangle_count(edges, "src", "dst")
+
+
+def q_seasonal_baseline(spark, sf_dir):
+    """Weekly-seasonality anomaly gate: every event z-scored against its
+    (event_type, dow, hour) bucket's exact micro-unit moments; bounded
+    bucket table broadcast back, raw frame never shuffles."""
+    from hashquery_spark.ops import seasonal_baseline
+
+    ev = _conn(spark, sf_dir).table("events")
+    return seasonal_baseline(ev, "ts", "value", by="event_type")
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -3935,6 +3967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "distinct_n": q_distinct_n,
         "lm3_score": q_lm3_score,
+        "triangle_count": q_triangle_count,
+        "seasonal_baseline": q_seasonal_baseline,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

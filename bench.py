@@ -143,6 +143,8 @@ HEADLINE = [
     "mann_whitney",
     "distinct_n",
     "lm3_score",
+    "triangle_count",
+    "seasonal_baseline",
 ]
 
 

@@ -634,3 +634,65 @@ def transition_matrix(
         "n",
         round4_ratio(F.col("n"), row_total).alias("prob"),
     )
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by=None,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Weekly-seasonality anomaly gate: every event is z-scored against
+    the mean/stddev of its own (group, day-of-week, hour-of-day) bucket
+    — the standard ops-metrics baseline ("is this Tuesday-3pm spike
+    abnormal *for* Tuesday 3pm?"). Output: ``by`` cols + ``dow, hour,
+    value, z, is_anomaly`` per input row (z NULL when the bucket has
+    < 2 rows or zero variance; is_anomaly = |z| > z_threshold).
+
+    Exactness: bucket moments are integer micro-unit DECIMAL(38,0) sums
+    (the ab_test contract), so mean/variance are exact-rational double
+    quotients; z = (n·m − S) / (n·sqrt(n·Q − S² / (n−1)))-shaped fixed
+    IEEE chain, snapped with fround(4) (sqrt-scaled — never bare round).
+
+    Scale: one scan -> one map-side-combined groupBy over the bounded
+    bucket table (|by| × 7 × 24) -> broadcast join back. The raw frame
+    never shuffles.
+    """
+    from .dedup import fround
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    m = F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
+    base = df.where(v.isNotNull() & F.col(ts_col).isNotNull()).select(
+        *by,
+        F.dayofweek(F.col(ts_col)).alias("dow"),
+        F.hour(F.col(ts_col)).alias("hour"),
+        v.alias("value"),
+        m.alias("__m__"),
+    )
+    keys = by + ["dow", "hour"]
+    buckets = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum("__m__").alias("__s__"),
+        F.sum(F.col("__m__") * F.col("__m__")).alias("__q__"),
+    )
+    joined = base.join(F.broadcast(buckets), on=keys)
+    nd = F.col("__n__").cast("double")
+    ndec = F.col("__n__").cast("decimal(38,0)")
+    # sample variance in micro-unit^2: (n·Q − S²) / (n·(n−1)) — exact
+    var = (ndec * F.col("__q__") - F.col("__s__") * F.col("__s__")).cast(
+        "double"
+    ) / (nd * (nd - F.lit(1.0)))
+    # z = (n·m − S) / (n · sqrt(var)) — numerator exact DECIMAL
+    num = (ndec * F.col("__m__") - F.col("__s__")).cast("double")
+    z = num / (nd * F.sqrt(var))
+    ok = (F.col("__n__") >= 2) & (var > 0)
+    return joined.select(
+        *keys,
+        "value",
+        F.when(ok, fround(z, 4)).alias("z"),
+        F.when(ok, F.abs(fround(z, 4)) > F.lit(float(z_threshold))).alias(
+            "is_anomaly"
+        ),
+    )

@@ -4550,3 +4550,83 @@ SELECT doc_id,
     AS lm3_score
 FROM lp GROUP BY doc_id
 """
+
+
+ORACLE_SQL["triangle_count"] = f"""
+WITH raw AS (
+  SELECT concat('u', CAST(user_id AS VARCHAR)) AS src, event_type AS dst
+  FROM events
+  UNION ALL
+  SELECT x.event_type, y.event_type
+  FROM (SELECT DISTINCT user_id, event_type FROM events) x
+  JOIN (SELECT DISTINCT user_id, event_type FROM events) y USING (user_id)
+  WHERE x.event_type < y.event_type
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND least(src, dst) <> greatest(src, dst)
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1
+),
+orient AS (
+  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS s,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS t,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS td
+  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM orient o1
+  JOIN orient o2 ON o1.s = o2.s AND (o1.td, o1.t) < (o2.td, o2.t)
+  JOIN orient e ON e.s = o1.t AND e.t = o2.t
+),
+w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         sum(CAST(d AS HUGEINT) * (d - 1)) AS w2
+  FROM deg
+),
+e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+SELECT n_nodes, n_edges,
+  CAST(w2 // 2 AS BIGINT) AS n_wedges,
+  n_triangles,
+  {_round4_ratio_sql('3 * n_triangles', 'greatest(w2 // 2, 1)')}
+    AS transitivity
+FROM w, e, tri
+"""
+
+
+ORACLE_SQL["seasonal_baseline"] = f"""
+WITH base AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+         CAST(value AS DOUBLE) AS value,
+         CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT) AS m
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+b AS (
+  SELECT event_type, dow, hour, CAST(count(*) AS BIGINT) AS n,
+         sum(m) AS s, sum(m * m) AS q
+  FROM base GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT base.event_type, base.dow, base.hour, base.value,
+         CAST(b.n AS DOUBLE) AS nd,
+         CAST(CAST(b.n AS HUGEINT) * b.q - b.s * b.s AS DOUBLE)
+           / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0)) AS var,
+         CAST(CAST(b.n AS HUGEINT) * base.m - b.s AS DOUBLE) AS num,
+         b.n
+  FROM base JOIN b USING (event_type, dow, hour)
+)
+SELECT event_type, dow, hour, value,
+  CASE WHEN n >= 2 AND var > 0 THEN
+    {_fround_sql('num / (nd * sqrt(var))', 4)}
+  END AS z,
+  CASE WHEN n >= 2 AND var > 0 THEN
+    abs({_fround_sql('num / (nd * sqrt(var))', 4)}) > 3.0
+  END AS is_anomaly
+FROM j
+"""

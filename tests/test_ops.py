@@ -3340,3 +3340,41 @@ def test_trigram_lm_score_backoff_tiers(spark):
     assert (r2["n_trigrams"], r2["n_tri_hits"], r2["n_bi_backoff"], r2["n_uni_backoff"]) == (1, 0, 1, 0)
     lp3 = math.floor(math.log(0.4 * (2.0 / 2.0)) * 1e4 + 0.5)
     assert r2["lm3_score"] == math.floor(lp3 / 1e4 * 1e4 + 0.5) / 1e4
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge has exactly 2 triangles, 8 wedges,
+    transitivity 6/8 — dup/reverse edges and self-loops collapse."""
+    from hashquery_spark.ops import triangle_count
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("b", "a"),   # reverse dup
+             ("a", "b"),   # exact dup
+             ("c", "c")]   # self-loop
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = triangle_count(df, "src", "dst").collect()[0]
+    assert (out["n_nodes"], out["n_edges"]) == (4, 5)
+    assert out["n_wedges"] == 8  # degrees 3,3,2,2 -> (6+6+2+2)/2
+    assert out["n_triangles"] == 2  # abc, abd
+    assert out["transitivity"] == 0.75
+
+
+def test_seasonal_baseline_known_z(spark):
+    """Hand-computed bucket z-scores; threshold drives is_anomaly."""
+    from datetime import datetime
+
+    from hashquery_spark.ops import seasonal_baseline
+
+    sun_1pm = datetime(2026, 8, 16, 13, 0)  # Sunday
+    rows = [("t", sun_1pm, 1.0), ("t", sun_1pm, 2.0), ("t", sun_1pm, 3.0),
+            ("u", sun_1pm, 0.0), ("u", sun_1pm, 0.0), ("u", sun_1pm, 0.0),
+            ("u", sun_1pm, 10.0)]
+    df = spark.createDataFrame(rows, "et string, ts timestamp, v double")
+    out = seasonal_baseline(df, "ts", "v", by="et", z_threshold=1.0)
+    got = {(r["et"], r["value"]): r for r in out.collect()}
+    r = got[("t", 3.0)]
+    assert (r["dow"], r["hour"]) == (1, 13)
+    assert r["z"] == 1.0 and r["is_anomaly"] is False  # 1.0 not > 1.0
+    # u-bucket: mean 2.5, n=4; z(10) = 1.5, z(0) = -0.5
+    assert got[("u", 10.0)]["z"] == 1.5 and got[("u", 10.0)]["is_anomaly"] is True
+    assert got[("u", 0.0)]["z"] == -0.5 and got[("u", 0.0)]["is_anomaly"] is False

@@ -100,6 +100,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # 1-row corpus-word-total frame replicated to the scored
         # trigram positions (the bm25/ab_test pattern):
         "lm3_score",
+        # 1-row census frames (node/edge/triangle totals) crossed for
+        # the single-row output:
+        "triangle_count",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
