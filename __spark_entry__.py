@@ -3702,6 +3702,48 @@ def q_seasonal_baseline(spark, sf_dir):
     return seasonal_baseline(ev, "ts", "value", by="event_type")
 
 
+def q_kaplan_meier(spark, sf_dir):
+    """KM survival over customer order lifetimes (first-to-last order,
+    days); customers still ordering in the final year are
+    right-censored (~20/80 split at every SF — the events table is too
+    dense to censor). Bounded (t) histogram windows, micro-unit ln
+    terms, grid-snapped exp."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import kaplan_meier
+
+    orders = _conn(spark, sf_dir).table("orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first"), F.max("o_orderdate").alias("last")
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    dur = per_cust.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("last"), F.col("first")).alias("dur"),
+        (F.col("last") < F.col("mx") - F.expr("INTERVAL 365 DAYS")).alias(
+            "churned"
+        ),
+    )
+    return kaplan_meier(dur, "dur", "churned")
+
+
+def q_win_rate(spark, sf_dir):
+    """Wilson-bounded per-player win rates over the same consecutive
+    event-type "matches" bradley_terry ranks — one tagged union, one
+    groupBy."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import win_rate
+
+    ev = _conn(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    matches = ev.select(
+        F.col("event_type").alias("w"),
+        F.lag("event_type").over(w).alias("l"),
+    )
+    return win_rate(matches, "w", "l")
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -3969,6 +4011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm3_score": q_lm3_score,
         "triangle_count": q_triangle_count,
         "seasonal_baseline": q_seasonal_baseline,
+        "kaplan_meier": q_kaplan_meier,
+        "win_rate": q_win_rate,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

@@ -145,6 +145,8 @@ HEADLINE = [
     "lm3_score",
     "triangle_count",
     "seasonal_baseline",
+    "kaplan_meier",
+    "win_rate",
 ]
 
 

@@ -233,3 +233,66 @@ JOIN s{iters} s ON s.i = p.p
 ORDER BY rating DESC, player
 """
     return head + "," + ",".join(steps) + tail
+
+
+def win_rate(
+    df: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-player win/loss census over pairwise match results:
+    ``(player, n_wins, n_losses, n_games, win_rate, wilson_lo,
+    wilson_hi)`` — the model-eval leaderboard readout (arena-style
+    pairwise preference data), with the Wilson score interval so a
+    3-0 newcomer doesn't outrank a 300-80 veteran. The closed-form
+    companion to :func:`bradley_terry` (which fits latent strengths;
+    this reports raw rates with uncertainty).
+
+    Scale: one tagged union -> one groupBy(player) with map-side
+    combine; no joins, no windows.
+
+    Determinism: win_rate is the tie-proof integer ratio; the Wilson
+    bounds are fixed-order IEEE chains over exact counts (sqrt is
+    correctly rounded), snapped with fround(6).
+    """
+    from .dedup import fround, round4_ratio
+
+    base = df.where(
+        F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
+    )
+    w = base.select(
+        F.col(winner_col).cast("string").alias("player"),
+        F.lit(1).alias("__w__"),
+    )
+    l = base.select(
+        F.col(loser_col).cast("string").alias("player"),
+        F.lit(0).alias("__w__"),
+    )
+    g = (
+        w.unionAll(l)
+        .groupBy("player")
+        .agg(
+            F.count(F.when(F.col("__w__") == 1, 1)).alias("n_wins"),
+            F.count(F.when(F.col("__w__") == 0, 1)).alias("n_losses"),
+        )
+    )
+    n = (F.col("n_wins") + F.col("n_losses")).cast("double")
+    p = F.col("n_wins").cast("double") / n
+    zz = F.lit(float(z) * float(z))
+    center = p + zz / (F.lit(2.0) * n)
+    margin = F.lit(float(z)) * F.sqrt(
+        (p * (F.lit(1.0) - p)) / n + zz / (F.lit(4.0) * (n * n))
+    )
+    denom = F.lit(1.0) + zz / n
+    return g.select(
+        "player",
+        "n_wins",
+        "n_losses",
+        (F.col("n_wins") + F.col("n_losses")).alias("n_games"),
+        round4_ratio(
+            F.col("n_wins"), F.greatest(F.col("n_wins") + F.col("n_losses"), F.lit(1))
+        ).alias("win_rate"),
+        fround((center - margin) / denom, 6).alias("wilson_lo"),
+        fround((center + margin) / denom, 6).alias("wilson_hi"),
+    )

@@ -696,3 +696,88 @@ def seasonal_baseline(
             "is_anomaly"
         ),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    by=None,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over right-censored durations:
+    ``by`` cols + ``(t, n_risk, n_events, n_censored, survival)`` —
+    the retention/churn estimator that handles still-active entities
+    correctly (a plain "fraction surviving past t" is biased by
+    censoring). ``event_col`` truthy = the event (churn/death) was
+    observed at ``duration_col``; falsy = censored there.
+
+    survival(t) = PROD over event times t_i <= t of (1 - d_i / n_i),
+    with n_i the at-risk count just before t_i.
+
+    Scale: durations aggregate to a (group, t) table FIRST (bounded by
+    distinct durations — bucket to days/weeks upstream for continuous
+    data, the binary_auc histogram contract), then two running-sum
+    windows over that bounded table; the raw frame never sorts.
+
+    Determinism: each factor's ln((n-d)/n) is snapped to integer
+    micro-units with the floor form and summed as BIGINTs; survival is
+    fround(exp(sum/1e6), 6) — the dsir/BLEU grid-snapped-exponent
+    contract. Groups extinguished at some t (d = n) emit exactly 0.0
+    from there on (ln is never taken at 0).
+    """
+    from .dedup import fround
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    ev = F.col(event_col)
+    g = (
+        df.where(F.col(duration_col).isNotNull() & ev.isNotNull())
+        .groupBy(*by, F.col(duration_col).cast("long").alias("t"))
+        .agg(
+            F.count(F.when(ev.cast("boolean"), 1)).alias("n_events"),
+            F.count(F.when(~ev.cast("boolean"), 1)).alias("n_censored"),
+        )
+    )
+    w_desc = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = g.withColumn(
+        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w_desc)
+    )
+    term = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("n_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    dead = F.when(F.col("n_events") == F.col("n_risk"), 1).otherwise(0)
+    w_asc = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = g.select(
+        *by,
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.sum(term).over(w_asc).alias("__lns__"),
+        F.max(dead).over(w_asc).alias("__dead__"),
+    )
+    return out.select(
+        *by,
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(F.col("__dead__") == 1, F.lit(0.0))
+        .otherwise(fround(F.exp(F.col("__lns__") / F.lit(1000000.0)), 6))
+        .alias("survival"),
+    )

@@ -4630,3 +4630,89 @@ SELECT event_type, dow, hour, value,
   END AS is_anomaly
 FROM j
 """
+
+
+ORACLE_SQL["kaplan_meier"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT max(o_orderdate) AS m FROM orders),
+dur AS (
+  SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS t,
+         l < m - INTERVAL 365 DAY AS churned
+  FROM per_cust, mx
+),
+g AS (
+  SELECT CAST(t AS BIGINT) AS t,
+         CAST(count(CASE WHEN churned THEN 1 END) AS BIGINT) AS n_events,
+         CAST(count(CASE WHEN NOT churned THEN 1 END) AS BIGINT) AS n_censored
+  FROM dur WHERE t IS NOT NULL AND churned IS NOT NULL
+  GROUP BY 1
+),
+r AS (
+  SELECT t, n_events, n_censored,
+         sum(n_events + n_censored) OVER (ORDER BY t DESC
+                                          ROWS UNBOUNDED PRECEDING) AS n_risk
+  FROM g
+),
+s AS (
+  SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+    sum(CASE WHEN n_events > 0 AND n_events < n_risk THEN
+          CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE)
+                        / CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5)
+               AS BIGINT)
+        ELSE 0 END)
+      OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS lns,
+    max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+      OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS dead
+  FROM r
+)
+SELECT t, n_risk, n_events, n_censored,
+  CASE WHEN dead = 1 THEN 0.0
+       ELSE {_fround_sql('exp(CAST(lns AS DOUBLE) / 1000000.0)', 6)}
+  END AS survival
+FROM s
+"""
+
+
+ORACLE_SQL["win_rate"] = f"""
+WITH m AS (
+  SELECT event_type AS w,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS l
+  FROM events
+),
+base AS (SELECT w, l FROM m WHERE w IS NOT NULL AND l IS NOT NULL),
+u AS (
+  SELECT w AS player, 1 AS iw FROM base
+  UNION ALL
+  SELECT l, 0 FROM base
+),
+g AS (
+  SELECT player,
+         CAST(count(CASE WHEN iw = 1 THEN 1 END) AS BIGINT) AS n_wins,
+         CAST(count(CASE WHEN iw = 0 THEN 1 END) AS BIGINT) AS n_losses
+  FROM u GROUP BY 1
+),
+d AS (
+  SELECT player, n_wins, n_losses,
+         CAST(n_wins + n_losses AS DOUBLE) AS nd,
+         CAST(n_wins AS DOUBLE) / CAST(n_wins + n_losses AS DOUBLE) AS p
+  FROM g
+),
+wil AS (
+  SELECT player, n_wins, n_losses, nd, p,
+         p + (196e-2 * 196e-2) / (2.0 * nd) AS center,
+         196e-2 * sqrt((p * (1.0 - p)) / nd
+                       + (196e-2 * 196e-2) / (4.0 * (nd * nd))) AS margin,
+         1.0 + (196e-2 * 196e-2) / nd AS denom
+  FROM d
+)
+SELECT player, n_wins, n_losses,
+  n_wins + n_losses AS n_games,
+  {_round4_ratio_sql('n_wins', 'greatest(n_wins + n_losses, 1)')} AS win_rate,
+  {_fround_sql('(center - margin) / denom', 6)} AS wilson_lo,
+  {_fround_sql('(center + margin) / denom', 6)} AS wilson_hi
+FROM wil
+"""

@@ -3378,3 +3378,56 @@ def test_seasonal_baseline_known_z(spark):
     # u-bucket: mean 2.5, n=4; z(10) = 1.5, z(0) = -0.5
     assert got[("u", 10.0)]["z"] == 1.5 and got[("u", 10.0)]["is_anomaly"] is True
     assert got[("u", 0.0)]["z"] == -0.5 and got[("u", 0.0)]["is_anomaly"] is False
+
+
+def test_kaplan_meier_known_curve(spark):
+    """Textbook KM: events at t=1 (1 of 5) and t=3 (1 of 3), censored
+    at t=2 and t=4, survivor at t=5 -> S(1)=0.8, S(3)=0.8*(2/3)."""
+    import math
+
+    from hashquery_spark.ops import kaplan_meier
+
+    rows = [(1, True), (2, False), (3, True), (4, False), (5, False)]
+    df = spark.createDataFrame(rows, "dur long, ev boolean")
+    out = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert out[1]["n_risk"] == 5 and out[1]["n_events"] == 1
+    assert out[3]["n_risk"] == 3 and out[3]["n_events"] == 1
+
+    def snap(terms):
+        s = sum(math.floor(math.log(x) * 1e6 + 0.5) for x in terms)
+        return math.floor(math.exp(s / 1e6) * 1e6 + 0.5) / 1e6
+
+    assert out[1]["survival"] == snap([4 / 5])
+    assert out[2]["survival"] == snap([4 / 5])  # censoring doesn't step
+    assert out[3]["survival"] == snap([4 / 5, 2 / 3])
+    assert out[5]["survival"] == snap([4 / 5, 2 / 3])
+    # extinction: everyone dies at the last event time -> exactly 0.0
+    df2 = spark.createDataFrame([(1, True), (2, True), (2, True)], "dur long, ev boolean")
+    out2 = {r["t"]: r for r in kaplan_meier(df2, "dur", "ev").collect()}
+    assert out2[2]["survival"] == 0.0
+
+
+def test_win_rate_wilson_known_values(spark):
+    """3-0 newcomer's wilson_lo stays below a 30-10 veteran's."""
+    import math
+
+    from hashquery_spark.ops import win_rate
+
+    rows = [("new", "x")] * 3 + [("vet", "x")] * 30 + [("x", "vet")] * 10
+    df = spark.createDataFrame(rows, "w string, l string")
+    out = {r["player"]: r for r in win_rate(df, "w", "l").collect()}
+    assert (out["new"]["n_wins"], out["new"]["n_losses"]) == (3, 0)
+    assert (out["vet"]["n_wins"], out["vet"]["n_losses"]) == (30, 10)
+    assert out["new"]["win_rate"] == 1.0 and out["vet"]["win_rate"] == 0.75
+
+    def wilson_lo(wins, losses):
+        n = float(wins + losses)
+        p = wins / n
+        zz = 1.96 * 1.96
+        center = p + zz / (2.0 * n)
+        margin = 1.96 * math.sqrt((p * (1.0 - p)) / n + zz / (4.0 * (n * n)))
+        return math.floor((center - margin) / (1.0 + zz / n) * 1e6 + 0.5) / 1e6
+
+    assert out["new"]["wilson_lo"] == wilson_lo(3, 0)
+    assert out["vet"]["wilson_lo"] == wilson_lo(30, 10)
+    assert out["new"]["wilson_lo"] < out["vet"]["wilson_lo"]

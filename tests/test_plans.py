@@ -103,6 +103,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # 1-row census frames (node/edge/triangle totals) crossed for
         # the single-row output:
         "triangle_count",
+        # 1-row observation-end (max ts) frame replicated to the
+        # per-user lifetimes:
+        "kaplan_meier",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
