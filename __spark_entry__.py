@@ -3744,6 +3744,16 @@ def q_win_rate(spark, sf_dir):
     return win_rate(matches, "w", "l")
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Distance-to-own-centroid prototypicality gate over the fitted
+    k-means (k=8, 3 iters): one codegen'd argmin+distance pass, exact
+    per-cluster p95 thresholds via grid_percentiles."""
+    from hashquery_spark.ops import embedding_outliers
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    return embedding_outliers(emb, "embedding", "vec_id", k=8, iters=3, q=0.95)
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4013,6 +4023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_baseline": q_seasonal_baseline,
         "kaplan_meier": q_kaplan_meier,
         "win_rate": q_win_rate,
+        "embedding_outliers": q_embedding_outliers,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

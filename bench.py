@@ -147,6 +147,7 @@ HEADLINE = [
     "seasonal_baseline",
     "kaplan_meier",
     "win_rate",
+    "embedding_outliers",
 ]
 
 

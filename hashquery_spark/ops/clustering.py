@@ -243,3 +243,72 @@ def embedding_pca(
         id_col, f"array({', '.join(proj_cols)}) AS pca"
     )
     return projected, comps, lams
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    q: float = 0.95,
+) -> DataFrame:
+    """(id, cluster, dist2, is_outlier) — flag embeddings whose squared
+    L2 distance to their own k-means centroid exceeds the cluster's
+    ``q``-quantile (the SemDeDup-companion *prototypicality* gate:
+    far-from-every-centroid vectors are mislabeled/garbled/off-domain
+    candidates, the embedding-space analogue of a perplexity tail cut).
+
+    Scale: k-means via :func:`kmeans_fit` (bounded k·dim driver state);
+    assignment + distance in ONE codegen'd argmin pass — the
+    ``array_min(struct)`` form carries (dist-without-|v|², cluster) so
+    |v|² (a HOF fold) is evaluated ONCE outside, never per-centroid
+    through a CASE (the measured expression-in-CASE trap). Thresholds
+    come from :func:`~hashquery_spark.ops.profile.grid_percentiles`
+    (exact, bounded memory) per cluster and broadcast back.
+
+    Determinism: distances are the same sequential double chains DuckDB
+    list_dot_product performs (the kmeans_clusters contract);
+    thresholds are exact interpolated percentiles; the emitted dist2 is
+    fround(6) but the outlier comparison uses the RAW doubles on both
+    engines.
+    """
+    from .profile import grid_percentiles
+
+    cents, _ = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
+    structs = []
+    for cid, cvec in cents:
+        arr = "array(" + ",".join(f"{v!r}D" for v in cvec) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+        )
+        csq = sum(v * v for v in cvec)
+        structs.append(
+            f"named_struct('d', {csq!r}D - 2.0D * {dot}, "
+            f"'cluster', CAST({cid} AS BIGINT))"
+        )
+    pick = "array_min(array(" + ",".join(structs) + "))"
+    vsq = (
+        f"aggregate(zip_with(`{vec_col}`, `{vec_col}`, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    scored = (
+        df.where(F.col(vec_col).isNotNull())
+        .selectExpr(id_col, f"`{vec_col}`", pick + " AS __pick__", vsq + " AS __vsq__")
+        .select(
+            id_col,
+            F.col("__pick__.cluster").alias("cluster"),
+            (F.col("__vsq__") + F.col("__pick__.d")).alias("__d2__"),
+        )
+    )
+    th = grid_percentiles(scored, "__d2__", {"__t__": float(q)}, by="cluster")
+    return (
+        scored.join(F.broadcast(th), on="cluster")
+        .select(
+            id_col,
+            "cluster",
+            fround(F.col("__d2__"), 6).alias("dist2"),
+            (F.col("__d2__") > F.col("__t__")).alias("is_outlier"),
+        )
+    )

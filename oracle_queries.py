@@ -2855,6 +2855,15 @@ SELECT vec_id, cluster FROM (
 """
 
 
+def _kmeans_ctes(k: int = 8, iters: int = 3):
+    """The chained-CTE body of :func:`_kmeans_sql` (WITHOUT the WITH
+    keyword or final select) plus the name of the final centroid CTE —
+    for oracles that post-process the fitted clustering."""
+    full = _kmeans_sql(k, iters)
+    body = full.split("WITH ", 1)[1].rsplit("SELECT vec_id, cluster FROM", 1)[0]
+    return body.rstrip().rstrip(","), f"c{iters}"
+
+
 ORACLE_SQL["kmeans_clusters"] = _kmeans_sql(8, 3)
 
 ORACLE_SQL["dp_count"] = f"""
@@ -4716,3 +4725,30 @@ SELECT player, n_wins, n_losses,
   {_fround_sql('(center + margin) / denom', 6)} AS wilson_hi
 FROM wil
 """
+
+
+def _embedding_outliers_sql(k: int = 8, iters: int = 3, q: float = 0.95) -> str:
+    body, cfin = _kmeans_ctes(k, iters)
+    return f"""
+WITH {body},
+sc AS (
+  SELECT vec_id, cluster, list_dot_product(v, v) + d AS d2 FROM (
+    SELECT e.vec_id, kk.cluster, e.v,
+      (list_dot_product(kk.c, kk.c) - 2 * list_dot_product(e.v, kk.c)) AS d,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (list_dot_product(kk.c, kk.c) - 2 * list_dot_product(e.v, kk.c)),
+        kk.cluster) AS rn
+    FROM ev e CROSS JOIN {cfin} kk
+  ) WHERE rn = 1
+),
+th AS (
+  SELECT cluster, quantile_cont(d2, {q!r}) AS t FROM sc GROUP BY 1
+)
+SELECT s.vec_id, s.cluster,
+  {_fround_sql('s.d2', 6)} AS dist2,
+  s.d2 > th.t AS is_outlier
+FROM sc s JOIN th USING (cluster)
+"""
+
+
+ORACLE_SQL["embedding_outliers"] = _embedding_outliers_sql(8, 3, 0.95)

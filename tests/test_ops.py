@@ -3431,3 +3431,20 @@ def test_win_rate_wilson_known_values(spark):
     assert out["new"]["wilson_lo"] == wilson_lo(3, 0)
     assert out["vet"]["wilson_lo"] == wilson_lo(30, 10)
     assert out["new"]["wilson_lo"] < out["vet"]["wilson_lo"]
+
+
+def test_embedding_outliers_planted(spark):
+    """A single far-away vector is flagged against its own cluster's
+    p-quantile distance threshold; in-cluster vectors are not."""
+    from hashquery_spark.ops import embedding_outliers
+
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(9)] + [(99, [10.0, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           embedding_outliers(df, "embedding", "vec_id", k=1, iters=1, q=0.9).collect()}
+    assert len(out) == 10
+    assert out[99]["is_outlier"] is True
+    # only the planted vector exceeds p90 (the centroid is pulled
+    # toward it, so in-cluster distances stay below the interpolated t)
+    assert sum(1 for r in out.values() if r["is_outlier"]) == 1
+    assert out[99]["dist2"] > out[0]["dist2"]
