@@ -3754,6 +3754,39 @@ def q_embedding_outliers(spark, sf_dir):
     return embedding_outliers(emb, "embedding", "vec_id", k=8, iters=3, q=0.95)
 
 
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li et al. 2007): TV distance between each
+    priority band's order-status distribution and the global one —
+    exact DECIMAL cross-products, tie-proof ratio; t=0.007 splits the
+    bands at the driver SF."""
+    from hashquery_spark.ops import t_closeness
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return t_closeness(orders, "o_orderpriority", "o_orderstatus", t=0.007)
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson matrix over four lineitem measures in ONE
+    1-row aggregate (6 pairs x 6 exact DECIMAL accumulators), stacked
+    to rows on the driver-side frame."""
+    from hashquery_spark.ops import corr_matrix
+
+    li = _conn(spark, sf_dir).table("lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_scd2_build(spark, sf_dir):
+    """SCD-2 validity intervals from the event change log (user_id's
+    event_type as the tracked state): change-detection lag + interval
+    lead, entity-partitioned windows only."""
+    from hashquery_spark.ops import scd2_build
+
+    ev = _conn(spark, sf_dir).table("events")
+    return scd2_build(ev, "user_id", "ts", "event_type", tiebreak_col="event_id")
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4024,6 +4057,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "win_rate": q_win_rate,
         "embedding_outliers": q_embedding_outliers,
+        "t_closeness": q_t_closeness,
+        "corr_matrix": q_corr_matrix,
+        "scd2_build": q_scd2_build,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

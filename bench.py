@@ -148,6 +148,9 @@ HEADLINE = [
     "kaplan_meier",
     "win_rate",
     "embedding_outliers",
+    "t_closeness",
+    "corr_matrix",
+    "scd2_build",
 ]
 
 

@@ -13,7 +13,7 @@ otherwise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
@@ -154,3 +154,52 @@ def dedup_against_fuzzy(
         .distinct()
     )
     return new.join(F.broadcast(matched), on=id_col, how="left_anti")
+
+
+def scd2_build(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_cols,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Collapse an append-only change log into SCD-2 validity intervals:
+    entity + value cols + ``(valid_from, valid_to, is_current)`` — the
+    build side of :func:`~hashquery_spark.ops.range_join.validity_join`
+    (which consumes exactly these intervals for point-in-time lookups).
+    Consecutive rows with unchanged values merge into one interval
+    (null-safe comparison); ``valid_to`` is the next change's timestamp
+    (exclusive) and NULL marks the open current row.
+
+    Scale: two entity-partitioned windows (change detection, then lead
+    over the kept change rows) — the log shuffles once on the entity
+    key and never globally sorts.
+
+    Determinism: rows with equal timestamps are ordered by
+    ``tiebreak_col`` (pass one whenever timestamps can tie).
+    """
+    value_cols = (
+        [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    )
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    changed = F.lag(F.col(ts_col)).over(w).isNull()
+    for c in value_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    kept = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("__chg__", changed)
+        .where(F.col("__chg__"))
+    )
+    order2 = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order2.append(F.col(tiebreak_col))
+    w2 = Window.partitionBy(entity_col).orderBy(*order2)
+    return kept.select(
+        entity_col,
+        *value_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

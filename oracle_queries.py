@@ -4752,3 +4752,88 @@ FROM sc s JOIN th USING (cluster)
 
 
 ORACLE_SQL["embedding_outliers"] = _embedding_outliers_sql(8, 3, 0.95)
+
+
+ORACLE_SQL["t_closeness"] = f"""
+WITH pairs AS (
+  SELECT o_orderpriority AS q, o_orderstatus AS s,
+         CAST(count(*) AS HUGEINT) AS c
+  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2
+),
+gl AS (SELECT s, sum(c) AS cv FROM pairs GROUP BY 1),
+tot AS (SELECT sum(cv) AS nn FROM gl),
+ng AS (SELECT q, sum(c) AS ng FROM pairs GROUP BY 1),
+e AS (
+  SELECT p.q, abs(p.c * t.nn - g.cv * n.ng) AS term, g.cv, n.ng, t.nn
+  FROM pairs p JOIN gl g USING (s) JOIN ng n USING (q) CROSS JOIN tot t
+),
+a AS (
+  SELECT q, max(ng) AS ng, max(nn) AS nn,
+         sum(term) AS present, sum(cv) AS sp
+  FROM e GROUP BY 1
+),
+f AS (
+  SELECT q, ng,
+    {_round4_ratio_sql('CAST(present + ng * (nn - sp) AS DOUBLE)',
+                       'CAST((2 * ng) * nn AS DOUBLE)')} AS tv
+  FROM a
+)
+SELECT q AS o_orderpriority, CAST(ng AS BIGINT) AS group_size,
+       tv AS tv_distance, tv <= 0.007 AS t_close
+FROM f
+"""
+
+
+def _corr_matrix_sql(table, cols, grid=1e6):
+    aggs, selects = [], []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            x, y = cols[i], cols[j]
+            tag = f"{i}_{j}"
+            b = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
+            mx = f"CAST(floor(CAST({x} AS DOUBLE) * {float(grid)!r} + 0.5) AS HUGEINT)"
+            my = f"CAST(floor(CAST({y} AS DOUBLE) * {float(grid)!r} + 0.5) AS HUGEINT)"
+            aggs += [
+                f"count(CASE WHEN {b} THEN 1 END) AS n_{tag}",
+                f"sum(CASE WHEN {b} THEN {mx} END) AS sx_{tag}",
+                f"sum(CASE WHEN {b} THEN {my} END) AS sy_{tag}",
+                f"sum(CASE WHEN {b} THEN {mx} * {my} END) AS qxy_{tag}",
+                f"sum(CASE WHEN {b} THEN {mx} * {mx} END) AS qxx_{tag}",
+                f"sum(CASE WHEN {b} THEN {my} * {my} END) AS qyy_{tag}",
+            ]
+            num = f"CAST(n_{tag} * qxy_{tag} - sx_{tag} * sy_{tag} AS DOUBLE)"
+            vx = f"CAST(n_{tag} * qxx_{tag} - sx_{tag} * sx_{tag} AS DOUBLE)"
+            vy = f"CAST(n_{tag} * qyy_{tag} - sy_{tag} * sy_{tag} AS DOUBLE)"
+            fr = _fround_sql(f"{num} / sqrt({vx} * {vy})", 6)
+            selects.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+                f"CAST(n_{tag} AS BIGINT) AS n, "
+                f"CASE WHEN n_{tag} >= 2 AND {vx} > 0 AND {vy} > 0 "
+                f"THEN {fr} END AS corr FROM one"
+            )
+    return (
+        "WITH one AS (SELECT " + ", ".join(aggs) + f" FROM {table})\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+ORACLE_SQL["corr_matrix"] = _corr_matrix_sql(
+    "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+)
+
+
+ORACLE_SQL["scd2_build"] = """
+WITH k AS (
+  SELECT user_id, event_type, ts, event_id,
+    (lag(ts) OVER w IS NULL
+     OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f AS (SELECT user_id, event_type, ts, event_id FROM k WHERE chg)
+SELECT user_id, event_type, ts AS valid_from,
+  lead(ts) OVER w2 AS valid_to,
+  lead(ts) OVER w2 IS NULL AS is_current
+FROM f
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

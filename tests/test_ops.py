@@ -3448,3 +3448,62 @@ def test_embedding_outliers_planted(spark):
     # toward it, so in-cluster distances stay below the interpolated t)
     assert sum(1 for r in out.values() if r["is_outlier"]) == 1
     assert out[99]["dist2"] > out[0]["dist2"]
+
+
+def test_t_closeness_known_distributions(spark):
+    """Hand-computed TV distances incl. a group missing a sensitive
+    value entirely (the absent-mass term)."""
+    from hashquery_spark.ops import t_closeness
+
+    rows = (
+        [("g1", "a")] * 3 + [("g1", "b")]
+        + [("g2", "a")] + [("g2", "b")] * 3
+        + [("g3", "a")] * 2
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {r["q"]: r for r in t_closeness(df, "q", "s", t=0.3).collect()}
+    # global: a=6/10, b=4/10
+    # g1 (3a,1b): 0.5*(|.75-.6| + |.25-.4|) = 0.15
+    assert out["g1"]["tv_distance"] == 0.15 and out["g1"]["t_close"] is True
+    # g2 (1a,3b): 0.5*(|.25-.6| + |.75-.4|) = 0.35
+    assert out["g2"]["tv_distance"] == 0.35 and out["g2"]["t_close"] is False
+    # g3 (2a, no b): 0.5*(|1-.6| + .4) = 0.4
+    assert out["g3"]["tv_distance"] == 0.4 and out["g3"]["group_size"] == 2
+
+
+def test_corr_matrix_known_values(spark):
+    """Perfect +/-1 correlations, NULL-pair handling, zero-variance NULL."""
+    from hashquery_spark.ops import corr_matrix
+
+    rows = [(1.0, 2.0, 3.0, 5.0), (2.0, 4.0, 2.0, 5.0),
+            (3.0, 6.0, 1.0, 5.0), (4.0, None, 0.0, 5.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    out = {(r["col_x"], r["col_y"]): r for r in
+           corr_matrix(df, ["x", "y", "z", "w"]).collect()}
+    assert len(out) == 6
+    assert out[("x", "y")]["n"] == 3 and out[("x", "y")]["corr"] == 1.0
+    assert out[("x", "z")]["n"] == 4 and out[("x", "z")]["corr"] == -1.0
+    assert out[("x", "w")]["corr"] is None  # zero variance side
+    assert out[("y", "z")]["corr"] == -1.0
+
+
+def test_scd2_build_intervals(spark):
+    """A->A->B->A log collapses to three intervals with exclusive
+    valid_to chaining and one open current row."""
+    from datetime import datetime
+
+    from hashquery_spark.ops import scd2_build
+
+    t = [datetime(2026, 1, i + 1) for i in range(4)]
+    rows = [(1, t[0], "A", 10), (1, t[1], "A", 11), (1, t[2], "B", 12),
+            (1, t[3], "A", 13), (2, t[0], "X", 14)]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, state string, eid long")
+    out = scd2_build(df, "uid", "ts", "state", tiebreak_col="eid")
+    rows1 = sorted([r for r in out.collect() if r["uid"] == 1],
+                   key=lambda r: r["valid_from"])
+    assert [(r["state"], r["is_current"]) for r in rows1] == [
+        ("A", False), ("B", False), ("A", True)]
+    assert rows1[0]["valid_to"] == t[2] and rows1[1]["valid_to"] == t[3]
+    assert rows1[2]["valid_to"] is None
+    r2 = [r for r in out.collect() if r["uid"] == 2][0]
+    assert r2["state"] == "X" and r2["is_current"] is True

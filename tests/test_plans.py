@@ -106,6 +106,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # 1-row observation-end (max ts) frame replicated to the
         # per-user lifetimes:
         "kaplan_meier",
+        # 1-row global-count frame replicated to the bounded
+        # (quasi, sensitive) pair table:
+        "t_closeness",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
