@@ -1294,3 +1294,116 @@ def test_gini_matches_python_reference(spark, vals):
     num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(s))
     assert r["gini"] == math.floor(num / (n * tot) * 1e6 + 0.5) / 1e6
     assert r["total"] == tot / 100.0
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 20), st.booleans()), min_size=4, max_size=60
+    ).filter(lambda p: any(s for _, s in p) and any(not s for _, s in p))
+)
+def test_mann_whitney_matches_python_reference(spark, pairs):
+    """Tie-corrected U/z on random tie-heavy samples == the python
+    doubled-rank reference (exact integers; z a fixed IEEE chain)."""
+    import math
+
+    from hashquery_spark.ops import mann_whitney
+
+    df = spark.createDataFrame(
+        [(float(v), s) for v, s in pairs], "v double, side boolean"
+    )
+    out = mann_whitney(df, "v", "side").collect()[0]
+    a = sorted(v for v, s in pairs if s)
+    b = sorted(v for v, s in pairs if not s)
+    na, nb = len(a), len(b)
+    # doubled tie-averaged ranks over the pooled sample
+    from collections import Counter
+
+    cnt = Counter(v for v, _ in pairs)
+    cum, rank2 = 0, {}
+    for v in sorted(cnt):
+        c = cnt[v]
+        cum += c
+        rank2[v] = 2 * cum - c + 1
+    r2a = sum(rank2[v] for v in a)
+    two_u = r2a - na * (na + 1)
+    assert out["u"] == two_u / 2.0
+    n = na + nb
+    t_corr = sum(c**3 - c for c in cnt.values())
+    big_b = (n + 1.0) * n * (n - 1.0) - float(t_corr)
+    four_var = na * nb * big_b / (3.0 * n * (n - 1.0))
+    if four_var <= 0:
+        assert out["z"] is None
+        return
+    z = (float(two_u) - float(na) * float(nb)) / math.sqrt(four_var)
+    assert out["z"] == math.floor(z * 1e6 + 0.5) / 1e6
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 12), st.booleans()), min_size=2, max_size=50
+    )
+)
+def test_kaplan_meier_matches_python_reference(spark, data):
+    """KM survival on random censored samples == the python
+    product-limit reference under the identical micro-unit ln snap."""
+    import math
+    from collections import Counter
+
+    from hashquery_spark.ops import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(t, e) for t, e in data], "dur long, ev boolean"
+    )
+    rows = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    deaths = Counter(t for t, e in data if e)
+    censors = Counter(t for t, e in data if not e)
+    times = sorted(set(deaths) | set(censors))
+    at_risk = len(data)
+    lns, dead = 0, False
+    for t in times:
+        d, c = deaths.get(t, 0), censors.get(t, 0)
+        r = rows[t]
+        assert (r["n_risk"], r["n_events"], r["n_censored"]) == (at_risk, d, c)
+        if d == at_risk:
+            dead = True
+        elif d > 0:
+            lns += math.floor(math.log((at_risk - d) / at_risk) * 1e6 + 0.5)
+        want = 0.0 if dead else math.floor(math.exp(lns / 1e6) * 1e6 + 0.5) / 1e6
+        assert r["survival"] == want
+        at_risk -= d + c
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40), st.integers(0, 40)),
+        min_size=3, max_size=40,
+    )
+)
+def test_corr_matrix_matches_numpy(spark, rows):
+    """One-pass exact-DECIMAL Pearson == numpy.corrcoef within the
+    fround(6) snap (integer-valued inputs sit on the micro grid)."""
+    import numpy as np
+
+    from hashquery_spark.ops import corr_matrix
+
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in rows],
+        "x double, y double, z double",
+    )
+    out = {(r["col_x"], r["col_y"]): r["corr"]
+           for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    arr = np.array(rows, dtype=float)
+    for (i, j), key in [((0, 1), ("x", "y")), ((0, 2), ("x", "z")),
+                        ((1, 2), ("y", "z"))]:
+        vx, vy = arr[:, i], arr[:, j]
+        if vx.std() == 0 or vy.std() == 0:
+            assert out[key] is None
+            continue
+        want = float(np.corrcoef(vx, vy)[0, 1])
+        assert out[key] is not None and abs(out[key] - want) < 1e-5

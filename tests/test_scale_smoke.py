@@ -607,3 +607,95 @@ def test_phash_near_dup_two_million_planted_pairs(spark):
     ).collect()[0]
     assert agg["pairs"] == n == agg["planted"]  # exactly the planted pairs
     assert agg["maxh"] == 0
+
+
+def test_mann_whitney_two_million_identical_sides(spark):
+    """2M rows, identical value multisets on both sides: the rank sum
+    splits exactly in half -> u == n^2/2 and z == 0.0 EXACTLY (the
+    doubled-rank arithmetic is integer all the way)."""
+    from hashquery_spark.ops import mann_whitney
+
+    df = spark.range(2_000_000).select(
+        F.pmod(F.expr("id DIV 2"), F.lit(1000)).cast("double").alias("v"),
+        (F.pmod(F.col("id"), F.lit(2)) == 0).alias("side"),
+    )
+    out = mann_whitney(df, "v", "side").collect()[0]
+    assert out["n_a"] == 1_000_000 and out["n_b"] == 1_000_000
+    assert out["u"] == 1_000_000.0 * 1_000_000.0 / 2.0
+    assert out["z"] == 0.0
+
+
+def test_anova_f_two_million_identical_groups(spark):
+    """4 groups with identical value multisets: SSB differs from 0 only
+    by the per-group floor truncation (< k grid^2 units), so F
+    evaluates to ~0 and eta_sq to ~0."""
+    from hashquery_spark.ops import anova_f
+
+    df = spark.range(2_000_000).select(
+        F.pmod(F.col("id"), F.lit(4)).cast("string").alias("g"),
+        F.pmod(F.expr("id DIV 4"), F.lit(1000)).cast("double").alias("v"),
+    )
+    out = anova_f(df, "v", "g").collect()[0]
+    assert out["k"] == 4 and out["n"] == 2_000_000
+    assert abs(out["f_stat"]) < 1e-6
+    assert abs(out["eta_sq"]) < 1e-9
+
+
+def test_triangle_count_complete_graph(spark):
+    """K_200 has exactly C(200,3) triangles, C(200,2) edges, and
+    transitivity 1 — generated edge list, no driver data."""
+    from hashquery_spark.ops import triangle_count
+
+    n = 200
+    edges = spark.range(n * n).select(
+        F.concat(F.lit("n"), (F.col("id") % n).cast("string")).alias("src"),
+        F.concat(F.lit("n"), (F.col("id") / n).cast("int").cast("string")).alias(
+            "dst"
+        ),
+    )
+    out = triangle_count(edges, "src", "dst").collect()[0]
+    assert out["n_nodes"] == n
+    assert out["n_edges"] == n * (n - 1) // 2
+    assert out["n_triangles"] == n * (n - 1) * (n - 2) // 6
+    assert out["n_wedges"] == n * (n - 1) * (n - 2) // 2
+    assert out["transitivity"] == 1.0
+
+
+def test_kaplan_meier_no_censoring_matches_ecdf(spark):
+    """With zero censoring, KM survival equals the exact empirical
+    survivor function 1 - ECDF at every event time (up to the 1e-6
+    ln-grid snap) — 1M durations."""
+    import math
+
+    from hashquery_spark.ops import kaplan_meier
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.pmod(F.col("id"), F.lit(100)).alias("dur"), F.lit(True).alias("ev")
+    )
+    rows = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    # uniform 100-bucket durations: after t=k, (99-k)/100 survive
+    for t in (0, 37, 98):
+        surv_true = (99 - t) / 100.0
+        assert abs(rows[t]["survival"] - surv_true) < 2e-4
+        assert rows[t]["n_risk"] == (100 - t) * (n // 100)
+    assert rows[99]["survival"] == 0.0  # everyone at risk at 99 dies
+
+
+def test_win_rate_two_million_symmetric(spark):
+    """2M matches where every player beats its successor exactly as
+    often as it loses to its predecessor -> every win_rate == 0.5."""
+    from hashquery_spark.ops import win_rate
+
+    df = spark.range(2_000_000).select(
+        F.concat(F.lit("p"), F.pmod(F.col("id"), F.lit(100)).cast("string")).alias("w"),
+        F.concat(F.lit("p"), F.pmod(F.col("id") + 1, F.lit(100)).cast("string")).alias("l"),
+    )
+    out = win_rate(df, "w", "l")
+    agg = out.agg(
+        F.min("win_rate").alias("lo"), F.max("win_rate").alias("hi"),
+        F.sum("n_games").alias("games"), F.count(F.lit(1)).alias("players"),
+    ).collect()[0]
+    assert agg.players == 100
+    assert agg.games == 4_000_000  # each match counts both sides
+    assert (agg.lo, agg.hi) == (0.5, 0.5)
