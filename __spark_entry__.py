@@ -3787,6 +3787,28 @@ def q_scd2_build(spark, sf_dir):
     return scd2_build(ev, "user_id", "ts", "event_type", tiebreak_col="event_id")
 
 
+def q_cooccurrence(spark, sf_dir):
+    """Top windowed (±2) skip-gram collocations by PMI over documents:
+    one barrier tokenize, one concat-of-offsets explode, broadcast
+    unigram joins, floor-form ln."""
+    from hashquery_spark.ops import cooccurrence
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return cooccurrence(docs, "text", window=2, min_count=5, top_k=50)
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Rank-uniformize order totals within each priority band: exact
+    tie-averaged quantiles off the (group, value) histogram, integer
+    ratio on the 4-dp grid."""
+    from hashquery_spark.ops import quantile_normalize
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return quantile_normalize(
+        orders, "o_totalprice", "o_orderkey", by="o_orderpriority"
+    )
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4060,6 +4082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "corr_matrix": q_corr_matrix,
         "scd2_build": q_scd2_build,
+        "cooccurrence": q_cooccurrence,
+        "quantile_normalize": q_quantile_normalize,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

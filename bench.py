@@ -151,6 +151,8 @@ HEADLINE = [
     "t_closeness",
     "corr_matrix",
     "scd2_build",
+    "cooccurrence",
+    "quantile_normalize",
 ]
 
 

@@ -1768,3 +1768,53 @@ def corr_matrix(df: DataFrame, cols, grid: float = 1e6) -> DataFrame:
     return one.select(
         F.explode(F.array(*out_cols)).alias("__p__")
     ).select("__p__.col_x", "__p__.col_y", "__p__.n", "__p__.corr")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    by=None,
+) -> DataFrame:
+    """(id, value, qnorm) — map every value to its tie-averaged
+    empirical quantile in (0, 1] within its ``by`` group: qnorm =
+    avg_rank / n (the rank-uniformizing feature transform; makes any
+    two feature distributions comparable before blending quality
+    scores). Ties share the average rank, so identical values always
+    get identical qnorm.
+
+    Exactness: qnorm = (2*cum - c + 1) / (2n) — a pure integer ratio
+    (the binary_auc doubled-rank identity) on the tie-proof 4-dp grid.
+
+    Scale: rank state lives on the (group, value) HISTOGRAM (one
+    map-side-combined groupBy + one running-sum window over histogram
+    rows — bounded by value-grid cardinality); ranks join back on the
+    (group, value) key, a plain shuffle join at scale. The raw frame
+    never sorts globally.
+    """
+    from .dedup import round4_ratio
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col)
+    base = df.where(v.isNotNull()).select(
+        *by, F.col(id_col), v.alias("value")
+    )
+    hist = base.groupBy(*by, "value").agg(F.count(F.lit(1)).alias("__c__"))
+    w_ord = (
+        Window.partitionBy(*by)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*by)
+    ranked = hist.select(
+        *by,
+        "value",
+        (2 * F.sum("__c__").over(w_ord) - F.col("__c__") + 1).alias("__r2__"),
+        (2 * F.sum("__c__").over(w_all)).alias("__2n__"),
+    )
+    return base.join(ranked, on=by + ["value"]).select(
+        F.col(id_col),
+        *by,
+        "value",
+        round4_ratio(F.col("__r2__"), F.col("__2n__")).alias("qnorm"),
+    )

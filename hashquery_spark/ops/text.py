@@ -1125,3 +1125,92 @@ def trigram_lm_score(
             F.sum("__lp__") / (F.count(F.lit(1)) * F.lit(10000.0)), 4
         ).alias("lm3_score"),
     )
+
+
+def cooccurrence(
+    df: DataFrame,
+    text_col: str,
+    window: int = 2,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """(pair, n_ab, n_a, n_b, pmi) — top WINDOWED co-occurrence
+    collocations: unordered token pairs within ``window`` positions,
+    scored by PMI against corpus unigram counts (the skip-gram
+    statistics an embedding pipeline feeds on; the windowed
+    generalization of :func:`pmi_bigrams`, same
+    ``pmi = ln(N*c_ab / (c_a*c_b))`` convention). Pairs are
+    canonicalized ``least greatest`` so (a,b) and (b,a) pool.
+
+    Scale: tokenize ONCE behind a Generate barrier (the HOF-capture
+    trap), emit all window offsets d = 1..window in one concat-of-
+    transforms explode (O(len*window) strings, never the token array
+    per row), count into the vocab-bounded pair table; unigrams join
+    back broadcast; the 1-row total rides a broadcast crossJoin; top-k
+    is a bounded TakeOrdered.
+
+    Determinism: PMI's ln snaps with the floor form (fround 4; the
+    pinned no-bare-round invariant); ties order by pair text.
+    """
+    from .dedup import ensure_parallelism, fround, tokens
+
+    toked = ensure_parallelism(
+        df.where(F.col(text_col).isNotNull())
+    ).select(
+        F.explode(F.array(F.struct(tokens(F.col(text_col)).alias("t")))).alias(
+            "__tk__"
+        )
+    )
+    toks = F.col("__tk__.t")
+    sz = F.size(toks)
+
+    def pair_fn(d):
+        return lambda i: F.concat_ws(
+            " ",
+            F.least(F.try_element_at(toks, i), F.try_element_at(toks, i + d)),
+            F.greatest(F.try_element_at(toks, i), F.try_element_at(toks, i + d)),
+        )
+
+    parts = [
+        F.when(
+            sz > d, F.transform(F.sequence(F.lit(1), sz - d), pair_fn(d))
+        ).otherwise(F.array())
+        for d in range(1, window + 1)
+    ]
+    pairs = (
+        toked.select(F.explode(F.concat(*parts)).alias("pair"))
+        .where(~F.col("pair").startswith(" ") & F.col("pair").contains(" "))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+        .withColumn("__a__", F.split_part(F.col("pair"), F.lit(" "), F.lit(1)))
+        .withColumn("__b__", F.split_part(F.col("pair"), F.lit(" "), F.lit(2)))
+    )
+    uni = (
+        toked.select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").alias("n_total"))
+    joined = (
+        pairs.join(
+            F.broadcast(uni.selectExpr("token AS __a__", "cnt AS n_a")), on="__a__"
+        )
+        .join(
+            F.broadcast(uni.selectExpr("token AS __b__", "cnt AS n_b")), on="__b__"
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = fround(
+        F.log(
+            (F.col("n_ab").cast("double") * F.col("n_total"))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        ),
+        4,
+    )
+    return (
+        joined.select("pair", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("pair"))
+        .limit(top_k)
+    )

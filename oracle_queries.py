@@ -4837,3 +4837,64 @@ SELECT user_id, event_type, ts AS valid_from,
 FROM f
 WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+ORACLE_SQL["cooccurrence"] = f"""
+WITH toks AS (
+  SELECT {_TOKS_D} AS t FROM documents WHERE text IS NOT NULL
+),
+p AS (
+  SELECT unnest(CASE WHEN len(t) > 1 THEN
+    list_transform(range(1, len(t)),
+      i -> concat(least(t[i], t[i+1]), ' ', greatest(t[i], t[i+1])))
+    ELSE [] END) AS pair FROM toks
+  UNION ALL
+  SELECT unnest(CASE WHEN len(t) > 2 THEN
+    list_transform(range(1, len(t) - 1),
+      i -> concat(least(t[i], t[i+2]), ' ', greatest(t[i], t[i+2])))
+    ELSE [] END) FROM toks
+),
+pc AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n_ab
+  FROM p WHERE pair NOT LIKE ' %'
+  GROUP BY 1 HAVING count(*) >= 5
+),
+uni AS (SELECT unnest(t) AS token FROM toks),
+u2 AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM uni WHERE token <> '' GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM u2),
+j AS (
+  SELECT pair, n_ab, a.cnt AS n_a, b.cnt AS n_b, n_total
+  FROM pc
+  JOIN u2 a ON a.token = string_split(pair, ' ')[1]
+  JOIN u2 b ON b.token = string_split(pair, ' ')[2]
+  CROSS JOIN tot
+)
+SELECT pair, n_ab, n_a, n_b,
+  {_fround_sql('ln((CAST(n_ab AS DOUBLE) * n_total) / (CAST(n_a AS DOUBLE) * n_b))', 4)}
+    AS pmi
+FROM j ORDER BY pmi DESC, pair LIMIT 50
+"""
+
+
+ORACLE_SQL["quantile_normalize"] = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice AS value
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+h AS (
+  SELECT o_orderpriority, value, count(*) AS c FROM base GROUP BY 1, 2
+),
+r AS (
+  SELECT o_orderpriority, value,
+    2 * sum(c) OVER (PARTITION BY o_orderpriority ORDER BY value
+                     ROWS UNBOUNDED PRECEDING) - c + 1 AS r2,
+    2 * sum(c) OVER (PARTITION BY o_orderpriority) AS n2
+  FROM h
+)
+SELECT b.o_orderkey, b.o_orderpriority, b.value,
+  {_round4_ratio_sql('r2', 'n2')} AS qnorm
+FROM base b JOIN r USING (o_orderpriority, value)
+"""

@@ -3507,3 +3507,40 @@ def test_scd2_build_intervals(spark):
     assert rows1[2]["valid_to"] is None
     r2 = [r for r in out.collect() if r["uid"] == 2][0]
     assert r2["state"] == "X" and r2["is_current"] is True
+
+
+def test_cooccurrence_window_pairs(spark):
+    """Window-2 pairs pool symmetrically; PMI reproduces the
+    hand-computed floor-form ln."""
+    import math
+
+    from hashquery_spark.ops import cooccurrence
+
+    df = spark.createDataFrame(
+        [(i, "a b c a b") for i in range(5)], "id long, text string"
+    )
+    out = {r["pair"]: r for r in
+           cooccurrence(df, "text", window=2, min_count=5, top_k=50).collect()}
+    # per doc: d=1 pairs: ab, bc, ac(c a->a c), ab; d=2: ac, ab(b a?) ->
+    # positions (1,3)=(a,c),(2,4)=(b,a)->'a b',(3,5)=(c,b)->'b c'
+    assert out["a b"]["n_ab"] == 5 * 3
+    assert out["a c"]["n_ab"] == 5 * 2
+    assert out["b c"]["n_ab"] == 5 * 2
+    # unigrams: a=10, b=10, c=5; N=25
+    r = out["a c"]
+    assert (r["n_a"], r["n_b"]) == (10, 5)
+    want = math.floor(math.log((10.0 * 25) / (10.0 * 5)) * 1e4 + 0.5) / 1e4
+    assert r["pmi"] == want
+
+
+def test_quantile_normalize_tie_averaged(spark):
+    """Tie runs share the average rank; qnorm spans (0, 1]."""
+    from hashquery_spark.ops import quantile_normalize
+
+    rows = [(1, 10.0), (2, 10.0), (3, 20.0), (4, 30.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r["id"]: r["qnorm"] for r in
+           quantile_normalize(df, "v", "id").collect()}
+    # ranks: 10.0 -> avg(1,2)=1.5 -> .375 each; 20 -> 3/4; 30 -> 4/4
+    assert out[1] == 0.375 and out[2] == 0.375
+    assert out[3] == 0.75 and out[4] == 1.0

@@ -109,6 +109,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # 1-row global-count frame replicated to the bounded
         # (quasi, sensitive) pair table:
         "t_closeness",
+        # 1-row corpus-token-total frame replicated to the gated pairs
+        # (the pmi_bigrams pattern):
+        "cooccurrence",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
