@@ -3809,6 +3809,27 @@ def q_quantile_normalize(spark, sf_dir):
     )
 
 
+def q_label_propagation(spark, sf_dir):
+    """Synchronous LPA communities (5 rounds, min-label ties) over the
+    triangle_count graph; checkpointed label frames on Spark, unrolled
+    MATERIALIZED CTEs on DuckDB."""
+    from hashquery_spark.ops import label_propagation
+    from pyspark.sql import functions as F
+
+    ev = _conn(spark, sf_dir).table("events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tt = (
+        ut.alias("x")
+        .join(ut.alias("y"), on="user_id")
+        .where(F.col("x.event_type") < F.col("y.event_type"))
+        .select(
+            F.col("x.event_type").alias("src"), F.col("y.event_type").alias("dst")
+        )
+    )
+    edges = _event_edges(spark, sf_dir).unionAll(tt)
+    return label_propagation(edges, "src", "dst", iters=5)
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4084,6 +4105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_build": q_scd2_build,
         "cooccurrence": q_cooccurrence,
         "quantile_normalize": q_quantile_normalize,
+        "label_propagation": q_label_propagation,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

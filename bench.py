@@ -153,6 +153,7 @@ HEADLINE = [
     "scd2_build",
     "cooccurrence",
     "quantile_normalize",
+    "label_propagation",
 ]
 
 

@@ -232,3 +232,76 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
         )
     )
     return out
+
+
+def label_propagation(
+    edges: DataFrame, src: str, dst: str, iters: int = 5
+) -> DataFrame:
+    """(node, community) — synchronous label propagation (Raghavan et
+    al. 2007) over the UNDIRECTED simple graph, ``iters`` fixed rounds:
+    every node adopts the most frequent label among its neighbors
+    (ties -> smallest label; isolated nodes keep their own). The cheap
+    community detector for crawl/link graphs — finds the dense cliques
+    (mirror farms, template rings) that :func:`triangle_count` only
+    counts. Labels initialize to the node id, so a community's label is
+    the smallest-ish member id (data-dependent but deterministic).
+
+    Scale: per iteration, one join of the label frame onto the
+    bidirectional edge list (shuffle on the node key) + one
+    groupBy(node, label) with map-side combine + one struct-min argmax
+    — no collect ever touches node-cardinality data. The label frame
+    localCheckpoints each round (persist leaves the full lineage in
+    ANALYSIS and planning grows quadratically — measured, pinned in
+    the module docstring).
+
+    Determinism: the argmax is min(struct(-count, label)) — identical
+    to the oracle's ORDER BY count DESC, label tiebreak. Fixed
+    iteration counts unroll into MATERIALIZED chained CTEs on the
+    DuckDB side (CTE-by-copy inlining is exponential otherwise).
+    """
+    a = F.least(F.col(src).cast("string"), F.col(dst).cast("string"))
+    b = F.greatest(F.col(src).cast("string"), F.col(dst).cast("string"))
+    und = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(a.alias("__a__"), b.alias("__b__"))
+        .where(F.col("__a__") != F.col("__b__"))
+        .distinct()
+    )
+    bi = und.select(
+        F.col("__a__").alias("__s__"), F.col("__b__").alias("__d__")
+    ).unionAll(
+        und.select(F.col("__b__").alias("__s__"), F.col("__a__").alias("__d__"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        bi.select(F.col("__s__").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("__lbl__"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        cnt = (
+            bi.join(
+                labels.select(
+                    F.col("node").alias("__s__"), F.col("__lbl__")
+                ),
+                on="__s__",
+            )
+            .groupBy(F.col("__d__").alias("node"), "__lbl__")
+            .agg(F.count(F.lit(1)).alias("__c__"))
+        )
+        pick = cnt.groupBy("node").agg(
+            F.min(
+                F.struct(
+                    (-F.col("__c__")).alias("nc"), F.col("__lbl__").alias("l")
+                )
+            ).alias("__p__")
+        )
+        labels = (
+            labels.join(pick, on="node", how="left")
+            .select(
+                "node",
+                F.coalesce(F.col("__p__.l"), F.col("__lbl__")).alias("__lbl__"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("__lbl__").alias("community"))

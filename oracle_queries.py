@@ -4898,3 +4898,52 @@ SELECT b.o_orderkey, b.o_orderpriority, b.value,
   {_round4_ratio_sql('r2', 'n2')} AS qnorm
 FROM base b JOIN r USING (o_orderpriority, value)
 """
+
+
+def _label_propagation_sql(iters: int = 5) -> str:
+    """Synchronous LPA unrolled into MATERIALIZED chained CTEs (each
+    step references its predecessor twice — DuckDB inlines CTEs by
+    copy, so an unmaterialized chain expands 2^iters)."""
+    parts = ["""
+raw AS (
+  SELECT concat('u', CAST(user_id AS VARCHAR)) AS src, event_type AS dst
+  FROM events
+  UNION ALL
+  SELECT x.event_type, y.event_type
+  FROM (SELECT DISTINCT user_id, event_type FROM events) x
+  JOIN (SELECT DISTINCT user_id, event_type FROM events) y USING (user_id)
+  WHERE x.event_type < y.event_type
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL
+    AND least(src, dst) <> greatest(src, dst)
+),
+bi AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM und UNION ALL SELECT b, a FROM und
+),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM bi)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT e.d AS node, q.lbl, count(*) AS c
+  FROM bi e JOIN l{p} q ON q.node = e.s GROUP BY 1, 2
+),
+p{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+),
+l{i} AS MATERIALIZED (
+  SELECT q.node, coalesce(k.lbl, q.lbl) AS lbl
+  FROM l{p} q LEFT JOIN p{i} k USING (node)
+)""")
+    body = ",".join(parts)
+    return f"WITH {body}\nSELECT node, lbl AS community FROM l{iters}"
+
+
+ORACLE_SQL["label_propagation"] = _label_propagation_sql(5)

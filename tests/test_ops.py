@@ -3544,3 +3544,17 @@ def test_quantile_normalize_tie_averaged(spark):
     # ranks: 10.0 -> avg(1,2)=1.5 -> .375 each; 20 -> 3/4; 30 -> 4/4
     assert out[1] == 0.375 and out[2] == 0.375
     assert out[3] == 0.75 and out[4] == 1.0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disjoint triangles each converge to their smallest member's
+    label within 5 synchronous rounds (min-label tie-break)."""
+    from hashquery_spark.ops import label_propagation
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r["community"] for r in
+           label_propagation(df, "src", "dst", iters=5).collect()}
+    assert {out["a"], out["b"], out["c"]} == {"a"}
+    assert {out["x"], out["y"], out["z"]} == {"x"}
