@@ -3830,6 +3830,36 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(edges, "src", "dst", iters=5)
 
 
+def q_krippendorff(spark, sf_dir):
+    """Krippendorff's nominal alpha treating each customer's orders as
+    repeated 'ratings' of priority: exact per-item disagreement on the
+    1e-6 grid, exact DECIMAL margins."""
+    from hashquery_spark.ops import krippendorff_alpha
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return krippendorff_alpha(orders, "o_custkey", "o_orderpriority")
+
+
+def q_impute(spark, sf_dir):
+    """Median imputation per event_type over DETERMINISTICALLY planted
+    NULLs (md5(event_id) % 10 — the corpus itself has zero NULLs, the
+    pii_stats planted-input precedent); exact grid_percentiles medians
+    broadcast back."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import impute
+    from hashquery_spark.ops.dedup import md5_hash32
+
+    ev = _conn(spark, sf_dir).table("events")
+    h = md5_hash32(F.col("event_id").cast("string"))
+    planted = ev.select(
+        "event_id",
+        "event_type",
+        F.when(h % 10 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
+    return impute(planted, "value", by="event_type", strategy="median")
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4106,6 +4136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence": q_cooccurrence,
         "quantile_normalize": q_quantile_normalize,
         "label_propagation": q_label_propagation,
+        "krippendorff_alpha": q_krippendorff,
+        "impute": q_impute,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

@@ -154,6 +154,8 @@ HEADLINE = [
     "cooccurrence",
     "quantile_normalize",
     "label_propagation",
+    "krippendorff_alpha",
+    "impute",
 ]
 
 

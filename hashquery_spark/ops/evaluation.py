@@ -1023,3 +1023,71 @@ def mann_whitney(
         ).alias("u"),
         F.when(ok, fround(z, 6)).alias("z"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) over a long ratings table
+    (one row per rating; rater identity is irrelevant for alpha, and
+    unequal ratings-per-item are handled natively — the property that
+    makes alpha the right inter-annotator statistic for crowdsourced
+    label QA where :func:`fleiss_kappa` demands a complete rater grid).
+    Output (one row): ``n_items, n_ratings, alpha`` (items with < 2
+    ratings are excluded per the definition; alpha NULL when every
+    rating is the same category).
+
+    Exactness: per-item disagreement (m_i^2 - SUM_c n_ic^2)/(m_i - 1)
+    is floored to the 1e-6 grid via decimal remainder-subtraction and
+    summed exactly (per-item truncation < 1e-6, identical both
+    engines); the margins term (n^2 - SUM_c n_c^2) is an exact DECIMAL
+    integer, and alpha = 1 - Do*(n-1)/De is a fixed IEEE chain,
+    fround(6).
+
+    Scale: one groupBy(item, value) over the ratings, then bounded
+    rollups — the (item) table is the only large intermediate and it
+    aggregates with map-side combine.
+    """
+    pairs = (
+        df.where(F.col(item_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(item_col, value_col)
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("__c__"))
+        .localCheckpoint(eager=True)
+    )
+    per_item = pairs.groupBy(item_col).agg(
+        F.sum("__c__").cast("decimal(19,0)").alias("__m__"),
+        F.sum(F.col("__c__").cast("decimal(38,0)") * F.col("__c__")).alias(
+            "__sq__"
+        ),
+    ).where(F.col("__m__") >= 2)
+    kk = F.lit(1000000).cast("decimal(19,0)")
+    x = (F.col("__m__") * F.col("__m__") - F.col("__sq__")) * kk
+    d = F.col("__m__") - 1
+    item_do = (x - x % d) / d  # exact integer-valued decimal (1e-6 grid)
+    do_tot = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("__m__")).cast("decimal(19,0)").alias("__n__"),
+        F.sum(item_do).alias("__do__"),
+    )
+    # margins over the SAME >=2-rating item population
+    margins = (
+        pairs.join(per_item.select(item_col), on=item_col)
+        .groupBy(value_col)
+        .agg(F.sum("__c__").cast("decimal(19,0)").alias("__nc__"))
+        .agg(F.sum(F.col("__nc__").cast("decimal(38,0)") * F.col("__nc__")).alias("__sqc__"))
+    )
+    out = do_tot.crossJoin(F.broadcast(margins))
+    n = F.col("__n__")
+    de = (n * n - F.col("__sqc__")).cast("double")
+    alpha = F.lit(1.0) - (
+        F.col("__do__").cast("double") * (n.cast("double") - F.lit(1.0))
+    ) / (F.lit(1000000.0) * de)
+    from .dedup import fround
+
+    return out.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        n.cast("long").alias("n_ratings"),
+        F.when(de > 0, fround(alpha, 6)).alias("alpha"),
+    )

@@ -1818,3 +1818,63 @@ def quantile_normalize(
         "value",
         round4_ratio(F.col("__r2__"), F.col("__2n__")).alias("qnorm"),
     )
+
+
+def impute(
+    df: DataFrame,
+    value_col: str,
+    by=None,
+    strategy: str = "median",
+) -> DataFrame:
+    """Fill NULLs in ``value_col`` from the ``by``-group statistic —
+    the standard feature-prep imputation step. Adds ``{value}_imputed``
+    and ``was_imputed``; non-NULL rows pass through untouched, and a
+    group that is entirely NULL stays NULL (no silent global fallback).
+
+    ``strategy``: ``median`` (exact, via
+    :func:`grid_percentiles` — bounded memory on any skew), ``mean``
+    (exact micro-unit integer ratio), or ``mode`` (most frequent value,
+    ties to the smallest — the struct-min argmax).
+
+    Scale: one bounded per-group stats frame broadcast back; the raw
+    frame never shuffles.
+    """
+    from .dedup import fround
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col)
+    nn = df.where(v.isNotNull())
+    if strategy == "median":
+        stats = grid_percentiles(nn, value_col, {"__fill__": 0.5}, by=by)
+    elif strategy == "mean":
+        m = F.floor(v.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+            "decimal(38,0)"
+        )
+        stats = nn.groupBy(*by).agg(
+            (
+                F.sum(m).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+            ).alias("__fill__")
+        )
+    elif strategy == "mode":
+        stats = (
+            nn.groupBy(*by, v.alias("__v__"))
+            .agg(F.count(F.lit(1)).alias("__c__"))
+            .groupBy(*by)
+            .agg(
+                F.min(
+                    F.struct((-F.col("__c__")).alias("nc"), F.col("__v__").alias("v"))
+                ).alias("__p__")
+            )
+            .select(*by, F.col("__p__.v").alias("__fill__"))
+        )
+    else:
+        raise ValueError(f"unknown strategy: {strategy}")
+    joined = df.join(F.broadcast(stats), on=by, how="left") if by else (
+        df.crossJoin(F.broadcast(stats))
+    )
+    return joined.select(
+        *df.columns,
+        F.coalesce(v, F.col("__fill__")).alias(f"{value_col}_imputed"),
+        (v.isNull() & F.col("__fill__").isNotNull()).alias("was_imputed"),
+    )

@@ -4947,3 +4947,51 @@ l{i} AS MATERIALIZED (
 
 
 ORACLE_SQL["label_propagation"] = _label_propagation_sql(5)
+
+
+ORACLE_SQL["krippendorff_alpha"] = f"""
+WITH pairs AS (
+  SELECT o_custkey AS i, o_orderpriority AS v, CAST(count(*) AS HUGEINT) AS c
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+),
+pi AS (
+  SELECT i, sum(c) AS m, sum(c * c) AS sq
+  FROM pairs GROUP BY 1 HAVING sum(c) >= 2
+),
+dt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items, sum(m) AS n,
+         sum(((m * m - sq) * 1000000) // (m - 1)) AS dsum
+  FROM pi
+),
+mg AS (
+  SELECT sum(nc * nc) AS sqc FROM (
+    SELECT p.v, sum(p.c) AS nc FROM pairs p JOIN pi ON pi.i = p.i GROUP BY 1
+  )
+)
+SELECT n_items, CAST(n AS BIGINT) AS n_ratings,
+  CASE WHEN CAST(n * n - sqc AS DOUBLE) > 0 THEN
+    {_fround_sql('1.0 - (CAST(dsum AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / (1000000.0 * CAST(n * n - sqc AS DOUBLE))', 6)}
+  END AS alpha
+FROM dt, mg
+"""
+
+
+ORACLE_SQL["impute"] = f"""
+WITH planted AS (
+  SELECT event_id, event_type,
+    CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 10 = 0
+         THEN NULL ELSE value END AS value
+  FROM events
+),
+st AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS fill
+  FROM planted WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT p.event_id, p.event_type, p.value,
+  coalesce(p.value, st.fill) AS value_imputed,
+  (p.value IS NULL AND st.fill IS NOT NULL) AS was_imputed
+FROM planted p LEFT JOIN st USING (event_type)
+"""

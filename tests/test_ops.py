@@ -3558,3 +3558,53 @@ def test_label_propagation_two_cliques(spark):
            label_propagation(df, "src", "dst", iters=5).collect()}
     assert {out["a"], out["b"], out["c"]} == {"a"}
     assert {out["x"], out["y"], out["z"]} == {"x"}
+
+
+def test_krippendorff_alpha_known_values(spark):
+    """Perfect agreement -> alpha 1; textbook mixed case reproduces the
+    hand-computed nominal alpha; single-category -> NULL."""
+    import math
+
+    from hashquery_spark.ops import krippendorff_alpha
+
+    # perfect agreement: 3 items, 2 identical ratings each (labels differ
+    # BETWEEN items so De > 0)
+    rows = [(1, "a"), (1, "a"), (2, "b"), (2, "b"), (3, "c"), (3, "c")]
+    df = spark.createDataFrame(rows, "i long, v string")
+    out = krippendorff_alpha(df, "i", "v").collect()[0]
+    assert (out["n_items"], out["n_ratings"]) == (3, 6)
+    assert out["alpha"] == 1.0
+    # mixed: item1 {a,a,b}, item2 {a,b}; single-rating item dropped
+    rows2 = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"), (9, "a")]
+    df2 = spark.createDataFrame(rows2, "i long, v string")
+    out2 = krippendorff_alpha(df2, "i", "v").collect()[0]
+    assert (out2["n_items"], out2["n_ratings"]) == (2, 5)
+    # Do = [ (9-5)/2 + (4-2)/1 ] / n ; De = (25 - (3^2+2^2))/(n(n-1))
+    do_mass = math.floor((9 - 5) * 1e6 / 2) + math.floor((4 - 2) * 1e6 / 1)
+    alpha = 1.0 - (do_mass / 1.0) * (5.0 - 1.0) / (1e6 * (25.0 - 13.0))
+    assert out2["alpha"] == math.floor(alpha * 1e6 + 0.5) / 1e6
+    # degenerate: one category everywhere -> De = 0 -> NULL
+    df3 = spark.createDataFrame([(1, "a"), (1, "a")], "i long, v string")
+    assert krippendorff_alpha(df3, "i", "v").collect()[0]["alpha"] is None
+
+
+def test_impute_strategies(spark):
+    """median/mean/mode fills per group; all-NULL group stays NULL."""
+    from hashquery_spark.ops import impute
+
+    rows = [("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 9.0), ("g", None),
+            ("h", None), ("h", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+
+    def got(strategy):
+        return {
+            (r["grp"], r["v"]): (r["v_imputed"], r["was_imputed"])
+            for r in impute(df, "v", by="grp", strategy=strategy).collect()
+        }
+
+    med = got("median")
+    assert med[("g", None)] == (2.0, True)
+    assert med[("g", 9.0)] == (9.0, False)
+    assert med[("h", None)] == (None, False)  # no stat to fill from
+    assert got("mean")[("g", None)] == (3.5, True)
+    assert got("mode")[("g", None)] == (2.0, True)

@@ -112,6 +112,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # 1-row corpus-token-total frame replicated to the gated pairs
         # (the pmi_bigrams pattern):
         "cooccurrence",
+        # 1-row margins frame crossed with the 1-row disagreement frame:
+        "krippendorff_alpha",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
