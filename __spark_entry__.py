@@ -3860,6 +3860,41 @@ def q_impute(spark, sf_dir):
     return impute(planted, "value", by="event_type", strategy="median")
 
 
+def q_classification_report(spark, sf_dir):
+    """Per-class P/R/F1 of the naive previous-event predictor (pred =
+    lagged event_type per user) — one bounded confusion table, exact
+    integer ratios."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import classification_report
+
+    ev = _conn(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paired = ev.select(
+        F.col("event_type").alias("label"),
+        F.lag("event_type").over(w).alias("pred"),
+    )
+    return classification_report(paired, "label", "pred")
+
+
+def q_dp_quantile(spark, sf_dir):
+    """Exponential-mechanism median of order totals per priority band
+    (seeded Gumbel-max over the value histogram; 1e-6 floor-snapped
+    scores, value tiebreak)."""
+    from hashquery_spark.ops import dp_quantile
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return dp_quantile(
+        orders,
+        "o_totalprice",
+        by="o_orderpriority",
+        q=0.5,
+        epsilon=0.2,
+        seed="release-2026-08-15",
+    )
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4138,6 +4173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "krippendorff_alpha": q_krippendorff,
         "impute": q_impute,
+        "classification_report": q_classification_report,
+        "dp_quantile": q_dp_quantile,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

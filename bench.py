@@ -156,6 +156,8 @@ HEADLINE = [
     "label_propagation",
     "krippendorff_alpha",
     "impute",
+    "classification_report",
+    "dp_quantile",
 ]
 
 

@@ -1091,3 +1091,64 @@ def krippendorff_alpha(
         n.cast("long").alias("n_ratings"),
         F.when(de > 0, fround(alpha, 6)).alias("alpha"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 over (label, prediction) pairs —
+    the standard classifier eval table (the per-class companion to
+    :func:`binary_auc`'s threshold-free summary and
+    :func:`fairness_report`'s group gaps). Output: one row per class
+    seen in EITHER column: ``clazz, support, tp, fp, fn, precision,
+    recall, f1`` (ratios NULL when their denominator is 0 — no
+    sklearn-style silent zero).
+
+    Exactness: tp/fp/fn are exact counts; all three ratios are
+    tie-proof integer ratios (f1 = 2tp / (2tp + fp + fn)).
+
+    Scale: ONE groupBy over the bounded (label, pred) confusion table;
+    per-class rollups run on that table, never the rows.
+    """
+    from .dedup import round4_ratio
+
+    base = df.where(F.col(label_col).isNotNull() & F.col(pred_col).isNotNull())
+    conf = base.groupBy(
+        F.col(label_col).cast("string").alias("__l__"),
+        F.col(pred_col).cast("string").alias("__p__"),
+    ).agg(F.count(F.lit(1)).alias("__c__")).localCheckpoint(eager=True)
+    as_label = conf.groupBy(F.col("__l__").alias("clazz")).agg(
+        F.sum("__c__").cast("long").alias("support"),
+        F.sum(F.when(F.col("__p__") == F.col("__l__"), F.col("__c__")))
+        .cast("long")
+        .alias("__tp_l__"),
+    )
+    as_pred = conf.groupBy(F.col("__p__").alias("clazz")).agg(
+        F.sum("__c__").cast("long").alias("__pred_n__"),
+    )
+    out = as_label.join(as_pred, on="clazz", how="full_outer").select(
+        "clazz",
+        F.coalesce("support", F.lit(0)).alias("support"),
+        F.coalesce("__tp_l__", F.lit(0)).alias("tp"),
+        (
+            F.coalesce("__pred_n__", F.lit(0)) - F.coalesce("__tp_l__", F.lit(0))
+        ).alias("fp"),
+        (
+            F.coalesce("support", F.lit(0)) - F.coalesce("__tp_l__", F.lit(0))
+        ).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return out.select(
+        "clazz",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp + fp > 0, round4_ratio(tp, tp + fp)).alias("precision"),
+        F.when(tp + fn > 0, round4_ratio(tp, tp + fn)).alias("recall"),
+        F.when(
+            2 * tp + fp + fn > 0, round4_ratio(2 * tp, 2 * tp + fp + fn)
+        ).alias("f1"),
+    )

@@ -1878,3 +1878,80 @@ def impute(
         F.coalesce(v, F.col("__fill__")).alias(f"{value_col}_imputed"),
         (v.isNull() & F.col("__fill__").isNotNull()).alias("was_imputed"),
     )
+
+
+def dp_quantile(
+    df: DataFrame,
+    value_col: str,
+    by=None,
+    q: float = 0.5,
+    epsilon: float = 1.0,
+    *,
+    seed: str,
+) -> DataFrame:
+    """Per-group quantile released through the EXPONENTIAL MECHANISM
+    (McSherry & Talwar 2007) — the third member of the DP release
+    family after :func:`dp_count` / :func:`dp_sum`: candidates are the
+    group's distinct values, utility is -(rank distance to the q-target)
+    with sensitivity 1, and the selection is the Gumbel-max trick over
+    seeded md5 uniforms (identical to sampling P(v) ∝ exp(ε·u/2)).
+    Output: group cols + ``value_dp``; the true quantile is withheld.
+
+    Same SECURITY contract as dp_count: the draw is exactly
+    reproducible by a seed holder — ``seed`` is required, keep it
+    secret, rotate per release; formal DP needs fresh randomness.
+
+    Determinism: utility is an exact integer (q snaps to percents —
+    target = (q100·n) DIV 100); the Gumbel score snaps to the 1e-6
+    grid with the floor form before the struct-min argmax (value
+    tiebreak), so both engines select identically.
+
+    Scale: one (group, value) histogram + one running-count window
+    over it (the binary_auc contract) + one argmax — row data never
+    buffers.
+    """
+    from .dedup import md5_hash32
+
+    if not 0 < epsilon:
+        raise ValueError("epsilon must be positive")
+    by = [by] if isinstance(by, str) else list(by or [])
+    q100 = int(round(q * 100))
+    v = F.col(value_col)
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(*by, v.alias("__v__"))
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    w_ord = (
+        Window.partitionBy(*by)
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*by)
+    ranked = hist.select(
+        *by,
+        "__v__",
+        F.sum("__c__").over(w_ord).alias("__cum__"),
+        F.sum("__c__").over(w_all).alias("__n__"),
+    )
+    target = F.expr(f"({q100}L * __n__) DIV 100")
+    util = -F.abs(F.col("__cum__") - target).cast("double")
+    key = F.concat_ws(
+        ":",
+        F.lit(seed),
+        *[F.col(c).cast("string") for c in by],
+        F.col("__v__").cast("string"),
+    )
+    u = (md5_hash32(key) + F.lit(0.5)) / F.lit(4294967296.0)
+    gumbel = -F.log(-F.log(u))
+    score = F.floor(
+        (F.lit(epsilon / 2.0) * util + gumbel) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    pick = ranked.select(
+        *by, "__v__", score.alias("__s__")
+    ).groupBy(*by).agg(
+        F.min(
+            F.struct((-F.col("__s__")).alias("ns"), F.col("__v__").alias("v"))
+        ).alias("__p__")
+    )
+    return pick.select(*by, F.col("__p__.v").alias("value_dp"))

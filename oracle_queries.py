@@ -4995,3 +4995,72 @@ SELECT p.event_id, p.event_type, p.value,
   (p.value IS NULL AND st.fill IS NOT NULL) AS was_imputed
 FROM planted p LEFT JOIN st USING (event_type)
 """
+
+
+ORACLE_SQL["classification_report"] = f"""
+WITH paired AS (
+  SELECT event_type AS label,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS pred
+  FROM events
+),
+conf AS (
+  SELECT CAST(label AS VARCHAR) AS l, CAST(pred AS VARCHAR) AS p,
+         CAST(count(*) AS BIGINT) AS c
+  FROM paired WHERE label IS NOT NULL AND pred IS NOT NULL
+  GROUP BY 1, 2
+),
+as_label AS (
+  SELECT l AS clazz, CAST(sum(c) AS BIGINT) AS support,
+         CAST(sum(CASE WHEN p = l THEN c END) AS BIGINT) AS tp_l
+  FROM conf GROUP BY 1
+),
+as_pred AS (
+  SELECT p AS clazz, CAST(sum(c) AS BIGINT) AS pred_n FROM conf GROUP BY 1
+),
+o AS (
+  SELECT coalesce(a.clazz, b.clazz) AS clazz,
+         coalesce(support, 0) AS support,
+         coalesce(tp_l, 0) AS tp,
+         coalesce(pred_n, 0) - coalesce(tp_l, 0) AS fp,
+         coalesce(support, 0) - coalesce(tp_l, 0) AS fn
+  FROM as_label a FULL OUTER JOIN as_pred b ON a.clazz = b.clazz
+)
+SELECT clazz, support, tp, fp, fn,
+  CASE WHEN tp + fp > 0 THEN {_round4_ratio_sql('tp', 'tp + fp')} END AS precision,
+  CASE WHEN tp + fn > 0 THEN {_round4_ratio_sql('tp', 'tp + fn')} END AS recall,
+  CASE WHEN 2 * tp + fp + fn > 0 THEN
+    {_round4_ratio_sql('2 * tp', '2 * tp + fp + fn')} END AS f1
+FROM o
+"""
+
+
+ORACLE_SQL["dp_quantile"] = """
+WITH h AS (
+  SELECT o_orderpriority, o_totalprice AS v, count(*) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+  SELECT o_orderpriority, v,
+    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(c) OVER (PARTITION BY o_orderpriority) AS n
+  FROM h
+),
+s AS (
+  SELECT o_orderpriority, v,
+    CAST(floor(
+      (0.1 * (-abs(CAST(cum - (50 * n) // 100 AS DOUBLE)))
+       + (-ln(-ln((CAST('0x' || substr(md5(concat_ws(':',
+             'release-2026-08-15', o_orderpriority, CAST(v AS VARCHAR))), 1, 8)
+           AS BIGINT) + 0.5) / 4294967296.0))))
+      * 1000000.0 + 0.5) AS BIGINT) AS sc
+  FROM r
+)
+SELECT o_orderpriority, v AS value_dp FROM (
+  SELECT o_orderpriority, v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY sc DESC, v) AS rn
+  FROM s
+) WHERE rn = 1
+"""

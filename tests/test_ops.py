@@ -3608,3 +3608,36 @@ def test_impute_strategies(spark):
     assert med[("h", None)] == (None, False)  # no stat to fill from
     assert got("mean")[("g", None)] == (3.5, True)
     assert got("mode")[("g", None)] == (2.0, True)
+
+
+def test_classification_report_known_confusion(spark):
+    """Hand-built confusion: class seen only in preds gets support 0;
+    ratios reproduce the exact integer forms."""
+    from hashquery_spark.ops import classification_report
+
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"),
+            ("a", "c")]
+    df = spark.createDataFrame(rows, "label string, pred string")
+    out = {r["clazz"]: r for r in
+           classification_report(df, "label", "pred").collect()}
+    a = out["a"]
+    assert (a["support"], a["tp"], a["fp"], a["fn"]) == (4, 2, 1, 2)
+    assert a["precision"] == 0.6667 and a["recall"] == 0.5
+    assert a["f1"] == round(4 / 7, 4)
+    c = out["c"]  # never a true label
+    assert (c["support"], c["tp"], c["fp"], c["fn"]) == (0, 0, 1, 0)
+    assert c["precision"] == 0.0 and c["recall"] is None and c["f1"] == 0.0
+
+
+def test_dp_quantile_utility_concentrates(spark):
+    """With large epsilon the mechanism picks (near-)median values;
+    the draw is seed-deterministic."""
+    from hashquery_spark.ops import dp_quantile
+
+    rows = [("g", float(v)) for v in range(1, 102)]  # median = 51
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = dp_quantile(df, "v", by="grp", q=0.5, epsilon=50.0, seed="s").collect()
+    assert len(out) == 1
+    assert abs(out[0]["value_dp"] - 51.0) <= 2.0  # eps=50 ⇒ sharp peak
+    out2 = dp_quantile(df, "v", by="grp", q=0.5, epsilon=50.0, seed="s").collect()
+    assert out2[0]["value_dp"] == out[0]["value_dp"]
