@@ -3895,6 +3895,26 @@ def q_dp_quantile(spark, sf_dir):
     )
 
 
+def q_benford_test(spark, sf_dir):
+    """First-digit Benford census of order totals (cent grid — digit
+    from the integer's decimal string, zero runtime libm; python-
+    precomputed expectation literals)."""
+    from hashquery_spark.ops import benford_test
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return benford_test(orders, "o_totalprice", grid=100.0)
+
+
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency audit o_custkey -> o_orderpriority:
+    violating customers (repeat buyers mix priorities; single-order
+    customers hold) — two Expand-free exact-distinct aggregates."""
+    from hashquery_spark.ops import fd_check
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return fd_check(orders, "o_custkey", "o_orderpriority")
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4175,6 +4195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute": q_impute,
         "classification_report": q_classification_report,
         "dp_quantile": q_dp_quantile,
+        "benford_test": q_benford_test,
+        "fd_check": q_fd_check,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

@@ -158,6 +158,8 @@ HEADLINE = [
     "impute",
     "classification_report",
     "dp_quantile",
+    "benford_test",
+    "fd_check",
 ]
 
 

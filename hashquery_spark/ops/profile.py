@@ -1955,3 +1955,94 @@ def dp_quantile(
         ).alias("__p__")
     )
     return pick.select(*by, F.col("__p__.v").alias("value_dp"))
+
+
+# first-digit Benford expectations log10(1 + 1/d), precomputed in Python
+# and embedded as identical literals in BOTH engines (the
+# retrieval_metrics discount-grid contract — no runtime libm anywhere)
+import math as _math
+
+_BENFORD_EXP = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_test(
+    df: DataFrame,
+    value_col: str,
+    grid: float = 100.0,
+) -> DataFrame:
+    """First-significant-digit census vs Benford's law — the classic
+    fabricated-numbers / unit-mixing screen on any amount column.
+    Output: one row per digit 1-9 with ``n_obs, obs_share, exp_share,
+    dev`` (dev = obs_share - exp_share, the per-digit deviation; sum of
+    |dev| is the MAD statistic).
+
+    Determinism: values snap to the integer ``grid`` (cents by
+    default) and the digit comes from the INTEGER's decimal string —
+    zero runtime log10/pow, so there is no libm boundary to diverge
+    on; expectations are Python-precomputed literals shared verbatim
+    with the oracle; shares are tie-proof integer ratios. Values that
+    round to 0 on the grid are excluded.
+
+    Scale: one narrow projection + one 9-row groupBy.
+    """
+    from .dedup import fround, round4_ratio
+
+    v = F.abs(F.col(value_col).cast("double"))
+    m = F.floor(v * F.lit(float(grid)) + F.lit(0.5)).cast("long")
+    digits = (
+        df.where(F.col(value_col).isNotNull())
+        .select(m.alias("__m__"))
+        .where(F.col("__m__") > 0)
+        .select(F.substring(F.col("__m__").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = digits.agg(F.sum("n_obs").alias("__n__"))
+    out = digits.crossJoin(F.broadcast(total))
+    exp_share = F.lit(None).cast("double")
+    for d, e in _BENFORD_EXP.items():
+        exp_share = F.when(F.col("digit") == d, F.lit(e)).otherwise(exp_share)
+    obs = round4_ratio(F.col("n_obs"), F.col("__n__"))
+    return out.select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        obs.alias("obs_share"),
+        fround(exp_share, 4).alias("exp_share"),
+        fround(obs - exp_share, 4).alias("dev"),
+    )
+
+
+def fd_check(
+    df: DataFrame,
+    lhs_cols,
+    rhs_col: str,
+) -> DataFrame:
+    """Functional-dependency audit: does ``lhs -> rhs`` hold? Output:
+    every VIOLATING lhs group (more than one distinct rhs) with
+    ``group_size, n_rhs``, smallest-diversity first — the
+    denormalization-consistency / dirty-join screen (the l_diversity
+    output convention; an empty frame means the FD holds).
+
+    Scale: distinct (lhs, rhs) pairs first, then counts — two
+    map-side-combined hash aggregates, the Expand-free exact-distinct
+    form. Violations are small when the FD nearly holds.
+    """
+    lhs = [lhs_cols] if isinstance(lhs_cols, str) else list(lhs_cols)
+    pairs = (
+        df.where(F.col(rhs_col).isNotNull())
+        .groupBy(*lhs, rhs_col)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    return (
+        pairs.groupBy(*lhs)
+        .agg(
+            F.sum("__c__").cast("long").alias("group_size"),
+            F.count(F.lit(1)).alias("n_rhs"),
+        )
+        .where(F.col("n_rhs") > 1)
+        .orderBy(
+            F.col("n_rhs").asc(),
+            F.col("group_size").asc(),
+            *[F.col(c).asc() for c in lhs],
+        )
+    )

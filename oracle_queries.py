@@ -5064,3 +5064,41 @@ SELECT o_orderpriority, v AS value_dp FROM (
   FROM s
 ) WHERE rn = 1
 """
+
+
+
+ORACLE_SQL["benford_test"] = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(abs(CAST(o_totalprice AS DOUBLE)) * 100.0
+                                + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND CAST(floor(abs(CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5) AS BIGINT)
+          > 0
+),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+t AS (SELECT sum(n_obs) AS n FROM g),
+e AS (
+  SELECT digit, n_obs, n,
+         CASE digit WHEN 1 THEN 0.3010299956639812e0 WHEN 2 THEN 0.17609125905568124e0 WHEN 3 THEN 0.12493873660829992e0 WHEN 4 THEN 0.09691001300805642e0 WHEN 5 THEN 0.07918124604762482e0 WHEN 6 THEN 0.06694678963061322e0 WHEN 7 THEN 0.05799194697768673e0 WHEN 8 THEN 0.05115252244738129e0 WHEN 9 THEN 0.04575749056067514e0 END AS expv
+  FROM g CROSS JOIN t
+)
+SELECT digit, n_obs,
+  floor((100000.0 * (n_obs) + 5.0 * (n)) / (10.0 * (n))) / 10000.0 AS obs_share,
+  floor((expv) * 1e4 + 5e-1) / 1e4 AS exp_share,
+  floor(((floor((100000.0 * (n_obs) + 5.0 * (n)) / (10.0 * (n))) / 10000.0) - expv) * 1e4 + 5e-1) / 1e4 AS dev
+FROM e
+"""
+
+
+ORACLE_SQL["fd_check"] = """
+WITH pairs AS (
+  SELECT o_custkey, o_orderpriority, count(*) AS c
+  FROM orders WHERE o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT o_custkey, CAST(sum(c) AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_rhs
+FROM pairs GROUP BY 1 HAVING count(*) > 1
+"""

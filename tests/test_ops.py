@@ -3641,3 +3641,34 @@ def test_dp_quantile_utility_concentrates(spark):
     assert abs(out[0]["value_dp"] - 51.0) <= 2.0  # eps=50 ⇒ sharp peak
     out2 = dp_quantile(df, "v", by="grp", q=0.5, epsilon=50.0, seed="s").collect()
     assert out2[0]["value_dp"] == out[0]["value_dp"]
+
+
+def test_benford_test_known_digits(spark):
+    """Digits come from the grid-scaled integer string (0.5 cents ->
+    digit 5, 123.45 -> 1); shares and deviations are exact."""
+    import math
+
+    from hashquery_spark.ops import benford_test
+
+    rows = [(123.45,), (0.05,), (1999.0,), (2.0,), (0.001,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_test(df, "v", grid=100.0).collect()}
+    # 0.001 rounds to 0 cents (excluded); digits: 1 (12345), 5 (5),
+    # 1 (199900), 2 (200)
+    assert out[1]["n_obs"] == 2 and out[5]["n_obs"] == 1 and out[2]["n_obs"] == 1
+    assert out[1]["obs_share"] == 0.5
+    assert out[1]["exp_share"] == math.floor(math.log10(2.0) * 1e4 + 0.5) / 1e4
+    assert set(out) == {1, 2, 5}
+
+
+def test_fd_check_violations(spark):
+    """Held FDs produce no rows; violated groups report sizes."""
+    from hashquery_spark.ops import fd_check
+
+    rows = [(1, "x"), (1, "x"), (2, "x"), (2, "y"), (2, "y"), (3, "z")]
+    df = spark.createDataFrame(rows, "k long, v string")
+    out = fd_check(df, "k", "v").collect()
+    assert len(out) == 1
+    assert (out[0]["k"], out[0]["group_size"], out[0]["n_rhs"]) == (2, 3, 2)
+    held = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k long, v string")
+    assert fd_check(held, "k", "v").count() == 0

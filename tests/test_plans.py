@@ -114,6 +114,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "cooccurrence",
         # 1-row margins frame crossed with the 1-row disagreement frame:
         "krippendorff_alpha",
+        # 1-row digit-total frame replicated to the 9-row digit census:
+        "benford_test",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
