@@ -3915,6 +3915,35 @@ def q_fd_check(spark, sf_dir):
     return fd_check(orders, "o_custkey", "o_orderpriority")
 
 
+def q_rank_biased_overlap(spark, sf_dir):
+    """RBO@100 between two document rankings (by char length vs by
+    token count): bounded top-k heads, python-precomputed suffix-sum
+    grid, 1e-9 integer contributions."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import rank_biased_overlap
+
+    docs = _conn(spark, sf_dir).table("documents")
+    scored = docs.select(
+        "doc_id",
+        F.length("text").cast("double").alias("len_score"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("double").alias("tok_score"),
+    )
+    return rank_biased_overlap(
+        scored, "doc_id", "len_score", "tok_score", p=0.9, k=100
+    )
+
+
+def q_cusum_changepoints(spark, sf_dir):
+    """Two-sided CUSUM over the daily event-count series via the
+    prefix-min identity (no recursion): exact n-scaled integer
+    deviations, windows over the bounded day table."""
+    from hashquery_spark.ops import cusum_changepoints
+
+    ev = _conn(spark, sf_dir).table("events")
+    return cusum_changepoints(ev, "ts", threshold=20.0)
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4197,6 +4226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_quantile": q_dp_quantile,
         "benford_test": q_benford_test,
         "fd_check": q_fd_check,
+        "rank_biased_overlap": q_rank_biased_overlap,
+        "cusum_changepoints": q_cusum_changepoints,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

@@ -160,6 +160,8 @@ HEADLINE = [
     "dp_quantile",
     "benford_test",
     "fd_check",
+    "rank_biased_overlap",
+    "cusum_changepoints",
 ]
 
 

@@ -230,3 +230,74 @@ def retrieval_metrics(
         "floor((CAST(100000 AS DOUBLE) * __h__ + CAST(5 AS DOUBLE) * n_rel) "
         "/ (CAST(10 AS DOUBLE) * n_rel)) / CAST(10000 AS DOUBLE) AS r_at_k",
     )
+
+
+def rank_biased_overlap(
+    df: DataFrame,
+    id_col: str,
+    score_a: str,
+    score_b: str,
+    p: float = 0.9,
+    k: int = 100,
+) -> DataFrame:
+    """RBO@k (Webber et al. 2010) between the two rankings induced by
+    ``score_a`` and ``score_b`` (descending, id tiebreak) — "do my two
+    quality scorers order the corpus the same way?", the top-weighted
+    alternative to :func:`~hashquery_spark.ops.profile.spearman_corr`
+    (which weights every rank equally). Output (one row): ``k,
+    n_overlap, rbo`` where rbo = (1-p) * SUM_d p^(d-1) * |A_d ∩ B_d|/d
+    truncated at depth k.
+
+    Identity used: an item entering both prefixes at depth
+    m = max(rank_a, rank_b) contributes SUM_{{d=m..k}} p^(d-1)/d — the
+    suffix sums are PYTHON-PRECOMPUTED literals shared verbatim with
+    the oracle (the retrieval_metrics discount-grid contract), snapped
+    per item to a 1e-9 integer grid and summed exactly.
+
+    Scale: two bounded TakeOrdered top-k heads; ranks are windows over
+    k rows (bounded — the vocabulary rank-after-limit precedent); one
+    k-row inner join.
+    """
+    from .dedup import fround
+
+    # suffix sums S[m] = sum_{d=m..k} p^(d-1)/d, computed left-to-right
+    # in Python once; S[k+1] = 0
+    suffix = [0.0] * (k + 2)
+    for d in range(k, 0, -1):
+        suffix[d] = suffix[d + 1] + (p ** (d - 1)) / d
+
+    def topk(score):
+        w = Window.orderBy(F.col("__s__").desc(), F.col(id_col).asc())
+        return (
+            df.where(F.col(score).isNotNull())
+            .select(F.col(id_col), F.col(score).alias("__s__"))
+            .orderBy(F.col("__s__").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(F.col(id_col), F.row_number().over(w).alias("__r__"))
+        )
+    a = topk(score_a).select(id_col, F.col("__r__").alias("__ra__"))
+    b = topk(score_b).select(id_col, F.col("__r__").alias("__rb__"))
+    # ONE SQL-string literal array (100 F.lit Columns would pay 100
+    # py4j round-trips — the measured bulk-expression rule)
+    def _dlit(x):
+        r = repr(x)
+        return r + "D" if "e" not in r else f"CAST({r} AS DOUBLE)"
+
+    arr = F.expr(
+        "array(" + ",".join(_dlit(x) for x in suffix[1 : k + 1]) + ")"
+    )
+    m = F.greatest(F.col("__ra__"), F.col("__rb__"))
+    contrib = F.floor(
+        F.try_element_at(arr, m) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    agg = a.join(b, on=id_col).agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.coalesce(F.sum(contrib), F.lit(0).cast("long")).alias("__s__"),
+    )
+    return agg.select(
+        F.lit(k).alias("k"),
+        "n_overlap",
+        fround(
+            F.lit(1.0 - p) * (F.col("__s__").cast("double") / F.lit(1e9)), 6
+        ).alias("rbo"),
+    )

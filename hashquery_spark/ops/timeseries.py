@@ -781,3 +781,86 @@ def kaplan_meier(
         .otherwise(fround(F.exp(F.col("__lns__") / F.lit(1000000.0)), 6))
         .alias("survival"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str,
+    threshold: float = 5.0,
+    slack: float = 0.0,
+) -> DataFrame:
+    """Two-sided CUSUM over the daily event-count series — the
+    level-shift / changepoint detector that complements
+    :func:`seasonal_baseline`'s pointwise z-scores (CUSUM accumulates
+    small sustained drifts a per-point gate never sees). Output: one
+    row per day with ``t, x, cusum_pos, cusum_neg, is_alarm``
+    (is_alarm when either side exceeds ``threshold`` in value units).
+
+    The recursive definition S_t = max(0, S_{t-1} + (x_t - mean -
+    slack)) is evaluated CLOSED-FORM via the prefix-min identity
+    S_t = P_t - min_{j<=t} P_j with P the running sum of deviations —
+    two windows, no recursion, no driver loop.
+
+    Exactness: deviations are scaled by n (x_j*n - total - slack*n on
+    the integer grid), so every prefix sum / min / max is an exact
+    integer; the emitted cusum values are tie-proof integer ratios
+    over n.
+
+    Scale: everything after the one groupBy(day) runs on the bounded
+    day table (windows over days, not rows).
+    """
+    from .dedup import round4_ratio
+
+    days = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("t"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n = F.count(F.lit(1)).over(w_all)
+    total = F.sum("x").over(w_all)
+    slack_scaled = F.floor(F.lit(float(slack)) * n.cast("double") + F.lit(0.5)).cast(
+        "long"
+    )
+    dev_pos = F.col("x") * n - total - slack_scaled  # scaled by n, exact
+    dev_neg = total - F.col("x") * n - slack_scaled
+    base = days.select(
+        "t", "x", n.alias("__n__"),
+        dev_pos.alias("__dp__"), dev_neg.alias("__dn__"),
+    )
+    # two selects: a window function can't nest inside another window
+    prefixed = base.select(
+        "t",
+        "x",
+        "__n__",
+        F.sum("__dp__").over(w_cum).alias("__pp__"),
+        F.sum("__dn__").over(w_cum).alias("__pn__"),
+    )
+    # S_t = P_t - min(0, min_{j<=t} P_j)  (P_0 = 0 enters via the clamp)
+    scored = prefixed.select(
+        "t",
+        "x",
+        "__n__",
+        (
+            F.col("__pp__")
+            - F.least(F.min("__pp__").over(w_cum), F.lit(0).cast("long"))
+        ).alias("__sp__"),
+        (
+            F.col("__pn__")
+            - F.least(F.min("__pn__").over(w_cum), F.lit(0).cast("long"))
+        ).alias("__sn__"),
+    )
+    cp = round4_ratio(F.col("__sp__"), F.col("__n__"))
+    cn = round4_ratio(F.col("__sn__"), F.col("__n__"))
+    return scored.select(
+        "t",
+        "x",
+        cp.alias("cusum_pos"),
+        cn.alias("cusum_neg"),
+        ((cp > F.lit(float(threshold))) | (cn > F.lit(float(threshold)))).alias(
+            "is_alarm"
+        ),
+    )

@@ -5102,3 +5102,63 @@ SELECT o_custkey, CAST(sum(c) AS BIGINT) AS group_size,
        CAST(count(*) AS BIGINT) AS n_rhs
 FROM pairs GROUP BY 1 HAVING count(*) > 1
 """
+
+
+ORACLE_SQL["cusum_changepoints"] = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS t, CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+base AS (
+  SELECT t, x,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         x * count(*) OVER () - sum(x) OVER () AS dp,
+         sum(x) OVER () - x * count(*) OVER () AS dn
+  FROM days
+),
+pre AS (
+  SELECT t, x, n,
+    sum(dp) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS pp,
+    sum(dn) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS pn
+  FROM base
+),
+sc AS (
+  SELECT t, x, n,
+    pp - least(min(pp) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 0) AS sp,
+    pn - least(min(pn) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 0) AS sn
+  FROM pre
+)
+SELECT t, x,
+  {r4p} AS cusum_pos,
+  {r4n} AS cusum_neg,
+  (({r4p}) > 20.0 OR ({r4n}) > 20.0) AS is_alarm
+FROM sc
+""".format(r4p=_round4_ratio_sql("sp", "n"), r4n=_round4_ratio_sql("sn", "n"))
+
+
+ORACLE_SQL["rank_biased_overlap"] = """
+WITH s AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS sa,
+         CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS sb
+  FROM documents
+),
+a AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sa DESC, doc_id) AS ra
+  FROM s WHERE sa IS NOT NULL QUALIFY ra <= 100
+),
+b AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sb DESC, doc_id) AS rb
+  FROM s WHERE sb IS NOT NULL QUALIFY rb <= 100
+),
+j AS (SELECT greatest(ra, rb) AS m FROM a JOIN b USING (doc_id)),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+         coalesce(sum(CAST(floor((CASE m WHEN 1 THEN 2.558425450710067e0 WHEN 2 THEN 1.5584254507100674e0 WHEN 3 THEN 1.1084254507100675e0 WHEN 4 THEN 0.8384254507100675e0 WHEN 5 THEN 0.6561754507100674e0 WHEN 6 THEN 0.5249554507100674e0 WHEN 7 THEN 0.4265404507100674e0 WHEN 8 THEN 0.35062030785292453e0 WHEN 9 THEN 0.2908331953529245e0 WHEN 10 THEN 0.24300350535292448e0 WHEN 11 THEN 0.20426145645292448e0 WHEN 12 THEN 0.17256341644383358e0 WHEN 13 THEN 0.14641253343633356e0 WHEN 14 THEN 0.12468718447625664e0 WHEN 15 THEN 0.10653099998819235e0 WHEN 16 THEN 0.09127980501821834e0 WHEN 17 THEN 0.07841160926230277e0 WHEN 18 THEN 0.06751149050435076e0 WHEN 19 THEN 0.05824638956009155e0 WHEN 20 THEN 0.050346671912881065e0 WHEN 21 THEN 0.0435924133245161e0 WHEN 22 THEN 0.03780304882020327e0 WHEN 23 THEN 0.03282945840513452e0 WHEN 24 THEN 0.028547845786944907e0 WHEN 25 THEN 0.024854954903756363e0 WHEN 26 THEN 0.021664297180681462e0 WHEN 27 THEN 0.018903151074174333e0 WHEN 28 THEN 0.016510157781868155e0 WHEN 29 THEN 0.01443338146033101e0 WHEN 30 THEN 0.012628734449891835e0 WHEN 31 THEN 0.011058691550809753e0 WHEN 32 THEN 0.00969123483225439e0 WHEN 33 THEN 0.008498983505763934e0 WHEN 34 THEN 0.0074584732571904445e0 WHEN 35 THEN 0.006549556951818896e0 WHEN 36 THEN 0.0057549044105512e0 WHEN 37 THEN 0.0050595834369419656e0 WHEN 38 THEN 0.004450707773565231e0 WHEN 39 THEN 0.003917140415921934e0 WHEN 40 THEN 0.003449242886911659e0 WHEN 41 THEN 0.0030386628052051423e0 WHEN 42 THEN 0.002678153465170152e0 WHEN 43 THEN 0.0023614202592822675e0 WHEN 44 THEN 0.00208298967364129e0 WHEN 45 THEN 0.0018380973176343393e0 WHEN 46 THEN 0.0016225920443482228e0 WHEN 47 THEN 0.0014328537059115332e0 WHEN 48 THEN 0.001265722488650279e0 WHEN 49 THEN 0.0011184381034387988e0 WHEN 50 THEN 0.00098858738015031e0 WHEN 51 THEN 0.0008740590422098629e0 WHEN 52 THEN 0.0007730046263800566e0 WHEN 53 THEN 0.0006838046708687468e0 WHEN 54 THEN 0.0006050394271342318e0 WHEN 55 THEN 0.0005354634618354102e0 WHEN 56 THEN 0.0004739836088622696e0 WHEN 57 THEN 0.00041963981025208285e0 WHEN 58 THEN 0.00037158845148097035e0 WHEN 59 THEN 0.0003290878531196243e0 WHEN 60 THEN 0.0002914856288067046e0 WHEN 61 THEN 0.0002582076602897706e0 WHEN 62 THEN 0.0002287484750452717e0 WHEN 63 THEN 0.000202662841659417e0 WHEN 64 THEN 0.00017955842351766e0 WHEN 65 THEN 0.00015908935307019716e0 WHEN 66 THEN 0.00014095060756598394e0 WHEN 67 THEN 0.00012487308314179494e0 WHEN 68 THEN 0.0001106192779060214e0 WHEN 69 THEN 9.797950649841635e-05 WHEN 70 THEN 8.676857881514925e-05 WHEN 71 THEN 7.682288439899371e-05 WHEN 72 THEN 6.799783160719374e-05 WHEN 73 THEN 6.0165597254471266e-05 WHEN 74 THEN 5.321314813041076e-05 WHEN 75 THEN 4.704050073242732e-05 WHEN 76 THEN 4.155918984301802e-05 WHEN 77 THEN 3.669092030308213e-05 WHEN 78 THEN 3.236637956890531e-05 WHEN 79 THEN 2.852419145507899e-05 WHEN 80 THEN 2.510999391595737e-05 WHEN 81 THEN 2.207562585306303e-05 WHEN 82 THEN 1.937840979715695e-05 WHEN 83 THEN 1.698051893769898e-05 WHEN 84 THEN 1.4848418390373705e-05 WHEN 85 THEN 1.2952371832216583e-05 WHEN 86 THEN 1.1266005716961544e-05 WHEN 87 THEN 9.765924230717234e-06 WHEN 88 THEN 8.431368977437814e-06 WHEN 89 THEN 7.2439181100312395e-06 WHEN 90 THEN 6.187220259485164e-06 WHEN 91 THEN 5.246759172499157e-06 WHEN 92 THEN 4.409645457709415e-06 WHEN 93 THEN 3.6644322703041983e-06 WHEN 94 THEN 3.00095214216278e-06 WHEN 95 THEN 2.4101724961474955e-06 WHEN 96 THEN 1.884067674538095e-06 WHEN 97 THEN 1.4155055677922225e-06 WHEN 98 THEN 9.981471551855897e-07 WHEN 99 THEN 6.263574672207015e-07 WHEN 100 THEN 2.9512665430652826e-07 END) * 1e9 + 0.5)
+                           AS BIGINT)), 0) AS sm
+  FROM j
+)
+SELECT 100 AS k, n_overlap,
+  (floor((0.09999999999999998e0 * (CAST(sm AS DOUBLE) / 1e9)) * 1e6 + 5e-1) / 1e6)
+    AS rbo
+FROM g
+"""

@@ -3672,3 +3672,52 @@ def test_fd_check_violations(spark):
     assert (out[0]["k"], out[0]["group_size"], out[0]["n_rhs"]) == (2, 3, 2)
     held = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k long, v string")
     assert fd_check(held, "k", "v").count() == 0
+
+
+def test_rank_biased_overlap_known_values(spark):
+    """Identical rankings give the truncated-RBO maximum; disjoint
+    top-k gives 0; the python suffix-sum twin reproduces a mixed case."""
+    import math
+
+    from hashquery_spark.ops import rank_biased_overlap
+
+    def rbo_py(ms, p, k):
+        suffix = [0.0] * (k + 2)
+        for d in range(k, 0, -1):
+            suffix[d] = suffix[d + 1] + (p ** (d - 1)) / d
+        s = sum(int(math.floor(suffix[m] * 1e9 + 0.5)) for m in ms)
+        return math.floor((1.0 - p) * (s / 1e9) * 1e6 + 0.5) / 1e6
+
+    rows = [(i, float(100 - i), float(100 - i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    out = rank_biased_overlap(df, "id", "a", "b", p=0.9, k=10).collect()[0]
+    assert out["n_overlap"] == 10
+    assert out["rbo"] == rbo_py(range(1, 11), 0.9, 10)
+    # reversed ranking: item at rank r in A is at rank 11-r in B
+    rows2 = [(i, float(100 - i), float(i)) for i in range(10)]
+    df2 = spark.createDataFrame(rows2, "id long, a double, b double")
+    out2 = rank_biased_overlap(df2, "id", "a", "b", p=0.9, k=10).collect()[0]
+    assert out2["rbo"] == rbo_py([max(r, 11 - r) for r in range(1, 11)], 0.9, 10)
+    assert out2["rbo"] < out["rbo"]
+
+
+def test_cusum_changepoints_level_shift(spark):
+    """A planted level shift accumulates linearly in cusum_pos and
+    resets are handled by the prefix-min identity."""
+    from datetime import datetime
+
+    from hashquery_spark.ops import cusum_changepoints
+
+    rows = []
+    for day in range(1, 11):
+        n = 10 if day <= 5 else 20  # shift at day 6; mean = 15
+        rows += [(datetime(2026, 3, day, 0, 0),)] * n
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {str(r["t"]): r for r in cusum_changepoints(df, "ts", threshold=12.0).collect()}
+    # days 1-5: dev = -5 each -> cusum_pos stays 0; days 6-10: +5/day
+    assert out["2026-03-05"]["cusum_pos"] == 0.0
+    assert out["2026-03-08"]["cusum_pos"] == 15.0
+    assert out["2026-03-10"]["cusum_pos"] == 25.0
+    assert out["2026-03-10"]["is_alarm"] is True
+    assert out["2026-03-05"]["cusum_neg"] == 25.0  # mirrored on the low side
+    assert out["2026-03-05"]["is_alarm"] is True
