@@ -3944,6 +3944,33 @@ def q_cusum_changepoints(spark, sf_dir):
     return cusum_changepoints(ev, "ts", threshold=20.0)
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Unigram-distribution JS divergence + vocabulary overlap between
+    the two source halves of the corpus — the token-level crawl-shift
+    readout (js_divergence integer contract verbatim)."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import vocab_drift
+
+    docs = _conn(spark, sf_dir).table("documents")
+    first = [f"src{i}" for i in range(10)]
+    return vocab_drift(
+        docs.where(F.col("source").isin(first)),
+        docs.where(~F.col("source").isin(first)),
+        "text",
+    )
+
+
+def q_silhouette(spark, sf_dir):
+    """Simplified silhouette over the fitted k-means (k=8, 3 iters):
+    two smallest centroid distances from ONE array_sort pass, |v|²
+    added once, fixed IEEE chain fround(6)."""
+    from hashquery_spark.ops import silhouette_score
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    return silhouette_score(emb, "embedding", "vec_id", k=8, iters=3)
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4228,6 +4255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_check": q_fd_check,
         "rank_biased_overlap": q_rank_biased_overlap,
         "cusum_changepoints": q_cusum_changepoints,
+        "vocab_drift": q_vocab_drift,
+        "silhouette": q_silhouette,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

@@ -162,6 +162,8 @@ HEADLINE = [
     "fd_check",
     "rank_biased_overlap",
     "cusum_changepoints",
+    "vocab_drift",
+    "silhouette",
 ]
 
 

@@ -312,3 +312,70 @@ def embedding_outliers(
             (F.col("__d2__") > F.col("__t__")).alias("is_outlier"),
         )
     )
+
+
+def silhouette_score(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """(id, cluster, silhouette) — SIMPLIFIED silhouette (centroid
+    form: a = distance to own centroid, b = distance to the nearest
+    OTHER centroid, s = (b-a)/max(a,b)) over the fitted k-means — the
+    clustering-quality readout for :func:`kmeans_fit` /
+    :func:`embedding_outliers` (full silhouette is all-pairs; the
+    centroid form is the standard O(n·k) surrogate). NULL when k < 2.
+
+    Determinism: distances are the sequential double chains of the
+    kmeans contract; the two smallest centroid distances come from ONE
+    array_sort of the per-centroid struct array (|v|² added once
+    outside — the expression-in-CASE trap); s is a fixed IEEE chain,
+    fround(6).
+
+    Scale: one codegen'd pass; k structs per row, no joins.
+    """
+    if k < 2:
+        raise ValueError("silhouette_score needs k >= 2")
+    cents, _ = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
+    structs = []
+    for cid, cvec in cents:
+        arr = "array(" + ",".join(f"{v!r}D" for v in cvec) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+        )
+        csq = sum(v * v for v in cvec)
+        structs.append(
+            f"named_struct('d', {csq!r}D - 2.0D * {dot}, "
+            f"'cluster', CAST({cid} AS BIGINT))"
+        )
+    sorted_arr = "array_sort(array(" + ",".join(structs) + "))"
+    vsq = (
+        f"aggregate(zip_with(`{vec_col}`, `{vec_col}`, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    base = df.where(F.col(vec_col).isNotNull()).selectExpr(
+        id_col,
+        sorted_arr + " AS __ds__",
+        vsq + " AS __vsq__",
+    ).select(
+        id_col,
+        F.col("__ds__")[0]["cluster"].alias("cluster"),
+        F.sqrt(F.col("__vsq__") + F.col("__ds__")[0]["d"]).alias("__a__"),
+        F.sqrt(F.col("__vsq__") + F.col("__ds__")[1]["d"]).alias("__b__"),
+    )
+    from .dedup import fround
+
+    s = (F.col("__b__") - F.col("__a__")) / F.greatest(
+        F.col("__a__"), F.col("__b__")
+    )
+    return base.select(
+        id_col,
+        "cluster",
+        F.when(
+            (F.lit(k) >= 2) & (F.greatest(F.col("__a__"), F.col("__b__")) > 0),
+            fround(s, 6),
+        ).alias("silhouette"),
+    )

@@ -1702,11 +1702,19 @@ def t_closeness(
     )
 
 
-def corr_matrix(df: DataFrame, cols, grid: float = 1e6) -> DataFrame:
+def corr_matrix(
+    df: DataFrame, cols, grid: float = 1e6, exact: bool = True
+) -> DataFrame:
     """(col_x, col_y, n, corr) for every unordered column pair — the
     numeric-profile correlation matrix (feature redundancy / leakage
     screen) in ONE aggregate pass over the table. Pairwise-complete
     observations (rows where both sides are non-NULL).
+
+    ``exact=False`` trades the cross-engine-exact DECIMAL accumulators
+    for plain double sums (~45x faster at sf0.1, measured 2.6 s vs
+    0.06 s — JVM BigDecimal aggregation is the entire gap; the profile_
+    table ``approx=True`` precedent): use it for interactive profiling,
+    keep the default for anything oracle-checked.
 
     Exactness: values snap to the integer ``grid``; per-pair
     (n, Sx, Sy, Qxx, Qyy, Qxy) are exact DECIMAL sums, so Pearson r is
@@ -1721,38 +1729,55 @@ def corr_matrix(df: DataFrame, cols, grid: float = 1e6) -> DataFrame:
     from .dedup import fround
 
     cols = list(cols)
+    # hoist the micro-unit snap into ONE projection (k floor-chains per
+    # row, not 6·k(k-1)/2): separate aggregate expressions don't share
+    # subexpressions, so an inline {mx} re-derives the floor+cast chain
+    # inside every CASE (measured 3.3 s -> see commit for the fix delta)
+    proj = [
+        (
+            f"CAST(floor(CAST(`{c}` AS DOUBLE) * {float(grid)!r} + 0.5) "
+            f"AS DECIMAL(19,0)) AS __m{i}__"
+        )
+        for i, c in enumerate(cols)
+    ]
+    if not exact:
+        proj = [f"CAST(`{c}` AS DOUBLE) AS __m{i}__" for i, c in enumerate(cols)]
+    snapped = df.selectExpr(
+        *proj, *[f"(`{c}` IS NOT NULL) AS __ok{i}__" for i, c in enumerate(cols)]
+    )
     aggs, pairs_meta = [], []
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
             x, y = cols[i], cols[j]
             tag = f"{i}_{j}"
-            b = f"(`{x}` IS NOT NULL AND `{y}` IS NOT NULL)"
-            mx = (
-                f"CAST(floor(CAST(`{x}` AS DOUBLE) * {float(grid)!r} + 0.5) "
-                "AS DECIMAL(19,0))"
-            )
-            my = (
-                f"CAST(floor(CAST(`{y}` AS DOUBLE) * {float(grid)!r} + 0.5) "
-                "AS DECIMAL(19,0))"
-            )
+            b = f"(__ok{i}__ AND __ok{j}__)"
+            mx, my = f"__m{i}__", f"__m{j}__"
             aggs += [
                 f"count(CASE WHEN {b} THEN 1 END) AS n_{tag}",
                 f"sum(CASE WHEN {b} THEN {mx} END) AS sx_{tag}",
                 f"sum(CASE WHEN {b} THEN {my} END) AS sy_{tag}",
-                f"sum(CASE WHEN {b} THEN CAST({mx} AS DECIMAL(38,0)) * {mx} END) AS qxx_{tag}",
-                f"sum(CASE WHEN {b} THEN CAST({my} AS DECIMAL(38,0)) * {my} END) AS qyy_{tag}",
-                f"sum(CASE WHEN {b} THEN CAST({mx} AS DECIMAL(38,0)) * {my} END) AS qxy_{tag}",
+                (f"sum(CASE WHEN {b} THEN CAST({mx} AS DECIMAL(38,0)) * {mx} END) AS qxx_{tag}"
+                 if exact else f"sum(CASE WHEN {b} THEN {mx} * {mx} END) AS qxx_{tag}"),
+                (f"sum(CASE WHEN {b} THEN CAST({my} AS DECIMAL(38,0)) * {my} END) AS qyy_{tag}"
+                 if exact else f"sum(CASE WHEN {b} THEN {my} * {my} END) AS qyy_{tag}"),
+                (f"sum(CASE WHEN {b} THEN CAST({mx} AS DECIMAL(38,0)) * {my} END) AS qxy_{tag}"
+                 if exact else f"sum(CASE WHEN {b} THEN {mx} * {my} END) AS qxy_{tag}"),
             ]
             pairs_meta.append((x, y, tag))
-    one = df.agg(*[F.expr(e) for e in aggs])
+    one = snapped.agg(*[F.expr(e) for e in aggs])
     out_cols = []
     for x, y, tag in pairs_meta:
-        n = F.col(f"n_{tag}").cast("decimal(19,0)")
-        nd = F.col(f"n_{tag}").cast("double")
         sx, sy = F.col(f"sx_{tag}"), F.col(f"sy_{tag}")
-        num = (n * F.col(f"qxy_{tag}") - sx.cast("decimal(38,0)") * sy).cast("double")
-        vx = (n * F.col(f"qxx_{tag}") - sx.cast("decimal(38,0)") * sx).cast("double")
-        vy = (n * F.col(f"qyy_{tag}") - sy.cast("decimal(38,0)") * sy).cast("double")
+        if exact:
+            n = F.col(f"n_{tag}").cast("decimal(19,0)")
+            num = (n * F.col(f"qxy_{tag}") - sx.cast("decimal(38,0)") * sy).cast("double")
+            vx = (n * F.col(f"qxx_{tag}") - sx.cast("decimal(38,0)") * sx).cast("double")
+            vy = (n * F.col(f"qyy_{tag}") - sy.cast("decimal(38,0)") * sy).cast("double")
+        else:
+            nd2 = F.col(f"n_{tag}").cast("double")
+            num = nd2 * F.col(f"qxy_{tag}") - sx * sy
+            vx = nd2 * F.col(f"qxx_{tag}") - sx * sx
+            vy = nd2 * F.col(f"qyy_{tag}") - sy * sy
         corr = F.when(
             (F.col(f"n_{tag}") >= 2) & (vx > 0) & (vy > 0),
             fround(num / F.sqrt(vx * vy), 6),

@@ -9,7 +9,7 @@ also expressible in ANSI SQL so the DuckDB oracle can verify bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import ensure_parallelism, fround, normalize_text, round4_ratio, tokens, word_shingles
@@ -1213,4 +1213,107 @@ def cooccurrence(
         joined.select("pair", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), F.asc("pair"))
         .limit(top_k)
+    )
+
+
+def vocab_drift(df_a: DataFrame, df_b: DataFrame, text_col: str) -> DataFrame:
+    """Jensen-Shannon divergence between the UNIGRAM DISTRIBUTIONS of
+    two corpora (nats, 0..ln 2) plus the vocabulary overlap census —
+    "did the crawl shift under me?" at the token level, where
+    :func:`~hashquery_spark.ops.profile.js_divergence` compares a
+    categorical column. Output (one row): ``n_a, n_b`` (token totals),
+    ``n_vocab`` (union), ``n_vocab_a, n_vocab_b, n_shared, jsd``.
+
+    Exactness: the js_divergence integer contract verbatim — with
+    integer counts the per-token ratios reduce to integers, each ln
+    lands on the 1e-6 floor grid, and the sums are order-independent
+    DECIMAL(38,0); the final quotients are exact-rational doubles.
+
+    Scale: one barrier tokenize + explode per corpus, one tagged-union
+    groupBy(token) with map-side combine; totals via a window over the
+    vocab-bounded count table.
+    """
+    from .dedup import ensure_parallelism, tokens
+
+    def toks_of(df, sa, sb):
+        toked = ensure_parallelism(
+            df.where(F.col(text_col).isNotNull())
+        ).select(
+            F.explode(
+                F.array(F.struct(tokens(F.col(text_col)).alias("t")))
+            ).alias("__tk__")
+        )
+        return (
+            toked.select(F.explode(F.col("__tk__.t")).alias("__v__"))
+            .where(F.col("__v__") != "")
+            .select(
+                "__v__", F.lit(sa).alias("__sa__"), F.lit(sb).alias("__sb__")
+            )
+        )
+
+    u = toks_of(df_a, 1, 0).unionAll(toks_of(df_b, 0, 1))
+    counts = u.groupBy("__v__").agg(
+        F.sum("__sa__").cast("long").alias("__a__"),
+        F.sum("__sb__").cast("long").alias("__b__"),
+    )
+    everything = Window.partitionBy()
+    with_tot = counts.select(
+        "__a__",
+        "__b__",
+        F.sum("__a__").over(everything).alias("__na__"),
+        F.sum("__b__").over(everything).alias("__nb__"),
+    )
+    lm = lambda x: F.floor(  # noqa: E731
+        F.log(x.cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    d = F.col("__a__") * F.col("__nb__") + F.col("__b__") * F.col("__na__")
+    ta = F.when(
+        F.col("__a__") > 0,
+        F.col("__a__").cast("decimal(38,0)")
+        * (lm(F.lit(2) * F.col("__a__") * F.col("__nb__")) - lm(d)),
+    )
+    tb = F.when(
+        F.col("__b__") > 0,
+        F.col("__b__").cast("decimal(38,0)")
+        * (lm(F.lit(2) * F.col("__b__") * F.col("__na__")) - lm(d)),
+    )
+    g = with_tot.select(
+        "__na__",
+        "__nb__",
+        F.col("__a__"),
+        F.col("__b__"),
+        ta.alias("__ta__"),
+        tb.alias("__tb__"),
+    ).groupBy().agg(
+        F.max("__na__").alias("n_a"),
+        F.max("__nb__").alias("n_b"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.count(F.when(F.col("__a__") > 0, 1)).alias("n_vocab_a"),
+        F.count(F.when(F.col("__b__") > 0, 1)).alias("n_vocab_b"),
+        F.count(F.when((F.col("__a__") > 0) & (F.col("__b__") > 0), 1)).alias(
+            "n_shared"
+        ),
+        F.sum("__ta__").alias("__sa2__"),
+        F.sum("__tb__").alias("__sb2__"),
+    )
+    return g.select(
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.col("n_vocab").cast("long"),
+        F.col("n_vocab_a").cast("long"),
+        F.col("n_vocab_b").cast("long"),
+        F.col("n_shared").cast("long"),
+        (
+            (
+                F.coalesce(F.col("__sa2__"), F.lit(0).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.col("n_a").cast("double")
+                + F.coalesce(F.col("__sb2__"), F.lit(0).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.col("n_b").cast("double")
+            )
+            / F.lit(2000000.0)
+        ).alias("jsd"),
     )

@@ -5162,3 +5162,78 @@ SELECT 100 AS k, n_overlap,
     AS rbo
 FROM g
 """
+
+
+_SRC_FIRST = ", ".join(f"'src{i}'" for i in range(10))
+
+ORACLE_SQL["vocab_drift"] = f"""
+WITH ta AS (
+  SELECT unnest(list_filter({_TOKS_D}, x -> x <> '')) AS v, 1 AS sa, 0 AS sb
+  FROM documents WHERE text IS NOT NULL AND source IN ({_SRC_FIRST})
+),
+tb AS (
+  SELECT unnest(list_filter({_TOKS_D}, x -> x <> '')) AS v, 0, 1
+  FROM documents WHERE text IS NOT NULL AND source NOT IN ({_SRC_FIRST})
+),
+u AS (SELECT * FROM ta UNION ALL SELECT * FROM tb),
+counts AS (
+  SELECT v, CAST(sum(sa) AS BIGINT) AS a, CAST(sum(sb) AS BIGINT) AS b
+  FROM u GROUP BY 1
+),
+tot AS (
+  SELECT a, b, sum(a) OVER () AS na, sum(b) OVER () AS nb FROM counts
+),
+terms AS (
+  SELECT na, nb, a, b,
+    CASE WHEN a > 0 THEN CAST(a AS HUGEINT) *
+      (CAST(floor(ln(CAST(2 * a * nb AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       - CAST(floor(ln(CAST(a * nb + b * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+    END AS ta2,
+    CASE WHEN b > 0 THEN CAST(b AS HUGEINT) *
+      (CAST(floor(ln(CAST(2 * b * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       - CAST(floor(ln(CAST(a * nb + b * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+    END AS tb2
+  FROM tot
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(count(CASE WHEN a > 0 THEN 1 END) AS BIGINT) AS n_vocab_a,
+       CAST(count(CASE WHEN b > 0 THEN 1 END) AS BIGINT) AS n_vocab_b,
+       CAST(count(CASE WHEN a > 0 AND b > 0 THEN 1 END) AS BIGINT) AS n_shared,
+       (CAST(COALESCE(sum(ta2), 0) AS DOUBLE) / CAST(max(na) AS DOUBLE)
+        + CAST(COALESCE(sum(tb2), 0) AS DOUBLE) / CAST(max(nb) AS DOUBLE))
+         / 2000000.0 AS jsd
+FROM terms
+"""
+
+
+def _silhouette_sql(k: int = 8, iters: int = 3) -> str:
+    body, cfin = _kmeans_ctes(k, iters)
+    return f"""
+WITH {body},
+sc AS (
+  SELECT vec_id, cluster, d, vsq,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+  FROM (
+    SELECT e.vec_id, kk.cluster,
+      (list_dot_product(kk.c, kk.c) - 2 * list_dot_product(e.v, kk.c)) AS d,
+      list_dot_product(e.v, e.v) AS vsq
+    FROM ev e CROSS JOIN {cfin} kk
+  )
+),
+p AS (
+  SELECT a.vec_id, a.cluster,
+         sqrt(a.vsq + a.d) AS sa, sqrt(b.vsq + b.d) AS sb
+  FROM sc a JOIN sc b ON a.vec_id = b.vec_id AND b.rn = 2
+  WHERE a.rn = 1
+)
+SELECT vec_id, cluster,
+  CASE WHEN greatest(sa, sb) > 0 THEN
+    {_fround_sql('(sb - sa) / greatest(sa, sb)', 6)}
+  END AS silhouette
+FROM p
+"""
+
+
+ORACLE_SQL["silhouette"] = _silhouette_sql(8, 3)

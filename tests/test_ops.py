@@ -3721,3 +3721,38 @@ def test_cusum_changepoints_level_shift(spark):
     assert out["2026-03-10"]["is_alarm"] is True
     assert out["2026-03-05"]["cusum_neg"] == 25.0  # mirrored on the low side
     assert out["2026-03-05"]["is_alarm"] is True
+
+
+def test_vocab_drift_known_overlap(spark):
+    """Identical corpora give jsd 0 and full overlap; disjoint vocab
+    gives jsd = ln 2 and zero shared tokens."""
+    import math
+
+    from hashquery_spark.ops import vocab_drift
+
+    a = spark.createDataFrame([(1, "x y z")], "id long, text string")
+    same = vocab_drift(a, a, "text").collect()[0]
+    assert (same["n_a"], same["n_b"], same["n_shared"]) == (3, 3, 3)
+    assert abs(same["jsd"]) < 1e-9
+    b = spark.createDataFrame([(1, "p q r")], "id long, text string")
+    disj = vocab_drift(a, b, "text").collect()[0]
+    assert disj["n_shared"] == 0 and disj["n_vocab"] == 6
+    assert abs(disj["jsd"] - math.log(2.0)) < 1e-5
+
+
+def test_silhouette_separated_blobs(spark):
+    """Two tight, well-separated blobs score near 1; a midpoint vector
+    scores near 0."""
+    from hashquery_spark.ops import silhouette_score
+
+    rows = (
+        [(i, [0.0 + 0.001 * i, 0.0]) for i in range(5)]
+        + [(10 + i, [10.0 + 0.001 * i, 0.0]) for i in range(5)]
+        + [(99, [5.0, 0.0])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           silhouette_score(df, "embedding", "vec_id", k=2, iters=3).collect()}
+    assert out[0]["silhouette"] > 0.9 and out[12]["silhouette"] > 0.9
+    assert abs(out[99]["silhouette"]) < 0.25
+    assert out[0]["cluster"] != out[12]["cluster"]
