@@ -1407,3 +1407,81 @@ def test_corr_matrix_matches_numpy(spark, rows):
             continue
         want = float(np.corrcoef(vx, vy)[0, 1])
         assert out[key] is not None and abs(out[key] - want) < 1e-5
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from(["a", "b", "c"])),
+        min_size=2, max_size=50,
+    )
+)
+def test_krippendorff_matches_python_reference(spark, data):
+    """Nominal alpha on random long-format ratings == the python
+    coincidence-matrix reference under the identical 1e-6 floor."""
+    import math
+    from collections import Counter, defaultdict
+
+    from hashquery_spark.ops import krippendorff_alpha
+
+    df = spark.createDataFrame(data, "i long, v string")
+    out = krippendorff_alpha(df, "i", "v").collect()[0]
+    per_item = defaultdict(Counter)
+    for i, v in data:
+        per_item[i][v] += 1
+    items = {i: c for i, c in per_item.items() if sum(c.values()) >= 2}
+    if not items:
+        assert out["n_items"] == 0
+        return
+    n = sum(sum(c.values()) for c in items.values())
+    dsum = 0
+    for c in items.values():
+        m = sum(c.values())
+        sq = sum(x * x for x in c.values())
+        dsum += (m * m - sq) * 1000000 // (m - 1)
+    margins = Counter()
+    for c in items.values():
+        margins.update(c)
+    sqc = sum(x * x for x in margins.values())
+    de = float(n * n - sqc)
+    assert (out["n_items"], out["n_ratings"]) == (len(items), n)
+    if de <= 0:
+        assert out["alpha"] is None
+        return
+    alpha = 1.0 - (float(dsum) * (float(n) - 1.0)) / (1000000.0 * de)
+    assert out["alpha"] == math.floor(alpha * 1e6 + 0.5) / 1e6
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]),
+                  st.sampled_from(["a", "b", "c", "d"])),
+        min_size=1, max_size=60,
+    )
+)
+def test_t_closeness_matches_python_reference(spark, data):
+    """TV distances on random (quasi, sensitive) tables == the python
+    exact-fraction reference on the 4-dp grid."""
+    import math
+    from collections import Counter
+
+    from hashquery_spark.ops import t_closeness
+
+    df = spark.createDataFrame(data, "q string, s string")
+    out = {r["q"]: r["tv_distance"] for r in t_closeness(df, "q", "s").collect()}
+    glob = Counter(s for _, s in data)
+    big_n = sum(glob.values())
+    groups = {}
+    for q, s in data:
+        groups.setdefault(q, Counter())[s] += 1
+    for q, cnt in groups.items():
+        ng = sum(cnt.values())
+        num = sum(abs(c * big_n - glob[v] * ng) for v, c in cnt.items())
+        num += ng * (big_n - sum(glob[v] for v in cnt))
+        den = 2 * ng * big_n
+        want = math.floor((100000.0 * float(num) + 5.0 * float(den))
+                          / (10.0 * float(den))) / 10000.0
+        assert out[q] == want

@@ -699,3 +699,85 @@ def test_win_rate_two_million_symmetric(spark):
     assert agg.players == 100
     assert agg.games == 4_000_000  # each match counts both sides
     assert (agg.lo, agg.hi) == (0.5, 0.5)
+
+
+def test_classification_report_two_million_self_prediction(spark):
+    """pred == label at 2M rows -> every class has perfect P/R/F1 and
+    zero fp/fn."""
+    from hashquery_spark.ops import classification_report
+
+    df = spark.range(2_000_000).select(
+        F.pmod(F.col("id"), F.lit(20)).cast("string").alias("label")
+    ).withColumn("pred", F.col("label"))
+    out = classification_report(df, "label", "pred")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("fp").alias("fp"), F.sum("fn").alias("fn"),
+        F.min("precision").alias("p"), F.min("recall").alias("r"),
+        F.min("f1").alias("f"), F.sum("support").alias("n"),
+    ).collect()[0]
+    assert agg.k == 20 and agg.n == 2_000_000
+    assert agg.fp == 0 and agg.fn == 0
+    assert (agg.p, agg.r, agg.f) == (1.0, 1.0, 1.0)
+
+
+def test_quantile_normalize_two_million_uniform(spark):
+    """A uniform 1000-value grid at 2M rows maps value v to exactly
+    (2*cum - c + 1)/(2n) — spot-checked against the closed form."""
+    from hashquery_spark.ops import quantile_normalize
+
+    n, k = 2_000_000, 1000
+    per = n // k
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.pmod(F.col("id"), F.lit(k)).cast("double").alias("v"),
+    )
+    out = quantile_normalize(df, "v", "rid")
+    got = {r["value"]: r["qnorm"] for r in out.select("value", "qnorm").distinct().collect()}
+    assert len(got) == k
+    for v in (0, 499, 999):
+        cum = (v + 1) * per
+        want = round((2 * cum - per + 1) / (2 * n), 4)
+        assert abs(got[float(v)] - want) < 1.1e-4
+
+
+def test_cusum_two_million_planted_shift(spark):
+    """A volume series with a mid-series level shift alarms after the
+    shift and stays quiet before it (n-scaled exact integers)."""
+    from hashquery_spark.ops import cusum_changepoints
+
+    # 100 days x 20k rows, days 51+ carry 2x the rows
+    df = spark.range(3_000_000).select(
+        F.to_timestamp(
+            F.concat(
+                F.lit("2026-01-"), F.lit("01")
+            )
+        ).alias("base"),
+        F.col("id"),
+    ).select(
+        (F.col("base") + F.make_interval(days=F.when(F.col("id") < 1_000_000, F.pmod(F.col("id"), F.lit(50))).otherwise(50 + F.pmod(F.col("id"), F.lit(50))))).alias("ts")
+    )
+    out = {str(r["t"]): r for r in cusum_changepoints(df, "ts", threshold=15000.0).collect()}
+    assert len(out) == 100
+    # days 0-49: 20k rows/day; days 50-99: 40k rows/day; mean 30k
+    assert out["2026-01-10"]["cusum_pos"] == 0.0
+    assert out["2026-04-10"]["is_alarm"] is True  # deep into the shift
+
+
+def test_vocab_drift_two_million_identical_halves(spark):
+    """Two corpora built from the identical template distribution give
+    jsd exactly 0 and full vocabulary overlap at 2M docs."""
+    from hashquery_spark.ops import vocab_drift
+
+    def half(tag):
+        return spark.range(1_000_000).select(
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 8), "
+                "j -> concat('w', pmod(id * 7 + j, 300))))"
+            ).alias("text")
+        )
+
+    out = vocab_drift(half("a"), half("b"), "text").collect()[0]
+    assert out["n_a"] == 8_000_000 and out["n_b"] == 8_000_000
+    assert out["n_shared"] == out["n_vocab"] == out["n_vocab_a"]
+    assert out["jsd"] == 0.0
