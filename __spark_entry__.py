@@ -3971,6 +3971,38 @@ def q_silhouette(spark, sf_dir):
     return silhouette_score(emb, "embedding", "vec_id", k=8, iters=3)
 
 
+def q_period_over_period(spark, sf_dir):
+    """MoM order-revenue rollup with previous-period deltas: bounded
+    month table + one lag window, micro-unit exact sums."""
+    from hashquery_spark.ops import period_over_period
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return period_over_period(
+        orders, "o_orderdate", value_col="o_totalprice", grain="month"
+    )
+
+
+def q_mahalanobis(spark, sf_dir):
+    """Diagonal-covariance Mahalanobis d² over three lineitem measures
+    — one 1-row moments aggregate broadcast back, chi2(3, .999) gate."""
+    from hashquery_spark.ops import mahalanobis_diag
+
+    li = _conn(spark, sf_dir).table("lineitem")
+    return mahalanobis_diag(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], "l_orderkey"
+    )
+
+
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Cluster-size histogram of the MinHash near-dup components —
+    the dedup-health readout over dedup_clusters' closure."""
+    from hashquery_spark.ops import dedup_cluster_stats, minhash_lsh_candidates
+
+    docs = _conn(spark, sf_dir).table("documents")
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id", num_perm=16, bands=4)
+    return dedup_cluster_stats(pairs)
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4257,6 +4289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         "vocab_drift": q_vocab_drift,
         "silhouette": q_silhouette,
+        "period_over_period": q_period_over_period,
+        "mahalanobis": q_mahalanobis,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

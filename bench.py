@@ -164,6 +164,9 @@ HEADLINE = [
     "cusum_changepoints",
     "vocab_drift",
     "silhouette",
+    "period_over_period",
+    "mahalanobis",
+    "dedup_cluster_stats",
 ]
 
 

@@ -599,3 +599,24 @@ def soft_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             round4_ratio(F.lit(1), F.col("dup_count")).alias("weight"),
         )
     )
+
+
+def dedup_cluster_stats(pairs: DataFrame) -> DataFrame:
+    """(cluster_size, n_clusters) — the size histogram of the
+    connected near-dup components from :func:`dedup_clusters` — the
+    dedup-health dashboard readout (a heavy tail of giant clusters
+    means boilerplate/templates, not true duplicates; singletons never
+    enter the pair table and are not counted).
+
+    Scale: everything downstream of the iterative closure runs on the
+    (node, cluster) frame — two map-side-combined groupBys.
+    """
+    clusters = dedup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

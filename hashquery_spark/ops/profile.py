@@ -2071,3 +2071,60 @@ def fd_check(
             *[F.col(c).asc() for c in lhs],
         )
     )
+
+
+def mahalanobis_diag(
+    df: DataFrame,
+    cols,
+    id_col: str,
+    threshold: float = 16.27,  # chi2(k=3, 0.999)
+) -> DataFrame:
+    """(id, d2, is_outlier) — squared Mahalanobis distance under a
+    DIAGONAL covariance (sum of squared per-column z-scores): the
+    multivariate outlier gate that catches jointly-odd rows each
+    univariate :func:`zscore_outliers` pass misses. The default
+    threshold is the chi-square 99.9% quantile for 3 features — pass
+    your own for other k.
+
+    Exactness: per-column moments are exact micro-unit DECIMAL sums
+    (the ab_test contract); each z is (n·m - S)/(n·sqrt(var)) over
+    exact integers, and d2 accumulates the k squares in fixed column
+    order, fround(4). Zero-variance columns contribute 0.
+
+    Scale: ONE 1-row moments aggregate broadcast back; one narrow
+    scoring pass; the frame never shuffles.
+    """
+    from .dedup import fround
+
+    cols = list(cols)
+    aggs = []
+    for i, c in enumerate(cols):
+        m = F.floor(
+            F.col(c).cast("double") * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("decimal(38,0)")
+        aggs += [
+            F.count(F.when(F.col(c).isNotNull(), 1)).alias(f"__n{i}__"),
+            F.sum(m).alias(f"__s{i}__"),
+            F.sum(m * m).alias(f"__q{i}__"),
+        ]
+    stats = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(stats))
+    d2 = F.lit(0.0)
+    for i, c in enumerate(cols):
+        n = F.col(f"__n{i}__").cast("decimal(38,0)")
+        nd = F.col(f"__n{i}__").cast("double")
+        m = F.floor(
+            F.col(c).cast("double") * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("decimal(38,0)")
+        var = (n * F.col(f"__q{i}__") - F.col(f"__s{i}__") * F.col(f"__s{i}__")).cast(
+            "double"
+        ) / (nd * (nd - F.lit(1.0)))
+        z = (n * m - F.col(f"__s{i}__")).cast("double") / (nd * F.sqrt(var))
+        d2 = d2 + F.when(
+            F.col(c).isNotNull() & (F.col(f"__n{i}__") >= 2) & (var > 0), z * z
+        ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col(id_col),
+        fround(d2, 4).alias("d2"),
+        (fround(d2, 4) > F.lit(float(threshold))).alias("is_outlier"),
+    )

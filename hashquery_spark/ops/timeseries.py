@@ -864,3 +864,62 @@ def cusum_changepoints(
             "is_alarm"
         ),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str | None = None,
+    grain: str = "month",
+    by=None,
+) -> DataFrame:
+    """Per-period rollup with the previous-period comparison — the
+    MoM/WoW dashboard staple: ``by`` cols + ``period, value, prev,
+    delta, pct_change`` (pct NULL on the first period or prev = 0).
+    ``value_col=None`` counts rows; otherwise sums the column on the
+    exact micro-unit grid.
+
+    Exactness: values are exact integers (counts) or exact micro-unit
+    DECIMAL sums; delta is exact; pct_change = fround(delta/prev, 4)
+    over exact-rational doubles.
+
+    Scale: one map-side-combined groupBy to the bounded period table +
+    one lag window over it.
+    """
+    from .dedup import fround
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    period = F.date_trunc(grain, F.col(ts_col)).alias("period")
+    if value_col is None:
+        agg = F.count(F.lit(1)).cast("decimal(38,0)")
+    else:
+        v = F.col(value_col).cast("double")
+        agg = F.sum(
+            F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("decimal(38,0)")
+        )
+    g = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*by, period)
+        .agg(agg.alias("__v__"))
+    )
+    w = Window.partitionBy(*by).orderBy("period")
+    scale = 1.0 if value_col is None else 1000000.0
+    out = g.select(
+        *by,
+        "period",
+        (F.col("__v__").cast("double") / F.lit(scale)).alias("value"),
+        (F.lag("__v__").over(w)).alias("__p__"),
+    )
+    prev = F.col("__p__").cast("double") / F.lit(scale)
+    delta = (F.col("__v__").cast("double") / F.lit(scale)) - prev
+    return out.select(
+        *by,
+        "period",
+        "value",
+        prev.alias("prev"),
+        (F.col("value") - prev).alias("delta"),
+        F.when(
+            F.col("__p__").isNotNull() & (F.col("__p__") != 0),
+            fround((F.col("value") - prev) / prev, 4),
+        ).alias("pct_change"),
+    )

@@ -5237,3 +5237,82 @@ FROM p
 
 
 ORACLE_SQL["silhouette"] = _silhouette_sql(8, 3)
+
+
+ORACLE_SQL["period_over_period"] = f"""
+WITH g AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS period,
+         sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000.0 + 0.5)
+                  AS HUGEINT)) AS v
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+w AS (SELECT period, v, lag(v) OVER (ORDER BY period) AS p FROM g)
+SELECT period,
+  CAST(v AS DOUBLE) / 1000000.0 AS value,
+  CAST(p AS DOUBLE) / 1000000.0 AS prev,
+  (CAST(v AS DOUBLE) / 1000000.0) - (CAST(p AS DOUBLE) / 1000000.0) AS delta,
+  CASE WHEN p IS NOT NULL AND p <> 0 THEN
+    {_fround_sql('((CAST(v AS DOUBLE) / 1000000.0) - (CAST(p AS DOUBLE) / 1000000.0)) / (CAST(p AS DOUBLE) / 1000000.0)', 4)}
+  END AS pct_change
+FROM w
+"""
+
+
+def _maha_sql(cols, threshold):
+    moments = []
+    terms = []
+    for i, c in enumerate(cols):
+        m = f"CAST(floor(CAST({c} AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)"
+        moments += [
+            f"count(CASE WHEN {c} IS NOT NULL THEN 1 END) AS n{i}",
+            f"sum({m}) AS s{i}",
+            f"sum({m} * {m}) AS q{i}",
+        ]
+        var = (
+            f"(CAST(CAST(n{i} AS HUGEINT) * q{i} - s{i} * s{i} AS DOUBLE)"
+            f" / (CAST(n{i} AS DOUBLE) * (CAST(n{i} AS DOUBLE) - 1.0)))"
+        )
+        z = (
+            f"(CAST(CAST(n{i} AS HUGEINT) * {m} - s{i} AS DOUBLE)"
+            f" / (CAST(n{i} AS DOUBLE) * sqrt({var})))"
+        )
+        terms.append(
+            f"CASE WHEN {c} IS NOT NULL AND n{i} >= 2 AND {var} > 0 "
+            f"THEN {z} * {z} ELSE 0.0 END"
+        )
+    d2 = "0.0 + " + " + ".join(terms)
+    fr = _fround_sql(d2, 4)
+    return f"""
+WITH st AS (SELECT {", ".join(moments)} FROM lineitem)
+SELECT l_orderkey,
+  {fr} AS d2,
+  ({fr}) > {threshold!r} AS is_outlier
+FROM lineitem CROSS JOIN st
+"""
+
+
+ORACLE_SQL["mahalanobis"] = _maha_sql(
+    ["l_quantity", "l_extendedprice", "l_discount"], 16.27
+)
+
+
+ORACLE_SQL["dedup_cluster_stats"] = f"""
+WITH RECURSIVE {{mb}},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM buckets a JOIN buckets c ON a.band = c.band AND a.key = c.key
+  WHERE a.doc_id < c.doc_id
+),
+edges(src, dst) AS (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+),
+cl AS (SELECT node, min(label) AS cid FROM reach GROUP BY node),
+sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size FROM cl GROUP BY 1)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY 1
+""".format(mb=_MINHASH_BUCKETS)

@@ -3756,3 +3756,47 @@ def test_silhouette_separated_blobs(spark):
     assert out[0]["silhouette"] > 0.9 and out[12]["silhouette"] > 0.9
     assert abs(out[99]["silhouette"]) < 0.25
     assert out[0]["cluster"] != out[12]["cluster"]
+
+
+def test_period_over_period_known_series(spark):
+    """MoM deltas and pct_change reproduce the hand series; first month
+    has NULL prev."""
+    from datetime import date
+
+    from hashquery_spark.ops import period_over_period
+
+    rows = [(date(2026, 1, 5), 100.0), (date(2026, 1, 20), 100.0),
+            (date(2026, 2, 1), 300.0), (date(2026, 3, 1), 150.0)]
+    df = spark.createDataFrame(rows, "d date, v double")
+    out = {str(r["period"])[:7]: r for r in
+           period_over_period(df, "d", value_col="v", grain="month").collect()}
+    assert out["2026-01"]["value"] == 200.0 and out["2026-01"]["prev"] is None
+    assert out["2026-02"]["delta"] == 100.0 and out["2026-02"]["pct_change"] == 0.5
+    assert out["2026-03"]["pct_change"] == -0.5
+
+
+def test_mahalanobis_diag_planted_outlier(spark):
+    """A jointly-extreme row exceeds the chi2 gate while marginally
+    mild rows do not."""
+    from hashquery_spark.ops import mahalanobis_diag
+
+    rows = [(i, 1.0 + 0.1 * (i % 5), 2.0 - 0.1 * (i % 5)) for i in range(50)]
+    rows.append((99, 10.0, -10.0))
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    out = {r["id"]: r for r in
+           mahalanobis_diag(df, ["a", "b"], "id", threshold=13.8).collect()}
+    assert out[99]["is_outlier"] is True
+    assert sum(1 for r in out.values() if r["is_outlier"]) == 1
+
+
+def test_dedup_cluster_stats_histogram(spark):
+    """Two pairs sharing a node form one 3-cluster; an isolated pair
+    forms one 2-cluster."""
+    from hashquery_spark.ops import dedup_cluster_stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    out = {r["cluster_size"]: r["n_clusters"]
+           for r in dedup_cluster_stats(pairs).collect()}
+    assert out == {2: 1, 3: 1}

@@ -116,6 +116,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "krippendorff_alpha",
         # 1-row digit-total frame replicated to the 9-row digit census:
         "benford_test",
+        # 1-row moments frame replicated to the scored rows:
+        "mahalanobis",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
