@@ -4003,6 +4003,26 @@ def q_dedup_cluster_stats(spark, sf_dir):
     return dedup_cluster_stats(pairs)
 
 
+def q_mmr_select(spark, sf_dir):
+    """MMR diverse top-10 against the min-vec_id query embedding:
+    1e-6-snapped integer greedy scores, bounded 1-row collects per
+    step; unrolled MATERIALIZED-CTE oracle."""
+    from hashquery_spark.ops import mmr_select
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return mmr_select(emb, "embedding", "vec_id", q, k=10, lam=0.7)
+
+
+def q_hhi(spark, sf_dir):
+    """Source-concentration HHI of the document mixture — exact
+    integer ratios on the bounded source table."""
+    from hashquery_spark.ops import hhi
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return hhi(docs, "source")
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4292,6 +4312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "period_over_period": q_period_over_period,
         "mahalanobis": q_mahalanobis,
         "dedup_cluster_stats": q_dedup_cluster_stats,
+        "mmr_select": q_mmr_select,
+        "hhi": q_hhi,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

@@ -167,6 +167,8 @@ HEADLINE = [
     "period_over_period",
     "mahalanobis",
     "dedup_cluster_stats",
+    "mmr_select",
+    "hhi",
 ]
 
 

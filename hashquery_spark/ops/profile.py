@@ -2128,3 +2128,40 @@ def mahalanobis_diag(
         fround(d2, 4).alias("d2"),
         (fround(d2, 4) > F.lit(float(threshold))).alias("is_outlier"),
     )
+
+
+def hhi(df: DataFrame, group_col: str) -> DataFrame:
+    """One-row Herfindahl-Hirschman concentration index of the
+    ``group_col`` mix: ``n_groups, hhi, top_share`` — the
+    source-concentration health check on a data mixture (hhi on the
+    classic 0..10000 scale: 10000/n_groups = perfectly uniform, 10000 =
+    single source). Exact integer ratios throughout.
+
+    Scale: one map-side-combined groupBy to the bounded group table +
+    one 1-row rollup.
+    """
+    from .dedup import round4_ratio
+
+    g = (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("__c__"))
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("__c__")).cast("decimal(19,0)").alias("__n__"),
+        F.sum(F.col("__c__").cast("decimal(38,0)") * F.col("__c__")).alias(
+            "__sq__"
+        ),
+        F.max("__c__").alias("__top__"),
+    )
+    return agg.select(
+        F.col("n_groups").cast("long").alias("n_groups"),
+        round4_ratio(
+            (F.lit(10000).cast("decimal(19,0)") * F.col("__sq__")).cast("double"),
+            (F.col("__n__") * F.col("__n__")).cast("double"),
+        ).alias("hhi"),
+        round4_ratio(
+            F.col("__top__").cast("double"), F.col("__n__").cast("double")
+        ).alias("top_share"),
+    )

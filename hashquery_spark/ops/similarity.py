@@ -606,3 +606,102 @@ def embedding_quantize(
         "__acc__.l1 AS q_l1",
         "CAST(__acc__.m AS DOUBLE) / (CAST(size(__v__) AS DOUBLE) * 1e12) AS mse",
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec,
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """(rank, id, score) — Maximal Marginal Relevance selection
+    (Carbonell & Goldstein 1998): greedily pick ``k`` items maximizing
+    ``lam*rel - (1-lam)*max_sim_to_selected`` — the
+    relevance-AND-diversity selector for eval-set / few-shot-pool
+    construction where plain top-k returns near-duplicates.
+
+    Determinism: every cosine snaps to the 1e-6 floor grid; ``lam``
+    snaps to percents so the greedy score is an exact integer
+    (lam100*rel_m - (100-lam100)*maxsim_m); argmax ties break to the
+    smallest id. The DuckDB oracle unrolls the k steps into
+    MATERIALIZED CTEs computing the identical integers.
+
+    Scale: the relevance pass is one codegen'd projection
+    (localCheckpointed — k consumers); each greedy step joins the
+    bounded selected set (≤ k rows, broadcast) onto the candidates and
+    collects ONE row — k driver round-trips of one row each (the
+    kmeans/bradley_terry bounded-collect contract), never the
+    candidate set.
+    """
+    import math
+
+    lam100 = int(round(lam * 100))
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+    arr = "array(" + ",".join(f"{v!r}D" for v in q) + ")"
+    vdot = (
+        f"aggregate(zip_with(`{vec_col}`, {arr}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    vsq = (
+        f"aggregate(zip_with(`{vec_col}`, `{vec_col}`, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+    cand = (
+        df.where(F.col(vec_col).isNotNull())
+        .selectExpr(
+            id_col,
+            f"`{vec_col}` AS __v__",
+            f"CAST(floor({vdot} / (sqrt({vsq}) * {qn!r}D) * 1000000.0 + 0.5) "
+            "AS BIGINT) AS __rel__",
+            f"sqrt({vsq}) AS __norm__",
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected = []  # (id, vec, norm)
+    out_rows = []
+    remaining = cand
+    for step in range(1, k + 1):
+        if not selected:
+            score = F.lit(lam100) * F.col("__rel__")
+        else:
+            sims = []
+            for sid, svec, snorm in selected:
+                sarr = "array(" + ",".join(f"{v!r}D" for v in svec) + ")"
+                sdot = (
+                    f"aggregate(zip_with(__v__, {sarr}, (x, y) -> "
+                    "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+                    "(acc, x) -> acc + x)"
+                )
+                sims.append(
+                    f"CAST(floor({sdot} / (__norm__ * {snorm!r}D) * 1000000.0"
+                    " + 0.5) AS BIGINT)"
+                )
+            maxsim = (
+                f"greatest({', '.join(sims)})" if len(sims) > 1 else sims[0]
+            )
+            score = F.lit(lam100) * F.col("__rel__") - F.lit(
+                100 - lam100
+            ) * F.expr(maxsim)
+        pick = (
+            remaining.select(
+                id_col, "__v__", "__norm__", score.alias("__s__")
+            )
+            .orderBy(F.col("__s__").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        row = pick[0]
+        selected.append(
+            (row[id_col], [float(x) for x in row["__v__"]], float(row["__norm__"]))
+        )
+        out_rows.append((step, row[id_col], int(row["__s__"])))
+        remaining = remaining.where(F.col(id_col) != row[id_col])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out_rows, f"rank int, {id_col} long, score_scaled long"
+    )

@@ -5316,3 +5316,73 @@ sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size FROM cl GROUP BY 1)
 SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM sz GROUP BY 1
 """.format(mb=_MINHASH_BUCKETS)
+
+
+def _mmr_sql(k: int = 10, lam100: int = 70) -> str:
+    """MMR greedy selection unrolled into MATERIALIZED CTEs — each step
+    recomputes the identical snapped-integer scores the Spark driver
+    loop computes and picks the same (score DESC, id ASC) argmax."""
+    parts = [f"""
+qv AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+  FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 1
+),
+cand AS MATERIALIZED (
+  SELECT vec_id, v, nrm,
+         CAST(floor(list_dot_product(v, q) / (nrm * sqrt(list_dot_product(q, q)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS rel
+  FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                 list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings WHERE embedding IS NOT NULL
+  ) CROSS JOIN qv
+),
+p1 AS MATERIALIZED (
+  SELECT vec_id, v, nrm, {lam100} * rel AS s
+  FROM cand ORDER BY s DESC, vec_id LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT vec_id, v, nrm, s, 1 AS rank FROM p1)"""]
+    for i in range(2, k + 1):
+        parts.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT c.vec_id, c.v, c.nrm,
+         {lam100} * c.rel - {100 - lam100} * max(CAST(floor(
+             list_dot_product(c.v, s.v) / (c.nrm * s.nrm) * 1000000.0 + 0.5)
+           AS BIGINT)) AS s
+  FROM cand c, sel{i - 1} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  GROUP BY c.vec_id, c.v, c.nrm, c.rel
+  ORDER BY s DESC, c.vec_id LIMIT 1
+),
+sel{i} AS MATERIALIZED (
+  SELECT vec_id, v, nrm, s, {i} AS rank FROM p{i}
+  UNION ALL SELECT vec_id, v, nrm, s, rank FROM sel{i - 1}
+)""")
+    body = ",".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT CAST(rank AS INT) AS rank, vec_id,"
+        f" CAST(s AS BIGINT) AS score_scaled FROM sel{k}"
+    )
+
+
+ORACLE_SQL["mmr_select"] = _mmr_sql(10, 70)
+
+
+ORACLE_SQL["hhi"] = f"""
+WITH g AS (
+  SELECT source, CAST(count(*) AS HUGEINT) AS c
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         sum(c) AS n, sum(c * c) AS sq, max(c) AS top
+  FROM g
+)
+SELECT n_groups,
+  {_round4_ratio_sql('CAST(10000 * sq AS DOUBLE)', 'CAST(n * n AS DOUBLE)')}
+    AS hhi,
+  {_round4_ratio_sql('CAST(top AS DOUBLE)', 'CAST(n AS DOUBLE)')} AS top_share
+FROM a
+"""

@@ -3800,3 +3800,37 @@ def test_dedup_cluster_stats_histogram(spark):
     out = {r["cluster_size"]: r["n_clusters"]
            for r in dedup_cluster_stats(pairs).collect()}
     assert out == {2: 1, 3: 1}
+
+
+def test_mmr_select_diversity(spark):
+    """With lam favoring diversity, MMR skips the near-duplicate of the
+    first pick in favor of a less-relevant but distinct vector."""
+    from hashquery_spark.ops import mmr_select
+
+    rows = [
+        (1, [1.0, 0.0]),   # top relevance (ties with 2 by cosine, id wins)
+        (2, [0.5, 0.0]),   # SAME direction as 1: perfect sim to the pick
+        (3, [0.2, 0.8]),   # distinct direction, lower relevance
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [0.9, 0.1]
+    out = mmr_select(df, "embedding", "vec_id", q, k=2, lam=0.5)
+    picks = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    assert picks == [1, 3]
+    # pure-relevance lam picks the parallel duplicate instead
+    out2 = mmr_select(df, "embedding", "vec_id", q, k=2, lam=1.0)
+    assert [r["vec_id"] for r in out2.orderBy("rank").collect()] == [1, 2]
+
+
+def test_hhi_known_mixes(spark):
+    """Uniform mix -> 10000/k; single source -> 10000."""
+    from hashquery_spark.ops import hhi
+
+    uni = spark.createDataFrame(
+        [(s,) for s in ["a", "b", "c", "d"] for _ in range(5)], "src string"
+    )
+    r = hhi(uni, "src").collect()[0]
+    assert (r["n_groups"], r["hhi"], r["top_share"]) == (4, 2500.0, 0.25)
+    one = spark.createDataFrame([("a",)] * 7, "src string")
+    r2 = hhi(one, "src").collect()[0]
+    assert (r2["n_groups"], r2["hhi"], r2["top_share"]) == (1, 10000.0, 1.0)
