@@ -169,6 +169,8 @@ HEADLINE = [
     "dedup_cluster_stats",
     "mmr_select",
     "hhi",
+    "injection_scan",
+    "brier_score",
 ]
 
 

@@ -1152,3 +1152,51 @@ def classification_report(
             2 * tp + fp + fn > 0, round4_ratio(2 * tp, 2 * tp + fp + fn)
         ).alias("f1"),
     )
+
+
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by=None,
+) -> DataFrame:
+    """Brier score (mean squared probability error) of ``score_col``
+    against binary ``label_col``, optionally per ``by`` group — the
+    strictly-proper scoring companion to :func:`calibration_bins` (ECE
+    can be gamed by binning; Brier cannot). Output: group cols +
+    ``n, brier``.
+
+    Exactness: probabilities snap to integer micro-units, so each
+    squared error (m - y·1e6)^2 is an exact integer and the mean is an
+    exact DECIMAL ratio, fround(6) after the 1e-12 rescale.
+
+    Scale: one narrow aggregate, map-side combined.
+    """
+    from .dedup import fround
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    s, lab = F.col(score_col), F.col(label_col)
+    m = F.floor(s.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
+    y = F.when(lab.cast("boolean"), F.lit(1000000)).otherwise(F.lit(0)).cast(
+        "decimal(19,0)"
+    )
+    e = m - y
+    g = (
+        df.where(s.isNotNull() & lab.isNotNull())
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(e.cast("decimal(38,0)") * e).alias("__se__"),
+        )
+    )
+    return g.select(
+        *by,
+        F.col("n").cast("long").alias("n"),
+        fround(
+            F.col("__se__").cast("double")
+            / (F.col("n").cast("double") * F.lit(1e12)),
+            6,
+        ).alias("brier"),
+    )

@@ -79,3 +79,39 @@ def pii_redact(
     for _, rx, token in PII_PATTERNS:
         expr = F.regexp_replace(expr, F.lit(rx), F.lit(token))
     return df.withColumn(out_col, expr)
+
+
+# Prompt-injection / jailbreak surface patterns — lowercase-normalized
+# phrase regexes (Java-regex and RE2 compatible; the PII_PATTERNS
+# contract). A real deployment swaps in its own list; the plumbing —
+# one narrow regexp_count projection per pattern — is what scales.
+INJECTION_PATTERNS = [
+    ("override", r"ignore (all )?(previous|prior) instructions"),
+    ("disregard", r"disregard (the )?(above|earlier)"),
+    ("exfil", r"(reveal|print|show) (your|the) (system )?prompt"),
+    ("roleplay", r"you are now (dan|developer mode)"),
+]
+
+
+def injection_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_override, n_disregard, n_exfil, n_roleplay, n_injection,
+    has_injection) — per-document prompt-injection phrase census over
+    lowercased text, in ONE narrow regexp_count projection (the
+    pii_stats skeleton) — the instruction-data hygiene gate that keeps
+    jailbreak templates out of an SFT corpus. Patterns are a seed
+    list; pass-through of clean docs is the common case, so the scan
+    must stay a single codegen pass (it does: no explode, no shuffle).
+    """
+    t = F.lower(F.col(text_col))
+    counts = [
+        F.regexp_count(t, F.lit(rx)).cast("long").alias(f"n_{kind}")
+        for kind, rx in INJECTION_PATTERNS
+    ]
+    out = df.select(F.col(id_col), *counts)
+    total = None
+    for kind, _ in INJECTION_PATTERNS:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else (total + c)
+    return out.select(
+        "*", total.alias("n_injection"), (total > 0).alias("has_injection")
+    )
