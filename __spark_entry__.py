@@ -4068,6 +4068,25 @@ def q_brier_score(spark, sf_dir):
     return brier_score(scored, "p", "is_f", by="o_orderpriority")
 
 
+def q_log_loss(spark, sf_dir):
+    """Cross-entropy of the saturating price 'probability' vs finished
+    status per priority band — 1e-6 floor-snapped -ln terms, exact
+    integer mean (the brier_score frame)."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import log_loss
+
+    orders = _conn(spark, sf_dir).table("orders")
+    scored = orders.select(
+        "o_orderpriority",
+        F.least(
+            F.col("o_totalprice").cast("double") / F.lit(500000.0), F.lit(1.0)
+        ).alias("p"),
+        (F.col("o_orderstatus") == "F").alias("is_f"),
+    )
+    return log_loss(scored, "p", "is_f", by="o_orderpriority")
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4361,6 +4380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hhi": q_hhi,
         "injection_scan": q_injection_scan,
         "brier_score": q_brier_score,
+        "log_loss": q_log_loss,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

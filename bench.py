@@ -171,6 +171,7 @@ HEADLINE = [
     "hhi",
     "injection_scan",
     "brier_score",
+    "log_loss",
 ]
 
 

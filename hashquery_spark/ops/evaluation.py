@@ -1200,3 +1200,49 @@ def brier_score(
             6,
         ).alias("brier"),
     )
+
+
+def log_loss(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by=None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Cross-entropy (log loss) of probability ``score_col`` against
+    binary ``label_col``, optionally per ``by`` group — the likelihood
+    twin of :func:`brier_score` (punishes confident wrongness
+    unboundedly, hence the ``eps`` clamp). Output: group cols +
+    ``n, log_loss``.
+
+    Determinism: p clamps to [eps, 1-eps] as fixed IEEE ops, each
+    -ln(p_or_1mp) snaps to the 1e-6 floor grid and sums as BIGINTs;
+    the mean is the exact integer ratio fround(6) — the
+    bigram_lm_score contract.
+
+    Scale: one narrow aggregate, map-side combined.
+    """
+    from .dedup import fround
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    s, lab = F.col(score_col), F.col(label_col)
+    p = F.least(
+        F.greatest(s.cast("double"), F.lit(float(eps))),
+        F.lit(1.0 - float(eps)),
+    )
+    picked = F.when(lab.cast("boolean"), p).otherwise(F.lit(1.0) - p)
+    lp = F.floor(-F.log(picked) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    g = (
+        df.where(s.isNotNull() & lab.isNotNull())
+        .groupBy(*by)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(lp).alias("__s__"))
+    )
+    return g.select(
+        *by,
+        F.col("n").cast("long").alias("n"),
+        fround(
+            F.col("__s__").cast("double")
+            / (F.col("n").cast("double") * F.lit(1000000.0)),
+            6,
+        ).alias("log_loss"),
+    )

@@ -5438,3 +5438,25 @@ SELECT o_orderpriority, n,
   {_fround_sql('CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)', 6)} AS brier
 FROM g
 """
+
+
+ORACLE_SQL["log_loss"] = f"""
+WITH scored AS (
+  SELECT o_orderpriority,
+         least(CAST(o_totalprice AS DOUBLE) / 500000.0, 1.0) AS p,
+         o_orderstatus = 'F' AS is_f
+  FROM orders
+),
+c AS (
+  SELECT o_orderpriority,
+    CAST(floor(-ln(CASE WHEN is_f
+                        THEN least(greatest(p, 1e-06), 1.0 - 1e-06)
+                        ELSE 1.0 - least(greatest(p, 1e-06), 1.0 - 1e-06)
+                   END) * 1000000.0 + 0.5) AS BIGINT) AS lp
+  FROM scored WHERE p IS NOT NULL AND is_f IS NOT NULL
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+  {_fround_sql('CAST(sum(lp) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)', 6)}
+    AS log_loss
+FROM c GROUP BY 1
+"""

@@ -3872,3 +3872,22 @@ def test_brier_score_known_values(spark):
     )
     # ((0.25)^2 + (0.25)^2)/2 = 0.0625
     assert brier_score(df3, "p", "y").collect()[0]["brier"] == 0.0625
+
+
+def test_log_loss_known_values(spark):
+    """Hand case reproduces the snapped -ln mean; confident-wrong rows
+    are clamped at eps rather than diverging."""
+    import math
+
+    from hashquery_spark.ops import log_loss
+
+    df = spark.createDataFrame(
+        [(0.8, True), (0.4, False)], "p double, y boolean"
+    )
+    out = log_loss(df, "p", "y").collect()[0]
+    lp = lambda x: math.floor(-math.log(x) * 1e6 + 0.5)  # noqa: E731
+    want = math.floor((lp(0.8) + lp(0.6)) / (2 * 1e6) * 1e6 + 0.5) / 1e6
+    assert out["n"] == 2 and out["log_loss"] == want
+    clamped = spark.createDataFrame([(1.0, False)], "p double, y boolean")
+    out2 = log_loss(clamped, "p", "y").collect()[0]
+    assert out2["log_loss"] == math.floor(-math.log(1e-6) * 1e6 + 0.5) / 1e6
