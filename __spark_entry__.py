@@ -3988,8 +3988,15 @@ def q_mahalanobis(spark, sf_dir):
     from hashquery_spark.ops import mahalanobis_diag
 
     li = _conn(spark, sf_dir).table("lineitem")
+    # threshold 8.0: the synthetic measures are near-uniform (diagonal
+    # d2 maxes ~8.8 at every SF), so the chi2(3,.999)=16.27 default
+    # would be the empty-oracle trap — 8.0 keeps the top ~0.1% flagged
     return mahalanobis_diag(
-        li, ["l_quantity", "l_extendedprice", "l_discount"], "l_orderkey"
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "l_orderkey",
+        threshold=8.0,
+        only_outliers=True,
     )
 
 

@@ -5284,15 +5284,14 @@ def _maha_sql(cols, threshold):
     fr = _fround_sql(d2, 4)
     return f"""
 WITH st AS (SELECT {", ".join(moments)} FROM lineitem)
-SELECT l_orderkey,
-  {fr} AS d2,
-  ({fr}) > {threshold!r} AS is_outlier
+SELECT l_orderkey, {fr} AS d2, TRUE AS is_outlier
 FROM lineitem CROSS JOIN st
+WHERE ({fr}) > {threshold!r}
 """
 
 
 ORACLE_SQL["mahalanobis"] = _maha_sql(
-    ["l_quantity", "l_extendedprice", "l_discount"], 16.27
+    ["l_quantity", "l_extendedprice", "l_discount"], 8.0
 )
 
 
