@@ -3941,7 +3941,8 @@ def q_cusum_changepoints(spark, sf_dir):
     from hashquery_spark.ops import cusum_changepoints
 
     ev = _conn(spark, sf_dir).table("events")
-    return cusum_changepoints(ev, "ts", threshold=20.0)
+    # threshold 40 keeps both alarm branches populated at every SF
+    return cusum_changepoints(ev, "ts", threshold=40.0)
 
 
 def q_vocab_drift(spark, sf_dir):

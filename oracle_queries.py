@@ -5131,7 +5131,7 @@ sc AS (
 SELECT t, x,
   {r4p} AS cusum_pos,
   {r4n} AS cusum_neg,
-  (({r4p}) > 20.0 OR ({r4n}) > 20.0) AS is_alarm
+  (({r4p}) > 40.0 OR ({r4n}) > 40.0) AS is_alarm
 FROM sc
 """.format(r4p=_round4_ratio_sql("sp", "n"), r4n=_round4_ratio_sql("sn", "n"))
 
