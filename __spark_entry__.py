@@ -4095,6 +4095,38 @@ def q_log_loss(spark, sf_dir):
     return log_loss(scored, "p", "is_f", by="o_orderpriority")
 
 
+def q_vocab_top_movers(spark, sf_dir):
+    """Top-50 tokens by share shift between the two source halves —
+    exact cross-product deviations |a·n_b − b·n_a|/(n_a·n_b) on the
+    4-dp grid, bounded TakeOrdered."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import vocab_top_movers
+
+    docs = _conn(spark, sf_dir).table("documents")
+    first = [f"src{i}" for i in range(10)]
+    return vocab_top_movers(
+        docs.where(F.col("source").isin(first)),
+        docs.where(~F.col("source").isin(first)),
+        "text",
+        top_k=50,
+    )
+
+
+def q_split_by_cluster(spark, sf_dir):
+    """Leakage-safe split: near-dup components (MinHash closure) stay
+    on one side; md5 membership on the cluster key. Emits doc_id +
+    split columns only (no text shipping)."""
+    from hashquery_spark.ops import minhash_lsh_candidates, split_by_cluster
+
+    docs = _conn(spark, sf_dir).table("documents")
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id", num_perm=16, bands=4)
+    out = split_by_cluster(
+        docs.select("doc_id"), pairs, "doc_id", seed="r4", test_frac_pct=20
+    )
+    return out
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4389,6 +4421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "injection_scan": q_injection_scan,
         "brier_score": q_brier_score,
         "log_loss": q_log_loss,
+        "vocab_top_movers": q_vocab_top_movers,
+        "split_by_cluster": q_split_by_cluster,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

@@ -172,6 +172,8 @@ HEADLINE = [
     "injection_scan",
     "brier_score",
     "log_loss",
+    "vocab_top_movers",
+    "split_by_cluster",
 ]
 
 

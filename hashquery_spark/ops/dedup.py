@@ -620,3 +620,39 @@ def dedup_cluster_stats(pairs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+def split_by_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    seed: str = "split",
+    test_frac_pct: int = 20,
+) -> DataFrame:
+    """Leakage-safe train/test split: every document in the same
+    near-dup component (from :func:`dedup_clusters` over ``pairs``)
+    lands on the SAME side — the fix for the classic eval leak where a
+    near-duplicate of a training doc sits in the test set (a plain
+    row-hash split guarantees it at scale). Output: all ``df`` columns
+    + ``split_key, split`` ('test' when md5(seed:key) % 100 <
+    ``test_frac_pct``). Unclustered documents key on their own id.
+
+    Scale: the closure runs on the candidate-pair table only; the
+    corpus takes ONE broadcast-or-shuffle left join on the id and a
+    narrow md5 projection — it never feeds the iterative part.
+    """
+    clusters = dedup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id")
+    )
+    joined = df.join(clusters, on=id_col, how="left")
+    key = F.coalesce(
+        F.col("cluster_id").cast("string"), F.col(id_col).cast("string")
+    )
+    h = md5_hash32(F.concat_ws(":", F.lit(seed), key))
+    return joined.select(
+        *df.columns,
+        key.alias("split_key"),
+        F.when(h % 100 < test_frac_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

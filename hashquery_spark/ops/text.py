@@ -1317,3 +1317,69 @@ def vocab_drift(df_a: DataFrame, df_b: DataFrame, text_col: str) -> DataFrame:
             / F.lit(2000000.0)
         ).alias("jsd"),
     )
+
+
+def vocab_top_movers(
+    df_a: DataFrame, df_b: DataFrame, text_col: str, top_k: int = 50
+) -> DataFrame:
+    """(token, n_a, n_b, share_a, share_b, dev) — the ``top_k`` tokens
+    whose corpus share moved most between two corpora (|p - q|
+    descending, token tiebreak) — the ACTIONABLE half of
+    :func:`vocab_drift` (the JSD says "something shifted"; this says
+    WHAT). Shares and deviation are tie-proof 4-dp integer forms:
+    dev = |a·n_b - b·n_a| / (n_a·n_b) via the exact floor ratio.
+
+    Scale: the vocab_drift skeleton (one barrier tokenize + tagged
+    union + vocab-bounded counts); the top-k is a bounded TakeOrdered.
+    """
+    from .dedup import ensure_parallelism, round4_ratio, tokens
+
+    def toks_of(df, sa, sb):
+        toked = ensure_parallelism(
+            df.where(F.col(text_col).isNotNull())
+        ).select(
+            F.explode(
+                F.array(F.struct(tokens(F.col(text_col)).alias("t")))
+            ).alias("__tk__")
+        )
+        return (
+            toked.select(F.explode(F.col("__tk__.t")).alias("token"))
+            .where(F.col("token") != "")
+            .select(
+                "token", F.lit(sa).alias("__sa__"), F.lit(sb).alias("__sb__")
+            )
+        )
+
+    u = toks_of(df_a, 1, 0).unionAll(toks_of(df_b, 0, 1))
+    counts = u.groupBy("token").agg(
+        F.sum("__sa__").cast("long").alias("n_a"),
+        F.sum("__sb__").cast("long").alias("n_b"),
+    )
+    everything = Window.partitionBy()
+    with_tot = counts.select(
+        "token",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(everything).alias("__na__"),
+        F.sum("n_b").over(everything).alias("__nb__"),
+    )
+    cross = F.abs(
+        F.col("n_a").cast("decimal(38,0)") * F.col("__nb__")
+        - F.col("n_b").cast("decimal(38,0)") * F.col("__na__")
+    )
+    dev = round4_ratio(
+        cross.cast("double"),
+        (F.col("__na__").cast("decimal(38,0)") * F.col("__nb__")).cast("double"),
+    )
+    return (
+        with_tot.select(
+            "token",
+            "n_a",
+            "n_b",
+            round4_ratio(F.col("n_a"), F.col("__na__")).alias("share_a"),
+            round4_ratio(F.col("n_b"), F.col("__nb__")).alias("share_b"),
+            dev.alias("dev"),
+        )
+        .orderBy(F.desc("dev"), F.asc("token"))
+        .limit(top_k)
+    )

@@ -5459,3 +5459,62 @@ SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
     AS log_loss
 FROM c GROUP BY 1
 """
+
+
+ORACLE_SQL["vocab_top_movers"] = f"""
+WITH ta AS (
+  SELECT unnest(list_filter({_TOKS_D}, x -> x <> '')) AS token,
+         1 AS sa, 0 AS sb
+  FROM documents WHERE text IS NOT NULL AND source IN ({_SRC_FIRST})
+),
+tb AS (
+  SELECT unnest(list_filter({_TOKS_D}, x -> x <> '')) AS token, 0, 1
+  FROM documents WHERE text IS NOT NULL AND source NOT IN ({_SRC_FIRST})
+),
+u AS (SELECT * FROM ta UNION ALL SELECT * FROM tb),
+counts AS (
+  SELECT token, CAST(sum(sa) AS BIGINT) AS n_a, CAST(sum(sb) AS BIGINT) AS n_b
+  FROM u GROUP BY 1
+),
+tot AS (
+  SELECT token, n_a, n_b,
+         sum(n_a) OVER () AS na, sum(n_b) OVER () AS nb
+  FROM counts
+)
+SELECT token, n_a, n_b,
+  {_round4_ratio_sql('n_a', 'na')} AS share_a,
+  {_round4_ratio_sql('n_b', 'nb')} AS share_b,
+  {_round4_ratio_sql('CAST(abs(CAST(n_a AS HUGEINT) * nb - CAST(n_b AS HUGEINT) * na) AS DOUBLE)', 'CAST(CAST(na AS HUGEINT) * nb AS DOUBLE)')} AS dev
+FROM tot
+ORDER BY dev DESC, token LIMIT 50
+"""
+
+
+ORACLE_SQL["split_by_cluster"] = f"""
+WITH RECURSIVE {{mb}},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM buckets a JOIN buckets c ON a.band = c.band AND a.key = c.key
+  WHERE a.doc_id < c.doc_id
+),
+edges(src, dst) AS (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+j AS (
+  SELECT d.doc_id,
+         coalesce(CAST(c.cluster_id AS VARCHAR), CAST(d.doc_id AS VARCHAR))
+           AS split_key
+  FROM documents d LEFT JOIN cl c USING (doc_id)
+)
+SELECT doc_id, split_key,
+  CASE WHEN CAST('0x' || substr(md5(concat_ws(':', 'r4', split_key)), 1, 8)
+             AS BIGINT) % 100 < 20
+       THEN 'test' ELSE 'train' END AS split
+FROM j
+""".format(mb=_MINHASH_BUCKETS)

@@ -3891,3 +3891,37 @@ def test_log_loss_known_values(spark):
     clamped = spark.createDataFrame([(1.0, False)], "p double, y boolean")
     out2 = log_loss(clamped, "p", "y").collect()[0]
     assert out2["log_loss"] == math.floor(-math.log(1e-6) * 1e6 + 0.5) / 1e6
+
+
+def test_vocab_top_movers_known_shift(spark):
+    """A token present only in corpus B tops the movers; shared-share
+    tokens sit at the bottom."""
+    from hashquery_spark.ops import vocab_top_movers
+
+    a = spark.createDataFrame([(1, "x x y")], "id long, text string")
+    b = spark.createDataFrame([(1, "x y zz zz zz")], "id long, text string")
+    out = vocab_top_movers(a, b, "text", top_k=10).collect()
+    assert out[0]["token"] == "zz"
+    assert out[0]["n_a"] == 0 and out[0]["n_b"] == 3
+    assert out[0]["dev"] == 0.6  # |0 - 3/5|
+    got = {r["token"]: r for r in out}
+    assert got["x"]["share_a"] == 0.6667 and got["x"]["share_b"] == 0.2
+
+
+def test_split_by_cluster_leakage_safe(spark):
+    """Paired documents always land on the same side; singletons split
+    on their own id."""
+    from hashquery_spark.ops import split_by_cluster
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 20) for i in range(20)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in
+           split_by_cluster(docs, pairs, "doc_id", seed="t").collect()}
+    assert len(out) == 40
+    for i in range(20):
+        assert out[i]["split"] == out[i + 20]["split"]
+        assert out[i]["split_key"] == out[i + 20]["split_key"]
+    sides = {r["split"] for r in out.values()}
+    assert sides == {"train", "test"}
