@@ -4127,6 +4127,27 @@ def q_split_by_cluster(spark, sf_dir):
     return out
 
 
+def q_matryoshka_eval(spark, sf_dir):
+    """Recall@10 of 8-dim-truncated embeddings vs full-dim exact
+    top-10 for 10 probes — two broadcast-probe ANN passes + one
+    bounded join; exact integer recall."""
+    from hashquery_spark.ops import matryoshka_eval
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    probes = emb.where("vec_id < 10")
+    return matryoshka_eval(emb, probes, "embedding", "vec_id", dim=8, k=10)
+
+
+def q_ewma(spark, sf_dir):
+    """Truncated 14-day EWMA (alpha 0.3) of the daily event count —
+    python-precomputed micro-unit weight grid, exact integer sums,
+    4-dp floor ratio."""
+    from hashquery_spark.ops import ewma
+
+    ev = _conn(spark, sf_dir).table("events")
+    return ewma(ev, "ts", window=14, alpha=0.3)
+
+
 def q_validate_json(spark, sf_dir):
     """JSON payload hygiene over a deterministic synthesized sidecar
     (planted truncation + missing-key rows — the corpus has no JSON
@@ -4423,6 +4444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_loss": q_log_loss,
         "vocab_top_movers": q_vocab_top_movers,
         "split_by_cluster": q_split_by_cluster,
+        "matryoshka_eval": q_matryoshka_eval,
+        "ewma": q_ewma,
         "vocab_coverage": q_vocab_coverage,
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,

@@ -174,6 +174,8 @@ HEADLINE = [
     "log_loss",
     "vocab_top_movers",
     "split_by_cluster",
+    "matryoshka_eval",
+    "ewma",
 ]
 
 

@@ -705,3 +705,54 @@ def mmr_select(
     return spark.createDataFrame(
         out_rows, f"rank int, {id_col} long, score_scaled long"
     )
+
+
+def matryoshka_eval(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """(probe_id, k, dim, n_hits, recall) — retrieval recall@k of
+    TRUNCATED embeddings (first ``dim`` components, the
+    Matryoshka/MRL deployment question: "how much ANN quality do I
+    keep at a quarter of the dimensions?") against full-dimension
+    exact top-k. recall is the tie-proof integer ratio |∩|/k.
+
+    Scale: two :func:`ann_brute_force` passes (broadcast probes, one
+    per-probe top-k window each) + one bounded (probes·k) join — the
+    corpus scans twice, shuffles never.
+    """
+    full = ann_brute_force(corpus, probes, vec_col, id_col, k=k).select(
+        "probe_id", "neighbor_id"
+    )
+    tcorpus = corpus.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dim).alias(vec_col)
+    )
+    tprobes = probes.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dim).alias(vec_col)
+    )
+    trunc = ann_brute_force(tcorpus, tprobes, vec_col, id_col, k=k).select(
+        "probe_id", F.col("neighbor_id").alias("__tn__")
+    )
+    hits = full.join(
+        trunc,
+        on=(full["probe_id"] == trunc["probe_id"])
+        & (full["neighbor_id"] == trunc["__tn__"]),
+        how="left",
+    ).select(full["probe_id"].alias("probe_id"), trunc["__tn__"].alias("__hit__"))
+    from .dedup import round4_ratio
+
+    return (
+        hits.groupBy("probe_id")
+        .agg(F.count(F.when(F.col("__hit__").isNotNull(), 1)).alias("n_hits"))
+        .select(
+            "probe_id",
+            F.lit(k).alias("k"),
+            F.lit(dim).alias("dim"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            round4_ratio(F.col("n_hits"), F.lit(k)).alias("recall"),
+        )
+    )

@@ -923,3 +923,51 @@ def period_over_period(
             fround((F.col("value") - prev) / prev, 4),
         ).alias("pct_change"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    ts_col: str,
+    window: int = 14,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """(t, x, ewma) — truncated exponentially-weighted moving average
+    of the daily event count (weights alpha·(1-alpha)^j for lags
+    j = 0..window-1, renormalized over the lags actually available) —
+    the smooth trend line under :func:`cusum_changepoints`'s alarms.
+
+    Determinism: the weight grid is PYTHON-PRECOMPUTED integer
+    micro-units shared verbatim with the oracle (the retrieval_metrics
+    discount contract), so numerator and normalizer are exact integer
+    sums; ewma is the tie-proof floor ratio at 4 dp.
+
+    Scale: one groupBy(day) + ``window`` lag expressions over the
+    bounded day table (one window pass).
+    """
+    from .dedup import round4_ratio
+
+    w_micro = [
+        int(round(alpha * ((1.0 - alpha) ** j) * 1000000))
+        for j in range(window)
+    ]
+    days = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("t"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w_ord = Window.orderBy("t")
+    num, den = None, None
+    for j, wm in enumerate(w_micro):
+        lagged = F.lag(F.col("x"), j).over(w_ord) if j else F.col("x")
+        term = F.when(lagged.isNotNull(), lagged * F.lit(wm))
+        nterm = F.when(lagged.isNotNull(), F.lit(wm)).otherwise(F.lit(0))
+        num = term if num is None else F.coalesce(term, F.lit(0)) + num
+        den = nterm if den is None else nterm + den
+    # fixed fold order: j descending outermost — mirrored in the oracle
+    return days.select(
+        "t",
+        "x",
+        round4_ratio(
+            F.coalesce(num, F.lit(0)).cast("double"), den.cast("double")
+        ).alias("ewma"),
+    )

@@ -5518,3 +5518,61 @@ SELECT doc_id, split_key,
        THEN 'test' ELSE 'train' END AS split
 FROM j
 """.format(mb=_MINHASH_BUCKETS)
+
+
+
+ORACLE_SQL["matryoshka_eval"] = """
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 10),
+fs AS (
+  SELECT p.probe_id, c.vec_id AS neighbor_id, round(list_dot_product(p.pv, c.v) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+  FROM c, p WHERE c.vec_id != p.probe_id
+),
+fr AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM fs
+  ) WHERE rn <= 10
+),
+tc AS (SELECT vec_id, v[1:8] AS v FROM c),
+tp AS (SELECT probe_id, pv[1:8] AS pv FROM p),
+ts2 AS (
+  SELECT tp.probe_id, tc.vec_id AS neighbor_id,
+         round(list_dot_product(tp.pv, tc.v) /
+               (sqrt(list_dot_product(tp.pv, tp.pv))
+                * sqrt(list_dot_product(tc.v, tc.v))), 4) AS cos_sim
+  FROM tc, tp WHERE tc.vec_id != tp.probe_id
+),
+tr AS (
+  SELECT probe_id, neighbor_id AS tn FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+    FROM ts2
+  ) WHERE rn <= 10
+)
+SELECT f.probe_id, 10 AS k, 8 AS dim,
+  CAST(count(CASE WHEN t.tn IS NOT NULL THEN 1 END) AS BIGINT) AS n_hits,
+  floor((CAST(100000 AS DOUBLE) * (count(CASE WHEN t.tn IS NOT NULL THEN 1 END)) + CAST(5 AS DOUBLE) * (10)) / (CAST(10 AS DOUBLE) * (10))) / CAST(10000 AS DOUBLE) AS recall
+FROM fr f LEFT JOIN tr t
+  ON f.probe_id = t.probe_id AND f.neighbor_id = t.tn
+GROUP BY f.probe_id
+"""
+
+
+ORACLE_SQL["ewma"] = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS t, CAST(count(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+l AS (
+  SELECT t, x, lag(x, 1) OVER (ORDER BY t) AS x1, lag(x, 2) OVER (ORDER BY t) AS x2, lag(x, 3) OVER (ORDER BY t) AS x3, lag(x, 4) OVER (ORDER BY t) AS x4, lag(x, 5) OVER (ORDER BY t) AS x5, lag(x, 6) OVER (ORDER BY t) AS x6, lag(x, 7) OVER (ORDER BY t) AS x7, lag(x, 8) OVER (ORDER BY t) AS x8, lag(x, 9) OVER (ORDER BY t) AS x9, lag(x, 10) OVER (ORDER BY t) AS x10, lag(x, 11) OVER (ORDER BY t) AS x11, lag(x, 12) OVER (ORDER BY t) AS x12, lag(x, 13) OVER (ORDER BY t) AS x13
+  FROM days
+)
+SELECT t, x,
+  floor((CAST(100000 AS DOUBLE) * (coalesce(x * 300000, 0) + coalesce(x1 * 210000, 0) + coalesce(x2 * 147000, 0) + coalesce(x3 * 102900, 0) + coalesce(x4 * 72030, 0) + coalesce(x5 * 50421, 0) + coalesce(x6 * 35295, 0) + coalesce(x7 * 24706, 0) + coalesce(x8 * 17294, 0) + coalesce(x9 * 12106, 0) + coalesce(x10 * 8474, 0) + coalesce(x11 * 5932, 0) + coalesce(x12 * 4152, 0) + coalesce(x13 * 2907, 0)) + CAST(5 AS DOUBLE) * (CASE WHEN x IS NOT NULL THEN 300000 ELSE 0 END + CASE WHEN x1 IS NOT NULL THEN 210000 ELSE 0 END + CASE WHEN x2 IS NOT NULL THEN 147000 ELSE 0 END + CASE WHEN x3 IS NOT NULL THEN 102900 ELSE 0 END + CASE WHEN x4 IS NOT NULL THEN 72030 ELSE 0 END + CASE WHEN x5 IS NOT NULL THEN 50421 ELSE 0 END + CASE WHEN x6 IS NOT NULL THEN 35295 ELSE 0 END + CASE WHEN x7 IS NOT NULL THEN 24706 ELSE 0 END + CASE WHEN x8 IS NOT NULL THEN 17294 ELSE 0 END + CASE WHEN x9 IS NOT NULL THEN 12106 ELSE 0 END + CASE WHEN x10 IS NOT NULL THEN 8474 ELSE 0 END + CASE WHEN x11 IS NOT NULL THEN 5932 ELSE 0 END + CASE WHEN x12 IS NOT NULL THEN 4152 ELSE 0 END + CASE WHEN x13 IS NOT NULL THEN 2907 ELSE 0 END)) / (CAST(10 AS DOUBLE) * (CASE WHEN x IS NOT NULL THEN 300000 ELSE 0 END + CASE WHEN x1 IS NOT NULL THEN 210000 ELSE 0 END + CASE WHEN x2 IS NOT NULL THEN 147000 ELSE 0 END + CASE WHEN x3 IS NOT NULL THEN 102900 ELSE 0 END + CASE WHEN x4 IS NOT NULL THEN 72030 ELSE 0 END + CASE WHEN x5 IS NOT NULL THEN 50421 ELSE 0 END + CASE WHEN x6 IS NOT NULL THEN 35295 ELSE 0 END + CASE WHEN x7 IS NOT NULL THEN 24706 ELSE 0 END + CASE WHEN x8 IS NOT NULL THEN 17294 ELSE 0 END + CASE WHEN x9 IS NOT NULL THEN 12106 ELSE 0 END + CASE WHEN x10 IS NOT NULL THEN 8474 ELSE 0 END + CASE WHEN x11 IS NOT NULL THEN 5932 ELSE 0 END + CASE WHEN x12 IS NOT NULL THEN 4152 ELSE 0 END + CASE WHEN x13 IS NOT NULL THEN 2907 ELSE 0 END))) / CAST(10000 AS DOUBLE) AS ewma
+FROM l
+"""

@@ -3925,3 +3925,36 @@ def test_split_by_cluster_leakage_safe(spark):
         assert out[i]["split_key"] == out[i + 20]["split_key"]
     sides = {r["split"] for r in out.values()}
     assert sides == {"train", "test"}
+
+
+def test_matryoshka_eval_identity_dims(spark):
+    """Truncating to the FULL dimension gives recall exactly 1."""
+    from hashquery_spark.ops import matryoshka_eval
+
+    rows = [(i, [float((i * 7 + j) % 10) for j in range(4)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.where("vec_id < 3")
+    out = matryoshka_eval(df, probes, "embedding", "vec_id", dim=4, k=5).collect()
+    assert len(out) == 3
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 5 for r in out)
+
+
+def test_ewma_known_weights(spark):
+    """Constant series -> ewma equals the constant; a step responds
+    with exactly the hand-computed truncated weights."""
+    from datetime import datetime
+
+    from hashquery_spark.ops import ewma
+
+    rows = []
+    for day in range(1, 8):
+        n = 10 if day <= 5 else 20
+        rows += [(datetime(2026, 5, day),)] * n
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {str(r["t"]): r["ewma"] for r in ewma(df, "ts", window=3, alpha=0.5).collect()}
+    # weights (micro): 500000, 250000, 125000
+    assert out["2026-05-04"] == 10.0
+    # day 6: (20*.5 + 10*.25 + 10*.125)/.875 = 15.0/0.875 = 17.142857 -> r4
+    assert out["2026-05-06"] == round((20 * 500000 + 10 * 250000 + 10 * 125000) / 875000, 4)
+    # day 1: only w0 available -> 10
+    assert out["2026-05-01"] == 10.0
