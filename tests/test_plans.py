@@ -118,6 +118,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "benford_test",
         # 1-row moments frame replicated to the scored rows:
         "mahalanobis",
+        # deliberately-tiny broadcast probe sides (two ann_bruteforce
+        # passes — same exemption as ann_bruteforce):
+        "matryoshka_eval",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
