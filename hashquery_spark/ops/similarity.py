@@ -738,7 +738,7 @@ def matryoshka_eval(
         "probe_id", F.col("neighbor_id").alias("__tn__")
     )
     hits = full.join(
-        trunc,
+        F.broadcast(trunc),
         on=(full["probe_id"] == trunc["probe_id"])
         & (full["neighbor_id"] == trunc["__tn__"]),
         how="left",

@@ -572,3 +572,44 @@ def test_run_metrics_measures_shuffle_and_scan(spark, sf_dir):
     assert t["spill_bytes_memory"] == 0 and t["spill_bytes_disk"] == 0
     assert t["files_read"] >= 1
     assert any(n == "HashAggregate" for n, _, _ in rep["nodes"])
+
+
+def test_round4_window2_scan_and_shuffle_budgets(spark, sf_dir):
+    """Plan-shape pins for the round-4 window-2 operators: each reads
+    its table within the documented scan budget and never falls back to
+    a sort-merge join (bounded sides broadcast)."""
+    budgets = {  # name -> (max parquet scans, sort_merge_ok)
+        "anova_f": (1, False),
+        "mann_whitney": (1, False),
+        "corr_matrix": (1, False),
+        # bucket agg + join-back are two differently-pruned consumers
+        "seasonal_baseline": (2, False),
+        "benford_test": (2, False),  # digit census + 1-row total
+        "hhi": (1, False),
+        "brier_score": (1, False),
+        "log_loss": (1, False),
+        "period_over_period": (1, False),
+        "cusum_changepoints": (1, False),
+        "ewma": (1, False),
+        "quantile_normalize": (2, False),
+        "kaplan_meier": (2, False),
+        "win_rate": (2, False),  # winner/loser union branches
+        # conf table is checkpointed (0 scans in the final plan); the
+        # full-outer label/pred merge runs on the BOUNDED class table,
+        # where a sort-merge join is harmless by construction
+        "classification_report": (1, True),
+        "t_closeness": (1, False),
+        "krippendorff_alpha": (1, False),
+        # two corpora halves -> two scans per side is the contract
+        "vocab_drift": (2, False),
+        "vocab_top_movers": (2, False),
+        # full + truncated ANN pass over corpus and probes
+        "matryoshka_eval": (4, False),
+    }
+    for name, (max_scans, smj_ok) in budgets.items():
+        plan = _physical(entry_mod.queries()[name](spark, sf_dir))
+        assert plan.count("Scan parquet") <= max_scans, (
+            f"{name}: {plan.count('Scan parquet')} scans"
+        )
+        if not smj_ok:
+            assert "SortMergeJoin" not in plan, name

@@ -781,3 +781,31 @@ def test_vocab_drift_two_million_identical_halves(spark):
     assert out["n_a"] == 8_000_000 and out["n_b"] == 8_000_000
     assert out["n_shared"] == out["n_vocab"] == out["n_vocab_a"]
     assert out["jsd"] == 0.0
+
+
+def test_hhi_two_million_uniform(spark):
+    """Uniform 50-source mix at 2M rows gives hhi exactly 10000/50."""
+    from hashquery_spark.ops import hhi
+
+    df = spark.range(2_000_000).select(
+        F.concat(F.lit("s"), F.pmod(F.col("id"), F.lit(50)).cast("string")).alias("src")
+    )
+    r = hhi(df, "src").collect()[0]
+    assert (r["n_groups"], r["hhi"], r["top_share"]) == (50, 200.0, 0.02)
+
+
+def test_benford_two_million_planted_distribution(spark):
+    """A synthetic corpus whose values are d*10^(id%4) has first-digit
+    shares exactly matching the planted digit mix."""
+    from hashquery_spark.ops import benford_test
+
+    # digits cycle 1..9 uniformly -> obs_share = 1/9 each
+    df = spark.range(1_800_000).select(
+        ((F.pmod(F.col("id"), F.lit(9)) + 1)
+         * F.pow(F.lit(10.0), F.pmod(F.col("id"), F.lit(4)).cast("double"))
+         ).alias("v")
+    )
+    out = {r["digit"]: r for r in benford_test(df, "v", grid=1.0).collect()}
+    assert set(out) == set(range(1, 10))
+    assert all(out[d]["n_obs"] == 200_000 for d in range(1, 10))
+    assert all(out[d]["obs_share"] == 0.1111 for d in range(1, 10))
