@@ -3768,12 +3768,15 @@ def q_t_closeness(spark, sf_dir):
 def q_corr_matrix(spark, sf_dir):
     """Pairwise Pearson matrix over four lineitem measures in ONE
     1-row aggregate (6 pairs x 6 exact DECIMAL accumulators), stacked
-    to rows on the driver-side frame."""
+    to rows on the driver-side frame. Pins exact=True explicitly: the
+    library default is the 45x-faster double path (r4 verdict), the
+    oracle-paired query keeps the bit-exact accumulators."""
     from hashquery_spark.ops import corr_matrix
 
     li = _conn(spark, sf_dir).table("lineitem")
     return corr_matrix(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        exact=True,
     )
 
 

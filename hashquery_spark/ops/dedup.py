@@ -280,7 +280,7 @@ def minhash_lsh_candidates(
     num_perm: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via LSH banding.
 
@@ -288,7 +288,11 @@ def minhash_lsh_candidates(
     (band, key) — O(duplicates), not O(n²). Empty-shingle docs (fewer than
     ``shingle_k`` words) produce NULL band mins and are dropped.
     ``max_bucket_size`` drops degenerate hot buckets before the pair join
-    (see :func:`cap_bucket_size`) — set it at real corpus scale."""
+    (see :func:`cap_bucket_size`). ON BY DEFAULT (500 per band, r4
+    verdict): at real corpus scale boilerplate/empty-ish text guarantees
+    hot buckets — one 1M-row bucket is 5×10¹¹ pairs. Members of a dropped
+    bucket still pair through their other bands; pass ``None`` to opt
+    out. The DuckDB oracles mirror the same cap."""
     sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_k)
     buckets = band_buckets(sigs, id_col, num_perm, bands)
     if max_bucket_size is not None:
@@ -510,7 +514,17 @@ def lsh_tuning_report(
                 )
                 < F.lit(int(rate * 4294967296))
             )
-    sets = ensure_parallelism(df).select(
+    # localCheckpoint the (bounded-by-contract) sampled frame ONCE: the
+    # truth index and the MinHash candidate stage are differently-pruned
+    # consumers of the same scan+filter — without the barrier each one
+    # re-reads and re-filters the corpus (no ReusedExchange across
+    # structurally different subtrees; the dedup_against_fuzzy lesson,
+    # r4-verdict finding #1: 2.09 s -> 3.43 s regression from exactly
+    # this re-derivation).
+    df = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).localCheckpoint(eager=True)
+    sets = df.select(
         F.col(id_col).alias("__id__"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("__sh__"),
     )

@@ -52,13 +52,16 @@ def fuzzy_join(
     num_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """(id_l, id_r, sim) — pairs whose normalized char-``k``-gram Jaccard
     similarity is ≥ ``threshold`` (rounded to 4 decimals pre-compare, so
     results are engine-exact). LSH recall caveat: a true pair is found
     only if some signature band collides — near-threshold pairs can be
-    missed; raise ``bands`` (more, narrower bands) for higher recall."""
+    missed; raise ``bands`` (more, narrower bands) for higher recall.
+    ``max_bucket_size`` (default 500, r4 verdict — ``None`` opts out)
+    drops degenerate hot buckets per side before the pair join; the
+    DuckDB oracle mirrors the cap."""
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
 

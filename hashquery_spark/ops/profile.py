@@ -1598,16 +1598,25 @@ def js_divergence(
     lm = lambda x: F.floor(  # noqa: E731
         F.log(x.cast("double")) * F.lit(1000000.0) + F.lit(0.5)
     ).cast("long")
-    d = F.col("__a__") * F.col("__nb__") + F.col("__b__") * F.col("__na__")
+    # ln-argument products in DECIMAL, not BIGINT: with corpus totals
+    # ~1e12 and a hot-category count ~1e7, a*nb exceeds int64 — ANSI mode
+    # errors, non-ANSI silently wraps (r4 advice). DECIMAL(19)x(19) is
+    # exact in both engines; the double conversion feeding ln() is then
+    # the identical correctly-rounded value on both sides.
+    a19 = F.col("__a__").cast("decimal(19,0)")
+    b19 = F.col("__b__").cast("decimal(19,0)")
+    na19 = F.col("__na__").cast("decimal(19,0)")
+    nb19 = F.col("__nb__").cast("decimal(19,0)")
+    d = a19 * nb19 + b19 * na19
     ta = F.when(
         F.col("__a__") > 0,
         F.col("__a__").cast("decimal(38,0)")
-        * (lm(F.lit(2) * F.col("__a__") * F.col("__nb__")) - lm(d)),
+        * (lm(F.lit(2).cast("decimal(19,0)") * a19 * nb19) - lm(d)),
     )
     tb = F.when(
         F.col("__b__") > 0,
         F.col("__b__").cast("decimal(38,0)")
-        * (lm(F.lit(2) * F.col("__b__") * F.col("__na__")) - lm(d)),
+        * (lm(F.lit(2).cast("decimal(19,0)") * b19 * na19) - lm(d)),
     )
     g = with_tot.select(
         "__na__", "__nb__", ta.alias("__ta__"), tb.alias("__tb__")
@@ -1703,18 +1712,22 @@ def t_closeness(
 
 
 def corr_matrix(
-    df: DataFrame, cols, grid: float = 1e6, exact: bool = True
+    df: DataFrame, cols, grid: float = 1e6, exact: bool = False
 ) -> DataFrame:
     """(col_x, col_y, n, corr) for every unordered column pair — the
     numeric-profile correlation matrix (feature redundancy / leakage
     screen) in ONE aggregate pass over the table. Pairwise-complete
     observations (rows where both sides are non-NULL).
 
-    ``exact=False`` trades the cross-engine-exact DECIMAL accumulators
-    for plain double sums (~45x faster at sf0.1, measured 2.6 s vs
-    0.06 s — JVM BigDecimal aggregation is the entire gap; the profile_
-    table ``approx=True`` precedent): use it for interactive profiling,
-    keep the default for anything oracle-checked.
+    The default is plain double accumulators — the fast path a profiling
+    caller wants at 100 TB. ``exact=True`` switches to cross-engine-exact
+    DECIMAL accumulators (bit-identical to the DuckDB oracle, used by the
+    oracle-paired entry query) at a measured ~45x aggregation cost at
+    sf0.1 (2.6 s vs 0.06 s — JVM BigDecimal aggregation is the entire
+    gap). Opt into ``exact=True`` only when you need reproducibility
+    down to the last ulp across engines/partitionings; double sums are
+    still deterministic for a FIXED partitioning and within ~1e-12
+    relative of the exact answer on sane data.
 
     Exactness: values snap to the integer ``grid``; per-pair
     (n, Sx, Sy, Qxx, Qyy, Qxy) are exact DECIMAL sums, so Pearson r is

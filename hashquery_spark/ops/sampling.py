@@ -494,8 +494,17 @@ def bootstrap_ci(
         )
     )
     w_rank = Window.orderBy(F.col("__m__").asc(), F.col("__b__").asc())
+    # also carry B = surviving replicate count: replicates whose Poisson
+    # weights are ALL zero are dropped above (`__sw__ > 0`), so the rank
+    # column can top out below n_replicates — an unclamped lookup at
+    # lo_r/hi_r would then silently return NULL (r4 advice). The window
+    # frame is <= n_replicates rows, so the unpartitioned count is free.
     ranked = per_rep.select(
-        "__m__", F.row_number().over(w_rank).alias("__r__")
+        "__m__",
+        F.row_number().over(w_rank).alias("__r__"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.lit(1)))
+        .alias("__B__"),
     )
     # nearest-rank order statistics over the B replicate means
     lo_r = int(_math.floor(alpha / 2 * (n_replicates - 1))) + 1
@@ -509,10 +518,19 @@ def bootstrap_ci(
         ).alias("mean"),
     )
     bounds = ranked.agg(
-        F.max(F.when(F.col("__r__") == lo_r, F.col("__m__"))).alias("ci_lo"),
-        F.max(F.when(F.col("__r__") == min(hi_r, n_replicates), F.col("__m__"))).alias(
-            "ci_hi"
-        ),
+        F.max(
+            F.when(
+                F.col("__r__") == F.least(F.lit(lo_r), F.col("__B__")),
+                F.col("__m__"),
+            )
+        ).alias("ci_lo"),
+        F.max(
+            F.when(
+                F.col("__r__")
+                == F.least(F.lit(min(hi_r, n_replicates)), F.col("__B__")),
+                F.col("__m__"),
+            )
+        ).alias("ci_hi"),
     )
     return stats.crossJoin(F.broadcast(bounds)).select(
         "n",

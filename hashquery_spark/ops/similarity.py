@@ -616,7 +616,7 @@ def mmr_select(
     k: int = 10,
     lam: float = 0.7,
 ) -> DataFrame:
-    """(rank, id, score) — Maximal Marginal Relevance selection
+    """(rank, {id_col}, score_scaled) — Maximal Marginal Relevance selection
     (Carbonell & Goldstein 1998): greedily pick ``k`` items maximizing
     ``lam*rel - (1-lam)*max_sim_to_selected`` — the
     relevance-AND-diversity selector for eval-set / few-shot-pool
@@ -702,9 +702,18 @@ def mmr_select(
         out_rows.append((step, row[id_col], int(row["__s__"])))
         remaining = remaining.where(F.col(id_col) != row[id_col])
     spark = df.sparkSession
-    return spark.createDataFrame(
-        out_rows, f"rank int, {id_col} long, score_scaled long"
+    # derive the id field's type from the input schema — hardcoding
+    # `long` crashed createDataFrame for string/int id columns (r4 advice)
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("rank", IntegerType(), False),
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("score_scaled", LongType(), True),
+        ]
     )
+    return spark.createDataFrame(out_rows, out_schema)
 
 
 def matryoshka_eval(

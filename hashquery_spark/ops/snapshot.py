@@ -71,7 +71,7 @@ def dedup_against_fuzzy(
     num_perm: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Rows of ``new`` with no NEAR-duplicate in ``seen`` — the fuzzy twin
     of :func:`dedup_against` (fresh crawl minus everything ~already in the
@@ -90,8 +90,9 @@ def dedup_against_fuzzy(
     with fewer than ``shingle_k`` words have no signature, never match,
     and are always kept — run :func:`dedup_against` after (cheap) if
     exact-dedup of short docs matters. ``max_bucket_size`` caps degenerate
-    hot buckets before the pair join (see dedup.cap_bucket_size) — set it
-    at real corpus scale.
+    hot buckets before the pair join (see dedup.cap_bucket_size) — ON BY
+    DEFAULT (500, r4 verdict; ``None`` opts out), mirrored by the DuckDB
+    oracle.
     """
     from .dedup import (
         band_buckets,

@@ -1266,16 +1266,23 @@ def vocab_drift(df_a: DataFrame, df_b: DataFrame, text_col: str) -> DataFrame:
     lm = lambda x: F.floor(  # noqa: E731
         F.log(x.cast("double")) * F.lit(1000000.0) + F.lit(0.5)
     ).cast("long")
-    d = F.col("__a__") * F.col("__nb__") + F.col("__b__") * F.col("__na__")
+    # DECIMAL products, not BIGINT — same int64-overflow hazard as
+    # js_divergence (this skeleton was inherited verbatim; r4 advice):
+    # token totals ~1e12 x hot-token count ~1e7 exceeds int64.
+    a19 = F.col("__a__").cast("decimal(19,0)")
+    b19 = F.col("__b__").cast("decimal(19,0)")
+    na19 = F.col("__na__").cast("decimal(19,0)")
+    nb19 = F.col("__nb__").cast("decimal(19,0)")
+    d = a19 * nb19 + b19 * na19
     ta = F.when(
         F.col("__a__") > 0,
         F.col("__a__").cast("decimal(38,0)")
-        * (lm(F.lit(2) * F.col("__a__") * F.col("__nb__")) - lm(d)),
+        * (lm(F.lit(2).cast("decimal(19,0)") * a19 * nb19) - lm(d)),
     )
     tb = F.when(
         F.col("__b__") > 0,
         F.col("__b__").cast("decimal(38,0)")
-        * (lm(F.lit(2) * F.col("__b__") * F.col("__na__")) - lm(d)),
+        * (lm(F.lit(2).cast("decimal(19,0)") * b19 * na19) - lm(d)),
     )
     g = with_tot.select(
         "__na__",

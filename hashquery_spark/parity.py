@@ -160,6 +160,21 @@ def compare_frames_tolerant(spark_pdf, twin_pdf, atol: float) -> Dict[str, Any]:
         )
 
     sc, tc = keyed(spark_pdf), keyed(twin_pdf)
+    # rows are paired by sorting on the NON-float columns; two rows with
+    # an identical key tuple would pair their float values arbitrarily
+    # across engines (order-dependent false results — r4 advice). Fail
+    # loudly: a tolerant-compared query must emit a unique key per row.
+    idx = {c: i for i, c in enumerate(cols)}
+    for label, rows in (("spark", sc), ("twin", tc)):
+        keys = [tuple(canon_value(r[idx[c]]) for c in key_cols) for r in rows]
+        if len(keys) != len(set(keys)):
+            dup = next(k for k in keys if keys.count(k) > 1)
+            raise AssertionError(
+                f"compare_frames_tolerant: duplicate non-float key tuple in "
+                f"{label} result ({dup!r} over key cols {key_cols}); float "
+                "pairing would be order-dependent — add a distinguishing "
+                "key column to the query."
+            )
     mismatches = []
     for a, b in zip(sc, tc):
         for i, c in enumerate(cols):

@@ -242,11 +242,19 @@ sh AS (
 sigs AS (
   SELECT doc_id, {_SIG} AS sig FROM sh
 ),
-buckets AS (
+buckets0 AS (
   SELECT doc_id, b.band,
          md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS key
   FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
   WHERE sig[1] IS NOT NULL
+),
+buckets AS (
+  -- mirror the op's default max_bucket_size=500 hot-bucket cap
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, band, key,
+           count(*) OVER (PARTITION BY band, key) AS bn
+    FROM buckets0
+  ) WHERE bn <= 500
 )"""
 
 MINHASH_SQL = f"""
@@ -1838,11 +1846,18 @@ lsig AS (
               + j * CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)) % 4294967296))) AS sig
   FROM lsh
 ),
-lbuck AS (
+lbuck0 AS (
   SELECT id_l, b.band,
          md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS key
   FROM lsig, (SELECT unnest(range(0, 4)) AS band) b
   WHERE sig[1] IS NOT NULL
+),
+lbuck AS (
+  -- mirror the op's default max_bucket_size=500 hot-bucket cap
+  SELECT id_l, band, key FROM (
+    SELECT id_l, band, key, count(*) OVER (PARTITION BY band, key) AS bn
+    FROM lbuck0
+  ) WHERE bn <= 500
 ),
 rnorm AS (
   SELECT c_custkey AS id_r, trim(regexp_replace(lower(replace(c_name, '#', ' no ')), '[^a-z0-9]+', ' ', 'g')) AS n
@@ -1861,11 +1876,18 @@ rsig AS (
               + j * CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)) % 4294967296))) AS sig
   FROM rsh
 ),
-rbuck AS (
+rbuck0 AS (
   SELECT id_r, b.band,
          md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS key
   FROM rsig, (SELECT unnest(range(0, 4)) AS band) b
   WHERE sig[1] IS NOT NULL
+),
+rbuck AS (
+  -- mirror the op's default max_bucket_size=500 hot-bucket cap
+  SELECT id_r, band, key FROM (
+    SELECT id_r, band, key, count(*) OVER (PARTITION BY band, key) AS bn
+    FROM rbuck0
+  ) WHERE bn <= 500
 ),
         cands AS (
           SELECT DISTINCT a.id_l, c.id_r
@@ -3521,14 +3543,16 @@ tot AS (
   SELECT a, b, sum(a) OVER () AS na, sum(b) OVER () AS nb FROM counts
 ),
 terms AS (
+  -- DECIMAL(19) operands mirror the op: BIGINT products overflow int64
+  -- at ~1e12 totals x 1e7 hot-category counts (r4 advice)
   SELECT na, nb,
     CASE WHEN a > 0 THEN CAST(a AS HUGEINT) *
-      (CAST(floor(ln(CAST(2 * a * nb AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-       - CAST(floor(ln(CAST(a * nb + b * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+      (CAST(floor(ln(CAST(CAST(2 AS DECIMAL(19,0)) * CAST(a AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0)) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       - CAST(floor(ln(CAST(CAST(a AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0)) + CAST(b AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0)) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
     END AS ta,
     CASE WHEN b > 0 THEN CAST(b AS HUGEINT) *
-      (CAST(floor(ln(CAST(2 * b * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-       - CAST(floor(ln(CAST(a * nb + b * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+      (CAST(floor(ln(CAST(CAST(2 AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0)) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       - CAST(floor(ln(CAST(CAST(a AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0)) + CAST(b AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0)) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
     END AS tb
   FROM tot
 )
@@ -4115,8 +4139,10 @@ stats AS (
   FROM base
 )
 SELECT n, mean,
-  max(CASE WHEN r = 3 THEN m END) AS ci_lo,
-  max(CASE WHEN r = 98 THEN m END) AS ci_hi,
+  -- clamp to the surviving replicate count B (mirrors the op: replicates
+  -- with all-zero Poisson weights are dropped, ranks can top out < 100)
+  max(CASE WHEN r = least(3, (SELECT max(r) FROM ranked)) THEN m END) AS ci_lo,
+  max(CASE WHEN r = least(98, (SELECT max(r) FROM ranked)) THEN m END) AS ci_hi,
   CAST(100 AS BIGINT) AS n_replicates
 FROM stats, ranked GROUP BY n, mean
 """
@@ -5184,14 +5210,16 @@ tot AS (
   SELECT a, b, sum(a) OVER () AS na, sum(b) OVER () AS nb FROM counts
 ),
 terms AS (
+  -- DECIMAL(19) operands mirror the op: BIGINT products overflow int64
+  -- at ~1e12 token totals x 1e7 hot-token counts (r4 advice)
   SELECT na, nb, a, b,
     CASE WHEN a > 0 THEN CAST(a AS HUGEINT) *
-      (CAST(floor(ln(CAST(2 * a * nb AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-       - CAST(floor(ln(CAST(a * nb + b * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+      (CAST(floor(ln(CAST(CAST(2 AS DECIMAL(19,0)) * CAST(a AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0)) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       - CAST(floor(ln(CAST(CAST(a AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0)) + CAST(b AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0)) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
     END AS ta2,
     CASE WHEN b > 0 THEN CAST(b AS HUGEINT) *
-      (CAST(floor(ln(CAST(2 * b * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-       - CAST(floor(ln(CAST(a * nb + b * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+      (CAST(floor(ln(CAST(CAST(2 AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0)) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       - CAST(floor(ln(CAST(CAST(a AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0)) + CAST(b AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0)) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
     END AS tb2
   FROM tot
 )

@@ -3958,3 +3958,53 @@ def test_ewma_known_weights(spark):
     assert out["2026-05-06"] == round((20 * 500000 + 10 * 250000 + 10 * 125000) / 875000, 4)
     # day 1: only w0 available -> 10
     assert out["2026-05-01"] == 10.0
+
+
+def test_mmr_select_string_id_column(spark):
+    """r4 advice: the output schema derives the id field's type from the
+    input — a string id column must not crash createDataFrame."""
+    from hashquery_spark.ops import mmr_select
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [0.9, 0.1])],
+        "name string, embedding array<double>",
+    )
+    out = mmr_select(df, "embedding", "name", [1.0, 0.0], k=2, lam=0.5)
+    assert [f.name for f in out.schema.fields] == ["rank", "name", "score_scaled"]
+    assert out.schema["name"].dataType.simpleString() == "string"
+    rows = out.orderBy("rank").collect()
+    assert rows[0]["name"] == "a"  # exact match to the query vector first
+    assert {r["name"] for r in rows} <= {"a", "b", "c"}
+
+
+def test_bootstrap_ci_rank_clamp_tiny_input(spark):
+    """r4 advice: replicates whose Poisson weights are ALL zero are
+    dropped, so with a 1-row input a large fraction (~e^-1) of replicates
+    vanish — the rank lookups must clamp to the surviving count instead
+    of silently returning NULL bounds."""
+    from hashquery_spark.ops import bootstrap_ci
+
+    one = spark.createDataFrame([(1, 42.0)], "id long, v double")
+    r = bootstrap_ci(one, "v", "id", n_replicates=200).collect()[0]
+    # every surviving replicate mean is exactly 42.0, so both bounds
+    # must be 42.0 — NULL means the unclamped-rank bug is back
+    assert r["ci_lo"] == 42.0 and r["ci_hi"] == 42.0
+    assert r["n"] == 1 and r["mean"] == 42.0
+
+
+def test_compare_frames_tolerant_rejects_duplicate_keys():
+    """r4 advice: rows are paired by sorting on non-float columns; a
+    duplicate key tuple would pair floats arbitrarily — fail loudly."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from hashquery_spark.parity import compare_frames_tolerant
+
+    a = pd.DataFrame({"k": [1, 1], "x": [0.5, 0.7]})
+    b = pd.DataFrame({"k": [1, 1], "x": [0.7, 0.5]})
+    with _pytest.raises(AssertionError, match="duplicate non-float key"):
+        compare_frames_tolerant(a, b, 1e-9)
+    # unique keys still compare fine
+    c = pd.DataFrame({"k": [1, 2], "x": [0.5, 0.7]})
+    d = pd.DataFrame({"k": [1, 2], "x": [0.5, 0.7]})
+    assert compare_frames_tolerant(c, d, 1e-9)["ok"]

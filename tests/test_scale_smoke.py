@@ -809,3 +809,61 @@ def test_benford_two_million_planted_distribution(spark):
     assert set(out) == set(range(1, 10))
     assert all(out[d]["n_obs"] == 200_000 for d in range(1, 10))
     assert all(out[d]["obs_share"] == 0.1111 for d in range(1, 10))
+
+
+def test_minhash_hot_bucket_cap_default_two_million(spark):
+    """2M docs with 600 identical boilerplate copies (one degenerate
+    LSH bucket > the 500 default cap): the default max_bucket_size=500
+    drops the hot bucket entirely — zero boilerplate pairs, bounded
+    candidate count — while a planted normal-sized near-dup pair still
+    collides. Opting out (max_bucket_size=None) on just the boilerplate
+    subset shows the quadratic blowup the cap prevents (600*599/2
+    pairs from ONE bucket)."""
+    from hashquery_spark.ops import minhash_lsh_candidates
+
+    boiler = (
+        "terms of service apply to all users of this website without "
+        "exception and may change at any time without further notice"
+    )
+    docs = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 600, F.lit(boiler))
+        .when(
+            F.col("id") == 1_000_000,
+            F.lit("the quick brown fox jumps over the lazy dog by the river"),
+        )
+        .when(
+            F.col("id") == 1_000_001,
+            F.lit("the quick brown fox jumps over the lazy dog by the creek"),
+        )
+        .otherwise(
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 12), "
+                "j -> concat('w', pmod(hash(id * 37 + j), 100000))))"
+            )
+        )
+        .alias("text"),
+    )
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id", num_perm=16, bands=8)
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((F.col("id_a") < 600) & (F.col("id_b") < 600), 1)).alias(
+            "n_boiler"
+        ),
+        F.count(
+            F.when(
+                (F.col("id_a") == 1_000_000) & (F.col("id_b") == 1_000_001), 1
+            )
+        ).alias("n_planted"),
+    ).collect()[0]
+    assert agg.n_boiler == 0, "default cap must drop the 600-member bucket"
+    assert agg.n_planted == 1, "normal-sized buckets must still pair"
+    # candidate volume stays bounded: random 12-token docs over a 100k
+    # vocab produce only incidental band collisions
+    assert agg.n < 50_000
+    # opt-out on the hot subset alone reproduces the quadratic blowup
+    hot = docs.where(F.col("doc_id") < 600)
+    n_uncapped = minhash_lsh_candidates(
+        hot, "text", "doc_id", num_perm=16, bands=8, max_bucket_size=None
+    ).count()
+    assert n_uncapped == 600 * 599 // 2
