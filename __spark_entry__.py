@@ -2078,11 +2078,15 @@ def q_winsorize(spark, sf_dir):
     )
     # round to 3 dp: prices are 2-dp and the interpolated clip bounds live
     # on the 0.005 grid, so 3-dp rounding is the identity — a 2-dp round
-    # would hit true .xx5 ties (HALF_UP vs half-even, the quantiles bug)
+    # would hit true .xx5 ties (HALF_UP vs half-even, the quantiles bug).
+    # fround (pure-IEEE floor form) so the round is greppably tie-proof
+    # even though the identity never exercises the tie.
+    from hashquery_spark.ops.dedup import fround
+
     return out.select(
         "o_orderkey",
         "o_orderstatus",
-        F.round("o_totalprice_winsorized", 3).alias("winsorized"),
+        fround(F.col("o_totalprice_winsorized"), 3).alias("winsorized"),
     )
 
 

@@ -36,7 +36,7 @@ from typing import Dict, List, Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import md5_hash32, tokens
+from .dedup import fround, md5_hash32, tokens
 
 _SCALE = 1_000_000  # micro-unit weight scaling (round-half-up, exact)
 
@@ -105,7 +105,7 @@ def classifier_score(
             F.coalesce(F.sum("ws"), F.lit(0)).alias("__m__"),
         )
     )
-    margin = F.round((F.col("__m__") + F.lit(bias_s)) / F.lit(float(_SCALE)), 6)
+    margin = fround((F.col("__m__") + F.lit(bias_s)) / F.lit(float(_SCALE)), 6)
     return rolled.select(
         F.col(id_col),
         "n_tokens",

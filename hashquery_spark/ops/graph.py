@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import fround
+
 _UNIT = 1_000_000_000  # nano-unit rank scaling
 
 
@@ -142,7 +144,7 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select(
-        "node", F.round(F.col("__r__") / F.lit(float(_UNIT)), 9).alias("pagerank")
+        "node", fround(F.col("__r__") / F.lit(float(_UNIT)), 9).alias("pagerank")
     )
 
 

@@ -894,7 +894,7 @@ def dp_count(
     )
     return counts.select(
         *[F.col(c) for c in groups],
-        F.round(F.col("__n__") + noise, 4).alias("n_dp"),
+        fround(F.col("__n__") + noise, 4).alias("n_dp"),
     )
 
 
@@ -1488,7 +1488,7 @@ def dp_sum(
     )
     return sums.select(
         *[F.col(c) for c in groups],
-        F.round(
+        fround(
             F.col("__s__").cast("double") / F.lit(100.0) + noise, 4
         ).alias("sum_dp"),
     )

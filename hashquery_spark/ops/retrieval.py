@@ -31,6 +31,8 @@ from typing import Mapping, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import fround
+
 from .dedup import tokens
 
 
@@ -75,7 +77,7 @@ def bm25_search(
     tf = hits.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("__tf__"))
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df__"))
 
-    idf = F.round(
+    idf = fround(
         F.log(
             (F.col("__n_docs__") - F.col("__df__") + F.lit(0.5))
             / (F.col("__df__") + F.lit(0.5))
@@ -91,7 +93,7 @@ def bm25_search(
     # each term score snaps to the 1e-4 grid and sums as an integer, so
     # the per-group sum order (≤ |query| doubles otherwise) can't differ
     # between engines
-    term_scaled = F.round(idf * sat * F.lit(10000.0), 0).cast("long")
+    term_scaled = F.floor(idf * sat * F.lit(10000.0) + F.lit(0.5)).cast("long")
     scored = (
         tf.join(F.broadcast(df_t), on="token")
         .join(dl, on=id_col)
@@ -99,7 +101,7 @@ def bm25_search(
         .join(F.broadcast(qterms), on="token")
         .groupBy("query_id", id_col)
         .agg(
-            F.round(F.sum(term_scaled) / F.lit(10000.0), 4).alias("score")
+            fround(F.sum(term_scaled) / F.lit(10000.0), 4).alias("score")
         )
     )
     w = Window.partitionBy("query_id").orderBy(

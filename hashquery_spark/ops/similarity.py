@@ -23,6 +23,8 @@ from typing import List
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import fround
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -68,7 +70,7 @@ def ann_brute_force(
     joined = c.crossJoin(F.broadcast(p)).where(
         F.col("neighbor_id") != F.col("probe_id")
     )
-    sim = F.round(cosine(F.col("__pvec__"), F.col("__cvec__")), 4)
+    sim = fround(cosine(F.col("__pvec__"), F.col("__cvec__")), 4)
     scored = joined.select("probe_id", "neighbor_id", sim.alias("cos_sim"))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -173,8 +175,9 @@ class IvfIndex:
                 "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
             )
             structs.append(
-                f"named_struct('neg', -round({dot} / (`{vnorm}` * "
-                f"{self.cent_norms[cid]!r}D), 4), 'cid', CAST({cid} AS BIGINT))"
+                f"named_struct('neg', -(floor(({dot} / (`{vnorm}` * "
+                f"{self.cent_norms[cid]!r}D)) * 1e4 + 5e-1) / 1e4), "
+                f"'cid', CAST({cid} AS BIGINT))"
             )
         return "array(" + ",".join(structs) + ")"
 
@@ -312,7 +315,7 @@ def ivf_search(
         F.col("neighbor_id") != F.col("probe_id")
     )
     dot_sql = " + ".join(f"__ca{i} * __pb{i}" for i in range(dim)) or "0.0D"
-    sim = F.expr(f"round(({dot_sql}) / (__vnorm__ * __pn__), 4)")
+    sim = F.expr(f"floor((({dot_sql}) / (__vnorm__ * __pn__)) * 1e4 + 5e-1) / 1e4")
     scored = joined.select("probe_id", "neighbor_id", sim.alias("cos_sim"))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -407,7 +410,7 @@ def semantic_dedup(
         ],
     )
     dot_sql = " + ".join(f"__a{i}__ * __b{i}__" for i in range(dim)) or "0.0D"
-    sim = F.expr(f"round(({dot_sql}) / (__na__ * __nb__), 4)")
+    sim = F.expr(f"floor((({dot_sql}) / (__na__ * __nb__)) * 1e4 + 5e-1) / 1e4")
     dropped = (
         left.join(right, on="__cell__")
         .where(F.col("id_a") < F.col("id_b"))
@@ -450,7 +453,7 @@ def embedding_near_dup(
         F.col("__bucket__"), F.col(id_col).alias("id_b"), F.col("__v__").alias("__vb__")
     )
     joined = left.join(right, on="__bucket__").where(F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine(F.col("__va__"), F.col("__vb__")), 4)
+    sim = fround(cosine(F.col("__va__"), F.col("__vb__")), 4)
     return (
         joined.select("id_a", "id_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
@@ -486,7 +489,7 @@ def lsh_ann(
     joined = c.join(F.broadcast(p), on="__bucket__").where(
         F.col("neighbor_id") != F.col("probe_id")
     )
-    sim = F.round(cosine(F.col("__pvec__"), F.col("__cvec__")), 4)
+    sim = fround(cosine(F.col("__pvec__"), F.col("__cvec__")), 4)
     scored = joined.select("probe_id", "neighbor_id", sim.alias("cos_sim"))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -532,7 +535,7 @@ def embedding_join(
     joined = side(left, left_id, "id_l", "__vl__").join(
         side(right, right_id, "id_r", "__vr__"), on="__bucket__"
     )
-    sim = F.round(cosine(F.col("__vl__"), F.col("__vr__")), 4)
+    sim = fround(cosine(F.col("__vl__"), F.col("__vr__")), 4)
     return (
         joined.select("id_l", "id_r", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)

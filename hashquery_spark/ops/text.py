@@ -412,7 +412,7 @@ def tfidf_top_terms(
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     idf = docfreq.crossJoin(F.broadcast(n_docs)).select(
         "token",
-        F.round(
+        fround(
             F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
         ).alias("idf"),
     )
@@ -420,7 +420,7 @@ def tfidf_top_terms(
         F.col(id_col),
         "token",
         "tf",
-        F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf"),
+        fround(F.col("tf") * F.col("idf"), 4).alias("tfidf"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("tfidf"), F.asc("token")
@@ -493,8 +493,8 @@ def char_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         f"`{id_col}`", "length(__norm__) AS n_chars_norm", *cnt_exprs
     )
     terms = " + ".join(
-        f"(CASE WHEN __c{i}__ > 0 THEN __c{i}__ * CAST(round(ln(__c{i}__ /"
-        f" CAST(n_chars_norm AS DOUBLE)) * 10000.0, 0) AS BIGINT) ELSE 0L END)"
+        f"(CASE WHEN __c{i}__ > 0 THEN __c{i}__ * CAST(floor(ln(__c{i}__ /"
+        f" CAST(n_chars_norm AS DOUBLE)) * 1e4 + 5e-1) AS BIGINT) ELSE 0L END)"
         for i in range(len(symbols))
     )
     # The 4-dp rounding happens in EXACT integer arithmetic: with
@@ -560,7 +560,7 @@ def pmi_bigrams(
         )
         .crossJoin(F.broadcast(total))
     )
-    pmi = F.round(
+    pmi = fround(
         F.log(
             (F.col("n_ab").cast("double") * F.col("n_total"))
             / (F.col("n_a").cast("double") * F.col("n_b"))
@@ -611,9 +611,10 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .join(F.broadcast(ctx), on="__a__")
         .select(
             "bigram",
-            F.round(
-                F.log(F.col("__cab__") / F.col("__ca__").cast("double")) * 10000.0,
-                0,
+            F.floor(
+                F.log(F.col("__cab__") / F.col("__ca__").cast("double"))
+                * 10000.0
+                + F.lit(0.5)
             )
             .cast("long")
             .alias("__lp__"),

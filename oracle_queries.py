@@ -320,8 +320,9 @@ _BUCKET = "(" + " + ".join(
 ) + ")"
 
 _COS = (
-    "round(list_dot_product(p.pv, c.v) / "
-    "(sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))), 4)"
+    "(floor((list_dot_product(p.pv, c.v) / "
+    "(sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))))"
+    " * 1e4 + 5e-1) / 1e4)"
 )
 
 ANN_BRUTE_SQL = f"""
@@ -350,8 +351,8 @@ WITH c AS (
 cb AS (SELECT vec_id, v, CAST({_BUCKET} AS BIGINT) AS bucket FROM c),
 joined AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_dot_product(a.v, b.v) /
-               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+         (floor((list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e4 + 5e-1) / 1e4)
            AS cos_sim
   FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
@@ -366,8 +367,8 @@ WITH c AS (
 cb AS (SELECT vec_id, v, CAST({_BUCKET} AS BIGINT) AS bucket FROM c),
 joined AS (
   SELECT a.vec_id AS id_l, b.vec_id AS id_r,
-         round(list_dot_product(a.v, b.v) /
-               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+         (floor((list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e4 + 5e-1) / 1e4)
            AS cos_sim
   FROM cb a JOIN cb b ON a.bucket = b.bucket
   WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
@@ -402,8 +403,8 @@ WITH c AS (
 cents AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
 asn AS (
   SELECT c.vec_id, c.v, cents.cid,
-    round(list_dot_product(c.v, cents.cv) /
-          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents.cv, cents.cv))), 4) AS s
+    (floor((list_dot_product(c.v, cents.cv) /
+          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents.cv, cents.cv)))) * 1e4 + 5e-1) / 1e4) AS s
   FROM c, cents
 ),
 cells AS (
@@ -419,8 +420,8 @@ pcells AS (
 ),
 scored AS (
   SELECT p.probe_id, cl.vec_id AS neighbor_id,
-    round(list_dot_product(p.pv, cl.v) /
-          (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(cl.v, cl.v))), 4) AS cos_sim
+    (floor((list_dot_product(p.pv, cl.v) /
+          (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(cl.v, cl.v)))) * 1e4 + 5e-1) / 1e4) AS cos_sim
   FROM pcells p JOIN cells cl ON p.cell = cl.cell AND cl.vec_id != p.probe_id
 ),
 ranked AS (
@@ -674,7 +675,7 @@ ORACLE_SQL: dict[str, str] = {
         ),
         logp AS (
           SELECT bigram,
-            CAST(round(ln(cab / CAST(ca AS DOUBLE)) * 10000.0, 0) AS BIGINT) AS lp
+            CAST(floor(ln(cab / CAST(ca AS DOUBLE)) * 1e4 + 5e-1) AS BIGINT) AS lp
           FROM bc JOIN ctx ON string_split(bc.bigram, ' ')[1] = ctx.a
         )
         SELECT e.doc_id, count(*) AS n_bigrams,
@@ -710,8 +711,8 @@ ORACLE_SQL: dict[str, str] = {
         ),
         scored AS (
           SELECT bigram, n_ab, n_a, n_b,
-            round(ln((CAST(n_ab AS DOUBLE) * n_total)
-                     / (CAST(n_a AS DOUBLE) * n_b)), 4) AS pmi
+            (floor(ln((CAST(n_ab AS DOUBLE) * n_total)
+                     / (CAST(n_a AS DOUBLE) * n_b)) * 1e4 + 5e-1) / 1e4) AS pmi
           FROM j
         ),
         top AS (
@@ -1959,9 +1960,9 @@ rbuck AS (
           FROM orders GROUP BY o_orderstatus
         )
         SELECT o_orderkey, o.o_orderstatus,
-               round(CASE WHEN o_totalprice IS NULL THEN NULL
+               (floor((CASE WHEN o_totalprice IS NULL THEN NULL
                      ELSE least(greatest(CAST(o_totalprice AS DOUBLE), lo), hi)
-                     END, 3) AS winsorized
+                     END) * 1e3 + 5e-1) / 1e3) AS winsorized
         FROM orders o JOIN b USING (o_orderstatus)
     """,
     "kfold_split": f"""
@@ -2102,8 +2103,8 @@ rbuck AS (
         rolled AS (
           SELECT b.doc_id,
                  count(b.bucket) AS n_tokens,
-                 round((COALESCE(CAST(sum(w.ws) AS BIGINT), 0)
-                        + {int(CLASSIFIER_BIAS * 1000000)}) / 1000000.0, 6) AS margin
+                 (floor((COALESCE(CAST(sum(w.ws) AS BIGINT), 0)
+                        + {int(CLASSIFIER_BIAS * 1000000)}) / 1000000.0 * 1e6 + 5e-1) / 1e6) AS margin
           FROM b LEFT JOIN w USING (bucket)
           GROUP BY b.doc_id
         )
@@ -2254,11 +2255,11 @@ rbuck AS (
         ),
         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
         idf AS (
-          SELECT token, round(ln((n_docs + 1.0) / (df + 1.0)), 4) AS idf
+          SELECT token, (floor(ln((n_docs + 1.0) / (df + 1.0)) * 1e4 + 5e-1) / 1e4) AS idf
           FROM dfreq, n
         ),
         scored AS (
-          SELECT tf.doc_id, tf.token, tf.tf, round(tf.tf * idf.idf, 4) AS tfidf
+          SELECT tf.doc_id, tf.token, tf.tf, (floor(tf.tf * idf.idf * 1e4 + 5e-1) / 1e4) AS tfidf
           FROM tf JOIN idf USING (token)
         )
         SELECT doc_id, token, tf, tfidf,
@@ -2355,8 +2356,8 @@ def _char_entropy_sql() -> str:
         for i, s in enumerate(symbols)
     )
     terms = " + ".join(
-        f"(CASE WHEN c{i} > 0 THEN c{i} * CAST(round(ln(c{i} /"
-        f" CAST(n_chars_norm AS DOUBLE)) * 10000.0, 0) AS BIGINT)"
+        f"(CASE WHEN c{i} > 0 THEN c{i} * CAST(floor(ln(c{i} /"
+        f" CAST(n_chars_norm AS DOUBLE)) * 1e4 + 5e-1) AS BIGINT)"
         f" ELSE CAST(0 AS BIGINT) END)"
         for i in range(len(symbols))
     )
@@ -2421,13 +2422,13 @@ def _bm25_sql(k1: float = 1.2, b: float = 0.75, top_k: int = 10) -> str:
         dft AS (SELECT token, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY token),
         terms AS (
           SELECT qq.query_id, t.doc_id,
-            CAST(round(
-              round(ln((n_docs - dfreq + {d.format(x=0.5)})
-                       / (dfreq + {d.format(x=0.5)}) + {d.format(x=1.0)}), 4)
+            CAST(floor(
+              (floor(ln((n_docs - dfreq + {d.format(x=0.5)})
+                       / (dfreq + {d.format(x=0.5)}) + {d.format(x=1.0)}) * 1e4 + 5e-1) / 1e4)
               * ((tfreq * {d.format(x=k1 + 1.0)})
                  / (tfreq + {d.format(x=k1)}
                     * ({d.format(x=1.0 - b)} + {d.format(x=b)} * dlen / avgdl)))
-              * {d.format(x=10000.0)}, 0) AS BIGINT) AS ts
+              * {d.format(x=10000.0)} + 5e-1) AS BIGINT) AS ts
           FROM tf t
           JOIN dft USING (token)
           JOIN dl USING (doc_id)
@@ -2436,7 +2437,7 @@ def _bm25_sql(k1: float = 1.2, b: float = 0.75, top_k: int = 10) -> str:
         ),
         scored AS (
           SELECT query_id, doc_id,
-                 round(CAST(sum(ts) AS BIGINT) / {d.format(x=10000.0)}, 4) AS score
+                 (floor(CAST(sum(ts) AS BIGINT) / {d.format(x=10000.0)} * 1e4 + 5e-1) / 1e4) AS score
           FROM terms GROUP BY query_id, doc_id
         )
         SELECT query_id, doc_id, score,
@@ -2603,8 +2604,8 @@ WITH c AS (
 cents AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 16),
 asn AS (
   SELECT c.vec_id, c.v, cents.cid,
-    round(list_dot_product(c.v, cents.cv) /
-          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents.cv, cents.cv))), 4) AS s
+    (floor((list_dot_product(c.v, cents.cv) /
+          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents.cv, cents.cv)))) * 1e4 + 5e-1) / 1e4) AS s
   FROM c, cents
 ),
 cells AS (
@@ -2615,8 +2616,8 @@ cells AS (
 dropped AS (
   SELECT DISTINCT b.vec_id AS id_b
   FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE round(list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+  WHERE (floor((list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e4 + 5e-1) / 1e4) >= 0.4
 )
 SELECT cl.vec_id, cl.cell
 FROM cells cl
@@ -2641,7 +2642,7 @@ ctx AS (
 ),
 logp AS (
   SELECT bigram,
-    CAST(round(ln(cab / CAST(ca AS DOUBLE)) * 10000.0, 0) AS BIGINT) AS lp
+    CAST(floor(ln(cab / CAST(ca AS DOUBLE)) * 1e4 + 5e-1) AS BIGINT) AS lp
   FROM bc JOIN ctx ON string_split(bc.bigram, ' ')[1] = ctx.a
 ),
 lm AS (
@@ -2808,7 +2809,7 @@ r{i} AS (
     body = ",".join(parts)
     return f"""
 WITH {body}
-SELECT node, round(CAST(r AS BIGINT) / CAST({u}.0 AS DOUBLE), 9) AS pagerank
+SELECT node, (floor(CAST(r AS BIGINT) / CAST({u}.0 AS DOUBLE) * 1e9 + 5e-1) / 1e9) AS pagerank
 FROM r{iters}
 """
 
@@ -2899,9 +2900,9 @@ noise AS (
   FROM c
 )
 SELECT c_mktsegment,
-  round(n + (-CAST(2.0 AS DOUBLE))
+  (floor((n + (-CAST(2.0 AS DOUBLE))
             * sign(u - CAST(0.5 AS DOUBLE))
-            * ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE))), 4)
+            * ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE)))) * 1e4 + 5e-1) / 1e4)
     AS n_dp
 FROM noise
 """
@@ -3703,9 +3704,9 @@ noised AS (
   FROM sums
 )
 SELECT o_orderstatus,
-  round(CAST(s AS DOUBLE) / 100.0
-        + (-(100000.0 / 0.5) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))),
-        4) AS sum_dp
+  (floor((CAST(s AS DOUBLE) / 100.0
+        + (-(100000.0 / 0.5) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))))
+        * 1e4 + 5e-1) / 1e4) AS sum_dp
 FROM noised
 ORDER BY o_orderstatus
 """
@@ -5556,7 +5557,7 @@ WITH c AS (
 ),
 p AS (SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 10),
 fs AS (
-  SELECT p.probe_id, c.vec_id AS neighbor_id, round(list_dot_product(p.pv, c.v) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+  SELECT p.probe_id, c.vec_id AS neighbor_id, (floor((list_dot_product(p.pv, c.v) / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(c.v, c.v)))) * 1e4 + 5e-1) / 1e4) AS cos_sim
   FROM c, p WHERE c.vec_id != p.probe_id
 ),
 fr AS (
@@ -5570,9 +5571,9 @@ tc AS (SELECT vec_id, v[1:8] AS v FROM c),
 tp AS (SELECT probe_id, pv[1:8] AS pv FROM p),
 ts2 AS (
   SELECT tp.probe_id, tc.vec_id AS neighbor_id,
-         round(list_dot_product(tp.pv, tc.v) /
+         (floor((list_dot_product(tp.pv, tc.v) /
                (sqrt(list_dot_product(tp.pv, tp.pv))
-                * sqrt(list_dot_product(tc.v, tc.v))), 4) AS cos_sim
+                * sqrt(list_dot_product(tc.v, tc.v)))) * 1e4 + 5e-1) / 1e4) AS cos_sim
   FROM tc, tp WHERE tc.vec_id != tp.probe_id
 ),
 tr AS (

@@ -988,7 +988,7 @@ def test_semantic_dedup_matches_numpy_reference(spark, vecs, threshold):
 @given(
     nums=st.lists(st.integers(1, 10**7), min_size=8, max_size=40),
     b=st.integers(0, 4),
-    dp=st.sampled_from([4, 6, 8]),
+    dp=st.sampled_from([3, 4, 6, 8, 9]),
 )
 def test_fround_agrees_cross_engine_on_decimal_ties(spark, nums, b, dp):
     """fround (the pure-IEEE floor-form round) must agree bit-for-bit
