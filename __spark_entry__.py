@@ -2391,7 +2391,12 @@ def q_curation_pipeline(spark, sf_dir):
 def q_multimodal_decode(spark, sf_dir):
     """Opaque-binary metadata extraction via Arrow-batched mapInPandas."""
     docs = _conn(spark, sf_dir).table("documents")
-    return decode_blob_metadata(with_binary_column(docs, "text"), "payload", "doc_id")
+    # codec=False: payloads are UTF-8 text stand-ins, not real images —
+    # pin the deterministic fake so results are environment-independent
+    # (Pillow auto-detection would otherwise route them into a real codec)
+    return decode_blob_metadata(
+        with_binary_column(docs, "text"), "payload", "doc_id", codec=False
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -3784,6 +3789,23 @@ def q_corr_matrix(spark, sf_dir):
     )
 
 
+
+def q_corr_matrix_fast(spark, sf_dir):
+    """corr_matrix on its DEFAULT (double-accumulator) path — the
+    interactive-profiling plan a 100 TB caller gets without asking:
+    identical single-scan 1-row aggregate shape, plain double sums
+    (measured ~45x cheaper than the exact DECIMAL path at sf0.1).
+    Twin-checked against a numpy float64 replica with a declared 1e-5
+    tolerance (double summation order differs); the bit-exact DECIMAL
+    variant keeps its DuckDB oracle under `corr_matrix`."""
+    from hashquery_spark.ops import corr_matrix
+
+    li = _conn(spark, sf_dir).table("lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q_scd2_build(spark, sf_dir):
     """SCD-2 validity intervals from the event change log (user_id's
     event_type as the tracked state): change-detection lag + interval
@@ -4427,6 +4449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "t_closeness": q_t_closeness,
         "corr_matrix": q_corr_matrix,
+        "corr_matrix_fast": q_corr_matrix_fast,
         "scd2_build": q_scd2_build,
         "cooccurrence": q_cooccurrence,
         "quantile_normalize": q_quantile_normalize,

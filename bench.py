@@ -176,6 +176,8 @@ HEADLINE = [
     "split_by_cluster",
     "matryoshka_eval",
     "ewma",
+    # round 5 appends (never reshuffle — round-over-round comparability)
+    "corr_matrix_fast",
 ]
 
 

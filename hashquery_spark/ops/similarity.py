@@ -204,6 +204,60 @@ class IvfIndex:
             self._flat.unpersist()
         self.assigned.unpersist()
 
+    def write(self, path: str) -> None:
+        """Persist the index so later SESSIONS amortize the build (the
+        r1 soft spot: the centroid collect + assignment pass were paid
+        per fresh index; the in-session memoization only amortized within
+        one session). Layout:
+
+        * ``{path}/assigned`` — the cell-assigned corpus, parquet
+          PARTITIONED BY ``__cell__`` (per-cell files: a static cell
+          filter prunes partitions, and per-cell row groups keep the
+          search equi-join's input co-located).
+        * ``{path}/centroids`` — n_centroids rows (cid, cvec) plus the
+          id/vec column names as constant metadata columns. Tiny by
+          construction — loading it is the ONLY driver job a
+          :func:`load_ivf_index` pays.
+        """
+        spark = self.assigned.sparkSession
+        self.assigned.write.mode("overwrite").partitionBy("__cell__").parquet(
+            path + "/assigned"
+        )
+        cent_rows = [
+            (int(cid), [float(x) for x in vec], self.id_col, self.vec_col)
+            for cid, vec in self.cents
+        ]
+        spark.createDataFrame(
+            cent_rows,
+            "cid long, cvec array<double>, id_col string, vec_col string",
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def load_ivf_index(spark, path: str) -> "IvfIndex":
+    """Load an :meth:`IvfIndex.write` directory. The centroid file read
+    (bounded: n_centroids rows) is the only driver job; the assigned
+    corpus is a lazy parquet scan — searches against the loaded index
+    launch no further driver work beyond their own execution."""
+    import math
+
+    cent_rows = spark.read.parquet(path + "/centroids").collect()
+    if not cent_rows:
+        raise ValueError(f"no centroids found under {path}/centroids")
+    cents = sorted(
+        (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows
+    )
+    id_col, vec_col = cent_rows[0]["id_col"], cent_rows[0]["vec_col"]
+    cent_norms = {
+        cid: math.sqrt(sum(x * x for x in vec)) for cid, vec in cents
+    }
+    assigned = spark.read.parquet(path + "/assigned").withColumn(
+        # partition-directory inference types __cell__ as INT; the
+        # in-memory build keeps it BIGINT — normalize so plans match
+        "__cell__",
+        F.col("__cell__").cast("long"),
+    )
+    return IvfIndex(cents, cent_norms, assigned, id_col, vec_col)
+
 
 def ivf_index(
     corpus: DataFrame,

@@ -262,6 +262,43 @@ def twin_embedding_pca(con):
     return pd.DataFrame(out, columns=["vec_id", "pc1", "pc2"])
 
 
+
+def twin_corr_matrix_fast(con):
+    """corr_matrix's DEFAULT (double-accumulator) path: numpy float64
+    per-pair moments over the identical pairwise-complete rows. Double
+    summation order differs between Spark's partial aggregation and
+    numpy's pairwise sum, so the compare declares a 1e-5 tolerance —
+    ~7 orders above the worst observed drift, 10x under the 6-dp grid.
+    The EXACT path keeps its bit-exact DuckDB oracle (corr_matrix)."""
+    import pandas as pd
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pdf = con.execute(
+        f"SELECT {', '.join(cols)} FROM lineitem"
+    ).fetch_df()
+    out = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            x, y = cols[i], cols[j]
+            both = pdf[[x, y]].dropna()
+            n = len(both)
+            xv = both[x].astype(float).to_numpy()
+            yv = both[y].astype(float).to_numpy()
+            corr = None
+            if n >= 2:
+                sx, sy = xv.sum(), yv.sum()
+                qxx = (xv * xv).sum()
+                qyy = (yv * yv).sum()
+                qxy = (xv * yv).sum()
+                num = n * qxy - sx * sy
+                vx = n * qxx - sx * sx
+                vy = n * qyy - sy * sy
+                if vx > 0 and vy > 0:
+                    corr = _fround(num / math.sqrt(vx * vy), 6)
+            out.append((x, y, n, corr))
+    return pd.DataFrame(out, columns=["col_x", "col_y", "n", "corr"])
+
+
 # name -> (twin fn, compare opts). float_atol=None means the exact
 # repr canon (the driver gate); drop_cols are derived columns excluded
 # from the tolerant compare (documented per twin).
@@ -278,4 +315,5 @@ PY_TWINS: Dict[str, Tuple[Callable[[Any], Any], Dict[str, Any]]] = {
         {"float_atol": 1e-3, "drop_cols": ["keep"]},
     ),
     "embedding_pca": (twin_embedding_pca, {}),
+    "corr_matrix_fast": (twin_corr_matrix_fast, {"float_atol": 1e-5}),
 }

@@ -156,8 +156,52 @@ def test_multimodal_codec_drop_in_contract(docs, monkeypatch):
 
 
 def test_decode_stub_raises():
+    from hashquery_spark.ops.multimodal import _stub_decode_image
+
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        _stub_decode_image(b"\x89PNG")
+
+
+def test_pil_codec_autodetect_wiring():
+    """decode_image resolves to the PIL codec iff Pillow imports, else
+    the honestly-declared stub (r4 verdict #7). Environment-agnostic:
+    asserts the wiring matches whatever this container has."""
+    import hashquery_spark.ops.multimodal as mm
+
+    try:
+        import PIL.Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        assert mm.decode_image is mm._pil_decode_image
+        assert not getattr(mm.decode_image, "__is_stub__", False)
+    else:
+        assert mm.decode_image is mm._stub_decode_image
+        assert getattr(mm.decode_image, "__is_stub__", False)
+
+
+def test_pil_real_jpeg_through_same_decode_path(docs):
+    """Skip-if-absent (r4 verdict #7): when Pillow exists, a REAL JPEG
+    runs through the SAME decode_blob_metadata schema/batch path and the
+    metadata columns carry its true dimensions."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL.new("RGB", (37, 21)).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+    spark = docs.sparkSession
+    df = spark.createDataFrame([(1, jpeg), (2, jpeg)], "doc_id long, payload binary")
+    out = decode_blob_metadata(df, "payload", "doc_id")  # codec auto-detected
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,n_bytes:int,head_hex:string,"
+        "fake_width:int,fake_height:int>"
+    )
+    for r in out.collect():
+        assert (r["fake_width"], r["fake_height"]) == (37, 21)
+        assert r["head_hex"] == jpeg[:4].hex().upper()
 
 
 def test_multimodal_feature_extraction(docs):

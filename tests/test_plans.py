@@ -613,3 +613,79 @@ def test_round4_window2_scan_and_shuffle_budgets(spark, sf_dir):
         )
         if not smj_ok:
             assert "SortMergeJoin" not in plan, name
+
+
+def test_ivf_index_persistence_round_trip(spark, sf_dir, tmp_path):
+    """r4 verdict #6: a WRITTEN index amortizes the centroid-collect +
+    assignment build across SESSIONS. Loading pays exactly the bounded
+    centroid-file read; constructing a search plan against the loaded
+    index launches ZERO further driver jobs, and results are identical
+    to searching the in-memory index."""
+    from hashquery_spark.connection import connection_for_dir
+    from hashquery_spark.ops import ivf_index, ivf_search, load_ivf_index
+
+    conn = connection_for_dir(sf_dir, spark)
+    emb = conn.table("embeddings")
+    probes = emb.where("vec_id < 5")
+
+    built = ivf_index(emb, "embedding", "vec_id", n_centroids=8)
+    expected = sorted(
+        (r.probe_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in ivf_search(built, probes, k=10, n_probe=2).collect()
+    )
+    path = str(tmp_path / "ivf")
+    built.write(path)
+
+    loaded = load_ivf_index(spark, path)
+    assert loaded.cents == built.cents
+    assert loaded.id_col == "vec_id" and loaded.vec_col == "embedding"
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup())
+    search_plan = ivf_search(loaded, probes, k=10, n_probe=2)
+    # plan CONSTRUCTION against a loaded index is job-free (the centroid
+    # literals came from the load; nothing collects)
+    assert len(tracker.getJobIdsForGroup()) == jobs_before
+    got = sorted(
+        (r.probe_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in search_plan.collect()
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_round4_window1_scan_and_shuffle_budgets(spark, sf_dir):
+    """Plan-shape pins for the round-4 window-1 operators (r4 verdict
+    #8 — these got values-parity in r4 but no scan-count/no-SMJ pins):
+    each reads its table within the documented scan budget and, unless
+    noted, never falls back to a sort-merge join."""
+    budgets = {  # name -> (max parquet scans, sort_merge_ok)
+        "average_precision": (1, False),
+        # ranked histogram + two narrow refinement passes
+        "spearman": (3, False),
+        "cramers_v": (2, False),  # pair census + 1-row total
+        "v_measure": (1, False),  # one entropy cube
+        "bootstrap_ci": (2, False),  # replicate explode + stats pass
+        # planted-dup union doubles the corpus branch; 4 pruned scans
+        "phash_near_dup": (4, False),
+        # PPJoin prefix join: both gram sides are corpus-sized by
+        # construction — a sort-merge join IS the right plan there
+        "containment_join": (2, True),
+        "fleiss_kappa": (1, False),
+        "mutual_information": (1, False),  # one cube, no join-back
+        "ks_test": (4, False),  # two ECDF prefix passes per side
+        "rouge_l": (2, False),
+        "retrieval_metrics": (1, False),
+        "zipf_fit": (1, False),
+        "interarrival_stats": (1, False),
+        "chi_square_drift": (2, False),
+        "embedding_quantize": (1, False),
+        "bloom_contamination": (4, False),  # k word-probe branches
+        "fairness_report": (1, False),
+    }
+    for name, (max_scans, smj_ok) in budgets.items():
+        plan = _physical(entry_mod.queries()[name](spark, sf_dir))
+        assert plan.count("Scan parquet") <= max_scans, (
+            f"{name}: {plan.count('Scan parquet')} scans"
+        )
+        if not smj_ok:
+            assert "SortMergeJoin" not in plan, name
