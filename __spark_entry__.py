@@ -3806,6 +3806,80 @@ def q_corr_matrix_fast(spark, sf_dir):
     )
 
 
+
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b per returnflag (quantity vs discount) — the
+    tie-corrected concordance statistic over the JOINT value-grid
+    contingency table: rows reduce to cells (one groupBy), P/Q come
+    from the bounded cell-pair join, every count/product an exact
+    DECIMAL(38) integer, one fixed-order sqrt chain frounded at 6 dp."""
+    from hashquery_spark.ops import kendall_tau
+
+    li = _conn(spark, sf_dir).table("lineitem")
+    return kendall_tau(
+        li, "l_quantity", "l_discount", by="l_returnflag"
+    ).orderBy("l_returnflag")
+
+
+def q_acf(spark, sf_dir):
+    """Sample autocorrelation of the hourly event-count series at lags
+    1..26 (the 720-hour corpus: lag 24 reads the daily cycle) — exact
+    integer-rational estimator over DECIMAL(38) sums, one double divide
+    per lag, frounded at 6 dp."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import acf
+
+    ev = _conn(spark, sf_dir).table("events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return acf(hourly, "h", "n", max_lag=26, grid=1.0)
+
+
+def q_pack_stats(spark, sf_dir):
+    """Packing-efficiency report for the budget-2048 pack_sequences
+    plan: pack count via integer DIV, fill/straddle ratios on the
+    tie-proof 4-dp grid — one aggregate over the distributed
+    prefix-sum plan."""
+    from hashquery_spark.ops import pack_stats
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return pack_stats(docs, "text", "doc_id", budget=2048, seed=3)
+
+
+def q_edit_distance_join(spark, sf_dir):
+    """PassJoin edit-distance join (segment blocking, counting recall
+    guarantee): a synthetic typo'd CRM copy of customer names (one
+    deletion / one substitution / two insertions by key class) matched
+    back at levenshtein <= 2. The oracle BRUTE-FORCES the cross product
+    — equality of result sets is a direct test of the blocking's recall
+    guarantee. Digit-tail neighbors (..001 vs ..002) match too, so the
+    result set is deliberately non-trivial."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import edit_distance_join
+
+    cust = (
+        _conn(spark, sf_dir)
+        .table("customer")
+        .where("c_custkey < 200")
+        .select("c_custkey", "c_name")
+    )
+    crm = cust.selectExpr(
+        "c_custkey AS crm_key",
+        "CASE CAST(c_custkey % 4 AS INT)"
+        " WHEN 0 THEN c_name"
+        " WHEN 1 THEN substring(c_name, 1, length(c_name) - 1)"
+        " WHEN 2 THEN concat(substring(c_name, 1, 9), 'X',"
+        "                    substring(c_name, 11))"
+        " ELSE concat('xy', c_name) END AS account",
+    )
+    return edit_distance_join(
+        crm, cust, "account", "c_name", "crm_key", "c_custkey", max_dist=2
+    ).orderBy("id_l", "id_r")
+
+
 def q_scd2_build(spark, sf_dir):
     """SCD-2 validity intervals from the event change log (user_id's
     event_type as the tracked state): change-detection lag + interval
@@ -4450,6 +4524,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "corr_matrix": q_corr_matrix,
         "corr_matrix_fast": q_corr_matrix_fast,
+        "kendall_tau": q_kendall_tau,
+        "acf": q_acf,
+        "pack_stats": q_pack_stats,
+        "edit_distance_join": q_edit_distance_join,
         "scd2_build": q_scd2_build,
         "cooccurrence": q_cooccurrence,
         "quantile_normalize": q_quantile_normalize,

@@ -178,6 +178,10 @@ HEADLINE = [
     "ewma",
     # round 5 appends (never reshuffle — round-over-round comparability)
     "corr_matrix_fast",
+    "kendall_tau",
+    "acf",
+    "pack_stats",
+    "edit_distance_join",
 ]
 
 

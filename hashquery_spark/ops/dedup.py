@@ -670,3 +670,92 @@ def split_by_cluster(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def monotone_value_bucket(value: Column) -> Column:
+    """Data-independent, WEAKLY MONOTONE bucket key for a DOUBLE value:
+    sign-folded octave + 5 mantissa bits (~32 sub-buckets per power of
+    two, ~2k live buckets over any real value range). Any weakly
+    monotone bucketing is correct for two-phase prefix sums — bucket ids
+    cancel out of the global cumulative totals — and the mantissa form
+    is self-healing at octave boundaries (an off-by-one log2 at v≈2^k
+    lands on the same key). Octaves span [-1075, 1024], so ±40000
+    offsets keep the positive range, zero, and the negative range
+    strictly separated and ordered."""
+    av = F.abs(value)
+    e = F.floor(F.log2(av))
+    key = (e * 32 + F.floor((av / F.pow(F.lit(2.0), e) - 1) * 32)).cast(
+        "long"
+    )
+    return (
+        F.when(value > 0, F.lit(40000) + key)
+        .when(value < 0, F.lit(-40000) - key)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def bucketed_running_sums(
+    hist: DataFrame, by, value_col: str, sum_cols, out_cols=None
+) -> DataFrame:
+    """``hist`` + one ``__cum_{c}__`` inclusive running total per
+    ``sum_cols`` entry, ordered by ``value_col`` within each ``by``
+    group — via the TWO-PHASE distributed prefix sum (per-bucket windows
+    over :func:`monotone_value_bucket` keys + bucket-base offsets from a
+    per-group window over the bounded bucket-totals frame).
+
+    Replaces ``sum().over(Window.partitionBy(by).orderBy(value))`` on
+    HISTOGRAM frames: a per-group ordered window buffers and sorts the
+    whole group in ONE task, and on a near-continuous column the
+    histogram approaches row count — the r5 sf1 bench measured a >15 min
+    single-task stall in exactly that stage (spearman on 6M prices)
+    where this form runs wide and flat (~6 s at both sf0.1 and sf1).
+    The bucketed histogram feeds two differently-pruned consumers
+    (windowed cumsum + bucket totals), so the upstream pipeline executes
+    twice — measured cheaper than a localCheckpoint barrier at every
+    scale tried (the checkpoint's two blocking jobs cost more than the
+    second scan+agg)."""
+    from pyspark.sql import Window
+
+    by = list(by)
+    sum_cols = list(sum_cols)
+    out_cols = list(out_cols) if out_cols else [f"__cum{i}__" for i in range(len(sum_cols))]
+    bucketed = hist.withColumn(
+        "__bkt__", monotone_value_bucket(F.col(value_col))
+    )
+    w_in = (
+        Window.partitionBy(*by, "__bkt__")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = bucketed.select(
+        "*", *[F.sum(c).over(w_in).alias(f"__in_{c}__") for c in sum_cols]
+    )
+    btot = bucketed.groupBy(*by, "__bkt__").agg(
+        *[F.sum(c).alias(f"__bt_{c}__") for c in sum_cols]
+    )
+    prior = (
+        Window.partitionBy(*by)
+        .orderBy("__bkt__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = btot.select(
+        *by,
+        "__bkt__",
+        *[
+            F.coalesce(F.sum(f"__bt_{c}__").over(prior), F.lit(0)).alias(
+                f"__base_{c}__"
+            )
+            for c in sum_cols
+        ],
+    )
+    out = cum_in.join(offsets, on=by + ["__bkt__"])
+    for c, oc in zip(sum_cols, out_cols):
+        out = out.withColumn(
+            oc, F.col(f"__base_{c}__") + F.col(f"__in_{c}__")
+        )
+    return out.drop(
+        "__bkt__",
+        *[f"__in_{c}__" for c in sum_cols],
+        *[f"__base_{c}__" for c in sum_cols],
+    )

@@ -61,13 +61,17 @@ def binary_auc(
             F.sum(1 - pos).cast("long").alias("__q__"),
         )
     )
-    w_ord = (
-        Window.partitionBy(*by)
-        .orderBy("__s__")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = (F.sum(F.col("__p__") + F.col("__q__")).over(w_ord)).alias("__cum__")
-    hist = hist.select(*by, "__p__", "__q__", cum)
+    # two-phase distributed prefix sum over the score histogram, NOT one
+    # per-group ordered window (single-task sort on near-continuous
+    # scores — the r5 spearman sf1 stall class)
+    from .dedup import bucketed_running_sums
+
+    hist = bucketed_running_sums(
+        hist.withColumn("__cq__", F.col("__p__") + F.col("__q__")),
+        by,
+        "__s__",
+        ["__cq__"],
+    ).select(*by, "__p__", "__q__", F.col("__cum0__").alias("__cum__"))
     # tie run of size c = __p__+__q__ ends at __cum__; average rank
     # doubled = 2*(cum-c) + c + 1 = 2*cum - c + 1
     c = F.col("__p__") + F.col("__q__")
@@ -141,21 +145,31 @@ def average_precision(
             F.sum(1 - pos).cast("long").alias("__q__"),
         )
     )
-    w_desc = (
-        Window.partitionBy(*by)
-        .orderBy(F.desc("__s__"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # descending cumsum = ascending two-phase prefix sum over the NEGATED
+    # score (the r5 spearman sf1 stall class: never one per-group ordered
+    # window over a near-continuous score histogram); n_pos totals via a
+    # bounded groupBy + broadcast join-back instead of a whole-group window
+    from .dedup import bucketed_running_sums
+
+    cumf = bucketed_running_sums(
+        hist.withColumn("__ns__", -F.col("__s__")).withColumn(
+            "__cq__", F.col("__p__") + F.col("__q__")
+        ),
+        by,
+        "__ns__",
+        ["__p__", "__cq__"],
     )
-    w_all = Window.partitionBy(*by).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    hist = hist.select(
+    totals = hist.groupBy(*by).agg(F.sum("__p__").alias("__npos__"))
+    hist = (
+        cumf.join(F.broadcast(totals), on=by) if by
+        else cumf.crossJoin(F.broadcast(totals))
+    ).select(
         *by,
         "__p__",
         "__q__",
-        F.sum("__p__").over(w_desc).alias("__tp__"),
-        F.sum(F.col("__p__") + F.col("__q__")).over(w_desc).alias("__cum__"),
-        F.sum("__p__").over(w_all).alias("__npos__"),
+        F.col("__cum0__").alias("__tp__"),
+        F.col("__cum1__").alias("__cum__"),
+        "__npos__",
     )
     num = F.col("__p__").cast("decimal(38,0)") * F.col("__tp__")
     den = F.col("__npos__").cast("decimal(38,0)") * F.col("__cum__")
@@ -979,17 +993,15 @@ def mann_whitney(
             F.sum(1 - a_flag).cast("long").alias("__q__"),
         )
     )
-    w_ord = (
-        Window.partitionBy(*by)
-        .orderBy("__s__")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    hist = hist.select(
-        *by,
-        "__p__",
-        "__q__",
-        F.sum(F.col("__p__") + F.col("__q__")).over(w_ord).alias("__cum__"),
-    )
+    # two-phase distributed prefix sum (see binary_auc — same hazard)
+    from .dedup import bucketed_running_sums
+
+    hist = bucketed_running_sums(
+        hist.withColumn("__cq__", F.col("__p__") + F.col("__q__")),
+        by,
+        "__s__",
+        ["__cq__"],
+    ).select(*by, "__p__", "__q__", F.col("__cum0__").alias("__cum__"))
     c = F.col("__p__") + F.col("__q__")
     two_rank = 2 * F.col("__cum__") - c + 1
     cd = c.cast("decimal(38,0)")

@@ -227,3 +227,123 @@ def containment_join(
         )
     )
     return verified.where(F.col("containment") >= threshold)
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_id: str,
+    right_id: str,
+    max_dist: int = 2,
+    max_len: int = 1000,
+) -> DataFrame:
+    """(id_l, id_r, edit_distance) — pairs whose Levenshtein distance is
+    ≤ ``max_dist``: the record-linkage join for typo-class matching
+    (names, titles, SKUs) where gram-Jaccard (:func:`fuzzy_join`) is the
+    wrong metric because ORDER and single-character errors matter.
+
+    Scale design — PassJoin segment blocking (Li, Deng, Feng 2011), a
+    COUNTING recall guarantee like containment_join's prefix filter, not
+    an LSH S-curve: split every left string into ``max_dist + 1``
+    contiguous segments (even-split rule); if lev(a, b) ≤ d then some
+    segment of ``a`` survives untouched and appears in ``b`` as an EXACT
+    substring whose start shifts by at most d (≤ d indels shift any
+    position by ≤ d). The right side therefore emits, for each candidate
+    left length la ∈ [lb−d, lb+d] and each segment of la's partition
+    scheme, only the substrings inside that ±d position window —
+    (2d+1)·(d+1)·(2d+1) ≈ 45 short keys per row at d=2, joined equi on
+    (la, segment_index, segment_text). Exact ``levenshtein`` verifies
+    every distinct candidate (both engines compute it identically —
+    integer-exact, no rounding site anywhere).
+
+    Strings longer than ``max_len`` are EXCLUDED (documented contract:
+    this is a short-string linkage join; the O(len²) verify and the
+    segment scheme both assume bounded keys — route documents through
+    fuzzy_join/containment_join instead). NULL strings drop.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    d = int(max_dist)
+    nseg = d + 1
+
+    def norm(df: DataFrame, text: str, idc: str, out_id: str, out_s: str):
+        s = F.col(text)
+        return df.where(
+            s.isNotNull() & (F.length(s) >= 1) & (F.length(s) <= max_len)
+        ).select(F.col(idc).alias(out_id), s.alias(out_s))
+
+    ln = norm(left, left_on, left_id, "id_l", "__a__")
+    rn = norm(right, right_on, right_id, "id_r", "__b__")
+    # left keys: one per segment — (la, i, seg). Even-split rule:
+    # len_i = la DIV nseg + (i < la % nseg), p_i = 1-based start.
+    lkeys = ensure_parallelism(ln).selectExpr(
+        "id_l",
+        "__a__",
+        f"explode(sequence(0, {d})) AS __i__",
+    ).selectExpr(
+        "id_l",
+        "length(__a__) AS __la__",
+        "__i__",
+        f"substring(__a__, 1 + __i__ * (length(__a__) DIV {nseg})"
+        f" + least(__i__, length(__a__) % {nseg}),"
+        f" (length(__a__) DIV {nseg})"
+        f" + (CASE WHEN __i__ < length(__a__) % {nseg} THEN 1 ELSE 0 END))"
+        " AS __seg__",
+    ).where(F.col("__seg__") != "")
+    # right keys: for each la in [lb-d, lb+d] x segment i x start offset
+    # within the ±d window of la's segment-i position
+    rkeys = ensure_parallelism(rn).selectExpr(
+        "id_r",
+        "__b__",
+        "length(__b__) AS __lb__",
+        f"explode(sequence(greatest(1, length(__b__) - {d}),"
+        f" length(__b__) + {d})) AS __la__",
+    ).selectExpr(
+        "id_r",
+        "__b__",
+        "__lb__",
+        "__la__",
+        f"explode(sequence(0, {d})) AS __i__",
+    ).selectExpr(
+        "id_r",
+        "__b__",
+        "__lb__",
+        "__la__",
+        "__i__",
+        f"(__la__ DIV {nseg})"
+        f" + (CASE WHEN __i__ < __la__ % {nseg} THEN 1 ELSE 0 END) AS __len__",
+        f"1 + __i__ * (__la__ DIV {nseg}) + least(__i__, __la__ % {nseg})"
+        " AS __p__",
+    ).where(F.col("__len__") > 0).selectExpr(
+        "id_r",
+        "__b__",
+        "__la__",
+        "__i__",
+        "__len__",
+        f"explode(sequence(greatest(1, __p__ - {d}),"
+        f" least(__lb__ - __len__ + 1, __p__ + {d}))) AS __s__",
+    ).selectExpr(
+        "id_r",
+        "__la__",
+        "__i__",
+        "substring(__b__, __s__, __len__) AS __seg__",
+    )
+    cands = (
+        lkeys.join(rkeys, on=["__la__", "__i__", "__seg__"])
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    verified = (
+        cands.join(ln, on="id_l")
+        .join(rn, on="id_r")
+        .select(
+            "id_l",
+            "id_r",
+            F.levenshtein(F.col("__a__"), F.col("__b__")).alias(
+                "edit_distance"
+            ),
+        )
+    )
+    return verified.where(F.col("edit_distance") <= d)

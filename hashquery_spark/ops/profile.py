@@ -1053,14 +1053,15 @@ def gini(df: DataFrame, value_col: str, by=None) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("__c__"))
     )
-    w = (
-        Window.partitionBy(*by)
-        .orderBy("__cv__")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # two-phase distributed prefix sum over the cent-grid histogram —
+    # never one per-group ordered window (single-task sort on
+    # near-continuous values, the r5 spearman sf1 stall class)
+    from .dedup import bucketed_running_sums
+
     d38 = "decimal(38,0)"
-    cum = F.sum("__c__").over(w)
-    terms = hist.select(
+    cumf = bucketed_running_sums(hist, by, "__cv__", ["__c__"])
+    cum = F.col("__cum0__")
+    terms = cumf.select(
         *by,
         "__c__",
         "__cv__",
@@ -1158,6 +1159,131 @@ def cramers_v(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     )
 
 
+def kendall_tau(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    by=None,
+    max_cells: int = 4000,
+) -> DataFrame:
+    """Kendall rank correlation tau-b between two numeric columns,
+    optionally per ``by`` group — the concordance statistic (P[agree] −
+    P[disagree] over random pairs, tie-corrected): more robust than
+    Spearman for small n / heavy ties, and the standard rank-agreement
+    readout for "do two scorers order documents the same way". Output:
+    group cols + ``n, kendall_tau`` (NULL when either column is constant).
+
+    tau_b = (P − Q) / sqrt((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2,
+    n1/n2 = tied-pair counts per column, P/Q = concordant/discordant
+    pair counts.
+
+    Scale/exactness: rows reduce to the JOINT value-grid contingency
+    table (one groupBy, map-side combined, bounded by grid cardinality
+    — the spearman histogram contract squared); P and Q come from the
+    CELL-pair self-join (bounded: cells², never rows²), all counts and
+    products exact DECIMAL(38) integers; the final quotient is one
+    fixed-order IEEE chain (sqrt·sqrt like spearman), frounded to 6 dp.
+    ``max_cells`` guards the self-join the way bradley_terry guards its
+    player collect: a near-continuous column pair must be quantized
+    (``fround(col, k)``) first — raising beats silently launching a
+    trillion-row join.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    x, y = F.col(col_x), F.col(col_y)
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        *by, x.cast("double").alias("__x__"), y.cast("double").alias("__y__")
+    )
+    cells = base.groupBy(*by, "__x__", "__y__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    n_cells = cells.count()  # bounded-guard job (the bradley_terry contract)
+    if n_cells > max_cells:
+        raise ValueError(
+            f"kendall_tau: {n_cells} joint value cells > max_cells="
+            f"{max_cells}; quantize the columns (fround) before calling — "
+            "the cell-pair join is quadratic in cells by design"
+        )
+    d38 = "decimal(38,0)"
+    a = cells.select(
+        *[F.col(c).alias(f"__g{i}__") for i, c in enumerate(by)],
+        F.col("__x__").alias("__xa__"),
+        F.col("__y__").alias("__ya__"),
+        F.col("__c__").alias("__ca__"),
+    )
+    b = cells.select(
+        *[F.col(c).alias(f"__g{i}__") for i, c in enumerate(by)],
+        F.col("__x__").alias("__xb__"),
+        F.col("__y__").alias("__yb__"),
+        F.col("__c__").alias("__cb__"),
+    )
+    keys = [f"__g{i}__" for i in range(len(by))]
+    pairs = (
+        a.join(F.broadcast(b), on=keys) if keys else a.crossJoin(F.broadcast(b))
+    ).where(F.col("__xa__") < F.col("__xb__"))
+    pq = pairs.groupBy(*keys).agg(
+        F.sum(
+            F.when(
+                F.col("__ya__") < F.col("__yb__"),
+                F.col("__ca__").cast(d38) * F.col("__cb__"),
+            )
+        ).alias("__p__"),
+        F.sum(
+            F.when(
+                F.col("__ya__") > F.col("__yb__"),
+                F.col("__ca__").cast(d38) * F.col("__cb__"),
+            )
+        ).alias("__q__"),
+    )
+    ties = cells.groupBy(*by).agg(F.count(F.lit(1)).alias("__ncell__"))
+    tx = (
+        base.groupBy(*by, "__x__")
+        .agg(F.count(F.lit(1)).alias("__t__"))
+        .groupBy(*by)
+        .agg(
+            F.sum(
+                F.col("__t__").cast(d38) * (F.col("__t__") - 1)
+            ).alias("__n1x2__")
+        )
+    )
+    ty = (
+        base.groupBy(*by, "__y__")
+        .agg(F.count(F.lit(1)).alias("__t__"))
+        .groupBy(*by)
+        .agg(
+            F.sum(
+                F.col("__t__").cast(d38) * (F.col("__t__") - 1)
+            ).alias("__n2x2__")
+        )
+    )
+    nrow = base.groupBy(*by).agg(F.count(F.lit(1)).alias("n"))
+    if keys:
+        pq = pq.select(
+            *[F.col(k).alias(c) for k, c in zip(keys, by)], "__p__", "__q__"
+        )
+        joined = (
+            nrow.join(tx, on=by).join(ty, on=by).join(pq, on=by, how="left")
+        )
+    else:
+        joined = nrow.crossJoin(tx).crossJoin(ty).crossJoin(F.broadcast(pq))
+    n_d = F.col("n").cast(d38)
+    n0x2 = n_d * (n_d - 1)  # 2*n0
+    da = (n0x2 - F.col("__n1x2__")).cast("double")  # 2*(n0-n1)
+    db = (n0x2 - F.col("__n2x2__")).cast("double")  # 2*(n0-n2)
+    num = (
+        F.coalesce(F.col("__p__"), F.lit(0).cast(d38))
+        - F.coalesce(F.col("__q__"), F.lit(0).cast(d38))
+    ).cast("double")
+    # tau = (P-Q) / sqrt((n0-n1)(n0-n2)) = 2(P-Q) / (sqrt(2(n0-n1)) * sqrt(2(n0-n2)))
+    return joined.select(
+        *by,
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (da > 0) & (db > 0),
+            fround(F.lit(2.0) * num / (F.sqrt(da) * F.sqrt(db)), 6),
+        ).alias("kendall_tau"),
+    )
+
+
 def spearman_corr(
     df: DataFrame, col_x: str, col_y: str, by=None
 ) -> DataFrame:
@@ -1196,20 +1322,23 @@ def spearman_corr(
     )
 
     def ranks(col_name, rank_name):
+        from .dedup import bucketed_running_sums
+
         hist = base.groupBy(*by, F.col(col_name)).agg(
             F.count(F.lit(1)).alias("__c__")
         )
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(col_name)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        cum = F.sum("__c__").over(w)
+        # The running count over the value histogram must NOT be one
+        # per-group ordered window: on a near-continuous column the
+        # histogram approaches row count and a single task buffers/sorts
+        # the whole group (measured: the r5 sf1 bench stalled >15 min in
+        # exactly this stage on 6M lineitem prices; the two-phase form
+        # runs ~6 s flat at BOTH sf0.1 and sf1).
+        cum = bucketed_running_sums(hist, by, col_name, ["__c__"])
         # tie run of c rows ending at cum: doubled average rank
-        return hist.select(
+        return cum.select(
             *by,
             col_name,
-            (2 * cum - F.col("__c__") + 1).alias(rank_name),
+            (2 * F.col("__cum0__") - F.col("__c__") + 1).alias(rank_name),
         )
 
     rx = ranks("__x__", "__rx__")
@@ -1838,17 +1967,22 @@ def quantile_normalize(
         *by, F.col(id_col), v.alias("value")
     )
     hist = base.groupBy(*by, "value").agg(F.count(F.lit(1)).alias("__c__"))
-    w_ord = (
-        Window.partitionBy(*by)
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy(*by)
-    ranked = hist.select(
+    # two-phase distributed prefix sum, NOT one per-group ordered window
+    # over the histogram (single-task sort on near-continuous columns —
+    # the r5 spearman sf1 stall class); group totals come from a bounded
+    # groupBy + join-back instead of a whole-group window
+    from .dedup import bucketed_running_sums
+
+    cum = bucketed_running_sums(hist, by, "value", ["__c__"])
+    totals = hist.groupBy(*by).agg((2 * F.sum("__c__")).alias("__2n__"))
+    ranked = (
+        cum.join(F.broadcast(totals), on=by) if by
+        else cum.crossJoin(F.broadcast(totals))
+    ).select(
         *by,
         "value",
-        (2 * F.sum("__c__").over(w_ord) - F.col("__c__") + 1).alias("__r2__"),
-        (2 * F.sum("__c__").over(w_all)).alias("__2n__"),
+        (2 * F.col("__cum0__") - F.col("__c__") + 1).alias("__r2__"),
+        "__2n__",
     )
     return base.join(ranked, on=by + ["value"]).select(
         F.col(id_col),
@@ -1960,17 +2094,20 @@ def dp_quantile(
         .groupBy(*by, v.alias("__v__"))
         .agg(F.count(F.lit(1)).alias("__c__"))
     )
-    w_ord = (
-        Window.partitionBy(*by)
-        .orderBy("__v__")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy(*by)
-    ranked = hist.select(
+    # two-phase distributed prefix sum over the value histogram (the r5
+    # spearman sf1 stall class); group totals via bounded groupBy+join
+    from .dedup import bucketed_running_sums
+
+    cumf = bucketed_running_sums(hist, by, "__v__", ["__c__"])
+    totals = hist.groupBy(*by).agg(F.sum("__c__").alias("__n__"))
+    ranked = (
+        cumf.join(F.broadcast(totals), on=by) if by
+        else cumf.crossJoin(F.broadcast(totals))
+    ).select(
         *by,
         "__v__",
-        F.sum("__c__").over(w_ord).alias("__cum__"),
-        F.sum("__c__").over(w_all).alias("__n__"),
+        F.col("__cum0__").alias("__cum__"),
+        "__n__",
     )
     target = F.expr(f"({q100}L * __n__) DIV 100")
     util = -F.abs(F.col("__cum__") - target).cast("double")

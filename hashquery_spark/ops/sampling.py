@@ -539,3 +539,54 @@ def bootstrap_ci(
         "ci_hi",
         F.lit(n_replicates).cast("long").alias("n_replicates"),
     )
+
+
+def pack_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int = 2048,
+    seed: int = 0,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(n_docs, n_tokens, n_packs, n_straddlers, avg_docs_per_pack,
+    fill_ratio, straddle_ratio) — the packing-efficiency report for a
+    :func:`pack_sequences` plan: how many fixed-``budget`` packs the
+    corpus needs, how full the LAST pack leaves the total (every other
+    pack is exactly full by construction — documents straddle
+    boundaries), and what fraction of documents straddle a boundary
+    (straddlers get split across training sequences — the attention-
+    truncation cost the report is for).
+
+    Exactness: pure integer arithmetic over the plan (n_packs =
+    ceil(total/budget) via DIV; ratios on the tie-proof 4-dp integer
+    grid). Scale: one aggregate over the plan frame — the plan itself
+    is the two-phase distributed prefix sum of pack_sequences.
+    """
+    plan = pack_sequences(df, text_col, id_col, budget, seed, n_buckets)
+    from .dedup import round4_ratio
+
+    agg = plan.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        # a doc straddles iff its tokens overflow the pack it starts in
+        F.count(
+            F.when(F.col("seq_offset") + F.col("n_tokens") > budget, 1)
+        ).alias("n_straddlers"),
+    )
+    total = F.col("n_tokens")
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        total.cast("long").alias("n_tokens"),
+        F.expr(f"(n_tokens + {budget - 1}) DIV {budget}").alias("n_packs"),
+        F.col("n_straddlers").cast("long").alias("n_straddlers"),
+        round4_ratio(
+            F.col("n_docs"), F.expr(f"(n_tokens + {budget - 1}) DIV {budget}")
+        ).alias("avg_docs_per_pack"),
+        round4_ratio(
+            total, F.expr(f"((n_tokens + {budget - 1}) DIV {budget}) * {budget}")
+        ).alias("fill_ratio"),
+        round4_ratio(F.col("n_straddlers"), F.col("n_docs")).alias(
+            "straddle_ratio"
+        ),
+    )

@@ -736,14 +736,32 @@ def kaplan_meier(
             F.count(F.when(ev.cast("boolean"), 1)).alias("n_events"),
             F.count(F.when(~ev.cast("boolean"), 1)).alias("n_censored"),
         )
+        # the (group, t) table is BOUNDED by contract (distinct
+        # durations; bucket continuous data upstream) and feeds TWO
+        # chained prefix sums with two consumers each — without a
+        # barrier the raw scan+agg re-derives 8x (measured in the r5
+        # plan audit)
+        .localCheckpoint(eager=True)
     )
-    w_desc = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("t").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    g = g.withColumn(
-        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w_desc)
+    # descending cumsum via the two-phase prefix sum over the NEGATED
+    # duration (the r5 spearman sf1 stall class: one per-group ordered
+    # window buffers the whole duration histogram in a single task on
+    # near-continuous durations)
+    from .dedup import bucketed_running_sums
+
+    g = bucketed_running_sums(
+        g.withColumn("__nt__", -F.col("t")).withColumn(
+            "__cq__", F.col("n_events") + F.col("n_censored")
+        ),
+        by,
+        "__nt__",
+        ["__cq__"],
+    ).select(
+        *by,
+        "t",
+        "n_events",
+        "n_censored",
+        F.col("__cum0__").alias("n_risk"),
     )
     term = F.when(
         (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
@@ -757,19 +775,22 @@ def kaplan_meier(
         ).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
     dead = F.when(F.col("n_events") == F.col("n_risk"), 1).otherwise(0)
-    w_asc = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("t").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ascending cumsums of the ln-term and the extinction flag (running
+    # max of a 0/1 flag == running sum > 0) — same two-phase form
+    cum2 = bucketed_running_sums(
+        g.withColumn("__term__", term).withColumn("__dd__", dead),
+        by,
+        "t",
+        ["__term__", "__dd__"],
     )
-    out = g.select(
+    out = cum2.select(
         *by,
         "t",
         "n_risk",
         "n_events",
         "n_censored",
-        F.sum(term).over(w_asc).alias("__lns__"),
-        F.max(dead).over(w_asc).alias("__dead__"),
+        F.col("__cum0__").alias("__lns__"),
+        F.when(F.col("__cum1__") > 0, 1).otherwise(0).alias("__dead__"),
     )
     return out.select(
         *by,
@@ -971,3 +992,85 @@ def ewma(
             F.coalesce(num, F.lit(0)).cast("double"), den.cast("double")
         ).alias("ewma"),
     )
+
+
+def acf(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 12,
+    grid: float = 100.0,
+) -> DataFrame:
+    """(lag, n_pairs, acf) for lags 1..``max_lag`` — the sample
+    autocorrelation function of a REGULAR series (``order_col`` defines
+    the sequence; the op indexes rows 1..n by its order, so pass an
+    already-aggregated, gap-free series — :func:`gap_fill` first if the
+    spine has holes). The seasonality/memory diagnostic: a spike at lag
+    24 on hourly counts is the daily cycle; slow decay means trend.
+
+    Uses the standard full-series-mean estimator
+    ``r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ_t(x_t−x̄)²``.
+
+    Exactness: values snap to the integer ``grid`` (cents by default);
+    with S=Σm, SS=Σm², H_k/T_k the head/tail sums and M_k = Σ m_t·m_{t+k},
+    the estimator is the exact integer rational
+    ``(n²·M_k − n·S·(H_k+T_k) + (n−k)·S²) / (n·(n·SS − S²))`` — every
+    term an order-independent DECIMAL(38) sum, one final double divide,
+    frounded to 6 dp.
+
+    Scale: the series is an AGGREGATED frame (periods, not events), so
+    the row_number window and the lag self-join run on a bounded table
+    — the bootstrap-replicates contract. The lag join is one equi-join
+    on the shifted index after a 1..max_lag explode (max_lag·n rows).
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    d38 = "decimal(38,0)"
+    w = Window.orderBy(order_col)
+    series = df.select(
+        F.row_number().over(w).alias("__t__"),
+        F.floor(
+            F.col(value_col).cast("double") * F.lit(float(grid)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__m__"),
+    ).localCheckpoint(eager=True)  # consumed 3x with different pruning
+    stats = series.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum(F.col("__m__").cast(d38)).alias("__s__"),
+        F.sum(F.col("__m__").cast(d38) * F.col("__m__")).alias("__ss__"),
+    )
+    lagged = series.select(
+        "__t__",
+        "__m__",
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("lag"),
+    ).select((F.col("__t__") + F.col("lag")).alias("__t2__"), "lag", "__m__")
+    pairs = lagged.join(
+        series.select(
+            F.col("__t__").alias("__t2__"), F.col("__m__").alias("__m2__")
+        ),
+        on="__t2__",
+    )
+    per_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("__m__").cast(d38) * F.col("__m2__")).alias("__mm__"),
+        F.sum(F.col("__m__").cast(d38)).alias("__h__"),
+        F.sum(F.col("__m2__").cast(d38)).alias("__tl__"),
+    )
+    from .dedup import fround
+
+    j = per_lag.crossJoin(F.broadcast(stats))
+    n_d = F.col("__n__").cast(d38)
+    num = (
+        n_d * n_d * F.col("__mm__")
+        - n_d * F.col("__s__") * (F.col("__h__") + F.col("__tl__"))
+        + (n_d - F.col("lag")) * F.col("__s__") * F.col("__s__")
+    ).cast("double")
+    den = (n_d * (n_d * F.col("__ss__") - F.col("__s__") * F.col("__s__"))).cast(
+        "double"
+    )
+    return j.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.when(den > 0, fround(num / den, 6)).alias("acf"),
+    ).orderBy("lag")

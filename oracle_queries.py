@@ -5605,3 +5605,152 @@ SELECT t, x,
   floor((CAST(100000 AS DOUBLE) * (coalesce(x * 300000, 0) + coalesce(x1 * 210000, 0) + coalesce(x2 * 147000, 0) + coalesce(x3 * 102900, 0) + coalesce(x4 * 72030, 0) + coalesce(x5 * 50421, 0) + coalesce(x6 * 35295, 0) + coalesce(x7 * 24706, 0) + coalesce(x8 * 17294, 0) + coalesce(x9 * 12106, 0) + coalesce(x10 * 8474, 0) + coalesce(x11 * 5932, 0) + coalesce(x12 * 4152, 0) + coalesce(x13 * 2907, 0)) + CAST(5 AS DOUBLE) * (CASE WHEN x IS NOT NULL THEN 300000 ELSE 0 END + CASE WHEN x1 IS NOT NULL THEN 210000 ELSE 0 END + CASE WHEN x2 IS NOT NULL THEN 147000 ELSE 0 END + CASE WHEN x3 IS NOT NULL THEN 102900 ELSE 0 END + CASE WHEN x4 IS NOT NULL THEN 72030 ELSE 0 END + CASE WHEN x5 IS NOT NULL THEN 50421 ELSE 0 END + CASE WHEN x6 IS NOT NULL THEN 35295 ELSE 0 END + CASE WHEN x7 IS NOT NULL THEN 24706 ELSE 0 END + CASE WHEN x8 IS NOT NULL THEN 17294 ELSE 0 END + CASE WHEN x9 IS NOT NULL THEN 12106 ELSE 0 END + CASE WHEN x10 IS NOT NULL THEN 8474 ELSE 0 END + CASE WHEN x11 IS NOT NULL THEN 5932 ELSE 0 END + CASE WHEN x12 IS NOT NULL THEN 4152 ELSE 0 END + CASE WHEN x13 IS NOT NULL THEN 2907 ELSE 0 END)) / (CAST(10 AS DOUBLE) * (CASE WHEN x IS NOT NULL THEN 300000 ELSE 0 END + CASE WHEN x1 IS NOT NULL THEN 210000 ELSE 0 END + CASE WHEN x2 IS NOT NULL THEN 147000 ELSE 0 END + CASE WHEN x3 IS NOT NULL THEN 102900 ELSE 0 END + CASE WHEN x4 IS NOT NULL THEN 72030 ELSE 0 END + CASE WHEN x5 IS NOT NULL THEN 50421 ELSE 0 END + CASE WHEN x6 IS NOT NULL THEN 35295 ELSE 0 END + CASE WHEN x7 IS NOT NULL THEN 24706 ELSE 0 END + CASE WHEN x8 IS NOT NULL THEN 17294 ELSE 0 END + CASE WHEN x9 IS NOT NULL THEN 12106 ELSE 0 END + CASE WHEN x10 IS NOT NULL THEN 8474 ELSE 0 END + CASE WHEN x11 IS NOT NULL THEN 5932 ELSE 0 END + CASE WHEN x12 IS NOT NULL THEN 4152 ELSE 0 END + CASE WHEN x13 IS NOT NULL THEN 2907 ELSE 0 END))) / CAST(10000 AS DOUBLE) AS ewma
 FROM l
 """
+
+
+ORACLE_SQL["kendall_tau"] = """
+WITH base AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_discount AS DOUBLE) AS y
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+),
+cells AS (SELECT g, x, y, count(*) AS c FROM base GROUP BY 1, 2, 3),
+pq AS (
+  SELECT a.g,
+    sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c END) AS p,
+    sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c END) AS q
+  FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+  GROUP BY a.g
+),
+tx AS (
+  SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) AS n1x2
+  FROM (SELECT g, x, count(*) AS t FROM base GROUP BY 1, 2) GROUP BY g
+),
+ty AS (
+  SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) AS n2x2
+  FROM (SELECT g, y, count(*) AS t FROM base GROUP BY 1, 2) GROUP BY g
+),
+nr AS (SELECT g, count(*) AS n FROM base GROUP BY g),
+j AS (
+  SELECT nr.g, nr.n,
+    CAST(coalesce(pq.p, 0) - coalesce(pq.q, 0) AS DOUBLE) AS numd,
+    CAST(CAST(nr.n AS HUGEINT) * (nr.n - 1) - tx.n1x2 AS DOUBLE) AS da,
+    CAST(CAST(nr.n AS HUGEINT) * (nr.n - 1) - ty.n2x2 AS DOUBLE) AS db
+  FROM nr JOIN tx USING (g) JOIN ty USING (g) LEFT JOIN pq USING (g)
+)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+  CASE WHEN n >= 2 AND da > 0 AND db > 0 THEN
+    floor((2.0 * numd / (sqrt(da) * sqrt(db))) * 1e6 + 5e-1) / 1e6
+  END AS kendall_tau
+FROM j ORDER BY l_returnflag
+"""
+
+
+ORACLE_SQL["acf"] = """
+WITH series AS (
+  SELECT row_number() OVER (ORDER BY h) AS t,
+         CAST(floor(CAST(n AS DOUBLE) * 1.0 + 0.5) AS BIGINT) AS m
+  FROM (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY 1)
+),
+stats AS (
+  SELECT count(*) AS n, sum(CAST(m AS HUGEINT)) AS s,
+         sum(CAST(m AS HUGEINT) * m) AS ss
+  FROM series
+),
+pairs AS (
+  SELECT l.lag, a.m AS m1, b.m AS m2
+  FROM (SELECT unnest(generate_series(1, 26)) AS lag) l
+  JOIN series a ON TRUE
+  JOIN series b ON b.t = a.t + l.lag
+),
+per AS (
+  SELECT lag, count(*) AS n_pairs,
+         sum(CAST(m1 AS HUGEINT) * m2) AS mm,
+         sum(CAST(m1 AS HUGEINT)) AS hd,
+         sum(CAST(m2 AS HUGEINT)) AS tl
+  FROM pairs GROUP BY lag
+),
+calc AS (
+  SELECT lag, n_pairs,
+    CAST(CAST(n AS HUGEINT) * n * mm - CAST(n AS HUGEINT) * s * (hd + tl)
+         + (CAST(n AS HUGEINT) - lag) * s * s AS DOUBLE) AS numd,
+    CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+         AS DOUBLE) AS dend
+  FROM per CROSS JOIN stats
+)
+SELECT CAST(lag AS INT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+  CASE WHEN dend > 0 THEN floor((numd / dend) * 1e6 + 5e-1) / 1e6 END AS acf
+FROM calc ORDER BY lag
+"""
+
+
+ORACLE_SQL["pack_stats"] = """
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+    CAST('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens, b,
+    sum(n_tokens) OVER (PARTITION BY b ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS c
+  FROM base
+),
+offs AS (
+  SELECT b, coalesce(sum(bt) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base_off
+  FROM (SELECT b, sum(n_tokens) AS bt FROM base GROUP BY b)
+),
+plan AS (
+  SELECT c.doc_id, c.n_tokens,
+    CAST((base_off + c.c - c.n_tokens) % 2048 AS BIGINT) AS seq_offset
+  FROM cum c JOIN offs USING (b)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(count(CASE WHEN seq_offset + n_tokens > 2048 THEN 1 END)
+              AS BIGINT) AS n_straddlers
+  FROM plan
+)
+SELECT n_docs, n_tokens,
+  (n_tokens + 2047) // 2048 AS n_packs,
+  n_straddlers,
+  floor((CAST(100000 AS DOUBLE) * n_docs
+         + CAST(5 AS DOUBLE) * ((n_tokens + 2047) // 2048))
+        / (CAST(10 AS DOUBLE) * ((n_tokens + 2047) // 2048)))
+    / CAST(10000 AS DOUBLE) AS avg_docs_per_pack,
+  floor((CAST(100000 AS DOUBLE) * n_tokens
+         + CAST(5 AS DOUBLE) * (((n_tokens + 2047) // 2048) * 2048))
+        / (CAST(10 AS DOUBLE) * (((n_tokens + 2047) // 2048) * 2048)))
+    / CAST(10000 AS DOUBLE) AS fill_ratio,
+  floor((CAST(100000 AS DOUBLE) * n_straddlers + CAST(5 AS DOUBLE) * n_docs)
+        / (CAST(10 AS DOUBLE) * n_docs)) / CAST(10000 AS DOUBLE)
+    AS straddle_ratio
+FROM agg
+"""
+
+
+ORACLE_SQL["edit_distance_join"] = """
+-- BRUTE-FORCE twin of the PassJoin blocked path: equality of result
+-- sets is a direct check of the segment blocking's recall guarantee
+WITH cust AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey < 200
+),
+crm AS (
+  SELECT c_custkey AS crm_key,
+    CASE CAST(c_custkey % 4 AS INT)
+      WHEN 0 THEN c_name
+      WHEN 1 THEN substr(c_name, 1, length(c_name) - 1)
+      WHEN 2 THEN substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
+      ELSE 'xy' || c_name END AS account
+  FROM cust
+)
+SELECT crm.crm_key AS id_l, cust.c_custkey AS id_r,
+       CAST(levenshtein(crm.account, cust.c_name) AS INT) AS edit_distance
+FROM crm CROSS JOIN cust
+WHERE levenshtein(crm.account, cust.c_name) <= 2
+ORDER BY id_l, id_r
+"""

@@ -4052,3 +4052,152 @@ def test_compare_frames_tolerant_rejects_duplicate_keys():
     c = pd.DataFrame({"k": [1, 2], "x": [0.5, 0.7]})
     d = pd.DataFrame({"k": [1, 2], "x": [0.5, 0.7]})
     assert compare_frames_tolerant(c, d, 1e-9)["ok"]
+
+
+def test_kendall_tau_hand_computed(spark):
+    """x=[1,1,2,3], y=[2,1,1,3]: P=3, Q=1, n0=6, n1=n2=1 (one tied pair
+    each) -> tau_b = 2/sqrt(25) = 0.4 exactly."""
+    from hashquery_spark.ops import kendall_tau
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (1.0, 1.0), (2.0, 1.0), (3.0, 3.0)], "x double, y double"
+    )
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert r["n"] == 4 and r["kendall_tau"] == 0.4
+    # perfect agreement / disagreement
+    up = spark.createDataFrame([(float(i), float(i)) for i in range(6)], "x double, y double")
+    assert kendall_tau(up, "x", "y").collect()[0]["kendall_tau"] == 1.0
+    dn = spark.createDataFrame([(float(i), float(-i)) for i in range(6)], "x double, y double")
+    assert kendall_tau(dn, "x", "y").collect()[0]["kendall_tau"] == -1.0
+    # constant column -> NULL
+    const = spark.createDataFrame([(1.0, float(i)) for i in range(5)], "x double, y double")
+    assert kendall_tau(const, "x", "y").collect()[0]["kendall_tau"] is None
+
+
+def test_kendall_tau_matches_brute_force(spark):
+    """Randomized (seeded) check vs the O(n^2) pair definition with the
+    tau-b tie correction, grouped."""
+    import itertools
+    import math
+    import random
+
+    from hashquery_spark.ops import kendall_tau
+
+    rnd = random.Random(7)
+    rows = [
+        ("g%d" % (i % 2), float(rnd.randint(0, 5)), float(rnd.randint(0, 5)))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: (r["n"], r["kendall_tau"]) for r in kendall_tau(df, "x", "y", by="g").collect()}
+    for g in ("g0", "g1"):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        P = Q = tx = ty = 0
+        for (x1, y1), (x2, y2) in itertools.combinations(pts, 2):
+            if x1 == x2 and y1 == y2:
+                tx += 1
+                ty += 1
+            elif x1 == x2:
+                tx += 1
+            elif y1 == y2:
+                ty += 1
+            elif (x1 - x2) * (y1 - y2) > 0:
+                P += 1
+            else:
+                Q += 1
+        n = len(pts)
+        n0 = n * (n - 1) // 2
+        expect = (P - Q) / math.sqrt((n0 - tx) * (n0 - ty))
+        expect = math.floor(expect * 1e6 + 0.5) / 1e6
+        assert got[g][0] == n and abs(got[g][1] - expect) < 1e-9, (g, got[g], expect)
+
+
+def test_acf_reference(spark):
+    """Alternating series vs the textbook full-mean estimator computed
+    in python; constant series -> NULL (zero variance)."""
+    import math
+
+    from hashquery_spark.ops import acf
+
+    xs = [1.0, 2.0] * 6  # n=12 alternating
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "t long, v double")
+    got = {r["lag"]: (r["n_pairs"], r["acf"]) for r in acf(df, "t", "v", max_lag=3, grid=100.0).collect()}
+    n = len(xs)
+    m = [round(x * 100) for x in xs]
+    xbar = sum(m) / n
+    den = sum((v - xbar) ** 2 for v in m)
+    for k in (1, 2, 3):
+        num = sum((m[t] - xbar) * (m[t + k] - xbar) for t in range(n - k))
+        expect = math.floor(num / den * 1e6 + 0.5) / 1e6
+        assert got[k][0] == n - k
+        assert abs(got[k][1] - expect) < 1e-9, (k, got[k], expect)
+    const = spark.createDataFrame([(i, 5.0) for i in range(10)], "t long, v double")
+    assert all(r["acf"] is None for r in acf(const, "t", "v", max_lag=2).collect())
+
+
+def test_pack_stats_invariants(spark, docs):
+    """pack_stats agrees with its own pack_sequences plan: total packs =
+    ceil(total/budget), fill = total/(packs*budget), straddlers counted
+    from the plan rows."""
+    from hashquery_spark.ops import pack_sequences, pack_stats
+
+    budget = 16
+    plan = pack_sequences(docs, "text", "doc_id", budget=budget, seed=3).collect()
+    total = sum(r["n_tokens"] for r in plan)
+    n_packs = (total + budget - 1) // budget
+    straddle = sum(1 for r in plan if r["seq_offset"] + r["n_tokens"] > budget)
+    r = pack_stats(docs, "text", "doc_id", budget=budget, seed=3).collect()[0]
+    assert r["n_docs"] == len(plan)
+    assert r["n_tokens"] == total
+    assert r["n_packs"] == n_packs
+    assert r["n_straddlers"] == straddle
+    import math
+    assert r["fill_ratio"] == math.floor((1e5 * total + 5 * n_packs * budget) / (10 * n_packs * budget)) / 1e4
+
+
+def test_edit_distance_join_recall_vs_brute_force(spark):
+    """The PassJoin segment blocking is a RECALL GUARANTEE: the blocked
+    join must return EXACTLY the brute-force levenshtein <= d pairs on a
+    seeded random short-string corpus (deletions/insertions/subs mixed)."""
+    import random
+
+    from hashquery_spark.ops import edit_distance_join
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rnd = random.Random(11)
+    alphabet = "abcde"
+    rights = [(i, "".join(rnd.choice(alphabet) for _ in range(rnd.randint(3, 10)))) for i in range(40)]
+    lefts = []
+    for i, (rid, s) in enumerate(rights):
+        t = list(s)
+        op = i % 4
+        if op == 1 and len(t) > 3:
+            del t[rnd.randrange(len(t))]
+        elif op == 2:
+            t[rnd.randrange(len(t))] = rnd.choice(alphabet)
+        elif op == 3:
+            t.insert(rnd.randrange(len(t) + 1), rnd.choice(alphabet))
+            t.insert(rnd.randrange(len(t) + 1), rnd.choice(alphabet))
+        lefts.append((100 + i, "".join(t)))
+    L = spark.createDataFrame(lefts, "lid long, s string")
+    R = spark.createDataFrame(rights, "rid long, s string")
+    for d in (0, 1, 2):
+        got = {
+            (r.id_l, r.id_r, r.edit_distance)
+            for r in edit_distance_join(L, R, "s", "s", "lid", "rid", max_dist=d).collect()
+        }
+        expect = {
+            (lid, rid, lev(a, b))
+            for lid, a in lefts
+            for rid, b in rights
+            if lev(a, b) <= d
+        }
+        assert got == expect, (d, got ^ expect)
