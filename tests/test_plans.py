@@ -121,6 +121,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # deliberately-tiny broadcast probe sides (two ann_bruteforce
         # passes — same exemption as ann_bruteforce):
         "matryoshka_eval",
+        # 1-row (n, S, SS) series-stats frame replicated to the bounded
+        # per-lag table (the bootstrap_ci pattern):
+        "acf",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
