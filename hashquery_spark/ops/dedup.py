@@ -672,6 +672,37 @@ def split_by_cluster(
     )
 
 
+def null_safe_join(
+    left: DataFrame, right: DataFrame, keys, how: str = "inner",
+    broadcast: bool = False,
+) -> DataFrame:
+    """Equi-join that PRESERVES NULL-keyed groups: ``on=keys`` silently
+    drops any row whose key is NULL on either side (SQL equality), which
+    turns a NULL ``by`` group into missing output — undetectable on
+    NULL-free testdata. eqNullSafe equi-conditions still plan as
+    hash joins (measured round 3), so this costs nothing. Right-side key
+    columns are dropped from the output (the ``on=`` contract)."""
+    keys = list(keys)
+    if not keys:
+        return left.crossJoin(F.broadcast(right) if broadcast else right)
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__nsj_{k}__")
+    if broadcast:
+        renamed = F.broadcast(renamed)
+    # F.col refs: names are globally unique after the rename, and
+    # frame-qualified refs (left[k]) trip AMBIGUOUS_SELF_JOIN on
+    # shared-lineage pairs (both sides of a prefix sum derive from one
+    # bucketed frame)
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__nsj_{k}__"))
+        cond = c if cond is None else (cond & c)
+    return left.join(renamed, cond, how).drop(
+        *[f"__nsj_{k}__" for k in keys]
+    )
+
+
 def monotone_value_bucket(value: Column) -> Column:
     """Data-independent, WEAKLY MONOTONE bucket key for a DOUBLE value:
     sign-folded octave + 5 mantissa bits (~32 sub-buckets per power of
@@ -681,14 +712,31 @@ def monotone_value_bucket(value: Column) -> Column:
     is self-healing at octave boundaries (an off-by-one log2 at v≈2^k
     lands on the same key). Octaves span [-1075, 1024], so ±40000
     offsets keep the positive range, zero, and the negative range
-    strictly separated and ordered."""
+    strictly separated and ordered.
+
+    Non-finite routing (must mirror Spark's sort order, which places
+    -Inf below all finites and NaN ABOVE +Inf): without explicit
+    branches the key arithmetic yields NaN and ``cast('long')`` lands
+    NaN/±Inf in a wrong mid-range bucket, corrupting every downstream
+    cumulative sum."""
+    dv = value.cast("double")
     av = F.abs(value)
-    e = F.floor(F.log2(av))
+    # clamp the octave to the REPRESENTABLE range [-1074, 1023]: near
+    # DBL_MAX log2 can round up to exactly 1024.0, pow(2,1024) overflows
+    # to +Inf and the mantissa term collapses to bucket 0 — key lands
+    # BELOW smaller values' keys (found by the monotonicity hypothesis
+    # property, r6); symmetrically pow(2,-1075) underflows to 0. With a
+    # clamped finite/nonzero pow the self-healing mantissa form absorbs
+    # the off-by-one (ratio lands in [1,2] and keys stay weakly ordered).
+    e = F.least(F.greatest(F.floor(F.log2(av)), F.lit(-1074.0)), F.lit(1023.0))
     key = (e * 32 + F.floor((av / F.pow(F.lit(2.0), e) - 1) * 32)).cast(
         "long"
     )
     return (
-        F.when(value > 0, F.lit(40000) + key)
+        F.when(F.isnan(dv), F.lit(200000))
+        .when(dv == F.lit(float("inf")), F.lit(150000))
+        .when(dv == F.lit(float("-inf")), F.lit(-150000))
+        .when(value > 0, F.lit(40000) + key)
         .when(value < 0, F.lit(-40000) - key)
         .otherwise(F.lit(0))
         .cast("long")
@@ -749,7 +797,9 @@ def bucketed_running_sums(
             for c in sum_cols
         ],
     )
-    out = cum_in.join(offsets, on=by + ["__bkt__"])
+    # eqNullSafe join: a NULL group key must keep its running sums (the
+    # ordered-window form this replaces preserved NULL groups)
+    out = null_safe_join(cum_in, offsets, by + ["__bkt__"])
     for c, oc in zip(sum_cols, out_cols):
         out = out.withColumn(
             oc, F.col(f"__base_{c}__") + F.col(f"__in_{c}__")

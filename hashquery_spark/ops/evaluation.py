@@ -149,7 +149,7 @@ def average_precision(
     # score (the r5 spearman sf1 stall class: never one per-group ordered
     # window over a near-continuous score histogram); n_pos totals via a
     # bounded groupBy + broadcast join-back instead of a whole-group window
-    from .dedup import bucketed_running_sums
+    from .dedup import bucketed_running_sums, null_safe_join
 
     cumf = bucketed_running_sums(
         hist.withColumn("__ns__", -F.col("__s__")).withColumn(
@@ -160,10 +160,7 @@ def average_precision(
         ["__p__", "__cq__"],
     )
     totals = hist.groupBy(*by).agg(F.sum("__p__").alias("__npos__"))
-    hist = (
-        cumf.join(F.broadcast(totals), on=by) if by
-        else cumf.crossJoin(F.broadcast(totals))
-    ).select(
+    hist = null_safe_join(cumf, totals, by, broadcast=True).select(
         *by,
         "__p__",
         "__q__",
@@ -531,9 +528,11 @@ def cohens_kappa(
     mb = base.groupBy(*by, F.col("__b__").alias("__lab__")).agg(
         F.count(F.lit(1)).alias("__cb__")
     )
+    from .dedup import null_safe_join
+
     join_keys = by + ["__lab__"]
     prods = (
-        ma.join(mb, on=join_keys, how="inner")
+        null_safe_join(ma, mb, join_keys)
         .groupBy(*by)
         .agg(
             F.sum(
@@ -544,7 +543,7 @@ def cohens_kappa(
     # LEFT join: a group where the raters use fully disjoint label sets
     # produces no prods row at all — it must still report pe=0, kappa=po
     # (the coalesce below), not vanish from the output.
-    j = totals.join(prods, on=by, how="left") if by else totals.crossJoin(prods)
+    j = null_safe_join(totals, prods, by, how="left")
     n_d = F.col("n").cast("decimal(38,0)")
     sab = F.coalesce(F.col("__sab__"), F.lit(0).cast("decimal(38,0)"))
     num = n_d * F.col("__agree__") - sab

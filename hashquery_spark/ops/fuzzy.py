@@ -262,6 +262,15 @@ def edit_distance_join(
     this is a short-string linkage join; the O(len²) verify and the
     segment scheme both assume bounded keys — route documents through
     fuzzy_join/containment_join instead). NULL strings drop.
+
+    Short-string fallback (ADVICE r5): the segment pigeonhole needs all
+    ``d+1`` segments NON-EMPTY — a left string of length ≤ d has empty
+    segments, so every non-empty one can be touched by an edit and the
+    pair emits no candidate ('ab' vs 'xy' at d=2). Left strings with
+    ``len ≤ d`` (including '' — lev('', b) = len(b)) instead join on a
+    LENGTH key against right strings of length ≤ 2d (lev ≥ |la−lb|
+    bounds the window) — the true candidate space there, trivially
+    bounded, and still hash-joinable.
     """
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
@@ -271,14 +280,18 @@ def edit_distance_join(
     def norm(df: DataFrame, text: str, idc: str, out_id: str, out_s: str):
         s = F.col(text)
         return df.where(
-            s.isNotNull() & (F.length(s) >= 1) & (F.length(s) <= max_len)
+            s.isNotNull() & (F.length(s) <= max_len)
         ).select(F.col(idc).alias(out_id), s.alias(out_s))
 
     ln = norm(left, left_on, left_id, "id_l", "__a__")
     rn = norm(right, right_on, right_id, "id_r", "__b__")
     # left keys: one per segment — (la, i, seg). Even-split rule:
     # len_i = la DIV nseg + (i < la % nseg), p_i = 1-based start.
-    lkeys = ensure_parallelism(ln).selectExpr(
+    # Strings of length ≤ d route through the short-string fallback
+    # (empty segments void the pigeonhole there).
+    lkeys = ensure_parallelism(
+        ln.where(F.length("__a__") > d)
+    ).selectExpr(
         "id_l",
         "__a__",
         f"explode(sequence(0, {d})) AS __i__",
@@ -294,11 +307,16 @@ def edit_distance_join(
     ).where(F.col("__seg__") != "")
     # right keys: for each la in [lb-d, lb+d] x segment i x start offset
     # within the ±d window of la's segment-i position
-    rkeys = ensure_parallelism(rn).selectExpr(
+    rkeys = ensure_parallelism(
+        rn.where(F.length("__b__") >= 1)
+    ).selectExpr(
         "id_r",
         "__b__",
         "length(__b__) AS __lb__",
-        f"explode(sequence(greatest(1, length(__b__) - {d}),"
+        # la ≤ d is the short path's job; starting below d+1 would also
+        # make the sequence() DESCEND for tiny lb (start > stop) and
+        # emit junk keys
+        f"explode(sequence(greatest({d + 1}, length(__b__) - {d}),"
         f" length(__b__) + {d})) AS __la__",
     ).selectExpr(
         "id_r",
@@ -330,9 +348,25 @@ def edit_distance_join(
         "__i__",
         "substring(__b__, __s__, __len__) AS __seg__",
     )
+    # short-string fallback: left len ≤ d joins on an exploded LENGTH
+    # key (≤ 2d+1 keys/row) against right len ≤ 2d — bounded by
+    # construction, and the only sound candidate set when the segment
+    # pigeonhole is void
+    skeys = ln.where(F.length("__a__") <= d).selectExpr(
+        "id_l",
+        f"explode(sequence(greatest(0, length(__a__) - {d}),"
+        f" length(__a__) + {d})) AS __lb__",
+    )
+    short_cands = skeys.join(
+        rn.select("id_r", F.length("__b__").alias("__lb__")).where(
+            F.col("__lb__") <= 2 * d
+        ),
+        on="__lb__",
+    ).select("id_l", "id_r")
     cands = (
         lkeys.join(rkeys, on=["__la__", "__i__", "__seg__"])
         .select("id_l", "id_r")
+        .unionAll(short_cands)
         .distinct()
     )
     verified = (

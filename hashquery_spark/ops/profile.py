@@ -1217,9 +1217,11 @@ def kendall_tau(
         F.col("__c__").alias("__cb__"),
     )
     keys = [f"__g{i}__" for i in range(len(by))]
-    pairs = (
-        a.join(F.broadcast(b), on=keys) if keys else a.crossJoin(F.broadcast(b))
-    ).where(F.col("__xa__") < F.col("__xb__"))
+    from .dedup import null_safe_join
+
+    pairs = null_safe_join(a, b, keys, broadcast=True).where(
+        F.col("__xa__") < F.col("__xb__")
+    )
     pq = pairs.groupBy(*keys).agg(
         F.sum(
             F.when(
@@ -1260,8 +1262,11 @@ def kendall_tau(
         pq = pq.select(
             *[F.col(k).alias(c) for k, c in zip(keys, by)], "__p__", "__q__"
         )
-        joined = (
-            nrow.join(tx, on=by).join(ty, on=by).join(pq, on=by, how="left")
+        joined = null_safe_join(
+            null_safe_join(null_safe_join(nrow, tx, by), ty, by),
+            pq,
+            by,
+            how="left",
         )
     else:
         joined = nrow.crossJoin(tx).crossJoin(ty).crossJoin(F.broadcast(pq))
@@ -1343,7 +1348,11 @@ def spearman_corr(
 
     rx = ranks("__x__", "__rx__")
     ry = ranks("__y__", "__ry__")
-    ranked = base.join(rx, on=by + ["__x__"]).join(ry, on=by + ["__y__"])
+    from .dedup import null_safe_join
+
+    ranked = null_safe_join(
+        null_safe_join(base, rx, by + ["__x__"]), ry, by + ["__y__"]
+    )
     d38 = "decimal(38,0)"
     agg = ranked.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
@@ -1971,20 +1980,17 @@ def quantile_normalize(
     # over the histogram (single-task sort on near-continuous columns —
     # the r5 spearman sf1 stall class); group totals come from a bounded
     # groupBy + join-back instead of a whole-group window
-    from .dedup import bucketed_running_sums
+    from .dedup import bucketed_running_sums, null_safe_join
 
     cum = bucketed_running_sums(hist, by, "value", ["__c__"])
     totals = hist.groupBy(*by).agg((2 * F.sum("__c__")).alias("__2n__"))
-    ranked = (
-        cum.join(F.broadcast(totals), on=by) if by
-        else cum.crossJoin(F.broadcast(totals))
-    ).select(
+    ranked = null_safe_join(cum, totals, by, broadcast=True).select(
         *by,
         "value",
         (2 * F.col("__cum0__") - F.col("__c__") + 1).alias("__r2__"),
         "__2n__",
     )
-    return base.join(ranked, on=by + ["value"]).select(
+    return null_safe_join(base, ranked, by + ["value"]).select(
         F.col(id_col),
         *by,
         "value",
@@ -2096,14 +2102,11 @@ def dp_quantile(
     )
     # two-phase distributed prefix sum over the value histogram (the r5
     # spearman sf1 stall class); group totals via bounded groupBy+join
-    from .dedup import bucketed_running_sums
+    from .dedup import bucketed_running_sums, null_safe_join
 
     cumf = bucketed_running_sums(hist, by, "__v__", ["__c__"])
     totals = hist.groupBy(*by).agg(F.sum("__c__").alias("__n__"))
-    ranked = (
-        cumf.join(F.broadcast(totals), on=by) if by
-        else cumf.crossJoin(F.broadcast(totals))
-    ).select(
+    ranked = null_safe_join(cumf, totals, by, broadcast=True).select(
         *by,
         "__v__",
         F.col("__cum0__").alias("__cum__"),

@@ -4174,7 +4174,13 @@ def test_edit_distance_join_recall_vs_brute_force(spark):
 
     rnd = random.Random(11)
     alphabet = "abcde"
-    rights = [(i, "".join(rnd.choice(alphabet) for _ in range(rnd.randint(3, 10)))) for i in range(40)]
+    # lengths 0-10: lengths <= max_dist exercise the ADVICE-r5
+    # short-string fallback (empty segments void the pigeonhole; 'a' vs
+    # 'b' and 'ab' vs 'xy' were missed before it), including ''
+    rights = [
+        (i, "".join(rnd.choice(alphabet) for _ in range(rnd.randint(3, 10))))
+        for i in range(40)
+    ] + [(40 + j, s) for j, s in enumerate(["", "a", "b", "ab", "xy", "cd"])]
     lefts = []
     for i, (rid, s) in enumerate(rights):
         t = list(s)

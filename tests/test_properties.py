@@ -8,6 +8,8 @@ comparison chains, and case expressions with adversarial value/null mixes.
 
 from __future__ import annotations
 
+import math
+
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -1485,3 +1487,155 @@ def test_t_closeness_matches_python_reference(spark, data):
         want = math.floor((100000.0 * float(num) + 5.0 * float(den))
                           / (10.0 * float(den))) / 10000.0
         assert out[q] == want
+
+
+# --------------------------------------------------------------------------
+# bucketed_running_sums / monotone_value_bucket direct coverage (ADVICE r5):
+# the two-phase prefix sum underpins 8+ oracle-paired ops but had only
+# indirect parity coverage on a corpus whose values never stress the
+# octave-boundary / denormal / non-finite claims.
+# --------------------------------------------------------------------------
+
+_BRS_SPECIALS = [
+    0.0, -0.0, 5e-324, -5e-324, 2.2250738585072014e-308,  # denormal edge
+    1.0, -1.0, 2.0, 4.0, 1024.0,                          # exact octaves
+    math.nextafter(2.0, 0.0), math.nextafter(2.0, 3.0),   # 2^k ± ulp
+    math.nextafter(1024.0, 0.0), math.nextafter(1024.0, 2000.0),
+    -math.nextafter(2.0, 0.0), -math.nextafter(2.0, 3.0),
+    float("inf"), float("-inf"), float("nan"),
+    1e308, -1e308, 3.141592653589793, -2.718281828459045,
+]
+
+
+def _float_key(v):
+    return "nan" if math.isnan(v) else repr(v + 0.0)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.sampled_from(_BRS_SPECIALS),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bucketed_running_sums_matches_single_window_exactly(spark, vals):
+    """Two-phase bucketed prefix sum == the naive single-window ordered
+    cumsum, bit-for-bit, on adversarial doubles: denormals, 2^k ± ulp
+    octave boundaries, mixed signs, ±Inf, and NaN (which Spark sorts
+    ABOVE +Inf — the r5 ADVICE NaN-bucket hazard)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops.dedup import bucketed_running_sums
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    hist = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    brs = {
+        _float_key(r["v"]): r["cum"]
+        for r in bucketed_running_sums(hist, [], "v", ["c"], ["cum"]).collect()
+    }
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = {
+        _float_key(r["v"]): r["cum"]
+        for r in hist.select("v", F.sum("c").over(w).alias("cum")).collect()
+    }
+    assert brs == naive
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.sampled_from(_BRS_SPECIALS),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_monotone_value_bucket_is_weakly_monotone(spark, vals):
+    """Bucket keys must be weakly monotone in Spark's SORT order
+    (-Inf < finites < +Inf < NaN) — the correctness precondition for the
+    two-phase prefix sum."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops.dedup import monotone_value_bucket
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    rows = (
+        df.distinct()
+        .select("v", monotone_value_bucket(F.col("v")).alias("b"))
+        .orderBy("v")
+        .collect()
+    )
+    keys = [r["b"] for r in rows]
+    assert keys == sorted(keys), [(r["v"], r["b"]) for r in rows]
+
+
+def test_bucketed_running_sums_preserves_null_groups(spark):
+    """A NULL ``by`` key must keep its running sums (ADVICE r5: the plain
+    equi-join form silently dropped NULL groups — the replaced
+    Window.partitionBy form preserved them), end-to-end through a
+    migrated op: binary_auc's NULL group equals the same AUC computed on
+    the NULL-subset alone."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import binary_auc
+    from hashquery_spark.ops.dedup import bucketed_running_sums
+
+    rows = [
+        ("a", 0.9, 1), ("a", 0.8, 0), ("a", 0.7, 1), ("a", 0.1, 0),
+        (None, 0.95, 1), (None, 0.6, 0), (None, 0.5, 1), (None, 0.2, 0),
+        (None, 0.4, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, score double, label int")
+
+    # direct: the helper keeps the NULL group
+    hist = df.groupBy("g", "score").agg(F.count(F.lit(1)).alias("c"))
+    out = bucketed_running_sums(hist, ["g"], "score", ["c"], ["cum"])
+    null_rows = [r for r in out.collect() if r["g"] is None]
+    assert len(null_rows) == 5
+    assert sorted(r["cum"] for r in null_rows) == [1, 2, 3, 4, 5]
+
+    # end-to-end: grouped AUC for the NULL group == ungrouped AUC on the
+    # NULL subset
+    grouped = {r["g"]: r["auc"] for r in binary_auc(df, "score", "label", by="g").collect()}
+    assert None in grouped and "a" in grouped
+    solo = binary_auc(
+        df.where(F.col("g").isNull()), "score", "label"
+    ).collect()[0]["auc"]
+    assert grouped[None] == solo
+
+
+def test_null_groups_survive_migrated_prefix_sum_ops(spark):
+    """quantile_normalize / average_precision / dp_quantile keep rows
+    whose group key is NULL (the totals join-backs were plain equi-joins
+    before the ADVICE-r5 fix)."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import average_precision, dp_quantile, quantile_normalize
+
+    rows = [
+        ("a", 1, 10.0, 1), ("a", 2, 20.0, 0), ("a", 3, 30.0, 1),
+        (None, 4, 5.0, 1), (None, 5, 15.0, 0), (None, 6, 25.0, 1),
+        (None, 7, 35.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, id int, v double, lab int")
+
+    qn = quantile_normalize(df, "v", id_col="id", by="g")
+    assert qn.where(F.col("g").isNull()).count() == 4
+    assert qn.count() == 7
+
+    ap = average_precision(df, "v", "lab", by="g")
+    assert ap.where(F.col("g").isNull()).count() == 1
+    assert ap.count() == 2
+
+    dq = dp_quantile(df, "v", q=0.5, epsilon=1e6, seed="t", by="g")
+    assert dq.where(F.col("g").isNull()).count() == 1
+    assert dq.count() == 2
