@@ -1708,7 +1708,9 @@ def q_ann_bruteforce(spark, sf_dir):
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via LSH bucket self-join."""
     emb = _conn(spark, sf_dir).table("embeddings")
-    return embedding_near_dup(emb, "embedding", "vec_id", threshold=0.4)
+    # n_planes pinned: the oracle's plane literals assume 4 (the library
+    # default is now auto-scaled from a corpus count)
+    return embedding_near_dup(emb, "embedding", "vec_id", threshold=0.4, n_planes=4)
 
 
 def q_embedding_join(spark, sf_dir):
@@ -1724,6 +1726,7 @@ def q_embedding_join(spark, sf_dir):
         "vec_id",
         "embedding",
         threshold=0.4,
+        n_planes=4,  # oracle-pinned (library default now auto-scales)
     )
 
 

@@ -672,35 +672,119 @@ def split_by_cluster(
     )
 
 
+def _null_key_default(dt) -> Column:
+    """A typed constant for the coalesce leg of the reified null-safe
+    join key. ANY in-domain constant is correct (the isnull companion
+    column disambiguates a collision with a real value); what matters is
+    that the coalesced column is a PRIMITIVE attribute, keeping the
+    planner's join-size estimation on the sane path."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return F.lit(0).cast(dt)
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return F.lit(0).cast(dt)
+    if isinstance(dt, T.StringType):
+        return F.lit("")
+    if isinstance(dt, T.BooleanType):
+        return F.lit(False)
+    if isinstance(dt, T.DateType):
+        return F.to_date(F.lit("1970-01-01"))
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.lit("1970-01-01 00:00:00").cast(dt)
+    if isinstance(dt, T.BinaryType):
+        return F.lit(b"")
+    raise TypeError(
+        f"null_safe_join: no typed default for key type {dt.simpleString()}"
+        " — cast the group key to a scalar type first"
+    )
+
+
+def reify_null_safe_keys(df: DataFrame, keys, tag: str = "g"):
+    """``(df + helper cols, helper col names)``: each possibly-NULL key
+    becomes a ``(coalesce(k, typed_default), isnull(k))`` PRIMITIVE
+    column pair. Group/partition/join on the helpers instead of the raw
+    keys: NULL groups survive equi-joins (SQL equality drops them), and
+    because the helpers are the grouping attributes themselves,
+    downstream equi-joins on them keep Spark's sane join-size estimates
+    (see :func:`null_safe_join` for the two measured failure modes).
+    The original key columns stay on the frame — carry them alongside
+    (they are functionally determined by the helpers).
+
+    NON-NULLABLE keys pass through untouched: they are already
+    null-safe, and reifying them anyway emits ``coalesce(non-null, d)``
+    / ``isnull(non-null)`` columns that constant-fold into non-attribute
+    join keys — which kicks the join back onto the estimator's naive
+    product path (measured r6: a double-reified spearman ranks join
+    estimated 3.5 GiB from KiB inputs and the downstream join lost its
+    broadcast).
+
+    Returns ``(df, safe_cols, created_cols)`` — ``created_cols`` is the
+    subset of ``safe_cols`` this call added (drop them when done;
+    passthrough keys are the caller's columns)."""
+    keys = list(keys)
+    out, created = [], []
+    for k in keys:
+        if not df.schema[k].nullable:
+            out.append(k)
+            continue
+        d = _null_key_default(df.schema[k].dataType)
+        df = df.withColumn(f"__nsv_{tag}_{k}__", F.coalesce(F.col(k), d))
+        df = df.withColumn(f"__nsn_{tag}_{k}__", F.col(k).isNull())
+        out += [f"__nsv_{tag}_{k}__", f"__nsn_{tag}_{k}__"]
+        created += [f"__nsv_{tag}_{k}__", f"__nsn_{tag}_{k}__"]
+    return df, out, created
+
+
 def null_safe_join(
     left: DataFrame, right: DataFrame, keys, how: str = "inner",
-    broadcast: bool = False,
+    broadcast: bool = False, never_null=None,
 ) -> DataFrame:
     """Equi-join that PRESERVES NULL-keyed groups: ``on=keys`` silently
     drops any row whose key is NULL on either side (SQL equality), which
     turns a NULL ``by`` group into missing output — undetectable on
-    NULL-free testdata. eqNullSafe equi-conditions still plan as
-    hash joins (measured round 3), so this costs nothing. Right-side key
-    columns are dropped from the output (the ``on=`` contract)."""
+    NULL-free testdata.
+
+    Mechanism: Spark's own eqNullSafe hash rewrite REIFIED as columns —
+    each nullable key joins as ``(coalesce(k, typed_default),
+    isnull(k))``, two PRIMITIVE attribute keys, so the join plans as a
+    plain equi-join (an ``eqNullSafe`` condition plans expression keys
+    → static SortMergeJoin, measured r6). The default value colliding
+    with a real value is fine — the isnull flag disambiguates.
+
+    SIZE-ESTIMATION CAVEAT (measured r6): Spark's non-CBO join
+    estimator only produces sane output sizes when the join keys are
+    the right side's GROUPING ATTRIBUTES; any derived key (these helper
+    columns included, or a packed struct) hits the naive left×right
+    fallback (KiB × KiB → GiB) and joins DOWNSTREAM lose their
+    broadcasts. So use this helper where the strategy is pinned anyway
+    (``broadcast=True``) or nothing joins downstream; in
+    estimator-sensitive pipelines reify the keys BEFORE the groupBy
+    with :func:`reify_null_safe_keys` and group/join on the helpers.
+    Right-side key columns are dropped from the output (the ``on=``
+    contract); ``never_null`` keys join as bare attributes."""
     keys = list(keys)
     if not keys:
         return left.crossJoin(F.broadcast(right) if broadcast else right)
-    renamed = right
-    for k in keys:
-        renamed = renamed.withColumnRenamed(k, f"__nsj_{k}__")
+    never_null = set(never_null or ())
+    safe = [k for k in keys if k not in never_null]
+    helper = []
+    for k in safe:
+        helper += [f"__nsv_{k}__", f"__nsn_{k}__"]
+
+    def prep(df: DataFrame) -> DataFrame:
+        for k in safe:
+            d = _null_key_default(df.schema[k].dataType)
+            df = df.withColumn(f"__nsv_{k}__", F.coalesce(F.col(k), d))
+            df = df.withColumn(f"__nsn_{k}__", F.col(k).isNull())
+        return df
+
+    on = [k for k in keys if k in never_null] + helper
+    lk = prep(left)
+    rk = prep(right).drop(*safe)
     if broadcast:
-        renamed = F.broadcast(renamed)
-    # F.col refs: names are globally unique after the rename, and
-    # frame-qualified refs (left[k]) trip AMBIGUOUS_SELF_JOIN on
-    # shared-lineage pairs (both sides of a prefix sum derive from one
-    # bucketed frame)
-    cond = None
-    for k in keys:
-        c = F.col(k).eqNullSafe(F.col(f"__nsj_{k}__"))
-        cond = c if cond is None else (cond & c)
-    return left.join(renamed, cond, how).drop(
-        *[f"__nsj_{k}__" for k in keys]
-    )
+        rk = F.broadcast(rk)
+    return lk.join(rk, on=on, how=how).drop(*helper)
 
 
 def monotone_value_bucket(value: Column) -> Column:
@@ -768,27 +852,40 @@ def bucketed_running_sums(
     by = list(by)
     sum_cols = list(sum_cols)
     out_cols = list(out_cols) if out_cols else [f"__cum{i}__" for i in range(len(sum_cols))]
-    bucketed = hist.withColumn(
-        "__bkt__", monotone_value_bucket(F.col(value_col))
+    # NULL-safe group keys, reified BEFORE grouping (ADVICE r5: the
+    # plain equi-join dropped NULL-keyed groups; the window form this
+    # replaced preserved them). The reified (coalesce, isnull) pair is
+    # used as the ACTUAL partition/group key so the bucket-base join
+    # stays a plain equi-join on the right side's grouping attributes —
+    # the only shape where Spark's non-CBO join estimator keeps sane
+    # sizes. Both alternatives break plans (measured r6): an eqNullSafe
+    # condition plans expression keys → static SortMergeJoin; derived
+    # keys that are NOT grouping attrs (struct pack, projected
+    # coalesce/isnull pairs) hit the estimator's naive left×right
+    # fallback (KiB × KiB → GiB) and every join DOWNSTREAM loses its
+    # broadcast.
+    bucketed, safe_by, ns_created = reify_null_safe_keys(
+        hist.withColumn("__bkt__", monotone_value_bucket(F.col(value_col))),
+        by,
     )
     w_in = (
-        Window.partitionBy(*by, "__bkt__")
+        Window.partitionBy(*safe_by, "__bkt__")
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum_in = bucketed.select(
         "*", *[F.sum(c).over(w_in).alias(f"__in_{c}__") for c in sum_cols]
     )
-    btot = bucketed.groupBy(*by, "__bkt__").agg(
+    btot = bucketed.groupBy(*safe_by, "__bkt__").agg(
         *[F.sum(c).alias(f"__bt_{c}__") for c in sum_cols]
     )
     prior = (
-        Window.partitionBy(*by)
+        Window.partitionBy(*safe_by)
         .orderBy("__bkt__")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     )
     offsets = btot.select(
-        *by,
+        *safe_by,
         "__bkt__",
         *[
             F.coalesce(F.sum(f"__bt_{c}__").over(prior), F.lit(0)).alias(
@@ -797,15 +894,16 @@ def bucketed_running_sums(
             for c in sum_cols
         ],
     )
-    # eqNullSafe join: a NULL group key must keep its running sums (the
-    # ordered-window form this replaces preserved NULL groups)
-    out = null_safe_join(cum_in, offsets, by + ["__bkt__"])
+    out = cum_in.join(offsets, on=safe_by + ["__bkt__"])
     for c, oc in zip(sum_cols, out_cols):
         out = out.withColumn(
             oc, F.col(f"__base_{c}__") + F.col(f"__in_{c}__")
         )
     return out.drop(
         "__bkt__",
+        # only the helper columns THIS call created — passthrough keys
+        # (non-nullable, possibly the caller's own reified helpers) stay
+        *ns_created,
         *[f"__in_{c}__" for c in sum_cols],
         *[f"__base_{c}__" for c in sum_cols],
     )

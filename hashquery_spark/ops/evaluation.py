@@ -532,7 +532,7 @@ def cohens_kappa(
 
     join_keys = by + ["__lab__"]
     prods = (
-        null_safe_join(ma, mb, join_keys)
+        null_safe_join(ma, mb, join_keys, never_null=["__lab__"])
         .groupBy(*by)
         .agg(
             F.sum(

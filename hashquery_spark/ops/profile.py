@@ -1320,16 +1320,21 @@ def spearman_corr(
     (``fround(col, k)``) when the value grid is finer than the
     statistic warrants.
     """
+    from .dedup import bucketed_running_sums, reify_null_safe_keys
+
     by = [by] if isinstance(by, str) else list(by or [])
     x, y = F.col(col_x), F.col(col_y)
     base = df.where(x.isNotNull() & y.isNotNull()).select(
         *by, x.cast("double").alias("__x__"), y.cast("double").alias("__y__")
     )
+    # group on REIFIED null-safe keys (never-NULL primitives): the rank
+    # join-backs below then stay plain equi-joins on the rank tables'
+    # own grouping attributes — NULL groups survive AND the join-size
+    # estimator stays sane (see reify_null_safe_keys)
+    base, safe_by, _ = reify_null_safe_keys(base, by)
 
     def ranks(col_name, rank_name):
-        from .dedup import bucketed_running_sums
-
-        hist = base.groupBy(*by, F.col(col_name)).agg(
+        hist = base.groupBy(*safe_by, F.col(col_name)).agg(
             F.count(F.lit(1)).alias("__c__")
         )
         # The running count over the value histogram must NOT be one
@@ -1338,20 +1343,18 @@ def spearman_corr(
         # the whole group (measured: the r5 sf1 bench stalled >15 min in
         # exactly this stage on 6M lineitem prices; the two-phase form
         # runs ~6 s flat at BOTH sf0.1 and sf1).
-        cum = bucketed_running_sums(hist, by, col_name, ["__c__"])
+        cum = bucketed_running_sums(hist, safe_by, col_name, ["__c__"])
         # tie run of c rows ending at cum: doubled average rank
         return cum.select(
-            *by,
+            *safe_by,
             col_name,
             (2 * F.col("__cum0__") - F.col("__c__") + 1).alias(rank_name),
         )
 
     rx = ranks("__x__", "__rx__")
     ry = ranks("__y__", "__ry__")
-    from .dedup import null_safe_join
-
-    ranked = null_safe_join(
-        null_safe_join(base, rx, by + ["__x__"]), ry, by + ["__y__"]
+    ranked = base.join(rx, on=safe_by + ["__x__"]).join(
+        ry, on=safe_by + ["__y__"]
     )
     d38 = "decimal(38,0)"
     agg = ranked.groupBy(*by).agg(
@@ -1968,29 +1971,39 @@ def quantile_normalize(
     (group, value) key, a plain shuffle join at scale. The raw frame
     never sorts globally.
     """
-    from .dedup import round4_ratio
+    from .dedup import (
+        bucketed_running_sums,
+        reify_null_safe_keys,
+        round4_ratio,
+    )
 
     by = [by] if isinstance(by, str) else list(by or [])
     v = F.col(value_col)
     base = df.where(v.isNotNull()).select(
         *by, F.col(id_col), v.alias("value")
     )
-    hist = base.groupBy(*by, "value").agg(F.count(F.lit(1)).alias("__c__"))
+    # reified null-safe group keys as the ACTUAL grouping keys: NULL
+    # groups survive the join-backs and the join-size estimator stays
+    # sane (see reify_null_safe_keys)
+    base, safe_by, _ = reify_null_safe_keys(base, by)
+    hist = base.groupBy(*safe_by, "value").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
     # two-phase distributed prefix sum, NOT one per-group ordered window
     # over the histogram (single-task sort on near-continuous columns —
     # the r5 spearman sf1 stall class); group totals come from a bounded
     # groupBy + join-back instead of a whole-group window
-    from .dedup import bucketed_running_sums, null_safe_join
-
-    cum = bucketed_running_sums(hist, by, "value", ["__c__"])
-    totals = hist.groupBy(*by).agg((2 * F.sum("__c__")).alias("__2n__"))
-    ranked = null_safe_join(cum, totals, by, broadcast=True).select(
-        *by,
+    cum = bucketed_running_sums(hist, safe_by, "value", ["__c__"])
+    totals = hist.groupBy(*safe_by).agg(
+        (2 * F.sum("__c__")).alias("__2n__")
+    )
+    ranked = cum.join(F.broadcast(totals), on=safe_by).select(
+        *safe_by,
         "value",
         (2 * F.col("__cum0__") - F.col("__c__") + 1).alias("__r2__"),
         "__2n__",
     )
-    return null_safe_join(base, ranked, by + ["value"]).select(
+    return base.join(ranked, on=safe_by + ["value"]).select(
         F.col(id_col),
         *by,
         "value",

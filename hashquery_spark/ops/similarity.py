@@ -48,6 +48,16 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _norm_sql(vec: str) -> str:
+    """SQL-string twin of :func:`_norm` — the identical fold op sequence
+    (acc starts 0.0, one acc+x² per element left-to-right), so values
+    are bit-equal to the Column form and DuckDB's sequential sum."""
+    return (
+        f"sqrt(aggregate({vec}, 0.0D, (acc, x) -> "
+        "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
 def ann_brute_force(
     corpus: DataFrame,
     probes: DataFrame,
@@ -259,16 +269,43 @@ def load_ivf_index(spark, path: str) -> "IvfIndex":
     return IvfIndex(cents, cent_norms, assigned, id_col, vec_col)
 
 
+def auto_cluster_count(
+    corpus: DataFrame, k_min: int = 8, k_max: int = 512
+) -> int:
+    """k = clamp(ceil(sqrt(n)), k_min, k_max) from ONE bounded count job
+    (the bradley_terry guard contract) — the SemDeDup/FAISS k ∝ √n
+    recipe. √n balances the two cost terms of cluster blocking:
+    centroid assignment is Θ(k·n) and in-cell pair work is Θ(n²/k), so
+    k = √n makes the total Θ(n^1.5) — a FIXED k leaves the pair term
+    quadratic (the r5 BENCH_sf1 measured semantic_dedup superlinear at
+    fixed k=16). ``k_max`` bounds the driver-held centroid literals and
+    the codegen'd argmin width (flat assignment measured healthy through
+    k=512 / dim=64); past n = k_max² the paper's regime (100k clusters
+    over 5B embeddings) needs hierarchical assignment, out of scope
+    here."""
+    import math
+
+    n = corpus.count()
+    return max(k_min, min(k_max, int(math.ceil(math.sqrt(max(n, 1))))))
+
+
 def ivf_index(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_centroids: int = 8,
+    n_centroids=None,
     cache: bool = False,
     kmeans_iters: int = 0,
 ) -> IvfIndex:
     """Build the IVF index: pick centroids, assign every corpus vector to
     its nearest cell.
+
+    ``n_centroids=None`` auto-scales k with the corpus via
+    :func:`auto_cluster_count` (k = clamp(⌈√n⌉, 8, 512) — one bounded
+    count job); a FIXED k keeps per-cell population growing linearly
+    with the corpus, which turns every in-cell consumer quadratic (the
+    r5 BENCH_sf1 semantic_dedup finding). Explicit k stays available for
+    oracle-deterministic entries.
 
     Centroids default to the deterministic first ``n_centroids`` corpus
     vectors; ``kmeans_iters > 0`` instead trains them with distributed
@@ -280,11 +317,21 @@ def ivf_index(
     with NO join. ``cache=True`` persists the assigned corpus for repeated
     searches.
 
+    Assignment is the FLAT-dot argmin (vector flattened to scalar
+    columns behind a Generate barrier, each centroid dot spelled as
+    codegen'd multiply-adds, array_min(struct) argmin): measured 2.5-4×
+    the interpreted HOF-fold form at every k and healthy through k=512,
+    where the fold's ~12.5 µs/centroid/row dominates the pass. Sum
+    order is the same left-to-right chain as the HOF fold and DuckDB's
+    list_dot_product, so assignments stay bit-identical.
+
     Determinism: centroid similarities round to 4 decimals with
     lowest-centroid-id tiebreak, so a DuckDB oracle reproduces cell
     assignments exactly."""
     import math
 
+    if n_centroids is None:
+        n_centroids = auto_cluster_count(corpus)
     if kmeans_iters > 0:
         from .clustering import kmeans_fit
 
@@ -304,17 +351,49 @@ def ivf_index(
     # centroid cosine tripled the per-row fold count (measured 2.5× slower)
     cent_norms = {cid: math.sqrt(sum(x * x for x in cvec)) for cid, cvec in cents}
     index = IvfIndex(cents, cent_norms, None, id_col, vec_col)
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec__"),
-        _norm(F.col(vec_col)).alias("__vnorm__"),
-    ).select(
-        "neighbor_id",
-        "__cvec__",
-        "__vnorm__",
-        F.expr(
-            f"array_min({index.sim_structs_sql('__cvec__', '__vnorm__')}).cid"
-        ).alias("__cell__"),
+    dim = index.dim
+    structs = []
+    for cid, cvec in index.cents:
+        dot = " + ".join(f"__fv{i}__ * {cvec[i]!r}D" for i in range(dim)) or "0.0D"
+        structs.append(
+            f"named_struct('neg', -(floor((({dot}) / (__vnorm__ * "
+            f"{cent_norms[cid]!r}D)) * 1e4 + 5e-1) / 1e4), "
+            f"'cid', CAST({cid} AS BIGINT))"
+        )
+    argmin = "array_min(array(" + ",".join(structs) + ")).cid"
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec__"),
+        )
+        # Generate barrier: the flatten projection below must bind
+        # attributes, not re-derive try_element_at per struct consumer
+        # (the r2 CollapseProject/Janino trap)
+        .selectExpr("neighbor_id", "__cvec__", "explode(array(1)) AS __one__")
+        .selectExpr(
+            "neighbor_id",
+            "__cvec__",
+            _norm_sql("__cvec__") + " AS __vnorm__",
+            *[
+                f"CAST(try_element_at(__cvec__, {i + 1}) AS DOUBLE) AS __fv{i}__"
+                for i in range(dim)
+            ],
+        )
+        .selectExpr(
+            "neighbor_id",
+            "__cvec__",
+            "__vnorm__",
+            f"{argmin} AS __cell__",
+        )
+        # LAZY lineage truncation: an index is a BUILT artifact — search
+        # plans must not carry the k×dim argmin tree (a window+join
+        # stack above the flat argmin lineage sent Catalyst into an
+        # optimizer blow-up/OOM at ANY k, measured r6; the checkpoint
+        # also stops per-consumer re-derivation, the semantic_dedup
+        # lesson). eager=False: no job at build time — materializes on
+        # the first search, exactly when the old form would have
+        # computed it anyway.
+        .localCheckpoint(eager=False)
     )
     if cache:
         assigned = assigned.persist()
@@ -387,11 +466,12 @@ def ivf_ann(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
-    n_centroids: int = 8,
+    n_centroids=None,
     n_probe: int = 2,
 ) -> DataFrame:
     """One-shot IVF ANN: :func:`ivf_index` + :func:`ivf_search`. For
-    repeated probe batches build the index once with ``cache=True``."""
+    repeated probe batches build the index once with ``cache=True``.
+    ``n_centroids=None`` auto-scales (⌈√n⌉, the FAISS nlist recipe)."""
     return ivf_search(
         ivf_index(corpus, vec_col, id_col, n_centroids), probes, k, n_probe
     )
@@ -401,7 +481,7 @@ def semantic_dedup(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_clusters: int = 8,
+    n_clusters=None,
     threshold: float = 0.7,
     kmeans_iters: int = 0,
 ) -> DataFrame:
@@ -413,9 +493,13 @@ def semantic_dedup(
     Scale design: clustering bounds the candidate comparison to
     within-cell pairs — O(Σ|cell|²) instead of O(n²); the paper's recipe
     is k ∝ √n so cells stay small (their 100k clusters over 5B
-    embeddings). Cell assignment is a narrow codegen'd pass against
-    centroid literals (no join, see :func:`ivf_index`); the in-cell
-    self-join shuffles on the cell key only.
+    embeddings). ``n_clusters=None`` (default) APPLIES that recipe:
+    k = clamp(⌈√n⌉, 8, 512) from one bounded count
+    (:func:`auto_cluster_count`) — a fixed k left the pair term
+    quadratic (measured superlinear in the r5 BENCH_sf1). Cell
+    assignment is a narrow codegen'd pass against centroid literals (no
+    join, see :func:`ivf_index`); the in-cell self-join shuffles on the
+    cell key only.
 
     Determinism / oracle: ``kmeans_iters=0`` (default) uses the first-k
     centroids so a DuckDB oracle can reproduce assignments exactly
@@ -480,12 +564,28 @@ def semantic_dedup(
     )
 
 
+def auto_plane_count(
+    n: int, target_bucket: int = 256, p_min: int = 4, p_max: int = 24
+) -> int:
+    """planes = clamp(⌈log2(n / target_bucket)⌉, 4, 24): hold the
+    EXPECTED bucket population constant as the corpus grows, so the
+    within-bucket pair work stays Θ(n · target_bucket) — linear — where
+    a FIXED plane count leaves it quadratic (the r5 fixed-k hazard,
+    sign-LSH edition). The cost is recall: each extra plane multiplies
+    per-pair recall by P[same sign] (≈0.9 at cosine 0.95), the
+    documented sign-LSH trade — verify-after-block keeps precision
+    exact regardless."""
+    import math
+
+    return max(p_min, min(p_max, int(math.ceil(math.log2(max(n, 1) / target_bucket))) if n > target_bucket else p_min))
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes=None,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim >= t).
@@ -493,7 +593,14 @@ def embedding_near_dup(
     Scale path: self-join restricted to hyperplane-LSH buckets — near-dups
     (cosine ~1) almost surely share all hyperplane signs, so the bucket
     equi-join replaces the O(n²) cross product; cosine verifies exactly
-    within buckets (bucket-then-verify, like MinHash→Jaccard)."""
+    within buckets (bucket-then-verify, like MinHash→Jaccard).
+
+    ``n_planes=None`` (default) auto-scales the plane count with the
+    corpus (:func:`auto_plane_count` — one bounded count job) so bucket
+    population, and with it the quadratic in-bucket term, stays flat;
+    pass an explicit count for oracle-deterministic plans."""
+    if n_planes is None:
+        n_planes = auto_plane_count(corpus.count())
     planes = random_hyperplanes(dim, n_planes)
     b = corpus.select(
         F.col(id_col),
@@ -520,7 +627,7 @@ def lsh_ann(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
-    n_planes: int = 4,
+    n_planes=None,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k cosine: candidates restricted to the probe's
@@ -528,7 +635,11 @@ def lsh_ann(
 
     Scale: the probes×corpus cross join becomes an equi-join on the
     bucket key; 2^n_planes buckets shard the corpus. Recall is tunable by
-    n_planes (fewer planes → bigger buckets → higher recall, more work)."""
+    n_planes (fewer planes → bigger buckets → higher recall, more work).
+    ``n_planes=None`` auto-scales with the corpus count
+    (:func:`auto_plane_count` — flat bucket population)."""
+    if n_planes is None:
+        n_planes = auto_plane_count(corpus.count())
     planes = random_hyperplanes(dim, n_planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -562,7 +673,7 @@ def embedding_join(
     right_id: str,
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes=None,
     dim: int = 64,
 ) -> DataFrame:
     """(id_l, id_r, cos_sim) — cross-corpus embedding-cosine matches
@@ -576,7 +687,11 @@ def embedding_join(
     cosine verifies within buckets. Recall caveat inherited from the
     sign-LSH: pairs near the threshold can land in different buckets;
     raise n_planes' recall by lowering n_planes, or verify with
-    ann_brute_force on a sampled slice."""
+    ann_brute_force on a sampled slice. ``n_planes=None`` auto-scales
+    with the larger side's count (:func:`auto_plane_count` — bucket
+    population flat, pair work linear; two bounded count jobs)."""
+    if n_planes is None:
+        n_planes = auto_plane_count(max(left.count(), right.count()))
     planes = random_hyperplanes(dim, n_planes)
 
     def side(df: DataFrame, idc: str, out_id: str, out_v: str) -> DataFrame:
