@@ -2889,6 +2889,18 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_auto(spark, sf_dir):
+    """SemDeDup with the AUTO-SCALED cluster count (n_clusters=None →
+    k = clamp(⌈√n⌉, 8, 512), the paper's k ∝ √n recipe — the r5 verdict's
+    superlinear-at-fixed-k fix). The oracle derives the IDENTICAL k from
+    count(*) in SQL, so first-k centroids and 4-dp assignments replicate
+    exactly at every SF."""
+    from hashquery_spark.ops import semantic_dedup
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    return semantic_dedup(emb, "embedding", "vec_id", threshold=0.4)
+
+
 # ===========================================================================
 # Driver entry points
 # ===========================================================================
@@ -4606,6 +4618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "c4_filters": q_c4_filters,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_auto": q_semantic_dedup_auto,
         "perplexity_buckets": q_perplexity_buckets,
         "k_anonymity": q_k_anonymity,
         "bpe_merges": q_bpe_merges,

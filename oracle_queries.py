@@ -5754,3 +5754,39 @@ FROM crm CROSS JOIN cust
 WHERE levenshtein(crm.account, cust.c_name) <= 2
 ORDER BY id_l, id_r
 """
+
+
+ORACLE_SQL["semantic_dedup_auto"] = """
+-- auto-k twin: k = clamp(ceil(sqrt(n)), 8, 512) derived from count(*),
+-- mirroring ops.similarity.auto_cluster_count exactly (both engines
+-- compute CEIL(SQRT(n)) on the same IEEE double)
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+kk AS (
+  SELECT GREATEST(8, LEAST(512, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS k
+  FROM c
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < (SELECT k FROM kk)),
+asn AS (
+  SELECT c.vec_id, c.v, cents.cid,
+    (floor((list_dot_product(c.v, cents.cv) /
+          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cents.cv, cents.cv)))) * 1e4 + 5e-1) / 1e4) AS s
+  FROM c, cents
+),
+cells AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM asn
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE (floor((list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e4 + 5e-1) / 1e4) >= 0.4
+)
+SELECT cl.vec_id, cl.cell
+FROM cells cl
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = cl.vec_id)
+"""

@@ -4207,3 +4207,43 @@ def test_edit_distance_join_recall_vs_brute_force(spark):
             if lev(a, b) <= d
         }
         assert got == expect, (d, got ^ expect)
+
+
+def test_auto_cluster_and_plane_counts(spark):
+    """k = clamp(ceil(sqrt(n)), 8, 512) from a bounded count; planes =
+    clamp(ceil(log2(n/target)), 4, 24) — the r5-verdict fix for
+    quadratic in-cell pair work at fixed k."""
+    from hashquery_spark.ops.similarity import (
+        auto_cluster_count,
+        auto_plane_count,
+    )
+
+    assert auto_cluster_count(spark.range(4)) == 8          # floor clamp
+    assert auto_cluster_count(spark.range(500)) == 23       # ceil(sqrt(500))
+    assert auto_cluster_count(spark.range(2000)) == 45
+    big = spark.range(300000)
+    assert auto_cluster_count(big) == 512                   # cap clamp
+
+    assert auto_plane_count(100) == 4                       # n <= target
+    assert auto_plane_count(256) == 4
+    assert auto_plane_count(1_000_000) == 12                # ceil(log2(3906.25))
+    assert auto_plane_count(10**12) == 24                   # cap
+
+    # doubling the corpus at constant target_bucket adds ~1 plane:
+    # bucket population stays flat, so in-bucket pair work stays linear
+    assert auto_plane_count(2_000_000) == auto_plane_count(1_000_000) + 1
+
+
+def test_semantic_dedup_auto_equals_explicit_k(spark, sf_dir):
+    """n_clusters=None derives k from the corpus count and must return
+    EXACTLY the explicit-k result for that k (the oracle contract)."""
+    from hashquery_spark.ops import semantic_dedup
+    from hashquery_spark.ops.similarity import auto_cluster_count
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = auto_cluster_count(emb)
+    auto = {(r.vec_id, r.cell) for r in semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.4).collect()}
+    explicit = {(r.vec_id, r.cell) for r in semantic_dedup(
+        emb, "embedding", "vec_id", n_clusters=k, threshold=0.4).collect()}
+    assert auto == explicit and len(auto) > 0
