@@ -531,8 +531,13 @@ def cohens_kappa(
     from .dedup import null_safe_join
 
     join_keys = by + ["__lab__"]
+    # marginal/product frames are bounded (groups × labels / one row per
+    # group) — broadcast hints keep the null-safe helper-key joins off
+    # the SMJ path (helper keys are invisible to the size estimator)
     prods = (
-        null_safe_join(ma, mb, join_keys, never_null=["__lab__"])
+        null_safe_join(
+            ma, mb, join_keys, never_null=["__lab__"], broadcast=True
+        )
         .groupBy(*by)
         .agg(
             F.sum(
@@ -543,7 +548,7 @@ def cohens_kappa(
     # LEFT join: a group where the raters use fully disjoint label sets
     # produces no prods row at all — it must still report pe=0, kappa=po
     # (the coalesce below), not vanish from the output.
-    j = null_safe_join(totals, prods, by, how="left")
+    j = null_safe_join(totals, prods, by, how="left", broadcast=True)
     n_d = F.col("n").cast("decimal(38,0)")
     sab = F.coalesce(F.col("__sab__"), F.lit(0).cast("decimal(38,0)"))
     num = n_d * F.col("__agree__") - sab

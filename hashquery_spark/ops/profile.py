@@ -1262,11 +1262,21 @@ def kendall_tau(
         pq = pq.select(
             *[F.col(k).alias(c) for k, c in zip(keys, by)], "__p__", "__q__"
         )
+        # tx/ty/pq are ONE ROW PER GROUP — broadcast hints keep the
+        # null-safe helper-key joins off the SMJ path (the helper keys
+        # are not grouping attrs, so the size estimator can't see how
+        # small these frames are; see dedup.null_safe_join)
         joined = null_safe_join(
-            null_safe_join(null_safe_join(nrow, tx, by), ty, by),
+            null_safe_join(
+                null_safe_join(nrow, tx, by, broadcast=True),
+                ty,
+                by,
+                broadcast=True,
+            ),
             pq,
             by,
             how="left",
+            broadcast=True,
         )
     else:
         joined = nrow.crossJoin(tx).crossJoin(ty).crossJoin(F.broadcast(pq))

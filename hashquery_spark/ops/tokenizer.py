@@ -376,52 +376,103 @@ def unigram_apply(
     text_col: str,
     id_col: str,
     pieces,
+    broadcast_segments: bool = True,
 ) -> DataFrame:
     """(id, tokens array<string>, n_tokens) — Viterbi-segment every
-    document's words with a trained unigram vocabulary. Arrow-batched
-    pandas UDF with a per-batch word memo (each distinct word segments
-    once per batch), the bpe_apply pattern. Unknown characters fall back
-    to themselves as singleton pieces."""
-    import pandas as pd
+    document's words with a trained unigram vocabulary.
+
+    Scale design (r5 verdict #2): Python Viterbi work is proportional to
+    the DISTINCT vocabulary, not the token stream — the corpus explodes
+    to (id, pos, word) JVM-side, each distinct word Viterbi-segments
+    ONCE (Arrow-batched pandas UDF over the bounded distinct-word
+    table), segmentations join back (broadcast by default; set
+    ``broadcast_segments=False`` for a web-scale distinct vocabulary
+    and let the shuffle join run), and documents reassemble with one
+    ordered-struct flatten. The previous form memoized per Arrow batch,
+    so every batch on every task re-derived the same hot words —
+    measured 3.34× the single-threaded python twin at sf1 despite 32
+    cores.
+
+    Two PRUNED corpus scans (plan-pinned ≤2): the token-stream branch
+    reads (id, text), the distinct-vocabulary branch reads text ONLY —
+    deliberately cheaper than the one-scan alternatives (localCheckpoint
+    of the exploded token stream materializes ~corpus-sized state;
+    a groupBy(word) with collected occurrence lists puts every
+    occurrence of a stopword in ONE row — unbounded skew). NULL texts
+    survive the explode as a ``posexplode_outer`` sentinel row, so no
+    THIRD scan is needed to restore the NULL-tokens contract; zero-word
+    documents yield []. Unknown characters fall back to themselves as
+    singleton pieces."""
     from pyspark.sql.functions import pandas_udf
+
+    from .dedup import ensure_parallelism
 
     logp = {p: lp for p, lp in pieces}
     # scan bound derived from the TRAINED vocab, not a hardcoded 16 —
     # pieces longer than the bound would silently never match
     vocab_max_len = max((len(p) for p in logp), default=1)
 
-    def segment_series(texts):
-        import re
-
-        memo: dict = {}
-
+    def segment_words(s):
         def seg_word(w):
-            got = memo.get(w)
-            if got is None:
-                lp = dict(logp)
-                missing = {ch for ch in w if ch not in lp}
-                for ch in missing:  # OOV chars: worst prob, keeps a path
-                    lp[ch] = -1e9
-                got = _viterbi(w, lp, vocab_max_len)[0]
-                memo[w] = got
-            return got
+            lp = dict(logp)
+            for ch in {c for c in w if c not in lp}:
+                lp[ch] = -1e9  # OOV chars: worst prob, keeps a path
+            return _viterbi(w, lp, vocab_max_len)[0]
 
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            toks = []
-            for w in re.split(r"\s+", re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()):
-                if w:
-                    toks.extend(seg_word(w))
-            out.append(toks)
-        return pd.Series(out)
+        # no memo needed: the input is the globally-distinct word table
+        return s.map(seg_word)
 
-    seg = pandas_udf(segment_series, "array<string>")
-    return df.select(
-        F.col(id_col),
-        seg(F.col(text_col)).alias("tokens"),
+    seg_udf = pandas_udf(segment_words, "array<string>")
+
+    base = df.select(
+        F.col(id_col).alias("__id__"),
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.split(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+                ),
+                " ",
+            ),
+        ).alias("__arr__"),
+    )
+    # posexplode_outer: a NULL array (NULL text) still emits one
+    # sentinel row (pos NULL, word NULL) — the null-text marker rides
+    # the SAME scan; '' entries (zero-word docs) drop at the join
+    words = base.select(
+        "__id__", F.posexplode_outer("__arr__").alias("__pos__", "__w__")
+    )
+    distinct_words = ensure_parallelism(
+        words.where(F.col("__w__") != "").select("__w__").distinct()
+    )
+    segs = distinct_words.select(
+        "__w__", seg_udf(F.col("__w__")).alias("__seg__")
+    )
+    if broadcast_segments:
+        segs = F.broadcast(segs)
+    joined = words.join(segs, on="__w__", how="left")
+    per_doc = joined.groupBy("__id__").agg(
+        F.max(F.col("__w__").isNull()).alias("__null_text__"),
+        F.flatten(
+            F.array_sort(
+                F.collect_list(  # collect_list skips NULL structs
+                    F.when(
+                        F.col("__seg__").isNotNull(),
+                        F.struct(
+                            F.col("__pos__").alias("p"),
+                            F.col("__seg__").alias("s"),
+                        ),
+                    )
+                )
+            ).getField("s")
+        ).alias("__toks__"),
+    )
+    return per_doc.select(
+        F.col("__id__").alias(id_col),
+        F.when(
+            ~F.col("__null_text__"),
+            F.coalesce(F.col("__toks__"), F.array().cast("array<string>")),
+        ).alias("tokens"),
     ).select(
         id_col, "tokens", F.size("tokens").cast("long").alias("n_tokens")
     )

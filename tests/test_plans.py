@@ -700,3 +700,39 @@ def test_round4_window1_scan_and_shuffle_budgets(spark, sf_dir):
         )
         if not smj_ok:
             assert "SortMergeJoin" not in plan, name
+
+
+def test_round5_and_r6_scan_and_shuffle_budgets(spark, sf_dir):
+    """Plan-shape pins for the round-5 ops (r5 verdict #6: they rode the
+    global cartesian/NLJ sweep but lacked per-op budgets) plus the r6
+    rewrites. Scan budgets are per the documented design; SMJ allowed
+    only where both sides are corpus-scale by construction."""
+    budgets = {  # name -> (max parquet scans, sort_merge_ok)
+        # cells + tx + ty + nrow + pair self-join — 5 pruned scans of
+        # the bounded joint-grid contingency lineage
+        "kendall_tau": (5, False),
+        # stats frame is checkpointed (0 parquet scans in the plan);
+        # its 1-row broadcast cross is the allowlisted NLJ
+        "acf": (1, False),
+        "pack_stats": (2, False),
+        # two sides x (segment keys + short-string keys + verify) —
+        # all blocking-based, every scan pruned
+        "edit_distance_join": (6, False),
+        "corr_matrix_fast": (1, False),
+        # token-stream branch (id, text) + distinct-vocab branch (text
+        # only): deliberately two PRUNED scans — the one-scan forms
+        # either materialize the exploded token stream or collect every
+        # stopword occurrence into one row (unbounded skew)
+        "unigram_tokenize": (2, False),
+        # assignment is a lazily-checkpointed built artifact (0 parquet
+        # scans in the search plan); the in-cell pair self-join has
+        # corpus-scale sides by construction — SMJ is the right plan
+        "semantic_dedup_auto": (1, True),
+    }
+    for name, (max_scans, smj_ok) in budgets.items():
+        plan = _physical(entry_mod.queries()[name](spark, sf_dir))
+        assert plan.count("Scan parquet") <= max_scans, (
+            f"{name}: {plan.count('Scan parquet')} scans"
+        )
+        if not smj_ok:
+            assert "SortMergeJoin" not in plan, name
