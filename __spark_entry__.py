@@ -3836,6 +3836,19 @@ def q_kendall_tau(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+def q_kendall_tau_continuous(spark, sf_dir):
+    """Exact tau-b on a NEAR-CONTINUOUS pair (extendedprice × quantity)
+    via the bucket-decomposed O(n log n) path — kendall_tau's max_cells
+    guard deliberately RAISES on this pair (r5 verdict #8: degrade
+    gracefully instead). The entry samples l_orderkey % 199 = 0 only so
+    the DuckDB oracle can brute-force the O(n²) pair join; the op never
+    materializes pairs."""
+    from hashquery_spark.ops import kendall_tau_continuous
+
+    li = _conn(spark, sf_dir).table("lineitem").where("l_orderkey % 199 = 0")
+    return kendall_tau_continuous(li, "l_extendedprice", "l_quantity")
+
+
 def q_acf(spark, sf_dir):
     """Sample autocorrelation of the hourly event-count series at lags
     1..26 (the 720-hour corpus: lag 24 reads the daily cycle) — exact
@@ -4540,6 +4553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "corr_matrix_fast": q_corr_matrix_fast,
         "kendall_tau": q_kendall_tau,
+        "kendall_tau_continuous": q_kendall_tau_continuous,
         "acf": q_acf,
         "pack_stats": q_pack_stats,
         "edit_distance_join": q_edit_distance_join,

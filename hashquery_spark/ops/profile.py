@@ -1299,6 +1299,272 @@ def kendall_tau(
     )
 
 
+def _tau_cross_block_counts(block_keys, ys):
+    """(concordant, discordant) over pairs in DIFFERENT blocks, exact y
+    comparisons, y-ties skipped — one Fenwick (BIT) pass over dense y
+    ranks, O(k log k). ``block_keys`` must arrive sorted; pairs share
+    the caller's guarantee that cross-block x is strictly ordered."""
+    import numpy as np
+
+    uniq, ranks = np.unique(ys, return_inverse=True)
+    m = len(uniq)
+    tree = [0] * (m + 1)
+
+    def add(i):
+        i += 1
+        while i <= m:
+            tree[i] += 1
+            i += i & (-i)
+
+    def prefix(i):  # count of added ranks <= i (0-based i; -1 -> 0)
+        s = 0
+        i += 1
+        while i > 0:
+            s += tree[i]
+            i -= i & (-i)
+        return s
+
+    conc = disc = added = 0
+    i, k = 0, len(block_keys)
+    while i < k:
+        j = i
+        while j < k and block_keys[j] == block_keys[i]:
+            j += 1
+        for t in range(i, j):  # query BEFORE adding this block
+            r = int(ranks[t])
+            below = prefix(r - 1)
+            conc += below
+            disc += added - prefix(r)
+        for t in range(i, j):
+            add(int(ranks[t]))
+        added += j - i
+        i = j
+    return conc, disc
+
+
+def kendall_tau_continuous(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    by=None,
+) -> DataFrame:
+    """EXACT Kendall tau-b for NEAR-CONTINUOUS column pairs — the
+    O(n log n)-per-bucket alternative to :func:`kendall_tau`, whose
+    cell-pair join is quadratic in joint value cells and deliberately
+    raises past ``max_cells`` (r5 verdict #8: degrade gracefully
+    instead). Output and rounding are identical to kendall_tau.
+
+    Pair decomposition (disjoint, exhaustive) over the data-independent
+    :func:`~hashquery_spark.ops.dedup.monotone_value_bucket` grids of
+    both columns (~2k buckets/dim):
+
+    * C — different x-bucket AND different y-bucket: both orders are
+      strict at bucket granularity, so concordant/discordant counts
+      reduce to 2-D prefix sums with inclusion-exclusion over the
+      BOUNDED dense (xbkt × ybkt) grid (≤ ~4M cells per group; every
+      window is bounded by live buckets, never row count).
+    * B — different x-bucket, same y-bucket: x strict by bucket order;
+      exact y comparisons run in a per-(group, ybkt) Fenwick pass
+      (applyInPandas over ~n/|buckets| rows, O(k log k)).
+    * A — same x-bucket: exact local counts per (group, xbkt) with the
+      same Fenwick machinery (equal-x pairs skip — the n1 tie term).
+
+    Tie terms n1/n2 are exact per-value aggregates (the kendall_tau
+    forms); all pair counts are exact integers (local Fenwick sums are
+    python ints emitted as BIGINT — per-bucket pair counts stay under
+    2^63 for buckets below ~4e9 rows; global sums are DECIMAL(38,0)).
+    NaN values are excluded (exact comparisons and bucket order would
+    disagree on NaN).
+
+    Oracle note: DuckDB brute-forces the O(n²) pair join, so the entry
+    query runs on a bounded sample — the op itself never materializes
+    pairs."""
+    import pandas as pd
+
+    from .dedup import monotone_value_bucket, null_safe_join, reify_null_safe_keys
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    x, y = F.col(col_x), F.col(col_y)
+    xd, yd = x.cast("double"), y.cast("double")
+    base = df.where(
+        x.isNotNull() & y.isNotNull() & ~F.isnan(xd) & ~F.isnan(yd)
+    ).select(*by, xd.alias("__x__"), yd.alias("__y__"))
+    base, safe_by, _ = reify_null_safe_keys(base, by)
+    base = base.select(
+        "*",
+        monotone_value_bucket(F.col("__x__")).alias("__xb__"),
+        monotone_value_bucket(F.col("__y__")).alias("__yb__"),
+    )
+    # NINE differently-pruned consumers (tie aggs, grid, locals) — one
+    # eager checkpoint of the narrow (keys, x, y, buckets) projection
+    # beats nine pruned rescans of the raw table (the DSIR single-scan
+    # precedent); working-set is O(n) doubles, the op's own state size
+    base = base.localCheckpoint(eager=True)
+    d38 = "decimal(38,0)"
+
+    # ---- tie terms + n (the kendall_tau forms) -------------------------
+    nrow = base.groupBy(*by).agg(F.count(F.lit(1)).alias("n"))
+    tx = (
+        base.groupBy(*by, "__x__")
+        .agg(F.count(F.lit(1)).alias("__t__"))
+        .groupBy(*by)
+        .agg(F.sum(F.col("__t__").cast(d38) * (F.col("__t__") - 1)).alias("__n1x2__"))
+    )
+    ty = (
+        base.groupBy(*by, "__y__")
+        .agg(F.count(F.lit(1)).alias("__t__"))
+        .groupBy(*by)
+        .agg(F.sum(F.col("__t__").cast(d38) * (F.col("__t__") - 1)).alias("__n2x2__"))
+    )
+
+    # ---- C: cross-bucket-in-both-dims via dense 2-D prefix grid --------
+    K = base.groupBy(*safe_by, "__xb__", "__yb__").agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    xs = K.select(*safe_by, "__xb__").distinct()
+    ys_ = K.select(*safe_by, "__yb__").distinct()
+    dense = (
+        xs.join(ys_, on=list(safe_by))
+        if safe_by
+        # both sides bounded by live buckets (~2k) — broadcast NLJ
+        else xs.crossJoin(F.broadcast(ys_))
+    )
+    dense = dense.join(
+        K.select(*safe_by, "__xb__", "__yb__", "__c__"),
+        on=list(safe_by) + ["__xb__", "__yb__"],
+        how="left",
+    ).withColumn("__c0__", F.coalesce(F.col("__c__"), F.lit(0)))
+    w_rx = (
+        Window.partitionBy(*safe_by, "__xb__")
+        .orderBy("__yb__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ry = (
+        Window.partitionBy(*safe_by, "__yb__")
+        .orderBy("__xb__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dense = dense.select(
+        "*",
+        F.sum("__c0__").over(w_rx).alias("__rx__"),
+        F.sum("__c0__").over(w_ry).alias("__ry__"),
+    ).select(
+        "*",
+        F.sum("__rx__").over(w_ry).alias("__ccum__"),
+    )
+    rowtot = K.groupBy(*safe_by, "__xb__").agg(
+        F.sum("__c__").alias("__rt__")
+    )
+    w_tx = (
+        Window.partitionBy(*safe_by)
+        .orderBy("__xb__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    rowtot = rowtot.select(
+        *safe_by,
+        "__xb__",
+        F.coalesce(F.sum("__rt__").over(w_tx), F.lit(0)).alias("__txs__"),
+    )
+    cells = dense.where(F.col("__c__").isNotNull()).join(
+        rowtot.select(*safe_by, "__xb__", "__txs__"),
+        on=list(safe_by) + ["__xb__"],
+    )
+    cstrict = F.col("__ccum__") - F.col("__rx__") - F.col("__ry__") + F.col("__c0__")
+    same_v_strict = F.col("__ry__") - F.col("__c0__")
+    conc_c = F.col("__c0__").cast(d38) * cstrict
+    disc_c = F.col("__c0__").cast(d38) * (
+        F.col("__txs__") - cstrict - same_v_strict
+    )
+    c_parts = cells.select(
+        *safe_by, conc_c.alias("__p__"), disc_c.alias("__q__")
+    )
+
+    # ---- A/B: exact local Fenwick passes -------------------------------
+    base_types = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    safe_schema = ", ".join(f"`{c}` {base_types[c]}" for c in safe_by)
+    part_schema = (safe_schema + ", " if safe_schema else "") + "__p__ long, __q__ long"
+
+    def make_local(block_col, sort_cols):
+        def fn(pdf):
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            conc, disc = _tau_cross_block_counts(
+                pdf[block_col].to_numpy(), pdf["__y__"].to_numpy()
+            )
+            out = {c: [pdf[c].iloc[0]] for c in safe_by}
+            out["__p__"] = [conc]
+            out["__q__"] = [disc]
+            return pd.DataFrame(out)
+
+        return fn
+
+    a_parts = base.groupBy(*safe_by, "__xb__").applyInPandas(
+        make_local("__x__", ["__x__", "__y__"]), part_schema
+    )
+    b_parts = (
+        base.groupBy(*safe_by, "__yb__").applyInPandas(
+            make_local("__xb__", ["__xb__", "__y__"]), part_schema
+        )
+    )
+
+    pq = (
+        c_parts.unionByName(
+            a_parts.select(
+                *safe_by,
+                F.col("__p__").cast(d38).alias("__p__"),
+                F.col("__q__").cast(d38).alias("__q__"),
+            )
+        )
+        .unionByName(
+            b_parts.select(
+                *safe_by,
+                F.col("__p__").cast(d38).alias("__p__"),
+                F.col("__q__").cast(d38).alias("__q__"),
+            )
+        )
+        .groupBy(*safe_by)
+        .agg(F.sum("__p__").alias("__p__"), F.sum("__q__").alias("__q__"))
+    )
+    # restore original by cols (safe_by may BE the by cols when they are
+    # non-nullable — nothing to map then)
+    needed = [c for c in by if c not in safe_by]
+    if needed:
+        key_map = base.select(*safe_by, *needed).distinct()
+        pq = pq.join(F.broadcast(key_map), on=list(safe_by))
+    if by:
+        pq = pq.select(*by, "__p__", "__q__")
+    else:
+        pq = pq.select("__p__", "__q__")
+
+    joined = null_safe_join(
+        null_safe_join(
+            null_safe_join(nrow, tx, by, broadcast=True),
+            ty,
+            by,
+            broadcast=True,
+        ),
+        pq,
+        by,
+        how="left",
+        broadcast=True,
+    )
+    n_d = F.col("n").cast(d38)
+    n0x2 = n_d * (n_d - 1)
+    da = (n0x2 - F.col("__n1x2__")).cast("double")
+    db = (n0x2 - F.col("__n2x2__")).cast("double")
+    num = (
+        F.coalesce(F.col("__p__"), F.lit(0).cast(d38))
+        - F.coalesce(F.col("__q__"), F.lit(0).cast(d38))
+    ).cast("double")
+    return joined.select(
+        *by,
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (da > 0) & (db > 0),
+            fround(F.lit(2.0) * num / (F.sqrt(da) * F.sqrt(db)), 6),
+        ).alias("kendall_tau"),
+    )
+
+
 def spearman_corr(
     df: DataFrame, col_x: str, col_y: str, by=None
 ) -> DataFrame:

@@ -5790,3 +5790,41 @@ SELECT cl.vec_id, cl.cell
 FROM cells cl
 WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = cl.vec_id)
 """
+
+
+ORACLE_SQL["kendall_tau_continuous"] = """
+-- BRUTE-FORCE twin of the bucket-decomposed exact tau-b: the oracle
+-- joins all pairs (bounded sample), the op never materializes pairs
+WITH pts AS (
+  SELECT row_number() OVER () AS rid,
+         CAST(l_extendedprice AS DOUBLE) AS x,
+         CAST(l_quantity AS DOUBLE) AS y
+  FROM lineitem WHERE l_orderkey % 199 = 0
+),
+pq AS (
+  SELECT
+    count(CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y) THEN 1 END) AS p,
+    count(CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y) THEN 1 END) AS q
+  FROM pts a JOIN pts b ON a.rid < b.rid
+),
+nn AS (SELECT count(*) AS n FROM pts),
+t1 AS (
+  SELECT COALESCE(SUM(CAST(t * (t - 1) AS DECIMAL(38,0))), 0) AS n1x2
+  FROM (SELECT count(*) AS t FROM pts GROUP BY x)
+),
+t2 AS (
+  SELECT COALESCE(SUM(CAST(t * (t - 1) AS DECIMAL(38,0))), 0) AS n2x2
+  FROM (SELECT count(*) AS t FROM pts GROUP BY y)
+)
+SELECT
+  n,
+  CASE WHEN n >= 2
+        AND CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - n1x2 AS DOUBLE) > 0
+        AND CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - n2x2 AS DOUBLE) > 0
+       THEN floor((2.0 * CAST(p - q AS DOUBLE)
+                   / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - n1x2 AS DOUBLE))
+                      * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) - n2x2 AS DOUBLE))))
+                  * 1e6 + 5e-1) / 1e6
+  END AS kendall_tau
+FROM nn, pq, t1, t2
+"""

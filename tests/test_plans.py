@@ -124,6 +124,10 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # 1-row (n, S, SS) series-stats frame replicated to the bounded
         # per-lag table (the bootstrap_ci pattern):
         "acf",
+        # ungrouped dense bucket grid: live-xbucket frame (~2k rows)
+        # crossed with the live-ybucket frame — both bounded by the
+        # data-independent monotone bucket range:
+        "kendall_tau_continuous",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
@@ -719,6 +723,10 @@ def test_round5_and_r6_scan_and_shuffle_budgets(spark, sf_dir):
         # all blocking-based, every scan pruned
         "edit_distance_join": (6, False),
         "corr_matrix_fast": (1, False),
+        # narrow (keys, x, y, buckets) projection is eagerly
+        # checkpointed (0 parquet scans in the final plan) — nine
+        # differently-pruned consumers otherwise rescan the raw table
+        "kendall_tau_continuous": (1, False),
         # token-stream branch (id, text) + distinct-vocab branch (text
         # only): deliberately two PRUNED scans — the one-scan forms
         # either materialize the exploded token stream or collect every

@@ -1639,3 +1639,68 @@ def test_null_groups_survive_migrated_prefix_sum_ops(spark):
     dq = dp_quantile(df, "v", q=0.5, epsilon=1e6, seed="t", by="g")
     assert dq.where(F.col("g").isNull()).count() == 1
     assert dq.count() == 2
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.one_of(
+                st.integers(min_value=-20, max_value=20).map(float),
+                st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False, width=64),
+            ),
+            st.one_of(
+                st.integers(min_value=-20, max_value=20).map(float),
+                st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False, width=64),
+            ),
+        ),
+        min_size=2,
+        max_size=80,
+    )
+)
+def test_kendall_tau_continuous_matches_brute_force(spark, data):
+    """The bucket-decomposed exact tau-b (grid 2-D prefix + per-bucket
+    Fenwick locals) == the O(n²) python brute force on adversarial
+    (ties-heavy, mixed-magnitude, NULL-group) inputs."""
+    import math
+    from collections import defaultdict
+
+    from hashquery_spark.ops import kendall_tau_continuous
+
+    df = spark.createDataFrame(data, "g string, x double, y double")
+    out = {
+        r["g"]: (r["n"], r["kendall_tau"])
+        for r in kendall_tau_continuous(df, "x", "y", by="g").collect()
+    }
+    groups = defaultdict(list)
+    for g, x, y in data:
+        groups[g].append((x, y))
+    for g, pts in groups.items():
+        P = Q = 0
+        n = len(pts)
+        for i in range(n):
+            for j in range(i + 1, n):
+                (xa, ya), (xb, yb) = pts[i], pts[j]
+                if xa == xb or ya == yb:
+                    continue
+                if (xa < xb) == (ya < yb):
+                    P += 1
+                else:
+                    Q += 1
+        tcx = defaultdict(int)
+        tcy = defaultdict(int)
+        for x, y in pts:
+            tcx[x] += 1
+            tcy[y] += 1
+        da = n * (n - 1) - sum(t * (t - 1) for t in tcx.values())
+        db = n * (n - 1) - sum(t * (t - 1) for t in tcy.values())
+        if n >= 2 and da > 0 and db > 0:
+            tau = 2.0 * (P - Q) / (math.sqrt(float(da)) * math.sqrt(float(db)))
+            want = (n, math.floor(tau * 1e6 + 0.5) / 1e6)
+        else:
+            want = (n, None)
+        assert out[g] == want, (g, out[g], want)

@@ -867,3 +867,31 @@ def test_minhash_hot_bucket_cap_default_two_million(spark):
         hot, "text", "doc_id", num_perm=16, bands=8, max_bucket_size=None
     ).count()
     assert n_uncapped == 600 * 599 // 2
+
+
+def test_kendall_tau_continuous_two_million_monotone(spark):
+    """2M near-continuous rows (distinct joint cells ~ row count — the
+    pair kendall_tau's max_cells guard REFUSES): a strictly monotone
+    transform must give tau exactly 1, and the anti-monotone pair -1.
+    Proves the bucket decomposition never materializes pairs or buffers
+    a whole group in one task."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import kendall_tau_continuous
+    from hashquery_spark.ops.dedup import md5_hash32
+
+    n = 2_000_000
+    base = (
+        spark.range(n)
+        .repartition(32)
+        .select(
+            (md5_hash32(F.col("id").cast("string")).cast("double")
+             / F.lit(1e6)).alias("x")
+        )
+        .withColumn("y", F.col("x") * 3.0 + 7.0)
+        .withColumn("yneg", -F.col("x"))
+    )
+    up = kendall_tau_continuous(base, "x", "y").collect()[0]
+    assert up["n"] == n and up["kendall_tau"] == 1.0
+    down = kendall_tau_continuous(base, "x", "yneg").collect()[0]
+    assert down["kendall_tau"] == -1.0
