@@ -895,3 +895,69 @@ def test_kendall_tau_continuous_two_million_monotone(spark):
     assert up["n"] == n and up["kendall_tau"] == 1.0
     down = kendall_tau_continuous(base, "x", "yneg").collect()[0]
     assert down["kendall_tau"] == -1.0
+
+
+def test_funnel_skew_two_million_hot_entity(spark):
+    """r5 verdict #7: salt_partials was equivalence-tested but never
+    stress-measured. 2M events with ONE entity owning 20% of them (the
+    planted hot key): the salted journey assembly must (a) return
+    IDENTICAL funnel counts and (b) not lose to the unsalted path by
+    more than noise. MEASURED (r6, quietest available windows):
+    2M/20% hot — plain 3.1 s vs salted 3.5 s (the 400k-struct hot task
+    is not yet the bottleneck); 6M/50% — 17.6 vs 16.4; 10M/60% — 33.9
+    vs 30.5. Salting spreads the COLLECT side of the skew (its win
+    grows with skew) but the final per-entity merge still sorts the
+    whole journey in one task, so the documented valve for truly
+    pathological entities is ``max_events_per_entity``, not salt alone.
+    The assertion is therefore equality + a 1.5x no-regression band
+    (the host carries bursty external load)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hashquery_spark import Connection, Model, attr
+
+    n = 2_000_000
+    hot = n // 5
+    ev = (
+        spark.range(n)
+        .repartition(32)
+        .select(
+            F.when(F.col("id") < hot, F.lit(0))
+            .otherwise(F.pmod(F.col("id") * 2654435761, 100_000) + 1)
+            .alias("user_id"),
+            F.element_at(
+                F.array(F.lit("visit"), F.lit("signup"), F.lit("purchase")),
+                (F.pmod(F.col("id"), 3) + 1).cast("int"),
+            ).alias("event"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.col("id") * 7 % 86400 + F.col("id") / 50
+            ).alias("ts"),
+        )
+    )
+    ev.write.mode("overwrite").parquet("/tmp/funnel_skew_smoke")
+    conn = Connection(spark).register_parquet(
+        "skew_events", "/tmp/funnel_skew_smoke"
+    )
+    m = Model(conn, "skew_events").with_activity_schema(
+        group=attr.user_id, timestamp=attr.ts, event_key=attr.event
+    )
+    steps = ["visit", "signup", "purchase"]
+
+    def run(salt):
+        t0 = time.time()
+        rows = m.funnel(steps, salt_partials=salt).run().py_records
+        return time.time() - t0, {r["step"]: r["entities"] for r in rows}
+
+    # warm both plans once (codegen/JIT), then time min-of-2
+    run(None), run(8)
+    t_plain = min(run(None)[0], run(None)[0])
+    t_salt, counts_salt = run(8)
+    t_salt = min(t_salt, run(8)[0])
+    _, counts_plain = run(None)
+    assert counts_salt == counts_plain
+    assert counts_plain["visit"] == 100_001  # every entity visits
+    # the salted path must not LOSE to the skewed single-shuffle path
+    # beyond noise; record the actual numbers for the README
+    print(f"FUNNEL_SKEW plain={t_plain:.2f}s salted={t_salt:.2f}s")
+    assert t_salt <= t_plain * 1.5
