@@ -351,39 +351,35 @@ def ivf_index(
     # centroid cosine tripled the per-row fold count (measured 2.5× slower)
     cent_norms = {cid: math.sqrt(sum(x * x for x in cvec)) for cid, cvec in cents}
     index = IvfIndex(cents, cent_norms, None, id_col, vec_col)
-    dim = index.dim
-    structs = []
-    for cid, cvec in index.cents:
-        dot = " + ".join(f"__fv{i}__ * {cvec[i]!r}D" for i in range(dim)) or "0.0D"
-        structs.append(
-            f"named_struct('neg', -(floor((({dot}) / (__vnorm__ * "
-            f"{cent_norms[cid]!r}D)) * 1e4 + 5e-1) / 1e4), "
-            f"'cid', CAST({cid} AS BIGINT))"
-        )
-    argmin = "array_min(array(" + ",".join(structs) + ")).cid"
+    from .dedup import ensure_parallelism
+
+    # HOF (interpreted) argmin, deliberately: at auto-k scale any flat
+    # codegen formulation — single k-wide array_min OR ≤16-centroid
+    # chunks split by Generate barriers — exceeds Janino's 64 KB method
+    # limit (the whole-stage consume() cannot split one projection's
+    # k×dim multiply-adds) and Spark SILENTLY falls back to interpreted
+    # for the WHOLE stage anyway, after seconds of failed compiles per
+    # run (measured r6 at k=142). The fold costs ~12.5 µs/centroid/row
+    # interpreted and runs once per row — bounded, never-compiling,
+    # and the real fixes are (a) ensure_parallelism below (a one-file
+    # parquet corpus ran the fold on TWO partitions: 26 s instead of
+    # ~1.5 s) and (b) the lazy checkpoint (search plans must not carry
+    # the argmin lineage — Catalyst optimizer OOM, any k).
     assigned = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cvec__"),
+        ensure_parallelism(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cvec__"),
+                _norm(F.col(vec_col)).alias("__vnorm__"),
+            )
         )
-        # Generate barrier: the flatten projection below must bind
-        # attributes, not re-derive try_element_at per struct consumer
-        # (the r2 CollapseProject/Janino trap)
-        .selectExpr("neighbor_id", "__cvec__", "explode(array(1)) AS __one__")
-        .selectExpr(
-            "neighbor_id",
-            "__cvec__",
-            _norm_sql("__cvec__") + " AS __vnorm__",
-            *[
-                f"CAST(try_element_at(__cvec__, {i + 1}) AS DOUBLE) AS __fv{i}__"
-                for i in range(dim)
-            ],
-        )
-        .selectExpr(
+        .select(
             "neighbor_id",
             "__cvec__",
             "__vnorm__",
-            f"{argmin} AS __cell__",
+            F.expr(
+                f"array_min({index.sim_structs_sql('__cvec__', '__vnorm__')}).cid"
+            ).alias("__cell__"),
         )
         # LAZY lineage truncation: an index is a BUILT artifact — search
         # plans must not carry the k×dim argmin tree (a window+join

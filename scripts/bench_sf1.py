@@ -24,11 +24,15 @@ the ENGINE, not a quadratically growing pair workload):
 * embeddings: replica vectors are fresh seeded-random unit-scale
   float32 (same dim/label distribution) — cosine-pair density per cell
   stays sparse instead of every vector gaining 9 exact twins.
-  NOTE: semantic_dedup/embedding_outliers keep the entry's FIXED
-  n_centroids, so in-cell pair work grows ~quadratically at 10x BY
-  WORKLOAD CONSTRUCTION (real SemDeDup scales k with n); their
+  NOTE: semantic_dedup keeps the entry's oracle-pinned FIXED
+  n_clusters=16, so in-cell pair work grows ~quadratically at 10x BY
+  WORKLOAD CONSTRUCTION (real SemDeDup scales k with n — which is what
+  the r6 semantic_dedup_auto row measures: k = ceil(sqrt(n)) derived
+  from a corpus count, identical in the DuckDB twin); the fixed row's
   Spark-vs-twin RATIO on the identical workload is the fair readout,
-  and the JSON marks them workload_superlinear.
+  and the JSON marks it workload_superlinear. embedding_outliers is
+  NOT in that set (r6): its work is Θ(k·n) — centroid assignment plus
+  per-cluster percentiles, no pair join — linear at fixed k.
 * orders/lineitem/customer/events/part/supplier: id columns shift by a
   per-replica stride (FK-consistent); value/timestamp columns unchanged
   — funnels, bootstrap weights, percentile work all scale 10x linearly.
@@ -76,18 +80,27 @@ HEAVY = [
     "spearman",
     "embedding_outliers",
     "fuzzy_dedup_e2e",
+    # --- round 6 (appended) ---
+    "semantic_dedup_auto",   # k = ceil(sqrt(n)) — the r5 superlinear fix
+    "kendall_tau_continuous",
 ]
 # fixed-parameter cluster blocking makes in-cell pair work grow faster
-# than the data (see module docstring) — flagged in the output JSON
-WORKLOAD_SUPERLINEAR = {"semantic_dedup", "embedding_outliers"}
+# than the data (see module docstring) — flagged in the output JSON.
+# semantic_dedup keeps the entry's oracle-pinned k=16 BY CONSTRUCTION
+# (its auto-k twin above is the fixed path); embedding_outliers was
+# dropped from this set in r6 — its work is Θ(k·n) (assignment +
+# per-cluster percentiles, no pair join), linear at fixed k, and the r5
+# flag was mis-attributed.
+WORKLOAD_SUPERLINEAR = {"semantic_dedup"}
 
 
-def generate(dest: str = DEST, force: bool = False) -> None:
+def generate(dest: str = DEST, force: bool = False, replicas: int = None) -> None:
     import duckdb
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    REPLICAS = replicas if replicas is not None else globals()["REPLICAS"]
     marker = os.path.join(dest, ".complete")
     if os.path.exists(marker) and not force:
         return
