@@ -351,141 +351,131 @@ def translation_metrics(
     (NULL when any p_n is NULL; 0 when any p_n is 0; max_n must be 1, 2
     or 4 so the root is a chain of IEEE-exact sqrts).
 
-    Plan shape: ONE scan — both sides' grams for every n are tagged into
-    a single array (side, n, gram) and exploded ONCE (the size+explode
-    duplication trap), then groupBy(id, n, gram) computes per-gram
-    candidate/reference counts WITHOUT a self-join, and groupBy(id)
-    rolls up clipped-match sums. Shuffle keys (id, gram) are uniform and
-    high-cardinality — scale-safe.
+    Plan shape (r6 rewrite): the computation is PAIR-CONFINED — every
+    gram count compares only within its own row — so there is NO reason
+    to shuffle a tagged gram explosion (the r5 design moved ~400 gram
+    rows per pair through groupBy(id, gram): correct, uniform keys, but
+    94 s at sf10 where this form runs in a few seconds). One Arrow-
+    batched ``mapInPandas`` pass counts clipped matches per row with
+    hash maps: zero shuffles, zero joins, output row count = input row
+    count. This is the rouge_l precedent: a per-row pure function whose
+    state never crosses rows is the one place the pandas path
+    structurally beats any exchange-based plan.
 
-    Exactness: every p/r is an exact integer ratio (floor-form 4 dp);
-    ``bleu`` multiplies grid-snapped ratios, takes sqrt (correctly
-    rounded per IEEE-754), applies BP = exp(1 − ref_len/cand_len) with
-    the exponent snapped to a 1e-4 grid, and floor-rounds at 4 dp — the
-    lm2_score fround-on-libm contract.
+    Exactness: every p/r is an exact integer ratio (floor-form 4 dp,
+    identical IEEE ops in python floats); ``bleu`` multiplies
+    grid-snapped ratios, takes sqrt (correctly rounded per IEEE-754),
+    applies BP = exp(1 − ref_len/cand_len) with the exponent snapped to
+    a 1e-4 grid, and floor-rounds at 4 dp. Tokenization replicates the
+    engine's ``dedup.tokens`` exactly, including the ``['']`` result on
+    empty-but-non-NULL text (one empty unigram) and the no-grams result
+    on NULL text.
     """
     if max_n not in (1, 2, 4):
         raise ValueError("max_n must be 1, 2, or 4 (IEEE-exact sqrt root)")
-    from .dedup import ensure_parallelism, round4_ratio, tokens
+    from .dedup import ensure_parallelism
 
-    def tagged(col, side):
-        # single-level transform with the (side, n) tag built inside the
-        # lambda — a transform-over-word_shingles would nest HOFs and
-        # fall out of whole-stage codegen (measured trap). `col` MUST be
-        # a bound attribute (the Generate-barrier struct below), never
-        # the raw tokens() tree: a lambda body capturing that tree
-        # re-evaluates the regex tokenizer PER SHINGLE ELEMENT in the
-        # interpreted HOF path — measured 32 s for 5k pairs at sf0.1,
-        # 0.9 s after hoisting.
-        toks = F.col(col)
-        sz = F.size(toks)
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in pairs.schema.fields
+    )[id_col]
+    pr_cols = ", ".join(
+        f"p{n} double, r{n} double" for n in range(1, max_n + 1)
+    )
+    schema = (
+        f"`{id_col}` {id_type}, cand_len long, ref_len long, {pr_cols}, "
+        "bleu double"
+    )
+    n_sqrts = max_n.bit_length() - 1  # 1->0, 2->1, 4->2
 
-        def shingle_fn(n):
-            # NOTE: a two-parameter lambda (e.g. ``lambda i, n=n``) makes
-            # pyspark's transform() pass the ARRAY INDEX as the second
-            # argument, silently shadowing the captured n — close over n
-            # with a factory instead.
-            return lambda i: F.concat_ws(
-                "\x01",
-                F.lit(side),
-                F.lit(str(n)),
-                F.concat_ws(" ", F.slice(toks, i, n)),
-            )
+    def score_batches(batches):
+        import math
+        import re
+        from collections import Counter
 
-        parts = []
-        for n in range(1, max_n + 1):
-            parts.append(
-                F.when(
-                    sz >= n,
-                    F.transform(
-                        F.sequence(F.lit(1), sz - (n - 1)), shingle_fn(n)
-                    ),
-                ).otherwise(F.array())
-            )
-        return F.concat(*parts) if len(parts) > 1 else parts[0]
+        import pandas as pd
 
-    # tokenize ONCE per row behind a Generate barrier (explode of a
-    # 1-element struct array): CollapseProject cannot inline the regex
-    # tokenizer into the shingle lambdas, which then read a bound struct
-    # field per element instead of re-running the tokenizer.
-    toked = ensure_parallelism(pairs).select(
-        F.col(id_col).alias("__pid__"),
-        F.explode(
-            F.array(
-                F.struct(
-                    tokens(F.col(cand_col)).alias("ct"),
-                    tokens(F.col(ref_col)).alias("rt"),
+        rx = re.compile(r"[^a-z0-9]+")
+        ws = re.compile(r"\s+")
+
+        def toks(t):
+            # dedup.tokens parity: split('\s+') of the trimmed
+            # normalization — '' yields [''] (ONE empty token), NULL
+            # yields no grams at all
+            if t is None or (isinstance(t, float) and t != t):
+                return None
+            return ws.split(rx.sub(" ", t.lower()).strip())
+
+        def r4(m, t):
+            return math.floor((100000.0 * m + 5.0 * t) / (10.0 * t)) / 10000.0
+
+        def score(cand, ref):
+            ct, rt = toks(cand), toks(ref)
+            out = []
+            cand_len = ref_len = 0
+            ps = []
+            for n in range(1, max_n + 1):
+                cg = (
+                    Counter(
+                        tuple(ct[i : i + n]) for i in range(len(ct) - n + 1)
+                    )
+                    if ct is not None
+                    else Counter()
                 )
-            )
-        ).alias("__tk__"),
-    )
-    exploded = toked.select(
-        "__pid__",
-        F.explode_outer(
-            F.concat(tagged("__tk__.ct", "c"), tagged("__tk__.rt", "r"))
-        ).alias("__t__"),
-    ).select(
-        "__pid__",
-        F.split_part(F.col("__t__"), F.lit("\x01"), F.lit(1)).alias("__side__"),
-        F.split_part(F.col("__t__"), F.lit("\x01"), F.lit(2)).cast("int").alias("__n__"),
-        F.split_part(F.col("__t__"), F.lit("\x01"), F.lit(3)).alias("__g__"),
-    )
-    per_gram = exploded.groupBy("__pid__", "__n__", "__g__").agg(
-        F.count(F.when(F.col("__side__") == "c", 1)).alias("__cc__"),
-        F.count(F.when(F.col("__side__") == "r", 1)).alias("__rc__"),
-    )
-    rollup = per_gram.groupBy("__pid__").agg(
-        *[
-            x
-            for n in range(1, max_n + 1)
-            for x in (
-                F.sum(
-                    F.when(F.col("__n__") == n, F.least("__cc__", "__rc__"))
-                ).alias(f"__m{n}__"),
-                F.sum(F.when(F.col("__n__") == n, F.col("__cc__"))).alias(
-                    f"__ct{n}__"
-                ),
-                F.sum(F.when(F.col("__n__") == n, F.col("__rc__"))).alias(
-                    f"__rt{n}__"
-                ),
-            )
-        ]
-    )
-    pr = [
-        x
-        for n in range(1, max_n + 1)
-        for x in (
-            F.when(
-                F.col(f"__ct{n}__") > 0,
-                round4_ratio(F.col(f"__m{n}__"), F.col(f"__ct{n}__")),
-            ).alias(f"p{n}"),
-            F.when(
-                F.col(f"__rt{n}__") > 0,
-                round4_ratio(F.col(f"__m{n}__"), F.col(f"__rt{n}__")),
-            ).alias(f"r{n}"),
+                rg = (
+                    Counter(
+                        tuple(rt[i : i + n]) for i in range(len(rt) - n + 1)
+                    )
+                    if rt is not None
+                    else Counter()
+                )
+                tot_c = sum(cg.values())
+                tot_r = sum(rg.values())
+                m = sum(min(c, rg.get(g, 0)) for g, c in cg.items())
+                if n == 1:
+                    cand_len, ref_len = tot_c, tot_r
+                p = r4(m, tot_c) if tot_c > 0 else None
+                r = r4(m, tot_r) if tot_r > 0 else None
+                ps.append(p)
+                out += [p, r]
+            if cand_len > 0 and all(p is not None for p in ps):
+                geo = ps[0]
+                for p in ps[1:]:
+                    geo = geo * p
+                for _ in range(n_sqrts):
+                    geo = math.sqrt(geo)
+                if cand_len >= ref_len:
+                    bp = 1.0
+                else:
+                    e = math.floor(
+                        (1.0 - ref_len / cand_len) * 10000.0 + 0.5
+                    ) / 10000.0
+                    bp = math.exp(e)
+                bleu = math.floor(bp * geo * 10000.0 + 0.5) / 10000.0
+            else:
+                bleu = None
+            return [cand_len, ref_len] + out + [bleu]
+
+        cols = (
+            [id_col, "cand_len", "ref_len"]
+            + [c for n in range(1, max_n + 1) for c in (f"p{n}", f"r{n}")]
+            + ["bleu"]
         )
-    ]
-    out = rollup.select(
-        F.col("__pid__").alias(id_col),
-        F.coalesce(F.col("__ct1__"), F.lit(0)).alias("cand_len"),
-        F.coalesce(F.col("__rt1__"), F.lit(0)).alias("ref_len"),
-        *pr,
-    )
-    geo = F.col("p1")
-    for n in range(2, max_n + 1):
-        geo = geo * F.col(f"p{n}")
-    for _ in range(max_n.bit_length() - 1):  # 1->0, 2->1, 4->2 sqrts
-        geo = F.sqrt(geo)
-    exponent = fround(
-        F.lit(1.0) - F.col("ref_len").cast("double") / F.col("cand_len"), 4
-    )
-    bp = F.when(F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)).otherwise(
-        F.exp(exponent)
-    )
-    return out.select(
-        "*",
-        F.when(F.col("cand_len") > 0, fround(bp * geo, 4)).alias("bleu"),
-    )
+        for pdf in batches:
+            recs = [
+                [pid] + score(cand, ref)
+                for pid, cand, ref in zip(
+                    pdf[id_col], pdf["__cand__"], pdf["__ref__"]
+                )
+            ]
+            yield pd.DataFrame(recs, columns=cols)
+
+    return ensure_parallelism(
+        pairs.select(
+            F.col(id_col),
+            F.col(cand_col).alias("__cand__"),
+            F.col(ref_col).alias("__ref__"),
+        )
+    ).mapInPandas(score_batches, schema)
 
 
 def cohens_kappa(

@@ -92,6 +92,14 @@ def main() -> None:
         import threading
 
         con = _duck_con(sf_dir)
+        # guard rails: the semantic-auto oracle materializes an
+        # n×k cross CTE carrying full vectors (89.6M rows × ~600 B at
+        # sf10 — ~100 GB RSS, measured: it rode past the interrupt and
+        # nearly OOM'd the host). A memory cap makes DuckDB spill or
+        # fail fast, so the wall-clock cap can actually fire; either
+        # way the twin records a "+"-marked lower bound.
+        con.execute("SET memory_limit='24GB'")
+        con.execute("SET temp_directory='/tmp/duck_sf10_spill'")
         out = {}
         for name in PERF:
             timer = threading.Timer(cap, con.interrupt)
