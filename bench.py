@@ -279,6 +279,7 @@ def main() -> None:
         oracles = entry_mod.oracle_sql()
         con = duckdb.connect()
         con.execute(f"SET threads TO {os.cpu_count()}")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in (
             "region nation customer supplier part orders lineitem events "
             "documents embeddings"

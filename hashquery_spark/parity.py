@@ -36,6 +36,8 @@ def duck_connection(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
+    # spill outside the repo (in-memory DuckDB defaults to cwd/.tmp)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):

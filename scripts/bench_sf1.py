@@ -107,6 +107,9 @@ def generate(dest: str = DEST, force: bool = False, replicas: int = None) -> Non
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+    # spill OUTSIDE the repo — in-memory DuckDB spills to cwd/.tmp by
+    # default, and an sf10 run once committed 1.7 GB of blocks to git.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
 
     def write(table_sql: str, name: str):
         con.execute(
@@ -194,6 +197,7 @@ def _duck_con(sf_dir: str):
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"

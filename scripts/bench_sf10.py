@@ -106,17 +106,25 @@ def main() -> None:
             timer.start()
             t = time.perf_counter()
             timed_out = False
+            error = None
             try:
                 if name in oracles:
                     con.execute(oracles[name]).fetchall()
                 else:
                     py_twins[name](con)
-            except Exception:
+            except duckdb.InterruptException:
+                # the wall-clock cap fired — record a "+"-marked lower
+                # bound, NOT an error: the twin was working, just slow.
                 timed_out = True
+            except Exception as exc:  # genuine twin failure: fail loud
+                error = f"{type(exc).__name__}: {exc}"
             finally:
                 timer.cancel()
             el = round(time.perf_counter() - t, 3)
-            out[name] = f"{el}+" if timed_out else el
+            if error is not None:
+                out[name] = {"error": error, "elapsed_sec": el}
+            else:
+                out[name] = f"{el}+" if timed_out else el
         con.close()
         return out
 
@@ -131,6 +139,10 @@ def main() -> None:
         load_after = f.read().split()[0]
 
     def num(v) -> float:
+        # errored twins (dict entries) contribute 0 — they must not
+        # masquerade as a capped lower bound in totals or ratios.
+        if isinstance(v, dict):
+            return 0.0
         return float(str(v).rstrip("+"))
 
     per_query = {}
