@@ -2273,7 +2273,13 @@ def quantile_normalize(
     totals = hist.groupBy(*safe_by).agg(
         (2 * F.sum("__c__")).alias("__2n__")
     )
-    ranked = cum.join(F.broadcast(totals), on=safe_by).select(
+    if safe_by:
+        joined = cum.join(F.broadcast(totals), on=safe_by)
+    else:
+        # ungrouped: totals is exactly one row — the allowlisted 1-row
+        # broadcast cross (join(on=[]) raises IndexError in pyspark)
+        joined = cum.crossJoin(F.broadcast(totals))
+    ranked = joined.select(
         *safe_by,
         "value",
         (2 * F.col("__cum0__") - F.col("__c__") + 1).alias("__r2__"),

@@ -1641,6 +1641,124 @@ def test_null_groups_survive_migrated_prefix_sum_ops(spark):
     assert dq.count() == 2
 
 
+def _ungrouped_by_sweep_ops():
+    """Every op with an optional ``by`` that routes the null-safe
+    prefix-sum helpers, as (name, call(df, by)) pairs — the r6
+    quantile_normalize regression class ("refactor validated only on
+    the grouped path")."""
+    from hashquery_spark.ops import (
+        average_precision,
+        binary_auc,
+        dp_quantile,
+        gini,
+        kendall_tau_continuous,
+        mann_whitney,
+        quantile_normalize,
+        spearman_corr,
+    )
+    from hashquery_spark.ops.timeseries import kaplan_meier
+
+    return [
+        ("binary_auc", lambda df, by: binary_auc(df, "v", "lab", by=by)),
+        ("average_precision",
+         lambda df, by: average_precision(df, "v", "lab", by=by)),
+        ("mann_whitney",
+         lambda df, by: mann_whitney(df, "v", "lab", by=by)),
+        ("gini", lambda df, by: gini(df, "v", by=by)),
+        ("kendall_tau_continuous",
+         lambda df, by: kendall_tau_continuous(df, "v", "y", by=by)),
+        ("spearman_corr",
+         lambda df, by: spearman_corr(df, "v", "y", by=by)),
+        ("quantile_normalize",
+         lambda df, by: quantile_normalize(df, "v", id_col="id", by=by)),
+        ("dp_quantile",
+         lambda df, by: dp_quantile(df, "v", q=0.5, epsilon=1e6, seed="t",
+                                    by=by)),
+        ("kaplan_meier",
+         lambda df, by: kaplan_meier(df, "dur", "ev", by=by)),
+    ]
+
+
+def _by_sweep_frame(spark):
+    rows = []
+    for i in range(24):
+        rows.append((
+            i,
+            float(i % 7) + (0.5 if i % 3 == 0 else 0.0),  # ties on purpose
+            float((i * 13) % 11),
+            i % 2,
+            "l" if i % 2 == 0 else "r",
+            float(i % 9 + 1),
+            i % 3 != 0,
+        ))
+    return spark.createDataFrame(
+        rows, "id int, v double, y double, lab int, side string, "
+              "dur double, ev boolean"
+    )
+
+
+@pytest.mark.parametrize(
+    "name,call", _ungrouped_by_sweep_ops(), ids=lambda p: p if isinstance(p, str) else ""
+)
+def test_ungrouped_by_none_matches_constant_group(spark, name, call):
+    """by=None, by=[], and by=<constant column> must all work and agree —
+    the r6 quantile_normalize regression was an ungrouped-only crash
+    (join(on=[]) IndexError) invisible to every grouped test.
+    dp_quantile's released value is exempt from the constant-group value
+    check (its noise key hashes the group columns by design), but its
+    ungrouped path must still run and agree across by=None / by=[]."""
+    from pyspark.sql import functions as F
+
+    df = _by_sweep_frame(spark)
+
+    def canon(frame, drop=()):
+        cols = [c for c in frame.columns if c not in drop]
+        return sorted(
+            tuple(row[c] for c in cols) for row in frame.select(*cols).collect()
+        ), cols
+
+    out_none, cols_none = canon(call(df, None))
+    out_empty, cols_empty = canon(call(df, []))
+    assert cols_none == cols_empty
+    assert out_none == out_empty, name
+
+    grouped_df = call(df.withColumn("const", F.lit("x")), "const")
+    out_const, cols_const = canon(grouped_df, drop=("const",))
+    assert cols_const == cols_none, name
+    if name == "dp_quantile":
+        assert len(out_const) == len(out_none) == 1
+    else:
+        assert out_const == out_none, name
+
+
+def test_null_group_equals_null_subset_ungrouped(spark):
+    """For every by-sweep op: the NULL group's grouped result equals the
+    ungrouped result computed on the NULL-subset alone (extends the
+    binary_auc end-to-end check to the whole helper-caller family;
+    dp_quantile exempt from value equality — group-seeded noise)."""
+    from pyspark.sql import functions as F
+
+    df = _by_sweep_frame(spark).withColumn(
+        "g", F.when(F.col("id") % 3 == 0, F.lit(None)).otherwise(
+            (F.col("id") % 2).cast("string"))
+    )
+    null_subset = df.where(F.col("g").isNull()).drop("g")
+    for name, call in _ungrouped_by_sweep_ops():
+        grouped = call(df, "g")
+        null_rows = sorted(
+            tuple(r[c] for c in grouped.columns if c != "g")
+            for r in grouped.where(F.col("g").isNull()).collect()
+        )
+        assert null_rows, name
+        if name == "dp_quantile":
+            continue
+        solo_df = call(null_subset, None)
+        solo = sorted(
+            tuple(r[c] for c in solo_df.columns) for r in solo_df.collect()
+        )
+        assert null_rows == solo, name
+
+
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
