@@ -2942,6 +2942,24 @@ def q_spearman(spark, sf_dir):
     from hashquery_spark.ops import spearman_corr
 
     li = _conn(spark, sf_dir).table("lineitem")
+    # exact=True pins the DECIMAL(38) path for the cross-engine oracle;
+    # the library default is the double-accumulator fast path.
+    return spearman_corr(
+        li, "l_quantity", "l_extendedprice", by="l_returnflag", exact=True
+    ).orderBy("l_returnflag")
+
+
+def q_spearman_fast(spark, sf_dir):
+    """spearman_corr on its DEFAULT (double-accumulator) path — the
+    plan a 100 TB caller gets without asking: identical histogram-rank
+    pipeline, plain double Pearson sums (the corr_matrix_fast
+    precedent; the exact DECIMAL path measured ~45x the aggregation
+    cost). Twin-checked against a pandas tie-averaged-rank replica with
+    a declared 1e-5 tolerance; the bit-exact DECIMAL variant keeps its
+    DuckDB oracle under `spearman`."""
+    from hashquery_spark.ops import spearman_corr
+
+    li = _conn(spark, sf_dir).table("lineitem")
     return spearman_corr(
         li, "l_quantity", "l_extendedprice", by="l_returnflag"
     ).orderBy("l_returnflag")
@@ -4519,6 +4537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_auc": q_binary_auc,
         "average_precision": q_average_precision,
         "spearman": q_spearman,
+        "spearman_fast": q_spearman_fast,
         "sketch_rollup": q_sketch_rollup,
         "corpus_overlap": q_corpus_overlap,
         "kll_quantiles": q_kll_quantiles,

@@ -185,6 +185,8 @@ HEADLINE = [
     # --- round 6 (appended, never reshuffled) ---
     "semantic_dedup_auto",
     "kendall_tau_continuous",
+    # --- round 7 ---
+    "spearman_fast",
 ]
 
 

@@ -1566,7 +1566,7 @@ def kendall_tau_continuous(
 
 
 def spearman_corr(
-    df: DataFrame, col_x: str, col_y: str, by=None
+    df: DataFrame, col_x: str, col_y: str, by=None, exact: bool = False
 ) -> DataFrame:
     """Spearman rank correlation between two numeric columns, optionally
     per ``by`` group — the monotone-association companion to Pearson
@@ -1581,12 +1581,17 @@ def spearman_corr(
     combined, bounded by value-grid cardinality), a running-count window
     over histogram rows assigns tie-averaged 2× ranks (exact integers,
     the binary_auc doubling), and rows join their rank by value — rows
-    never sort globally. All Pearson sums over 2×-ranks are exact
-    DECIMAL(38) integers (Σr² ~ 4n³: int64-unsafe past ~1.6e6 rows);
-    the final rho divides the exact integer numerator by
-    sqrt(A)·sqrt(B) computed in fixed-order IEEE doubles from
-    correctly-rounded DECIMAL→DOUBLE casts — identical both engines —
-    and frounds to 6 dp.
+    never sort globally.
+
+    ``exact``: the default (False) accumulates the Pearson-on-ranks sums
+    in DOUBLE — ranks are exact integers, so only the accumulation can
+    lose ulps (Σr² ~ 4n³ passes 2^53 around n≈130k rows/group; past that
+    the last digits of rho can drift, which a 6-dp rank correlation
+    tolerates). ``exact=True`` routes the sums through DECIMAL(38)
+    integers — bit-exact at any n, measured ~45× the aggregation cost of
+    the double path (the corr_matrix precedent) — and is what the
+    cross-engine oracle pins. Both paths divide the numerator by
+    sqrt(A)·sqrt(B) in fixed-order IEEE doubles and fround to 6 dp.
 
     Caveat for NEAR-CONTINUOUS columns: the rank histogram approaches
     row count when values are almost all distinct, so its per-group
@@ -1632,16 +1637,16 @@ def spearman_corr(
     ranked = base.join(rx, on=safe_by + ["__x__"]).join(
         ry, on=safe_by + ["__y__"]
     )
-    d38 = "decimal(38,0)"
+    acc = "decimal(38,0)" if exact else "double"
     agg = ranked.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("__rx__").cast(d38)).alias("__sx__"),
-        F.sum(F.col("__ry__").cast(d38)).alias("__sy__"),
-        F.sum(F.col("__rx__").cast(d38) * F.col("__ry__")).alias("__sxy__"),
-        F.sum(F.col("__rx__").cast(d38) * F.col("__rx__")).alias("__sxx__"),
-        F.sum(F.col("__ry__").cast(d38) * F.col("__ry__")).alias("__syy__"),
+        F.sum(F.col("__rx__").cast(acc)).alias("__sx__"),
+        F.sum(F.col("__ry__").cast(acc)).alias("__sy__"),
+        F.sum(F.col("__rx__").cast(acc) * F.col("__ry__")).alias("__sxy__"),
+        F.sum(F.col("__rx__").cast(acc) * F.col("__rx__")).alias("__sxx__"),
+        F.sum(F.col("__ry__").cast(acc) * F.col("__ry__")).alias("__syy__"),
     )
-    n_d = F.col("n").cast(d38)
+    n_d = F.col("n").cast(acc)
     num = n_d * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")
     a = n_d * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
     b = n_d * F.col("__syy__") - F.col("__sy__") * F.col("__sy__")

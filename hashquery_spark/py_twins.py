@@ -263,6 +263,34 @@ def twin_embedding_pca(con):
 
 
 
+def twin_spearman_fast(con):
+    """spearman_corr's DEFAULT (double-accumulator) path: pandas
+    tie-averaged ranks ×2 (the op's doubled-rank integers) + float64
+    Pearson over them. Summation order differs from Spark's partial
+    aggregation, so the compare declares a 1e-5 tolerance; the exact
+    DECIMAL(38) variant keeps its bit-exact DuckDB oracle (spearman)."""
+    import pandas as pd
+
+    pdf = con.execute(
+        "SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem "
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
+    ).fetch_df()
+    out = []
+    for flag, grp in sorted(pdf.groupby("l_returnflag")):
+        rx = (grp["l_quantity"].rank(method="average") * 2).to_numpy()
+        ry = (grp["l_extendedprice"].rank(method="average") * 2).to_numpy()
+        n = len(grp)
+        rho = None
+        sx, sy = rx.sum(), ry.sum()
+        num = n * (rx * ry).sum() - sx * sy
+        vx = n * (rx * rx).sum() - sx * sx
+        vy = n * (ry * ry).sum() - sy * sy
+        if vx > 0 and vy > 0:
+            rho = _fround(num / (math.sqrt(vx) * math.sqrt(vy)), 6)
+        out.append((flag, n, rho))
+    return pd.DataFrame(out, columns=["l_returnflag", "n", "spearman_rho"])
+
+
 def twin_corr_matrix_fast(con):
     """corr_matrix's DEFAULT (double-accumulator) path: numpy float64
     per-pair moments over the identical pairwise-complete rows. Double
@@ -316,4 +344,5 @@ PY_TWINS: Dict[str, Tuple[Callable[[Any], Any], Dict[str, Any]]] = {
     ),
     "embedding_pca": (twin_embedding_pca, {}),
     "corr_matrix_fast": (twin_corr_matrix_fast, {"float_atol": 1e-5}),
+    "spearman_fast": (twin_spearman_fast, {"float_atol": 1e-5}),
 }

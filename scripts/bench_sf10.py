@@ -51,6 +51,9 @@ PERF = [
     "translation_metrics",
     "unigram_tokenize",
     "spearman",
+    # the library-default double-accumulator path (r6 verdict #5) —
+    # "spearman" above stays the exact/oracle variant for continuity
+    "spearman_fast",
 ]
 
 
