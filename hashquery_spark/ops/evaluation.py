@@ -406,7 +406,10 @@ def translation_metrics(
             return ws.split(rx.sub(" ", t.lower()).strip())
 
         def r4(m, t):
-            return math.floor((100000.0 * m + 5.0 * t) / (10.0 * t)) / 10000.0
+            # exact INTEGER arithmetic, matching round4_ratio bit-for-bit
+            # (the float form was provably exact for bounded gram counts
+            # but violated the integer-ratio rule — ADVICE r6)
+            return (100000 * m + 5 * t) // (10 * t) / 10000.0
 
         def score(cand, ref):
             ct, rt = toks(cand), toks(ref)

@@ -317,13 +317,17 @@ def ivf_index(
     with NO join. ``cache=True`` persists the assigned corpus for repeated
     searches.
 
-    Assignment is the FLAT-dot argmin (vector flattened to scalar
-    columns behind a Generate barrier, each centroid dot spelled as
-    codegen'd multiply-adds, array_min(struct) argmin): measured 2.5-4×
-    the interpreted HOF-fold form at every k and healthy through k=512,
-    where the fold's ~12.5 µs/centroid/row dominates the pass. Sum
-    order is the same left-to-right chain as the HOF fold and DuckDB's
-    list_dot_product, so assignments stay bit-identical.
+    Assignment is the INTERPRETED HOF-fold argmin (one
+    array_min-over-struct pass per row), deliberately: at auto-k scale
+    every flat codegen formulation blows Janino's 64 KB method limit and
+    Spark silently falls back to interpreted for the whole stage anyway
+    (measured r6 at k=142). The real throughput levers are
+    ensure_parallelism before the fold (a one-file corpus otherwise runs
+    it on ~2 partitions) and the lazy localCheckpoint of the assigned
+    frame (search plans must not carry the argmin lineage — Catalyst
+    optimizer blow-up at any k). Sum order is the same left-to-right
+    chain as DuckDB's list_dot_product, so assignments stay
+    bit-identical.
 
     Determinism: centroid similarities round to 4 decimals with
     lowest-centroid-id tiebreak, so a DuckDB oracle reproduces cell
