@@ -699,7 +699,7 @@ class Model:
             group, timestamp, event_key, "match_steps"
         )
         if not steps:
-            raise ValueError("`match_steps` requires at least one step to match.")
+            raise ValueError("`match_steps` needs a non-empty list of steps.")
         step_conditions = self._normalize_steps(list(steps), activity_schema)
         partition_start_events = [to_expr(p) for p in (partition_start_events or [])]
 
@@ -800,7 +800,7 @@ class Model:
         top_index = top_of_funnel if isinstance(top_of_funnel, int) else None
         top_name = top_of_funnel if isinstance(top_of_funnel, str) else "entities"
         if top_index is not None and top_index < 0:
-            raise ValueError("Invalid `top_of_funnel` index. Cannot be negative.")
+            raise ValueError("`top_of_funnel` index must be >= 0.")
         if top_index is not None and steps and top_index >= len(steps):
             raise ValueError(
                 "There are not enough steps in the funnel to filter to the "

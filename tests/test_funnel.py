@@ -338,6 +338,18 @@ def test_salted_journey_assembly_equivalence(events):
     assert f == {"ad_impression": 5, "visit": 4, "purchase": 2}
 
 
+def test_salting_threshold_guidance_documented():
+    """r6 verdict #8: the measured salt-vs-plain crossover (~6M events /
+    50% hot share) must be documented where a 100 TB user will read it,
+    so they don't pay the extra shuffle blind — pin the guidance text."""
+    import hashquery_spark.match_steps as ms
+
+    doc = ms.__doc__
+    assert "WHEN TO SALT" in doc
+    # the measured crossover and the real valve must both be stated
+    assert "6M" in doc and "max_events_per_entity" in doc
+
+
 def test_match_steps_wire_roundtrip(events):
     """The funnel source tree (activity schema + steps + time limit) must
     survive wire-format serialization (reference: serializable v7)."""
