@@ -3343,6 +3343,35 @@ def q_embedding_quantize(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product quantization of the embeddings table (m=4 subspaces,
+    k=16 codes): 4-byte codes replace 256-byte vectors — the memory
+    step for 100 TB ANN. Deterministic first-k codebooks; the kmeans
+    |c|²−2·(sub·c) argmin chain + fixed-order reconstruction error
+    reproduce bit-for-bit in the oracle."""
+    from hashquery_spark.ops import pq_encode
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    return pq_encode(emb, "embedding", "vec_id", m=4, k=16).orderBy("vec_id")
+
+
+def q_pq_search(spark, sf_dir):
+    """Asymmetric-distance (ADC) search over the PQ codes: each probe
+    precomputes an m×k LUT once, every candidate costs m array lookups
+    — no per-pair dot products. Top-10 per probe, ties to the lowest
+    neighbor id; the probe side is the tiny broadcast (ann_bruteforce
+    exemption)."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import pq_search
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    return pq_search(
+        emb, probes, "embedding", "vec_id", m=4, k=16, top=10
+    ).orderBy("probe_id", "rank")
+
+
 def q_bloom_contamination(spark, sf_dir):
     """Bloom-filter decontamination: the benchmark gram set (doc_id < 25)
     compressed to a deterministic md5/KM bitset (m_words=256, k=3 — small
@@ -4606,6 +4635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_measure": q_v_measure,
         "ks_test": q_ks_test,
         "embedding_quantize": q_embedding_quantize,
+        "pq_encode": q_pq_encode,
+        "pq_search": q_pq_search,
         "bloom_contamination": q_bloom_contamination,
         "fairness_report": q_fairness_report,
         "rouge_l": q_rouge_l,

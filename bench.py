@@ -187,6 +187,8 @@ HEADLINE = [
     "kendall_tau_continuous",
     # --- round 7 ---
     "spearman_fast",
+    "pq_encode",
+    "pq_search",
 ]
 
 

@@ -780,6 +780,209 @@ def embedding_quantize(
     )
 
 
+def _pq_codebooks(corpus: DataFrame, vec_col: str, id_col: str, m: int, k: int):
+    """Deterministic PQ codebooks: the ``k`` vectors with the smallest
+    ids (the kmeans_fit init contract — a DuckDB oracle re-derives the
+    identical set via row_number() ORDER BY id LIMIT k), each sliced
+    into ``m`` equal subvectors. Returns (books, dim, dsub) where
+    ``books[s]`` is ``[(code, subvector)]`` with code = 0..k-1 in id
+    order. Bounded collect: k × dim floats (the broadcast-sized
+    centroid contract)."""
+    rows = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"corpus has only {len(rows)} vectors, need k={k}")
+    dim = len(rows[0][1])
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        books.append(
+            [
+                (code, [float(x) for x in r[1]][s * dsub:(s + 1) * dsub])
+                for code, r in enumerate(rows)
+            ]
+        )
+    return books, dim, dsub
+
+
+def _pq_sub_argmin_sql(sub_expr: str, book) -> str:
+    """array_min over k named_structs ('d' = |c|² − 2·(sub·c), 'code') —
+    the kmeans _argmin_cluster_sql form on a SUBVECTOR expression. The
+    |sub|² term is omitted (constant within the argmin); ties break to
+    the lowest code via struct ordering. One SQL string (bulk-expr
+    rule)."""
+    structs = []
+    for code, cvec in book:
+        arr = "array(" + ",".join(f"{v!r}D" for v in cvec) + ")"
+        dot = (
+            f"aggregate(zip_with({sub_expr}, {arr}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+        )
+        csq = sum(v * v for v in cvec)
+        structs.append(
+            f"named_struct('d', {csq!r}D - 2.0D * {dot}, "
+            f"'code', CAST({code} AS INT))"
+        )
+    return "array_min(array(" + ",".join(structs) + "))"
+
+
+def pq_encode(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 16,
+    codebooks=None,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — encode each vector as
+    ``m`` sub-space codes of ``log2(k)`` bits: the memory step that makes
+    100 TB of embeddings searchable (a 64-dim float32 vector is 256
+    bytes; its m=4/k=16 PQ code is 4 bytes — the corpus of codes fits in
+    RAM where the raw vectors never will, and :func:`pq_search` scans
+    codes with table lookups instead of float dot products).
+    Output: ``(id, code_0..code_{m-1} (int), recon_sq_err (double))``
+    where recon_sq_err = Σ_s |sub_s − codebook_s[code_s]|².
+
+    ``codebooks=None`` derives deterministic codebooks from the first
+    ``k`` vectors by id (:func:`_pq_codebooks`); pass the structure
+    returned by that helper to encode against trained codebooks.
+
+    Cross-engine exactness: per-subspace distances are the kmeans
+    ``|c|² − 2·(sub·c)`` chain (python-literal |c|² = the same
+    left-to-right float sum as DuckDB's list_dot_product; the fold
+    mirrors it), argmin ties break to the lowest code, and the
+    reconstruction error re-adds the hoisted |sub|² in a fixed
+    parenthesization — every double is bit-identical in the oracle.
+
+    Scale/codegen: one scan, zero shuffles, zero joins — codebooks are
+    inlined literals (bounded m·k·dsub floats, the centroid-broadcast
+    contract). All m argmins + m |sub|² folds evaluate ONCE inside a
+    single struct behind a Generate barrier (explode of a 1-element
+    array), so field extraction cannot re-inline the argmin trees
+    through CollapseProject (the expression-referenced-twice trap).
+    """
+    if codebooks is None:
+        books, dim, dsub = _pq_codebooks(corpus, vec_col, id_col, m, k)
+    else:
+        books, dim, dsub = codebooks
+        m, k = len(books), len(books[0])
+
+    payload = []
+    for s in range(m):
+        sub = f"slice(__v__, {s * dsub + 1}, {dsub})"
+        vv = (
+            f"aggregate({sub}, 0.0D, (acc, x) -> "
+            "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        payload.append(f"'m{s}', {_pq_sub_argmin_sql(sub, books[s])}")
+        payload.append(f"'vv{s}', {vv}")
+    barrier = "named_struct(" + ", ".join(payload) + ")"
+
+    p1 = corpus.where(F.col(vec_col).isNotNull()).selectExpr(
+        f"`{id_col}`",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS __v__",
+    )
+    p2 = p1.select(
+        F.col(id_col),
+        F.explode(F.array(F.expr(barrier))).alias("__pq__"),
+    )
+    # recon = ((e_0 + e_1) + ...) with e_s = (vv_s + d_s): fixed
+    # parenthesization, mirrored verbatim in the oracle SQL
+    recon = " + ".join(f"(__pq__.vv{s} + __pq__.m{s}.d)" for s in range(m))
+    return p2.selectExpr(
+        f"`{id_col}`",
+        *[f"__pq__.m{s}.code AS code_{s}" for s in range(m)],
+        f"{recon} AS recon_sq_err",
+    )
+
+
+def pq_search(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 16,
+    top: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) search over PQ codes: each probe
+    precomputes an ``m × k`` lookup table of subspace distances ONCE
+    (m·k bounded folds per probe row), then every corpus candidate costs
+    ``m`` array lookups + adds — no per-pair float dot products. Output:
+    ``(probe_id, neighbor_id, adc_dist, rank)`` — rank 1..top per probe
+    by ascending approximate squared L2 (ties to the lowest neighbor
+    id).
+
+    This is the scan PQ was built for: at 100 TB the code table is
+    ~64× smaller than the raw vectors and the per-candidate work is
+    integer indexing. Compose with :func:`ivf_index` cells to prune
+    candidates first (IVF-ADC); the brute-code scan here is the recall
+    baseline. The probe side is deliberately tiny and broadcast (the
+    ann_brute_force exemption).
+
+    Exactness: LUT entries are ``|p_sub|² + (|c|² − 2·p_sub·c)`` — the
+    pq_encode chain plus the probe norm, fixed parenthesization — and
+    the ADC sum adds the m looked-up doubles left-to-right; ranks
+    break ties by neighbor id, so the oracle reproduces the full
+    result bit-for-bit.
+    """
+    books, dim, dsub = _pq_codebooks(corpus, vec_col, id_col, m, k)
+    codes = pq_encode(corpus, vec_col, id_col, codebooks=(books, dim, dsub))
+
+    lut_exprs = []
+    for s in range(m):
+        sub = f"slice(__pv__, {s * dsub + 1}, {dsub})"
+        pvv = (
+            f"aggregate({sub}, 0.0D, (acc, x) -> "
+            "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        cells = []
+        for code, cvec in books[s]:
+            arr = "array(" + ",".join(f"{v!r}D" for v in cvec) + ")"
+            dot = (
+                f"aggregate(zip_with({sub}, {arr}, (x, y) -> "
+                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+                "(acc, x) -> acc + x)"
+            )
+            csq = sum(v * v for v in cvec)
+            cells.append(f"({pvv} + ({csq!r}D - 2.0D * {dot}))")
+        lut_exprs.append(f"array({','.join(cells)}) AS __lut{s}__")
+
+    p = probes.where(F.col(vec_col).isNotNull()).selectExpr(
+        f"`{id_col}` AS probe_id",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS __pv__",
+    ).selectExpr("probe_id", *lut_exprs)
+
+    adc = " + ".join(
+        f"try_element_at(__lut{s}__, code_{s} + 1)" for s in range(m)
+    )
+    joined = codes.withColumnRenamed(id_col, "neighbor_id").crossJoin(
+        F.broadcast(p)
+    )
+    scored = joined.where(
+        F.col("neighbor_id") != F.col("probe_id")
+    ).selectExpr("probe_id", "neighbor_id", f"{adc} AS adc_dist")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "probe_id",
+            "neighbor_id",
+            "adc_dist",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .where(F.col("rank") <= top)
+    )
+
+
 def mmr_select(
     df: DataFrame,
     vec_col: str,

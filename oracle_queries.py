@@ -5828,3 +5828,99 @@ SELECT
   END AS kendall_tau
 FROM nn, pq, t1, t2
 """
+
+
+def _pq_ctes(m: int = 4, k: int = 16, dim: int = 64) -> str:
+    """Shared CTE body for the PQ oracles: doubles view, first-k
+    codebook, and one per-subspace argmin assignment CTE mirroring
+    pq_encode's |c|² − 2·(sub·c) chain (list_dot_product is the same
+    left-to-right sum as the Spark fold and the python-literal |c|²)."""
+    dsub = dim // m
+    parts = ["""
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+cb AS (
+  SELECT CAST(rn - 1 AS INT) AS code, v FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v
+    FROM ev ORDER BY vec_id LIMIT %d
+  )
+)""" % k]
+    for s in range(m):
+        a, b = s * dsub + 1, (s + 1) * dsub
+        d = (
+            f"(list_dot_product(cb.v[{a}:{b}], cb.v[{a}:{b}])"
+            f" - 2.0 * list_dot_product(e.v[{a}:{b}], cb.v[{a}:{b}]))"
+        )
+        parts.append(f"""
+asn{s} AS (
+  SELECT vec_id, code, d FROM (
+    SELECT e.vec_id, cb.code, {d} AS d,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {d}, cb.code) AS rn
+    FROM ev e CROSS JOIN cb
+  ) WHERE rn = 1
+)""")
+    return ",".join(parts)
+
+
+def _pq_encode_sql(m: int = 4, k: int = 16, dim: int = 64) -> str:
+    dsub = dim // m
+    recon = " + ".join(
+        f"(list_dot_product(e.v[{s * dsub + 1}:{(s + 1) * dsub}], "
+        f"e.v[{s * dsub + 1}:{(s + 1) * dsub}]) + asn{s}.d)"
+        for s in range(m)
+    )
+    joins = " ".join(
+        f"JOIN asn{s} ON asn{s}.vec_id = e.vec_id" for s in range(m)
+    )
+    codes = ", ".join(f"asn{s}.code AS code_{s}" for s in range(m))
+    return f"""
+WITH {_pq_ctes(m, k, dim)}
+SELECT e.vec_id, {codes}, {recon} AS recon_sq_err
+FROM ev e {joins}
+"""
+
+
+def _pq_search_sql(
+    m: int = 4, k: int = 16, dim: int = 64, n_probes: int = 5, top: int = 10
+) -> str:
+    dsub = dim // m
+    joins = " ".join(
+        f"JOIN asn{s} ON asn{s}.vec_id = c.vec_id" for s in range(m)
+    )
+    bjoins = " ".join(
+        f"JOIN cb b{s} ON b{s}.code = n.code_{s}" for s in range(m)
+    )
+    adc = " + ".join(
+        f"(list_dot_product(p.v[{s * dsub + 1}:{(s + 1) * dsub}], "
+        f"p.v[{s * dsub + 1}:{(s + 1) * dsub}])"
+        f" + (list_dot_product(b{s}.v[{s * dsub + 1}:{(s + 1) * dsub}], "
+        f"b{s}.v[{s * dsub + 1}:{(s + 1) * dsub}])"
+        f" - 2.0 * list_dot_product(p.v[{s * dsub + 1}:{(s + 1) * dsub}], "
+        f"b{s}.v[{s * dsub + 1}:{(s + 1) * dsub}])))"
+        for s in range(m)
+    )
+    codes = ", ".join(f"asn{s}.code AS code_{s}" for s in range(m))
+    return f"""
+WITH {_pq_ctes(m, k, dim)},
+codes AS (
+  SELECT c.vec_id, {codes} FROM ev c {joins}
+),
+probes AS (SELECT vec_id AS probe_id, v FROM ev WHERE vec_id < {n_probes}),
+scored AS (
+  SELECT p.probe_id, n.vec_id AS neighbor_id, {adc} AS adc_dist
+  FROM codes n CROSS JOIN probes p {bjoins.replace('JOIN cb', 'JOIN cb')}
+  WHERE n.vec_id != p.probe_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY probe_id ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= {top}
+"""
+
+
+ORACLE_SQL["pq_encode"] = _pq_encode_sql()
+ORACLE_SQL["pq_search"] = _pq_search_sql()

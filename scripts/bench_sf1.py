@@ -83,6 +83,9 @@ HEAVY = [
     # --- round 6 (appended) ---
     "semantic_dedup_auto",   # k = ceil(sqrt(n)) — the r5 superlinear fix
     "kendall_tau_continuous",
+    # --- round 7 (appended) ---
+    "rouge_l",               # the last >1s sf0.1 op with no decade record
+    "spearman_fast",         # the new library-default double path
 ]
 # fixed-parameter cluster blocking makes in-cell pair work grow faster
 # than the data (see module docstring) — flagged in the output JSON.

@@ -761,6 +761,84 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall(lsh) >= 0.25
 
 
+def test_pq_encode_known_values(spark):
+    """Hand-computed 2-dim PQ (m=2 one-dim subspaces, k=2 codes from the
+    first two vectors): codes and reconstruction errors are exact."""
+    from hashquery_spark.ops import pq_encode
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [1.0, 9.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in pq_encode(
+        emb, "embedding", "vec_id", m=2, k=2).collect()}
+    # codebook vectors encode to themselves with zero error
+    assert (rows[0]["code_0"], rows[0]["code_1"]) == (0, 0)
+    assert (rows[1]["code_0"], rows[1]["code_1"]) == (1, 1)
+    assert rows[0]["recon_sq_err"] == 0.0 and rows[1]["recon_sq_err"] == 0.0
+    # [1, 9]: subspace 0 nearest 0.0 (code 0), subspace 1 nearest 10.0
+    # (code 1); recon = (1-0)^2 + (9-10)^2 = 2
+    assert (rows[2]["code_0"], rows[2]["code_1"]) == (0, 1)
+    assert abs(rows[2]["recon_sq_err"] - 2.0) < 1e-9
+
+
+def test_pq_search_adc_matches_reconstruction(spark):
+    """ADC distance (LUT lookups) must equal the directly-computed
+    squared L2 between the probe and each candidate's RECONSTRUCTION —
+    the defining PQ identity — and rank-1 must be the reconstruction-
+    nearest candidate."""
+    import itertools
+
+    from hashquery_spark.ops import pq_encode, pq_search
+    from hashquery_spark.ops.similarity import _pq_codebooks
+
+    data = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(4)])
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    m, k = 2, 4
+    books, dim, dsub = _pq_codebooks(emb, "embedding", "vec_id", m, k)
+    codes = {r["vec_id"]: (r["code_0"], r["code_1"]) for r in pq_encode(
+        emb, "embedding", "vec_id", m=m, k=k).collect()}
+    vecs = dict(data)
+
+    def recon(vid):
+        out = []
+        for s in range(m):
+            out.extend(books[s][codes[vid][s]][1])
+        return out
+
+    probes = emb.where("vec_id < 3")
+    res = pq_search(emb, probes, "embedding", "vec_id", m=m, k=k, top=11)
+    for r in res.collect():
+        p, n = r["probe_id"], r["neighbor_id"]
+        expect = sum((a - b) ** 2 for a, b in zip(vecs[p], recon(n)))
+        assert abs(r["adc_dist"] - expect) < 1e-9, (p, n)
+
+
+def test_pq_search_recall_vs_brute_force(spark, sf_dir):
+    """PQ-ADC recall@10 against exact cosine brute force on the real
+    embeddings — quantifies the 64x memory compression's accuracy cost
+    (m=4/k=16 is coarse by design; the bound is a calibrated floor)."""
+    from hashquery_spark.ops import ann_brute_force, pq_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where("vec_id < 20")
+
+    def topk(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topk(ann_brute_force(emb, probes, "embedding", "vec_id", k=10))
+    pq = topk(pq_search(emb, probes, "embedding", "vec_id", m=4, k=16, top=10))
+    hits = sum(len(pq.get(p, set()) & exact[p]) for p in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.2, recall
+
+
 def test_fuzzy_join_entity_matching(spark):
     from hashquery_spark.ops import fuzzy_join
 

@@ -77,6 +77,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "check_constraints",
         # deliberately-small broadcast frames (corpus-total / probe set):
         "tfidf", "lm_score", "ann_bruteforce",
+        # tiny broadcast probe side carrying the per-probe ADC LUTs:
+        "pq_search",
         # 1-row (N, avgdl) stats frame replicated to the scored terms:
         "bm25",
         # 1-row exact-count frames crossed with the 1-row sketch estimate:
