@@ -2965,6 +2965,45 @@ def q_spearman_fast(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+def q_mcnemar(spark, sf_dir):
+    """McNemar's paired-classifier test between two heuristic 'return
+    risk' predictors on lineitem, per linestatus — exact discordant
+    counts; the continuity-corrected chi2 is a pure integer-over-integer
+    double quotient (no rounding site)."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import mcnemar_test
+
+    li = (
+        _conn(spark, sf_dir)
+        .table("lineitem")
+        .withColumn("pred_a", F.col("l_quantity") > 25)
+        .withColumn("pred_b", F.col("l_discount") > 0.05)
+        .withColumn("lab", F.col("l_returnflag") == "R")
+    )
+    return mcnemar_test(li, "pred_a", "pred_b", "lab", by="l_linestatus").orderBy(
+        "l_linestatus"
+    )
+
+
+def q_permutation_test(spark, sf_dir):
+    """Seeded paired-permutation (sign-flip) test of whether click
+    values are symmetric around 50: one md5 per row, KM-double-hashed
+    signs per draw, exact integer replicate sums — p-value reproduces
+    bit-for-bit in the oracle."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import permutation_test
+
+    ev = (
+        _conn(spark, sf_dir)
+        .table("events")
+        .where(F.col("event_type") == "click")
+        .withColumn("d", F.col("value").cast("double") - F.lit(50.0))
+    )
+    return permutation_test(ev, "d", "event_id", n_draws=200, seed="perm")
+
+
 def q_calibration_bins(spark, sf_dir):
     """Reliability-diagram bins + ECE of the text quality score against
     an 'is English' label — the calibration check a quality-classifier
@@ -4590,6 +4629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flesch": q_flesch,
         "anova_f": q_anova_f,
         "mann_whitney": q_mann_whitney,
+        "mcnemar": q_mcnemar,
+        "permutation_test": q_permutation_test,
         "distinct_n": q_distinct_n,
         "lm3_score": q_lm3_score,
         "triangle_count": q_triangle_count,

@@ -1255,3 +1255,129 @@ def log_loss(
             6,
         ).alias("log_loss"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    pred_a_col: str,
+    pred_b_col: str,
+    label_col: str,
+    by=None,
+) -> DataFrame:
+    """McNemar's test for PAIRED classifier comparison — "is model A
+    actually better than model B on the same eval set", the statistic a
+    gate-swap decision should quote instead of two independent
+    accuracies (which ignore that both models saw the same items).
+    Output: group cols + ``n, b_discordant`` (A right, B wrong),
+    ``c_discordant`` (A wrong, B right), ``mcnemar_chi2`` — the
+    continuity-corrected ``(|b−c|−1)²/(b+c)``, NULL when ``b+c = 0``
+    (χ²₁: > 3.84 ⇒ the two error patterns differ at p < .05).
+
+    Exactness: b, c are exact counts and the statistic is a pure
+    integer-over-integer double quotient — correctly rounded and
+    bit-identical in both engines, no rounding site.
+
+    Scale: ONE map-side-combined aggregate over one scan — counts only,
+    nothing buffers. Rows where any of the three columns is NULL are
+    excluded (a paired test needs both predictions and the label).
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    a = F.col(pred_a_col).cast("boolean")
+    b = F.col(pred_b_col).cast("boolean")
+    lab = F.col(label_col).cast("boolean")
+    base = df.where(a.isNotNull() & b.isNotNull() & lab.isNotNull())
+    g = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((a == lab) & (b != lab), 1)).alias("b_discordant"),
+        F.count(F.when((a != lab) & (b == lab), 1)).alias("c_discordant"),
+    )
+    bb, cc = F.col("b_discordant"), F.col("c_discordant")
+    num = (F.abs(bb - cc) - 1) * (F.abs(bb - cc) - 1)
+    return g.select(
+        *by,
+        "n",
+        bb.cast("long").alias("b_discordant"),
+        cc.cast("long").alias("c_discordant"),
+        F.when(
+            bb + cc > 0, num.cast("double") / (bb + cc).cast("double")
+        ).alias("mcnemar_chi2"),
+    )
+
+
+def permutation_test(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_draws: int = 200,
+    grid: float = 1e6,
+    *,
+    seed: str,
+) -> DataFrame:
+    """Paired-permutation (sign-flip) test on per-item differences —
+    the distribution-free companion to :func:`ab_test_report` for
+    PAIRED designs (same items scored by two models: d_i = score_A −
+    score_B). H₀: the d_i are symmetric about 0; the test flips each
+    item's sign in ``n_draws`` seeded pseudo-permutations and asks how
+    often |Σ ±d| ≥ |Σ d|. Output (one row): ``n, d_sum, n_ge,
+    p_value`` with the add-one estimator p = (n_ge + 1)/(n_draws + 1).
+
+    Determinism (the dp/bootstrap contract): draws come from md5, not
+    an RNG — ``seed`` is required and the release is exactly
+    reproducible by a seed holder. One md5 per ROW; draw r's sign is
+    bit 31 of the Kirsch-Mitzenmacher combination (h1 + r·h2) mod 2³²
+    (bit 0 would alternate with r whenever h2 is odd). Values snap to
+    an integer grid (default micro-units) so every replicate sum is an
+    exact DECIMAL(38) integer and p is an exact integer-over-integer
+    quotient — no rounding site anywhere.
+
+    Scale: the md5 projection sits BELOW the Generate (explode of the
+    draw sequence), so per-(row, draw) work is a few integer ops on
+    bound attributes (the bootstrap_ci codegen lesson); the draw-group
+    aggregate map-side combines to n_draws·n_partitions records and the
+    final comparison runs on n_draws rows.
+    """
+    if n_draws < 1:
+        raise ValueError("n_draws must be >= 1")
+    v = F.col(value_col).cast("double")
+    md5_expr = f"md5(concat('{seed}:', CAST(`{id_col}` AS STRING)))"
+    base = df.where(v.isNotNull()).selectExpr(
+        f"CAST(conv(substr({md5_expr}, 1, 8), 16, 10) AS BIGINT) AS __h1__",
+        f"CAST(conv(substr({md5_expr}, 9, 8), 16, 10) AS BIGINT) AS __h2__",
+        f"CAST(floor(CAST(`{value_col}` AS DOUBLE) * {grid!r}e0 + 0.5e0) "
+        "AS BIGINT) AS __u__",
+    )
+    ex = base.select(
+        "__h1__",
+        "__h2__",
+        "__u__",
+        F.explode(F.sequence(F.lit(0), F.lit(n_draws - 1))).alias("__r__"),
+    )
+    sign = F.expr(
+        "CAST(1 - 2 * pmod(pmod(__h1__ + __r__ * __h2__, 4294967296L)"
+        " DIV 2147483648L, 2) AS BIGINT)"
+    )
+    per_draw = (
+        ex.select("__r__", (sign * F.col("__u__")).alias("__su__"))
+        .groupBy("__r__")
+        .agg(F.sum(F.col("__su__").cast("decimal(38,0)")).alias("__s__"))
+    )
+    obs = df.where(v.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(v * F.lit(float(grid)) + F.lit(0.5)).cast("decimal(38,0)")
+        ).alias("__obs__"),
+    )
+    counted = per_draw.crossJoin(F.broadcast(obs)).agg(
+        F.count(
+            F.when(F.abs(F.col("__s__")) >= F.abs(F.col("__obs__")), 1)
+        ).alias("n_ge")
+    )
+    return obs.crossJoin(F.broadcast(counted)).select(
+        "n",
+        (F.col("__obs__").cast("double") / F.lit(float(grid))).alias("d_sum"),
+        F.col("n_ge").cast("long").alias("n_ge"),
+        (
+            (F.col("n_ge") + 1).cast("double")
+            / F.lit(float(n_draws + 1))
+        ).alias("p_value"),
+    )

@@ -5924,3 +5924,69 @@ SELECT probe_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= {top}
 
 ORACLE_SQL["pq_encode"] = _pq_encode_sql()
 ORACLE_SQL["pq_search"] = _pq_search_sql()
+
+
+ORACLE_SQL["mcnemar"] = """
+WITH base AS (
+  SELECT l_linestatus,
+         (l_quantity > 25) AS a,
+         (l_discount > 0.05) AS b,
+         (l_returnflag = 'R') AS lab
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_returnflag IS NOT NULL
+),
+g AS (
+  SELECT l_linestatus,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(CASE WHEN a = lab AND b != lab THEN 1 END) AS BIGINT)
+           AS b_discordant,
+         CAST(count(CASE WHEN a != lab AND b = lab THEN 1 END) AS BIGINT)
+           AS c_discordant
+  FROM base GROUP BY l_linestatus
+)
+SELECT l_linestatus, n, b_discordant, c_discordant,
+  CASE WHEN b_discordant + c_discordant > 0 THEN
+    CAST((abs(b_discordant - c_discordant) - 1)
+         * (abs(b_discordant - c_discordant) - 1) AS DOUBLE)
+      / CAST(b_discordant + c_discordant AS DOUBLE)
+  END AS mcnemar_chi2
+FROM g ORDER BY l_linestatus
+"""
+
+
+ORACLE_SQL["permutation_test"] = """
+WITH base AS (
+  SELECT
+    CAST('0x' || substr(md5('perm:' || CAST(event_id AS VARCHAR)), 1, 8)
+         AS BIGINT) AS h1,
+    CAST('0x' || substr(md5('perm:' || CAST(event_id AS VARCHAR)), 9, 8)
+         AS BIGINT) AS h2,
+    CAST(floor((CAST(value AS DOUBLE) - 50.0) * 1000000.0e0 + 0.5e0)
+         AS BIGINT) AS u
+  FROM events
+  WHERE event_type = 'click' AND value IS NOT NULL
+),
+draws AS (SELECT CAST(unnest(range(200)) AS BIGINT) AS r),
+per AS (
+  SELECT d.r,
+         SUM(CAST((1 - 2 * (((b.h1 + d.r * b.h2) % 4294967296)
+                            // 2147483648)) * b.u AS HUGEINT)) AS s
+  FROM base b CROSS JOIN draws d
+  GROUP BY d.r
+),
+obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, SUM(CAST(u AS HUGEINT)) AS o
+  FROM base
+),
+counted AS (
+  SELECT CAST(count(CASE WHEN abs(per.s) >= abs(obs.o) THEN 1 END)
+              AS BIGINT) AS n_ge
+  FROM per, obs
+)
+SELECT obs.n,
+       CAST(obs.o AS DOUBLE) / 1000000.0e0 AS d_sum,
+       counted.n_ge,
+       CAST(counted.n_ge + 1 AS DOUBLE) / 201.0e0 AS p_value
+FROM obs, counted
+"""

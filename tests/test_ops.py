@@ -3422,6 +3422,79 @@ def test_mann_whitney_known_values(spark):
     assert out2["z"] is None and out2["u"] == 0.5
 
 
+def test_mcnemar_known_values(spark):
+    """Hand-built 10-row paired eval: b (A right, B wrong) = 4,
+    c (A wrong, B right) = 1; corrected chi2 = (|4-1|-1)^2/5 = 0.8."""
+    from hashquery_spark.ops import mcnemar_test
+
+    rows = (
+        [(True, False, True)] * 4     # A correct, B wrong
+        + [(False, True, True)] * 1   # A wrong, B correct
+        + [(True, True, True)] * 3    # both correct
+        + [(False, False, True)] * 2  # both wrong
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean, lab boolean")
+    out = mcnemar_test(df, "a", "b", "lab").collect()[0]
+    assert (out["n"], out["b_discordant"], out["c_discordant"]) == (10, 4, 1)
+    assert out["mcnemar_chi2"] == 0.8
+    # no discordant pairs -> chi2 NULL
+    df2 = spark.createDataFrame(
+        [(True, True, True), (False, False, True)],
+        "a boolean, b boolean, lab boolean",
+    )
+    out2 = mcnemar_test(df2, "a", "b", "lab").collect()[0]
+    assert out2["mcnemar_chi2"] is None
+    assert (out2["b_discordant"], out2["c_discordant"]) == (0, 0)
+
+
+def test_permutation_test_planted_and_replica(spark):
+    """A strongly one-sided sample must hit the minimum p (1/(draws+1));
+    a python replica of the md5/KM sign draws reproduces the exact
+    replicate sums and p on a symmetric sample."""
+    import hashlib
+
+    from hashquery_spark.ops import permutation_test
+
+    # planted: all diffs strongly positive -> no sign-flip can reach |obs|
+    # except the tiny chance every draw flips few rows; with 40 rows the
+    # observed sum is the max attainable only when ALL signs are +; p
+    # must still be small — assert p <= 3/101
+    pos = spark.createDataFrame(
+        [(i, 1.0 + (i % 3)) for i in range(40)], "id long, d double"
+    )
+    out = permutation_test(pos, "d", "id", n_draws=100, seed="t").collect()[0]
+    assert out["n"] == 40
+    assert out["p_value"] <= 3.0 / 101.0
+
+    # replica: exact agreement on sums and p for a mixed sample
+    rows = [(i, ((-1) ** i) * (1.0 + i / 7.0)) for i in range(25)]
+    df = spark.createDataFrame(rows, "id long, d double")
+    got = permutation_test(df, "d", "id", n_draws=50, seed="s").collect()[0]
+
+    def halves(key):
+        h = hashlib.md5(key.encode()).hexdigest()
+        return int(h[:8], 16), int(h[8:16], 16)
+
+    import math
+
+    # floor(d*1e6 + 0.5) — the op's exact unit snap (NOT symmetric for
+    # negatives; floor, not trunc)
+    units = {i: math.floor(d * 1e6 + 0.5) for i, d in rows}
+    obs = sum(units.values())
+    n_ge = 0
+    for r in range(50):
+        s = 0
+        for i, _ in rows:
+            h1, h2 = halves(f"s:{i}")
+            bit = ((h1 + r * h2) % 4294967296) // 2147483648
+            s += (1 - 2 * bit) * units[i]
+        if abs(s) >= abs(obs):
+            n_ge += 1
+    assert got["n_ge"] == n_ge
+    assert got["p_value"] == (n_ge + 1) / 51.0
+    assert got["d_sum"] == obs / 1e6
+
+
 def test_distinct_n_known_values(spark):
     """Hand-counted n-gram totals/distincts on a 2-doc corpus."""
     from hashquery_spark.ops import distinct_n
