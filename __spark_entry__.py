@@ -3004,6 +3004,28 @@ def q_permutation_test(spark, sf_dir):
     return permutation_test(ev, "d", "event_id", n_draws=200, seed="perm")
 
 
+def q_time_split(spark, sf_dir):
+    """Temporal holdout on the events stream (last 25% of time = test):
+    the leakage-safe split for time-ordered corpora. The cutoff is the
+    exact 0.75 quantile of event micros via grid_percentiles
+    (bit-identical to DuckDB quantile_cont); per-split census compared."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import time_split
+
+    ev = _conn(spark, sf_dir).table("events")
+    out = time_split(ev, "ts", test_fraction=0.25)
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("split")
+    )
+
+
 def q_calibration_bins(spark, sf_dir):
     """Reliability-diagram bins + ECE of the text quality score against
     an 'is English' label — the calibration check a quality-classifier
@@ -4630,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova_f": q_anova_f,
         "mann_whitney": q_mann_whitney,
         "mcnemar": q_mcnemar,
+        "time_split": q_time_split,
         "permutation_test": q_permutation_test,
         "distinct_n": q_distinct_n,
         "lm3_score": q_lm3_score,

@@ -590,3 +590,55 @@ def pack_stats(
             "straddle_ratio"
         ),
     )
+
+
+def time_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff=None,
+    test_fraction: float = 0.2,
+    split_name: str = "split",
+) -> DataFrame:
+    """Temporal holdout: rows strictly BEFORE the cutoff are 'train',
+    the rest 'test' — the leakage-safe split for time-ordered corpora
+    (a model must never train on events after its evaluation window;
+    hash splits (:func:`train_test_split`) leak future context into
+    training). Adds ``split``; NULL timestamps get a NULL split.
+
+    ``cutoff``: an explicit timestamp (string or datetime) pins the
+    boundary; otherwise it is derived as the exact ``1 −
+    test_fraction`` quantile of the timestamp distribution in integer
+    microseconds via :func:`~hashquery_spark.ops.profile
+    .grid_percentiles` (distributed GK-bracketed exact percentile — no
+    global sort, bit-identical to quantile_cont for the oracle).
+
+    Scale: explicit cutoff = one narrow codegen'd filter, zero jobs;
+    derived cutoff = the bounded grid_percentiles passes + a 1-row
+    broadcast join-back. The corpus never shuffles.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    if cutoff is not None:
+        cut = F.lit(cutoff).cast("timestamp")
+        return df.withColumn(
+            split_name,
+            F.when(ts.isNull(), F.lit(None).cast("string"))
+            .when(ts < cut, F.lit("train"))
+            .otherwise(F.lit("test")),
+        )
+    from .profile import grid_percentiles
+
+    q = 1.0 - float(test_fraction)
+    micros = df.where(ts.isNotNull()).select(
+        F.unix_micros(ts).alias("__us__")
+    )
+    cut_row = grid_percentiles(micros, "__us__", {"__cut__": q})
+    tagged = df.crossJoin(F.broadcast(cut_row.select("__cut__")))
+    return tagged.withColumn(
+        split_name,
+        F.when(ts.isNull(), F.lit(None).cast("string"))
+        .when(
+            F.unix_micros(ts).cast("double") < F.col("__cut__"),
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test")),
+    ).drop("__cut__")

@@ -5990,3 +5990,22 @@ SELECT obs.n,
        CAST(counted.n_ge + 1 AS DOUBLE) / 201.0e0 AS p_value
 FROM obs, counted
 """
+
+
+ORACLE_SQL["time_split"] = """
+WITH cut AS (
+  SELECT quantile_cont(epoch_us(ts), 0.75) AS c
+  FROM events WHERE ts IS NOT NULL
+),
+tagged AS (
+  SELECT CASE WHEN ts IS NULL THEN NULL
+              WHEN CAST(epoch_us(ts) AS DOUBLE) < (SELECT c FROM cut)
+                THEN 'train'
+              ELSE 'test' END AS split,
+         ts
+  FROM events
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM tagged GROUP BY split ORDER BY split
+"""

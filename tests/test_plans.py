@@ -89,6 +89,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # broadcast onto the probe rows (no group key to hash-join on):
         "quantiles", "stats_moments", "kll_quantiles", "winsorize",
         "mad_outliers", "perplexity_buckets", "grid_percentiles",
+        # ungrouped grid_percentiles cutoff (1 row) crossed onto the
+        # corpus for the temporal-holdout tag:
+        "time_split",
         # 1-row corpus-total frame replicated to the gated bigrams:
         "pmi_bigrams",
         # 1-row mean-weight frame replicated to the corpus filter:

@@ -195,3 +195,45 @@ def test_kfold_split_rejects_k1(spark):
 
     with pytest.raises(ValueError):
         kfold_split(spark.range(3), "id", k=1)
+
+
+def test_time_split_explicit_cutoff_and_nulls(spark):
+    """Explicit cutoff: strict < boundary; NULL ts gets NULL split."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import time_split
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1)),
+        (2, datetime.datetime(2024, 1, 2)),
+        (3, datetime.datetime(2024, 1, 3)),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = {r["id"]: r["split"] for r in time_split(
+        df, "ts", cutoff="2024-01-02 00:00:00").collect()}
+    # the cutoff row itself is TEST (strict <)
+    assert out == {1: "train", 2: "test", 3: "test", 4: None}
+
+
+def test_time_split_derived_cutoff_fraction(spark):
+    """Derived cutoff = exact (1-f) quantile: 10 hourly rows at f=0.2
+    put exactly the last 2 in test (cutoff interpolates between ranks
+    7 and 8 -> rows 0..7 train is wrong; quantile_cont(0.8) of 0..9 is
+    7.2 -> rows with value < 7.2, i.e. 0..7, train; 8,9 test)."""
+    import datetime
+
+    from hashquery_spark.ops import time_split
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(hours=i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = {r["id"]: r["split"] for r in time_split(
+        df, "ts", test_fraction=0.2).collect()}
+    assert [out[i] for i in range(10)] == ["train"] * 8 + ["test"] * 2
+    # every train timestamp strictly precedes every test timestamp
+    trains = [r for r, s in out.items() if s == "train"]
+    tests = [r for r, s in out.items() if s == "test"]
+    assert max(trains) < min(tests)
