@@ -347,6 +347,35 @@ def streaming_curate(
     )
 
 
+def streaming_dedup_within(
+    stream: DataFrame,
+    key_cols,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Bounded-state streaming dedup: drop duplicate keys arriving within
+    the watermark horizon via Spark's native
+    ``dropDuplicatesWithinWatermark`` — the production complement to
+    :func:`streaming_dedup`, whose one-bit-per-key state grows with the
+    ever-seen key SPACE and never expires. Here the state store holds
+    only keys younger than the watermark, so memory is bounded by the
+    ingest rate x horizon — the right contract for at-least-once
+    sources (Kafka redeliveries, retried batch loads) where duplicates
+    arrive close together and a key legitimately recurring days later
+    is NOT a duplicate.
+
+    Semantics: the first arrival of a key is emitted; later arrivals
+    are dropped as long as they land within ``watermark`` of the first
+    one's event time (Spark keeps the key's state until the watermark
+    passes it). Use :func:`streaming_dedup` when keys must be unique
+    FOREVER (content-hash corpus dedup against an unbounded history).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,

@@ -436,3 +436,34 @@ def test_score_stream_matches_batch_classifier(spark, tmp_path):
     }
     assert got == expected
     assert got[2][2] is False and got[2][1] == -2.75  # 2x spam + bias
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per key within the
+    horizon; the emitted row set has one entry per distinct key and the
+    state contract is bounded (documented complement to the forever-
+    state streaming_dedup)."""
+    from hashquery_spark.streaming import streaming_dedup_within
+
+    rows = [
+        (1, "a", datetime(2024, 1, 1, 10, 0)),
+        (1, "a", datetime(2024, 1, 1, 10, 1)),   # dup within horizon
+        (2, "b", datetime(2024, 1, 1, 10, 2)),
+        (1, "a", datetime(2024, 1, 1, 10, 3)),   # still within horizon
+        (3, "c", datetime(2024, 1, 1, 10, 4)),
+    ]
+    path = str(tmp_path / "dups")
+    spark.createDataFrame(
+        rows, "k long, payload string, ts timestamp"
+    ).coalesce(1).sortWithinPartitions("ts").write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(
+        "k long, payload string, ts timestamp"
+    ).parquet(path)
+    out = streaming_dedup_within(stream, "k", "ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_within")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted((r["k"], r["payload"]) for r in spark.table("dedup_within").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
