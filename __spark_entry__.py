@@ -3433,6 +3433,24 @@ def q_pq_search(spark, sf_dir):
     ).orderBy("probe_id", "rank")
 
 
+def q_ivf_pq_search(spark, sf_dir):
+    """IVF-ADC (the FAISS IVFx,PQy shape): cells prune candidates to
+    n_probe/n_centroids of the corpus, PQ codes + probe LUTs score the
+    survivors with m array lookups each — the search that fits 100 TB
+    of embeddings. Cells, codes, and raw ADC doubles reproduce
+    bit-for-bit in the oracle."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import ivf_pq_search
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    return ivf_pq_search(
+        emb, probes, "embedding", "vec_id",
+        n_centroids=8, n_probe=2, m=4, k=16, top=10,
+    ).orderBy("probe_id", "rank")
+
+
 def q_bloom_contamination(spark, sf_dir):
     """Bloom-filter decontamination: the benchmark gram set (doc_id < 25)
     compressed to a deterministic md5/KM bitset (m_words=256, k=3 — small
@@ -4701,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
+        "ivf_pq_search": q_ivf_pq_search,
         "bloom_contamination": q_bloom_contamination,
         "fairness_report": q_fairness_report,
         "rouge_l": q_rouge_l,

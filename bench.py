@@ -189,6 +189,10 @@ HEADLINE = [
     "spearman_fast",
     "pq_encode",
     "pq_search",
+    "ivf_pq_search",
+    "mcnemar",
+    "permutation_test",
+    "time_split",
 ]
 
 

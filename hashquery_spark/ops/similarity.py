@@ -477,6 +477,118 @@ def ivf_ann(
     )
 
 
+def ivf_pq_search(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    top: int = 10,
+) -> DataFrame:
+    """IVF-ADC — the full FAISS ``IVFx,PQy`` search shape and the design
+    that actually fits 100 TB of embeddings: IVF cells prune the
+    candidate set to ``n_probe/n_centroids`` of the corpus (equi-join on
+    the cell id), and every surviving candidate is scored from its
+    ``m``-byte PQ code with ``m`` array lookups against the probe's
+    precomputed LUT — the scan touches CODES (bytes/vector), never the
+    raw float vectors. Output: ``(probe_id, neighbor_id, adc_dist,
+    rank)``, rank 1..top per probe by ascending approximate squared L2
+    (ties to the lowest neighbor id).
+
+    Composition, all established pieces: :func:`ivf_index` cell
+    assignment (4-dp cosine argmax, lowest-cid tiebreak), PQ codes
+    computed in one barrier pass ON the index's checkpointed assignment
+    (no join back), :func:`_pq_lut_exprs` probe LUTs built after the
+    cell explode (n_probe rows per probe — bounded re-evaluation). The
+    oracle reproduces cells, codes, LUT distances, and ranks
+    bit-for-bit.
+
+    Recall knobs: ``n_probe`` trades scan fraction for cell recall;
+    ``m``/``k`` trade code size for quantization error. The exact
+    re-rank of the ADC top candidates against raw vectors (the standard
+    two-stage serving refinement) is :func:`ann_brute_force` on the
+    returned id set."""
+    index = ivf_index(corpus, vec_col, id_col, n_centroids=n_centroids)
+    books, dim, dsub = _pq_codebooks(corpus, vec_col, id_col, m, k)
+
+    # PQ codes in one pass over the checkpointed assignment: the m
+    # argmins evaluate once inside a struct behind the Generate barrier
+    # (the pq_encode contract)
+    payload = []
+    for s in range(m):
+        sub = f"slice(__v__, {s * dsub + 1}, {dsub})"
+        payload.append(f"'m{s}', {_pq_sub_argmin_sql(sub, books[s])}")
+    barrier = "named_struct(" + ", ".join(payload) + ")"
+    coded = (
+        index.assigned.selectExpr(
+            "neighbor_id",
+            "__cell__",
+            "transform(__cvec__, x -> CAST(x AS DOUBLE)) AS __v__",
+        )
+        .select(
+            "neighbor_id",
+            "__cell__",
+            F.explode(F.array(F.expr(barrier))).alias("__pq__"),
+        )
+        .selectExpr(
+            "neighbor_id",
+            "__cell__",
+            *[f"__pq__.m{s}.code AS code_{s}" for s in range(m)],
+        )
+    )
+
+    # probe side: n_probe nearest cells (the ivf_search slice), then the
+    # ADC LUTs derived above the Generate — bounded n_probe-fold
+    # re-evaluation on a tiny frame
+    p = (
+        probes.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("__pvec__"),
+            _norm(F.col(vec_col)).alias("__pn__"),
+        )
+        .select(
+            "probe_id",
+            "__pvec__",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort("
+                    f"{index.sim_structs_sql('__pvec__', '__pn__')}), 1, {n_probe}), "
+                    "s -> s.cid)"
+                )
+            ).alias("__cell__"),
+        )
+        .selectExpr(
+            "probe_id",
+            "__cell__",
+            *_pq_lut_exprs("__pvec__", books, dsub),
+        )
+    )
+
+    joined = coded.join(F.broadcast(p), on="__cell__").where(
+        F.col("neighbor_id") != F.col("probe_id")
+    )
+    adc = " + ".join(
+        f"try_element_at(__lut{s}__, code_{s} + 1)" for s in range(m)
+    )
+    scored = joined.selectExpr("probe_id", "neighbor_id", f"{adc} AS adc_dist")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "probe_id",
+            "neighbor_id",
+            "adc_dist",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .where(F.col("rank") <= top)
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -833,6 +945,35 @@ def _pq_sub_argmin_sql(sub_expr: str, book) -> str:
     return "array_min(array(" + ",".join(structs) + "))"
 
 
+def _pq_lut_exprs(vec_name: str, books, dsub: int) -> list:
+    """Per-subspace ADC lookup tables as SQL select items
+    ``__lut{s}__``: element j = |sub|² + (|c_j|² − 2·sub·c_j) — the
+    pq_encode distance chain plus the probe norm, fixed
+    parenthesization (mirrored in the oracles). One LUT build costs
+    m·k bounded folds per probe row; every candidate afterwards is m
+    array lookups."""
+    m = len(books)
+    out = []
+    for s in range(m):
+        sub = f"slice({vec_name}, {s * dsub + 1}, {dsub})"
+        pvv = (
+            f"aggregate({sub}, 0.0D, (acc, x) -> "
+            "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        cells = []
+        for code, cvec in books[s]:
+            arr = "array(" + ",".join(f"{v!r}D" for v in cvec) + ")"
+            dot = (
+                f"aggregate(zip_with({sub}, {arr}, (x, y) -> "
+                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+                "(acc, x) -> acc + x)"
+            )
+            csq = sum(v * v for v in cvec)
+            cells.append(f"({pvv} + ({csq!r}D - 2.0D * {dot}))")
+        out.append(f"array({','.join(cells)}) AS __lut{s}__")
+    return out
+
+
 def pq_encode(
     corpus: DataFrame,
     vec_col: str,
@@ -936,29 +1077,10 @@ def pq_search(
     books, dim, dsub = _pq_codebooks(corpus, vec_col, id_col, m, k)
     codes = pq_encode(corpus, vec_col, id_col, codebooks=(books, dim, dsub))
 
-    lut_exprs = []
-    for s in range(m):
-        sub = f"slice(__pv__, {s * dsub + 1}, {dsub})"
-        pvv = (
-            f"aggregate({sub}, 0.0D, (acc, x) -> "
-            "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-        )
-        cells = []
-        for code, cvec in books[s]:
-            arr = "array(" + ",".join(f"{v!r}D" for v in cvec) + ")"
-            dot = (
-                f"aggregate(zip_with({sub}, {arr}, (x, y) -> "
-                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
-                "(acc, x) -> acc + x)"
-            )
-            csq = sum(v * v for v in cvec)
-            cells.append(f"({pvv} + ({csq!r}D - 2.0D * {dot}))")
-        lut_exprs.append(f"array({','.join(cells)}) AS __lut{s}__")
-
     p = probes.where(F.col(vec_col).isNotNull()).selectExpr(
         f"`{id_col}` AS probe_id",
         f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS __pv__",
-    ).selectExpr("probe_id", *lut_exprs)
+    ).selectExpr("probe_id", *_pq_lut_exprs("__pv__", books, dsub))
 
     adc = " + ".join(
         f"try_element_at(__lut{s}__, code_{s} + 1)" for s in range(m)

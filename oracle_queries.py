@@ -6009,3 +6009,72 @@ SELECT split, CAST(count(*) AS BIGINT) AS n,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM tagged GROUP BY split ORDER BY split
 """
+
+
+def _ivf_pq_search_sql(
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_probes: int = 5,
+    top: int = 10,
+) -> str:
+    """IVF-ADC twin: the ANN_IVF cosine cell assignment (4-dp snap,
+    lowest-cid tiebreak) composed with the PQ code/LUT chains — every
+    double is the same IEEE sequence the Spark op performs."""
+    dsub = dim // m
+    bjoins = " ".join(
+        f"JOIN cb b{s} ON b{s}.code = n.code_{s}" for s in range(m)
+    )
+    cjoins = " ".join(
+        f"JOIN asn{s} ON asn{s}.vec_id = cl.vec_id" for s in range(m)
+    )
+    adc = " + ".join(
+        f"(list_dot_product(p.pv[{s * dsub + 1}:{(s + 1) * dsub}], "
+        f"p.pv[{s * dsub + 1}:{(s + 1) * dsub}])"
+        f" + (list_dot_product(b{s}.v[{s * dsub + 1}:{(s + 1) * dsub}], "
+        f"b{s}.v[{s * dsub + 1}:{(s + 1) * dsub}])"
+        f" - 2.0 * list_dot_product(p.pv[{s * dsub + 1}:{(s + 1) * dsub}], "
+        f"b{s}.v[{s * dsub + 1}:{(s + 1) * dsub}])))"
+        for s in range(m)
+    )
+    codes = ", ".join(f"asn{s}.code AS code_{s}" for s in range(m))
+    return f"""
+WITH {_pq_ctes(m, k, dim)},
+cents AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < {n_centroids}),
+casn AS (
+  SELECT e.vec_id, e.v, cents.cid,
+    (floor((list_dot_product(e.v, cents.cv) /
+          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cv, cents.cv)))) * 1e4 + 5e-1) / 1e4) AS s
+  FROM ev e, cents
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM casn
+  ) WHERE rn = 1
+),
+coded AS (
+  SELECT cl.vec_id, cl.cell, {codes} FROM cells cl {cjoins}
+),
+pcells AS (
+  SELECT vec_id AS probe_id, v AS pv, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM casn WHERE vec_id < {n_probes}
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT p.probe_id, n.vec_id AS neighbor_id, {adc} AS adc_dist
+  FROM coded n JOIN pcells p ON n.cell = p.cell {bjoins}
+  WHERE n.vec_id != p.probe_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY probe_id ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= {top}
+"""
+
+
+ORACLE_SQL["ivf_pq_search"] = _ivf_pq_search_sql()
