@@ -3026,6 +3026,50 @@ def q_time_split(spark, sf_dir):
     )
 
 
+def q_conformal_interval(spark, sf_dir):
+    """Split-conformal half-width from even-orderkey lineitem residuals
+    (price minus a 1000/unit heuristic), coverage checked on the odd
+    half per return flag — exact integer rank, order-statistic q_hat
+    (no interpolation), tie-proof coverage ratio."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import conformal_interval
+
+    li = (
+        _conn(spark, sf_dir)
+        .table("lineitem")
+        .withColumn(
+            "resid",
+            F.col("l_extendedprice") - F.lit(1000.0) * F.col("l_quantity"),
+        )
+    )
+    cal = li.where(F.col("l_orderkey") % 2 == 0)
+    ev = li.where(F.col("l_orderkey") % 2 == 1)
+    return conformal_interval(
+        cal, ev, "resid", alpha=0.1, by="l_returnflag"
+    ).orderBy("l_returnflag")
+
+
+def q_pinball_loss(spark, sf_dir):
+    """Pinball loss of the 1000/unit price heuristic against actual
+    extended price at q in {0.1, 0.5, 0.9} per return flag — exact
+    integer micro-unit contributions, loss emitted as the
+    correctly-rounded exact-rational quotient."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import pinball_loss
+
+    li = (
+        _conn(spark, sf_dir)
+        .table("lineitem")
+        .withColumn("pred", F.lit(1000.0) * F.col("l_quantity"))
+    )
+    return pinball_loss(
+        li, "pred", "l_extendedprice", quantiles=(0.1, 0.5, 0.9),
+        by="l_returnflag",
+    ).orderBy("l_returnflag", "q")
+
+
 def q_calibration_bins(spark, sf_dir):
     """Reliability-diagram bins + ECE of the text quality score against
     an 'is English' label — the calibration check a quality-classifier
@@ -4671,6 +4715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "mcnemar": q_mcnemar,
         "time_split": q_time_split,
+        "conformal_interval": q_conformal_interval,
+        "pinball_loss": q_pinball_loss,
         "permutation_test": q_permutation_test,
         "distinct_n": q_distinct_n,
         "lm3_score": q_lm3_score,

@@ -193,6 +193,8 @@ HEADLINE = [
     "mcnemar",
     "permutation_test",
     "time_split",
+    "conformal_interval",
+    "pinball_loss",
 ]
 
 

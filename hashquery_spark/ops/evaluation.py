@@ -1381,3 +1381,148 @@ def permutation_test(
             / F.lit(float(n_draws + 1))
         ).alias("p_value"),
     )
+
+
+def conformal_interval(
+    df_cal: DataFrame,
+    df_eval: DataFrame,
+    residual_col: str,
+    alpha: float = 0.1,
+    by=None,
+) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al.): from a
+    CALIBRATION frame's residuals, the half-width ``q_hat`` = the
+    ⌈(1−α)(n+1)⌉-th smallest |residual| gives distribution-free
+    ≥ (1−α) coverage for ŷ ± q_hat on exchangeable data — the
+    model-agnostic uncertainty wrapper an eval pipeline should quote
+    instead of Gaussian bands. Output: group cols + ``n_cal, q_hat,
+    n_eval, coverage`` (the EVAL frame's realized coverage — the
+    honest check that exchangeability actually held; q_hat NULL with
+    coverage 1.0 when the rank exceeds n_cal, the infinite-interval
+    case).
+
+    Exactness: α snaps to percents, the rank is the exact integer
+    ``((100−α100)·(n+1) + 99) DIV 100``, q_hat is an exact DATA VALUE
+    (an order statistic — no interpolation), and coverage is a
+    tie-proof 4-dp integer ratio.
+
+    Scale: the calibration side reduces to an |residual| histogram
+    (map-side combined), the order statistic comes from the two-phase
+    distributed prefix sum (no per-group sort), and the eval side is
+    one broadcast join + one aggregate. Raw rows never shuffle.
+    """
+    from .dedup import (
+        bucketed_running_sums,
+        reify_null_safe_keys,
+        round4_ratio,
+    )
+
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    a100 = int(round(alpha * 100))
+    by = [by] if isinstance(by, str) else list(by or [])
+    r = F.col(residual_col).cast("double")
+
+    cal = df_cal.where(r.isNotNull()).select(*by, F.abs(r).alias("__a__"))
+    cal, safe_by, _ = reify_null_safe_keys(cal, by)
+    hist = cal.groupBy(*safe_by, "__a__").agg(F.count(F.lit(1)).alias("__c__"))
+    cum = bucketed_running_sums(hist, safe_by, "__a__", ["__c__"])
+    totals = hist.groupBy(*safe_by).agg(F.sum("__c__").alias("n_cal"))
+    rank = F.expr(f"({100 - a100}L * (n_cal + 1) + 99L) DIV 100L")
+    if safe_by:
+        joined = cum.join(F.broadcast(totals), on=safe_by)
+    else:
+        joined = cum.crossJoin(F.broadcast(totals))
+    qhat = joined.groupBy(*safe_by).agg(
+        F.max("n_cal").alias("n_cal"),
+        F.min(
+            F.when(F.col("__cum0__") >= rank, F.col("__a__"))
+        ).alias("q_hat"),
+    )
+
+    ev = df_eval.where(r.isNotNull()).select(*by, F.abs(r).alias("__a__"))
+    # reify with the same tag -> identical helper names as the cal side;
+    # q_hat's group attributes are its aggregate's own grouping keys, so
+    # the broadcast join-back keeps sane size estimates
+    ev, ev_safe, _ = reify_null_safe_keys(ev, by)
+    if safe_by:
+        tagged = ev.join(F.broadcast(qhat), on=safe_by)
+    else:
+        tagged = ev.crossJoin(F.broadcast(qhat))
+    out = tagged.groupBy(*by).agg(
+        F.max("n_cal").alias("n_cal"),
+        F.max("q_hat").alias("q_hat"),
+        F.count(F.lit(1)).alias("n_eval"),
+        F.count(
+            F.when(F.col("q_hat").isNull() | (F.col("__a__") <= F.col("q_hat")), 1)
+        ).alias("__cov__"),
+    )
+    return out.select(
+        *by,
+        "n_cal",
+        "q_hat",
+        "n_eval",
+        round4_ratio(F.col("__cov__"), F.col("n_eval")).alias("coverage"),
+    )
+
+
+def pinball_loss(
+    df: DataFrame,
+    pred_col: str,
+    actual_col: str,
+    quantiles=(0.1, 0.5, 0.9),
+    by=None,
+) -> DataFrame:
+    """Pinball (quantile) loss — THE proper scoring rule for quantile
+    forecasts: loss_q = mean(max(q·(y−ŷ), (q−1)·(y−ŷ))). One output row
+    per group × quantile: group cols + ``q, n, pinball_loss``. A
+    model's q-th quantile head is calibrated iff this is minimized;
+    compare heads across models at the same q.
+
+    Exactness: quantiles snap to percents, errors snap to integer
+    micro-units, so each contribution ``q100·u`` or ``(q100−100)·u`` is
+    an exact integer summed in DECIMAL(38); the loss is an exact
+    rational (sum / (n·100·1e6)) emitted as the correctly-rounded
+    double quotient — no rounding site.
+
+    Scale: one projection computes the error units once; ONE
+    map-side-combined aggregate carries a sum per quantile (no row
+    explosion); the bounded per-group result unpivots via one stack.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    qs = [int(round(float(q) * 100)) for q in quantiles]
+    if len(set(qs)) != len(qs):
+        raise ValueError("quantiles must be distinct at percent precision")
+    p, y = F.col(pred_col).cast("double"), F.col(actual_col).cast("double")
+    base = df.where(p.isNotNull() & y.isNotNull()).select(
+        *by,
+        F.floor((y - p) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("__u__"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for q100 in qs:
+        term = F.when(
+            F.col("__u__") >= 0, F.lit(q100) * F.col("__u__")
+        ).otherwise(F.lit(q100 - 100) * F.col("__u__"))
+        aggs.append(
+            F.sum(term.cast("decimal(38,0)")).alias(f"__s{q100}__")
+        )
+    g = base.groupBy(*by).agg(*aggs)
+    stack = ", ".join(
+        f"CAST({q100} AS DOUBLE) / 100.0D, __s{q100}__" for q100 in qs
+    )
+    unpivoted = g.selectExpr(
+        *[f"`{c}`" for c in by],
+        "n",
+        f"stack({len(qs)}, {stack}) AS (q, __s__)",
+    )
+    return unpivoted.select(
+        *by,
+        "q",
+        "n",
+        (
+            F.col("__s__").cast("double")
+            / (F.col("n").cast("double") * F.lit(100.0) * F.lit(1000000.0))
+        ).alias("pinball_loss"),
+    )

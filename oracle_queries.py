@@ -6078,3 +6078,76 @@ SELECT probe_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= {top}
 
 
 ORACLE_SQL["ivf_pq_search"] = _ivf_pq_search_sql()
+
+
+ORACLE_SQL["conformal_interval"] = f"""
+WITH cal AS (
+  SELECT l_returnflag AS g,
+         abs(CAST(l_extendedprice AS DOUBLE)
+             - 1000.0 * CAST(l_quantity AS DOUBLE)) AS a
+  FROM lineitem
+  WHERE l_orderkey % 2 = 0
+        AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY g),
+ranked AS (
+  SELECT g, a, row_number() OVER (PARTITION BY g ORDER BY a) AS rn FROM cal
+),
+q AS (
+  SELECT r.g, min(r.a) AS q_hat
+  FROM ranked r JOIN n ON n.g = r.g
+  WHERE r.rn >= (90 * (n.n_cal + 1) + 99) // 100
+  GROUP BY r.g
+),
+ev AS (
+  SELECT l_returnflag AS g,
+         abs(CAST(l_extendedprice AS DOUBLE)
+             - 1000.0 * CAST(l_quantity AS DOUBLE)) AS a
+  FROM lineitem
+  WHERE l_orderkey % 2 = 1
+        AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+cov AS (
+  SELECT e.g, CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(count(CASE WHEN q.q_hat IS NULL OR e.a <= q.q_hat THEN 1 END)
+              AS BIGINT) AS c
+  FROM ev e LEFT JOIN q ON q.g = e.g GROUP BY e.g
+)
+SELECT n.g AS l_returnflag, n.n_cal, q.q_hat, cov.n_eval,
+       {_round4_ratio_sql('cov.c', 'cov.n_eval')} AS coverage
+FROM n JOIN q ON q.g = n.g JOIN cov ON cov.g = n.g
+ORDER BY l_returnflag
+"""
+
+
+ORACLE_SQL["pinball_loss"] = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(floor((CAST(l_extendedprice AS DOUBLE)
+                     - 1000.0 * CAST(l_quantity AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS u
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+g AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    SUM(CAST(CASE WHEN u >= 0 THEN 10 * u ELSE (10 - 100) * u END
+             AS HUGEINT)) AS s10,
+    SUM(CAST(CASE WHEN u >= 0 THEN 50 * u ELSE (50 - 100) * u END
+             AS HUGEINT)) AS s50,
+    SUM(CAST(CASE WHEN u >= 0 THEN 90 * u ELSE (90 - 100) * u END
+             AS HUGEINT)) AS s90
+  FROM base GROUP BY g
+),
+unp AS (
+  SELECT g, n, CAST(10 AS DOUBLE) / 100.0 AS q, s10 AS s FROM g
+  UNION ALL
+  SELECT g, n, CAST(50 AS DOUBLE) / 100.0, s50 FROM g
+  UNION ALL
+  SELECT g, n, CAST(90 AS DOUBLE) / 100.0, s90 FROM g
+)
+SELECT g AS l_returnflag, q, n,
+       CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0 * 1000000.0)
+         AS pinball_loss
+FROM unp ORDER BY l_returnflag, q
+"""

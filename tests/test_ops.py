@@ -4446,3 +4446,37 @@ def test_semantic_dedup_auto_equals_explicit_k(spark, sf_dir):
     explicit = {(r.vec_id, r.cell) for r in semantic_dedup(
         emb, "embedding", "vec_id", n_clusters=k, threshold=0.4).collect()}
     assert auto == explicit and len(auto) > 0
+
+
+def test_conformal_interval_known_values(spark):
+    """Hand-computed split-conformal: cal |resid| = 1..10 at alpha=0.2
+    -> rank ceil(0.8*11)=9 -> q_hat=9; eval {5, 9, 9.5} -> coverage 2/3."""
+    from hashquery_spark.ops import conformal_interval
+
+    cal = spark.createDataFrame([(float(i),) for i in range(1, 11)], "resid double")
+    ev = spark.createDataFrame([(5.0,), (9.0,), (9.5,)], "resid double")
+    out = conformal_interval(cal, ev, "resid", alpha=0.2).collect()[0]
+    assert (out["n_cal"], out["q_hat"], out["n_eval"]) == (10, 9.0, 3)
+    assert out["coverage"] == 0.6667  # round4(2/3)
+
+    # rank beyond n_cal -> infinite interval: q_hat NULL, coverage 1
+    cal2 = spark.createDataFrame([(1.0,), (2.0,)], "resid double")
+    out2 = conformal_interval(cal2, ev, "resid", alpha=0.1).collect()[0]
+    assert out2["q_hat"] is None and out2["coverage"] == 1.0
+
+
+def test_pinball_loss_known_values(spark):
+    """Two residuals (+2, -4): hand-computed losses at q=0.1/0.5/0.9."""
+    from hashquery_spark.ops import pinball_loss
+
+    df = spark.createDataFrame(
+        [(0.0, 2.0), (0.0, -4.0)], "pred double, y double"
+    )
+    out = {r["q"]: r["pinball_loss"] for r in pinball_loss(
+        df, "pred", "y", quantiles=(0.1, 0.5, 0.9)).collect()}
+    # the op's integer path is EXACT where python float arithmetic is
+    # not: (0.1*2 + 0.9*4)/2 = 1.9000000000000001 in floats, but the op
+    # computes (10*2e6 + 90*4e6) / (2*100*1e6) = 1.9 exactly
+    assert out[0.1] == 1.9
+    assert out[0.5] == 1.5
+    assert out[0.9] == 1.1
