@@ -3026,6 +3026,23 @@ def q_time_split(spark, sf_dir):
     )
 
 
+def q_negative_sample(spark, sf_dir):
+    """Deterministic contrastive negatives (k=3 per anchor over the
+    doc_id%7 pool): md5/KM draws over the two-phase-prefix-sum global
+    rank, never the anchor itself — every pick reproduces in the
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import negative_sample
+
+    docs = _conn(spark, sf_dir).table("documents").where(
+        F.col("doc_id") % 7 == 0
+    )
+    return negative_sample(docs, "doc_id", k=3, seed="neg").orderBy(
+        "doc_id", "neg_index"
+    )
+
+
 def q_conformal_interval(spark, sf_dir):
     """Split-conformal half-width from even-orderkey lineitem residuals
     (price minus a 1000/unit heuristic), coverage checked on the odd
@@ -4717,6 +4734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_split": q_time_split,
         "conformal_interval": q_conformal_interval,
         "pinball_loss": q_pinball_loss,
+        "negative_sample": q_negative_sample,
         "permutation_test": q_permutation_test,
         "distinct_n": q_distinct_n,
         "lm3_score": q_lm3_score,

@@ -195,6 +195,7 @@ HEADLINE = [
     "time_split",
     "conformal_interval",
     "pinball_loss",
+    "negative_sample",
 ]
 
 

@@ -642,3 +642,82 @@ def time_split(
         )
         .otherwise(F.lit("test")),
     ).drop("__cut__")
+
+
+def negative_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    *,
+    seed: str,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor row gets ``k`` pseudo-random OTHER rows as negatives (the
+    in-batch-negatives replacement that works across a distributed
+    corpus). Output: ``(anchor id_col, neg_index 0..k-1, negative_id)``
+    — never the anchor itself; draws are WITH replacement across
+    negatives (document-level uniqueness costs a dedup the caller can
+    add).
+
+    Determinism (the dp/bootstrap contract): draws come from md5, not
+    an RNG — one md5 per anchor, negative j uses the Kirsch-
+    Mitzenmacher combination (h1 + j·h2); the target is
+    ``(rank + 1 + (g mod (n−1))) mod n`` which by construction never
+    lands on the anchor's own rank. A DuckDB oracle reproduces every
+    pick exactly.
+
+    Scale: the global 0-based rank comes from the two-phase distributed
+    prefix sum over the id table (no global sort window); the pick is
+    one equi-join on the rank — two bounded shuffles total, O(k·n)
+    output rows. Operates on the DISTINCT id set (the id histogram
+    collapses duplicates), so a duplicated id yields one anchor row —
+    no eager validation job.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .dedup import bucketed_running_sums
+
+    ids = df.select(F.col(id_col)).where(F.col(id_col).isNotNull())
+    hist = ids.groupBy(id_col).agg(F.count(F.lit(1)).alias("__c__"))
+    ranked = bucketed_running_sums(hist, [], id_col, ["__c__"]).select(
+        F.col(id_col),
+        "__c__",
+        (F.col("__cum0__") - 1).alias("__rank__"),
+    )
+    totals = hist.agg(F.sum("__c__").alias("__n__"))
+    md5_expr = f"md5(concat('{seed}:', CAST(`{id_col}` AS STRING)))"
+    anchors = (
+        ranked.crossJoin(F.broadcast(totals))
+        .where(F.col("__n__") > 1)
+        .selectExpr(
+            f"`{id_col}`",
+            "__rank__",
+            "__n__",
+            f"CAST(conv(substr({md5_expr}, 1, 8), 16, 10) AS BIGINT) AS __h1__",
+            f"CAST(conv(substr({md5_expr}, 9, 8), 16, 10) AS BIGINT) AS __h2__",
+        )
+    )
+    ex = anchors.select(
+        F.col(id_col),
+        "__rank__",
+        "__n__",
+        "__h1__",
+        "__h2__",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_index"),
+    )
+    target = F.expr(
+        "pmod(__rank__ + 1 + pmod(__h1__ + neg_index * __h2__, __n__ - 1), "
+        "__n__)"
+    )
+    picks = ex.select(
+        F.col(id_col),
+        F.col("neg_index").cast("int").alias("neg_index"),
+        target.alias("__t__"),
+    )
+    lookup = ranked.select(
+        F.col("__rank__").alias("__t__"),
+        F.col(id_col).alias("negative_id"),
+    )
+    return picks.join(lookup, on="__t__").select(
+        id_col, "neg_index", "negative_id"
+    )

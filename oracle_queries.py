@@ -6151,3 +6151,33 @@ SELECT g AS l_returnflag, q, n,
          AS pinball_loss
 FROM unp ORDER BY l_returnflag, q
 """
+
+
+ORACLE_SQL["negative_sample"] = """
+WITH ids AS (
+  SELECT DISTINCT doc_id FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id % 7 = 0
+),
+ranked AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS r
+  FROM ids
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids),
+anchors AS (
+  SELECT doc_id, r,
+    CAST('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         AS BIGINT) AS h1,
+    CAST('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR)), 9, 8)
+         AS BIGINT) AS h2
+  FROM ranked
+),
+picks AS (
+  SELECT a.doc_id, CAST(t.j AS INT) AS neg_index,
+         (a.r + 1 + ((a.h1 + t.j * a.h2) % (nn.n - 1))) % nn.n AS tgt
+  FROM anchors a, range(3) t(j), nn
+  WHERE nn.n > 1
+)
+SELECT p.doc_id, p.neg_index, l.doc_id AS negative_id
+FROM picks p JOIN ranked l ON l.r = p.tgt
+ORDER BY p.doc_id, p.neg_index
+"""

@@ -105,6 +105,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # 1-row observed-sum frame replicated to the draw sums, then the
         # 1-row count crossed back (the bootstrap_ci pattern):
         "permutation_test",
+        # 1-row pool-size frame replicated to the anchors:
+        "negative_sample",
         # 1-row corpus-word-total frame replicated to the scored
         # trigram positions (the bm25/ab_test pattern):
         "lm3_score",

@@ -237,3 +237,30 @@ def test_time_split_derived_cutoff_fraction(spark):
     trains = [r for r, s in out.items() if s == "train"]
     tests = [r for r, s in out.items() if s == "test"]
     assert max(trains) < min(tests)
+
+
+def test_negative_sample_invariants(spark):
+    """k negatives per anchor, never the anchor itself, ids from the
+    pool, and the draw is partitioning-independent (md5, not RNG)."""
+    from hashquery_spark.ops import negative_sample
+
+    df = spark.createDataFrame([(i,) for i in range(37)], "doc_id long")
+    out = sorted(
+        (r["doc_id"], r["neg_index"], r["negative_id"])
+        for r in negative_sample(df, "doc_id", k=4, seed="x").collect()
+    )
+    assert len(out) == 37 * 4
+    ids = set(range(37))
+    for a, j, n in out:
+        assert a != n and n in ids and 0 <= j < 4
+    # repartitioned input -> identical picks
+    out2 = sorted(
+        (r["doc_id"], r["neg_index"], r["negative_id"])
+        for r in negative_sample(
+            df.repartition(7), "doc_id", k=4, seed="x"
+        ).collect()
+    )
+    assert out == out2
+    # single-row pool: no negatives possible, empty result
+    one = spark.createDataFrame([(1,)], "doc_id long")
+    assert negative_sample(one, "doc_id", k=2, seed="x").count() == 0
