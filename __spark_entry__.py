@@ -3043,6 +3043,28 @@ def q_negative_sample(spark, sf_dir):
     )
 
 
+def q_time_series_cv(spark, sf_dir):
+    """Expanding-window backtest folds over the events stream (3 folds,
+    cuts at the exact quartiles of event micros): per-(fold, split)
+    census — cuts bit-identical to quantile_cont, boundary comparisons
+    exact."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import time_series_cv
+
+    ev = _conn(spark, sf_dir).table("events")
+    return (
+        time_series_cv(ev, "ts", n_folds=3)
+        .groupBy("fold", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("fold", "split")
+    )
+
+
 def q_conformal_interval(spark, sf_dir):
     """Split-conformal half-width from even-orderkey lineitem residuals
     (price minus a 1000/unit heuristic), coverage checked on the odd
@@ -4735,6 +4757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_interval": q_conformal_interval,
         "pinball_loss": q_pinball_loss,
         "negative_sample": q_negative_sample,
+        "time_series_cv": q_time_series_cv,
         "permutation_test": q_permutation_test,
         "distinct_n": q_distinct_n,
         "lm3_score": q_lm3_score,

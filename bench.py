@@ -196,6 +196,7 @@ HEADLINE = [
     "conformal_interval",
     "pinball_loss",
     "negative_sample",
+    "time_series_cv",
 ]
 
 

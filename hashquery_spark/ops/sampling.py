@@ -721,3 +721,76 @@ def negative_sample(
     return picks.join(lookup, on="__t__").select(
         id_col, "neg_index", "negative_id"
     )
+
+
+def time_series_cv(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int = 3,
+) -> DataFrame:
+    """Expanding-window backtesting folds — the cross-validation scheme
+    that respects time (plain k-fold leaks the future into training):
+    the time axis is cut at the exact i/(n_folds+1) quantiles
+    (i = 1..n_folds); fold i trains on everything strictly before cut_i
+    and tests on [cut_i, cut_{i+1}). Output: one row per (row, fold it
+    participates in) with ``fold`` (1-based) and ``split``
+    ('train'/'test') — rows after a fold's test window are absent from
+    that fold. NULL timestamps are excluded.
+
+    Exactness: cuts come from :func:`~hashquery_spark.ops.profile
+    .grid_percentiles` over integer microseconds — bit-identical to
+    DuckDB quantile_cont, no rounding site in the comparisons.
+
+    Scale: ONE bounded grid_percentiles pass derives all n_folds+1 cuts
+    (one row, broadcast); the fold fan-out is a bounded explode of a
+    literal fold sequence — the corpus scans once and never shuffles.
+    """
+    if n_folds < 1:
+        raise ValueError("n_folds must be >= 1")
+    from .profile import grid_percentiles
+
+    ts = F.col(ts_col).cast("timestamp")
+    micros = df.where(ts.isNotNull()).select(
+        F.unix_micros(ts).alias("__us__")
+    )
+    qs = {
+        f"__cut{i}__": i / float(n_folds + 1) for i in range(1, n_folds + 2)
+    }
+    cuts = grid_percentiles(micros, "__us__", qs)
+    base = (
+        df.where(ts.isNotNull())
+        .crossJoin(F.broadcast(cuts))
+        .withColumn("__usv__", F.unix_micros(ts).cast("double"))
+        .withColumn(
+            "__fold__",
+            F.explode(F.sequence(F.lit(1), F.lit(n_folds))),
+        )
+        .withColumn("fold", F.col("__fold__").cast("int"))
+        .drop("__fold__")
+    )
+    cut_i = F.expr(
+        "CASE fold "
+        + " ".join(f"WHEN {i} THEN __cut{i}__" for i in range(1, n_folds + 1))
+        + " END"
+    )
+    cut_next = F.expr(
+        "CASE fold "
+        + " ".join(
+            f"WHEN {i} THEN __cut{i + 1}__" for i in range(1, n_folds + 1)
+        )
+        + " END"
+    )
+    # the LAST fold's test bound is inclusive — otherwise the corpus
+    # maximum (== the 1.0 quantile) falls out of every fold
+    in_test = (F.col("__usv__") >= cut_i) & (
+        (F.col("__usv__") < cut_next)
+        | ((F.col("fold") == n_folds) & (F.col("__usv__") <= cut_next))
+    )
+    tagged = base.withColumn(
+        "split",
+        F.when(F.col("__usv__") < cut_i, F.lit("train")).when(
+            in_test, F.lit("test")
+        ),
+    ).where(F.col("split").isNotNull())
+    drop = ["__usv__"] + [f"__cut{i}__" for i in range(1, n_folds + 2)]
+    return tagged.drop(*drop)

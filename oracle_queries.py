@@ -6181,3 +6181,35 @@ SELECT p.doc_id, p.neg_index, l.doc_id AS negative_id
 FROM picks p JOIN ranked l ON l.r = p.tgt
 ORDER BY p.doc_id, p.neg_index
 """
+
+
+ORACLE_SQL["time_series_cv"] = """
+WITH cuts AS (
+  SELECT quantile_cont(epoch_us(ts), 0.25) AS c1,
+         quantile_cont(epoch_us(ts), 0.5)  AS c2,
+         quantile_cont(epoch_us(ts), 0.75) AS c3,
+         quantile_cont(epoch_us(ts), 1.0)  AS c4
+  FROM events WHERE ts IS NOT NULL
+),
+base AS (
+  SELECT e.ts, CAST(epoch_us(e.ts) AS DOUBLE) AS us, f.fold, cuts.*
+  FROM events e, (VALUES (1), (2), (3)) f(fold), cuts
+  WHERE e.ts IS NOT NULL
+),
+tagged AS (
+  SELECT fold, ts,
+    CASE
+      WHEN us < (CASE fold WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3 END)
+        THEN 'train'
+      WHEN us >= (CASE fold WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3 END)
+       AND (us < (CASE fold WHEN 1 THEN c2 WHEN 2 THEN c3 WHEN 3 THEN c4 END)
+            OR (fold = 3 AND us <= c4))
+        THEN 'test'
+    END AS split
+  FROM base
+)
+SELECT CAST(fold AS INT) AS fold, split, CAST(count(*) AS BIGINT) AS n,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM tagged WHERE split IS NOT NULL
+GROUP BY fold, split ORDER BY fold, split
+"""

@@ -90,8 +90,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "quantiles", "stats_moments", "kll_quantiles", "winsorize",
         "mad_outliers", "perplexity_buckets", "grid_percentiles",
         # ungrouped grid_percentiles cutoff (1 row) crossed onto the
-        # corpus for the temporal-holdout tag:
-        "time_split",
+        # corpus for the temporal-holdout tag / backtest fold windows:
+        "time_split", "time_series_cv",
         # 1-row corpus-total frame replicated to the gated bigrams:
         "pmi_bigrams",
         # 1-row mean-weight frame replicated to the corpus filter:

@@ -264,3 +264,35 @@ def test_negative_sample_invariants(spark):
     # single-row pool: no negatives possible, empty result
     one = spark.createDataFrame([(1,)], "doc_id long")
     assert negative_sample(one, "doc_id", k=2, seed="x").count() == 0
+
+
+def test_time_series_cv_fold_structure(spark):
+    """12 hourly rows / 3 folds: cuts at the exact quartiles; each
+    fold's train strictly precedes its test window, fold windows nest
+    (expanding), and the corpus max lands in the last fold's test."""
+    import datetime
+
+    from hashquery_spark.ops import time_series_cv
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(hours=i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = [
+        (r["fold"], r["split"], r["id"])
+        for r in time_series_cv(df, "ts", n_folds=3).collect()
+    ]
+    folds = {}
+    for fold, split, rid in out:
+        folds.setdefault(fold, {"train": set(), "test": set()})[split].add(rid)
+    assert set(folds) == {1, 2, 3}
+    for f in (1, 2, 3):
+        tr, te = folds[f]["train"], folds[f]["test"]
+        assert tr and te
+        assert max(tr) < min(te)           # train strictly before test
+        assert not (tr & te)
+    # expanding window: each fold's train contains the previous fold's
+    assert folds[1]["train"] < folds[2]["train"] < folds[3]["train"]
+    # the corpus maximum participates in the last fold's test
+    assert 11 in folds[3]["test"]
+    # every fold's test window equals the next fold's train increment
+    assert folds[2]["train"] - folds[1]["train"] == folds[1]["test"]
