@@ -3043,6 +3043,19 @@ def q_negative_sample(spark, sf_dir):
     )
 
 
+def q_hash_features(spark, sf_dir):
+    """Hashing-trick feature export from orders (status/priority
+    categoricals + total price numeric) — portable md5 buckets, one
+    narrow projection + bounded explode, no vocabulary pass."""
+    from hashquery_spark.ops import hash_features
+
+    o = _conn(spark, sf_dir).table("orders")
+    return hash_features(
+        o, ["o_orderstatus", "o_orderpriority", "o_totalprice"],
+        "o_orderkey", n_features=64,
+    ).orderBy("o_orderkey", "feature_idx", "value")
+
+
 def q_time_series_cv(spark, sf_dir):
     """Expanding-window backtest folds over the events stream (3 folds,
     cuts at the exact quartiles of event micros): per-(fold, split)
@@ -4758,6 +4771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pinball_loss": q_pinball_loss,
         "negative_sample": q_negative_sample,
         "time_series_cv": q_time_series_cv,
+        "hash_features": q_hash_features,
         "permutation_test": q_permutation_test,
         "distinct_n": q_distinct_n,
         "lm3_score": q_lm3_score,

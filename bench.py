@@ -197,6 +197,7 @@ HEADLINE = [
     "pinball_loss",
     "negative_sample",
     "time_series_cv",
+    "hash_features",
 ]
 
 

@@ -237,3 +237,66 @@ def classifier_fit(
     return ClassifierModel(
         weights=w, bias=bias, n_features=n_features, salt=salt, history=history
     )
+
+
+def hash_features(
+    df: DataFrame,
+    cols,
+    id_col: str,
+    n_features: int = 1024,
+    salt: str = "fh",
+) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009) for
+    training export: each (column, value) pair maps to a bucket
+    ``md5(salt:col=value) mod n_features``; numeric columns contribute
+    their value at the bucket of their NAME, categoricals contribute
+    1.0 at the bucket of ``col=value`` — the fixed-width sparse
+    encoding a downstream trainer consumes without a vocabulary pass.
+    Output: one row per (id, non-NULL feature): ``(id, feature_idx,
+    value)``; collisions sum downstream (the hashing-trick contract).
+
+    Exactness: buckets are the repo-standard portable md5 (identical in
+    DuckDB); numeric values pass through as doubles.
+
+    Scale: ONE narrow projection + a bounded per-row explode of
+    len(cols) structs — no vocabulary build, no shuffle, no state;
+    exactly why the hashing trick exists at 100 TB.
+    """
+    from pyspark.sql.types import NumericType
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    items = []
+    for c in cols:
+        if c not in schema:
+            raise ValueError(f"unknown column {c!r}")
+        if isinstance(schema[c], NumericType):
+            # numeric: fixed bucket from the column NAME, value carried
+            key = F.lit(f"{salt}:{c}")
+            val = F.col(c).cast("double")
+        else:
+            key = F.concat(
+                F.lit(f"{salt}:{c}="), F.col(c).cast("string")
+            )
+            val = F.when(F.col(c).isNotNull(), F.lit(1.0))
+        idx = (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+            % n_features
+        )
+        items.append(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(idx.alias("feature_idx"), val.alias("value")),
+            )
+        )
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.array(*items), lambda x: x.isNotNull())
+        ).alias("__f__"),
+    )
+    return exploded.select(
+        id_col,
+        F.col("__f__.feature_idx").cast("int").alias("feature_idx"),
+        F.col("__f__.value").alias("value"),
+    )

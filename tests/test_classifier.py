@@ -108,3 +108,31 @@ def test_fit_rejects_empty(spark):
     empty = spark.createDataFrame([], "doc_id: long, text: string, y: int")
     with pytest.raises(ValueError):
         classifier_fit(empty, "text", "doc_id", "y", iters=1)
+
+
+def test_hash_features_buckets_and_values(spark):
+    """Categoricals land at md5('salt:col=value') % n with value 1.0;
+    numerics land at md5('salt:col') % n carrying their value; NULLs
+    emit nothing — verified against the python twin bucket."""
+    from hashquery_spark.ops import hash_features
+    from hashquery_spark.ops.classifier import token_bucket_py
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, 7.0), (3, "b", None)],
+        "id long, cat string, num double",
+    )
+    rows = sorted(
+        (r["id"], r["feature_idx"], r["value"])
+        for r in hash_features(df, ["cat", "num"], "id", n_features=16).collect()
+    )
+
+    def bucket(key):
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 16
+
+    assert rows == sorted([
+        (1, bucket("fh:cat=a"), 1.0),
+        (1, bucket("fh:num"), 2.5),
+        (2, bucket("fh:num"), 7.0),
+        (3, bucket("fh:cat=b"), 1.0),
+    ])
