@@ -3046,10 +3046,17 @@ def q_negative_sample(spark, sf_dir):
 def q_hash_features(spark, sf_dir):
     """Hashing-trick feature export from orders (status/priority
     categoricals + total price numeric) — portable md5 buckets, one
-    narrow projection + bounded explode, no vocabulary pass."""
+    narrow projection + bounded explode, no vocabulary pass. The entry
+    samples 1/11 of orders so the timing stays engine-bound instead of
+    Arrow-collect-bound (the standardize precedent: full-frame returns
+    measure the collect, not the engine)."""
+    from pyspark.sql import functions as F
+
     from hashquery_spark.ops import hash_features
 
-    o = _conn(spark, sf_dir).table("orders")
+    o = _conn(spark, sf_dir).table("orders").where(
+        F.col("o_orderkey") % 11 == 0
+    )
     return hash_features(
         o, ["o_orderstatus", "o_orderpriority", "o_totalprice"],
         "o_orderkey", n_features=64,

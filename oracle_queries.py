@@ -6220,17 +6220,17 @@ WITH feats AS (
   SELECT o_orderkey,
          CAST(CAST('0x' || substr(md5('fh:o_orderstatus=' || CAST(o_orderstatus AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS INT) AS feature_idx,
          1.0 AS value
-  FROM orders WHERE o_orderstatus IS NOT NULL
+  FROM orders WHERE o_orderkey % 11 = 0 AND o_orderstatus IS NOT NULL
   UNION ALL
   SELECT o_orderkey,
          CAST(CAST('0x' || substr(md5('fh:o_orderpriority=' || CAST(o_orderpriority AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS INT),
          1.0
-  FROM orders WHERE o_orderpriority IS NOT NULL
+  FROM orders WHERE o_orderkey % 11 = 0 AND o_orderpriority IS NOT NULL
   UNION ALL
   SELECT o_orderkey,
          CAST(CAST('0x' || substr(md5('fh:o_totalprice'), 1, 8) AS BIGINT) % 64 AS INT),
          CAST(o_totalprice AS DOUBLE)
-  FROM orders WHERE o_totalprice IS NOT NULL
+  FROM orders WHERE o_orderkey % 11 = 0 AND o_totalprice IS NOT NULL
 )
 SELECT o_orderkey, feature_idx, value
 FROM feats ORDER BY o_orderkey, feature_idx, value
