@@ -94,6 +94,8 @@ def main() -> None:
     def time_twin(sf_dir: str, cap: float) -> dict:
         import threading
 
+        import duckdb
+
         con = _duck_con(sf_dir)
         # guard rails: the semantic-auto oracle materializes an
         # n×k cross CTE carrying full vectors (89.6M rows × ~600 B at
