@@ -2965,6 +2965,22 @@ def q_spearman_fast(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+def q_auc_ci(spark, sf_dir):
+    """DeLong 95% CI around the order-total AUC per priority band —
+    structural components reduced to per-distinct-score integers over
+    ONE prefix-sum pass; exact DECIMAL W/W² sums, fixed-order IEEE
+    SE chain, embedded z literal."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import auc_ci
+
+    orders = _conn(spark, sf_dir).table("orders")
+    labelled = orders.withColumn("is_f", F.col("o_orderstatus") == "F")
+    return auc_ci(
+        labelled, "o_totalprice", "is_f", by="o_orderpriority"
+    ).orderBy("o_orderpriority")
+
+
 def q_mcnemar(spark, sf_dir):
     """McNemar's paired-classifier test between two heuristic 'return
     risk' predictors on lineitem, per linestatus — exact discordant
@@ -4773,6 +4789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova_f": q_anova_f,
         "mann_whitney": q_mann_whitney,
         "mcnemar": q_mcnemar,
+        "auc_ci": q_auc_ci,
         "time_split": q_time_split,
         "conformal_interval": q_conformal_interval,
         "pinball_loss": q_pinball_loss,

@@ -198,6 +198,7 @@ HEADLINE = [
     "negative_sample",
     "time_series_cv",
     "hash_features",
+    "auc_ci",
 ]
 
 

@@ -1526,3 +1526,145 @@ def pinball_loss(
             / (F.col("n").cast("double") * F.lit(100.0) * F.lit(1000000.0))
         ).alias("pinball_loss"),
     )
+
+
+# two-sided 95% normal quantile, precomputed in Python and embedded as
+# the identical literal in both engines (the retrieval_metrics
+# discount-grid contract — no runtime erfinv anywhere)
+_Z975 = 1.959963984540054
+
+
+def auc_ci(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by=None,
+) -> DataFrame:
+    """ROC-AUC with a DeLong (1988) confidence interval — the
+    uncertainty-aware companion to :func:`binary_auc` ("is this
+    quality-classifier ACTUALLY better, or is the AUC gap noise").
+    Output: group cols + ``n_pos, n_neg, auc, auc_se, ci_lo, ci_hi``
+    (se/CI NULL when either class has < 2 rows).
+
+    DeLong from the score HISTOGRAM: every positive at score s shares
+    the structural component V10(s) = (#neg < s + ½·#neg = s)/n_neg, so
+    the per-sample components reduce to per-distinct-score integers
+    W10 = 2·cum_neg_below + neg_at (doubled to stay integral) and
+    symmetrically W01 for negatives; S10/S01 are weighted variances of
+    W over the histogram and Var(AUC) = S10/n_pos + S01/n_neg.
+
+    Exactness: W sums and W² sums are exact DECIMAL(38) integers (the
+    binary_auc class: O(n³) past int64 at ~2e5 rows); AUC is the
+    tie-proof floor round of ΣpW10/(2·n_pos·n_neg); the SE is a short
+    fixed-order IEEE chain over correctly-rounded casts (identical both
+    engines) frounded at 6 dp, and the CI bounds are auc ± z·se with
+    the z literal embedded identically in the oracle.
+
+    Scale: one histogram groupBy (map-side combined, bounded by the
+    score grid), ONE two-phase prefix-sum pass carrying both class
+    cumulations, one bounded totals join-back — rows never sort.
+    """
+    from .dedup import (
+        bucketed_running_sums,
+        reify_null_safe_keys,
+    )
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    s, lab = F.col(score_col), F.col(label_col)
+    pos = F.when(lab.cast("boolean"), 1).otherwise(0)
+    base = df.where(s.isNotNull() & lab.isNotNull()).select(
+        *by, s.alias("__s__"), pos.alias("__pos__")
+    )
+    key_types = {f.name: f.dataType for f in base.schema.fields}
+    base, safe_by, created = reify_null_safe_keys(base, by)
+    # the histogram pipeline drops the raw key columns (only the
+    # reified helpers flow through) — rebuild them from the helpers at
+    # the end: NULL iff the isnull flag, else the coalesced value
+    restore = []
+    for k in by:
+        nsv, nsn = f"__nsv_g_{k}__", f"__nsn_g_{k}__"
+        if nsv in created:
+            restore.append(
+                F.when(F.col(nsn), F.lit(None).cast(key_types[k]))
+                .otherwise(F.col(nsv))
+                .alias(k)
+            )
+        else:  # non-nullable passthrough key — still on the frame
+            restore.append(F.col(k))
+    hist = base.groupBy(*safe_by, "__s__").agg(
+        F.sum("__pos__").cast("long").alias("__p__"),
+        F.sum(1 - F.col("__pos__")).cast("long").alias("__q__"),
+    )
+    cum = bucketed_running_sums(hist, safe_by, "__s__", ["__p__", "__q__"])
+    totals = hist.groupBy(*safe_by).agg(
+        F.sum("__p__").alias("n_pos"), F.sum("__q__").alias("n_neg")
+    )
+    if safe_by:
+        j = cum.join(F.broadcast(totals), on=safe_by)
+    else:
+        j = cum.crossJoin(F.broadcast(totals))
+    # doubled structural components per distinct score (exact integers)
+    w10 = 2 * (F.col("__cum1__") - F.col("__q__")) + F.col("__q__")
+    w01 = 2 * (F.col("n_pos") - F.col("__cum0__")) + F.col("__p__")
+    d38 = "decimal(38,0)"
+    agg = j.groupBy(*safe_by).agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.sum(F.col("__p__").cast(d38) * w10).alias("__sw10__"),
+        F.sum(F.col("__p__").cast(d38) * w10 * w10).alias("__sw10sq__"),
+        F.sum(F.col("__q__").cast(d38) * w01).alias("__sw01__"),
+        F.sum(F.col("__q__").cast(d38) * w01 * w01).alias("__sw01sq__"),
+    )
+    np_l, nn_l = F.col("n_pos"), F.col("n_neg")
+    np_d = np_l.cast(d38)
+    nn_d = nn_l.cast(d38)
+    auc = F.when(
+        (np_l > 0) & (nn_l > 0),
+        fround(
+            F.col("__sw10__").cast("double")
+            / (
+                F.lit(2.0)
+                * np_l.cast("double")
+                * nn_l.cast("double")
+            ),
+            6,
+        ),
+    )
+    # exact integer variance numerators: n·Σw² − (Σw)²
+    num10 = np_d * F.col("__sw10sq__") - F.col("__sw10__") * F.col("__sw10__")
+    num01 = nn_d * F.col("__sw01sq__") - F.col("__sw01__") * F.col("__sw01__")
+    # Var(AUC) = S10/n_pos + S01/n_neg with S10 = num10/(np(np−1)·4nn²):
+    # fixed-order double chain, identical text in the oracle
+    npd, nnd = np_l.cast("double"), nn_l.cast("double")
+    v10 = num10.cast("double") / (
+        npd * (npd - F.lit(1.0)) * F.lit(4.0) * nnd * nnd * npd
+    )
+    v01 = num01.cast("double") / (
+        nnd * (nnd - F.lit(1.0)) * F.lit(4.0) * npd * npd * nnd
+    )
+    se = F.when(
+        (np_l >= 2) & (nn_l >= 2), fround(F.sqrt(v10 + v01), 6)
+    )
+    out = agg.select(
+        *restore,
+        "n_pos",
+        "n_neg",
+        auc.alias("auc"),
+        se.alias("auc_se"),
+    )
+    z = F.lit(_Z975)
+    return out.select(
+        *by,
+        "n_pos",
+        "n_neg",
+        "auc",
+        "auc_se",
+        F.when(
+            F.col("auc_se").isNotNull(),
+            fround(F.col("auc") - z * F.col("auc_se"), 6),
+        ).alias("ci_lo"),
+        F.when(
+            F.col("auc_se").isNotNull(),
+            fround(F.col("auc") + z * F.col("auc_se"), 6),
+        ).alias("ci_hi"),
+    )

@@ -6235,3 +6235,65 @@ WITH feats AS (
 SELECT o_orderkey, feature_idx, value
 FROM feats ORDER BY o_orderkey, feature_idx, value
 """
+
+
+ORACLE_SQL["auc_ci"] = f"""
+WITH base AS (
+  SELECT o_orderpriority AS g, o_totalprice AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+),
+hist AS (
+  SELECT g, s, CAST(sum(p) AS BIGINT) AS p,
+         CAST(count(*) - sum(p) AS BIGINT) AS q
+  FROM base GROUP BY g, s
+),
+cum AS (
+  SELECT g, s, p, q,
+    sum(p) OVER (PARTITION BY g ORDER BY s) AS cp,
+    sum(q) OVER (PARTITION BY g ORDER BY s) AS cq
+  FROM hist
+),
+tot AS (
+  SELECT g, CAST(sum(p) AS BIGINT) AS np, CAST(sum(q) AS BIGINT) AS nn
+  FROM hist GROUP BY g
+),
+w AS (
+  SELECT c.g, c.p, c.q,
+         2 * (c.cq - c.q) + c.q AS w10,
+         2 * (t.np - c.cp) + c.p AS w01,
+         t.np, t.nn
+  FROM cum c JOIN tot t ON t.g = c.g
+),
+agg AS (
+  SELECT g, max(np) AS np, max(nn) AS nn,
+    SUM(CAST(p AS HUGEINT) * w10) AS sw10,
+    SUM(CAST(p AS HUGEINT) * w10 * w10) AS sw10sq,
+    SUM(CAST(q AS HUGEINT) * w01) AS sw01,
+    SUM(CAST(q AS HUGEINT) * w01 * w01) AS sw01sq
+  FROM w GROUP BY g
+),
+stats AS (
+  SELECT g, np, nn,
+    CASE WHEN np > 0 AND nn > 0 THEN
+      {_fround_sql('CAST(sw10 AS DOUBLE) / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))', 6)}
+    END AS auc,
+    CASE WHEN np >= 2 AND nn >= 2 THEN
+      {_fround_sql('''sqrt(
+        CAST(CAST(np AS HUGEINT) * sw10sq - sw10 * sw10 AS DOUBLE)
+          / (CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) - 1.0) * 4.0
+             * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(np AS DOUBLE))
+        + CAST(CAST(nn AS HUGEINT) * sw01sq - sw01 * sw01 AS DOUBLE)
+          / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0) * 4.0
+             * CAST(np AS DOUBLE) * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)))''', 6)}
+    END AS auc_se
+  FROM agg
+)
+SELECT g AS o_orderpriority, np AS n_pos, nn AS n_neg, auc, auc_se,
+  CASE WHEN auc_se IS NOT NULL THEN
+    {_fround_sql('auc - 1.959963984540054 * auc_se', 6)} END AS ci_lo,
+  CASE WHEN auc_se IS NOT NULL THEN
+    {_fround_sql('auc + 1.959963984540054 * auc_se', 6)} END AS ci_hi
+FROM stats ORDER BY o_orderpriority
+"""

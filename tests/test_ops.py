@@ -4480,3 +4480,44 @@ def test_pinball_loss_known_values(spark):
     assert out[0.1] == 1.9
     assert out[0.5] == 1.5
     assert out[0.9] == 1.1
+
+
+def test_auc_ci_matches_python_delong(spark):
+    """auc_ci == a direct python DeLong implementation (per-sample
+    structural components) on a tie-heavy sample, and auc equals
+    binary_auc's tie-averaged value."""
+    import math
+
+    from hashquery_spark.ops import auc_ci, binary_auc
+
+    scores = [0.1, 0.4, 0.35, 0.8, 0.8, 0.7, 0.2, 0.6, 0.6, 0.05]
+    labels = [0, 0, 1, 1, 0, 1, 0, 1, 0, 0]
+    df = spark.createDataFrame(
+        list(zip(scores, labels)), "s double, lab int"
+    )
+    got = auc_ci(df, "s", "lab").collect()[0]
+
+    pos = [s for s, l in zip(scores, labels) if l]
+    neg = [s for s, l in zip(scores, labels) if not l]
+
+    def psi(x, y):
+        return 1.0 if x > y else (0.5 if x == y else 0.0)
+
+    v10 = [sum(psi(x, y) for y in neg) / len(neg) for x in pos]
+    v01 = [sum(psi(x, y) for x in pos) / len(pos) for y in neg]
+    auc = sum(v10) / len(pos)
+
+    def svar(vs, mean):
+        return sum((v - mean) ** 2 for v in vs) / (len(vs) - 1)
+
+    var = svar(v10, auc) / len(pos) + svar(v01, auc) / len(neg)
+    se = math.sqrt(var)
+
+    fr6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    assert (got["n_pos"], got["n_neg"]) == (4, 6)
+    assert abs(got["auc"] - auc) < 1e-6
+    assert abs(got["auc_se"] - se) < 1e-6
+    assert abs(got["ci_lo"] - (fr6(auc) - 1.959963984540054 * fr6(se))) < 2e-6
+    assert got["ci_lo"] <= got["auc"] <= got["ci_hi"]
+    ba = binary_auc(df, "s", "lab").collect()[0]
+    assert ba["auc"] == got["auc"]

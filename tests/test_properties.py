@@ -1822,3 +1822,50 @@ def test_kendall_tau_continuous_matches_brute_force(spark, data):
         else:
             want = (n, None)
         assert out[g] == want, (g, out[g], want)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100,
+                      allow_nan=False, allow_infinity=False, width=32),
+            min_size=8, max_size=8,
+        ),
+        min_size=4, max_size=24,
+    )
+)
+def test_pq_encode_matches_numpy_argmin(spark, data):
+    """PQ codes == numpy per-subspace squared-L2 argmin (lowest code on
+    ties) and recon_sq_err == the summed subspace minima, on random
+    float32 vectors (m=2 subspaces, k=4 first-vector codebooks)."""
+    import numpy as np
+
+    from hashquery_spark.ops import pq_encode
+
+    m, k, dim = 2, 4, 8
+    if len(data) < k:
+        return
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in pq_encode(
+        emb, "embedding", "vec_id", m=m, k=k).collect()}
+    # float32 storage: replicate the cast the engine reads back
+    mat = np.array(data, dtype=np.float32).astype(np.float64)
+    books = mat[:k]
+    dsub = dim // m
+    for i, _ in enumerate(data):
+        expect_err = 0.0
+        for s in range(m):
+            sub = mat[i, s * dsub:(s + 1) * dsub]
+            d2 = ((books[:, s * dsub:(s + 1) * dsub] - sub) ** 2).sum(axis=1)
+            best = int(np.argmin(d2))  # numpy argmin takes the first min
+            got = rows[i][f"code_{s}"]
+            # the engine's chain is |c|^2 - 2 v.c (ties to lowest code);
+            # compare via distance equality to tolerate float ties
+            assert abs(d2[got] - d2[best]) < 1e-6, (i, s, got, best)
+            expect_err += float(d2[got])
+        assert abs(rows[i]["recon_sq_err"] - expect_err) < 1e-6, i
