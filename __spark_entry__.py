@@ -3079,6 +3079,16 @@ def q_hash_features(spark, sf_dir):
     ).orderBy("o_orderkey", "feature_idx", "value")
 
 
+def q_skew_report(spark, sf_dir):
+    """Hot-key diagnostic over events.event_type (the pre-groupBy/join
+    skew question): top-5 keys with exact tie-proof shares and
+    skew_factor = count / mean-rows-per-key."""
+    from hashquery_spark.ops import skew_report
+
+    ev = _conn(spark, sf_dir).table("events")
+    return skew_report(ev, "event_type", top=5)
+
+
 def q_time_series_cv(spark, sf_dir):
     """Expanding-window backtest folds over the events stream (3 folds,
     cuts at the exact quartiles of event micros): per-(fold, split)
@@ -4796,6 +4806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sample": q_negative_sample,
         "time_series_cv": q_time_series_cv,
         "hash_features": q_hash_features,
+        "skew_report": q_skew_report,
         "permutation_test": q_permutation_test,
         "distinct_n": q_distinct_n,
         "lm3_score": q_lm3_score,

@@ -199,6 +199,7 @@ HEADLINE = [
     "time_series_cv",
     "hash_features",
     "auc_ci",
+    "skew_report",
 ]
 
 

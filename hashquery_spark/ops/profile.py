@@ -2645,3 +2645,53 @@ def hhi(df: DataFrame, group_col: str) -> DataFrame:
             F.col("__top__").cast("double"), F.col("__n__").cast("double")
         ).alias("top_share"),
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols,
+    top: int = 10,
+) -> DataFrame:
+    """Hot-key diagnostic — the question to ask BEFORE a big
+    groupBy/join ships: "which keys would land on one reducer, and how
+    much hotter are they than average". Output: the ``top`` heaviest
+    keys with ``rank, <key cols>, n_rows, share`` (exact tie-proof 4-dp
+    ratio of total rows) and ``skew_factor`` (count ÷ mean rows/key —
+    1.0 is perfectly uniform; a key with skew_factor ≈ n_partitions
+    saturates one task). Feed the verdict into ``salted_aggregate`` /
+    ``salted_join`` or a ``cap_per_group`` gate.
+
+    Scale: one map-side-combined count aggregate (bounded by key
+    cardinality), a TakeOrdered top-k (bounded heap, never a full
+    sort), and a 1-row totals broadcast. NULL keys count as their own
+    key (they hash to one reducer like any other value — the classic
+    silent hot key).
+    """
+    from .dedup import round4_ratio
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__n__"),
+        F.count(F.lit(1)).alias("__k__"),
+    )
+    topk = (
+        counts.orderBy(
+            F.col("n_rows").desc(), *[F.col(k).asc_nulls_first() for k in keys]
+        )
+        .limit(top)
+        .crossJoin(F.broadcast(totals))
+    )
+    w = Window.orderBy(
+        F.col("n_rows").desc(), *[F.col(k).asc_nulls_first() for k in keys]
+    )
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        *keys,
+        "n_rows",
+        round4_ratio(F.col("n_rows"), F.col("__n__")).alias("share"),
+        # count / (n/k) = count·k/n — exact integer ratio
+        round4_ratio(
+            F.col("n_rows") * F.col("__k__"), F.col("__n__")
+        ).alias("skew_factor"),
+    )

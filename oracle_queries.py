@@ -6297,3 +6297,25 @@ SELECT g AS o_orderpriority, np AS n_pos, nn AS n_neg, auc, auc_se,
     {_fround_sql('auc + 1.959963984540054 * auc_se', 6)} END AS ci_hi
 FROM stats ORDER BY o_orderpriority
 """
+
+
+ORACLE_SQL["skew_report"] = f"""
+WITH counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+  FROM counts
+),
+ranked AS (
+  SELECT CAST(row_number() OVER
+           (ORDER BY n_rows DESC, event_type ASC NULLS FIRST) AS INT) AS rank,
+         event_type, n_rows
+  FROM counts
+)
+SELECT r.rank, r.event_type, r.n_rows,
+       {_round4_ratio_sql('r.n_rows', 't.n')} AS share,
+       {_round4_ratio_sql('r.n_rows * t.k', 't.n')} AS skew_factor
+FROM ranked r, tot t WHERE r.rank <= 5 ORDER BY r.rank
+"""

@@ -4521,3 +4521,20 @@ def test_auc_ci_matches_python_delong(spark):
     assert got["ci_lo"] <= got["auc"] <= got["ci_hi"]
     ba = binary_auc(df, "s", "lab").collect()[0]
     assert ba["auc"] == got["auc"]
+
+
+def test_skew_report_hot_key_and_nulls(spark):
+    """A planted 60%-hot key (and a NULL key) shows the right share and
+    skew_factor; ranks are deterministic under count ties."""
+    from hashquery_spark.ops import skew_report
+
+    rows = (
+        [("hot",)] * 12 + [("a",)] * 4 + [(None,)] * 3 + [("b",)] * 1
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["rank"]: r for r in skew_report(df, "k", top=10).collect()}
+    assert out[1]["k"] == "hot" and out[1]["n_rows"] == 12
+    assert out[1]["share"] == 0.6            # 12/20
+    assert out[1]["skew_factor"] == 2.4      # 12 / (20/4 keys)
+    assert out[2]["k"] == "a" and out[3]["k"] is None
+    assert out[3]["share"] == 0.15

@@ -107,6 +107,8 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "permutation_test",
         # 1-row pool-size frame replicated to the anchors:
         "negative_sample",
+        # 1-row totals frame replicated to the bounded top-k keys:
+        "skew_report",
         # 1-row corpus-word-total frame replicated to the scored
         # trigram positions (the bm25/ab_test pattern):
         "lm3_score",
