@@ -961,3 +961,74 @@ def test_funnel_skew_two_million_hot_entity(spark):
     # beyond noise; record the actual numbers for the README
     print(f"FUNNEL_SKEW plain={t_plain:.2f}s salted={t_salt:.2f}s")
     assert t_salt <= t_plain * 1.5
+
+
+def test_pq_encode_two_million_vectors(spark):
+    """2M 16-dim generated vectors (m=4, k=16): codebook vectors
+    reconstruct with error exactly 0 and every code is in range — the
+    one-scan/zero-shuffle encode holds at volume."""
+    from hashquery_spark.ops import pq_encode
+
+    vecs = spark.range(2_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 16), j -> "
+            "CAST(pmod(hash(id * 31 + j), 1000) AS FLOAT) / 100.0)"
+        ).alias("embedding"),
+    )
+    enc = pq_encode(vecs, "embedding", "vec_id", m=4, k=16)
+    agg = enc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("vec_id") < 16, F.abs(F.col("recon_sq_err")))).alias(
+            "cb_err"
+        ),
+        F.min("recon_sq_err").alias("min_err"),
+        *[
+            F.max(F.col(f"code_{s}")).alias(f"mx{s}")
+            for s in range(4)
+        ],
+    ).collect()[0]
+    assert agg["n"] == 2_000_000
+    assert agg["cb_err"] == 0.0           # first-k encode to themselves
+    assert agg["min_err"] >= -1e-9
+    assert all(0 <= agg[f"mx{s}"] <= 15 for s in range(4))
+
+
+def test_conformal_interval_two_million_exact_coverage(spark):
+    """2M uniform residuals: the split-conformal q_hat is the exact
+    order statistic (uniform grid makes it computable in closed form)
+    and eval coverage lands within 1% of 1 - alpha."""
+    from hashquery_spark.ops import conformal_interval
+
+    cal = spark.range(2_000_000).select(
+        (F.pmod(F.col("id") * 37 + 11, 1_000_000)).cast("double").alias("resid")
+    )
+    ev = spark.range(500_000).select(
+        (F.pmod(F.col("id") * 53 + 7, 1_000_000)).cast("double").alias("resid")
+    )
+    out = conformal_interval(cal, ev, "resid", alpha=0.1).collect()[0]
+    # cal values: each residue class 0..999999 appears exactly twice ->
+    # rank r = ceil(0.9 * 2000001) = 1800001 -> value floor((r-1)/2)
+    assert out["n_cal"] == 2_000_000
+    assert out["q_hat"] == 900000.0
+    assert abs(out["coverage"] - 0.9) < 0.01
+
+
+def test_negative_sample_two_million(spark):
+    """2M-id pool, k=2: exactly 2 negatives per anchor, none equal to
+    the anchor (global-rank arithmetic holds at volume)."""
+    from hashquery_spark.ops import negative_sample
+
+    df = spark.range(2_000_000).select(F.col("id").alias("doc_id"))
+    out = negative_sample(df, "doc_id", k=2, seed="smoke")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("doc_id") == F.col("negative_id"), 1)).alias(
+            "self_hits"
+        ),
+        F.min("negative_id").alias("mn"),
+        F.max("negative_id").alias("mx"),
+    ).collect()[0]
+    assert agg["n"] == 4_000_000
+    assert agg["self_hits"] == 0
+    assert 0 <= agg["mn"] and agg["mx"] <= 1_999_999
