@@ -3580,6 +3580,23 @@ def q_ivf_pq_search(spark, sf_dir):
     ).orderBy("probe_id", "rank")
 
 
+def q_rrf_fuse(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the exact-cosine
+    ranker and the PQ-ADC ranker (the BM25+ANN shape) — nano-grid
+    integer contributions make fused scores aggregation-order-exact."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import ann_brute_force, pq_search, rrf_fuse
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    cos = ann_brute_force(emb, probes, "embedding", "vec_id", k=10)
+    adc = pq_search(emb, probes, "embedding", "vec_id", m=4, k=16, top=10)
+    return rrf_fuse(
+        [cos, adc], "probe_id", "neighbor_id", k=60, top=10
+    ).orderBy("probe_id", "rank")
+
+
 def q_bloom_contamination(spark, sf_dir):
     """Bloom-filter decontamination: the benchmark gram set (doc_id < 25)
     compressed to a deterministic md5/KM bitset (m_words=256, k=3 — small
@@ -4856,6 +4873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
         "ivf_pq_search": q_ivf_pq_search,
+        "rrf_fuse": q_rrf_fuse,
         "bloom_contamination": q_bloom_contamination,
         "fairness_report": q_fairness_report,
         "rouge_l": q_rouge_l,

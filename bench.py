@@ -200,6 +200,7 @@ HEADLINE = [
     "hash_features",
     "auc_ci",
     "skew_report",
+    "rrf_fuse",
 ]
 
 

@@ -303,3 +303,57 @@ def rank_biased_overlap(
             F.lit(1.0 - p) * (F.col("__s__").cast("double") / F.lit(1e9)), 6
         ).alias("rbo"),
     )
+
+
+def rrf_fuse(
+    runs: Sequence[DataFrame],
+    query_col: str,
+    doc_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the
+    score-calibration-free way to merge rankers (BM25 + ANN is the
+    standard hybrid-retrieval pair): fused(d) = Σ_runs 1/(k + rank_r(d)),
+    docs absent from a run contribute nothing. Output: ``(query_col,
+    doc_col, rrf_score, rank)``, top-``top`` per query, ties to the
+    lowest doc id.
+
+    Determinism: each contribution snaps to the integer nano-grid
+    ``floor(1e9/(k + rank))`` BEFORE summing, so fused scores are exact
+    integers regardless of aggregation order (a raw double 1/(k+r) sum
+    would depend on partial-aggregation order across runs);
+    ``rrf_score`` = that integer / 1e9 — an exact rational, no rounding
+    site.
+
+    Scale: one union of the (already bounded, top-k-per-query) run
+    frames, one map-side-combined aggregate on (query, doc), one
+    per-query rank window over the bounded fused table. Nothing scans
+    the corpus.
+    """
+    if not runs:
+        raise ValueError("runs must be non-empty")
+    parts = []
+    for r in runs:
+        parts.append(
+            r.where(F.col(rank_col).isNotNull()).select(
+                F.col(query_col).alias("__q__"),
+                F.col(doc_col).alias("__d__"),
+                F.expr(f"CAST(1000000000L DIV ({k}L + `{rank_col}`) AS BIGINT)")
+                .alias("__c__"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    fused = u.groupBy("__q__", "__d__").agg(F.sum("__c__").alias("__s__"))
+    w = Window.partitionBy("__q__").orderBy(
+        F.col("__s__").desc(), F.col("__d__").asc()
+    )
+    return fused.select(
+        F.col("__q__").alias(query_col),
+        F.col("__d__").alias(doc_col),
+        (F.col("__s__").cast("double") / F.lit(1e9)).alias("rrf_score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    ).where(F.col("rank") <= top)

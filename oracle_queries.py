@@ -6319,3 +6319,35 @@ SELECT r.rank, r.event_type, r.n_rows,
        {_round4_ratio_sql('r.n_rows * t.k', 't.n')} AS skew_factor
 FROM ranked r, tot t WHERE r.rank <= 5 ORDER BY r.rank
 """
+
+
+def _rrf_fuse_sql(k: int = 60, top: int = 10) -> str:
+    """Fuse the ann_bruteforce and pq_search oracle rankings — their
+    full SELECTs embed as subqueries, the contributions snap to the
+    integer nano-grid BEFORE summing (the op's aggregation-order-exact
+    contract)."""
+    return f"""
+WITH run_a AS ({ANN_BRUTE_SQL}),
+run_b AS ({_pq_search_sql()}),
+u AS (
+  SELECT probe_id, neighbor_id,
+         CAST(1000000000 // ({k} + rank) AS BIGINT) AS c FROM run_a
+  UNION ALL
+  SELECT probe_id, neighbor_id,
+         CAST(1000000000 // ({k} + rank) AS BIGINT) FROM run_b
+),
+fused AS (
+  SELECT probe_id, neighbor_id, CAST(SUM(c) AS BIGINT) AS s
+  FROM u GROUP BY probe_id, neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY probe_id ORDER BY s DESC, neighbor_id ASC) AS INT) AS rank
+  FROM fused
+)
+SELECT probe_id, neighbor_id, CAST(s AS DOUBLE) / 1e9 AS rrf_score, rank
+FROM ranked WHERE rank <= {top}
+"""
+
+
+ORACLE_SQL["rrf_fuse"] = _rrf_fuse_sql()

@@ -4538,3 +4538,24 @@ def test_skew_report_hot_key_and_nulls(spark):
     assert out[1]["skew_factor"] == 2.4      # 12 / (20/4 keys)
     assert out[2]["k"] == "a" and out[3]["k"] is None
     assert out[3]["share"] == 0.15
+
+
+def test_rrf_fuse_known_values(spark):
+    """Hand-computed fusion: doc in both runs beats a rank-1-in-one-run
+    doc; contributions are the exact nano-grid integers."""
+    from hashquery_spark.ops import rrf_fuse
+
+    run_a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "q long, d long, rank int"
+    )
+    run_b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)], "q long, d long, rank int"
+    )
+    out = {r["d"]: (r["rrf_score"], r["rank"]) for r in rrf_fuse(
+        [run_a, run_b], "q", "d", k=60, top=10).collect()}
+    g = lambda r: 1_000_000_000 // (60 + r)
+    # 11: ranks 2 and 1; 10: ranks 1 and 3; 12/13 single-run
+    assert out[11] == ((g(2) + g(1)) / 1e9, 1)
+    assert out[10] == ((g(1) + g(3)) / 1e9, 2)
+    assert out[12] == (g(3) / 1e9, 4)  # ties (12 vs 13 both g) -> id asc
+    assert out[13] == (g(2) / 1e9, 3)

@@ -77,8 +77,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "check_constraints",
         # deliberately-small broadcast frames (corpus-total / probe set):
         "tfidf", "lm_score", "ann_bruteforce",
-        # tiny broadcast probe side carrying the per-probe ADC LUTs:
-        "pq_search",
+        # tiny broadcast probe side carrying the per-probe ADC LUTs
+        # (rrf_fuse embeds the same two probe-side scans):
+        "pq_search", "rrf_fuse",
         # 1-row (N, avgdl) stats frame replicated to the scored terms:
         "bm25",
         # 1-row exact-count frames crossed with the 1-row sketch estimate:
