@@ -1340,10 +1340,15 @@ def permutation_test(
         raise ValueError("n_draws must be >= 1")
     v = F.col(value_col).cast("double")
     md5_expr = f"md5(concat('{seed}:', CAST(`{id_col}` AS STRING)))"
+    # e0 only when repr has no exponent — repr(1e-07) is ALREADY
+    # scientific and '1e-07e0' is an invalid literal (the rbo/mmr
+    # literal rule).
+    _gr = repr(float(grid))
+    _glit = _gr + "e0" if "e" not in _gr else f"CAST({_gr} AS DOUBLE)"
     base = df.where(v.isNotNull()).selectExpr(
         f"CAST(conv(substr({md5_expr}, 1, 8), 16, 10) AS BIGINT) AS __h1__",
         f"CAST(conv(substr({md5_expr}, 9, 8), 16, 10) AS BIGINT) AS __h2__",
-        f"CAST(floor(CAST(`{value_col}` AS DOUBLE) * {grid!r}e0 + 0.5e0) "
+        f"CAST(floor(CAST(`{value_col}` AS DOUBLE) * {_glit} + 0.5e0) "
         "AS BIGINT) AS __u__",
     )
     ex = base.select(

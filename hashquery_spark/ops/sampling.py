@@ -677,14 +677,21 @@ def negative_sample(
         raise ValueError("k must be >= 1")
     from .dedup import bucketed_running_sums
 
+    # Dense 0..n-1 ranks over the DISTINCT id set: unit weights (cum of
+    # 1s), never the duplicate counts — a duplicated id must not leave
+    # holes in the rank space or targets landing on a missing rank are
+    # silently dropped by the pick join (and the DuckDB oracle's dense
+    # row_number would diverge).
     ids = df.select(F.col(id_col)).where(F.col(id_col).isNotNull())
-    hist = ids.groupBy(id_col).agg(F.count(F.lit(1)).alias("__c__"))
+    hist = ids.groupBy(id_col).agg(
+        F.lit(1).cast("bigint").alias("__c__")
+    )
     ranked = bucketed_running_sums(hist, [], id_col, ["__c__"]).select(
         F.col(id_col),
         "__c__",
         (F.col("__cum0__") - 1).alias("__rank__"),
     )
-    totals = hist.agg(F.sum("__c__").alias("__n__"))
+    totals = hist.agg(F.count(F.lit(1)).alias("__n__"))
     md5_expr = f"md5(concat('{seed}:', CAST(`{id_col}` AS STRING)))"
     anchors = (
         ranked.crossJoin(F.broadcast(totals))

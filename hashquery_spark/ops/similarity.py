@@ -522,8 +522,12 @@ def ivf_pq_search(
         sub = f"slice(__v__, {s * dsub + 1}, {dsub})"
         payload.append(f"'m{s}', {_pq_sub_argmin_sql(sub, books[s])}")
     barrier = "named_struct(" + ", ".join(payload) + ")"
+    # NULL corpus vectors would yield NULL codes → NULL adc_dist, and
+    # the ascending rank window is NULLS FIRST — filter them out here
+    # exactly as pq_encode's isNotNull filter does.
     coded = (
-        index.assigned.selectExpr(
+        index.assigned.where(F.col("__cvec__").isNotNull())
+        .selectExpr(
             "neighbor_id",
             "__cell__",
             "transform(__cvec__, x -> CAST(x AS DOUBLE)) AS __v__",

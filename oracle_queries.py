@@ -6115,7 +6115,7 @@ cov AS (
 )
 SELECT n.g AS l_returnflag, n.n_cal, q.q_hat, cov.n_eval,
        {_round4_ratio_sql('cov.c', 'cov.n_eval')} AS coverage
-FROM n JOIN q ON q.g = n.g JOIN cov ON cov.g = n.g
+FROM n LEFT JOIN q ON q.g = n.g JOIN cov ON cov.g = n.g
 ORDER BY l_returnflag
 """
 

@@ -4559,3 +4559,53 @@ def test_rrf_fuse_known_values(spark):
     assert out[10] == ((g(1) + g(3)) / 1e9, 2)
     assert out[12] == (g(3) / 1e9, 4)  # ties (12 vs 13 both g) -> id asc
     assert out[13] == (g(2) / 1e9, 3)
+
+
+def test_ivf_pq_search_ignores_null_corpus_vectors(spark, sf_dir):
+    """A NULL corpus embedding must never surface as a neighbor: NULL
+    codes give NULL adc_dist and Spark's ascending sort is NULLS FIRST,
+    so an unfiltered NULL row would take rank 1 for every probe (the
+    ADVICE-r07 latent). Results with a planted NULL row must equal the
+    clean-corpus results exactly."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import ivf_pq_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nulled = spark.createDataFrame([(999999,)], "vec_id long").select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding")
+    )
+    dirty = emb.select("vec_id", "embedding").union(nulled)
+    probes = emb.where("vec_id < 3")
+    key = lambda df: sorted(
+        (r["probe_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+        for r in df.collect()
+    )
+    clean = ivf_pq_search(
+        emb, probes, "embedding", "vec_id",
+        n_centroids=8, n_probe=2, m=4, k=16, top=5,
+    )
+    with_null = ivf_pq_search(
+        dirty, probes, "embedding", "vec_id",
+        n_centroids=8, n_probe=2, m=4, k=16, top=5,
+    )
+    got = key(with_null)
+    assert got == key(clean)
+    assert all(r[2] != 999999 for r in got)
+
+
+def test_permutation_test_scientific_grid_literal(spark):
+    """grid=1e-07 has a scientific repr — the naive {grid!r}e0 embed
+    generated the invalid literal '1e-07e0' (the rbo/mmr e0 rule).
+    Values on the 1e7 scale snap to exact small integers there."""
+    from hashquery_spark.ops import permutation_test
+
+    df = spark.createDataFrame(
+        [(i, ((-1) ** i) * (2e7 + i * 1e7)) for i in range(10)],
+        "id long, d double",
+    )
+    out = permutation_test(
+        df, "d", "id", n_draws=20, seed="sci", grid=1e-07
+    ).collect()[0]
+    assert out["n"] == 10
+    assert 0.0 < out["p_value"] <= 1.0

@@ -296,3 +296,27 @@ def test_time_series_cv_fold_structure(spark):
     assert 11 in folds[3]["test"]
     # every fold's test window equals the next fold's train increment
     assert folds[2]["train"] - folds[1]["train"] == folds[1]["test"]
+
+
+def test_negative_sample_duplicate_ids_dense_ranks(spark):
+    """Duplicated anchor ids must not leave holes in the rank space:
+    the op operates on the DISTINCT id set (dense 0..n-1 ranks, unit
+    weights), so a duplicated frame yields exactly one anchor row per
+    distinct id with the SAME picks as the pre-deduped frame — and
+    never fewer than k negatives per anchor (the ADVICE-r07 latent
+    drop: targets landing on missing sparse ranks vanished in the
+    pick join)."""
+    from hashquery_spark.ops import negative_sample
+
+    uniq = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    dup = spark.createDataFrame(
+        [(i,) for i in range(12) for _ in range(1 + i % 3)],
+        "doc_id long",
+    )
+    key = lambda df: sorted(
+        (r["doc_id"], r["neg_index"], r["negative_id"])
+        for r in negative_sample(df, "doc_id", k=3, seed="dup").collect()
+    )
+    got_u, got_d = key(uniq), key(dup)
+    assert got_u == got_d
+    assert len(got_d) == 12 * 3  # no silently-dropped picks
