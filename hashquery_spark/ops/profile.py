@@ -1609,42 +1609,63 @@ def spearman_corr(
         *by, x.cast("double").alias("__x__"), y.cast("double").alias("__y__")
     )
     # group on REIFIED null-safe keys (never-NULL primitives): the rank
-    # join-backs below then stay plain equi-joins on the rank tables'
+    # join-back below then stays a plain equi-join on the rank table's
     # own grouping attributes — NULL groups survive AND the join-size
     # estimator stays sane (see reify_null_safe_keys)
     base, safe_by, _ = reify_null_safe_keys(base, by)
 
-    def ranks(col_name, rank_name):
-        hist = base.groupBy(*safe_by, F.col(col_name)).agg(
-            F.count(F.lit(1)).alias("__c__")
-        )
-        # The running count over the value histogram must NOT be one
-        # per-group ordered window: on a near-continuous column the
-        # histogram approaches row count and a single task buffers/sorts
-        # the whole group (measured: the r5 sf1 bench stalled >15 min in
-        # exactly this stage on 6M lineitem prices; the two-phase form
-        # runs ~6 s flat at BOTH sf0.1 and sf1).
-        cum = bucketed_running_sums(hist, safe_by, col_name, ["__c__"])
-        # tie run of c rows ending at cum: doubled average rank
-        return cum.select(
-            *safe_by,
-            col_name,
-            (2 * F.col("__cum0__") - F.col("__c__") + 1).alias(rank_name),
-        )
-
-    rx = ranks("__x__", "__rx__")
-    ry = ranks("__y__", "__ry__")
-    ranked = base.join(rx, on=safe_by + ["__x__"]).join(
-        ry, on=safe_by + ["__y__"]
+    # Fused single-join-back design (r8): rank x first, attach __rx__ to
+    # rows with ONE equi-join (the rank table is eagerly checkpointed —
+    # it feeds a pipeline whose histogram aggregate double-executes, the
+    # kaplan_meier chained-consumer case — and AQE broadcasts it when
+    # the x value grid is small), then the y HISTOGRAM CARRIES the
+    # x-rank moments: groupBy(by, y) accumulates count, Σrx and Σrx² per
+    # distinct y, so after ranking y every Pearson-on-ranks sum is a
+    # histogram aggregate — Σry = Σ c·ry, Σry² = Σ c·ry², and crucially
+    # Σrx·ry = Σ_y ry·(Σrx at that y). The second row-level join-back
+    # and the full-row final aggregate of the r5-r7 form are gone
+    # (measured: the base ⋈ ry shuffle join was the single largest
+    # exchange at sf10 on a near-continuous y).
+    hist_x = base.groupBy(*safe_by, F.col("__x__")).agg(
+        F.count(F.lit(1)).alias("__c__")
     )
+    # The running count over a value histogram must NOT be one per-group
+    # ordered window: on a near-continuous column the histogram
+    # approaches row count and a single task buffers/sorts the whole
+    # group (measured: the r5 sf1 bench stalled >15 min in exactly this
+    # stage on 6M lineitem prices; the two-phase form runs wide + flat).
+    cum_x = bucketed_running_sums(hist_x, safe_by, "__x__", ["__c__"])
+    # tie run of c rows ending at cum: doubled average rank
+    rx = cum_x.select(
+        *safe_by,
+        "__x__",
+        (2 * F.col("__cum0__") - F.col("__c__") + 1).alias("__rx__"),
+    ).localCheckpoint(eager=True)
+
     acc = "decimal(38,0)" if exact else "double"
+    withrx = base.join(rx, on=safe_by + ["__x__"])
+    rxa = F.col("__rx__").cast(acc)
+    # by rides as a passenger key (1:1 with safe_by; non-nullable keys
+    # pass through reify unchanged, so dedupe)
+    ykeys = list(by) + [c for c in safe_by if c not in by]
+    hist_y = withrx.groupBy(*ykeys, F.col("__y__")).agg(
+        F.count(F.lit(1)).alias("__c__"),
+        F.sum(rxa).alias("__mx1__"),
+        F.sum(rxa * F.col("__rx__")).alias("__mx2__"),
+    )
+    cum_y = bucketed_running_sums(hist_y, safe_by, "__y__", ["__c__"])
+    ranked = cum_y.withColumn(
+        "__ry__", 2 * F.col("__cum0__") - F.col("__c__") + 1
+    )
+    rya = F.col("__ry__").cast(acc)
+    ca = F.col("__c__").cast(acc)
     agg = ranked.groupBy(*by).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("__rx__").cast(acc)).alias("__sx__"),
-        F.sum(F.col("__ry__").cast(acc)).alias("__sy__"),
-        F.sum(F.col("__rx__").cast(acc) * F.col("__ry__")).alias("__sxy__"),
-        F.sum(F.col("__rx__").cast(acc) * F.col("__rx__")).alias("__sxx__"),
-        F.sum(F.col("__ry__").cast(acc) * F.col("__ry__")).alias("__syy__"),
+        F.sum("__c__").cast("long").alias("n"),
+        F.sum(F.col("__mx1__")).alias("__sx__"),
+        F.sum(ca * F.col("__ry__")).alias("__sy__"),
+        F.sum(rya * F.col("__mx1__")).alias("__sxy__"),
+        F.sum(F.col("__mx2__")).alias("__sxx__"),
+        F.sum(ca * F.col("__ry__") * F.col("__ry__")).alias("__syy__"),
     )
     n_d = F.col("n").cast(acc)
     num = n_d * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")
