@@ -58,6 +58,32 @@ def _norm_sql(vec: str) -> str:
     )
 
 
+def _two_phase_topk(scored: DataFrame, order_by, top: int, n_salts: int = 64) -> DataFrame:
+    """Distributed per-probe top-k WITHOUT a one-task-per-probe full
+    sort (the r7-verdict scale-killer in the brute ANN paths): phase 1
+    ranks within (probe_id, salt) stripes — salt = xxhash64(neighbor_id)
+    mod ``n_salts``, deterministic and partitioning-independent — and
+    keeps ≤ ``top`` rows per stripe (the order is TOTAL, so every global
+    top-k member is inside its own stripe's top-k: a counting recall
+    guarantee, not a heuristic); phase 2 re-ranks the ≤ top·n_salts
+    survivors per probe in a bounded window. Results are identical to
+    the single-window form; the added exchange ships only survivors.
+    Output: the scored columns + dense int ``rank`` 1..top per probe."""
+    w1 = Window.partitionBy("probe_id", "__salt__").orderBy(*order_by)
+    w2 = Window.partitionBy("probe_id").orderBy(*order_by)
+    return (
+        scored.withColumn(
+            "__salt__",
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(n_salts)),
+        )
+        .withColumn("__r1__", F.row_number().over(w1))
+        .where(F.col("__r1__") <= top)
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= top)
+        .drop("__salt__", "__r1__")
+    )
+
+
 def ann_brute_force(
     corpus: DataFrame,
     probes: DataFrame,
@@ -70,7 +96,10 @@ def ann_brute_force(
     Returns (probe_id, neighbor_id, cos_sim) with cos_sim rounded to 4
     decimals; ranking is (rounded sim DESC, neighbor_id ASC) for a total
     order. The probe side is broadcast — the corpus never shuffles until
-    the per-probe top-k window (partitioned by probe_id)."""
+    the per-probe top-k, which runs as the salted two-phase
+    :func:`_two_phase_topk` (no task ever sorts a whole probe's
+    candidate set; at 100× corpus scale the old single window was one
+    straggler task per probe)."""
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pvec__")
     )
@@ -82,14 +111,11 @@ def ann_brute_force(
     )
     sim = fround(cosine(F.col("__pvec__"), F.col("__cvec__")), 4)
     scored = joined.select("probe_id", "neighbor_id", sim.alias("cos_sim"))
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _two_phase_topk(
+        scored,
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("probe_id", "neighbor_id", "cos_sim", "rank")
 
 
 def random_hyperplanes(dim: int, n_planes: int) -> List[List[float]]:
@@ -1095,18 +1121,13 @@ def pq_search(
     scored = joined.where(
         F.col("neighbor_id") != F.col("probe_id")
     ).selectExpr("probe_id", "neighbor_id", f"{adc} AS adc_dist")
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.select(
-            "probe_id",
-            "neighbor_id",
-            "adc_dist",
-            F.row_number().over(w).cast("int").alias("rank"),
-        )
-        .where(F.col("rank") <= top)
-    )
+    # salted two-phase top-k: no task ever sorts a whole probe's
+    # candidate set (the brute code scan is corpus-sized per probe)
+    return _two_phase_topk(
+        scored,
+        [F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
+        top,
+    ).select("probe_id", "neighbor_id", "adc_dist", "rank")
 
 
 def mmr_select(

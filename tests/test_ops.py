@@ -4609,3 +4609,62 @@ def test_permutation_test_scientific_grid_literal(spark):
     ).collect()[0]
     assert out["n"] == 10
     assert 0.0 < out["p_value"] <= 1.0
+
+
+def test_two_phase_topk_identical_and_salted_plan(spark, sf_dir):
+    """The salted two-phase per-probe top-k must return EXACTLY the
+    single-window results (the order is total, so stripe top-k is a
+    counting guarantee), and the physical plan must carry the salted
+    first-phase window — no task ever sorts a whole probe's candidate
+    set (r7 verdict #2)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import ann_brute_force, pq_search
+    from hashquery_spark.ops.dedup import fround
+    from hashquery_spark.ops.similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where("vec_id < 4")
+    got = ann_brute_force(emb, probes, "embedding", "vec_id", k=7)
+    # reference: the pre-r8 single-window formulation
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("__pv__")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv__"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            fround(cosine(F.col("__pv__"), F.col("__cv__")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    ref = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 7)
+    )
+    key = lambda df: sorted(
+        (r["probe_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in df.collect()
+    )
+    assert key(got) == key(ref)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__salt__" in plan
+    # pq_search rides the same helper — ranks stay dense 1..top
+    pq = pq_search(emb, probes, "embedding", "vec_id", m=4, k=16, top=6)
+    by_probe = {}
+    for r in pq.collect():
+        by_probe.setdefault(r["probe_id"], []).append(r["rank"])
+    for pid, ranks in by_probe.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), pid
+    assert "__salt__" in pq._jdf.queryExecution().executedPlan().toString()
