@@ -3545,6 +3545,21 @@ def q_pq_encode(spark, sf_dir):
     return pq_encode(emb, "embedding", "vec_id", m=4, k=16).orderBy("vec_id")
 
 
+def q_pq_encode_trained(spark, sf_dir):
+    """pq_encode with kmeans_iters=2 Lloyd's-TRAINED per-subspace
+    codebooks (the FAISS training step; first-k-by-id init, exact
+    integer micro-unit centroid updates). The DuckDB oracle unrolls the
+    two training iterations into chained MATERIALIZED CTEs and
+    reproduces every trained centroid, code, and reconstruction error
+    bit-for-bit."""
+    from hashquery_spark.ops import pq_encode
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    return pq_encode(
+        emb, "embedding", "vec_id", m=4, k=16, kmeans_iters=2
+    ).orderBy("vec_id")
+
+
 def q_pq_search(spark, sf_dir):
     """Asymmetric-distance (ADC) search over the PQ codes: each probe
     precomputes an m×k LUT once, every candidate costs m array lookups
@@ -4871,6 +4886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "embedding_quantize": q_embedding_quantize,
         "pq_encode": q_pq_encode,
+        "pq_encode_trained": q_pq_encode_trained,
         "pq_search": q_pq_search,
         "ivf_pq_search": q_ivf_pq_search,
         "rrf_fuse": q_rrf_fuse,

@@ -954,6 +954,83 @@ def _pq_codebooks(corpus: DataFrame, vec_col: str, id_col: str, m: int, k: int):
     return books, dim, dsub
 
 
+def _pq_codebooks_trained(
+    corpus: DataFrame, vec_col: str, id_col: str, m: int, k: int, iters: int
+):
+    """Per-subspace Lloyd's-trained PQ codebooks (the FAISS training
+    step; first-k-by-id codebooks give materially worse quantization
+    error on real embeddings — r7 verdict #3). Init = the first-k-by-id
+    books (:func:`_pq_codebooks`); each iteration assigns every
+    subvector to its nearest code and recomputes centroids from EXACT
+    integer micro-unit sums (the kmeans_fit update contract — python's
+    ``s / (n * 1e6)`` is the identical IEEE division DuckDB performs, so
+    an unrolled-CTE oracle re-derives every trained centroid
+    bit-for-bit; empty codes keep their previous centroid).
+
+    Scale: ONE fused job per iteration for ALL m subspaces — the corpus
+    stacks to (subspace, subvector) rows via one explode, the argmin is
+    a per-subspace CASE over bounded literal books (each row evaluates
+    only its own branch), and the update aggregate is map-side combined
+    down to m·k·dsub cells before the bounded collect. No per-iteration
+    lineage growth: books are python literals, so every iteration's plan
+    reads the corpus directly."""
+    from .clustering import _SCALE_SQL
+
+    books, dim, dsub = _pq_codebooks(corpus, vec_col, id_col, m, k)
+    subs = ", ".join(
+        f"named_struct('s', {s}, 'sub', slice(__v__, {s * dsub + 1}, {dsub}))"
+        for s in range(m)
+    )
+    stacked = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .selectExpr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS __v__")
+        .selectExpr(f"explode(array({subs})) AS __sub__")
+        .selectExpr("__sub__.s AS __s__", "__sub__.sub AS __sv__")
+    )
+    for _ in range(iters):
+        case = (
+            "CASE "
+            + " ".join(
+                f"WHEN __s__ = {s} THEN "
+                f"({_pq_sub_argmin_sql('__sv__', books[s])}).code"
+                for s in range(m)
+            )
+            + " END"
+        )
+        cells = (
+            stacked.selectExpr("__s__", "__sv__", f"{case} AS __code__")
+            .select(
+                "__s__",
+                "__code__",
+                F.posexplode(F.col("__sv__")).alias("pos", "v"),
+            )
+            .selectExpr(
+                "__s__", "__code__", "pos", _SCALE_SQL.format(v="v") + " AS sv"
+            )
+            .groupBy("__s__", "__code__", "pos")
+            .agg(F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: m * k * dsub rows
+        )
+        upd: dict = {}
+        for r in cells:
+            upd.setdefault((r["__s__"], r["__code__"]), {})[r["pos"]] = r[
+                "s"
+            ] / (r["n"] * 1000000.0)
+        books = [
+            [
+                (
+                    code,
+                    [vals[p] for p in sorted(vals)]
+                    if (vals := upd.get((s, code)))
+                    else old,
+                )
+                for code, old in books[s]
+            ]
+            for s in range(m)
+        ]
+    return books, dim, dsub
+
+
 def _pq_sub_argmin_sql(sub_expr: str, book) -> str:
     """array_min over k named_structs ('d' = |c|² − 2·(sub·c), 'code') —
     the kmeans _argmin_cluster_sql form on a SUBVECTOR expression. The
@@ -1011,6 +1088,7 @@ def pq_encode(
     m: int = 4,
     k: int = 16,
     codebooks=None,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """Product quantization (Jégou et al. 2011) — encode each vector as
     ``m`` sub-space codes of ``log2(k)`` bits: the memory step that makes
@@ -1022,8 +1100,12 @@ def pq_encode(
     where recon_sq_err = Σ_s |sub_s − codebook_s[code_s]|².
 
     ``codebooks=None`` derives deterministic codebooks from the first
-    ``k`` vectors by id (:func:`_pq_codebooks`); pass the structure
-    returned by that helper to encode against trained codebooks.
+    ``k`` vectors by id (:func:`_pq_codebooks`); ``kmeans_iters=N``
+    trains them with N per-subspace Lloyd's iterations first
+    (:func:`_pq_codebooks_trained` — the FAISS training step, exactly
+    as ``ivf_index(kmeans_iters=)`` trains cell centroids). Pass the
+    structure returned by either helper to encode against prebuilt
+    codebooks.
 
     Cross-engine exactness: per-subspace distances are the kmeans
     ``|c|² − 2·(sub·c)`` chain (python-literal |c|² = the same
@@ -1040,7 +1122,11 @@ def pq_encode(
     through CollapseProject (the expression-referenced-twice trap).
     """
     if codebooks is None:
-        books, dim, dsub = _pq_codebooks(corpus, vec_col, id_col, m, k)
+        books, dim, dsub = (
+            _pq_codebooks_trained(corpus, vec_col, id_col, m, k, kmeans_iters)
+            if kmeans_iters
+            else _pq_codebooks(corpus, vec_col, id_col, m, k)
+        )
     else:
         books, dim, dsub = codebooks
         m, k = len(books), len(books[0])
@@ -1082,6 +1168,7 @@ def pq_search(
     m: int = 4,
     k: int = 16,
     top: int = 10,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) search over PQ codes: each probe
     precomputes an ``m × k`` lookup table of subspace distances ONCE
@@ -1104,7 +1191,11 @@ def pq_search(
     break ties by neighbor id, so the oracle reproduces the full
     result bit-for-bit.
     """
-    books, dim, dsub = _pq_codebooks(corpus, vec_col, id_col, m, k)
+    books, dim, dsub = (
+        _pq_codebooks_trained(corpus, vec_col, id_col, m, k, kmeans_iters)
+        if kmeans_iters
+        else _pq_codebooks(corpus, vec_col, id_col, m, k)
+    )
     codes = pq_encode(corpus, vec_col, id_col, codebooks=(books, dim, dsub))
 
     p = probes.where(F.col(vec_col).isNotNull()).selectExpr(

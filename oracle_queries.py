@@ -5926,6 +5926,107 @@ ORACLE_SQL["pq_encode"] = _pq_encode_sql()
 ORACLE_SQL["pq_search"] = _pq_search_sql()
 
 
+def _pq_trained_encode_sql(
+    m: int = 4, k: int = 16, dim: int = 64, iters: int = 2
+) -> str:
+    """pq_encode(kmeans_iters=N) replica: per-subspace Lloyd's unrolled
+    into chained MATERIALIZED CTEs (the kmeans_clusters precedent —
+    each cb{i} is referenced twice per level, so inline-by-copy would
+    expand 2^iters). Init = the first-k-by-id books sliced per
+    subspace; updates are exact integer micro-unit sums divided exactly
+    as the Spark driver divides (same IEEE ops); distances are the
+    |c|² − 2·(sub·c) list_dot_product chain, ties to the lowest code;
+    recon re-adds |sub|² per subspace with the Spark fixed
+    parenthesization."""
+    dsub = dim // m
+    d = "CAST(1000000.0 AS DOUBLE)"
+    parts = [
+        f"""
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+sub AS MATERIALIZED (
+  SELECT e.vec_id, CAST(t.s AS INT) AS s,
+         list_slice(e.v, t.s * {dsub} + 1, (t.s + 1) * {dsub}) AS sv
+  FROM ev e, range({m}) t(s)
+),
+cb0 AS (
+  SELECT CAST(t.s AS INT) AS s, CAST(rn - 1 AS INT) AS code,
+         list_slice(f.v, t.s * {dsub} + 1, (t.s + 1) * {dsub}) AS cv
+  FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v
+    FROM ev ORDER BY vec_id LIMIT {k}
+  ) f, range({m}) t(s)
+)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""
+a{i} AS MATERIALIZED (
+  SELECT vec_id, s, code, sv FROM (
+    SELECT u.vec_id, u.s, c.code, u.sv,
+      row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY
+        (list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(u.sv, c.cv)),
+        c.code) AS rn
+    FROM sub u JOIN cb{p} c ON c.s = u.s
+  ) WHERE rn = 1
+),
+u{i} AS (
+  SELECT s, code, pos,
+         CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sm,
+         count(*) AS n
+  FROM (
+    SELECT s, code, CAST(unnest(range(len(sv))) AS BIGINT) AS pos,
+           unnest(sv) AS x
+    FROM a{i}
+  ) GROUP BY s, code, pos
+),
+cb{i} AS MATERIALIZED (
+  SELECT c.s, c.code, coalesce(nc.cv, c.cv) AS cv
+  FROM cb{p} c LEFT JOIN (
+    SELECT s, code,
+           list(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * {d})
+                ORDER BY pos) AS cv
+    FROM u{i} GROUP BY s, code
+  ) nc ON nc.s = c.s AND nc.code = c.code
+)"""
+        )
+    parts.append(
+        f"""
+af AS (
+  SELECT vec_id, s, code, e FROM (
+    SELECT u.vec_id, u.s, c.code,
+      (list_dot_product(u.sv, u.sv) +
+       (list_dot_product(c.cv, c.cv)
+        - 2.0 * list_dot_product(u.sv, c.cv))) AS e,
+      row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY
+        (list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(u.sv, c.cv)),
+        c.code) AS rn
+    FROM sub u JOIN cb{iters} c ON c.s = u.s
+  ) WHERE rn = 1
+)"""
+    )
+    codes = ", ".join(
+        f"CAST(max(CASE WHEN s = {s} THEN code END) AS INT) AS code_{s}"
+        for s in range(m)
+    )
+    recon = " + ".join(
+        f"max(CASE WHEN s = {s} THEN e END)" for s in range(m)
+    )
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT vec_id, {codes}, {recon} AS recon_sq_err
+FROM af GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+ORACLE_SQL["pq_encode_trained"] = _pq_trained_encode_sql(4, 16, 64, 2)
+
+
 ORACLE_SQL["mcnemar"] = """
 WITH base AS (
   SELECT l_linestatus,

@@ -4668,3 +4668,79 @@ def test_two_phase_topk_identical_and_salted_plan(spark, sf_dir):
     for pid, ranks in by_probe.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), pid
     assert "__salt__" in pq._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pq_trained_codebooks_beat_first_k(spark, sf_dir):
+    """Lloyd's-trained codebooks must not lose to the first-k-by-id
+    init: total reconstruction error is non-increasing per Lloyd
+    iteration BY CONSTRUCTION (assignment and update each minimize it),
+    so trained total recon_sq_err < untrained on any non-degenerate
+    corpus — and recall@10 of the ADC search against the exact-L2
+    truth must not degrade."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import pq_encode, pq_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = pq_encode(emb, "embedding", "vec_id", m=4, k=16)
+    trained = pq_encode(
+        emb, "embedding", "vec_id", m=4, k=16, kmeans_iters=3
+    )
+    err0 = base.agg(F.sum("recon_sq_err")).collect()[0][0]
+    err3 = trained.agg(F.sum("recon_sq_err")).collect()[0][0]
+    assert err3 < err0
+
+    # recall@10 vs exact-L2 truth (numpy brute force on the collected
+    # corpus — bounded at test SFs)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def recall(df, k=10):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+        tot = 0.0
+        for pid, nbrs in got.items():
+            i = int(np.where(ids == pid)[0][0])
+            d = ((mat - mat[i]) ** 2).sum(axis=1)
+            cand = sorted(zip(d.tolist(), ids.tolist()))
+            t = set(v for _, v in cand[: k + 1] if v != pid)
+            t = set(sorted(t)[: k]) if len(t) > k else t
+            tot += len(nbrs & t) / float(k)
+        return tot / max(len(got), 1)
+
+    # the parquet embeddings are RANDOM (no cluster structure), where
+    # PQ training is a coin flip at tiny SF — recall is asserted on a
+    # clustered corpus, the case codebook training exists for
+    import hashlib
+
+    def h01(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2**32
+
+    centers = [
+        [4.0 * (h01(f"c{c}:{d}") - 0.5) for d in range(32)]
+        for c in range(12)
+    ]
+    pts = []
+    for i in range(360):
+        c = centers[i % 12]
+        pts.append(
+            (i, [c[d] + 0.3 * (h01(f"p{i}:{d}") - 0.5) for d in range(32)])
+        )
+    cl = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    ids = np.array([p[0] for p in pts])
+    mat = np.array([p[1] for p in pts], dtype=np.float64)
+
+    probes = cl.where("vec_id < 12")
+    r_base = recall(
+        pq_search(cl, probes, "embedding", "vec_id", m=4, k=16, top=10)
+    )
+    r_train = recall(
+        pq_search(
+            cl, probes, "embedding", "vec_id", m=4, k=16, top=10,
+            kmeans_iters=3,
+        )
+    )
+    assert r_train >= r_base
