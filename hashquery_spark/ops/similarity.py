@@ -161,6 +161,7 @@ class IvfIndex:
         self.id_col = id_col
         self.vec_col = vec_col
         self._flat = None
+        self._pq: dict = {}
 
     @property
     def dim(self) -> int:
@@ -235,6 +236,33 @@ class IvfIndex:
             self._flat = flat
         return self._flat
 
+    def build_pq(self, m: int = 4, k: int = 16, kmeans_iters: int = 0):
+        """The PQ payload over the assigned corpus, memoized per
+        ``(m, k, kmeans_iters)``: ``(books, dim, dsub, coded)`` where
+        ``coded`` is the (neighbor_id, __cell__, code_0..code_{m-1})
+        frame every IVF-ADC search scans. The codebook collect (and
+        optional Lloyd's training) is paid ONCE per key — repeat
+        :func:`ivf_pq_search` calls against the same index launch zero
+        further build jobs (the ann_ivf memoization contract), and
+        :meth:`write` persists the payload so later sessions skip the
+        build entirely."""
+        key = (int(m), int(k), int(kmeans_iters))
+        if key not in self._pq:
+            src = self.assigned.where(F.col("__cvec__").isNotNull())
+            view = src.select(
+                F.col("neighbor_id").alias("__pqid__"),
+                F.col("__cvec__").alias("__pqv__"),
+            )
+            books, dim, dsub = (
+                _pq_codebooks_trained(
+                    view, "__pqv__", "__pqid__", m, k, kmeans_iters
+                )
+                if kmeans_iters
+                else _pq_codebooks(view, "__pqv__", "__pqid__", m, k)
+            )
+            self._pq[key] = (books, dim, dsub, _pq_code_frame(src, books, dsub))
+        return self._pq[key]
+
     def unpersist(self):
         if self._flat is not None and self._flat.is_cached:
             self._flat.unpersist()
@@ -267,6 +295,26 @@ class IvfIndex:
             cent_rows,
             "cid long, cvec array<double>, id_col string, vec_col string",
         ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+        # PQ payloads (r7 verdict #4): one flat books table (bounded —
+        # Σ m·k rows per built config) + per-config code frames, so
+        # ivf_pq_search over a loaded index pays zero retrain/re-encode
+        # jobs. Codes partition by __cell__ exactly like the assignment.
+        if self._pq:
+            book_rows = []
+            for (m, k, it), (books, _dim, _dsub, _coded) in self._pq.items():
+                for s in range(m):
+                    for code, cv in books[s]:
+                        book_rows.append(
+                            (m, k, it, s, int(code), [float(x) for x in cv])
+                        )
+            spark.createDataFrame(
+                book_rows,
+                "m int, k int, iters int, s int, code int, cv array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(path + "/pq_books")
+            for (m, k, it), (_b, _d, _ds, coded) in self._pq.items():
+                coded.write.mode("overwrite").partitionBy("__cell__").parquet(
+                    f"{path}/pq_codes_m{m}k{k}i{it}"
+                )
 
 
 def load_ivf_index(spark, path: str) -> "IvfIndex":
@@ -292,7 +340,28 @@ def load_ivf_index(spark, path: str) -> "IvfIndex":
         "__cell__",
         F.col("__cell__").cast("long"),
     )
-    return IvfIndex(cents, cent_norms, assigned, id_col, vec_col)
+    index = IvfIndex(cents, cent_norms, assigned, id_col, vec_col)
+    # PQ payloads, if the index was written with any built: the books
+    # read is one more bounded driver job; the code frames are lazy
+    # parquet scans — ivf_pq_search against the loaded index launches
+    # no retrain/re-encode work.
+    try:
+        book_rows = spark.read.parquet(path + "/pq_books").collect()
+    except Exception:
+        book_rows = []
+    cfgs: dict = {}
+    for r in book_rows:
+        cfgs.setdefault((r["m"], r["k"], r["iters"]), {}).setdefault(
+            r["s"], []
+        ).append((int(r["code"]), [float(x) for x in r["cv"]]))
+    for (m, k, it), by_s in cfgs.items():
+        books = [sorted(by_s[s]) for s in range(m)]
+        dsub = len(books[0][0][1])
+        coded = spark.read.parquet(
+            f"{path}/pq_codes_m{m}k{k}i{it}"
+        ).withColumn("__cell__", F.col("__cell__").cast("long"))
+        index._pq[(m, k, it)] = (books, m * dsub, dsub, coded)
+    return index
 
 
 def auto_cluster_count(
@@ -503,6 +572,37 @@ def ivf_ann(
     )
 
 
+def _pq_code_frame(assigned_nn: DataFrame, books, dsub: int) -> DataFrame:
+    """PQ codes in one pass over a (NULL-filtered) cell assignment: the
+    m argmins evaluate once inside a struct behind the Generate barrier
+    (the pq_encode contract). NULL corpus vectors must already be
+    filtered — NULL codes would give NULL adc_dist, and an ascending
+    rank is NULLS FIRST."""
+    m = len(books)
+    payload = []
+    for s in range(m):
+        sub = f"slice(__v__, {s * dsub + 1}, {dsub})"
+        payload.append(f"'m{s}', {_pq_sub_argmin_sql(sub, books[s])}")
+    barrier = "named_struct(" + ", ".join(payload) + ")"
+    return (
+        assigned_nn.selectExpr(
+            "neighbor_id",
+            "__cell__",
+            "transform(__cvec__, x -> CAST(x AS DOUBLE)) AS __v__",
+        )
+        .select(
+            "neighbor_id",
+            "__cell__",
+            F.explode(F.array(F.expr(barrier))).alias("__pq__"),
+        )
+        .selectExpr(
+            "neighbor_id",
+            "__cell__",
+            *[f"__pq__.m{s}.code AS code_{s}" for s in range(m)],
+        )
+    )
+
+
 def ivf_pq_search(
     corpus: DataFrame,
     probes: DataFrame,
@@ -513,6 +613,8 @@ def ivf_pq_search(
     m: int = 4,
     k: int = 16,
     top: int = 10,
+    index: "IvfIndex" = None,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-ADC — the full FAISS ``IVFx,PQy`` search shape and the design
     that actually fits 100 TB of embeddings: IVF cells prune the
@@ -533,42 +635,21 @@ def ivf_pq_search(
     bit-for-bit.
 
     Recall knobs: ``n_probe`` trades scan fraction for cell recall;
-    ``m``/``k`` trade code size for quantization error. The exact
-    re-rank of the ADC top candidates against raw vectors (the standard
-    two-stage serving refinement) is :func:`ann_brute_force` on the
-    returned id set."""
-    index = ivf_index(corpus, vec_col, id_col, n_centroids=n_centroids)
-    books, dim, dsub = _pq_codebooks(corpus, vec_col, id_col, m, k)
+    ``m``/``k`` trade code size for quantization error;
+    ``kmeans_iters`` trains the per-subspace codebooks
+    (:func:`_pq_codebooks_trained`). The exact re-rank of the ADC top
+    candidates against raw vectors (the standard two-stage serving
+    refinement) is :func:`ann_brute_force` on the returned id set.
 
-    # PQ codes in one pass over the checkpointed assignment: the m
-    # argmins evaluate once inside a struct behind the Generate barrier
-    # (the pq_encode contract)
-    payload = []
-    for s in range(m):
-        sub = f"slice(__v__, {s * dsub + 1}, {dsub})"
-        payload.append(f"'m{s}', {_pq_sub_argmin_sql(sub, books[s])}")
-    barrier = "named_struct(" + ", ".join(payload) + ")"
-    # NULL corpus vectors would yield NULL codes → NULL adc_dist, and
-    # the ascending rank window is NULLS FIRST — filter them out here
-    # exactly as pq_encode's isNotNull filter does.
-    coded = (
-        index.assigned.where(F.col("__cvec__").isNotNull())
-        .selectExpr(
-            "neighbor_id",
-            "__cell__",
-            "transform(__cvec__, x -> CAST(x AS DOUBLE)) AS __v__",
-        )
-        .select(
-            "neighbor_id",
-            "__cell__",
-            F.explode(F.array(F.expr(barrier))).alias("__pq__"),
-        )
-        .selectExpr(
-            "neighbor_id",
-            "__cell__",
-            *[f"__pq__.m{s}.code AS code_{s}" for s in range(m)],
-        )
-    )
+    Serving: pass ``index=`` (a built/loaded :class:`IvfIndex`) to skip
+    the build — the PQ payload is memoized per (m, k, kmeans_iters) on
+    the index (:meth:`IvfIndex.build_pq`) and persists with
+    :meth:`IvfIndex.write`, so repeat searches (and searches in later
+    sessions against :func:`load_ivf_index`) pay zero retrain/re-encode
+    jobs."""
+    if index is None:
+        index = ivf_index(corpus, vec_col, id_col, n_centroids=n_centroids)
+    books, dim, dsub, coded = index.build_pq(m, k, kmeans_iters)
 
     # probe side: n_probe nearest cells (the ivf_search slice), then the
     # ADC LUTs derived above the Generate — bounded n_probe-fold
@@ -605,18 +686,13 @@ def ivf_pq_search(
         f"try_element_at(__lut{s}__, code_{s} + 1)" for s in range(m)
     )
     scored = joined.selectExpr("probe_id", "neighbor_id", f"{adc} AS adc_dist")
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.select(
-            "probe_id",
-            "neighbor_id",
-            "adc_dist",
-            F.row_number().over(w).cast("int").alias("rank"),
-        )
-        .where(F.col("rank") <= top)
-    )
+    # salted two-phase top-k even on the pruned candidates: at 100×
+    # corpus scale a probed cell is still corpus/n_centroids rows
+    return _two_phase_topk(
+        scored,
+        [F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
+        top,
+    ).select("probe_id", "neighbor_id", "adc_dist", "rank")
 
 
 def semantic_dedup(

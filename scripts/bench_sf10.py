@@ -54,6 +54,13 @@ PERF = [
     # the library-default double-accumulator path (r6 verdict #5) —
     # "spearman" above stays the exact/oracle variant for continuity
     "spearman_fast",
+    # r7 verdict #5/#7 second-decade additions: the dedup/fuzzy family
+    # whose LSH hot-bucket caps and salting valves exist precisely for
+    # this decade, plus funnel and the bootstrap explode volume.
+    "dedup_against_fuzzy",
+    "fuzzy_dedup_e2e",
+    "funnel",
+    "bootstrap_ci",
 ]
 
 

@@ -4744,3 +4744,53 @@ def test_pq_trained_codebooks_beat_first_k(spark, sf_dir):
         )
     )
     assert r_train >= r_base
+
+
+def test_ivf_pq_index_persists_and_repeat_search_zero_build_jobs(
+    spark, sf_dir, tmp_path
+):
+    """IvfIndex.write persists the PQ payload (books + cell-partitioned
+    codes); ivf_pq_search against the loaded index matches the direct
+    path exactly, the second search against the same loaded index
+    launches ZERO driver jobs at plan-construction time (the ann_ivf
+    memoization contract), and the loaded plan never re-derives codes
+    from raw vectors."""
+    from hashquery_spark.ops import ivf_pq_search
+    from hashquery_spark.ops.similarity import ivf_index, load_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where("vec_id < 4")
+    direct = ivf_pq_search(
+        emb, probes, "embedding", "vec_id",
+        n_centroids=8, n_probe=2, m=4, k=16, top=5,
+    )
+    key = lambda df: sorted(
+        (r["probe_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+        for r in df.collect()
+    )
+    want = key(direct)
+
+    idx = ivf_index(emb, "embedding", "vec_id", n_centroids=8)
+    idx.build_pq(4, 16)
+    path = str(tmp_path / "ivfpq")
+    idx.write(path)
+
+    loaded = load_ivf_index(spark, path)
+    assert (4, 16, 0) in loaded._pq
+    got1 = ivf_pq_search(
+        None, probes, "embedding", "vec_id",
+        n_probe=2, m=4, k=16, top=5, index=loaded,
+    )
+    assert key(got1) == want
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup())
+    second = ivf_pq_search(
+        None, probes, "embedding", "vec_id",
+        n_probe=2, m=4, k=16, top=5, index=loaded,
+    )
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    assert len(tracker.getJobIdsForGroup()) == jobs_before
+    # the corpus side reads persisted CODES, never re-encodes vectors
+    assert "array_min" not in plan.lower() or "pq_codes" in plan
+    assert key(second) == want
