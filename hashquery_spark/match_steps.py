@@ -54,7 +54,9 @@ Physical design (Spark-first, NOT the reference's N-way self-join cascade):
   ~6M events with ≥50% of them on one entity — at 2M events / 20% hot
   the plain path wins (3.1 s vs 3.5 s salted: the extra shuffle costs
   more than the skew), at 10M / 60% hot the salted path wins (30.5 s vs
-  33.9 s). Rule of thumb for a cluster: salt when
+  33.9 s). ``salt_partials="auto"`` applies exactly that crossover from
+  one bounded 1%-sample job at compile time (see
+  :func:`_auto_salt_partials`). Rule of thumb for a cluster: salt when
   (hottest-entity event count) × ~32 bytes approaches one executor
   task's comfortable working set, i.e. tens of millions of events on a
   single entity; N = a small multiple of the executor core count.
@@ -98,6 +100,42 @@ def step_hash_id(step_index: int) -> str:
             "types; reduce the number of unique steps."
         )
     return _CHARS[step_index]
+
+
+_AUTO_SALT_MIN_EVENTS = 6_000_000
+_AUTO_SALT_HOT_FRACTION = 0.5
+
+
+def _auto_salt_partials(ev) -> Optional[int]:
+    """``salt_partials="auto"``: pick the salted path from the MEASURED
+    r6 crossover (salting pays only past ~6M events with ≥50% of them
+    on one entity — below that the extra shuffle costs more than the
+    skew). One bounded sampling job at compile time: a deterministic 1%
+    event sample (xxhash64(entity, ts) mod 100 — md5-class, never an
+    RNG) → per-entity sampled counts → (total, hottest). An entity hot
+    enough to matter (millions of events) is visible in any 1% sample;
+    small corpora cheaply resolve to the plain path. Returns the
+    partial count (2× the scheduler's default parallelism, the r6
+    "small multiple of core count" rule) or None."""
+    samp = ev.where(
+        F.pmod(
+            F.xxhash64(F.col(GROUP_LABEL), F.col(TIMESTAMP_LABEL)),
+            F.lit(100),
+        )
+        == 0
+    )
+    stats = (
+        samp.groupBy(GROUP_LABEL)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .agg(F.sum("__c__").alias("__n__"), F.max("__c__").alias("__h__"))
+        .collect()[0]
+    )
+    n = (stats["__n__"] or 0) * 100
+    hot = (stats["__h__"] or 0) * 100
+    if n >= _AUTO_SALT_MIN_EVENTS and hot >= _AUTO_SALT_HOT_FRACTION * n:
+        sc = ev.sparkSession.sparkContext
+        return max(8, 2 * sc.defaultParallelism)
+    return None
 
 
 def _step_index_col(i: int) -> str:
@@ -253,12 +291,17 @@ class MatchStepsSource(Source):
             F.col("__ch__").isNotNull() & F.col(GROUP_LABEL).isNotNull(),
             F.struct(*struct_fields),
         )
-        if self.salt_partials:
+        salt_partials = self.salt_partials
+        if salt_partials == "auto":
+            salt_partials = _auto_salt_partials(
+                base_df.select(*event_cols[:2])
+            )
+        if salt_partials:
             # two-stage assembly: partial sorted arrays per (entity, salt),
             # then merge — array_sort(flatten(partials)) == full sort
             salt = F.pmod(
                 F.xxhash64(F.col(TIMESTAMP_LABEL), F.col("__ch__")),
-                F.lit(self.salt_partials),
+                F.lit(salt_partials),
             )
             partials = (
                 events.withColumn("__salt__", salt)

@@ -1032,3 +1032,73 @@ def test_negative_sample_two_million(spark):
     assert agg["n"] == 4_000_000
     assert agg["self_hits"] == 0
     assert 0 <= agg["mn"] and agg["mx"] <= 1_999_999
+
+
+def test_funnel_auto_salting_crossover(spark):
+    """salt_partials="auto" (r7 verdict #8): the compile-time 1%-sample
+    crossover must pick the PLAIN path on a small/mildly-skewed corpus
+    and the SALTED path at 10M events with 60% on one entity — and the
+    auto-salted funnel must return exactly the plain-path counts.
+
+    The full 10M funnel is exercised once per path (the r6 measurement
+    put the salted win at 30.5 vs 33.9 s; this asserts correctness +
+    path selection, timing lives in the r6 notes)."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark import Connection, Model, attr
+    from hashquery_spark.match_steps import (
+        GROUP_LABEL,
+        TIMESTAMP_LABEL,
+        _auto_salt_partials,
+    )
+
+    def gen(n, hot_frac, path):
+        hot = int(n * hot_frac)
+        ev = (
+            spark.range(n)
+            .repartition(32)
+            .select(
+                F.when(F.col("id") < hot, F.lit(0))
+                .otherwise(F.pmod(F.col("id") * 2654435761, 100_000) + 1)
+                .alias("user_id"),
+                F.element_at(
+                    F.array(
+                        F.lit("visit"), F.lit("signup"), F.lit("purchase")
+                    ),
+                    (F.pmod(F.col("id"), 3) + 1).cast("int"),
+                ).alias("event"),
+                F.timestamp_seconds(
+                    F.lit(1700000000) + F.col("id") * 7 % 86400
+                    + F.col("id") / 50
+                ).alias("ts"),
+            )
+        )
+        ev.write.mode("overwrite").parquet(path)
+        return Model(
+            Connection(spark).register_parquet("autosalt_ev", path),
+            "autosalt_ev",
+        ).with_activity_schema(
+            group=attr.user_id, timestamp=attr.ts, event_key=attr.event
+        )
+
+    # the sampling decision itself, both sides of the crossover
+    small = gen(500_000, 0.2, "/tmp/funnel_autosalt_small")
+    sdf = spark.read.parquet("/tmp/funnel_autosalt_small").select(
+        F.col("user_id").alias(GROUP_LABEL),
+        F.col("ts").alias(TIMESTAMP_LABEL),
+    )
+    assert _auto_salt_partials(sdf) is None
+
+    big = gen(10_000_000, 0.6, "/tmp/funnel_autosalt_big")
+    bdf = spark.read.parquet("/tmp/funnel_autosalt_big").select(
+        F.col("user_id").alias(GROUP_LABEL),
+        F.col("ts").alias(TIMESTAMP_LABEL),
+    )
+    assert (_auto_salt_partials(bdf) or 0) >= 8
+
+    steps = ["visit", "signup", "purchase"]
+    counts = lambda rows: {r["step"]: r["entities"] for r in rows}
+    auto = counts(big.funnel(steps, salt_partials="auto").run().py_records)
+    plain = counts(big.funnel(steps).run().py_records)
+    assert auto == plain
+    assert plain["visit"] == 100_001
