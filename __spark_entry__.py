@@ -2402,6 +2402,54 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_real_codec(spark, sf_dir):
+    """REAL image decode through the production plumbing (r7 verdict
+    #6): deterministic P6 PPM payloads (header + pixel plane built
+    in-plan as binary) decode through decode_blob_metadata with the
+    zero-dependency netpbm codec — actual image-format parsing, not the
+    fake, running in every CI environment. The oracle recomputes the
+    byte geometry (header length + 3wh) and header hex from the same
+    construction."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops.multimodal import (
+        _ppm_decode_image,
+        decode_blob_metadata,
+    )
+
+    docs = (
+        _conn(spark, sf_dir)
+        .table("documents")
+        .where("doc_id % 13 = 0")
+        .selectExpr(
+            "doc_id",
+            "CAST(1 + doc_id % 16 AS INT) AS w",
+            "CAST(1 + doc_id % 8 AS INT) AS h",
+        )
+    )
+    payload = F.concat(
+        F.encode(
+            F.expr(
+                "concat('P6', chr(10), CAST(w AS STRING), ' ', "
+                "CAST(h AS STRING), chr(10), '255', chr(10))"
+            ),
+            "UTF-8",
+        ),
+        F.encode(F.expr("repeat('x', 3 * w * h)"), "UTF-8"),
+    )
+    imgs = docs.select("doc_id", payload.alias("payload"))
+    out = decode_blob_metadata(
+        imgs, "payload", "doc_id", codec=_ppm_decode_image
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "head_hex",
+        F.col("fake_width").alias("width"),
+        F.col("fake_height").alias("height"),
+    ).orderBy("doc_id")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Feature-extraction plumbing: payload -> dense embedding via
     mapInPandas (deterministic fake features; real impl swaps in a model)."""
@@ -4929,6 +4977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "global_shuffle": q_global_shuffle,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_real_codec": q_multimodal_real_codec,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         # round-2 additions

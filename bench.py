@@ -201,6 +201,9 @@ HEADLINE = [
     "auc_ci",
     "skew_report",
     "rrf_fuse",
+    # --- round 8 ---
+    "pq_encode_trained",
+    "multimodal_real_codec",
 ]
 
 

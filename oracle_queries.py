@@ -2034,6 +2034,29 @@ rbuck AS (
     "text_tokens": TOKENS_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
     "multimodal_decode": MULTIMODAL_SQL,
+    # real netpbm codec leg: the oracle recomputes the P6 byte geometry
+    # (header length + 3wh pixel plane) and header hex from the same
+    # deterministic construction the Spark entry builds in-plan
+    "multimodal_real_codec": """
+        WITH g AS (
+          SELECT doc_id,
+                 CAST(1 + doc_id % 16 AS INT) AS w,
+                 CAST(1 + doc_id % 8 AS INT) AS h
+          FROM documents WHERE doc_id % 13 = 0
+        ),
+        hdr AS (
+          SELECT doc_id, w, h,
+                 'P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+                      || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10)
+                   AS header
+          FROM g
+        )
+        SELECT doc_id,
+               CAST(length(header) + 3 * w * h AS INT) AS n_bytes,
+               upper(hex(encode(substr(header, 1, 4)))) AS head_hex,
+               w AS width, h AS height
+        FROM hdr ORDER BY doc_id
+    """,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     # deterministic sampling / splitting / shuffling (ops/sampling.py):
