@@ -4722,6 +4722,93 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def q_wasserstein(spark, sf_dir):
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between the
+    even/odd-order price distributions — transport-cost drift: micro-
+    grid-snapped values, exact DECIMAL term sums, one correctly-rounded
+    final division (no rounding site)."""
+    from hashquery_spark.ops import wasserstein_1d
+
+    li = _conn(spark, sf_dir).table("lineitem")
+    return wasserstein_1d(
+        li.where("l_orderkey % 2 = 0"),
+        li.where("l_orderkey % 2 = 1"),
+        "l_extendedprice",
+    )
+
+
+def q_effect_size(spark, sf_dir):
+    """Cohen's d + Hedges' g of order totals, finished-vs-rest per
+    priority band — exact micro-unit moments from ONE aggregate; the
+    d/g double chain is a fixed op sequence mirrored in the oracle."""
+    from hashquery_spark.ops import effect_size
+    from pyspark.sql import functions as F
+
+    orders = _conn(spark, sf_dir).table("orders")
+    flagged = orders.withColumn("is_f", F.col("o_orderstatus") == "F")
+    return effect_size(
+        flagged, "o_totalprice", "is_f", by="o_orderpriority"
+    ).orderBy("o_orderpriority")
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the user/event-type graph:
+    event-type pairs scored by their shared users, each weighted
+    1/ln(degree) on the exact ln-microunit integer grid. Hub centers
+    above max_degree drop BEFORE the wedge join (documented
+    approximation, mirrored in the oracle)."""
+    from hashquery_spark.ops import adamic_adar
+
+    return adamic_adar(
+        _event_edges(spark, sf_dir), "src", "dst", max_degree=100
+    ).orderBy("node_a", "node_b")
+
+
+def q_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution of purchase conversions over each
+    user's preceding events — per-touch credit is the exact integer
+    floor(1e12/k), never a float 1/k, so the rollup is order-exact."""
+    from hashquery_spark.ops import attribution
+
+    ev = _conn(spark, sf_dir).table("events")
+    return attribution(
+        ev, "user_id", "ts", "event_type", "purchase", model="linear"
+    ).orderBy("channel")
+
+
+def q_attribution_last(spark, sf_dir):
+    """Last-touch attribution: the full conversion unit to the latest
+    preceding touch (ties to the lexicographically-first channel)."""
+    from hashquery_spark.ops import attribution
+
+    ev = _conn(spark, sf_dir).table("events")
+    return attribution(
+        ev, "user_id", "ts", "event_type", "purchase", model="last_touch"
+    ).orderBy("channel")
+
+
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit V(n) = K*n^beta over the
+    doc_id-ordered corpus — 12 exact-quantile prefixes, ln-microunit
+    OLS in exact DECIMAL arithmetic."""
+    from hashquery_spark.ops import heaps_law
+
+    docs = _conn(spark, sf_dir).table("documents")
+    return heaps_law(docs, "text", "doc_id", n_points=12)
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules (support/confidence/lift) over
+    customers' order-priority sets — every statistic a tie-proof
+    integer ratio; oversized baskets drop whole before the pair join."""
+    from hashquery_spark.ops import assoc_rules
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return assoc_rules(
+        orders, "o_custkey", "o_orderpriority", min_pair_count=2
+    ).orderBy("item_a", "item_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_sort_limit": q_scan_filter_sort_limit,
@@ -4934,6 +5021,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "embedding_quantize": q_embedding_quantize,
         "pq_encode": q_pq_encode,
+        "wasserstein_1d": q_wasserstein,
+        "effect_size": q_effect_size,
+        "adamic_adar": q_adamic_adar,
+        "attribution_linear": q_attribution_linear,
+        "attribution_last": q_attribution_last,
+        "heaps_law": q_heaps_law,
+        "assoc_rules": q_assoc_rules,
         "pq_encode_trained": q_pq_encode_trained,
         "pq_search": q_pq_search,
         "ivf_pq_search": q_ivf_pq_search,

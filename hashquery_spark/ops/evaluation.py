@@ -1673,3 +1673,83 @@ def auc_ci(
             fround(F.col("auc") + z * F.col("auc_se"), 6),
         ).alias("ci_hi"),
     )
+
+
+def effect_size(
+    df: DataFrame, value_col: str, flag_col: str, by=None
+) -> DataFrame:
+    """Standardized mean difference between the flagged (treatment) and
+    unflagged (control) rows — Cohen's d with the Hedges' g small-sample
+    correction, the effect-size companion to :func:`ab_test_report`'s
+    significance test ("is it significant" vs "does it MATTER"). Output:
+    group cols + ``n_t, n_c, mean_diff, cohens_d, hedges_g`` (NULLs when
+    either side has < 2 rows or the pooled variance is 0).
+
+    Exactness: values snap to micro-units; per-side sums S and Q (Σu,
+    Σu²) are exact BIGINT/DECIMAL(38) integers from ONE map-side-
+    combined aggregate (CASE-routed, the ab_test moments pattern), the
+    variance numerators n·Q − S² stay exact decimals, and the final d/g
+    chain is a FIXED sequence of correctly-rounded double ops mirrored
+    verbatim in the oracle (micro scales cancel between numerator and
+    pooled sd, so no grid factor survives); d and g fround to 6 dp.
+
+    Scale: one aggregate, no joins, no windows — NULL groups survive
+    (groupBy keeps NULL keys; only joins drop them)."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    flag = F.col(flag_col).cast("boolean")
+    u = F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    ud = u.cast("decimal(38,0)")
+    base = df.where(v.isNotNull() & flag.isNotNull()).select(
+        *by, flag.alias("__f__"), u.alias("__u__"), (ud * u).alias("__uu__")
+    )
+    agg = base.groupBy(*by).agg(
+        F.count(F.when(F.col("__f__"), 1)).alias("n_t"),
+        F.count(F.when(~F.col("__f__"), 1)).alias("n_c"),
+        F.coalesce(
+            F.sum(F.when(F.col("__f__"), F.col("__u__"))), F.lit(0)
+        ).cast("decimal(38,0)").alias("__s1__"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__f__"), F.col("__u__"))), F.lit(0)
+        ).cast("decimal(38,0)").alias("__s0__"),
+        F.coalesce(
+            F.sum(F.when(F.col("__f__"), F.col("__uu__"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__q1__"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__f__"), F.col("__uu__"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__q0__"),
+    )
+    n1, n0 = F.col("n_t"), F.col("n_c")
+    n1d = n1.cast("decimal(38,0)")
+    n0d = n0.cast("decimal(38,0)")
+    va = n1d * F.col("__q1__") - F.col("__s1__") * F.col("__s1__")
+    vb = n0d * F.col("__q0__") - F.col("__s0__") * F.col("__s0__")
+    md_num = F.col("__s1__") * n0d - F.col("__s0__") * n1d
+    mean_diff = md_num.cast("double") / (
+        n1.cast("double") * n0.cast("double") * F.lit(1000000.0)
+    )
+    sp = F.sqrt(
+        (
+            va.cast("double") / n1.cast("double")
+            + vb.cast("double") / n0.cast("double")
+        )
+        / (n1 + n0 - 2).cast("double")
+    )
+    d = (
+        md_num.cast("double") / (n1.cast("double") * n0.cast("double"))
+    ) / sp
+    dfree = (4 * (n1 + n0) - 9).cast("double")
+    g = d * (F.lit(1.0) - F.lit(3.0) / dfree)
+    ok = (n1 >= 2) & (n0 >= 2) & (va + vb > 0)
+    return agg.select(
+        *by,
+        n1.cast("long").alias("n_t"),
+        n0.cast("long").alias("n_c"),
+        F.when(
+            (n1 >= 1) & (n0 >= 1), mean_diff + F.lit(0.0)
+        ).alias("mean_diff"),
+        F.when(ok, fround(d, 6) + F.lit(0.0)).alias("cohens_d"),
+        F.when(ok, fround(g, 6) + F.lit(0.0)).alias("hedges_g"),
+    )

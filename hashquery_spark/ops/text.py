@@ -1391,3 +1391,192 @@ def vocab_top_movers(
         .orderBy(F.desc("dev"), F.asc("token"))
         .limit(top_k)
     )
+
+
+def heaps_law(
+    df: DataFrame, text_col: str, id_col: str, n_points: int = 12
+) -> DataFrame:
+    """Heaps'-law vocabulary growth fit V(n) = K·n^β over the
+    ``id_col``-ordered corpus prefix — the companion diagnostic to
+    :func:`zipf_fit` ("is vocabulary still growing, and at the natural-
+    language exponent β ≈ 0.4–0.6, or has the corpus saturated /
+    templated out"). Output (one row): ``n_points, n_tokens, n_types,
+    beta, ln_k`` (log-log OLS slope and intercept; NULL when the
+    measurement points are degenerate).
+
+    Exactness: the ``n_points`` prefix cutoffs come from
+    :func:`~hashquery_spark.ops.profile.grid_percentiles` over the doc
+    ids (bit-identical to DuckDB quantile_cont); prefix token counts
+    N_j and vocabulary sizes V_j are exact integers from CASE sums; the
+    OLS runs on the ln-microunit grid (L = floor(ln·1e6 + 0.5)) in
+    exact DECIMAL arithmetic, so β and ln K are exact integer rationals
+    divided once — no rounding site.
+
+    Scale: one token explode feeds (a) the per-type min-first-doc
+    aggregate (bounded by vocabulary) and (b) the prefix token counts —
+    two differently-pruned consumers of the explode (the brs
+    double-scan contract, measured cheaper than a checkpoint barrier);
+    the cutoff row broadcasts; the regression runs on n_points rows."""
+    from .dedup import tokens
+    from .profile import grid_percentiles
+
+    if n_points < 3:
+        raise ValueError("n_points must be >= 3")
+    did = F.col(id_col).cast("double")
+    tok = (
+        df.where(did.isNotNull())
+        .select(
+            did.alias("__did__"),
+            F.explode(tokens(F.col(text_col))).alias("__tok__"),
+        )
+        .where(F.col("__tok__") != "")
+    )
+    qs = {f"__cut{j}__": j / float(n_points) for j in range(1, n_points + 1)}
+    cuts = grid_percentiles(
+        df.where(did.isNotNull()).select(did.alias("__did__")),
+        "__did__",
+        qs,
+    )
+    firsts = tok.groupBy("__tok__").agg(F.min("__did__").alias("__first__"))
+    vrow = firsts.crossJoin(F.broadcast(cuts)).agg(
+        *[
+            F.count(
+                F.when(F.col("__first__") <= F.col(f"__cut{j}__"), 1)
+            ).alias(f"__V{j}__")
+            for j in range(1, n_points + 1)
+        ]
+    )
+    nrow = tok.crossJoin(F.broadcast(cuts)).agg(
+        *[
+            F.count(
+                F.when(F.col("__did__") <= F.col(f"__cut{j}__"), 1)
+            ).alias(f"__N{j}__")
+            for j in range(1, n_points + 1)
+        ]
+    )
+    both = vrow.crossJoin(nrow)
+    lm = (
+        "CAST(floor(ln(CAST({c} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    pts = both.selectExpr(
+        f"__N{n_points}__ AS n_tokens",
+        f"__V{n_points}__ AS n_types",
+        "stack("
+        + str(n_points)
+        + ", "
+        + ", ".join(
+            f"{lm.format(c=f'__N{j}__')}, {lm.format(c=f'__V{j}__')}"
+            for j in range(1, n_points + 1)
+        )
+        + ") AS (__x__, __y__)",
+    )
+    d = "decimal(38,0)"
+    reg = pts.groupBy("n_tokens", "n_types").agg(
+        F.count(F.lit(1)).alias("__m__"),
+        F.sum(F.col("__x__").cast(d)).alias("__sx__"),
+        F.sum(F.col("__y__").cast(d)).alias("__sy__"),
+        F.sum(F.col("__x__").cast(d) * F.col("__y__")).alias("__sxy__"),
+        F.sum(F.col("__x__").cast(d) * F.col("__x__")).alias("__sxx__"),
+    )
+    m = F.col("__m__").cast(d)
+    num = m * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")
+    den = m * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    beta = num.cast("double") / den.cast("double")
+    # ln K in micro-units, exact rational: (Σy·den − num·Σx) / (m·den)
+    lnk = (
+        (F.col("__sy__") * den - num * F.col("__sx__")).cast("double")
+        / ((m * den).cast("double") * F.lit(1000000.0))
+    )
+    return reg.select(
+        F.lit(n_points).alias("n_points"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.when(den > 0, beta + F.lit(0.0)).alias("beta"),
+        F.when(den > 0, lnk + F.lit(0.0)).alias("ln_k"),
+    )
+
+
+def assoc_rules(
+    df: DataFrame,
+    id_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_items_per_basket: int = 200,
+) -> DataFrame:
+    """Pairwise association rules over (basket, item) rows — the
+    market-basket support / confidence / lift trio ("customers whose
+    orders span priority X also span priority Y"), and the co-occurrence
+    mining shape for tag/label co-annotation audits. Output one row per
+    unordered item pair (item_a < item_b): ``item_a, item_b, n_a, n_b,
+    n_ab, support, conf_a_to_b, conf_b_to_a, lift``.
+
+    Exactness: every statistic is a tie-proof integer ratio
+    (:func:`~hashquery_spark.ops.dedup.round4_ratio` floor form, 4 dp);
+    lift = n_ab·N / (n_a·n_b) with exact integer products.
+
+    Scale: baskets collapse to DISTINCT (basket, item) rows first; the
+    pair self-join is bounded by Σ basket_size² — baskets above
+    ``max_items_per_basket`` are dropped whole BEFORE the join (the
+    adamic_adar hub-cap contract, mirrored exactly in the oracle) so a
+    pathological basket cannot go quadratic; ``min_pair_count`` prunes
+    the long singleton tail at the aggregate. Item counts N_i count
+    KEPT baskets only, keeping support/confidence internally
+    consistent."""
+    base = (
+        df.where(F.col(id_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__bid__"),
+            F.col(item_col).cast("string").alias("__item__"),
+        )
+        .distinct()
+    )
+    sizes = base.groupBy("__bid__").agg(F.count(F.lit(1)).alias("__bs__"))
+    kept = base.join(
+        sizes.where(F.col("__bs__") <= max_items_per_basket).select("__bid__"),
+        on="__bid__",
+    )
+    totals = kept.agg(
+        F.count_distinct(F.col("__bid__")).cast("long").alias("__nb__")
+    )
+    item_counts = kept.groupBy("__item__").agg(
+        F.count(F.lit(1)).cast("long").alias("__ni__")
+    )
+    lhs = kept.select("__bid__", F.col("__item__").alias("item_a"))
+    rhs = kept.select("__bid__", F.col("__item__").alias("item_b"))
+    pairs = (
+        lhs.join(rhs, on="__bid__")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_count)
+    )
+    from .dedup import round4_ratio
+
+    out = (
+        pairs.join(
+            item_counts.select(
+                F.col("__item__").alias("item_a"), F.col("__ni__").alias("n_a")
+            ),
+            on="item_a",
+        )
+        .join(
+            item_counts.select(
+                F.col("__item__").alias("item_b"), F.col("__ni__").alias("n_b")
+            ),
+            on="item_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        round4_ratio(F.col("n_ab"), F.col("__nb__")).alias("support"),
+        round4_ratio(F.col("n_ab"), F.col("n_a")).alias("conf_a_to_b"),
+        round4_ratio(F.col("n_ab"), F.col("n_b")).alias("conf_b_to_a"),
+        round4_ratio(
+            F.col("n_ab") * F.col("__nb__"), F.col("n_a") * F.col("n_b")
+        ).alias("lift"),
+    )

@@ -1074,3 +1074,88 @@ def acf(
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.when(den > 0, fround(num / den, 6)).alias("acf"),
     ).orderBy("lag")
+
+
+def attribution(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+    event_col: str,
+    conversion: str,
+    model: str = "last_touch",
+    lookback_seconds=None,
+) -> DataFrame:
+    """Multi-touch marketing/journey attribution: every ``conversion``
+    event distributes one unit of credit over the SAME entity's
+    preceding touch events (optionally within ``lookback_seconds``),
+    and credit rolls up per touch channel. Models: ``first_touch`` /
+    ``last_touch`` (the full unit to the earliest/latest touch, ties to
+    the lexicographically-first channel), ``linear`` (1/k to each of
+    the k touches). Output: ``(channel, n_touches, credit)`` —
+    Σ credit = the attributed-conversion count (up to the 1e-12 floor
+    grid per linear split).
+
+    Exactness: per-touch credit is the exact integer
+    ``floor(1e12 / k)`` (or the full 1e12) — never a float 1/k — so the
+    rollup sum is order-independent and the final /1e12 division is the
+    only (correctly-rounded) float op; a DuckDB oracle reproduces every
+    credit exactly. A conversion with zero in-window touches earns no
+    row (documented: "unattributed" is the count gap vs the conversion
+    total).
+
+    Scale: one equi-join on the entity with a timestamp range predicate
+    (touch volume per conversion is lookback-bounded); k and the
+    first/last pick run per (entity, conversion) — group sizes are
+    lookback-bounded, so the window is skew-safe for any sane lookback
+    (a bot entity's valve is the same max-events note as match_steps)."""
+    if model not in ("first_touch", "last_touch", "linear"):
+        raise ValueError(f"unknown attribution model: {model}")
+    g, ts, ev = F.col(group_col), F.col(ts_col).cast("timestamp"), F.col(event_col)
+    base = events.where(
+        g.isNotNull() & ts.isNotNull() & ev.isNotNull()
+    ).select(
+        g.alias("__g__"),
+        F.unix_micros(ts).alias("__us__"),
+        ev.cast("string").alias("__e__"),
+    )
+    convs = base.where(F.col("__e__") == conversion).select(
+        "__g__", F.col("__us__").alias("__cus__")
+    )
+    touches = base.where(F.col("__e__") != conversion).select(
+        "__g__",
+        F.col("__us__").alias("__tus__"),
+        F.col("__e__").alias("channel"),
+    )
+    cond = F.col("__tus__") < F.col("__cus__")
+    if lookback_seconds is not None:
+        lb = int(float(lookback_seconds) * 1_000_000)
+        cond = cond & (F.col("__tus__") >= F.col("__cus__") - F.lit(lb))
+    pairs = touches.join(convs, on="__g__").where(cond)
+    if model == "linear":
+        k = pairs.groupBy("__g__", "__cus__").agg(
+            F.count(F.lit(1)).alias("__k__")
+        )
+        credited = pairs.join(k, on=["__g__", "__cus__"]).select(
+            "channel",
+            F.expr("1000000000000L DIV __k__").alias("__credit__"),
+        )
+    else:
+        order = (
+            [F.col("__tus__").asc(), F.col("channel").asc()]
+            if model == "first_touch"
+            else [F.col("__tus__").desc(), F.col("channel").asc()]
+        )
+        w = Window.partitionBy("__g__", "__cus__").orderBy(*order)
+        credited = (
+            pairs.withColumn("__rn__", F.row_number().over(w))
+            .where(F.col("__rn__") == 1)
+            .select("channel", F.lit(1000000000000).alias("__credit__"))
+        )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        (
+            # DECIMAL: 1e12-unit credits overflow int64 past ~9M pairs
+            F.sum(F.col("__credit__").cast("decimal(38,0)")).cast("double")
+            / F.lit(1000000000000.0)
+        ).alias("credit"),
+    )

@@ -6475,3 +6475,246 @@ FROM ranked WHERE rank <= {top}
 
 
 ORACLE_SQL["rrf_fuse"] = _rrf_fuse_sql()
+
+
+# ---- round 8: drift / effect size / graph / attribution / text-law ----
+
+ORACLE_SQL["wasserstein_1d"] = """
+WITH u AS (
+  SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE)
+              * CAST(1000000.0 AS DOUBLE) + 0.5) AS BIGINT) AS v,
+         CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END AS sa,
+         CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END AS sb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+counts AS (
+  SELECT v, CAST(sum(sa) AS BIGINT) AS ca, CAST(sum(sb) AS BIGINT) AS cb
+  FROM u GROUP BY v
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM counts
+),
+cum AS (
+  SELECT v,
+    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb,
+    lead(v) OVER (ORDER BY v) AS nxt
+  FROM counts
+)
+SELECT na AS n_a, nb AS n_b,
+  CAST(coalesce(sum(CAST(abs(CAST(fa AS HUGEINT) * nb
+                              - CAST(fb AS HUGEINT) * na) AS HUGEINT)
+                    * (nxt - v)), 0) AS DOUBLE)
+    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(1000000.0 AS DOUBLE))
+    AS w1
+FROM cum, tot WHERE nxt IS NOT NULL GROUP BY na, nb
+"""
+
+
+def _effect_size_sql() -> str:
+    md = "CAST(s1 * n0 - s0 * n1 AS DOUBLE)"
+    d = (
+        f"({md} / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))"
+        " / sqrt((CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " + CAST(n0 * q0 - s0 * s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+        " / CAST(n1 + n0 - 2 AS DOUBLE))"
+    )
+    g = f"({d}) * (1.0e0 - 3.0e0 / CAST(4 * (n1 + n0) - 9 AS DOUBLE))"
+    ok = "n1 >= 2 AND n0 >= 2 AND (n1*q1 - s1*s1) + (n0*q0 - s0*s0) > 0"
+    return f"""
+WITH base AS (
+  SELECT o_orderpriority AS grp, (o_orderstatus = 'F') AS f,
+         CAST(floor(CAST(o_totalprice AS DOUBLE)
+              * CAST(1000000.0 AS DOUBLE) + 0.5) AS BIGINT) AS u
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+),
+a AS (
+  SELECT grp,
+    CAST(count(CASE WHEN f THEN 1 END) AS BIGINT) AS n1,
+    CAST(count(CASE WHEN NOT f THEN 1 END) AS BIGINT) AS n0,
+    CAST(coalesce(sum(CASE WHEN f THEN CAST(u AS HUGEINT) END), 0)
+         AS HUGEINT) AS s1,
+    CAST(coalesce(sum(CASE WHEN NOT f THEN CAST(u AS HUGEINT) END), 0)
+         AS HUGEINT) AS s0,
+    CAST(coalesce(sum(CASE WHEN f THEN CAST(u AS HUGEINT) * u END), 0)
+         AS HUGEINT) AS q1,
+    CAST(coalesce(sum(CASE WHEN NOT f THEN CAST(u AS HUGEINT) * u END), 0)
+         AS HUGEINT) AS q0
+  FROM base GROUP BY grp
+)
+SELECT grp AS o_orderpriority, n1 AS n_t, n0 AS n_c,
+  CASE WHEN n1 >= 1 AND n0 >= 1 THEN
+    {md} / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+            * CAST(1000000.0 AS DOUBLE)) + 0.0e0
+  END AS mean_diff,
+  CASE WHEN {ok} THEN {_fround_sql(d, 6)} + 0.0e0 END AS cohens_d,
+  CASE WHEN {ok} THEN {_fround_sql(g, 6)} + 0.0e0 END AS hedges_g
+FROM a ORDER BY o_orderpriority
+"""
+
+
+ORACLE_SQL["effect_size"] = _effect_size_sql()
+
+
+ORACLE_SQL["adamic_adar"] = """
+WITH raw AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS s, event_type AS d
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+und AS (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+  FROM raw WHERE least(s, d) != greatest(s, d)
+),
+adj AS (
+  SELECT a AS v, b AS u FROM und
+  UNION ALL
+  SELECT b AS v, a AS u FROM und
+),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dd FROM adj GROUP BY v),
+centers AS (
+  SELECT v,
+    CAST(1000000000000 // CAST(floor(ln(CAST(dd AS DOUBLE)) * 1000000.0)
+         AS BIGINT) AS BIGINT) AS w
+  FROM deg WHERE dd >= 2 AND dd <= 100
+),
+wadj AS (SELECT adj.v, adj.u, c.w FROM adj JOIN centers c ON c.v = adj.v)
+SELECT l.u AS node_a, r.u AS node_b,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(l.w) AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS aa_score
+FROM wadj l JOIN wadj r ON l.v = r.v AND l.u < r.u
+GROUP BY l.u, r.u ORDER BY node_a, node_b
+"""
+
+
+def _attribution_sql(model: str) -> str:
+    base = """
+base AS (
+  SELECT user_id AS g, epoch_us(ts) AS us, event_type AS e
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+convs AS (SELECT g, us AS cus FROM base WHERE e = 'purchase'),
+touches AS (SELECT g, us AS tus, e AS channel FROM base WHERE e != 'purchase'),
+pairs AS (
+  SELECT t.channel, t.g, t.tus, c.cus
+  FROM touches t JOIN convs c ON c.g = t.g AND t.tus < c.cus
+)"""
+    if model == "linear":
+        credit = """
+k AS (SELECT g, cus, CAST(count(*) AS BIGINT) AS kk FROM pairs GROUP BY g, cus),
+cr AS (
+  SELECT p.channel, 1000000000000 // k.kk AS credit
+  FROM pairs p JOIN k ON k.g = p.g AND k.cus = p.cus
+)"""
+    else:
+        credit = """
+cr AS (
+  SELECT channel, CAST(1000000000000 AS BIGINT) AS credit FROM (
+    SELECT channel,
+      row_number() OVER (PARTITION BY g, cus
+                         ORDER BY tus DESC, channel ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)"""
+    return f"""
+WITH {base},{credit}
+SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+  CAST(sum(CAST(credit AS HUGEINT)) AS DOUBLE)
+    / CAST(1000000000000.0 AS DOUBLE) AS credit
+FROM cr GROUP BY channel ORDER BY channel
+"""
+
+
+ORACLE_SQL["attribution_linear"] = _attribution_sql("linear")
+ORACLE_SQL["attribution_last"] = _attribution_sql("last_touch")
+
+
+def _heaps_sql(n_points: int = 12) -> str:
+    P = n_points
+    cuts = ", ".join(
+        f"quantile_cont(did, CAST({j} AS DOUBLE) / CAST({P} AS DOUBLE)) AS c{j}"
+        for j in range(1, P + 1)
+    )
+    vs = ", ".join(
+        f"CAST(count(CASE WHEN f <= c{j} THEN 1 END) AS BIGINT) AS v{j}"
+        for j in range(1, P + 1)
+    )
+    ns = ", ".join(
+        f"CAST(count(CASE WHEN did <= c{j} THEN 1 END) AS BIGINT) AS nn{j}"
+        for j in range(1, P + 1)
+    )
+    lm = "CAST(floor(ln(CAST({c} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    pts = " UNION ALL ".join(
+        f"SELECT nn{P} AS n_tokens, v{P} AS n_types, "
+        f"{lm.format(c=f'nn{j}')} AS x, {lm.format(c=f'v{j}')} AS y "
+        "FROM vrow, nrow"
+        for j in range(1, P + 1)
+    )
+    return f"""
+WITH ids AS (
+  SELECT CAST(doc_id AS DOUBLE) AS did FROM documents WHERE doc_id IS NOT NULL
+),
+cuts AS (SELECT {cuts} FROM ids),
+tok AS (
+  SELECT CAST(doc_id AS DOUBLE) AS did, unnest({TOKS.format(c='text')}) AS t
+  FROM documents WHERE doc_id IS NOT NULL
+),
+tok2 AS (SELECT did, t FROM tok WHERE t != ''),
+firsts AS (SELECT t, min(did) AS f FROM tok2 GROUP BY t),
+vrow AS (SELECT {vs} FROM firsts, cuts),
+nrow AS (SELECT {ns} FROM tok2, cuts),
+pts AS ({pts}),
+reg AS (
+  SELECT n_tokens, n_types,
+    CAST(count(*) AS HUGEINT) AS m,
+    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM pts GROUP BY n_tokens, n_types
+)
+SELECT CAST({P} AS INT) AS n_points,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_types AS BIGINT) AS n_types,
+  CASE WHEN m * sxx - sx * sx > 0 THEN
+    CAST(m * sxy - sx * sy AS DOUBLE)
+      / CAST(m * sxx - sx * sx AS DOUBLE) + 0.0e0
+  END AS beta,
+  CASE WHEN m * sxx - sx * sx > 0 THEN
+    CAST(sy * (m * sxx - sx * sx) - (m * sxy - sx * sy) * sx AS DOUBLE)
+      / (CAST(m * (m * sxx - sx * sx) AS DOUBLE)
+         * CAST(1000000.0 AS DOUBLE)) + 0.0e0
+  END AS ln_k
+FROM reg
+"""
+
+
+ORACLE_SQL["heaps_law"] = _heaps_sql(12)
+
+
+ORACLE_SQL["assoc_rules"] = f"""
+WITH base AS (
+  SELECT DISTINCT o_custkey AS b, CAST(o_orderpriority AS VARCHAR) AS i
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+keptb AS (SELECT b FROM base GROUP BY b HAVING count(*) <= 200),
+kept AS (SELECT base.b, base.i FROM base JOIN keptb USING (b)),
+tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM kept),
+ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM kept GROUP BY i),
+pairs AS (
+  SELECT l.i AS ia, r.i AS ib, CAST(count(*) AS BIGINT) AS nab
+  FROM kept l JOIN kept r ON l.b = r.b AND l.i < r.i
+  GROUP BY l.i, r.i HAVING count(*) >= 2
+)
+SELECT ia AS item_a, ib AS item_b, ca.ni AS n_a, cb.ni AS n_b, nab AS n_ab,
+  {_round4_ratio_sql('nab', 'nb')} AS support,
+  {_round4_ratio_sql('nab', 'ca.ni')} AS conf_a_to_b,
+  {_round4_ratio_sql('nab', 'cb.ni')} AS conf_b_to_a,
+  {_round4_ratio_sql('nab * nb', 'ca.ni * cb.ni')} AS lift
+FROM pairs
+JOIN ic ca ON ca.i = ia
+JOIN ic cb ON cb.i = ib, tot
+ORDER BY item_a, item_b
+"""

@@ -4879,3 +4879,160 @@ def test_multimodal_pil_codec_e2e(spark):
     }
     for i, _p, w, h in rows:
         assert got[i] == (w, h)
+
+
+def test_wasserstein_1d_known_values(spark):
+    """Hand-computed W1: A={0,1}, B={1,2} gives exactly 1.0 (unit mass
+    moved one unit); a pure shift by delta gives exactly delta;
+    identical samples give 0."""
+    from hashquery_spark.ops import wasserstein_1d
+
+    mk = lambda vals: spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    )
+    r = wasserstein_1d(mk([0, 1]), mk([1, 2]), "x").collect()[0]
+    assert (r["n_a"], r["n_b"], r["w1"]) == (2, 2, 1.0)
+    r = wasserstein_1d(mk([1.5, 2.5, 9.0]), mk([2.0, 3.0, 9.5]), "x").collect()[0]
+    assert abs(r["w1"] - 0.5) < 1e-12
+    r = wasserstein_1d(mk([3, 7, 7]), mk([3, 7, 7]), "x").collect()[0]
+    assert r["w1"] == 0.0
+
+
+def test_effect_size_known_values(spark):
+    """t=[2,4,6] vs c=[1,2,3]: mean_diff=2, pooled s^2=2.5,
+    d=2/sqrt(2.5)=1.264911 (6dp), g=d*(1-3/15)=1.011929."""
+    from hashquery_spark.ops import effect_size
+
+    rows = [(True, 2.0), (True, 4.0), (True, 6.0),
+            (False, 1.0), (False, 2.0), (False, 3.0)]
+    df = spark.createDataFrame(rows, "f boolean, x double")
+    r = effect_size(df, "x", "f").collect()[0]
+    assert (r["n_t"], r["n_c"]) == (3, 3)
+    assert r["mean_diff"] == 2.0
+    assert r["cohens_d"] == 1.264911
+    assert r["hedges_g"] == 1.011929
+    # degenerate: constant values -> NULL d/g
+    const = spark.createDataFrame(
+        [(True, 5.0), (True, 5.0), (False, 5.0), (False, 5.0)],
+        "f boolean, x double",
+    )
+    r = effect_size(const, "x", "f").collect()[0]
+    assert r["cohens_d"] is None and r["hedges_g"] is None
+
+
+def test_adamic_adar_known_graphs(spark):
+    """Path a-b-c: (a,c) share only b (deg 2) -> score = the exact
+    grid form of 1/ln 2; star with 3 leaves: each leaf pair scores the
+    grid 1/ln 3; max_degree drops hub centers entirely."""
+    import math
+
+    from hashquery_spark.ops import adamic_adar
+
+    def grid(deg):
+        return (10**12 // int(math.floor(math.log(deg) * 1e6))) / 1e6
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "s string, d string"
+    )
+    got = adamic_adar(path, "s", "d").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["node_a"], r["node_b"], r["n_common"]) == ("a", "c", 1)
+    assert r["aa_score"] == grid(2)
+
+    star = spark.createDataFrame(
+        [("h", "l1"), ("h", "l2"), ("h", "l3")], "s string, d string"
+    )
+    got = {(r["node_a"], r["node_b"]): r["aa_score"]
+           for r in adamic_adar(star, "s", "d").collect()}
+    assert got == {
+        ("l1", "l2"): grid(3), ("l1", "l3"): grid(3), ("l2", "l3"): grid(3)
+    }
+    # cap below the hub degree -> no pairs survive
+    assert adamic_adar(star, "s", "d", max_degree=2).count() == 0
+
+
+def test_attribution_known_journey(spark):
+    """One user: click@1, view@2, purchase@3, click@4, purchase@5.
+    linear: conv@3 splits over {click,view}, conv@5 over
+    {click,view,click}; last_touch: view@2 then click@4; first_touch:
+    click both times."""
+    import datetime
+
+    from hashquery_spark.ops import attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + datetime.timedelta(seconds=s), e)
+        for s, e in [(1, "click"), (2, "view"), (3, "purchase"),
+                     (4, "click"), (5, "purchase")]
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event string")
+
+    def run(model):
+        return {
+            r["channel"]: (r["n_touches"], r["credit"])
+            for r in attribution(
+                df, "user_id", "ts", "event", "purchase", model=model
+            ).collect()
+        }
+
+    lin = run("linear")
+    third = (10**12 // 3) / 1e12
+    assert lin["view"] == (2, 0.5 + third)
+    assert lin["click"] == (3, 0.5 + 2 * third)
+    assert run("last_touch") == {"view": (1, 1.0), "click": (1, 1.0)}
+    assert run("first_touch") == {"click": (2, 2.0)}
+
+    # lookback excludes stale touches: 1.5s window before conv@3 keeps
+    # only view@2
+    lb = {
+        r["channel"]: r["credit"]
+        for r in attribution(
+            df, "user_id", "ts", "event", "purchase",
+            model="linear", lookback_seconds=1.5,
+        ).collect()
+    }
+    # conv@3 window [1.5, 3): only view@2 (k=1); conv@5 window [3.5, 5):
+    # only click@4 (k=1) — each touch carries the full unit
+    assert lb == {"view": 1.0, "click": 1.0}
+
+
+def test_heaps_law_degenerate_slopes(spark):
+    """All-distinct one-token docs give beta exactly 1 (V(n)=n, so the
+    log-log points are y=x); all-identical docs give beta exactly 0
+    (V constant 1 -> y=0 everywhere); ln_k exactly 0 in both."""
+    from hashquery_spark.ops import heaps_law
+
+    uniq = spark.createDataFrame(
+        [(i, f"tok{i}") for i in range(60)], "doc_id long, text string"
+    )
+    r = heaps_law(uniq, "text", "doc_id").collect()[0]
+    assert r["beta"] == 1.0 and r["ln_k"] == 0.0
+    assert r["n_tokens"] == 60 and r["n_types"] == 60
+
+    same = spark.createDataFrame(
+        [(i, "alpha alpha") for i in range(40)], "doc_id long, text string"
+    )
+    r = heaps_law(same, "text", "doc_id").collect()[0]
+    assert r["beta"] == 0.0 and r["n_types"] == 1
+
+
+def test_assoc_rules_known_baskets(spark):
+    """b1={x,y}, b2={x,y}, b3={x,z}: only (x,y) survives min_pair_count=2
+    with support 2/3, conf x->y 2/3, conf y->x 1, lift 1."""
+    from hashquery_spark.ops import assoc_rules
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+            (1, "x")]  # duplicate (1, x) collapses
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = assoc_rules(df, "b", "i", min_pair_count=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["item_a"], r["item_b"], r["n_a"], r["n_b"], r["n_ab"]) == (
+        "x", "y", 3, 2, 2,
+    )
+    assert r["support"] == 0.6667
+    assert r["conf_a_to_b"] == 0.6667
+    assert r["conf_b_to_a"] == 1.0
+    assert r["lift"] == 1.0
