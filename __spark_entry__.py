@@ -4809,6 +4809,63 @@ def q_assoc_rules(spark, sf_dir):
     ).orderBy("item_a", "item_b")
 
 
+def q_join_cardinality(spark, sf_dir):
+    """Join-shape profile of orders->customer on custkey: key
+    histograms full-outer joined, the real join never runs — exact
+    orphan counts, fan-outs, and the relationship class."""
+    from hashquery_spark.ops import join_cardinality_report
+
+    c = _conn(spark, sf_dir)
+    return join_cardinality_report(
+        c.table("orders"), c.table("customer"), "o_custkey", "c_custkey"
+    )
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift between the even/odd vec_id halves: exact
+    micro-unit per-dimension means, grid-snapped product terms (order-
+    proof), fixed sqrt/divide chain — bit-exact oracle."""
+    from hashquery_spark.ops import embedding_drift
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    return embedding_drift(
+        emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1"), "embedding"
+    )
+
+
+def q_leakage_report(spark, sf_dir):
+    """Cross-split near-dup contamination: deterministic 80/20
+    doc_id-mod split, MinHash-LSH candidates verified by exact n-gram
+    Jaccard >= 0.5, cross-boundary pairs rolled up per split pair with
+    tie-proof leak rates."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import leakage_report
+
+    docs = _conn(spark, sf_dir).table("documents").withColumn(
+        "split",
+        F.when(F.col("doc_id") % 10 < 8, F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+    return leakage_report(
+        docs, "text", "doc_id", "split", threshold=0.5
+    ).orderBy("split_a", "split_b")
+
+
+def q_dp_mean(spark, sf_dir):
+    """Per-status DP mean order value: epsilon split between the
+    clipped noisy sum and the noisy count, both seeded md5 inverse-CDF
+    Laplace draws — the ratio release, bit-exact oracle."""
+    from hashquery_spark.ops import dp_mean
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return dp_mean(
+        orders, "o_totalprice", ["o_orderstatus"], clip=100000.0,
+        epsilon=1.0, seed="dpmean"
+    ).orderBy("o_orderstatus")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_sort_limit": q_scan_filter_sort_limit,
@@ -5021,7 +5078,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "embedding_quantize": q_embedding_quantize,
         "pq_encode": q_pq_encode,
+        "leakage_report": q_leakage_report,
+        "dp_mean": q_dp_mean,
         "wasserstein_1d": q_wasserstein,
+        "join_cardinality": q_join_cardinality,
+        "embedding_drift": q_embedding_drift,
         "effect_size": q_effect_size,
         "adamic_adar": q_adamic_adar,
         "attribution_linear": q_attribution_linear,

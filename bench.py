@@ -204,6 +204,17 @@ HEADLINE = [
     # --- round 8 ---
     "pq_encode_trained",
     "multimodal_real_codec",
+    "wasserstein_1d",
+    "effect_size",
+    "adamic_adar",
+    "attribution_linear",
+    "attribution_last",
+    "heaps_law",
+    "assoc_rules",
+    "join_cardinality",
+    "embedding_drift",
+    "leakage_report",
+    "dp_mean",
 ]
 
 

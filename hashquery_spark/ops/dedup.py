@@ -907,3 +907,98 @@ def bucketed_running_sums(
         *[f"__in_{c}__" for c in sum_cols],
         *[f"__base_{c}__" for c in sum_cols],
     )
+
+
+def leakage_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cross-split near-duplicate contamination audit — "is my eval
+    split leaked into train": MinHash-LSH candidate pairs verified by
+    exact n-gram Jaccard (:func:`ngram_jaccard_pairs`, the full dedup
+    machinery incl. the hot-bucket cap), kept only when the two docs
+    sit in DIFFERENT splits. Output one row per unordered split pair
+    (split_a < split_b): ``split_a, split_b, n_docs_a, n_docs_b,
+    n_pairs, leaked_a, leaked_b, leak_rate_a, leak_rate_b`` —
+    leaked_x = distinct split-x docs with a near-dup across the
+    boundary, rates = tie-proof 4-dp ratios over the split sizes.
+
+    Scale: identical to dedup_minhash (bucket join bounded by the cap,
+    verify only candidates); the split tag joins ride the pair frame
+    (bounded), and split sizes broadcast."""
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, num_perm, bands, shingle_k, threshold
+    )
+    sp = df.where(
+        F.col(id_col).isNotNull() & F.col(split_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(split_col).cast("string").alias("__sp__"),
+    )
+    pa = sp.select(
+        F.col(id_col).alias("id_a"), F.col("__sp__").alias("__spa__")
+    )
+    pb = sp.select(
+        F.col(id_col).alias("id_b"), F.col("__sp__").alias("__spb__")
+    )
+    cross = (
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .where(F.col("__spa__") != F.col("__spb__"))
+    )
+    sa = F.least(F.col("__spa__"), F.col("__spb__"))
+    sb = F.greatest(F.col("__spa__"), F.col("__spb__"))
+    doc_a = F.when(F.col("__spa__") == sa, F.col("id_a").cast("string")).otherwise(
+        F.col("id_b").cast("string")
+    )
+    doc_b = F.when(F.col("__spa__") == sa, F.col("id_b").cast("string")).otherwise(
+        F.col("id_a").cast("string")
+    )
+    agg = cross.groupBy(
+        sa.alias("split_a"), sb.alias("split_b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count_distinct(doc_a).cast("long").alias("leaked_a"),
+        F.count_distinct(doc_b).cast("long").alias("leaked_b"),
+    )
+    sizes = sp.groupBy("__sp__").agg(
+        F.count(F.lit(1)).cast("long").alias("__nd__")
+    )
+    out = agg.join(
+        F.broadcast(
+            sizes.select(
+                F.col("__sp__").alias("split_a"),
+                F.col("__nd__").alias("n_docs_a"),
+            )
+        ),
+        on="split_a",
+    ).join(
+        F.broadcast(
+            sizes.select(
+                F.col("__sp__").alias("split_b"),
+                F.col("__nd__").alias("n_docs_b"),
+            )
+        ),
+        on="split_b",
+    )
+    return out.select(
+        "split_a",
+        "split_b",
+        "n_docs_a",
+        "n_docs_b",
+        "n_pairs",
+        "leaked_a",
+        "leaked_b",
+        round4_ratio(F.col("leaked_a"), F.col("n_docs_a")).alias(
+            "leak_rate_a"
+        ),
+        round4_ratio(F.col("leaked_b"), F.col("n_docs_b")).alias(
+            "leak_rate_b"
+        ),
+    )

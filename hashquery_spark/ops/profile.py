@@ -2827,3 +2827,168 @@ def skew_report(
             F.col("n_rows") * F.col("__k__"), F.col("__n__")
         ).alias("skew_factor"),
     )
+
+
+def join_cardinality_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str = None,
+) -> DataFrame:
+    """Join-shape profile BEFORE you pay for the join — the data-eng
+    question "is this key actually 1:1 / 1:N, how many orphans, and
+    what fan-out will the join explode to". Output (one row):
+    ``n_left, n_right, null_left, null_right, distinct_left_keys,
+    distinct_right_keys, matched_keys, left_orphan_keys,
+    right_orphan_keys, join_rows, max_left_fanout, max_right_fanout,
+    relationship`` ('one_to_one' / 'one_to_many' / 'many_to_one' /
+    'many_to_many' over the MATCHED keys; 'no_matches' when none).
+
+    Scale/exactness: both sides reduce to key histograms (map-side
+    combined), one full-outer join of the histograms does everything —
+    the real join never runs, join_rows = Σ cl·cr is exact
+    DECIMAL(38). NULL keys never equi-join; they are counted
+    separately, not silently dropped (the r6 NULL-key lesson)."""
+    rk = right_key or left_key
+    lkey = F.col(left_key)
+    rkey = F.col(rk)
+    lh = (
+        left.where(lkey.isNotNull())
+        .groupBy(lkey.cast("string").alias("__k__"))
+        .agg(F.count(F.lit(1)).alias("__cl__"))
+    )
+    rh = (
+        right.where(rkey.isNotNull())
+        .groupBy(rkey.cast("string").alias("__k__"))
+        .agg(F.count(F.lit(1)).alias("__cr__"))
+    )
+    nulls_l = left.agg(
+        F.count(F.lit(1)).alias("__nl__"),
+        F.count(F.when(lkey.isNull(), 1)).alias("__nulll__"),
+    )
+    nulls_r = right.agg(
+        F.count(F.lit(1)).alias("__nr__"),
+        F.count(F.when(rkey.isNull(), 1)).alias("__nullr__"),
+    )
+    j = lh.join(rh, on="__k__", how="full_outer")
+    cl = F.coalesce(F.col("__cl__"), F.lit(0))
+    cr = F.coalesce(F.col("__cr__"), F.lit(0))
+    matched = (cl > 0) & (cr > 0)
+    agg = j.agg(
+        F.count(F.when(cl > 0, 1)).alias("distinct_left_keys"),
+        F.count(F.when(cr > 0, 1)).alias("distinct_right_keys"),
+        F.count(F.when(matched, 1)).alias("matched_keys"),
+        F.count(F.when((cl > 0) & (cr == 0), 1)).alias("left_orphan_keys"),
+        F.count(F.when((cr > 0) & (cl == 0), 1)).alias("right_orphan_keys"),
+        F.coalesce(
+            F.sum(
+                F.when(matched, cl.cast("decimal(38,0)") * cr)
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__jr__"),
+        F.coalesce(
+            F.max(F.when(matched, cl)), F.lit(0)
+        ).alias("max_left_fanout"),
+        F.coalesce(
+            F.max(F.when(matched, cr)), F.lit(0)
+        ).alias("max_right_fanout"),
+    )
+    rel = (
+        F.when(F.col("matched_keys") == 0, F.lit("no_matches"))
+        .when(
+            (F.col("max_left_fanout") <= 1) & (F.col("max_right_fanout") <= 1),
+            F.lit("one_to_one"),
+        )
+        .when(F.col("max_left_fanout") <= 1, F.lit("one_to_many"))
+        .when(F.col("max_right_fanout") <= 1, F.lit("many_to_one"))
+        .otherwise(F.lit("many_to_many"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(nulls_l))
+        .crossJoin(F.broadcast(nulls_r))
+        .select(
+            F.col("__nl__").cast("long").alias("n_left"),
+            F.col("__nr__").cast("long").alias("n_right"),
+            F.col("__nulll__").cast("long").alias("null_left"),
+            F.col("__nullr__").cast("long").alias("null_right"),
+            F.col("distinct_left_keys").cast("long").alias("distinct_left_keys"),
+            F.col("distinct_right_keys").cast("long").alias("distinct_right_keys"),
+            F.col("matched_keys").cast("long").alias("matched_keys"),
+            F.col("left_orphan_keys").cast("long").alias("left_orphan_keys"),
+            F.col("right_orphan_keys").cast("long").alias("right_orphan_keys"),
+            F.col("__jr__").cast("long").alias("join_rows"),
+            F.col("max_left_fanout").cast("long").alias("max_left_fanout"),
+            F.col("max_right_fanout").cast("long").alias("max_right_fanout"),
+            rel.alias("relationship"),
+        )
+    )
+
+
+def dp_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols,
+    clip: float,
+    epsilon: float = 1.0,
+    *,
+    seed: str,
+) -> DataFrame:
+    """Per-group differentially-private MEAN — the ratio release that
+    completes the family (:func:`dp_count` / :func:`dp_sum` /
+    :func:`dp_quantile`): epsilon splits evenly between a clipped noisy
+    sum (sensitivity ``clip``) and a noisy count (sensitivity 1), and
+    ``mean_dp = noisy_sum / max(noisy_count, 1)`` — the standard
+    bounded-ratio estimator. Output: group cols + ``count_dp, mean_dp``
+    (4 dp); no true statistic is emitted.
+
+    Same contracts as dp_sum: values clamp to [0, clip] on the exact
+    cent grid; BOTH noise draws are seeded md5 inverse-CDF Laplace
+    (independent via distinct tag prefixes), so the release is exactly
+    reproducible by a seed holder — keep the seed secret, rotate per
+    release. The oracle reproduces both draws and the ratio
+    bit-for-bit."""
+    from .dedup import fround, md5_hash32
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not 0 < epsilon:
+        raise ValueError("epsilon must be positive")
+    clip = float(clip)
+    if not clip > 0:
+        raise ValueError("clip must be positive")
+    v = F.col(value_col).cast("double")
+    clipped = F.greatest(F.lit(0.0), F.least(F.lit(clip), v))
+    cents = F.floor(clipped * F.lit(100.0) + F.lit(0.5)).cast("decimal(38,0)")
+    agg = (
+        df.where(v.isNotNull())
+        .groupBy(*[F.col(c) for c in groups])
+        .agg(
+            F.sum(cents).alias("__s__"),
+            F.count(F.lit(1)).alias("__n__"),
+        )
+    )
+
+    def lap(tag, scale):
+        key = F.concat_ws(
+            ":", F.lit(f"{seed}{tag}"),
+            *[F.col(c).cast("string") for c in groups],
+        )
+        u = (md5_hash32(key) + F.lit(0.5)) / F.lit(4294967296.0)
+        c = u - F.lit(0.5)
+        return (
+            -F.lit(scale)
+            * F.signum(c)
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+        )
+
+    half = epsilon / 2.0
+    noisy_sum = F.col("__s__").cast("double") / F.lit(100.0) + lap(
+        ":sum", clip / half
+    )
+    noisy_cnt = F.col("__n__").cast("double") + lap(":cnt", 1.0 / half)
+    return agg.select(
+        *[F.col(c) for c in groups],
+        fround(noisy_cnt, 4).alias("count_dp"),
+        fround(
+            noisy_sum / F.greatest(noisy_cnt, F.lit(1.0)), 4
+        ).alias("mean_dp"),
+    )

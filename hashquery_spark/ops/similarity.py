@@ -1454,3 +1454,85 @@ def matryoshka_eval(
             round4_ratio(F.col("n_hits"), F.lit(k)).alias("recall"),
         )
     )
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots (model
+    retrained? upstream encoder changed? distribution moved?) — the
+    production monitor for vector pipelines. Output (one row):
+    ``n_a, n_b, dim, mean_shift_l2`` (L2 distance between the two mean
+    vectors) and ``mean_cosine`` (cosine between them).
+
+    Exactness: per-dimension means come from exact integer micro-unit
+    sums (the embedding_centroids convention); each micro-scale mean is
+    ONE correctly-rounded division of exact integers, pairwise product
+    terms snap to the integer grid BEFORE the dim-cell sum
+    (aggregation-order-proof), and the final sqrt/divide chain is a
+    fixed op sequence mirrored in the oracle; outputs fround to 6 dp.
+
+    Scale: ONE union + posexplode + (pos)-keyed aggregate (map-side
+    combined to 2·dim cells) plus a per-row norm aggregate — two
+    bounded passes, no joins, no windows."""
+    from .dedup import fround
+
+    def tagged(df, sa, sb):
+        return df.where(F.col(vec_col).isNotNull()).select(
+            F.col(vec_col).alias("__v__"),
+            F.lit(sa).alias("__sa__"),
+            F.lit(sb).alias("__sb__"),
+        )
+
+    u = tagged(df_a, 1, 0).unionAll(tagged(df_b, 0, 1))
+    ex = u.select(
+        "__sa__", "__sb__", F.posexplode(F.col("__v__")).alias("pos", "x")
+    ).selectExpr(
+        "__sa__",
+        "__sb__",
+        "pos",
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS sv",
+    )
+    cells = ex.groupBy("pos").agg(
+        F.sum(F.when(F.col("__sa__") == 1, F.col("sv"))).alias("__ma__"),
+        F.sum(F.when(F.col("__sb__") == 1, F.col("sv"))).alias("__mb__"),
+        F.count(F.when(F.col("__sa__") == 1, 1)).alias("__na__"),
+        F.count(F.when(F.col("__sb__") == 1, 1)).alias("__nb__"),
+    )
+    # Per-position micro-scale mean doubles — each is ONE correctly-
+    # rounded division of exact integers, identical cross-engine. The
+    # pairwise product terms snap to the integer grid BEFORE the
+    # 64-cell sum so aggregation order cannot matter. (A cross-scaled
+    # exact-integer formulation ma·nb overflows DECIMAL(38) in the A·A
+    # dot past ~1e19 — row counts a 100 TB corpus actually reaches.)
+    am = F.col("__ma__").cast("double") / F.col("__na__").cast("double")
+    bm = F.col("__mb__").cast("double") / F.col("__nb__").cast("double")
+    snap = lambda e: F.floor(e + F.lit(0.5)).cast("long")
+    g = cells.agg(
+        F.max("__na__").alias("n_a"),
+        F.max("__nb__").alias("n_b"),
+        F.count(F.lit(1)).alias("dim"),
+        F.sum(snap((am - bm) * (am - bm))).alias("__d2__"),
+        F.sum(snap(am * bm)).alias("__ab__"),
+        F.sum(snap(am * am)).alias("__aa__"),
+        F.sum(snap(bm * bm)).alias("__bb__"),
+    )
+    shift = F.sqrt(F.col("__d2__").cast("double")) / F.lit(1000000.0)
+    cos = F.col("__ab__").cast("double") / (
+        F.sqrt(F.col("__aa__").cast("double"))
+        * F.sqrt(F.col("__bb__").cast("double"))
+    )
+    return g.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("dim").cast("int").alias("dim"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), fround(shift, 6) + F.lit(0.0)
+        ).alias("mean_shift_l2"),
+        F.when(
+            (F.col("__aa__") > 0) & (F.col("__bb__") > 0),
+            fround(cos, 6) + F.lit(0.0),
+        ).alias("mean_cosine"),
+    )

@@ -6718,3 +6718,198 @@ JOIN ic ca ON ca.i = ia
 JOIN ic cb ON cb.i = ib, tot
 ORDER BY item_a, item_b
 """
+
+
+ORACLE_SQL["join_cardinality"] = """
+WITH lh AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS cl
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+rh AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS cr
+  FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1
+),
+nl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_left,
+         CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+           AS null_left
+  FROM orders
+),
+nr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_right,
+         CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END) AS BIGINT)
+           AS null_right
+  FROM customer
+),
+j AS (
+  SELECT coalesce(lh.cl, 0) AS cl, coalesce(rh.cr, 0) AS cr
+  FROM lh FULL OUTER JOIN rh ON rh.k = lh.k
+),
+a AS (
+  SELECT
+    CAST(count(CASE WHEN cl > 0 THEN 1 END) AS BIGINT) AS distinct_left_keys,
+    CAST(count(CASE WHEN cr > 0 THEN 1 END) AS BIGINT) AS distinct_right_keys,
+    CAST(count(CASE WHEN cl > 0 AND cr > 0 THEN 1 END) AS BIGINT)
+      AS matched_keys,
+    CAST(count(CASE WHEN cl > 0 AND cr = 0 THEN 1 END) AS BIGINT)
+      AS left_orphan_keys,
+    CAST(count(CASE WHEN cr > 0 AND cl = 0 THEN 1 END) AS BIGINT)
+      AS right_orphan_keys,
+    CAST(coalesce(sum(CASE WHEN cl > 0 AND cr > 0
+                      THEN CAST(cl AS HUGEINT) * cr END), 0) AS BIGINT)
+      AS join_rows,
+    CAST(coalesce(max(CASE WHEN cl > 0 AND cr > 0 THEN cl END), 0) AS BIGINT)
+      AS max_left_fanout,
+    CAST(coalesce(max(CASE WHEN cl > 0 AND cr > 0 THEN cr END), 0) AS BIGINT)
+      AS max_right_fanout
+  FROM j
+)
+SELECT nl.n_left, nr.n_right, nl.null_left, nr.null_right,
+  a.distinct_left_keys, a.distinct_right_keys, a.matched_keys,
+  a.left_orphan_keys, a.right_orphan_keys, a.join_rows,
+  a.max_left_fanout, a.max_right_fanout,
+  CASE WHEN a.matched_keys = 0 THEN 'no_matches'
+       WHEN a.max_left_fanout <= 1 AND a.max_right_fanout <= 1
+         THEN 'one_to_one'
+       WHEN a.max_left_fanout <= 1 THEN 'one_to_many'
+       WHEN a.max_right_fanout <= 1 THEN 'many_to_one'
+       ELSE 'many_to_many' END AS relationship
+FROM a, nl, nr
+"""
+
+
+ORACLE_SQL["embedding_drift"] = f"""
+WITH u AS (
+  SELECT embedding AS v,
+         CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS sa,
+         CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS sb
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+ex AS (
+  SELECT sa, sb, CAST(unnest(range(len(v))) AS BIGINT) AS pos,
+         CAST(floor(CAST(unnest(v) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           AS sv
+  FROM u
+),
+cells AS (
+  SELECT pos,
+    CAST(sum(CASE WHEN sa = 1 THEN sv END) AS BIGINT) AS ma,
+    CAST(sum(CASE WHEN sb = 1 THEN sv END) AS BIGINT) AS mb,
+    CAST(count(CASE WHEN sa = 1 THEN 1 END) AS BIGINT) AS na,
+    CAST(count(CASE WHEN sb = 1 THEN 1 END) AS BIGINT) AS nb
+  FROM ex GROUP BY pos
+),
+m AS (
+  SELECT pos, na, nb,
+    CAST(ma AS DOUBLE) / CAST(na AS DOUBLE) AS am,
+    CAST(mb AS DOUBLE) / CAST(nb AS DOUBLE) AS bm
+  FROM cells
+),
+g AS (
+  SELECT max(na) AS n_a, max(nb) AS n_b, CAST(count(*) AS INT) AS dim,
+    CAST(sum(CAST(floor((am - bm) * (am - bm) + 0.5) AS BIGINT)) AS BIGINT)
+      AS d2,
+    CAST(sum(CAST(floor(am * bm + 0.5) AS BIGINT)) AS BIGINT) AS ab,
+    CAST(sum(CAST(floor(am * am + 0.5) AS BIGINT)) AS BIGINT) AS aa,
+    CAST(sum(CAST(floor(bm * bm + 0.5) AS BIGINT)) AS BIGINT) AS bb
+  FROM m
+)
+SELECT n_a, n_b, dim,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    {_fround_sql("sqrt(CAST(d2 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)", 6)}
+      + 0.0e0 END AS mean_shift_l2,
+  CASE WHEN aa > 0 AND bb > 0 THEN
+    {_fround_sql("CAST(ab AS DOUBLE) / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE)))", 6)}
+      + 0.0e0 END AS mean_cosine
+FROM g
+"""
+
+
+ORACLE_SQL["leakage_report"] = f"""
+WITH {_MINHASH_BUCKETS},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM buckets a JOIN buckets c ON a.band = c.band AND a.key = c.key
+  WHERE a.doc_id < c.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+verified AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p
+  JOIN sets x ON p.id_a = x.doc_id
+  JOIN sets y ON p.id_b = y.doc_id
+  WHERE len(list_distinct(list_concat(x.s, y.s))) > 0
+    AND floor((CAST(100000 AS DOUBLE) * len(list_intersect(x.s, y.s))
+               + CAST(5 AS DOUBLE) * len(list_distinct(list_concat(x.s, y.s))))
+              / (CAST(10 AS DOUBLE) * len(list_distinct(list_concat(x.s, y.s)))))
+        / CAST(10000 AS DOUBLE) >= 0.5
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END AS spl
+  FROM documents WHERE doc_id IS NOT NULL
+),
+cross_pairs AS (
+  SELECT least(xa.spl, xb.spl) AS split_a, greatest(xa.spl, xb.spl) AS split_b,
+         CASE WHEN xa.spl = least(xa.spl, xb.spl)
+              THEN CAST(v.id_a AS VARCHAR) ELSE CAST(v.id_b AS VARCHAR) END
+           AS da,
+         CASE WHEN xa.spl = least(xa.spl, xb.spl)
+              THEN CAST(v.id_b AS VARCHAR) ELSE CAST(v.id_a AS VARCHAR) END
+           AS db
+  FROM verified v
+  JOIN sp xa ON xa.doc_id = v.id_a
+  JOIN sp xb ON xb.doc_id = v.id_b
+  WHERE xa.spl != xb.spl
+),
+agg AS (
+  SELECT split_a, split_b,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT da) AS BIGINT) AS leaked_a,
+         CAST(count(DISTINCT db) AS BIGINT) AS leaked_b
+  FROM cross_pairs GROUP BY split_a, split_b
+),
+sizes AS (SELECT spl, CAST(count(*) AS BIGINT) AS nd FROM sp GROUP BY spl)
+SELECT a.split_a, a.split_b, za.nd AS n_docs_a, zb.nd AS n_docs_b,
+  a.n_pairs, a.leaked_a, a.leaked_b,
+  {_round4_ratio_sql('a.leaked_a', 'za.nd')} AS leak_rate_a,
+  {_round4_ratio_sql('a.leaked_b', 'zb.nd')} AS leak_rate_b
+FROM agg a
+JOIN sizes za ON za.spl = a.split_a
+JOIN sizes zb ON zb.spl = a.split_b
+ORDER BY split_a, split_b
+"""
+
+
+ORACLE_SQL["dp_mean"] = f"""
+WITH agg AS (
+  SELECT o_orderstatus,
+    CAST(sum(CAST(floor(greatest(0.0, least(100000.0,
+         CAST(o_totalprice AS DOUBLE))) * 100.0 + 0.5) AS HUGEINT))
+         AS HUGEINT) AS s,
+    CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+noised AS (
+  SELECT o_orderstatus,
+    CAST(s AS DOUBLE) / 100.0
+      + (-(100000.0 / 0.5) * sign(us - 0.5) * ln(1.0 - 2.0 * abs(us - 0.5)))
+      AS ns,
+    CAST(n AS DOUBLE)
+      + (-(1.0 / 0.5) * sign(uc - 0.5) * ln(1.0 - 2.0 * abs(uc - 0.5)))
+      AS nc
+  FROM (
+    SELECT o_orderstatus, s, n,
+      ({H32.format(x="'dpmean:sum:' || CAST(o_orderstatus AS VARCHAR)")} + 0.5)
+        / 4294967296.0 AS us,
+      ({H32.format(x="'dpmean:cnt:' || CAST(o_orderstatus AS VARCHAR)")} + 0.5)
+        / 4294967296.0 AS uc
+    FROM agg
+  )
+)
+SELECT o_orderstatus,
+  (floor(nc * 1e4 + 5e-1) / 1e4) AS count_dp,
+  (floor((ns / greatest(nc, 1.0)) * 1e4 + 5e-1) / 1e4) AS mean_dp
+FROM noised ORDER BY o_orderstatus
+"""

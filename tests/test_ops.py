@@ -5036,3 +5036,92 @@ def test_assoc_rules_known_baskets(spark):
     assert r["conf_a_to_b"] == 0.6667
     assert r["conf_b_to_a"] == 1.0
     assert r["lift"] == 1.0
+
+
+def test_join_cardinality_report_known_shapes(spark):
+    """Hand-built shapes: orders(cust)->customer(pk) is many_to_one
+    with known orphans/fan-outs; the report never runs the real join
+    (join_rows computed from the key histograms)."""
+    from hashquery_spark.ops import join_cardinality_report
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k long"
+    )
+    right = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+    r = join_cardinality_report(left, right, "k").collect()[0]
+    assert (r["n_left"], r["n_right"], r["null_left"], r["null_right"]) == (
+        5, 3, 1, 0,
+    )
+    assert (r["distinct_left_keys"], r["distinct_right_keys"]) == (3, 3)
+    assert (r["matched_keys"], r["left_orphan_keys"], r["right_orphan_keys"]) == (
+        2, 1, 1,
+    )
+    assert r["join_rows"] == 3  # key 1: 2x1, key 2: 1x1
+    assert (r["max_left_fanout"], r["max_right_fanout"]) == (2, 1)
+    assert r["relationship"] == "many_to_one"
+
+    # many_to_many + no_matches
+    mm_l = spark.createDataFrame([(1,), (1,)], "k long")
+    mm_r = spark.createDataFrame([(1,), (1,), (1,)], "k long")
+    assert (
+        join_cardinality_report(mm_l, mm_r, "k").collect()[0]["relationship"]
+        == "many_to_many"
+    )
+    nm = join_cardinality_report(
+        mm_l, spark.createDataFrame([(7,)], "k long"), "k"
+    ).collect()[0]
+    assert nm["relationship"] == "no_matches" and nm["join_rows"] == 0
+
+
+def test_embedding_drift_known_vectors(spark):
+    """Identical snapshots: shift 0, cosine 1. Orthogonal mean
+    vectors: cosine 0, shift = sqrt(2)."""
+    from hashquery_spark.ops import embedding_drift
+
+    a = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    same = embedding_drift(a, a, "embedding").collect()[0]
+    assert same["mean_shift_l2"] == 0.0 and same["mean_cosine"] == 1.0
+    assert (same["n_a"], same["n_b"], same["dim"]) == (4, 4, 2)
+
+    b = spark.createDataFrame(
+        [(i, [0.0, 1.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    ortho = embedding_drift(a, b, "embedding").collect()[0]
+    assert ortho["mean_cosine"] == 0.0
+    assert abs(ortho["mean_shift_l2"] - 2 ** 0.5) < 1e-6
+
+
+def test_leakage_report_planted_cross_split_dup(spark):
+    """Planted near-identical docs across the train/test boundary must
+    surface with the right counts and rates; a clean corpus reports
+    nothing."""
+    from hashquery_spark.ops import leakage_report
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, body + " one", "train"),
+        (2, body + " two", "test"),          # near-dup of 1, cross-split
+        (3, body + " three", "train"),       # near-dup of 1, SAME split
+        (10, "totally different words here nothing shared at all", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = leakage_report(df, "text", "doc_id", "split", threshold=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["split_a"], r["split_b"]) == ("test", "train")
+    assert r["n_docs_a"] == 2 and r["n_docs_b"] == 2
+    assert r["n_pairs"] >= 1 and r["leaked_a"] == 1
+    assert r["leak_rate_a"] == 0.5
+
+    clean = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff gg hh", "train"),
+            (2, "qq ww ee1 rr tt yy uu ii", "test"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    assert leakage_report(clean, "text", "doc_id", "split").count() == 0

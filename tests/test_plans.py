@@ -141,6 +141,13 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # crossed with the live-ybucket frame — both bounded by the
         # data-independent monotone bucket range:
         "kendall_tau_continuous",
+        # 1-row exact-quantile cutoff frame broadcast onto the token
+        # stream / type table (the time_split pattern), and the two
+        # 1-row V/N aggregates crossed for the regression input:
+        "heaps_law",
+        # 1-row kept-basket-count frame replicated to the bounded pair
+        # table (the pmi_bigrams corpus-total pattern):
+        "assoc_rules",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
