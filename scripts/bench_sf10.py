@@ -99,45 +99,36 @@ def main() -> None:
         return out
 
     def time_twin(sf_dir: str, cap: float) -> dict:
-        import threading
+        # ONE SUBPROCESS PER TWIN (r8, measured twice): a failing twin
+        # must not poison the rest. The first r8 run shared one
+        # connection — the semantic twin's disk-full spill poisoned the
+        # buffer pool and every later twin OOM'd on 16 KB allocations;
+        # a fresh-connection retry STILL OOM'd, because a closed DuckDB
+        # connection does not promptly return process memory. Process
+        # isolation is the only clean boundary; per-twin startup
+        # (python + view registration) is excluded from the timing.
+        import subprocess
+        import sys as _sys
 
-        import duckdb
-
-        con = _duck_con(sf_dir)
-        # guard rails: the semantic-auto oracle materializes an
-        # n×k cross CTE carrying full vectors (89.6M rows × ~600 B at
-        # sf10 — ~100 GB RSS, measured: it rode past the interrupt and
-        # nearly OOM'd the host). A memory cap makes DuckDB spill or
-        # fail fast, so the wall-clock cap can actually fire; either
-        # way the twin records a "+"-marked lower bound.
-        con.execute("SET memory_limit='24GB'")
-        con.execute("SET temp_directory='/tmp/duck_sf10_spill'")
+        runner = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "_twin_one.py"
+        )
         out = {}
         for name in PERF:
-            timer = threading.Timer(cap, con.interrupt)
-            timer.start()
-            t = time.perf_counter()
-            timed_out = False
-            error = None
             try:
-                if name in oracles:
-                    con.execute(oracles[name]).fetchall()
-                else:
-                    py_twins[name](con)
-            except duckdb.InterruptException:
-                # the wall-clock cap fired — record a "+"-marked lower
-                # bound, NOT an error: the twin was working, just slow.
-                timed_out = True
-            except Exception as exc:  # genuine twin failure: fail loud
-                error = f"{type(exc).__name__}: {exc}"
-            finally:
-                timer.cancel()
-            el = round(time.perf_counter() - t, 3)
-            if error is not None:
-                out[name] = {"error": error, "elapsed_sec": el}
-            else:
-                out[name] = f"{el}+" if timed_out else el
-        con.close()
+                proc = subprocess.run(
+                    [_sys.executable, runner, sf_dir, name, str(cap)],
+                    capture_output=True,
+                    text=True,
+                    timeout=cap + 300,
+                )
+                line = proc.stdout.strip().splitlines()[-1]
+                out[name] = json.loads(line)[name]
+            except Exception as exc:  # runner crash: fail loud
+                out[name] = {
+                    "error": f"twin runner failed: {type(exc).__name__}: {exc}",
+                    "elapsed_sec": 0.0,
+                }
         return out
 
     cap = float(os.environ.get("SPARK_GRAFT_SF10_TWIN_TIMEOUT", "600"))
