@@ -1652,7 +1652,12 @@ def spearman_corr(
         F.count(F.lit(1)).alias("__c__"),
         F.sum(rxa).alias("__mx1__"),
         F.sum(rxa * F.col("__rx__")).alias("__mx2__"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the y histogram feeds brs's two differently-pruned consumers;
+    # unlike the plain-count case (where the double scan is cheaper),
+    # THIS histogram's upstream includes the rx join and three
+    # accumulators — re-executing it cost 17.4 s vs 12.8 s checkpointed
+    # at sf10 (measured r8, the kaplan_meier chained-consumer class).
     cum_y = bucketed_running_sums(hist_y, safe_by, "__y__", ["__c__"])
     ranked = cum_y.withColumn(
         "__ry__", 2 * F.col("__cum0__") - F.col("__c__") + 1
