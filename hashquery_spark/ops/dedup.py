@@ -828,7 +828,12 @@ def monotone_value_bucket(value: Column) -> Column:
 
 
 def bucketed_running_sums(
-    hist: DataFrame, by, value_col: str, sum_cols, out_cols=None
+    hist: DataFrame,
+    by,
+    value_col: str,
+    sum_cols,
+    out_cols=None,
+    broadcast_offsets: bool = False,
 ) -> DataFrame:
     """``hist`` + one ``__cum_{c}__`` inclusive running total per
     ``sum_cols`` entry, ordered by ``value_col`` within each ``by``
@@ -894,7 +899,16 @@ def bucketed_running_sums(
             for c in sum_cols
         ],
     )
-    out = cum_in.join(offsets, on=safe_by + ["__bkt__"])
+    # broadcast_offsets: callers whose `hist` is a localCheckpoint have
+    # NO size estimate (LogicalRDD defaults to Long.Max), so the
+    # normally-automatic broadcast of the bounded bucket-total frame
+    # falls to SortMergeJoin. Pass True only when groups × buckets is
+    # known bounded (spearman's 3-group case; NOT a caller with
+    # unbounded group cardinality).
+    out = cum_in.join(
+        F.broadcast(offsets) if broadcast_offsets else offsets,
+        on=safe_by + ["__bkt__"],
+    )
     for c, oc in zip(sum_cols, out_cols):
         out = out.withColumn(
             oc, F.col(f"__base_{c}__") + F.col(f"__in_{c}__")

@@ -1658,7 +1658,9 @@ def spearman_corr(
     # THIS histogram's upstream includes the rx join and three
     # accumulators — re-executing it cost 17.4 s vs 12.8 s checkpointed
     # at sf10 (measured r8, the kaplan_meier chained-consumer class).
-    cum_y = bucketed_running_sums(hist_y, safe_by, "__y__", ["__c__"])
+    cum_y = bucketed_running_sums(
+        hist_y, safe_by, "__y__", ["__c__"], broadcast_offsets=True
+    )
     ranked = cum_y.withColumn(
         "__ry__", 2 * F.col("__cum0__") - F.col("__c__") + 1
     )

@@ -148,6 +148,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # 1-row kept-basket-count frame replicated to the bounded pair
         # table (the pmi_bigrams corpus-total pattern):
         "assoc_rules",
+        # two 1-row total/null-count frames crossed onto the 1-row
+        # histogram aggregate (the check_constraints pattern):
+        "join_cardinality",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
