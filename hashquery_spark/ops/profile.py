@@ -1891,7 +1891,13 @@ def wasserstein_1d(
             ),
         )
     )
-    return g.selectExpr(
+    # fewer than 2 distinct values (or an empty side) leaves no gap
+    # terms — return ZERO rows, exactly like the oracle's GROUP BY over
+    # an empty term set (a 1-row NULL output would be a latent parity
+    # break of the conformal-interval class)
+    return g.where(
+        (F.col("__na__") > 0) & (F.col("__nb__") > 0)
+    ).selectExpr(
         "CAST(__na__ AS BIGINT) AS n_a",
         "CAST(__nb__ AS BIGINT) AS n_b",
         "CAST(__s__ AS DOUBLE) / (CAST(__na__ AS DOUBLE) * "

@@ -538,3 +538,81 @@ def score_stream(
         .selectExpr("*", "margin > 0 AS keep")
         .drop("__toks__")
     )
+
+
+def streaming_drift(
+    events: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    baseline: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    smooth: float = 1e-4,
+) -> DataFrame:
+    """Per-window categorical drift (PSI) of a live stream against a
+    STATIC baseline distribution — the production data-quality monitor
+    ("did the upstream schema/traffic mix shift this hour"). Output one
+    row per window: ``window_start, window_end, n_events, psi`` where
+    ``psi = Σ_c (p_c − b_c)·ln(p_c/b_c)`` over the baseline's category
+    set (stream categories outside it pool into ``__other__``; shares
+    are ``smooth``-floored so empty cells stay finite — the standard
+    PSI smoothing).
+
+    Streaming shape: the baseline is bounded and collected ONCE at plan
+    time (shares become plan literals — the score_stream inlined-model
+    contract), so the whole monitor is ONE watermarked windowed
+    aggregate with a CASE-sum column per category and the PSI folded as
+    a flat per-row expression over that single state row — no second
+    stateful operator, no stream-stream join, append-compatible state
+    bounded by live windows × 1 row.
+
+    Works identically on a batch frame (the score_stream consistency
+    contract)."""
+    rows = (
+        baseline.where(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).cast("string").alias("__c__"))
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("baseline has no categories")
+    total = float(sum(r["__n__"] for r in rows))
+    shares = {r["__c__"]: r["__n__"] / total for r in rows}
+    cats = sorted(shares)
+
+    c = F.col(cat_col).cast("string")
+    tagged = events.withColumn(
+        "__cat__",
+        F.when(c.isin(cats), c).otherwise(F.lit("__other__")),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")] + [
+        F.count(F.when(F.col("__cat__") == cat, 1)).alias(f"__k{i}__")
+        for i, cat in enumerate(cats)
+    ] + [
+        F.count(F.when(F.col("__cat__") == "__other__", 1)).alias("__koth__")
+    ]
+    win = F.window(F.col(ts_col), window)
+    agg = (
+        tagged.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("__w__"))
+        .agg(*aggs)
+    )
+    sm = float(smooth)
+    terms = []
+    n_d = F.col("n_events").cast("double")
+    for i, cat in enumerate(cats):
+        b = max(shares[cat], sm)
+        p = F.greatest(F.col(f"__k{i}__").cast("double") / n_d, F.lit(sm))
+        terms.append((p - F.lit(b)) * F.log(p / F.lit(b)))
+    # baseline share for unseen categories is the smoothing floor
+    p_oth = F.greatest(F.col("__koth__").cast("double") / n_d, F.lit(sm))
+    terms.append((p_oth - F.lit(sm)) * F.log(p_oth / F.lit(sm)))
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = psi + t
+    return agg.select(
+        F.col("__w__.start").alias("window_start"),
+        F.col("__w__.end").alias("window_end"),
+        F.col("n_events"),
+        psi.alias("psi"),
+    )

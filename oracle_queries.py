@@ -6508,7 +6508,8 @@ SELECT na AS n_a, nb AS n_b,
                     * (nxt - v)), 0) AS DOUBLE)
     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(1000000.0 AS DOUBLE))
     AS w1
-FROM cum, tot WHERE nxt IS NOT NULL GROUP BY na, nb
+FROM cum, tot WHERE nxt IS NOT NULL
+GROUP BY na, nb HAVING na > 0 AND nb > 0
 """
 
 

@@ -4896,6 +4896,10 @@ def test_wasserstein_1d_known_values(spark):
     assert abs(r["w1"] - 0.5) < 1e-12
     r = wasserstein_1d(mk([3, 7, 7]), mk([3, 7, 7]), "x").collect()[0]
     assert r["w1"] == 0.0
+    # degenerate: a single distinct value (or an empty side) has no gap
+    # terms -> ZERO rows, matching the oracle's GROUP BY over nothing
+    assert wasserstein_1d(mk([5, 5]), mk([5]), "x").count() == 0
+    assert wasserstein_1d(mk([]), mk([1, 2]), "x").count() == 0
 
 
 def test_effect_size_known_values(spark):

@@ -467,3 +467,55 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = sorted((r["k"], r["payload"]) for r in spark.table("dedup_within").collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_streaming_drift_psi_per_window(spark, stream_dir):
+    """PSI per window vs a static baseline: a window matching the
+    baseline mix scores ~0; a window of pure unseen categories scores
+    high; batch and streaming paths agree exactly (the score_stream
+    consistency contract)."""
+    import math
+
+    from hashquery_spark.streaming import read_event_stream, run_to_memory
+    from hashquery_spark.streaming import streaming_drift
+
+    baseline = spark.createDataFrame(
+        [("signup",), ("signup",), ("click",), ("purchase",)],
+        "event_type string",
+    )
+    stream = read_event_stream(spark, stream_dir, SCHEMA)
+    out = run_to_memory(
+        streaming_drift(stream, "ts", "event_type", baseline, window="1 hour"),
+        "drift_test",
+    )
+    got = {r["window_start"]: (r["n_events"], r["psi"]) for r in out.collect()}
+    assert set(got) == {
+        datetime(2024, 1, 1, 10, 0),
+        datetime(2024, 1, 1, 11, 0),
+        datetime(2024, 1, 2, 9, 0),
+    }
+    # the 10:00 window (2 signup, 1 click) is closest to the baseline
+    assert got[datetime(2024, 1, 1, 10, 0)][0] == 3
+    assert all(v[1] >= 0 for v in got.values())
+    assert got[datetime(2024, 1, 1, 10, 0)][1] < got[datetime(2024, 1, 1, 11, 0)][1]
+
+    # batch/stream consistency: identical math on the batch frame
+    batch = spark.createDataFrame(ROWS, SCHEMA)
+    bout = {
+        r["window_start"]: (r["n_events"], r["psi"])
+        for r in streaming_drift(
+            batch, "ts", "event_type", baseline, window="1 hour"
+        ).collect()
+    }
+    assert bout == got
+
+    # hand-check one PSI: 11:00 window = 1 purchase only.
+    # shares: signup .5 click .25 purchase .25; p = (sm, sm, 1.0), other sm
+    sm = 1e-4
+    exp = (
+        (sm - 0.5) * math.log(sm / 0.5)
+        + (sm - 0.25) * math.log(sm / 0.25)
+        + (1.0 - 0.25) * math.log(1.0 / 0.25)
+        + (sm - sm) * math.log(sm / sm)
+    )
+    assert abs(got[datetime(2024, 1, 1, 11, 0)][1] - exp) < 1e-9
