@@ -4866,6 +4866,30 @@ def q_dp_mean(spark, sf_dir):
     ).orderBy("o_orderstatus")
 
 
+def q_sampling_weights(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) multinomial source weights over
+    order priorities — exact integer-ratio shares; p^alpha via the
+    ln-microunit grid-snapped-exponent exp (the BLEU precedent)."""
+    from hashquery_spark.ops import source_sampling_weights
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return source_sampling_weights(
+        orders, "o_orderpriority", alpha=0.5
+    ).orderBy("o_orderpriority")
+
+
+def q_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) document fingerprints: k=3-gram md5 hashes,
+    w=4 sliding min with the rightmost-tie pick encoded in a single
+    BIGINT key — position-robust copy-detection fingerprints."""
+    from hashquery_spark.ops import winnowing_fingerprints
+
+    docs = _conn(spark, sf_dir).table("documents").where("doc_id % 17 = 0")
+    return winnowing_fingerprints(
+        docs, "text", "doc_id", k=3, w=4
+    ).orderBy("doc_id", "fingerprint")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_filter_sort_limit": q_scan_filter_sort_limit,
@@ -5080,6 +5104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "leakage_report": q_leakage_report,
         "dp_mean": q_dp_mean,
+        "sampling_weights": q_sampling_weights,
+        "winnowing": q_winnowing,
         "wasserstein_1d": q_wasserstein,
         "join_cardinality": q_join_cardinality,
         "embedding_drift": q_embedding_drift,

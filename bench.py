@@ -215,6 +215,8 @@ HEADLINE = [
     "embedding_drift",
     "leakage_report",
     "dp_mean",
+    "sampling_weights",
+    "winnowing",
 ]
 
 

@@ -1016,3 +1016,68 @@ def leakage_report(
             "leak_rate_b"
         ),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-gram, slide a window of ``w``
+    consecutive hashes, keep each window's minimum (rightmost on ties) —
+    the selected set is position-robust (guaranteed to share
+    fingerprints with any copy of a sufficiently long passage) and
+    ~2/(w+1) the size of the full gram set. Output: DISTINCT
+    ``({id_col}, fingerprint)`` rows — join on fingerprint for
+    copy/plagiarism candidates, count shared per pair for scoring.
+
+    Determinism: gram hash = first-32-md5-bits; the rightmost-min pick
+    is a single BIGINT ``min(hash·2^20 + (2^20−1−pos))`` so both engines
+    agree bit-for-bit (docs are bounded to 2^20 grams — the journey
+    contract).
+
+    Scale: one explode to (doc, pos, gram-hash) rows, the sliding min as
+    a per-doc window with a ROWS frame of w (partition = one document,
+    bounded by construction — never a corpus-wide sort), then a distinct
+    per (doc, fingerprint)."""
+    from pyspark.sql import Window
+
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toks = tokens(F.col(text_col))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(__t__) - {k - 1}, 0)), "
+        f"i -> array_join(slice(__t__, i, {k}), ' '))"
+    )
+    ex = (
+        df.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__t__"))
+        .where(F.size("__t__") >= k)
+        .select(F.col(id_col), F.posexplode(grams).alias("__pos__", "__g__"))
+        .select(
+            F.col(id_col),
+            "__pos__",
+            (
+                md5_hash32(F.col("__g__")) * F.lit(1048576)
+                + (F.lit(1048575) - F.col("__pos__"))
+            ).alias("__key__"),
+        )
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos__")
+        .rowsBetween(0, w - 1)
+    )
+    n_grams = Window.partitionBy(id_col)
+    picked = (
+        ex.withColumn("__min__", F.min("__key__").over(win))
+        .withColumn("__ng__", F.count(F.lit(1)).over(n_grams))
+        # only FULL windows select a fingerprint (positions 0..m-w)
+        .where(F.col("__pos__") <= F.col("__ng__") - w)
+        .selectExpr(f"`{id_col}`", "__min__ DIV 1048576L AS fingerprint")
+        .distinct()
+    )
+    return picked

@@ -100,3 +100,70 @@ def mix_corpora(
     return base.join(F.broadcast(rates), on=source_col).where(
         uniform01(F.col(id_col), seed) < F.col("keep_rate")
     )
+
+
+def source_sampling_weights(
+    df: DataFrame, source_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled multinomial sampling weights per source — the
+    multilingual/multi-corpus mixing recipe (mT5/XLM-R: sample source s
+    with probability p_s^α / Σ p^α, α < 1 upsamples the tail). Output
+    one row per source: ``{source_col}, n, share, share_alpha, factor``
+    where ``factor = share_alpha / share`` is the up/down-sampling
+    multiplier to feed :func:`mix_corpora`-style pipelines.
+
+    Determinism: ``share`` is a tie-proof exact integer ratio;
+    ``p^α = exp(α·ln n − α·ln N)`` runs on the ln-microunit grid — ln n
+    and ln N snap to exact integers, α snaps to the 1e-6 grid, the
+    exponent is an exact integer rational, and exp of the IDENTICAL
+    double input matches cross-engine (the BLEU grid-snapped-exponent
+    precedent); shares and factors fround to 6 dp.
+
+    Scale: one map-side-combined aggregate over the source column, a
+    bounded per-source frame, one broadcast total."""
+    from .dedup import fround, round4_ratio
+
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    a_us = int(round(alpha * 1e6))
+    counts = (
+        df.where(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("__N__"))
+    j = counts.crossJoin(F.broadcast(tot))
+    ln_us = lambda c: F.floor(
+        F.log(c.cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    # p^alpha per source, each exp'd from an exact integer-rational
+    # exponent: (a_us * (ln_us(n) - ln_us(N))) / 1e12
+    expo = (
+        (F.lit(a_us) * (ln_us(F.col("n")) - ln_us(F.col("__N__"))))
+        .cast("double")
+        / F.lit(1e12)
+    )
+    pa = F.exp(expo)
+    # normalizer Z = sum of p^alpha — bounded frame, computed once and
+    # snapped to the 1e-9 grid BEFORE the ratio (order-proof)
+    withpa = j.withColumn(
+        "__pa9__", F.floor(pa * F.lit(1e9) + F.lit(0.5)).cast("long")
+    )
+    z = withpa.agg(F.sum("__pa9__").cast("long").alias("__Z__"))
+    out = withpa.crossJoin(F.broadcast(z))
+    share = round4_ratio(F.col("n"), F.col("__N__"))
+    share_alpha = fround(
+        F.col("__pa9__").cast("double") / F.col("__Z__").cast("double"), 6
+    )
+    factor = fround(
+        (F.col("__pa9__").cast("double") * F.col("__N__"))
+        / (F.col("__Z__").cast("double") * F.col("n")),
+        6,
+    )
+    return out.select(
+        source_col,
+        "n",
+        share.alias("share"),
+        (share_alpha + F.lit(0.0)).alias("share_alpha"),
+        (factor + F.lit(0.0)).alias("factor"),
+    )

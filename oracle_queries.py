@@ -6914,3 +6914,58 @@ SELECT o_orderstatus,
   (floor((ns / greatest(nc, 1.0)) * 1e4 + 5e-1) / 1e4) AS mean_dp
 FROM noised ORDER BY o_orderstatus
 """
+
+
+ORACLE_SQL["winnowing"] = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS.format(c='text')} AS t
+  FROM documents WHERE doc_id % 17 = 0 AND doc_id IS NOT NULL
+),
+sh2 AS (SELECT doc_id, {_SHINGLES} AS g FROM toks WHERE len(t) >= 3),
+ex AS (
+  SELECT doc_id,
+    CAST(unnest(range(len(g))) AS BIGINT) AS pos,
+    CAST('0x' || substr(md5(unnest(g)), 1, 8) AS BIGINT) AS h
+  FROM sh2
+),
+keyed AS (
+  SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key FROM ex
+),
+m AS (
+  SELECT doc_id, pos,
+    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS ng
+  FROM keyed
+)
+SELECT DISTINCT doc_id, mn // 1048576 AS fingerprint
+FROM m WHERE pos <= ng - 4
+ORDER BY doc_id, fingerprint
+"""
+
+
+ORACLE_SQL["sampling_weights"] = f"""
+WITH counts AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM counts),
+pa AS (
+  SELECT o_orderpriority, n, nn,
+    CAST(floor(exp(
+      CAST(500000 * (CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                          AS BIGINT)
+                   - CAST(floor(ln(CAST(nn AS DOUBLE)) * 1000000.0 + 0.5)
+                          AS BIGINT)) AS DOUBLE) / 1e12)
+      * 1e9 + 0.5) AS BIGINT) AS pa9
+  FROM counts, tot
+),
+z AS (SELECT CAST(sum(pa9) AS BIGINT) AS zz FROM pa)
+SELECT o_orderpriority, n,
+  {_round4_ratio_sql('n', 'nn')} AS share,
+  {_fround_sql('CAST(pa9 AS DOUBLE) / CAST(zz AS DOUBLE)', 6)} + 0.0e0
+    AS share_alpha,
+  {_fround_sql('(CAST(pa9 AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST(zz AS DOUBLE) * CAST(n AS DOUBLE))', 6)}
+    + 0.0e0 AS factor
+FROM pa, z ORDER BY o_orderpriority
+"""

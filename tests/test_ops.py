@@ -5129,3 +5129,64 @@ def test_leakage_report_planted_cross_split_dup(spark):
         "doc_id long, text string, split string",
     )
     assert leakage_report(clean, "text", "doc_id", "split").count() == 0
+
+
+def test_winnowing_guarantee_and_known_window(spark):
+    """Winnowing guarantee: two docs sharing a long passage share at
+    least one fingerprint regardless of position (the MOSS property);
+    a hand-sized doc yields exactly the sliding-window minima with
+    rightmost tie picks; short docs (< k grams) yield nothing."""
+    import hashlib
+
+    from hashquery_spark.ops import winnowing_fingerprints
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "xx yy " + passage + " zz"),
+        (2, passage + " completely different tail words here"),
+        (3, "just two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, "text", "doc_id", k=3, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert 3 not in got  # < k grams
+    assert got[1] & got[2]  # shared passage -> shared fingerprint
+
+    # python replica on one doc
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    toks = rows[0][1].split()
+    grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+    keys = [h32(g) * 1048576 + (1048575 - i) for i, g in enumerate(grams)]
+    want = {
+        min(keys[j:j + 4]) // 1048576
+        for j in range(len(keys) - 3)
+    }
+    assert got[1] == want
+
+
+def test_source_sampling_weights_properties(spark):
+    """alpha=1 is the identity (factor 1 everywhere); alpha<1 pulls the
+    tail up and the head down; shares are exact ratios."""
+    from hashquery_spark.ops import source_sampling_weights
+
+    rows = [("big",)] * 90 + [("small",)] * 10
+    df = spark.createDataFrame(rows, "src string")
+    a1 = {
+        r["src"]: (r["share"], r["factor"])
+        for r in source_sampling_weights(df, "src", alpha=1.0).collect()
+    }
+    assert a1["big"][0] == 0.9 and a1["small"][0] == 0.1
+    assert abs(a1["big"][1] - 1.0) < 2e-6 and abs(a1["small"][1] - 1.0) < 2e-6
+    a5 = {
+        r["src"]: (r["share_alpha"], r["factor"])
+        for r in source_sampling_weights(df, "src", alpha=0.5).collect()
+    }
+    assert a5["small"][1] > 1.0 > a5["big"][1]  # tail upsampled
+    # sqrt mixing: shares proportional to sqrt(90), sqrt(10)
+    import math
+
+    exp_small = math.sqrt(10) / (math.sqrt(90) + math.sqrt(10))
+    assert abs(a5["small"][0] - exp_small) < 1e-3
