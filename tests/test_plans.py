@@ -151,6 +151,9 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # two 1-row total/null-count frames crossed onto the 1-row
         # histogram aggregate (the check_constraints pattern):
         "join_cardinality",
+        # 1-row corpus-total then 1-row normalizer frames replicated to
+        # the bounded per-source frame (the bm25/ab_test pattern):
+        "sampling_weights",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))
