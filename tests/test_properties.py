@@ -1869,3 +1869,111 @@ def test_pq_encode_matches_numpy_argmin(spark, data):
             assert abs(d2[got] - d2[best]) < 1e-6, (i, s, got, best)
             expect_err += float(d2[got])
         assert abs(rows[i]["recon_sq_err"] - expect_err) < 1e-6, i
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    a=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False).map(
+            lambda x: round(x, 3)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    b=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False).map(
+            lambda x: round(x, 3)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_wasserstein_matches_python_brute_force(spark, a, b):
+    """W1 equals the brute-force ECDF integral computed in python over
+    the micro-grid-snapped values (the op's own grid), for random
+    samples of any shape."""
+    from hashquery_spark.ops import wasserstein_1d
+
+    mk = lambda vals: spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    )
+    got = wasserstein_1d(mk(a), mk(b), "x").collect()
+    ai = sorted(int(math.floor(v * 1e6 + 0.5)) for v in a)
+    bi = sorted(int(math.floor(v * 1e6 + 0.5)) for v in b)
+    values = sorted(set(ai) | set(bi))
+    if len(values) < 2:
+        assert got == []
+        return
+    na, nb = len(ai), len(bi)
+    total = 0
+    for lo, hi in zip(values, values[1:]):
+        fa = sum(1 for v in ai if v <= lo)
+        fb = sum(1 for v in bi if v <= lo)
+        total += abs(fa * nb - fb * na) * (hi - lo)
+    want = total / (na * nb * 1e6)
+    (row,) = got
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["w1"] == pytest.approx(want, rel=1e-12, abs=1e-15)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=50),     # second offset
+            st.sampled_from(["click", "view", "buy"]),  # event
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_attribution_matches_python_replica(spark, events):
+    """Linear and last-touch attribution agree with a per-journey python
+    replica (exact floor(1e12/k) units) on random event streams."""
+    from hashquery_spark.ops import attribution
+
+    rows = [
+        (u, datetime(2024, 1, 1, 0, 0, s), e) for u, s, e in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event string")
+
+    def replica(model):
+        cred: dict = {}
+        touches_n: dict = {}
+        by_user: dict = {}
+        for u, s, e in events:
+            by_user.setdefault(u, []).append((s, e))
+        for u, evs in by_user.items():
+            evs.sort()
+            for s, e in evs:
+                if e != "buy":
+                    continue
+                prior = [(ts, ch) for ts, ch in evs if ts < s and ch != "buy"]
+                if not prior:
+                    continue
+                if model == "linear":
+                    unit = 10**12 // len(prior)
+                    for _, ch in prior:
+                        cred[ch] = cred.get(ch, 0) + unit
+                        touches_n[ch] = touches_n.get(ch, 0) + 1
+                else:
+                    # last: max ts; first: min ts. unique (u, ts) by
+                    # the strategy => no timestamp ties to break.
+                    key = max(prior) if model == "last_touch" else min(prior)
+                    ch = key[1]
+                    cred[ch] = cred.get(ch, 0) + 10**12
+                    touches_n[ch] = touches_n.get(ch, 0) + 1
+        return {
+            ch: (touches_n[ch], cred[ch] / 1e12) for ch in cred
+        }
+
+    for model in ("linear", "last_touch", "first_touch"):
+        got = {
+            r["channel"]: (r["n_touches"], r["credit"])
+            for r in attribution(
+                df, "user_id", "ts", "event", "buy", model=model
+            ).collect()
+        }
+        assert got == replica(model), model
