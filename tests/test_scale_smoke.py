@@ -1102,3 +1102,54 @@ def test_funnel_auto_salting_crossover(spark):
     plain = counts(big.funnel(steps).run().py_records)
     assert auto == plain
     assert plain["visit"] == 100_001
+
+
+def test_wasserstein_two_million_planted_shift(spark):
+    """2M rows per side, B = A shifted by exactly 0.5 on the micro grid:
+    W1 is exactly 0.5 (pure-shift transport cost), computed without any
+    single-task ECDF (the two-phase bucket machinery)."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import wasserstein_1d
+
+    a = spark.range(2_000_000).select(
+        (F.col("id") % 1000).cast("double").alias("x")
+    )
+    b = a.select((F.col("x") + F.lit(0.5)).alias("x"))
+    r = wasserstein_1d(a, b, "x").collect()[0]
+    assert r["n_a"] == 2_000_000 and r["n_b"] == 2_000_000
+    assert r["w1"] == 0.5
+
+
+def test_winnowing_two_million_grams_density(spark):
+    """~2M grams across 20k synthetic docs: the winnowing selection
+    density lands near the theoretical 2/(w+1) of the gram count on
+    low-duplication text, and every fingerprint is a valid 32-bit
+    hash."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import winnowing_fingerprints
+
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}x"), (F.col("id") * (j + 7)) % 99991)
+                for j in range(100)
+            ],
+        ).alias("text"),
+    )
+    fps = winnowing_fingerprints(docs, "text", "doc_id", k=3, w=4)
+    agg = fps.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("fingerprint").alias("mx"),
+        F.min("fingerprint").alias("mn"),
+    ).collect()[0]
+    grams_per_doc = 100 - 2
+    windows_per_doc = grams_per_doc - 3
+    # selected-per-window dedup: density in (1/w, 1] of windows; the
+    # 2/(w+1) expectation holds for random hashes (here md5 ~ random)
+    per_doc = agg["n"] / 20_000
+    assert 0.25 * windows_per_doc <= per_doc <= 0.6 * windows_per_doc
+    assert 0 <= agg["mn"] and agg["mx"] < 2**32
