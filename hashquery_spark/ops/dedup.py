@@ -427,15 +427,37 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — exact n-gram Jaccard, but only for LSH
     candidate pairs: verify-after-bucket, the standard scale pattern.
-    Jaccard uses *distinct* shingle sets."""
-    pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, shingle_k)
-    shingle_sets = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    Jaccard uses *distinct* shingle sets.
+
+    Plan shape (the dedup_against_fuzzy lesson, applied here in r9 —
+    the verdict measured leakage_report triple-deriving the corpus
+    scan): the candidate-pair frame is O(duplicate pairs) small and
+    feeds three differently-pruned consumers (the verify join and both
+    shingle sides' id filters), so it localCheckpoints once; each
+    shingle side then joins the broadcast candidate-id set BEFORE the
+    shingle HOF projection — the expensive projection runs over
+    O(candidates) rows, never the whole corpus (Catalyst will not
+    reorder a join below a projection on its own)."""
+    pairs = minhash_lsh_candidates(
+        df, text_col, id_col, num_perm, bands, shingle_k
+    ).localCheckpoint(eager=True)
+
+    def side(out_id: str, alias: str) -> DataFrame:
+        only = pairs.select(out_id).distinct()
+        return (
+            df.select(F.col(id_col).alias(out_id), F.col(text_col))
+            .join(F.broadcast(only), on=out_id)
+            .select(
+                out_id,
+                F.array_distinct(
+                    word_shingles(F.col(text_col), shingle_k)
+                ).alias(alias),
+            )
+        )
+
+    joined = pairs.join(side("id_a", "sh_a"), "id_a").join(
+        side("id_b", "sh_b"), "id_b"
     )
-    a = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     # tie-proof 4-dp half-up (see round4_ratio) — inter/union are ints
@@ -827,13 +849,20 @@ def monotone_value_bucket(value: Column) -> Column:
     )
 
 
+# Offsets rows (distinct groups × buckets) above which "auto" declines
+# the broadcast: ~50 B/row keeps the broadcast ≤ ~50 MB, far under the
+# driver/executor hazard the unconditional form risked at high group
+# cardinality (r8 ADVICE, medium).
+_BROADCAST_OFFSETS_MAX_ROWS = 1_000_000
+
+
 def bucketed_running_sums(
     hist: DataFrame,
     by,
     value_col: str,
     sum_cols,
     out_cols=None,
-    broadcast_offsets: bool = False,
+    broadcast_offsets=False,
 ) -> DataFrame:
     """``hist`` + one ``__cum_{c}__`` inclusive running total per
     ``sum_cols`` entry, ordered by ``value_col`` within each ``by``
@@ -903,8 +932,16 @@ def bucketed_running_sums(
     # NO size estimate (LogicalRDD defaults to Long.Max), so the
     # normally-automatic broadcast of the bounded bucket-total frame
     # falls to SortMergeJoin. Pass True only when groups × buckets is
-    # known bounded (spearman's 3-group case; NOT a caller with
-    # unbounded group cardinality).
+    # known bounded; pass "auto" (r8 ADVICE: spearman's public-op path
+    # has arbitrary `by` cardinality — an unconditional broadcast of a
+    # groups×buckets frame risks driver OOM) to pay ONE bounded-output
+    # count of the offsets frame — cheap when `hist` is checkpointed —
+    # and broadcast only when the count proves it small.
+    if broadcast_offsets == "auto":
+        broadcast_offsets = (
+            bucketed.select(*safe_by, "__bkt__").distinct().count()
+            <= _BROADCAST_OFFSETS_MAX_ROWS
+        )
     out = cum_in.join(
         F.broadcast(offsets) if broadcast_offsets else offsets,
         on=safe_by + ["__bkt__"],

@@ -1659,7 +1659,10 @@ def spearman_corr(
     # accumulators — re-executing it cost 17.4 s vs 12.8 s checkpointed
     # at sf10 (measured r8, the kaplan_meier chained-consumer class).
     cum_y = bucketed_running_sums(
-        hist_y, safe_by, "__y__", ["__c__"], broadcast_offsets=True
+        # "auto" (r8 ADVICE): one bounded count over the checkpointed
+        # histogram proves groups × buckets small before broadcasting —
+        # an arbitrary-cardinality `by` must not force a huge broadcast
+        hist_y, safe_by, "__y__", ["__c__"], broadcast_offsets="auto"
     )
     ranked = cum_y.withColumn(
         "__ry__", 2 * F.col("__cum0__") - F.col("__c__") + 1

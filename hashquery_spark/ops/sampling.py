@@ -416,6 +416,55 @@ def poisson1_case_sql(u_expr: str) -> str:
     return f"(CASE {branches}ELSE 10 END)"
 
 
+def _poisson_partials_fn(n_replicates: int, cdf_grid):
+    """Map-side Poisson-bootstrap partial sums as ONE Arrow-vectorized
+    pass (r8 verdict #3 bootstrap item): each batch computes the full
+    (rows × B) weight matrix in numpy and emits B partial rows
+    (b, Σw, Σw·cents) — the n×B Generate explode and its 11-branch CASE
+    per generated row disappear from the plan. Weights are BIT-IDENTICAL
+    to the SQL inverse-CDF CASE: u = (((h1 + b·h2) mod 2^32) + 0.5) /
+    2^32 in the same IEEE doubles, and ``searchsorted(cdf, u, 'right')``
+    is exactly "smallest k with u < cdf[k], else 10" including the
+    equality branch, so the downstream sums (exact integers) cannot
+    drift. No hints on purpose: pandas_udf/mapInPandas reject
+    annotations stringified by ``from __future__ import annotations``."""
+    import numpy as np
+
+    cdf = np.asarray(cdf_grid, dtype="float64")
+    bs = np.arange(n_replicates, dtype="int64")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1 = pdf["__h1__"].to_numpy("int64")
+            h2 = pdf["__h2__"].to_numpy("int64")
+            cents = pdf["__cents__"].to_numpy("int64")
+            # per-batch int64 overflow bound: w <= 10 per cell
+            bound = 10 * len(cents) * int(np.abs(cents).max())
+            if bound >= (1 << 62):
+                raise ValueError(
+                    "bootstrap_ci vectorized partials would overflow "
+                    "int64 in one Arrow batch; lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch or "
+                    "pass vectorized=False"
+                )
+            g = (h1[:, None] + bs[None, :] * h2[:, None]) % (1 << 32)
+            u = (g.astype("float64") + 0.5) / 4294967296.0
+            w = np.searchsorted(cdf, u, side="right").astype("int64")
+            yield pd.DataFrame(
+                {
+                    "__b__": bs,
+                    "__psw__": w.sum(axis=0),
+                    "__pswx__": cents @ w,
+                }
+            )
+
+    return gen
+
+
 def bootstrap_ci(
     df: DataFrame,
     value_col: str,
@@ -423,6 +472,7 @@ def bootstrap_ci(
     n_replicates: int = 200,
     alpha: float = 0.05,
     seed: str = "boot",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Percentile-bootstrap confidence interval for the mean of
     ``value_col`` — the distribution-free uncertainty readout for any
@@ -449,6 +499,14 @@ def bootstrap_ci(
     sf0.1). The B-group aggregate map-side combines to B·n_partitions
     records; the order-statistics window runs on B rows. Nothing
     driver-side.
+
+    ``vectorized=True`` (default, the r8-verdict decade fix: the n×B
+    Generate was the scaling term — its ratio vs the twin DEGRADED
+    1.11×→1.49× over the sf0.1→sf1 decade) replaces the explode with
+    one Arrow-batched mapInPandas pass emitting B partial sums per
+    batch (:func:`_poisson_partials_fn`); every weight and sum is
+    bit-identical to the SQL form, pinned by
+    test_bootstrap_ci_vectorized_matches_explode.
     """
     if n_replicates < 2:
         raise ValueError("n_replicates must be >= 2")
@@ -462,29 +520,48 @@ def bootstrap_ci(
         f"CAST(floor(CAST({value_col} AS DOUBLE) * 100e0 + 0.5e0) AS BIGINT)"
         " AS __cents__",
     )
-    # the explode (Generate) BINDS __h1__/__h2__: the CASE below touches
-    # only attributes + integer ops, the md5 runs once per row
-    ex = base.select(
-        "__h1__",
-        "__h2__",
-        "__cents__",
-        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__b__"),
-    )
-    u_sql = (
-        "((pmod(__h1__ + __b__ * __h2__, 4294967296L) + 0.5e0)"
-        " / 4294967296e0)"
-    )
-    w = F.expr(poisson1_case_sql(u_sql))
-    per_rep = (
-        ex.select("__b__", "__cents__", w.alias("__w__"))
-        .groupBy("__b__")
-        .agg(
-            F.sum("__w__").alias("__sw__"),
-            F.sum(F.col("__w__").cast("decimal(38,0)") * F.col("__cents__")).alias(
-                "__swx__"
-            ),
+    if vectorized:
+        from .dedup import ensure_parallelism
+
+        # a one-file corpus scans as ONE partition — the vectorized pass
+        # must fan out before the python workers (the rouge_l lesson)
+        base = ensure_parallelism(base)
+        partials = base.mapInPandas(
+            _poisson_partials_fn(n_replicates, _POISSON1_CDF),
+            "__b__ long, __psw__ long, __pswx__ long",
         )
-        .where(F.col("__sw__") > 0)
+        grouped = partials.groupBy("__b__").agg(
+            F.sum("__psw__").alias("__sw__"),
+            F.sum(F.col("__pswx__").cast("decimal(38,0)")).alias("__swx__"),
+        )
+    else:
+        # the explode (Generate) BINDS __h1__/__h2__: the CASE below
+        # touches only attributes + integer ops, the md5 runs once/row
+        ex = base.select(
+            "__h1__",
+            "__h2__",
+            "__cents__",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_replicates - 1))
+            ).alias("__b__"),
+        )
+        u_sql = (
+            "((pmod(__h1__ + __b__ * __h2__, 4294967296L) + 0.5e0)"
+            " / 4294967296e0)"
+        )
+        w = F.expr(poisson1_case_sql(u_sql))
+        grouped = (
+            ex.select("__b__", "__cents__", w.alias("__w__"))
+            .groupBy("__b__")
+            .agg(
+                F.sum("__w__").alias("__sw__"),
+                F.sum(
+                    F.col("__w__").cast("decimal(38,0)") * F.col("__cents__")
+                ).alias("__swx__"),
+            )
+        )
+    per_rep = (
+        grouped.where(F.col("__sw__") > 0)
         .select(
             "__b__",
             (

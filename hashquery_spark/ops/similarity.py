@@ -58,7 +58,21 @@ def _norm_sql(vec: str) -> str:
     )
 
 
-def _two_phase_topk(scored: DataFrame, order_by, top: int, n_salts: int = 64) -> DataFrame:
+# Per-probe candidate count below which the stripe phase is pure tax: a
+# single bounded window sort of ≤200k rows per probe is milliseconds,
+# while the extra exchange + 64-stripe window cost ivf_pq_search +0.6 s
+# at sf0.1 (the r8→r9 measured regression). Above it, no task may sort a
+# whole probe's candidate set — the stripes are mandatory.
+_SINGLE_WINDOW_MAX_CANDIDATES = 200_000
+
+
+def _two_phase_topk(
+    scored: DataFrame,
+    order_by,
+    top: int,
+    n_salts: int = 64,
+    candidates=None,
+) -> DataFrame:
     """Distributed per-probe top-k WITHOUT a one-task-per-probe full
     sort (the r7-verdict scale-killer in the brute ANN paths): phase 1
     ranks within (probe_id, salt) stripes — salt = xxhash64(neighbor_id)
@@ -68,9 +82,23 @@ def _two_phase_topk(scored: DataFrame, order_by, top: int, n_salts: int = 64) ->
     guarantee, not a heuristic); phase 2 re-ranks the ≤ top·n_salts
     survivors per probe in a bounded window. Results are identical to
     the single-window form; the added exchange ships only survivors.
-    Output: the scored columns + dense int ``rank`` 1..top per probe."""
-    w1 = Window.partitionBy("probe_id", "__salt__").orderBy(*order_by)
+
+    ``candidates`` (r8-verdict #1, the funnel ``salt_partials="auto"``
+    pattern): an upper bound on one probe's candidate rows, known by the
+    caller from a bounded count (corpus rows, n_probe × max cell). When
+    it proves the per-probe sort bounded (≤
+    ``_SINGLE_WINDOW_MAX_CANDIDATES``) the stripe phase is skipped — the
+    single partitioned window returns the IDENTICAL result without the
+    extra exchange. ``None`` keeps the stripes (the safe default when no
+    bound is known). Output: the scored columns + dense int ``rank``
+    1..top per probe."""
     w2 = Window.partitionBy("probe_id").orderBy(*order_by)
+    if candidates is not None and candidates <= _SINGLE_WINDOW_MAX_CANDIDATES:
+        return (
+            scored.withColumn("rank", F.row_number().over(w2).cast("int"))
+            .where(F.col("rank") <= top)
+        )
+    w1 = Window.partitionBy("probe_id", "__salt__").orderBy(*order_by)
     return (
         scored.withColumn(
             "__salt__",
@@ -84,22 +112,41 @@ def _two_phase_topk(scored: DataFrame, order_by, top: int, n_salts: int = 64) ->
     )
 
 
+def _resolve_topk_candidates(two_phase, estimate) -> "int | None":
+    """Map a ``two_phase`` caller knob to the ``candidates`` bound:
+    ``True`` forces the stripes (None bound), ``False`` forces the single
+    window (0 bound), ``"auto"`` calls ``estimate()`` — a bounded count
+    the caller pays once (and memoizes where an index object exists)."""
+    if two_phase is True:
+        return None
+    if two_phase is False:
+        return 0
+    if two_phase != "auto":
+        raise ValueError(f"two_phase must be True/False/'auto', got {two_phase!r}")
+    return int(estimate())
+
+
 def ann_brute_force(
     corpus: DataFrame,
     probes: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
+    two_phase="auto",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe vector.
 
     Returns (probe_id, neighbor_id, cos_sim) with cos_sim rounded to 4
     decimals; ranking is (rounded sim DESC, neighbor_id ASC) for a total
     order. The probe side is broadcast — the corpus never shuffles until
-    the per-probe top-k, which runs as the salted two-phase
-    :func:`_two_phase_topk` (no task ever sorts a whole probe's
-    candidate set; at 100× corpus scale the old single window was one
-    straggler task per probe)."""
+    the per-probe top-k. ``two_phase="auto"`` (one bounded corpus count,
+    the funnel compile-job pattern) picks between the salted two-phase
+    :func:`_two_phase_topk` — no task ever sorts a whole probe's
+    candidate set; at 100× corpus scale the single window was one
+    straggler task per probe — and the plain window when the whole
+    corpus is a bounded sort (the stripes were a measured +0.6 s tax at
+    toy scale, r8 verdict #1). ``True``/``False`` pin either path;
+    results are identical by the stripe counting guarantee."""
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pvec__")
     )
@@ -115,6 +162,7 @@ def ann_brute_force(
         scored,
         [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
         k,
+        candidates=_resolve_topk_candidates(two_phase, corpus.count),
     ).select("probe_id", "neighbor_id", "cos_sim", "rank")
 
 
@@ -162,6 +210,7 @@ class IvfIndex:
         self.vec_col = vec_col
         self._flat = None
         self._pq: dict = {}
+        self._cell_stats = None
 
     @property
     def dim(self) -> int:
@@ -263,6 +312,20 @@ class IvfIndex:
             self._pq[key] = (books, dim, dsub, _pq_code_frame(src, books, dsub))
         return self._pq[key]
 
+    def cell_stats(self):
+        """``(n_rows, max_cell_rows)`` over the assignment — ONE bounded
+        agg job (≤ n_centroids output rows), memoized so repeat searches
+        against the same index launch zero further driver work (the
+        ann_ivf memoization contract). Feeds the adaptive top-k gate:
+        one probe's candidate bound is ``n_probe × max_cell_rows``."""
+        if self._cell_stats is None:
+            rows = (
+                self.assigned.groupBy("__cell__").count().collect()
+            )
+            counts = [int(r["count"]) for r in rows]
+            self._cell_stats = (sum(counts), max(counts, default=0))
+        return self._cell_stats
+
     def unpersist(self):
         if self._flat is not None and self._flat.is_cached:
             self._flat.unpersist()
@@ -344,10 +407,17 @@ def load_ivf_index(spark, path: str) -> "IvfIndex":
     # PQ payloads, if the index was written with any built: the books
     # read is one more bounded driver job; the code frames are lazy
     # parquet scans — ivf_pq_search against the loaded index launches
-    # no retrain/re-encode work.
+    # no retrain/re-encode work. Only a genuinely ABSENT payload means
+    # "no PQ built" (r8 ADVICE: a bare except here silently loaded a
+    # PQ-less index on corrupt/permission-failed payloads, defeating
+    # the zero-build serving contract — real read failures now raise).
+    from pyspark.errors import AnalysisException
+
     try:
         book_rows = spark.read.parquet(path + "/pq_books").collect()
-    except Exception:
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         book_rows = []
     cfgs: dict = {}
     for r in book_rows:
@@ -615,6 +685,7 @@ def ivf_pq_search(
     top: int = 10,
     index: "IvfIndex" = None,
     kmeans_iters: int = 0,
+    two_phase="auto",
 ) -> DataFrame:
     """IVF-ADC — the full FAISS ``IVFx,PQy`` search shape and the design
     that actually fits 100 TB of embeddings: IVF cells prune the
@@ -686,12 +757,17 @@ def ivf_pq_search(
         f"try_element_at(__lut{s}__, code_{s} + 1)" for s in range(m)
     )
     scored = joined.selectExpr("probe_id", "neighbor_id", f"{adc} AS adc_dist")
-    # salted two-phase top-k even on the pruned candidates: at 100×
-    # corpus scale a probed cell is still corpus/n_centroids rows
+    # adaptive top-k (r8 verdict #1): at 100× corpus scale a probed cell
+    # is still corpus/n_centroids rows → salted stripes; at bounded cell
+    # sizes (n_probe × max_cell from the memoized index stats — first
+    # search pays ONE bounded agg, repeats zero) the plain window wins
     return _two_phase_topk(
         scored,
         [F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
         top,
+        candidates=_resolve_topk_candidates(
+            two_phase, lambda: n_probe * index.cell_stats()[1]
+        ),
     ).select("probe_id", "neighbor_id", "adc_dist", "rank")
 
 
@@ -1245,6 +1321,7 @@ def pq_search(
     k: int = 16,
     top: int = 10,
     kmeans_iters: int = 0,
+    two_phase="auto",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) search over PQ codes: each probe
     precomputes an ``m × k`` lookup table of subspace distances ONCE
@@ -1288,12 +1365,14 @@ def pq_search(
     scored = joined.where(
         F.col("neighbor_id") != F.col("probe_id")
     ).selectExpr("probe_id", "neighbor_id", f"{adc} AS adc_dist")
-    # salted two-phase top-k: no task ever sorts a whole probe's
-    # candidate set (the brute code scan is corpus-sized per probe)
+    # adaptive top-k (r8 verdict #1): the brute code scan is
+    # corpus-sized per probe → stripes above the bounded-sort threshold,
+    # one plain window below it (one bounded corpus count in auto mode)
     return _two_phase_topk(
         scored,
         [F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
         top,
+        candidates=_resolve_topk_candidates(two_phase, corpus.count),
     ).select("probe_id", "neighbor_id", "adc_dist", "rank")
 
 

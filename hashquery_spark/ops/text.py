@@ -1470,6 +1470,10 @@ def heaps_law(
         )
         + ") AS (__x__, __y__)",
     )
+    # degenerate prefixes (N_j=0 or V_j=0 → ln NULL) drop BEFORE the
+    # regression (r8 ADVICE: the sums skipped those NULLs while count(*)
+    # didn't — the OLS silently used an inconsistent point count)
+    pts = pts.where(F.col("__x__").isNotNull() & F.col("__y__").isNotNull())
     d = "decimal(38,0)"
     reg = pts.groupBy("n_tokens", "n_types").agg(
         F.count(F.lit(1)).alias("__m__"),

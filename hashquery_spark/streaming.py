@@ -578,6 +578,15 @@ def streaming_drift(
         raise ValueError("baseline has no categories")
     total = float(sum(r["__n__"] for r in rows))
     shares = {r["__c__"]: r["__n__"] / total for r in rows}
+    if "__other__" in shares:
+        # the pooled-unseen sentinel must not collide with a real
+        # baseline category (r8 ADVICE: pooled rows would double-count
+        # — once in that category's CASE sum and once in __koth__)
+        raise ValueError(
+            "baseline contains a category literally named '__other__', "
+            "which collides with the pooled-unseen sentinel; rename it "
+            "upstream before monitoring"
+        )
     cats = sorted(shares)
 
     c = F.col(cat_col).cast("string")

@@ -6646,7 +6646,12 @@ def _heaps_sql(n_points: int = 12) -> str:
         f"CAST(count(CASE WHEN did <= c{j} THEN 1 END) AS BIGINT) AS nn{j}"
         for j in range(1, P + 1)
     )
-    lm = "CAST(floor(ln(CAST({c} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    # DuckDB ln(0) ERRORS (Spark returns NULL) — the CASE guard makes
+    # degenerate prefixes NULL points on both engines, dropped by pts2
+    lm = (
+        "CASE WHEN {c} > 0 THEN "
+        "CAST(floor(ln(CAST({c} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) END"
+    )
     pts = " UNION ALL ".join(
         f"SELECT nn{P} AS n_tokens, v{P} AS n_types, "
         f"{lm.format(c=f'nn{j}')} AS x, {lm.format(c=f'v{j}')} AS y "
@@ -6667,6 +6672,7 @@ firsts AS (SELECT t, min(did) AS f FROM tok2 GROUP BY t),
 vrow AS (SELECT {vs} FROM firsts, cuts),
 nrow AS (SELECT {ns} FROM tok2, cuts),
 pts AS ({pts}),
+pts2 AS (SELECT * FROM pts WHERE x IS NOT NULL AND y IS NOT NULL),
 reg AS (
   SELECT n_tokens, n_types,
     CAST(count(*) AS HUGEINT) AS m,
@@ -6674,7 +6680,7 @@ reg AS (
     CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
     CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
     CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
-  FROM pts GROUP BY n_tokens, n_types
+  FROM pts2 GROUP BY n_tokens, n_types
 )
 SELECT CAST({P} AS INT) AS n_points,
   CAST(n_tokens AS BIGINT) AS n_tokens,

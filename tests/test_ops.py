@@ -2529,6 +2529,31 @@ def test_bootstrap_ci_semantics(spark):
     assert (c["ci_hi"] - c["ci_lo"]) < (a["ci_hi"] - a["ci_lo"])  # tightens
 
 
+def test_bootstrap_ci_vectorized_matches_explode(spark, sf_dir):
+    """The Arrow-vectorized Poisson partials (r9 default) must reproduce
+    the SQL explode form BIT-FOR-BIT: same u grid, same searchsorted ==
+    inverse-CDF CASE semantics (incl. the u == cdf[k] equality branch),
+    same exact integer sums — on synthetic data, real parquet, and with
+    negative values (signed cents through the int64 matmul)."""
+    from hashquery_spark.ops import bootstrap_ci
+
+    df = spark.range(3000).selectExpr(
+        "id", "CAST(id % 97 AS DOUBLE) - 48.0 AS v"
+    )
+    a = bootstrap_ci(df, "v", "id", n_replicates=60).collect()[0]
+    b = bootstrap_ci(df, "v", "id", n_replicates=60, vectorized=False).collect()[0]
+    assert tuple(a) == tuple(b)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a2 = bootstrap_ci(
+        li, "l_extendedprice", "l_orderkey", n_replicates=40
+    ).collect()[0]
+    b2 = bootstrap_ci(
+        li, "l_extendedprice", "l_orderkey", n_replicates=40, vectorized=False
+    ).collect()[0]
+    assert tuple(a2) == tuple(b2)
+
+
 def test_v_measure_known_values(spark):
     """sklearn-convention fixtures: perfect clustering -> (1,1,1);
     single cluster -> homogeneity 0, completeness 1; independence -> 0;
@@ -4626,7 +4651,7 @@ def test_two_phase_topk_identical_and_salted_plan(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probes = emb.where("vec_id < 4")
-    got = ann_brute_force(emb, probes, "embedding", "vec_id", k=7)
+    got = ann_brute_force(emb, probes, "embedding", "vec_id", k=7, two_phase=True)
     # reference: the pre-r8 single-window formulation
     p = probes.select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("__pv__")
@@ -4660,14 +4685,29 @@ def test_two_phase_topk_identical_and_salted_plan(spark, sf_dir):
     assert key(got) == key(ref)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "__salt__" in plan
+    # the adaptive gate (r8 verdict #1): at toy scale "auto" proves the
+    # per-probe sort bounded, skips the stripes, and returns the
+    # IDENTICAL rows without the extra exchange
+    auto = ann_brute_force(emb, probes, "embedding", "vec_id", k=7)
+    assert key(auto) == key(ref)
+    assert "__salt__" not in auto._jdf.queryExecution().executedPlan().toString()
     # pq_search rides the same helper — ranks stay dense 1..top
-    pq = pq_search(emb, probes, "embedding", "vec_id", m=4, k=16, top=6)
+    pq = pq_search(
+        emb, probes, "embedding", "vec_id", m=4, k=16, top=6, two_phase=True
+    )
     by_probe = {}
     for r in pq.collect():
         by_probe.setdefault(r["probe_id"], []).append(r["rank"])
     for pid, ranks in by_probe.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), pid
     assert "__salt__" in pq._jdf.queryExecution().executedPlan().toString()
+    pq_auto = pq_search(emb, probes, "embedding", "vec_id", m=4, k=16, top=6)
+    pkey = lambda df: sorted(
+        (r["probe_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+        for r in df.collect()
+    )
+    assert pkey(pq_auto) == pkey(pq)
+    assert "__salt__" not in pq_auto._jdf.queryExecution().executedPlan().toString()
 
 
 def test_pq_trained_codebooks_beat_first_k(spark, sf_dir):
