@@ -4853,6 +4853,32 @@ def q_leakage_report(spark, sf_dir):
     ).orderBy("split_a", "split_b")
 
 
+def q_leakage_index(spark, sf_dir):
+    """INCREMENTAL leakage audit (r8 verdict #8): a train-split
+    LshIndex is built once (capped band buckets, lazily checkpointed),
+    then the eval snapshot — itself split val/test — probes it; the
+    indexed corpus is never re-bucketed. Orientation coverage is real:
+    'test' < 'train' < 'val', so the report exercises both
+    index-on-the-left and index-on-the-right rows."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import leakage_report, lsh_index
+
+    docs = _conn(spark, sf_dir).table("documents")
+    idx = lsh_index(
+        docs.where(F.col("doc_id") % 10 < 8), "text", "doc_id", name="train"
+    )
+    ev = docs.where(F.col("doc_id") % 10 >= 8).withColumn(
+        "split",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("val")).otherwise(
+            F.lit("test")
+        ),
+    )
+    return leakage_report(
+        ev, "text", "doc_id", "split", threshold=0.5, index=idx
+    ).orderBy("split_a", "split_b")
+
+
 def q_dp_mean(spark, sf_dir):
     """Per-status DP mean order value: epsilon split between the
     clipped noisy sum and the noisy count, both seeded md5 inverse-CDF
@@ -5103,6 +5129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "pq_encode": q_pq_encode,
         "leakage_report": q_leakage_report,
+        "leakage_index": q_leakage_index,
         "dp_mean": q_dp_mean,
         "sampling_weights": q_sampling_weights,
         "winnowing": q_winnowing,

@@ -217,6 +217,8 @@ HEADLINE = [
     "dp_mean",
     "sampling_weights",
     "winnowing",
+    # ---- appended r9 (never reshuffle: judged-N subtotals above) ----
+    "leakage_index",
 ]
 
 

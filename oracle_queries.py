@@ -6888,6 +6888,96 @@ ORDER BY split_a, split_b
 """
 
 
+# Incremental leakage audit against a prebuilt train-side LshIndex:
+# signatures depend only on text, so per-side build == side filter of
+# the shared buckets0 with PER-SIDE hot-bucket caps (the op caps each
+# side independently, unlike the one-frame report's whole-corpus cap).
+ORACLE_SQL["leakage_index"] = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS.format(c='text')} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM toks
+),
+sigs AS (
+  SELECT doc_id, {_SIG} AS sig FROM sh
+),
+buckets0 AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(sig[b.band*4 + 1 : b.band*4 + 4], ',')) AS key
+  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+  WHERE sig[1] IS NOT NULL
+),
+tbuck AS (
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, band, key,
+           count(*) OVER (PARTITION BY band, key) AS bn
+    FROM buckets0 WHERE doc_id % 10 < 8
+  ) WHERE bn <= 500
+),
+ebuck AS (
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, band, key,
+           count(*) OVER (PARTITION BY band, key) AS bn
+    FROM buckets0 WHERE doc_id % 10 >= 8
+  ) WHERE bn <= 500
+),
+cand AS (
+  SELECT DISTINCT e.doc_id AS eid, t.doc_id AS tid
+  FROM ebuck e JOIN tbuck t ON e.band = t.band AND e.key = t.key
+),
+sets AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+verified AS (
+  SELECT c.eid, c.tid
+  FROM cand c
+  JOIN sets x ON c.eid = x.doc_id
+  JOIN sets y ON c.tid = y.doc_id
+  WHERE len(list_distinct(list_concat(x.s, y.s))) > 0
+    AND floor((CAST(100000 AS DOUBLE) * len(list_intersect(x.s, y.s))
+               + CAST(5 AS DOUBLE) * len(list_distinct(list_concat(x.s, y.s))))
+              / (CAST(10 AS DOUBLE) * len(list_distinct(list_concat(x.s, y.s)))))
+        / CAST(10000 AS DOUBLE) >= 0.5
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'val' ELSE 'test' END AS spl
+  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 10 >= 8
+),
+labeled AS (
+  SELECT least(xa.spl, 'train') AS split_a,
+         greatest(xa.spl, 'train') AS split_b,
+         CASE WHEN xa.spl = least(xa.spl, 'train')
+              THEN CAST(v.eid AS VARCHAR) ELSE CAST(v.tid AS VARCHAR) END
+           AS da,
+         CASE WHEN xa.spl = least(xa.spl, 'train')
+              THEN CAST(v.tid AS VARCHAR) ELSE CAST(v.eid AS VARCHAR) END
+           AS db
+  FROM verified v JOIN sp xa ON xa.doc_id = v.eid
+),
+agg AS (
+  SELECT split_a, split_b,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT da) AS BIGINT) AS leaked_a,
+         CAST(count(DISTINCT db) AS BIGINT) AS leaked_b
+  FROM labeled GROUP BY split_a, split_b
+),
+sizes AS (
+  SELECT spl, CAST(count(*) AS BIGINT) AS nd FROM sp GROUP BY spl
+  UNION ALL
+  SELECT 'train', CAST(count(*) AS BIGINT) FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id % 10 < 8
+)
+SELECT a.split_a, a.split_b, za.nd AS n_docs_a, zb.nd AS n_docs_b,
+  a.n_pairs, a.leaked_a, a.leaked_b,
+  {_round4_ratio_sql('a.leaked_a', 'za.nd')} AS leak_rate_a,
+  {_round4_ratio_sql('a.leaked_b', 'zb.nd')} AS leak_rate_b
+FROM agg a
+JOIN sizes za ON za.spl = a.split_a
+JOIN sizes zb ON zb.spl = a.split_b
+ORDER BY split_a, split_b
+"""
+
+
 ORACLE_SQL["dp_mean"] = f"""
 WITH agg AS (
   SELECT o_orderstatus,
