@@ -1705,6 +1705,29 @@ def q_ann_bruteforce(spark, sf_dir):
     return ann_brute_force(emb, probes, "embedding", "vec_id", k=10)
 
 
+def q_ann_topk_salted(spark, sf_dir):
+    """ann_brute_force with the two-phase salted top-k FORCED on — the
+    r9 A/B twin of q_ann_topk_single for the decade benches: results
+    are pin-identical (stripe counting guarantee), only the plan
+    differs; the crossover calibrates _SINGLE_WINDOW_MAX_CANDIDATES."""
+    emb = _conn(spark, sf_dir).table("embeddings")
+    probes = emb.where("vec_id < 5")
+    return ann_brute_force(
+        emb, probes, "embedding", "vec_id", k=10, two_phase=True
+    )
+
+
+def q_ann_topk_single(spark, sf_dir):
+    """ann_brute_force with the single-window top-k FORCED (the pre-r8
+    shape): one task sorts each probe's whole candidate set — the
+    decade benches measure where this stops being acceptable."""
+    emb = _conn(spark, sf_dir).table("embeddings")
+    probes = emb.where("vec_id < 5")
+    return ann_brute_force(
+        emb, probes, "embedding", "vec_id", k=10, two_phase=False
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via LSH bucket self-join."""
     emb = _conn(spark, sf_dir).table("embeddings")
@@ -2871,6 +2894,19 @@ def q_bootstrap_ci(spark, sf_dir):
 
     orders = _conn(spark, sf_dir).table("orders")
     return bootstrap_ci(orders, "o_totalprice", "o_orderkey", n_replicates=100)
+
+
+def q_bootstrap_ci_explode(spark, sf_dir):
+    """bootstrap_ci on the pre-r9 Generate/explode path (the r9 A/B
+    twin of the vectorized default — bit-identical results, same
+    oracle; the decade benches record which path scales)."""
+    from hashquery_spark.ops import bootstrap_ci
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return bootstrap_ci(
+        orders, "o_totalprice", "o_orderkey", n_replicates=100,
+        vectorized=False,
+    )
 
 
 def q_dp_count(spark, sf_dir):
@@ -4998,6 +5034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_bruteforce": q_ann_bruteforce,
+        "ann_topk_salted": q_ann_topk_salted,
+        "ann_topk_single": q_ann_topk_single,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -5200,6 +5238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_by_name": q_union_by_name,
         "dp_count": q_dp_count,
         "bootstrap_ci": q_bootstrap_ci,
+        "bootstrap_ci_explode": q_bootstrap_ci_explode,
     }
 
 

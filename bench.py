@@ -219,6 +219,9 @@ HEADLINE = [
     "winnowing",
     # ---- appended r9 (never reshuffle: judged-N subtotals above) ----
     "leakage_index",
+    "ann_topk_salted",
+    "ann_topk_single",
+    "bootstrap_ci_explode",
 ]
 
 

@@ -1353,6 +1353,9 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_simhash": _simhash_sql(32),
     "dedup_jaccard": JACCARD_SQL,
     "ann_bruteforce": ANN_BRUTE_SQL,
+    # r9 two-phase A/B twins: plan-only variants, value-identical
+    "ann_topk_salted": ANN_BRUTE_SQL,
+    "ann_topk_single": ANN_BRUTE_SQL,
     "ann_lsh": ANN_LSH_SQL,
     "embedding_near_dup": NEAR_DUP_SQL,
     "embedding_join": EMBEDDING_JOIN_SQL,
@@ -4170,6 +4173,10 @@ SELECT n, mean,
   CAST(100 AS BIGINT) AS n_replicates
 FROM stats, ranked GROUP BY n, mean
 """
+
+# r9 A/B twin: the explode-path variant is value-identical
+ORACLE_SQL["bootstrap_ci_explode"] = ORACLE_SQL["bootstrap_ci"]
+
 
 
 ORACLE_SQL["phash_near_dup"] = """

@@ -86,6 +86,21 @@ HEAVY = [
     # --- round 7 (appended) ---
     "rouge_l",               # the last >1s sf0.1 op with no decade record
     "spearman_fast",         # the new library-default double path
+    # --- round 9 (appended): decade rows for the r8 ops (r8 verdict
+    # #3 — "measure the decade, don't assert it") ---
+    "wasserstein_1d",
+    "effect_size",
+    "adamic_adar",
+    "attribution_linear",
+    "attribution_last",
+    "heaps_law",
+    "assoc_rules",
+    "embedding_drift",
+    "leakage_report",
+    "sampling_weights",
+    "winnowing",
+    "leakage_index",         # r9: the persisted-LSH incremental audit
+    "bootstrap_ci_explode",  # r9 A/B: the pre-r9 Generate path (below)
 ]
 # fixed-parameter cluster blocking makes in-cell pair work grow faster
 # than the data (see module docstring) — flagged in the output JSON.

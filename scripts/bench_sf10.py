@@ -61,6 +61,14 @@ PERF = [
     "fuzzy_dedup_e2e",
     "funnel",
     "bootstrap_ci",
+    # r9 additions: the bootstrap vectorized-vs-explode A/B (r8 verdict
+    # bootstrap item) and the two-phase top-k A/B at the decade where
+    # one probe's candidate set (~600k rows) finally exceeds
+    # _SINGLE_WINDOW_MAX_CANDIDATES — the crossover evidence
+    "bootstrap_ci_explode",
+    "ann_topk_salted",
+    "ann_topk_single",
+    "leakage_index",
 ]
 
 
