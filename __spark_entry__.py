@@ -1705,6 +1705,71 @@ def q_ann_bruteforce(spark, sf_dir):
     return ann_brute_force(emb, probes, "embedding", "vec_id", k=10)
 
 
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch frequency estimates vs exact truth for the 5
+    hottest tokens: the sketch (512×4 counters, KM-double-hashed slots
+    from one md5 per DISTINCT token) must never undercount — the CMS
+    guarantee — and both the counters and the probe lookups reproduce
+    bit-for-bit in the oracle."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import cms_query, cms_rollup
+    from hashquery_spark.ops.dedup import tokens
+
+    docs = _conn(spark, sf_dir).table("documents")
+    tok = docs.select(
+        F.explode(tokens(F.col("text"))).alias("item")
+    ).where(F.col("item") != "")
+    sketch = cms_rollup(tok, "item", width=512, depth=4)
+    exact = tok.groupBy("item").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.orderBy(
+        F.col("exact_count").desc(), F.col("item").asc()
+    ).limit(5)
+    est = cms_query(
+        sketch, probes.select("item"), width=512, depth=4
+    )
+    return (
+        est.join(probes, on="item")
+        .select(
+            "item",
+            "est_count",
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("est_count") >= F.col("exact_count")).alias(
+                "never_undercounts"
+            ),
+        )
+        .orderBy("item")
+    )
+
+
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 sign projection of the 64-d embeddings
+    to 8 dims — one codegen'd add/sub chain per output dim, fixed IEEE
+    order, 1e-6 snap; the oracle replays the identical chain."""
+    from hashquery_spark.ops import random_projection
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    return random_projection(
+        emb.select("vec_id", "embedding"), "embedding", dim=64, d_out=8
+    ).orderBy("vec_id")
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining: top-5 most-cosine-similar corpus vectors
+    with a DIFFERENT label per anchor — the contrastive-training
+    negatives; ann_brute_force machinery + label exclusion, adaptive
+    two-phase top-k."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import hard_negatives
+
+    emb = _conn(spark, sf_dir).table("embeddings")
+    anchors = emb.where(F.col("vec_id") < 5)
+    return hard_negatives(
+        emb, anchors, "embedding", "vec_id", "label", k=5
+    ).orderBy("probe_id", "rank")
+
+
 def q_ann_topk_salted(spark, sf_dir):
     """ann_brute_force with the two-phase salted top-k FORCED on — the
     r9 A/B twin of q_ann_topk_single for the decade benches: results
@@ -4362,6 +4427,58 @@ def q_impute(spark, sf_dir):
     return impute(planted, "value", by="event_type", strategy="median")
 
 
+def q_roc_points(spark, sf_dir):
+    """Full ROC curve (per-threshold TP/FP/FN/TN + tie-proof rates) of
+    the grid-snapped order total as a predictor of finished status, per
+    priority band — descending two-phase prefix sums over the score
+    histogram, never a per-group sort."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import roc_points
+
+    orders = _conn(spark, sf_dir).table("orders")
+    labelled = orders.select(
+        F.floor(F.col("o_totalprice") / 1000).cast("double").alias("band"),
+        (F.col("o_orderstatus") == "F").alias("is_f"),
+        F.col("o_orderpriority"),
+    )
+    return roc_points(
+        labelled, "band", "is_f", by="o_orderpriority"
+    ).orderBy("o_orderpriority", "threshold")
+
+
+def q_slice_report(spark, sf_dir):
+    """Sliced eval: accuracy of the threshold rule 'totalprice>10000
+    predicts finished' per priority band, with Wilson bands so tiny
+    slices don't outrank big ones."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import slice_report
+
+    orders = _conn(spark, sf_dir).table("orders")
+    scored = orders.select(
+        (F.col("o_orderstatus") == "F").alias("label"),
+        (F.col("o_totalprice") > 10000).alias("pred"),
+        F.col("o_orderpriority"),
+    )
+    return slice_report(scored, "label", "pred", "o_orderpriority").orderBy(
+        "o_orderpriority"
+    )
+
+
+def q_dpo_pairs(spark, sf_dir):
+    """Preference-pair construction: per customer (prompt), the
+    highest- vs lowest-priced order (chosen/rejected) with
+    deterministic id tiebreaks and a positive margin — one struct-min
+    aggregate, no window."""
+    from hashquery_spark.ops import dpo_pair_build
+
+    orders = _conn(spark, sf_dir).table("orders")
+    return dpo_pair_build(
+        orders, "o_custkey", "o_orderkey", "o_totalprice"
+    ).orderBy("prompt")
+
+
 def q_classification_report(spark, sf_dir):
     """Per-class P/R/F1 of the naive previous-event predictor (pred =
     lagged event_type per user) — one bounded confusion table, exact
@@ -5036,6 +5153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_topk_salted": q_ann_topk_salted,
         "ann_topk_single": q_ann_topk_single,
+        "roc_points": q_roc_points,
+        "slice_report": q_slice_report,
+        "dpo_pairs": q_dpo_pairs,
+        "cms_counts": q_cms_counts,
+        "random_projection": q_random_projection,
+        "hard_negatives": q_hard_negatives,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,

@@ -222,6 +222,12 @@ HEADLINE = [
     "ann_topk_salted",
     "ann_topk_single",
     "bootstrap_ci_explode",
+    "roc_points",
+    "slice_report",
+    "dpo_pairs",
+    "cms_counts",
+    "random_projection",
+    "hard_negatives",
 ]
 
 

@@ -188,6 +188,117 @@ def average_precision(
     )
 
 
+def roc_points(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by=None,
+) -> DataFrame:
+    """The full ROC curve — one row per DISTINCT score threshold
+    (classifier predicts positive when ``score >= threshold``),
+    optionally per ``by`` group: ``threshold, tp, fp, fn, tn, tpr, fpr,
+    precision``. The curve behind :func:`binary_auc`'s scalar — what a
+    quality-classifier gate is actually TUNED with ("which threshold
+    buys 95% recall at acceptable yield").
+
+    Scale/exactness: the corpus reduces to the (score)→(n_pos, n_neg)
+    histogram (map-side combined); TP/FP at every threshold are one
+    DESCENDING two-phase prefix sum over the histogram (negated-score
+    :func:`~hashquery_spark.ops.dedup.bucketed_running_sums` — never a
+    per-group ordered window, the r5 near-continuous-histogram stall
+    class); class totals attach via a bounded broadcast join-back. All
+    counts are exact integers; every rate is the tie-proof 4-dp integer
+    ratio, so the oracle matches bit-for-bit."""
+    from .dedup import bucketed_running_sums, null_safe_join, round4_ratio
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    s, lab = F.col(score_col), F.col(label_col)
+    pos = F.when(lab.cast("boolean"), 1).otherwise(0)
+    hist = (
+        df.where(s.isNotNull() & lab.isNotNull())
+        .groupBy(*by, s.cast("double").alias("__s__"))
+        .agg(
+            F.sum(pos).cast("long").alias("__p__"),
+            F.sum(1 - pos).cast("long").alias("__q__"),
+        )
+    )
+    cumf = bucketed_running_sums(
+        hist.withColumn("__ns__", -F.col("__s__")),
+        by,
+        "__ns__",
+        ["__p__", "__q__"],
+    )
+    totals = hist.groupBy(*by).agg(
+        # NOT "__P__"/"__Q__": Spark resolves case-insensitively by
+        # default, so they would collide with the histogram's __p__/__q__
+        F.sum("__p__").alias("__ptot__"), F.sum("__q__").alias("__qtot__")
+    )
+    j = null_safe_join(cumf, totals, by, broadcast=True)
+    tp, fp = F.col("__cum0__"), F.col("__cum1__")
+    fn, tn = F.col("__ptot__") - tp, F.col("__qtot__") - fp
+    one = F.lit(1)
+    return j.select(
+        *by,
+        F.col("__s__").alias("threshold"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        tn.alias("tn"),
+        round4_ratio(tp, F.greatest(F.col("__ptot__"), one)).alias("tpr"),
+        round4_ratio(fp, F.greatest(F.col("__qtot__"), one)).alias("fpr"),
+        round4_ratio(tp, F.greatest(tp + fp, one)).alias("precision"),
+    )
+
+
+def slice_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    slice_cols,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-slice evaluation — accuracy with Wilson uncertainty bands
+    for every value combination of ``slice_cols`` (the "is the model
+    worse on short docs / rare languages / one source" report; the
+    sliced-eval companion to the global
+    :func:`classification_report`, with the :func:`win_rate` Wilson
+    machinery so a 3-correct-of-3 slice doesn't outrank a 290-of-300
+    one). Output per slice: ``n, n_correct, accuracy, wilson_lo,
+    wilson_hi``.
+
+    Scale: ONE groupBy over the slice keys, map-side combined; no
+    joins, no windows. Exactness: accuracy is the tie-proof integer
+    ratio; Wilson bounds are fixed-order IEEE chains over exact counts
+    snapped at 6 dp (the win_rate contract)."""
+    from .dedup import fround, round4_ratio
+
+    slice_cols = (
+        [slice_cols] if isinstance(slice_cols, str) else list(slice_cols)
+    )
+    lab, pred = F.col(label_col), F.col(pred_col)
+    base = df.where(lab.isNotNull() & pred.isNotNull())
+    g = base.groupBy(*slice_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(lab == pred, 1)).cast("long").alias("n_correct"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_correct").cast("double") / n
+    zz = F.lit(float(z) * float(z))
+    center = p + zz / (F.lit(2.0) * n)
+    margin = F.lit(float(z)) * F.sqrt(
+        (p * (F.lit(1.0) - p)) / n + zz / (F.lit(4.0) * (n * n))
+    )
+    denom = F.lit(1.0) + zz / n
+    return g.select(
+        *slice_cols,
+        "n",
+        "n_correct",
+        round4_ratio(F.col("n_correct"), F.col("n")).alias("accuracy"),
+        fround((center - margin) / denom, 6).alias("wilson_lo"),
+        fround((center + margin) / denom, 6).alias("wilson_hi"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

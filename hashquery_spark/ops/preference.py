@@ -235,6 +235,63 @@ ORDER BY rating DESC, player
     return head + "," + ",".join(steps) + tail
 
 
+def dpo_pair_build(
+    df: DataFrame,
+    prompt_col: str,
+    completion_col: str,
+    score_col: str,
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Build preference pairs for DPO/RLHF reward modeling from scored
+    completions: per prompt, chosen = highest-scored completion,
+    rejected = lowest-scored (ties break to the LOWEST completion id on
+    both sides — a total order, so the pair set is deterministic under
+    any partitioning), emitted only when ``margin = chosen_score −
+    rejected_score`` is ``> min_margin`` and the prompt has ≥ 2
+    completions. Output: ``prompt, chosen, rejected, chosen_score,
+    rejected_score, margin, n_completions``.
+
+    This is the standard pairing step of preference-data prep (e.g.
+    best-vs-worst sampling from an n-best list scored by a reward
+    model); compose upstream with :func:`~hashquery_spark.ops`
+    classifier/quality scores and downstream with
+    :func:`bradley_terry` / :func:`win_rate` over the emitted pairs.
+
+    Scale: ONE groupBy(prompt) with two struct-ordered min/max
+    aggregates — no window, no join, map-side combined. Exactness:
+    argmin/argmax via natural struct ordering on (±score, id); margin
+    is one IEEE subtraction of the selected raw doubles, identical in
+    the oracle."""
+    p = F.col(prompt_col)
+    c = F.col(completion_col)
+    s = F.col(score_col).cast("double")
+    base = df.where(p.isNotNull() & c.isNotNull() & s.isNotNull())
+    # (-score, id) min = highest score, lowest id tiebreak;
+    # (score, id) min = lowest score, lowest id tiebreak
+    g = base.groupBy(p.alias("prompt")).agg(
+        F.min(F.struct((-s).alias("ns"), c.alias("id"), s.alias("s"))).alias(
+            "__ch__"
+        ),
+        F.min(F.struct(s.alias("s"), c.alias("id"))).alias("__rj__"),
+        F.count(F.lit(1)).cast("long").alias("n_completions"),
+    )
+    margin = F.col("__ch__.s") - F.col("__rj__.s")
+    return (
+        g.where(
+            (F.col("n_completions") >= 2) & (margin > F.lit(float(min_margin)))
+        )
+        .select(
+            "prompt",
+            F.col("__ch__.id").alias("chosen"),
+            F.col("__rj__.id").alias("rejected"),
+            F.col("__ch__.s").alias("chosen_score"),
+            F.col("__rj__.s").alias("rejected_score"),
+            margin.alias("margin"),
+            "n_completions",
+        )
+    )
+
+
 def win_rate(
     df: DataFrame,
     winner_col: str,

@@ -166,6 +166,118 @@ def ann_brute_force(
     ).select("probe_id", "neighbor_id", "cos_sim", "rank")
 
 
+def rp_signs(dim: int, d_out: int) -> List[List[int]]:
+    """Deterministic ±1 sign matrix for :func:`random_projection`,
+    derived from md5 so any engine reproduces it exactly:
+    ``s[k][j] = +1 if int(md5(f"rp:{k}:{j}")[:6], 16) % 2 == 0 else -1``
+    (the random_hyperplanes recipe). Achlioptas (2003): ±1 entries
+    satisfy the Johnson-Lindenstrauss lemma like Gaussian ones."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp:{k}:{j}".encode()).hexdigest()[:6], 16) % 2
+            == 0
+            else -1
+            for j in range(dim)
+        ]
+        for k in range(d_out)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    d_out: int = 8,
+    keep=None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection of an embedding
+    column to ``d_out`` dimensions: ``rp_k = (Σ_j s_kj·v_j)/√d_out``
+    with the deterministic ±1 matrix from :func:`rp_signs` — the cheap
+    dimensionality-reduction front end for ANN prefiltering and drift
+    monitors when the raw dimension is large (distances are preserved
+    within (1±ε) at d_out = O(ln n/ε²); Achlioptas 2003 ±1 variant).
+    Output: ``keep`` columns (default: everything except ``vec_col``)
+    + flat ``rp_0..rp_{d_out−1}`` DOUBLE columns, each snapped to the
+    1e-6 grid.
+
+    Scale: one narrow codegen'd projection — d_out·dim multiply-free
+    adds/subtracts per row (signs are ±1: pure add/sub chains), no
+    shuffle, no UDF. Exactness: fixed left-to-right sums of the raw
+    doubles, one divide by the correctly-rounded √d_out, tie-proof
+    fround — the oracle replays the identical chain."""
+    import math
+
+    signs = rp_signs(dim, d_out)
+    keep = (
+        [c for c in df.columns if c != vec_col]
+        if keep is None
+        else ([keep] if isinstance(keep, str) else list(keep))
+    )
+    root = repr(math.sqrt(float(d_out)))
+    items = []
+    for k, row in enumerate(signs):
+        terms = " + ".join(
+            (
+                f"{'' if s > 0 else '-'}"
+                f"CAST(try_element_at(`{vec_col}`, {j + 1}) AS DOUBLE)"
+            )
+            for j, s in enumerate(row)
+        ).replace("+ -", "- ")
+        items.append(
+            f"floor((({terms}) / {root}D) * 1e6 + 5e-1) / 1e6 AS rp_{k}"
+        )
+    return df.selectExpr(*[f"`{c}`" for c in keep], *items)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    two_phase="auto",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, the top-``k`` most-similar corpus items with a DIFFERENT
+    label — the highest-loss negatives (the "hard" in hard-negative
+    sampling; random negatives are :func:`~hashquery_spark.ops.sampling.
+    negative_sample`). Output: ``(probe_id, neighbor_id, cos_sim,
+    rank)``, ranked (4-dp sim DESC, neighbor id ASC) — the
+    ann_brute_force contract plus the label exclusion.
+
+    Scale: identical to :func:`ann_brute_force` (broadcast anchors,
+    corpus never shuffles, adaptive two-phase top-k); the label filter
+    prunes candidates BEFORE the rank stage."""
+    p = anchors.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__pvec__"),
+        F.col(label_col).alias("__plab__"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec__"),
+        F.col(label_col).alias("__clab__"),
+    )
+    joined = c.crossJoin(F.broadcast(p)).where(
+        (F.col("neighbor_id") != F.col("probe_id"))
+        & (
+            ~F.col("__clab__").eqNullSafe(F.col("__plab__"))
+        )
+    )
+    sim = fround(cosine(F.col("__pvec__"), F.col("__cvec__")), 4)
+    scored = joined.select("probe_id", "neighbor_id", sim.alias("cos_sim"))
+    return _two_phase_topk(
+        scored,
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        candidates=_resolve_topk_candidates(two_phase, corpus.count),
+    ).select("probe_id", "neighbor_id", "cos_sim", "rank")
+
+
 def random_hyperplanes(dim: int, n_planes: int) -> List[List[float]]:
     """Deterministic pseudo-random hyperplanes derived from md5 so any
     engine (Spark, DuckDB, numpy) reproduces them exactly:

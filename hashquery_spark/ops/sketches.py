@@ -116,6 +116,133 @@ def kll_quantiles(
     return agg.selectExpr(*by, stack)
 
 
+def cms_rollup(
+    df: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    by=None,
+    weight_col: str = None,
+) -> DataFrame:
+    """Count-min sketch of ``item_col`` frequencies — the MERGEABLE
+    frequency summary completing the sketch family (HLL = distincts,
+    KLL = quantiles, theta = set ops, CMS = per-item counts): store
+    ``width × depth`` integer counters per group/partition/day instead
+    of a full item count table, roll up by summing counters
+    (:func:`cms_merge`), answer point queries later with
+    :func:`cms_query` — estimates NEVER undercount, and overcount by
+    at most ~2n/width with prob 1−2^−depth (Cormode-Muthukrishnan).
+    Output: group cols + ``(depth_j, slot, counter)`` rows.
+
+    Determinism: row j's slot for an item is Kirsch-Mitzenmacher double
+    hashing ``(h1 + j·h2) mod width`` from ONE md5 per DISTINCT item
+    (the minhash-permutation lesson) — reproducible bit-for-bit in any
+    engine, insertion-order independent (counters are sums).
+
+    Scale: two-level aggregate — per-(group, item) counts first
+    (map-side combined, bounded by vocabulary), then the depth-way
+    explode runs over DISTINCT items only, never the token stream;
+    final state is ≤ width·depth counters per group."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    item = F.col(item_col).cast("string")
+    counts = (
+        df.where(item.isNotNull())
+        .groupBy(*by, item.alias("__it__"))
+        .agg(F.sum(w).alias("__c__"))
+    )
+    hashed = counts.selectExpr(
+        *[f"`{c}`" for c in by],
+        "__c__",
+        "CAST(conv(substring(md5(__it__), 1, 8), 16, 10) AS BIGINT) AS __h1__",
+        "CAST(conv(substring(md5(__it__), 9, 8), 16, 10) AS BIGINT) AS __h2__",
+    )
+    ex = hashed.select(
+        *by,
+        "__c__",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {int(depth) - 1}), "
+                f"j -> named_struct('j', j, 's', "
+                f"pmod(__h1__ + j * __h2__, {int(width)})))"
+            )
+        ).alias("__js__"),
+    )
+    return ex.groupBy(
+        *by,
+        F.col("__js__.j").cast("int").alias("depth_j"),
+        F.col("__js__.s").cast("long").alias("slot"),
+    ).agg(F.sum("__c__").cast("long").alias("counter"))
+
+
+def cms_merge(parts: DataFrame, by=None) -> DataFrame:
+    """Roll stored :func:`cms_rollup` partials up to coarser keys —
+    counters simply sum (the CMS mergeability property); never rescans
+    raw data. Sketches must share width/depth."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    return parts.groupBy(*by, "depth_j", "slot").agg(
+        F.sum("counter").cast("long").alias("counter")
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    items,
+    width: int = 1024,
+    depth: int = 4,
+    by=None,
+) -> DataFrame:
+    """Point-estimate item frequencies from a :func:`cms_rollup` sketch:
+    ``est = min_j counter[(h1 + j·h2) mod width]`` (absent slot = 0).
+    ``items`` is a python list of item strings (bounded, broadcast) or a
+    1-column DataFrame of items. Output: group cols + ``(item,
+    est_count)`` — an OVERESTIMATE of the true count, never an
+    undercount."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    spark = sketch.sparkSession
+    if not isinstance(items, DataFrame):
+        items = spark.createDataFrame(
+            [(str(x),) for x in items], "item string"
+        )
+    else:
+        items = items.toDF("item")
+    probes = items.selectExpr(
+        "item",
+        "CAST(conv(substring(md5(item), 1, 8), 16, 10) AS BIGINT) AS __h1__",
+        "CAST(conv(substring(md5(item), 9, 8), 16, 10) AS BIGINT) AS __h2__",
+    ).select(
+        "item",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {int(depth) - 1}), "
+                f"j -> named_struct('j', j, 's', "
+                f"pmod(__h1__ + j * __h2__, {int(width)})))"
+            )
+        ).alias("__js__"),
+    ).select(
+        "item",
+        F.col("__js__.j").cast("int").alias("depth_j"),
+        F.col("__js__.s").cast("long").alias("slot"),
+    )
+    # every (group, item, depth) combination must exist BEFORE the
+    # left join — an absent counter row means "slot never hit" and
+    # estimates 0 at that depth, which a plain join would silently drop
+    if by:
+        probes = sketch.select(*by).distinct().crossJoin(probes)
+    joined = probes.join(
+        sketch, on=by + ["depth_j", "slot"], how="left"
+    )
+    return joined.groupBy(*by, "item").agg(
+        F.min(F.coalesce(F.col("counter"), F.lit(0))).cast("long").alias(
+            "est_count"
+        )
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     item_col: str,

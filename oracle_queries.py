@@ -7072,3 +7072,207 @@ SELECT o_orderpriority, n,
     + 0.0e0 AS factor
 FROM pa, z ORDER BY o_orderpriority
 """
+
+
+# --------------------------------------------------------------------------
+# round 9: eval curve / sliced eval / preference pairs / CMS / JL / negatives
+# --------------------------------------------------------------------------
+
+ORACLE_SQL["roc_points"] = f"""
+WITH base AS (
+  SELECT CAST(floor(o_totalprice / 1000) AS DOUBLE) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+         o_orderpriority
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+),
+hist AS (
+  SELECT o_orderpriority, s,
+         CAST(count(CASE WHEN pos = 1 THEN 1 END) AS BIGINT) AS p,
+         CAST(count(CASE WHEN pos = 0 THEN 1 END) AS BIGINT) AS q
+  FROM base GROUP BY 1, 2
+),
+cum AS (
+  SELECT *,
+    CAST(sum(p) OVER (PARTITION BY o_orderpriority ORDER BY s DESC) AS BIGINT) AS tp,
+    CAST(sum(q) OVER (PARTITION BY o_orderpriority ORDER BY s DESC) AS BIGINT) AS fp
+  FROM hist
+),
+tot AS (
+  SELECT o_orderpriority, CAST(sum(p) AS BIGINT) AS tp_all,
+         CAST(sum(q) AS BIGINT) AS tn_all
+  FROM hist GROUP BY 1
+)
+SELECT c.o_orderpriority, c.s AS threshold, c.tp, c.fp,
+  t.tp_all - c.tp AS fn, t.tn_all - c.fp AS tn,
+  {_round4_ratio_sql('c.tp', 'greatest(t.tp_all, 1)')} AS tpr,
+  {_round4_ratio_sql('c.fp', 'greatest(t.tn_all, 1)')} AS fpr,
+  {_round4_ratio_sql('c.tp', 'greatest(c.tp + c.fp, 1)')} AS "precision"
+FROM cum c JOIN tot t USING (o_orderpriority)
+ORDER BY o_orderpriority, threshold
+"""
+
+
+ORACLE_SQL["slice_report"] = f"""
+WITH f AS (
+  SELECT (o_orderstatus = 'F') AS label, (o_totalprice > 10000) AS pred,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+),
+g AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(CASE WHEN label = pred THEN 1 END) AS BIGINT) AS n_correct
+  FROM f GROUP BY 1
+),
+d AS (
+  SELECT o_orderpriority, n, n_correct,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS p
+  FROM g
+),
+wil AS (
+  SELECT o_orderpriority, n, n_correct, nd, p,
+         p + (196e-2 * 196e-2) / (2.0 * nd) AS center,
+         196e-2 * sqrt((p * (1.0 - p)) / nd
+                       + (196e-2 * 196e-2) / (4.0 * (nd * nd))) AS margin,
+         1.0 + (196e-2 * 196e-2) / nd AS denom
+  FROM d
+)
+SELECT o_orderpriority, n, n_correct,
+  {_round4_ratio_sql('n_correct', 'n')} AS accuracy,
+  {_fround_sql('(center - margin) / denom', 6)} AS wilson_lo,
+  {_fround_sql('(center + margin) / denom', 6)} AS wilson_hi
+FROM wil ORDER BY o_orderpriority
+"""
+
+
+ORACLE_SQL["dpo_pairs"] = """
+WITH base AS (
+  SELECT o_custkey AS prompt, o_orderkey AS c,
+         CAST(o_totalprice AS DOUBLE) AS s
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+    AND o_totalprice IS NOT NULL
+),
+rw AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY prompt ORDER BY s DESC, c ASC) AS rc,
+    row_number() OVER (PARTITION BY prompt ORDER BY s ASC, c ASC) AS rr,
+    CAST(count(*) OVER (PARTITION BY prompt) AS BIGINT) AS n
+  FROM base
+),
+ch AS (SELECT prompt, c AS chosen, s AS chosen_score, n FROM rw WHERE rc = 1),
+rj AS (SELECT prompt, c AS rejected, s AS rejected_score FROM rw WHERE rr = 1)
+SELECT ch.prompt, ch.chosen, rj.rejected, ch.chosen_score, rj.rejected_score,
+       ch.chosen_score - rj.rejected_score AS margin,
+       ch.n AS n_completions
+FROM ch JOIN rj USING (prompt)
+WHERE ch.n >= 2 AND ch.chosen_score - rj.rejected_score > 0.0
+ORDER BY prompt
+"""
+
+
+ORACLE_SQL["cms_counts"] = f"""
+WITH toksrc AS (
+  SELECT unnest({TOKS.format(c='text')}) AS item FROM documents
+),
+tok AS (SELECT item FROM toksrc WHERE item != ''),
+cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+h AS (
+  SELECT item, c,
+         CAST('0x' || substr(md5(item), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(item), 9, 8) AS BIGINT) AS h2
+  FROM cnt
+),
+counters AS (
+  SELECT js.j, (h.h1 + js.j * h.h2) % 512 AS slot,
+         CAST(sum(h.c) AS BIGINT) AS counter
+  FROM h, (SELECT unnest(range(4)) AS j) js
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT item, c AS exact_count, h1, h2
+  FROM h ORDER BY c DESC, item ASC LIMIT 5
+),
+px AS (
+  SELECT p.item, p.h1, p.h2, js.j
+  FROM probes p CROSS JOIN (SELECT unnest(range(4)) AS j) js
+),
+est AS (
+  SELECT x.item,
+         CAST(min(coalesce(co.counter, 0)) AS BIGINT) AS est_count
+  FROM px x
+  LEFT JOIN counters co
+    ON co.j = x.j AND co.slot = (x.h1 + x.j * x.h2) % 512
+  GROUP BY 1
+)
+SELECT e.item, e.est_count, p.exact_count,
+       e.est_count >= p.exact_count AS never_undercounts
+FROM est e JOIN probes p USING (item)
+ORDER BY item
+"""
+
+
+def _random_projection_sql(dim: int = 64, d_out: int = 8) -> str:
+    """DuckDB twin of ops.similarity.random_projection — the SAME ±1
+    sign matrix recomputed from md5 (rp_signs recipe) rendered as the
+    identical left-to-right add/sub chain over the double-cast list."""
+    import hashlib
+    import math
+
+    signs = [
+        [
+            1
+            if int(hashlib.md5(f"rp:{k}:{j}".encode()).hexdigest()[:6], 16) % 2
+            == 0
+            else -1
+            for j in range(dim)
+        ]
+        for k in range(d_out)
+    ]
+    root = repr(math.sqrt(float(d_out)))
+    items = []
+    for k, row in enumerate(signs):
+        terms = " + ".join(
+            f"{'' if s > 0 else '-'}v[{j + 1}]" for j, s in enumerate(row)
+        ).replace("+ -", "- ")
+        items.append(
+            f"floor((({terms}) / {root}) * 1e6 + 5e-1) / 1e6 AS rp_{k}"
+        )
+    return (
+        "WITH c AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings) SELECT vec_id, "
+        + ", ".join(items)
+        + " FROM c ORDER BY vec_id"
+    )
+
+
+ORACLE_SQL["random_projection"] = _random_projection_sql(64, 8)
+
+
+ORACLE_SQL["hard_negatives"] = f"""
+WITH c AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id AS probe_id, label AS plab, v AS pv FROM c WHERE vec_id < 5
+),
+scored AS (
+  SELECT p.probe_id, c.vec_id AS neighbor_id, {_COS} AS cos_sim
+  FROM c, p
+  WHERE c.vec_id != p.probe_id AND c.label != p.plab
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT)
+    AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+ORDER BY probe_id, rank
+"""

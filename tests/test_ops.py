@@ -5288,3 +5288,248 @@ def test_source_sampling_weights_properties(spark):
 
     exp_small = math.sqrt(10) / (math.sqrt(90) + math.sqrt(10))
     assert abs(a5["small"][0] - exp_small) < 1e-3
+
+
+def test_roc_points_known_values(spark):
+    """Hand-computed 6-row fixture: thresholds at distinct scores
+    (predict positive when score >= t), exact counts, tie-proof rates;
+    ties in score aggregate into one threshold row."""
+    from hashquery_spark.ops import roc_points
+
+    rows = [
+        (3.0, 1), (3.0, 0),   # tie run at 3
+        (2.0, 1),
+        (1.0, 0), (1.0, 0),
+        (0.5, 1),
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"], r["tn"], r["tpr"],
+                         r["fpr"], r["precision"])
+        for r in roc_points(df, "s", "y").collect()
+    }
+    # P=3, Q=3
+    assert got[3.0] == (1, 1, 2, 2, 0.3333, 0.3333, 0.5)
+    assert got[2.0] == (2, 1, 1, 2, 0.6667, 0.3333, 0.6667)
+    assert got[1.0] == (2, 3, 1, 0, 0.6667, 1.0, 0.4)
+    assert got[0.5] == (3, 3, 0, 0, 1.0, 1.0, 0.5)
+    assert len(got) == 4
+
+
+def test_roc_points_grouped_and_auc_consistency(spark, sf_dir):
+    """The curve must be monotone in tp/fp per group, end at
+    (P, Q), and the trapezoidal area over the exact curve must equal
+    binary_auc's Mann-Whitney value (they are the same statistic)."""
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import binary_auc, roc_points
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.floor(F.col("o_totalprice") / 1000).cast("double").alias("s"),
+        (F.col("o_orderstatus") == "F").alias("y"),
+    )
+    pts = sorted(
+        (r["threshold"], r["tp"], r["fp"])
+        for r in roc_points(orders, "s", "y").collect()
+    )
+    # ascending threshold => tp/fp non-increasing
+    tps = [t for _, t, _ in pts]
+    fps = [f for _, _, f in pts]
+    assert tps == sorted(tps, reverse=True)
+    assert fps == sorted(fps, reverse=True)
+    P, Q = pts[0][1], pts[0][2]
+    # trapezoid over (fp, tp) in descending-threshold order + the (0,0)
+    # origin equals the tie-averaged Mann-Whitney AUC exactly
+    desc = sorted(pts, reverse=True)
+    area2 = 0
+    prev_tp, prev_fp = 0, 0
+    for _, tp, fp in desc:
+        area2 += (fp - prev_fp) * (tp + prev_tp)  # 2x trapezoid in ints
+        prev_tp, prev_fp = tp, fp
+    want_auc = binary_auc(orders, "s", "y").collect()[0]["auc"]
+    from hashquery_spark.ops.dedup import fround  # noqa: F401 (doc link)
+    got_auc = area2 / (2.0 * P * Q)
+    assert abs(got_auc - want_auc) < 1e-6
+
+
+def test_slice_report_known_values(spark):
+    """Wilson bounds vs a python replica; accuracy is the tie-proof
+    integer ratio."""
+    import math
+
+    from hashquery_spark.ops import slice_report
+
+    rows = [("a", 1, 1)] * 3 + [("a", 1, 0)] + [("b", 0, 0)] * 10
+    df = spark.createDataFrame(rows, "sl string, label int, pred int")
+    got = {r["sl"]: r for r in slice_report(df, "label", "pred", "sl").collect()}
+    assert (got["a"]["n"], got["a"]["n_correct"]) == (4, 3)
+    assert got["a"]["accuracy"] == 0.75
+    assert (got["b"]["n"], got["b"]["n_correct"], got["b"]["accuracy"]) == (
+        10, 10, 1.0,
+    )
+
+    def wilson(nc, n, z=1.96):
+        p = nc / n
+        zz = z * z
+        center = p + zz / (2.0 * n)
+        margin = z * math.sqrt((p * (1.0 - p)) / n + zz / (4.0 * (n * n)))
+        denom = 1.0 + zz / n
+        f = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+        return f((center - margin) / denom), f((center + margin) / denom)
+
+    lo, hi = wilson(3, 4)
+    assert (got["a"]["wilson_lo"], got["a"]["wilson_hi"]) == (lo, hi)
+    assert got["b"]["wilson_lo"] < 1.0 <= got["b"]["wilson_hi"]
+
+
+def test_dpo_pair_build_semantics(spark):
+    """Chosen/rejected with id tiebreaks, margin gate, <2-completion
+    and all-tied prompts dropped."""
+    from hashquery_spark.ops import dpo_pair_build
+
+    rows = [
+        ("p1", "c1", 0.9), ("p1", "c2", 0.1), ("p1", "c3", 0.5),
+        ("p2", "c4", 0.5), ("p2", "c5", 0.5),       # all tied -> dropped
+        ("p3", "c6", 0.8),                          # single -> dropped
+        ("p4", "c7", 0.7), ("p4", "c8", 0.7), ("p4", "c9", 0.2),
+    ]
+    df = spark.createDataFrame(rows, "p string, c string, s double")
+    got = {r["prompt"]: r for r in dpo_pair_build(df, "p", "c", "s").collect()}
+    assert set(got) == {"p1", "p4"}
+    assert (got["p1"]["chosen"], got["p1"]["rejected"]) == ("c1", "c2")
+    assert abs(got["p1"]["margin"] - 0.8) < 1e-12
+    # tie at max -> lowest completion id wins
+    assert (got["p4"]["chosen"], got["p4"]["rejected"]) == ("c7", "c9")
+    assert got["p4"]["n_completions"] == 3
+    # min_margin gate
+    assert dpo_pair_build(df, "p", "c", "s", min_margin=0.9).count() == 0
+
+
+def test_cms_matches_python_replica_and_never_undercounts(spark):
+    """The CMS counters and point estimates must equal a python replica
+    of the same KM-double-hashed sketch exactly, and estimates must
+    never undercount the true frequency."""
+    import hashlib
+
+    from hashquery_spark.ops import cms_merge, cms_query, cms_rollup
+
+    W, D = 64, 3
+    items = (["apple"] * 5 + ["pear"] * 3 + ["plum"] * 2
+             + ["kiwi", "fig", "date"])
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    sketch = cms_rollup(df, "item", width=W, depth=D)
+
+    def hashes(it):
+        h = hashlib.md5(it.encode()).hexdigest()
+        return int(h[:8], 16), int(h[8:16], 16)
+
+    from collections import Counter
+    true = Counter(items)
+    py_counters = Counter()
+    for it, c in true.items():
+        h1, h2 = hashes(it)
+        for j in range(D):
+            py_counters[(j, (h1 + j * h2) % W)] += c
+    got_counters = {
+        (r["depth_j"], r["slot"]): r["counter"] for r in sketch.collect()
+    }
+    assert got_counters == dict(py_counters)
+
+    est = {
+        r["item"]: r["est_count"]
+        for r in cms_query(sketch, list(true), width=W, depth=D).collect()
+    }
+    for it, c in true.items():
+        h1, h2 = hashes(it)
+        py_est = min(
+            py_counters.get((j, (h1 + j * h2) % W), 0) for j in range(D)
+        )
+        assert est[it] == py_est
+        assert est[it] >= c  # the CMS one-sided guarantee
+    # absent item estimates >= 0 (collisions may inflate, never negative)
+    ghost = cms_query(sketch, ["nothere"], width=W, depth=D).collect()[0]
+    assert ghost["est_count"] >= 0
+
+    # mergeability: sketches of deterministic halves merged == whole
+    df2 = spark.createDataFrame([(x,) for x in items[6:]], "item string")
+    df1 = spark.createDataFrame([(x,) for x in items[:6]], "item string")
+    merged = cms_merge(
+        cms_rollup(df1, "item", width=W, depth=D).unionByName(
+            cms_rollup(df2, "item", width=W, depth=D)
+        )
+    )
+    got_merged = {
+        (r["depth_j"], r["slot"]): r["counter"] for r in merged.collect()
+    }
+    assert got_merged == dict(py_counters)
+
+
+def test_random_projection_matches_numpy(spark):
+    """rp_k must equal the numpy replica of the same ±1 chain (fixed
+    left-to-right order, 1e-6 snap) on every row."""
+    import math
+
+    import numpy as np
+
+    from hashquery_spark.ops import random_projection, rp_signs
+
+    dim, d_out = 8, 4
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: [r[f"rp_{k}"] for k in range(d_out)]
+           for r in random_projection(df, "embedding", dim, d_out).collect()}
+    signs = rp_signs(dim, d_out)
+    root = math.sqrt(float(d_out))
+    for vid, v in vecs:
+        for k in range(d_out):
+            acc = 0.0
+            for j in range(dim):
+                acc = acc + v[j] if signs[k][j] > 0 else acc - v[j]
+            want = math.floor((acc / root) * 1e6 + 0.5) / 1e6
+            assert got[vid][k] == want, (vid, k)
+
+
+def test_hard_negatives_label_exclusion_and_truth(spark, sf_dir):
+    """Every mined negative must carry a different label than its
+    anchor, and the top-k must equal the python brute-force truth over
+    the 4-dp-rounded cosines with id tiebreaks."""
+    from hashquery_spark.ops import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.collect()
+    anchors = emb.where("vec_id < 3")
+    got = hard_negatives(emb, anchors, "embedding", "vec_id", "label", k=4)
+    lab = {r["vec_id"]: r["label"] for r in rows}
+    by_probe = {}
+    for r in got.collect():
+        assert lab[r["neighbor_id"]] != lab[r["probe_id"]]
+        by_probe.setdefault(r["probe_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos_sim"])
+        )
+    import math
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def seq_dot(a, b):
+        # LEFT-TO-RIGHT like Spark's aggregate fold — numpy's pairwise
+        # dot can differ by ulps, which a 4-dp boundary could expose
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    for pid, found in by_probe.items():
+        cands = []
+        pv = vecs[pid]
+        for nid, nv in vecs.items():
+            if nid == pid or lab[nid] == lab[pid]:
+                continue
+            cos = seq_dot(pv, nv) / (
+                math.sqrt(seq_dot(pv, pv)) * math.sqrt(seq_dot(nv, nv))
+            )
+            cands.append((-(math.floor(cos * 1e4 + 0.5) / 1e4), nid))
+        cands.sort()
+        want = [(i + 1, nid, -negc) for i, (negc, nid) in enumerate(cands[:4])]
+        got_sorted = sorted(found)
+        assert [(r, n) for r, n, _ in got_sorted] == [(r, n) for r, n, _ in want]

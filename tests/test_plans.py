@@ -154,6 +154,14 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # 1-row corpus-total then 1-row normalizer frames replicated to
         # the bounded per-source frame (the bm25/ab_test pattern):
         "sampling_weights",
+        # r9: the ann_bruteforce broadcast-probe exemption for its
+        # forced-path A/B twins and the label-filtered variant:
+        "ann_topk_salted", "ann_topk_single", "hard_negatives",
+        # 1-row (n, mean) × 1-row CI-bounds frames (bootstrap_ci shape):
+        "bootstrap_ci_explode",
+        # 5-row bounded probe frame crossed with the distinct-groups
+        # frame before the left counter join (cms_query contract):
+        "cms_counts",
     }
     for name, fn in entry_mod.queries().items():
         plan = _physical(fn(spark, sf_dir))

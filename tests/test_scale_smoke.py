@@ -1153,3 +1153,70 @@ def test_winnowing_two_million_grams_density(spark):
     per_doc = agg["n"] / 20_000
     assert 0.25 * windows_per_doc <= per_doc <= 0.6 * windows_per_doc
     assert 0 <= agg["mn"] and agg["mx"] < 2**32
+
+
+def test_cms_two_million_tokens_bounded_vocab(spark):
+    """CMS over a 2M-token stream with a bounded vocabulary: the
+    two-level aggregate (per-item counts first, depth explode over
+    DISTINCT items only) must reproduce the python replica exactly —
+    counters are order-independent integer sums, so partitioning
+    cannot move them."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import cms_query, cms_rollup
+
+    N, V, W, D = 2_000_000, 1000, 256, 4
+    tok = spark.range(N).select(
+        F.concat(F.lit("t"), (F.col("id") * 7919) % V).alias("item")
+    )
+    sketch = cms_rollup(tok, "item", width=W, depth=D)
+    # python truth: id*7919 % V cycles uniformly (gcd(7919, V)=1)
+    true = Counter(f"t{(i * 7919) % V}" for i in range(N))
+    py = Counter()
+    for it, c in true.items():
+        h = hashlib.md5(it.encode()).hexdigest()
+        h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+        for j in range(D):
+            py[(j, (h1 + j * h2) % W)] += c
+    got = {(r["depth_j"], r["slot"]): r["counter"] for r in sketch.collect()}
+    assert got == dict(py)
+    probes = ["t0", "t1", "t999"]
+    est = {r["item"]: r["est_count"]
+           for r in cms_query(sketch, probes, width=W, depth=D).collect()}
+    for it in probes:
+        assert est[it] >= true[it]
+
+
+def test_random_projection_two_million_rows(spark):
+    """The JL projection is one narrow codegen'd pass — 2M rows of
+    16-d vectors project without shuffle, and a spot row matches the
+    python chain exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hashquery_spark.ops import random_projection, rp_signs
+
+    dim, d_out = 16, 4
+    df = spark.range(2_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), "
+            "j -> CAST((id % 97) * j AS DOUBLE) / 97.0D)"
+        ).alias("embedding"),
+    )
+    out = random_projection(df, "embedding", dim, d_out)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    row = out.where(F.col("vec_id") == 1234567).collect()[0]
+    v = [((1234567 % 97) * j) / 97.0 for j in range(1, dim + 1)]
+    signs = rp_signs(dim, d_out)
+    root = math.sqrt(float(d_out))
+    for k in range(d_out):
+        acc = 0.0
+        for j in range(dim):
+            acc = acc + v[j] if signs[k][j] > 0 else acc - v[j]
+        assert row[f"rp_{k}"] == math.floor((acc / root) * 1e6 + 0.5) / 1e6
+    assert out.count() == 2_000_000
