@@ -58,12 +58,15 @@ def _norm_sql(vec: str) -> str:
     )
 
 
-# Per-probe candidate count below which the stripe phase is pure tax: a
-# single bounded window sort of ≤200k rows per probe is milliseconds,
-# while the extra exchange + 64-stripe window cost ivf_pq_search +0.6 s
-# at sf0.1 (the r8→r9 measured regression). Above it, no task may sort a
-# whole probe's candidate set — the stripes are mandatory.
-_SINGLE_WINDOW_MAX_CANDIDATES = 200_000
+# Per-probe candidate count below which the stripe phase is pure tax —
+# measured both ways (BENCH_sf10 r9 A/B, ann_topk_salted vs _single):
+# at 20k candidates/probe the single window edges the stripes (1.89 vs
+# 1.98 s), at 200k the stripes win decisively (17.6 vs 27.2 s — the
+# single form leaves one straggler sort task per probe). 64k is the
+# geometric midpoint of the measured bracket; the extra exchange +
+# 64-stripe window also cost ivf_pq_search +0.6 s at toy scale (the
+# r8→r9 regression this gate erases).
+_SINGLE_WINDOW_MAX_CANDIDATES = 65_536
 
 
 def _two_phase_topk(

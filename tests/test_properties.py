@@ -1977,3 +1977,118 @@ def test_attribution_matches_python_replica(spark, events):
             ).collect()
         }
         assert got == replica(model), model
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 9)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cms_counters_match_python_replica(spark, pairs):
+    """CMS counters over arbitrary weighted item multisets equal the
+    python replica of the same KM-double-hashed sketch exactly, and
+    every point estimate is >= the true count (the one-sided CMS
+    guarantee) while equaling the replica's min-over-depths."""
+    import hashlib
+    from collections import Counter
+
+    from hashquery_spark.ops import cms_query, cms_rollup
+
+    W, D = 32, 3
+    rows = [(f"i{a}", w) for a, w in pairs]
+    df = spark.createDataFrame(rows, "item string, w int")
+    sketch = cms_rollup(df, "item", width=W, depth=D, weight_col="w")
+    true = Counter()
+    for it, w in rows:
+        true[it] += w
+    py = Counter()
+    for it, c in true.items():
+        h = hashlib.md5(it.encode()).hexdigest()
+        h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+        for j in range(D):
+            py[(j, (h1 + j * h2) % W)] += c
+    got = {(r["depth_j"], r["slot"]): r["counter"] for r in sketch.collect()}
+    assert got == dict(py)
+    est = {
+        r["item"]: r["est_count"]
+        for r in cms_query(sketch, sorted(true), width=W, depth=D).collect()
+    }
+    for it, c in true.items():
+        h = hashlib.md5(it.encode()).hexdigest()
+        h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+        want = min(py[(j, (h1 + j * h2) % W)] for j in range(D))
+        assert est[it] == want
+        assert est[it] >= c
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()),
+        min_size=2,
+        max_size=80,
+    )
+)
+def test_roc_points_match_sklearn_style_replica(spark, pairs):
+    """tp/fp at every threshold equal the python brute-force count of
+    (score >= t) items per class; the curve covers every distinct
+    score."""
+    from hashquery_spark.ops import roc_points
+
+    rows = [(float(s), 1 if y else 0) for s, y in pairs]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = {
+        r["threshold"]: (r["tp"], r["fp"])
+        for r in roc_points(df, "s", "y").collect()
+    }
+    thresholds = sorted({s for s, _ in rows})
+    assert set(got) == set(float(t) for t in thresholds)
+    for t in thresholds:
+        tp = sum(1 for s, y in rows if y == 1 and s >= t)
+        fp = sum(1 for s, y in rows if y == 0 and s >= t)
+        assert got[float(t)] == (tp, fp), t
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 40), st.integers(-5, 5)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_dpo_pairs_match_python_replica(spark, triples):
+    """Chosen/rejected/margin per prompt equal the python argmax/argmin
+    with (score, id) tiebreaks; prompts without a positive margin or a
+    second completion never emit."""
+    from hashquery_spark.ops import dpo_pair_build
+
+    rows = [(f"p{p}", f"c{c:03d}", float(s)) for p, c, s in triples]
+    # completion ids may repeat across prompts; dedupe (prompt, cid)
+    seen = set()
+    uniq = []
+    for p, c, s in rows:
+        if (p, c) not in seen:
+            seen.add((p, c))
+            uniq.append((p, c, s))
+    df = spark.createDataFrame(uniq, "p string, c string, s double")
+    got = {
+        r["prompt"]: (r["chosen"], r["rejected"], r["margin"])
+        for r in dpo_pair_build(df, "p", "c", "s").collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for p, c, s in uniq:
+        groups[p].append((c, s))
+    for p, cs in groups.items():
+        ch = min(cs, key=lambda x: (-x[1], x[0]))
+        rj = min(cs, key=lambda x: (x[1], x[0]))
+        margin = ch[1] - rj[1]
+        if len(cs) >= 2 and margin > 0:
+            assert got[p] == (ch[0], rj[0], margin), p
+        else:
+            assert p not in got, p
