@@ -87,4 +87,9 @@ def main(sf_dirs):
 
 if __name__ == "__main__":
     dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    bad = [d for d in dirs if not os.path.isdir(d)]
+    if bad:
+        print(__doc__)
+        print(f"error: not a data directory: {bad}")
+        raise SystemExit(2)
     raise SystemExit(main(dirs))

@@ -41,10 +41,19 @@ def test_committed_preaudit_artifact_is_fresh():
     with open(path) as f:
         report = json.load(f)
     names = set(entry_mod.queries())
+    assert report, "PREAUDIT.json is empty — run scripts/preaudit.py"
     for sf_dir, r in report.items():
         covered = set(r["queries"])
         missing = names - covered
         assert not missing, (
             f"{sf_dir}: PREAUDIT.json is stale — missing {sorted(missing)}; "
             "re-run scripts/preaudit.py"
+        )
+        # the r9 '--help' incident: an artifact can cover every name and
+        # still be all-red (preaudit run against a bogus data dir) — the
+        # committed artifact must also be GREEN, not merely complete
+        red = [n for n, res in r["queries"].items() if not res.get("ok")]
+        assert not red, (
+            f"{sf_dir}: PREAUDIT.json has {len(red)} failed queries "
+            f"(e.g. {sorted(red)[:5]}); re-run scripts/preaudit.py"
         )
