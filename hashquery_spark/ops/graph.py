@@ -170,11 +170,17 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
     a = F.least(F.col(src).cast("string"), F.col(dst).cast("string"))
     b = F.greatest(F.col(src).cast("string"), F.col(dst).cast("string"))
+    # eager barrier (r9): deg (×2 via the union), withdeg, the edge and
+    # node censuses all consume `und` — live lineage re-derived the
+    # scan + distinct per consumer and the oriented self-join compounded
+    # it to 108 parquet scans in the measured plan (verify SKILL.md
+    # multi-consumer rule). The frame is the narrow deduped edge list.
     und = (
         edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .select(a.alias("__a__"), b.alias("__b__"))
         .where(F.col("__a__") != F.col("__b__"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("__a__").alias("__n__"))
@@ -189,11 +195,13 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
     ra = F.struct(F.col("__da__").alias("d"), F.col("__a__").alias("n"))
     rb = F.struct(F.col("__db__").alias("d"), F.col("__b__").alias("n"))
+    # three consumers (both wedge sides + the closing probe) with
+    # different pruning — checkpoint so the degree joins run once
     oriented = withdeg.select(
         F.when(ra < rb, F.col("__a__")).otherwise(F.col("__b__")).alias("__s__"),
         F.when(ra < rb, F.col("__b__")).otherwise(F.col("__a__")).alias("__t__"),
         F.when(ra < rb, rb).otherwise(ra).alias("__rt__"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.select(
         F.col("__s__"), F.col("__t__").alias("__u__"), F.col("__rt__").alias("__ru__")
     )
@@ -344,11 +352,17 @@ def adamic_adar(
         .where(F.col("__a__") != F.col("__b__"))
         .distinct()
     )
-    # symmetric adjacency: one row per (center v, endpoint u)
-    adj = und.select(
-        F.col("__a__").alias("__v__"), F.col("__b__").alias("__u__")
-    ).unionAll(
-        und.select(F.col("__b__").alias("__v__"), F.col("__a__").alias("__u__"))
+    # symmetric adjacency: one row per (center v, endpoint u).
+    # eager barrier (r9): deg and both wedge-join sides consume `adj`
+    # (and `und` twice inside it) — the live lineage re-derived the
+    # edge scan + distinct per consumer (16 parquet scans in the
+    # measured plan; verify SKILL.md multi-consumer rule).
+    adj = (
+        und.select(F.col("__a__").alias("__v__"), F.col("__b__").alias("__u__"))
+        .unionAll(
+            und.select(F.col("__b__").alias("__v__"), F.col("__a__").alias("__u__"))
+        )
+        .localCheckpoint(eager=True)
     )
     deg = adj.groupBy("__v__").agg(F.count(F.lit(1)).alias("__d__"))
     centers = deg.where(
@@ -359,7 +373,9 @@ def adamic_adar(
         "CAST(1000000000000L DIV CAST(floor(ln(CAST(__d__ AS DOUBLE)) "
         "* 1000000.0) AS BIGINT) AS BIGINT) AS __w__",
     )
-    wadj = adj.join(centers, on="__v__")
+    # both self-join sides prune `wadj` differently (node_a side keeps
+    # __w__) — checkpoint so the deg aggregate + center join run once
+    wadj = adj.join(centers, on="__v__").localCheckpoint(eager=True)
     left = wadj.select("__v__", "__w__", F.col("__u__").alias("node_a"))
     right = wadj.select("__v__", F.col("__u__").alias("node_b"))
     pairs = left.join(right, on="__v__").where(

@@ -228,6 +228,15 @@ def grid_percentiles(
             for i, n in enumerate(names)
         ],
     )
+    # eager barrier (r9): `joined` is consumed by BOTH the below-count
+    # aggregate and the bracket window with different column pruning, so
+    # the broadcast gk subtrees are not structurally identical and never
+    # reuse — the FULL-DATA GK sketch pass executed 2-3× per call (at
+    # any scale, not just locally). gk is bounded at one row per group
+    # (the design already broadcasts it), so the checkpoint is bounded;
+    # _nullsafe_join broadcast-hints explicitly, covering the
+    # LogicalRDD no-size-estimate trap.
+    gk = gk.localCheckpoint(eager=True)
     joined = _nullsafe_join(base, gk, by)
     counts = joined.groupBy(*by).agg(
         *[
@@ -623,7 +632,16 @@ def mad_outliers(
 
     def agg_back(frame, col_name, alias):
         if exact:
-            stats = grid_percentiles(frame, col_name, {alias: 0.5}, by=groups)
+            # eager barrier (r9): the MAD pass's grid_percentiles
+            # consumes its input ~5× with different pruning, and that
+            # input embeds THIS stats frame's whole pipeline — without a
+            # barrier the two chained grid passes compounded to 50
+            # parquet scans in the measured plan. Bounded by group
+            # cardinality; the join below broadcast-hints it explicitly
+            # (a LogicalRDD has no size estimate).
+            stats = grid_percentiles(
+                frame, col_name, {alias: 0.5}, by=groups
+            ).localCheckpoint(eager=True)
         else:
             med = F.expr(
                 f"CAST(percentile_approx(`{col_name}`, 0.5D, {int(accuracy)}) "

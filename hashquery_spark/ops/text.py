@@ -1412,11 +1412,11 @@ def heaps_law(
     exact DECIMAL arithmetic, so β and ln K are exact integer rationals
     divided once — no rounding site.
 
-    Scale: one token explode feeds (a) the per-type min-first-doc
-    aggregate (bounded by vocabulary) and (b) the prefix token counts —
-    two differently-pruned consumers of the explode (the brs
-    double-scan contract, measured cheaper than a checkpoint barrier);
-    the cutoff row broadcasts; the regression runs on n_points rows."""
+    Scale: ONE token explode feeds ONE per-type aggregate (bounded by
+    vocabulary) that carries both the min-first-doc and the per-cutoff
+    occurrence counts — the prefix token counts N_j are Σ of the
+    per-type counts, so no second tokenize pass exists; the cutoff row
+    broadcasts once; the regression runs on n_points rows."""
     from .dedup import tokens
     from .profile import grid_percentiles
 
@@ -1437,24 +1437,42 @@ def heaps_law(
         "__did__",
         qs,
     )
-    firsts = tok.groupBy("__tok__").agg(F.min("__did__").alias("__first__"))
-    vrow = firsts.crossJoin(F.broadcast(cuts)).agg(
+    # ONE explode pass (r9): the per-type min-first-doc aggregate ALSO
+    # carries the per-cutoff occurrence counts, so the prefix token
+    # counts N_j ride the same groupBy(token) instead of a second full
+    # tokenize+explode scan (N_j = Σ per-type counts — identical
+    # integers); the cutoff row broadcasts once instead of twice.
+    per_type = (
+        tok.crossJoin(F.broadcast(cuts))
+        .groupBy("__tok__")
+        .agg(
+            F.min("__did__").alias("__first__"),
+            *[
+                F.count(
+                    F.when(F.col("__did__") <= F.col(f"__cut{j}__"), 1)
+                ).alias(f"__c{j}__")
+                for j in range(1, n_points + 1)
+            ],
+            *[
+                F.min(F.col(f"__cut{j}__")).alias(f"__cut{j}__")
+                for j in range(1, n_points + 1)
+            ],
+        )
+    )
+    both = per_type.agg(
         *[
             F.count(
                 F.when(F.col("__first__") <= F.col(f"__cut{j}__"), 1)
             ).alias(f"__V{j}__")
             for j in range(1, n_points + 1)
-        ]
-    )
-    nrow = tok.crossJoin(F.broadcast(cuts)).agg(
+        ],
         *[
-            F.count(
-                F.when(F.col("__did__") <= F.col(f"__cut{j}__"), 1)
-            ).alias(f"__N{j}__")
+            F.coalesce(F.sum(F.col(f"__c{j}__")), F.lit(0).cast("long")).alias(
+                f"__N{j}__"
+            )
             for j in range(1, n_points + 1)
-        ]
+        ],
     )
-    both = vrow.crossJoin(nrow)
     lm = (
         "CAST(floor(ln(CAST({c} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
     )
@@ -1535,10 +1553,16 @@ def assoc_rules(
         .distinct()
     )
     sizes = base.groupBy("__bid__").agg(F.count(F.lit(1)).alias("__bs__"))
+    # eager barrier (r9): totals, item_counts and BOTH pair-join sides
+    # consume `kept` — four differently-pruned consumers re-derived the
+    # scan + distinct + size-filter join per consumer (20 parquet scans
+    # in the measured plan; verify SKILL.md multi-consumer rule). The
+    # frame is narrow (bid, item) and bounded by distinct basket-item
+    # rows.
     kept = base.join(
         sizes.where(F.col("__bs__") <= max_items_per_basket).select("__bid__"),
         on="__bid__",
-    )
+    ).localCheckpoint(eager=True)
     totals = kept.agg(
         F.count_distinct(F.col("__bid__")).cast("long").alias("__nb__")
     )

@@ -1132,10 +1132,14 @@ def attribution(
         cond = cond & (F.col("__tus__") >= F.col("__cus__") - F.lit(lb))
     pairs = touches.join(convs, on="__g__").where(cond)
     if model == "linear":
-        k = pairs.groupBy("__g__", "__cus__").agg(
-            F.count(F.lit(1)).alias("__k__")
-        )
-        credited = pairs.join(k, on=["__g__", "__cus__"]).select(
+        # k as a count window over the same lookback-bounded
+        # (entity, conversion) partition the first/last models already
+        # window over — one exchange instead of the groupBy-k +
+        # join-back double shuffle (r9; identical integer credits)
+        wk = Window.partitionBy("__g__", "__cus__")
+        credited = pairs.withColumn(
+            "__k__", F.count(F.lit(1)).over(wk)
+        ).select(
             "channel",
             F.expr("1000000000000L DIV __k__").alias("__credit__"),
         )
