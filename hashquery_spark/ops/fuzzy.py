@@ -101,7 +101,15 @@ def fuzzy_join(
     )
 
     def gram_sets(normed: DataFrame, out_id: str, alias: str):
-        only = normed.join(cands.select(out_id).distinct(), on=out_id)
+        # broadcast the candidate-id filter (the dedup_against_fuzzy
+        # precedent): the checkpointed cands frame is a LogicalRDD with
+        # no size estimate, so the plain semi-join planned as a
+        # SortMergeJoin that SHUFFLED the whole normalized corpus by id
+        # before re-shingling — the ids are bounded by the (already
+        # materialized, bounded-by-design) candidate pair frame
+        only = normed.join(
+            F.broadcast(cands.select(out_id).distinct()), on=out_id
+        )
         return only.selectExpr(
             out_id,
             f"array_distinct({_char_shingle_expr('__norm__', k)}) AS {alias}",
@@ -207,7 +215,15 @@ def containment_join(
     )
 
     def gram_sets(normed: DataFrame, out_id: str, alias: str):
-        only = normed.join(cands.select(out_id).distinct(), on=out_id)
+        # broadcast the candidate-id filter (the dedup_against_fuzzy
+        # precedent): the checkpointed cands frame is a LogicalRDD with
+        # no size estimate, so the plain semi-join planned as a
+        # SortMergeJoin that SHUFFLED the whole normalized corpus by id
+        # before re-shingling — the ids are bounded by the (already
+        # materialized, bounded-by-design) candidate pair frame
+        only = normed.join(
+            F.broadcast(cands.select(out_id).distinct()), on=out_id
+        )
         return only.selectExpr(
             out_id,
             f"array_distinct({_char_shingle_expr('__norm__', k)}) AS {alias}",

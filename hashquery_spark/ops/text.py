@@ -536,6 +536,12 @@ def pmi_bigrams(
     from .dedup import ensure_parallelism, tokens, word_shingles
 
     base = ensure_parallelism(df.where(F.col(text_col).isNotNull()))
+    # NOTE (r9 negative result): checkpointing `uni` here measured SLOWER
+    # (1.36 -> 1.86 s min-of-3) — the three re-derivations are pruned
+    # scans + map-side aggs that execute as PARALLEL stages inside one
+    # job, while an eager checkpoint serializes them behind a barrier
+    # job. Rescan wins at this payload (verify SKILL.md checkpoint-vs-
+    # rescan rule).
     uni = (
         base.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .where(F.col("token") != "")
@@ -600,7 +606,14 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ex = ensure_parallelism(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), 2)).alias("bigram")
     )
-    bc = ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("__cab__"))
+    # eager barrier (r9): ctx and logp both consume the bigram-count
+    # table — live lineage re-ran the full corpus explode per consumer
+    # (4 passes total); the frame is bounded by bigram vocabulary
+    bc = (
+        ex.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("__cab__"))
+        .localCheckpoint(eager=True)
+    )
     ctx = (
         bc.withColumn("__a__", F.split(F.col("bigram"), " ")[0])
         .groupBy("__a__")
@@ -1187,6 +1200,9 @@ def cooccurrence(
         .withColumn("__a__", F.split_part(F.col("pair"), F.lit(" "), F.lit(1)))
         .withColumn("__b__", F.split_part(F.col("pair"), F.lit(" "), F.lit(2)))
     )
+    # NOTE (r9 negative result): checkpointing `uni` measured SLOWER
+    # (1.06 -> 1.26 s) — see the pmi_bigrams note; parallel pruned
+    # rescans beat a serializing barrier at this payload
     uni = (
         toked.select(F.explode(toks).alias("token"))
         .where(F.col("token") != "")
