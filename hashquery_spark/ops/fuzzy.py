@@ -106,10 +106,18 @@ def fuzzy_join(
         # no size estimate, so the plain semi-join planned as a
         # SortMergeJoin that SHUFFLED the whole normalized corpus by id
         # before re-shingling — the ids are bounded by the (already
-        # materialized, bounded-by-design) candidate pair frame
+        # materialized, bounded-by-design) candidate pair frame.
+        # Then repartition by the id BEFORE the shingle projection: the
+        # broadcast join streams the corpus scan, so its output is NOT
+        # hash-partitioned by the id and the downstream verify
+        # SortMergeJoin would insert an Exchange ABOVE the projection —
+        # shipping the full k-gram ARRAYS (~k x the text bytes; measured
+        # 2x containment_join at sf1). Repartitioning first ships only
+        # the candidate TEXTS and the arrays are built post-shuffle,
+        # already positioned for the verify join.
         only = normed.join(
             F.broadcast(cands.select(out_id).distinct()), on=out_id
-        )
+        ).repartition(out_id)
         return only.selectExpr(
             out_id,
             f"array_distinct({_char_shingle_expr('__norm__', k)}) AS {alias}",
@@ -220,10 +228,18 @@ def containment_join(
         # no size estimate, so the plain semi-join planned as a
         # SortMergeJoin that SHUFFLED the whole normalized corpus by id
         # before re-shingling — the ids are bounded by the (already
-        # materialized, bounded-by-design) candidate pair frame
+        # materialized, bounded-by-design) candidate pair frame.
+        # Then repartition by the id BEFORE the shingle projection: the
+        # broadcast join streams the corpus scan, so its output is NOT
+        # hash-partitioned by the id and the downstream verify
+        # SortMergeJoin would insert an Exchange ABOVE the projection —
+        # shipping the full k-gram ARRAYS (~k x the text bytes; measured
+        # 2x containment_join at sf1). Repartitioning first ships only
+        # the candidate TEXTS and the arrays are built post-shuffle,
+        # already positioned for the verify join.
         only = normed.join(
             F.broadcast(cands.select(out_id).distinct()), on=out_id
-        )
+        ).repartition(out_id)
         return only.selectExpr(
             out_id,
             f"array_distinct({_char_shingle_expr('__norm__', k)}) AS {alias}",
