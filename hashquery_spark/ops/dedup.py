@@ -330,24 +330,69 @@ def dedup_clusters(
     iterates over DISTRIBUTED steps (a count per round for convergence) —
     no vertex data ever reaches the driver. This is an inherently iterative
     algorithm (no single SQL equivalent), so it carries no DuckDB oracle."""
-    # eager localCheckpoint, NOT persist, at every step of the loop (the
+    # localCheckpoint, NOT persist, at every step of the loop (the
     # measured iterative-loop rule, verify SKILL.md): persist caches the
     # DATA but leaves the full logical lineage in every later plan — the
     # returned frame accreted the whole pairs pipeline per round (r9
     # measured: 214 parquet scans / 1118 Exchange nodes in the final
     # plan of dedup_cluster_stats; planning time dominated execution).
+    #
+    # ONE job per round (r9 verdict #3): the per-round checkpoint is
+    # LAZY and the convergence count is the action that materializes it
+    # — localCheckpoint() marks the internal RDD persisted at call time
+    # and the first job over it caches every partition and truncates
+    # lineage (a count needs all partitions, so coverage is total); the
+    # old eager-checkpoint + limit(1).count() shape paid a second
+    # scheduler round-trip per round for the probe. Same math, same
+    # rounds, bit-identical labels.
+    #
+    # Storage hygiene (r9 ADVICE): the previous round's checkpointed
+    # labels are unreachable once the new round materializes — unpersist
+    # them (and edges after the loop) instead of waiting for driver GC;
+    # live frames are bounded to ~2 again. Tracking is by persistent-RDD
+    # id delta around each localCheckpoint call (the mark registers the
+    # RDD immediately), so only frames THIS loop created are ever
+    # touched.
+    sc = pairs.sparkSession.sparkContext
+
+    def _persisted_ids():
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            return {int(k) for k in jmap.keySet().toArray()}
+        except Exception:  # noqa: BLE001 — introspection only; skip cleanup
+            return None
+
+    def _unpersist(ids):
+        if not ids:
+            return
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in ids:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+
+    pre = _persisted_ids()
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    mid = _persisted_ids()
+    edge_ids = (mid - pre) if pre is not None and mid is not None else None
+    # eager: ONE init job materializes edges AND the seed labels (the
+    # lazy edges mark rides the same job via the recursive doCheckpoint)
     labels = (
         edges.select(F.col("src").alias("vid"))
         .distinct()
         .withColumn("cluster", F.col("vid"))
         .localCheckpoint(eager=True)
     )
+    post = _persisted_ids()
+    prev_ids = (post - mid) if mid is not None and post is not None else None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["vid"])
@@ -358,6 +403,7 @@ def dedup_clusters(
         # label (new != old ⟺ a neighbor's label is strictly smaller) —
         # the previous new-vs-old re-join was a redundant second shuffle
         # of the full label frame per round
+        before = _persisted_ids()
         new_labels = (
             labels.join(neighbor_min, labels["vid"] == F.col("vid2"), "left")
             .select(
@@ -369,12 +415,21 @@ def dedup_clusters(
                     "__chg__"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.where(F.col("__chg__")).limit(1).count()
+        after = _persisted_ids()
+        # the materializing action AND the convergence probe, fused
+        changed = new_labels.where(F.col("__chg__")).count()
         labels = new_labels.drop("__chg__")
+        _unpersist(prev_ids)
+        prev_ids = (
+            (after - before)
+            if before is not None and after is not None
+            else None
+        )
         if changed == 0:
             break
+    _unpersist(edge_ids)
     return labels.select(F.col("vid").alias("doc_id"), F.col("cluster").alias("cluster_id"))
 
 
@@ -446,12 +501,28 @@ def ngram_jaccard_pairs(
     pairs = minhash_lsh_candidates(
         df, text_col, id_col, num_perm, bands, shingle_k
     ).localCheckpoint(eager=True)
+    # broadcast gate (r9 ADVICE, the fuzzy_join precedent): the pair set
+    # is unbounded with max_bucket_size=None-style callers, and a forced
+    # broadcast there can OOM where a shuffle join only got slow. No
+    # pre-verify size screen — measured net loss (see fuzzy._gated_bcast
+    # for the r10 negative result).
+    from .fuzzy import _gated_bcast
+
+    bcast = _gated_bcast(pairs)
 
     def side(out_id: str, alias: str) -> DataFrame:
         only = pairs.select(out_id).distinct()
+        # candidate filter BEFORE the shingle HOF, repartition by the id
+        # BETWEEN them (the r9 containment_join lesson): the broadcast
+        # join streams the scan, so without the repartition the verify
+        # SortMergeJoin's ENSURE_REQUIREMENTS exchange lands ABOVE the
+        # shingle projection and ships the k-gram ARRAYS (~k× the text
+        # bytes); repartitioning first ships only the candidate texts
+        # and builds the arrays post-shuffle, already positioned.
         return (
             df.select(F.col(id_col).alias(out_id), F.col(text_col))
-            .join(F.broadcast(only), on=out_id)
+            .join(bcast(only), on=out_id)
+            .repartition(out_id)
             .select(
                 out_id,
                 F.array_distinct(
@@ -1015,12 +1086,19 @@ class LshIndex:
             return self._shingles.join(only, on="__tid__").select(
                 "__tid__", F.col("sh").alias(alias)
             )
+        # repartition by the id BETWEEN the candidate filter and the
+        # shingle projection (the r9 containment_join lesson): otherwise
+        # the verify SortMergeJoin's ENSURE_REQUIREMENTS exchange lands
+        # ABOVE the projection and ships the shingle ARRAYS (~k× the
+        # text bytes). The loaded-index branch above has no projection
+        # to protect — its arrays ship either way.
         return (
             self._source.select(
                 F.col(self._source_id_col).cast("string").alias("__tid__"),
                 F.col(self._source_text_col),
             )
             .join(only, on="__tid__")
+            .repartition("__tid__")
             .select(
                 "__tid__",
                 F.array_distinct(
@@ -1184,6 +1262,9 @@ def _leakage_report_against_index(
             F.col(id_col).cast("string").alias("__eid__"), F.col(text_col)
         )
         .join(F.broadcast(cands.select("__eid__").distinct()), on="__eid__")
+        # ship candidate TEXTS, build arrays post-shuffle (the r9
+        # containment_join lesson — see LshIndex.shingle_sets_for)
+        .repartition("__eid__")
         .select(
             "__eid__",
             F.array_distinct(

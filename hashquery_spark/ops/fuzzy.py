@@ -41,6 +41,44 @@ def _char_shingle_expr(norm_col: str, k: int) -> str:
     )
 
 
+# Candidate-id/size frames are broadcast only below this many candidate
+# PAIRS (a pair bounds each side's distinct ids): ~4M longs is a <50 MB
+# hash relation — safe everywhere we run — while max_bucket_size=None or
+# pathological band collisions can make the candidate set unbounded, and
+# a forced broadcast there OOMs where a shuffle join only got slow (r9
+# ADVICE). The count is read off the already-materialized checkpoint.
+_BROADCAST_MAX_PAIRS = 4_000_000
+
+
+def _gated_bcast(cands: DataFrame):
+    """Return a ``bcast`` wrapper that applies ``F.broadcast`` only when
+    the MATERIALIZED candidate-pair count is under
+    :data:`_BROADCAST_MAX_PAIRS` (r9 ADVICE: never force a broadcast of
+    an unbounded candidate set — with max_bucket_size=None or
+    pathological band collisions a forced broadcast OOMs where a shuffle
+    join only got slow). ``cands`` must already be an eager
+    localCheckpoint, so the count is a cached-read job.
+
+    NEGATIVE RESULT (r10, measured — do not re-add): a pre-verify SIZE
+    SCREEN on the candidate pairs (J ≤ min/max of distinct shingle
+    counts, containment ≤ min/|A|) was implemented here and REVERTED.
+    LSH/prefix blocking already biases candidates toward similar-sized
+    pairs, so the screen cut only ~10% of containment pairs at sf0.1
+    (185k→167k) and near-nothing for jaccard, while its sizes pass
+    re-ran the full shingle HOF over every candidate text per side plus
+    an extra checkpoint barrier: containment_join 34→89 s,
+    dedup_against_fuzzy 8.9→11.9 s, leakage_report 10.1→13.9 s at sf1
+    (same-day windows). Same class as the r9 token-count-barrier
+    reversal: a screen only pays when it cuts a lot more than it costs
+    to evaluate."""
+    n_pairs = cands.count()
+
+    def bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_pairs <= _BROADCAST_MAX_PAIRS else df
+
+    return bcast
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -100,12 +138,16 @@ def fuzzy_join(
         .localCheckpoint(eager=True)
     )
 
+    # no pre-verify size screen — measured net loss (see _gated_bcast)
+    pruned, bcast = cands, _gated_bcast(cands)
+
     def gram_sets(normed: DataFrame, out_id: str, alias: str):
         # broadcast the candidate-id filter (the dedup_against_fuzzy
-        # precedent): the checkpointed cands frame is a LogicalRDD with
-        # no size estimate, so the plain semi-join planned as a
-        # SortMergeJoin that SHUFFLED the whole normalized corpus by id
-        # before re-shingling — the ids are bounded by the (already
+        # precedent; gated on the materialized pair count, r9 ADVICE):
+        # the checkpointed pair frame is a LogicalRDD with no size
+        # estimate, so the plain semi-join planned as a SortMergeJoin
+        # that SHUFFLED the whole normalized corpus by id before
+        # re-shingling — the ids are bounded by the (already
         # materialized, bounded-by-design) candidate pair frame.
         # Then repartition by the id BEFORE the shingle projection: the
         # broadcast join streams the corpus scan, so its output is NOT
@@ -116,7 +158,7 @@ def fuzzy_join(
         # the candidate TEXTS and the arrays are built post-shuffle,
         # already positioned for the verify join.
         only = normed.join(
-            F.broadcast(cands.select(out_id).distinct()), on=out_id
+            bcast(pruned.select(out_id).distinct()), on=out_id
         ).repartition(out_id)
         return only.selectExpr(
             out_id,
@@ -124,7 +166,7 @@ def fuzzy_join(
         )
 
     verified = (
-        cands.join(gram_sets(ln, "id_l", "__gl__"), on="id_l")
+        pruned.join(gram_sets(ln, "id_l", "__gl__"), on="id_l")
         .join(gram_sets(rn, "id_r", "__gr__"), on="id_r")
         .selectExpr(
             "id_l",
@@ -222,12 +264,18 @@ def containment_join(
         .localCheckpoint(eager=True)
     )
 
+    # no pre-verify size screen — measured net loss, and for containment
+    # the min/|A| bound almost never cuts when snippets are contained in
+    # longer documents (see _gated_bcast)
+    pruned, bcast = cands, _gated_bcast(cands)
+
     def gram_sets(normed: DataFrame, out_id: str, alias: str):
         # broadcast the candidate-id filter (the dedup_against_fuzzy
-        # precedent): the checkpointed cands frame is a LogicalRDD with
-        # no size estimate, so the plain semi-join planned as a
-        # SortMergeJoin that SHUFFLED the whole normalized corpus by id
-        # before re-shingling — the ids are bounded by the (already
+        # precedent; gated on the materialized pair count, r9 ADVICE):
+        # the checkpointed pair frame is a LogicalRDD with no size
+        # estimate, so the plain semi-join planned as a SortMergeJoin
+        # that SHUFFLED the whole normalized corpus by id before
+        # re-shingling — the ids are bounded by the (already
         # materialized, bounded-by-design) candidate pair frame.
         # Then repartition by the id BEFORE the shingle projection: the
         # broadcast join streams the corpus scan, so its output is NOT
@@ -238,7 +286,7 @@ def containment_join(
         # the candidate TEXTS and the arrays are built post-shuffle,
         # already positioned for the verify join.
         only = normed.join(
-            F.broadcast(cands.select(out_id).distinct()), on=out_id
+            bcast(pruned.select(out_id).distinct()), on=out_id
         ).repartition(out_id)
         return only.selectExpr(
             out_id,
@@ -246,7 +294,7 @@ def containment_join(
         )
 
     verified = (
-        cands.join(gram_sets(ln, "id_l", "__gl__"), on="id_l")
+        pruned.join(gram_sets(ln, "id_l", "__gl__"), on="id_l")
         .join(gram_sets(rn, "id_r", "__gr__"), on="id_r")
         .selectExpr(
             "id_l",

@@ -125,15 +125,26 @@ def dedup_against_fuzzy(
         .localCheckpoint(eager=True)
     )
 
+    # broadcast gate (r9 ADVICE): no pre-verify size screen — measured
+    # net loss (see fuzzy._gated_bcast for the r10 negative result)
+    from .fuzzy import _gated_bcast
+
+    bcast = _gated_bcast(cands)
+
     def shingle_sets(df: DataFrame, out_id: str, alias: str) -> DataFrame:
         # candidate-id filter FIRST, shingle HOF after: the projection is
         # the expensive part, so it must run over O(candidates) rows, not
         # the whole side (profiled ~2x the query cost the other way — the
-        # join does not reorder below a projection on its own)
+        # join does not reorder below a projection on its own). Then
+        # repartition by the id BETWEEN filter and projection (the r9
+        # containment_join lesson): otherwise the verify SortMergeJoin's
+        # ENSURE_REQUIREMENTS exchange lands ABOVE the projection and
+        # ships the shingle ARRAYS (~k× the text bytes).
         only = cands.select(out_id).distinct()
         return (
             df.select(F.col(id_col).alias(out_id), F.col(text_col))
-            .join(F.broadcast(only), on=out_id)
+            .join(bcast(only), on=out_id)
+            .repartition(out_id)
             .select(
                 out_id,
                 F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias(alias),

@@ -783,3 +783,101 @@ def test_round5_and_r6_scan_and_shuffle_budgets(spark, sf_dir):
         )
         if not smj_ok:
             assert "SortMergeJoin" not in plan, name
+
+
+def test_dedup_clusters_one_job_per_round(spark):
+    """r10 (r9 verdict #3): the CC loop runs ONE job per round — the
+    lazy per-round localCheckpoint is materialized by the convergence
+    count itself, with no separate probe action — plus one init job
+    that materializes edges + seed labels together. AQE is disabled for
+    the measurement so one action == one job (with AQE on, each
+    exchange materializes as its own stage-job and the count is
+    environment-dependent); the path graph 1-2-3-4-5 converges in
+    exactly 5 rounds (the min label travels one hop per round, plus the
+    confirming no-change round)."""
+    from hashquery_spark.ops import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc = spark.sparkContext
+    try:
+        # count jobs via an EXPLICIT job group: the default-group id list
+        # is capped by spark.ui.retainedJobs, so a bare len() delta goes
+        # negative after thousands of prior suite jobs (measured — this
+        # test read -94 in the full suite and 6 in isolation)
+        sc.setJobGroup("r10_cc_jobcount", "dedup_clusters job-count pin")
+        labels = dedup_clusters(pairs)
+        jobs = len(sc.statusTracker().getJobIdsForGroup("r10_cc_jobcount"))
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert jobs == 6, f"expected 1 init + 5 round jobs, saw {jobs}"
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_dedup_clusters_frees_intermediate_checkpoints(spark):
+    """r10 (r9 ADVICE): the CC loop unpersists each superseded round's
+    checkpointed labels (and edges after the loop) instead of leaving up
+    to max_iterations frames in executor storage until driver GC — live
+    frames stay bounded. Only the RETURNED frame's RDD (plus anything
+    other tests persisted) may remain."""
+    from hashquery_spark.ops import dedup_clusters
+
+    sc = spark.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
+    before_ids = {int(k) for k in jmap.keySet().toArray()}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    labels = dedup_clusters(pairs)
+    assert labels.count() == 5
+    jmap = sc._jsc.getPersistentRDDs()
+    new_ids = {int(k) for k in jmap.keySet().toArray()} - before_ids
+    # 5 rounds ran: without cleanup this loop leaves 1 edges + 1 seed +
+    # 5 round frames persisted; with cleanup only the final round's
+    # frame survives
+    assert len(new_ids) <= 1, (
+        f"{len(new_ids)} persisted RDDs leaked from the CC loop"
+    )
+
+
+def test_pq_search_with_memoized_build_runs_zero_build_jobs(spark, sf_dir):
+    """r10 (r9 verdict #8): pq_search/ivf_pq_search against a memoized
+    build (codebooks + candidates bound, or a cached IvfIndex) must
+    CONSTRUCT without launching any job — the codebook collect and the
+    two-phase-auto count are index-build work, paid once, like
+    test_ivf_search_reuses_cached_index pins for ann_ivf."""
+    from hashquery_spark.connection import connection_for_dir
+    from hashquery_spark.ops import ivf_index, ivf_pq_search, pq_search
+    from hashquery_spark.ops.similarity import _pq_codebooks
+
+    conn = connection_for_dir(sf_dir, spark)
+    emb = conn.table("embeddings")
+    probes = emb.where("vec_id < 5")
+    tracker = spark.sparkContext.statusTracker()
+
+    books = _pq_codebooks(emb, "embedding", "vec_id", 4, 16)
+    n = emb.count()
+    index = ivf_index(emb, "embedding", "vec_id", n_centroids=8, cache=True)
+    first = ivf_pq_search(
+        emb, probes, "embedding", "vec_id", n_probe=2, m=4, k=16, top=10,
+        index=index,
+    )
+    assert first.count() > 0  # warm: build_pq + cell_stats memoize
+
+    jobs_before = len(tracker.getJobIdsForGroup())
+    pq_search(
+        emb, probes, "embedding", "vec_id", m=4, k=16, top=10,
+        codebooks=books, candidates=n,
+    )
+    ivf_pq_search(
+        emb, probes, "embedding", "vec_id", n_probe=2, m=4, k=16, top=10,
+        index=index,
+    )
+    assert len(tracker.getJobIdsForGroup()) == jobs_before, (
+        "repeat-search construction launched build jobs"
+    )
