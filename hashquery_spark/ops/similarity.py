@@ -136,6 +136,7 @@ def ann_brute_force(
     id_col: str = "vec_id",
     k: int = 10,
     two_phase="auto",
+    candidates: "int | None" = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe vector.
 
@@ -165,7 +166,10 @@ def ann_brute_force(
         scored,
         [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
         k,
-        candidates=_resolve_topk_candidates(two_phase, corpus.count),
+        candidates=_resolve_topk_candidates(
+            two_phase,
+            (lambda: candidates) if candidates is not None else corpus.count,
+        ),
     ).select("probe_id", "neighbor_id", "cos_sim", "rank")
 
 
@@ -243,6 +247,7 @@ def hard_negatives(
     label_col: str,
     k: int = 5,
     two_phase="auto",
+    candidates: "int | None" = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive/embedding training: for each
     anchor, the top-``k`` most-similar corpus items with a DIFFERENT
@@ -1437,6 +1442,8 @@ def pq_search(
     top: int = 10,
     kmeans_iters: int = 0,
     two_phase="auto",
+    codebooks=None,
+    candidates: "int | None" = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) search over PQ codes: each probe
     precomputes an ``m × k`` lookup table of subspace distances ONCE
@@ -1459,7 +1466,10 @@ def pq_search(
     break ties by neighbor id, so the oracle reproduces the full
     result bit-for-bit.
     """
-    books, dim, dsub = (
+    # ``codebooks``/``candidates`` (r10, r9 verdict #8): serving callers
+    # pass the memoized build so repeat searches launch zero codebook-
+    # collect / corpus-count jobs (the pq_encode/ann_ivf contract)
+    books, dim, dsub = codebooks if codebooks is not None else (
         _pq_codebooks_trained(corpus, vec_col, id_col, m, k, kmeans_iters)
         if kmeans_iters
         else _pq_codebooks(corpus, vec_col, id_col, m, k)
@@ -1487,7 +1497,10 @@ def pq_search(
         scored,
         [F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
         top,
-        candidates=_resolve_topk_candidates(two_phase, corpus.count),
+        candidates=_resolve_topk_candidates(
+            two_phase,
+            (lambda: candidates) if candidates is not None else corpus.count,
+        ),
     ).select("probe_id", "neighbor_id", "adc_dist", "rank")
 
 
