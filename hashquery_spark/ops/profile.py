@@ -186,6 +186,17 @@ def grid_percentiles(
     ``(ceil(pos)-pos)*v_lo + (pos-floor(pos))*v_hi`` — which the oracle
     suite has established is itself bit-identical to DuckDB
     ``quantile_cont`` (see the ``quantiles`` query).
+
+    NOTE (laziness): the bounded GK bracket frame is eagerly
+    localCheckpointed (r9 — the full-data sketch pass otherwise ran 2-3×
+    through differently-pruned consumers), so merely CONSTRUCTING any
+    frame that embeds this op (winsorize exact, time_split,
+    quantile_bucketize, plan inspection, wire round-trips) executes one
+    full scan+sketch job even if the result is never collected. The
+    measured re-execution win outweighs plan-only construction cost in
+    every shipped call site; if a plan-only path ever needs to avoid the
+    job, thread a lazy barrier through instead (the IvfIndex
+    checkpoint-on-first-action pattern).
     """
     by = [by] if isinstance(by, str) else list(by or [])
     v = F.col(value_col)

@@ -584,7 +584,9 @@ def pmi_bigrams(
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
-def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def bigram_lm_score(
+    df: DataFrame, text_col: str, id_col: str, barrier: bool = True
+) -> DataFrame:
     """(id, n_bigrams, lm2_score) — mean bigram log-probability of each
     document under the corpus's own bigram model:
     ``mean ln P(w_i | w_{i-1}) = mean ln(c(ab) / c(a·))`` with ``c(a·)``
@@ -608,12 +610,14 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     # eager barrier (r9): ctx and logp both consume the bigram-count
     # table — live lineage re-ran the full corpus explode per consumer
-    # (4 passes total); the frame is bounded by bigram vocabulary
-    bc = (
-        ex.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("__cab__"))
-        .localCheckpoint(eager=True)
-    )
+    # (4 passes total); the frame is bounded by bigram vocabulary.
+    # ``barrier=False`` keeps the live lineage — perplexity_buckets
+    # passes it when its own scored-frame checkpoint already serializes
+    # the path (r9 verdict #5: two chained eager barriers can cost more
+    # than the rescan one of them saves; A/B'd in r10).
+    bc = ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("__cab__"))
+    if barrier:
+        bc = bc.localCheckpoint(eager=True)
     ctx = (
         bc.withColumn("__a__", F.split(F.col("bigram"), " ")[0])
         .groupBy("__a__")
@@ -651,6 +655,8 @@ def perplexity_buckets(
     df: DataFrame,
     text_col: str,
     id_col: str,
+    lm_barrier: bool = True,
+    scored_barrier: bool = True,
 ) -> DataFrame:
     """(id, lang_pred, lm2_score, bucket) — CCNet-style head/middle/tail
     corpus partition (Wenzek et al. 2020): score fluency with the
@@ -680,12 +686,17 @@ def perplexity_buckets(
     lang = df.select(F.col(id_col), *langid_cols(F.col(text_col))).select(
         id_col, "lang_pred"
     )
-    lm = bigram_lm_score(df, text_col, id_col)
+    lm = bigram_lm_score(df, text_col, id_col, barrier=lm_barrier)
     # checkpoint: the tercile aggregate and the final join are two
     # structurally different consumers (different column pruning) — an
     # unmaterialized `scored` re-runs the whole bigram-LM pipeline for
     # each (the measured no-ReusedExchange trap; ~2x on this op).
-    scored = lm.join(lang, on=id_col).localCheckpoint(eager=True)
+    # ``lm_barrier``/``scored_barrier`` expose the two chained eager
+    # checkpoints for A/B (r9 verdict #5); the r10-measured winner is
+    # the default.
+    scored = lm.join(lang, on=id_col)
+    if scored_barrier:
+        scored = scored.localCheckpoint(eager=True)
     th = grid_percentiles(
         scored,
         "lm2_score",
@@ -1448,11 +1459,18 @@ def heaps_law(
         .where(F.col("__tok__") != "")
     )
     qs = {f"__cut{j}__": j / float(n_points) for j in range(1, n_points + 1)}
-    cuts = grid_percentiles(
-        df.where(did.isNotNull()).select(did.alias("__did__")),
-        "__did__",
-        qs,
+    # barrier the narrow doc-id frame before the cutoff derivation (r9
+    # verdict #4: grid_percentiles' three differently-pruned consumers —
+    # GK sketch, below-counts, bracket window — each re-scanned the
+    # corpus parquet; an 8-byte-per-doc checkpoint feeds all three, so
+    # the whole op reads parquet twice: once here, once for the token
+    # explode).
+    ids = (
+        df.where(did.isNotNull())
+        .select(did.alias("__did__"))
+        .localCheckpoint(eager=True)
     )
+    cuts = grid_percentiles(ids, "__did__", qs)
     # ONE explode pass (r9): the per-type min-first-doc aggregate ALSO
     # carries the per-cutoff occurrence counts, so the prefix token
     # counts N_j ride the same groupBy(token) instead of a second full
