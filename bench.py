@@ -263,6 +263,12 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
+    # r9 verdict #9: sample loadavg BEFORE any bench work — the phase-end
+    # samples below include the bench's own 32-thread load, so only the
+    # start sample can tell EXTERNAL contamination apart; runs that start
+    # above the threshold self-identify via load_contaminated.
+    load_at_start = _loadavg()
+
     spark = default_session("hashquery_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
@@ -317,6 +323,10 @@ def main() -> None:
         ),
         "n_headline": len(HEADLINE),
         "loadavg_spark_phase": _loadavg(),
+        "loadavg_at_start": load_at_start,
+        "load_contaminated": bool(
+            load_at_start and float(load_at_start) > 1.5
+        ),
     }
 
     # DuckDB twin: time the IDENTICAL oracle SQL over the same parquet on

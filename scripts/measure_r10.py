@@ -1,15 +1,15 @@
 #!/usr/bin/env python
-"""r09 optimization measurement harness (guide §1).
+"""r10 optimization measurement harness (guide §1).
 
 Usage:
-  python scripts/measure_r09.py plans <outdir> [name ...]
+  python scripts/measure_r10.py plans <outdir> [name ...]
       Write .explain("formatted") for each named headline query (default:
       all) to <outdir>/<name>.txt. Plan-only OUTPUT — but queries with
       eager localCheckpoints (dedup_clusters loop, fuzzy/containment
       cands, grid_percentiles gk, assoc_rules kept, ...) still execute
       their barrier jobs at $SPARK_GRAFT_SF_DIR during construction, so
       NEVER run this concurrently with a bench (r9 ADVICE).
-  python scripts/measure_r09.py time <name> [name ...]
+  python scripts/measure_r10.py time <name> [name ...]
       Isolated timing: warm each query's plan at sf0.001, then time
       min-of-N (SPARK_GRAFT_BENCH_REPEATS, default 3) at
       $SPARK_GRAFT_SF_DIR with the noop sink (computes every column,
@@ -35,7 +35,7 @@ WARMUP = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 def _session():
     from hashquery_spark.connection import default_session
 
-    spark = default_session("measure_r09")
+    spark = default_session("measure_r10")
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -71,7 +71,7 @@ def cmd_time(names: list[str]) -> int:
             ).save()
         best, runs = float("inf"), []
         for i in range(repeats):
-            spark.sparkContext.setJobDescription(f"r09:{name}:{i}")
+            spark.sparkContext.setJobDescription(f"r10:{name}:{i}")
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"

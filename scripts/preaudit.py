@@ -12,6 +12,7 @@ gate or any empty paired result.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -20,6 +21,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from hashquery_spark.parity import audit_query, duck_connection  # noqa: E402
+
+# Everything that can change what a declared query computes. bench.py is
+# deliberately absent (timing harness, not semantics).
+SEMANTIC_SOURCES = (
+    "hashquery_spark",
+    "__spark_entry__.py",
+    "oracle_queries.py",
+    "py_twins.py",
+)
+
+
+def source_tree_hash(root: str) -> str:
+    """sha256 over every semantics-bearing source file (path + bytes,
+    sorted) — recorded into PREAUDIT.json so the freshness CI can detect
+    GREEN-BUT-STALE artifacts (r9 verdict #2: the preaudit was committed
+    before the round's op changes and the name/green checks couldn't
+    see it)."""
+    h = hashlib.sha256()
+    paths = []
+    for top in SEMANTIC_SOURCES:
+        p = os.path.join(root, top)
+        if os.path.isdir(p):
+            for dirpath, _dirs, files in os.walk(p):
+                paths.extend(
+                    os.path.join(dirpath, fn)
+                    for fn in files
+                    if fn.endswith(".py")
+                )
+        elif os.path.isfile(p):
+            paths.append(p)
+    for fp in sorted(paths):
+        h.update(os.path.relpath(fp, root).replace(os.sep, "/").encode())
+        h.update(b"\0")
+        with open(fp, "rb") as f:
+            h.update(f.read())
+        h.update(b"\0")
+    return h.hexdigest()
 
 
 def main(sf_dirs):
@@ -67,10 +105,14 @@ def main(sf_dirs):
             "n_ok": sum(1 for r in sf_report.values() if r.get("ok")),
             "queries": sf_report,
         }
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PREAUDIT.json")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    report["__meta__"] = {"source_hash": source_tree_hash(root)}
+    out = os.path.join(root, "PREAUDIT.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1, default=str)
     for sf_dir, r in report.items():
+        if sf_dir == "__meta__":
+            continue
         print(
             f"{sf_dir}: {r['n_ok']}/{r['n_queries']} ok "
             f"({r['n_paired']} paired + {r['n_twinned']} twinned = "

@@ -28,20 +28,52 @@ def test_preaudit_all_queries_green_and_nonempty(spark, audit_sf):
     assert not bad, f"{audit_sf}: {len(bad)} failures: " + "; ".join(bad[:5])
 
 
+def _load_preaudit_module():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "scripts", "preaudit.py"
+    )
+    spec = importlib.util.spec_from_file_location("preaudit_script", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_committed_preaudit_artifact_is_fresh():
     """The committed PREAUDIT.json must cover EVERY current queries()
     entry at both SFs — a query that lands after the last preaudit run
     fails CI here until `python scripts/preaudit.py` is re-run (the
-    js_divergence staleness from round 3, now enforced)."""
+    js_divergence staleness from round 3, now enforced) — AND its
+    recorded source hash must match the current tree: r9 committed a
+    green artifact BEFORE the round's op changes, which the name/green
+    checks could not see (r9 verdict #2). Any edit to a semantics-
+    bearing source after the last preaudit run now fails CI until the
+    preaudit is re-run, restoring the preaudit-is-the-last-commit
+    invariant."""
     import json
     import os
 
-    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PREAUDIT.json")
+    root = os.path.dirname(os.path.dirname(__file__))
+    path = os.path.join(root, "PREAUDIT.json")
     assert os.path.exists(path), "run scripts/preaudit.py before round end"
     with open(path) as f:
         report = json.load(f)
     names = set(entry_mod.queries())
     assert report, "PREAUDIT.json is empty — run scripts/preaudit.py"
+    meta = report.pop("__meta__", None)
+    assert meta and meta.get("source_hash"), (
+        "PREAUDIT.json lacks __meta__.source_hash — regenerate with the "
+        "current scripts/preaudit.py"
+    )
+    current = _load_preaudit_module().source_tree_hash(os.path.abspath(root))
+    assert meta["source_hash"] == current, (
+        "PREAUDIT.json is GREEN-BUT-STALE: a semantics-bearing source "
+        "file (hashquery_spark/**, __spark_entry__.py, oracle_queries.py, "
+        "py_twins.py) changed after the last preaudit run — re-run "
+        "scripts/preaudit.py as the LAST commit of the round"
+    )
     for sf_dir, r in report.items():
         covered = set(r["queries"])
         missing = names - covered
