@@ -83,6 +83,33 @@ NORMALIZE_SQL = (
 )
 
 
+def persisted_rdd_ids(sc):
+    """Snapshot the set of persistent RDD ids (storage-hygiene tracking
+    for iterative loops — r9 ADVICE: superseded per-round checkpoints
+    must be unpersisted, not left to driver GC). Returns None when the
+    py4j introspection is unavailable; callers then skip cleanup."""
+    try:
+        jmap = sc._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+    except Exception:  # noqa: BLE001 — introspection only; skip cleanup
+        return None
+
+
+def unpersist_rdd_ids(sc, ids):
+    """Best-effort unpersist of the given persistent-RDD ids (the delta
+    between two persisted_rdd_ids snapshots around a localCheckpoint)."""
+    if not ids:
+        return
+    try:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup is best-effort
+        pass
+
+
 def tokens(col: Column) -> Column:
     return F.split(normalize_text(col), r"\s+")
 
@@ -356,23 +383,10 @@ def dedup_clusters(
     sc = pairs.sparkSession.sparkContext
 
     def _persisted_ids():
-        try:
-            jmap = sc._jsc.getPersistentRDDs()
-            return {int(k) for k in jmap.keySet().toArray()}
-        except Exception:  # noqa: BLE001 — introspection only; skip cleanup
-            return None
+        return persisted_rdd_ids(sc)
 
     def _unpersist(ids):
-        if not ids:
-            return
-        try:
-            jmap = sc._jsc.getPersistentRDDs()
-            for rid in ids:
-                jrdd = jmap.get(rid)
-                if jrdd is not None:
-                    jrdd.unpersist(False)
-        except Exception:  # noqa: BLE001 — cleanup is best-effort
-            pass
+        unpersist_rdd_ids(sc, ids)
 
     pre = _persisted_ids()
     edges = (

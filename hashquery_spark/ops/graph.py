@@ -98,24 +98,43 @@ def pagerank(
     # the iteration count; checkpointing truncates the plan to the
     # materialized blocks (measured: 30 iterations went from minutes of
     # planning to seconds).
+    from .dedup import persisted_rdd_ids, unpersist_rdd_ids
+
+    sc = edges.sparkSession.sparkContext
+    t_pre = persisted_rdd_ids(sc)
     topo = nodes.join(out_deg, on="node", how="left").localCheckpoint(eager=True)
     nodes.unpersist()
 
     d_num, d_den = int(round(damping * 100)), 100  # 0.85 -> 85/100, exact
     base = ((d_den - d_num) * _UNIT) // (d_den * n_nodes)  # (1-d)/N
+    pre = persisted_rdd_ids(sc)
+    topo_ids = (pre - t_pre) if t_pre is not None and pre is not None else None
+    # the checkpointed rank frame CARRIES __deg__ (r10): the dangling
+    # aggregate then scans the persisted checkpoint directly and the
+    # contribution join binds __deg__ for free, so topo is joined ONCE
+    # per iteration (for all-node coverage) instead of twice plus a
+    # third ranks-joins-topo evaluation inside the old dangling collect.
     ranks = topo.select(
-        "node", F.lit(_UNIT // n_nodes).cast("long").alias("__r__")
+        "node", F.lit(_UNIT // n_nodes).cast("long").alias("__r__"), "__deg__"
     ).localCheckpoint(eager=True)
+    post = persisted_rdd_ids(sc)
+    prev_ids = (post - pre) if pre is not None and post is not None else None
     for _ in range(iters):
-        with_deg = ranks.join(topo, on="node")
-        dangling = with_deg.where(F.col("__deg__").isNull()).agg(
-            F.coalesce(F.sum("__r__"), F.lit(0)).alias("s")
-        ).collect()[0]["s"]
-        # per-node share of damped dangling mass (integer, exact)
-        dangling_share = (d_num * int(dangling)) // (d_den * n_nodes)
+        # the damped-dangling-mass share rides the plan as a broadcast
+        # 1-row aggregate over the persisted checkpoint instead of a
+        # driver collect (r10): its broadcast-build job reads cached
+        # blocks only — no join re-evaluation. Integer math identical to
+        # the collected form: Python's // on the non-negative mass ==
+        # SQL DIV.
+        share = ranks.where(F.col("__deg__").isNull()).agg(
+            F.expr(
+                f"({d_num}L * coalesce(sum(__r__), 0L))"
+                f" DIV ({d_den}L * {n_nodes}L) AS __share__"
+            )
+        )
         contribs = (
             e.join(
-                with_deg.where(F.col("__deg__").isNotNull()),
+                ranks.where(F.col("__deg__").isNotNull()),
                 on=F.col("__src__") == F.col("node"),
             )
             # damping folded into the per-edge integer division (one
@@ -131,18 +150,31 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c__").alias("__c__"))
         )
+        before = persisted_rdd_ids(sc)
         ranks = (
-            topo.select("node")
-            .join(contribs, on="node", how="left")
+            topo.join(contribs, on="node", how="left")
+            .crossJoin(F.broadcast(share))
             .select(
                 "node",
                 (
-                    F.lit(base + dangling_share).cast("long")
+                    F.lit(base).cast("long")
+                    + F.col("__share__")
                     + F.coalesce(F.col("__c__"), F.lit(0).cast("long"))
                 ).alias("__r__"),
+                "__deg__",
             )
             .localCheckpoint(eager=True)
         )
+        after = persisted_rdd_ids(sc)
+        # superseded round's checkpoint is unreachable once the new one
+        # materializes — free it (r9 ADVICE storage hygiene)
+        unpersist_rdd_ids(sc, prev_ids)
+        prev_ids = (
+            (after - before)
+            if before is not None and after is not None
+            else None
+        )
+    unpersist_rdd_ids(sc, topo_ids)
     return ranks.select(
         "node", fround(F.col("__r__") / F.lit(float(_UNIT)), 9).alias("pagerank")
     )
@@ -277,16 +309,30 @@ def label_propagation(
         .where(F.col("__a__") != F.col("__b__"))
         .distinct()
     )
+    from .dedup import persisted_rdd_ids, unpersist_rdd_ids
+
+    sc = edges.sparkSession.sparkContext
+    b_pre = persisted_rdd_ids(sc)
     bi = und.select(
         F.col("__a__").alias("__s__"), F.col("__b__").alias("__d__")
     ).unionAll(
         und.select(F.col("__b__").alias("__s__"), F.col("__a__").alias("__d__"))
     ).localCheckpoint(eager=True)
+    b_post = persisted_rdd_ids(sc)
+    bi_ids = (
+        (b_post - b_pre) if b_pre is not None and b_post is not None else None
+    )
     labels = (
         bi.select(F.col("__s__").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("__lbl__"))
         .localCheckpoint(eager=True)
+    )
+    l_post = persisted_rdd_ids(sc)
+    prev_ids = (
+        (l_post - b_post)
+        if b_post is not None and l_post is not None
+        else None
     )
     for _ in range(iters):
         cnt = (
@@ -306,6 +352,7 @@ def label_propagation(
                 )
             ).alias("__p__")
         )
+        before = persisted_rdd_ids(sc)
         labels = (
             labels.join(pick, on="node", how="left")
             .select(
@@ -314,6 +361,16 @@ def label_propagation(
             )
             .localCheckpoint(eager=True)
         )
+        after = persisted_rdd_ids(sc)
+        # superseded round freed once the new round materializes (r9
+        # ADVICE storage hygiene — the dedup_clusters pattern)
+        unpersist_rdd_ids(sc, prev_ids)
+        prev_ids = (
+            (after - before)
+            if before is not None and after is not None
+            else None
+        )
+    unpersist_rdd_ids(sc, bi_ids)
     return labels.select("node", F.col("__lbl__").alias("community"))
 
 

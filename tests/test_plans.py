@@ -119,6 +119,10 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         # 1-row observation-end (max ts) frame replicated to the
         # per-user lifetimes:
         "kaplan_meier",
+        # 1-row damped-dangling-mass share broadcast onto the rank frame
+        # each iteration (r10: the share rides the plan instead of a
+        # per-iteration collect — one job per iteration):
+        "pagerank",
         # 1-row global-count frame replicated to the bounded
         # (quasi, sensitive) pair table:
         "t_closeness",
@@ -842,6 +846,77 @@ def test_dedup_clusters_frees_intermediate_checkpoints(spark):
     # frame survives
     assert len(new_ids) <= 1, (
         f"{len(new_ids)} persisted RDDs leaked from the CC loop"
+    )
+
+
+def test_pagerank_one_job_per_iteration_and_bounded_storage(spark):
+    """r10: pagerank's damped-dangling-mass share rides the plan as a
+    broadcast 1-row aggregate over the deg-carrying rank CHECKPOINT
+    instead of a per-iteration driver collect — the old collect
+    re-evaluated a full ranks-joins-topo per iteration; the broadcast
+    build now reads persisted blocks only, and topo is joined once per
+    iteration instead of twice. Jobs: 3 init (node count, topo ckpt,
+    seed ckpt) + 2 per iteration (share broadcast build over cached
+    blocks + the eager rank checkpoint). Superseded per-iteration
+    checkpoints and topo are unpersisted — live persisted RDDs stay
+    bounded instead of growing with iters."""
+    from hashquery_spark.ops import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    sc = spark.sparkContext
+    before_ids = {
+        int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("r10_pr_jobcount", "pagerank job-count pin")
+        ranks = pagerank(edges, "src", "dst", iters=4)
+        jobs = len(sc.statusTracker().getJobIdsForGroup("r10_pr_jobcount"))
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert jobs == 3 + 2 * 4, (
+        f"expected 3 init + 2 jobs per iteration, saw {jobs}"
+    )
+    new_ids = {
+        int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+    } - before_ids
+    assert len(new_ids) <= 1, (
+        f"{len(new_ids)} persisted RDDs leaked from the pagerank loop"
+    )
+    # returned frame still collectable (final checkpoint alive), sums ~1
+    total = sum(r["pagerank"] for r in ranks.collect())
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_label_propagation_bounded_storage(spark):
+    """r10 storage hygiene: label_propagation unpersists superseded
+    per-round label checkpoints and the bidirectional edge frame."""
+    from hashquery_spark.ops import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "src string, dst string"
+    )
+    sc = spark.sparkContext
+    before_ids = {
+        int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    out = label_propagation(edges, "src", "dst", iters=4)
+    rows = out.collect()  # returned frame collectable after cleanup
+    assert {r["node"] for r in rows} == {"a", "b", "c", "d", "e"}
+    # the d-e component can never see an a/b/c label
+    assert {r["community"] for r in rows if r["node"] in ("d", "e")} <= {
+        "d", "e",
+    }
+    new_ids = {
+        int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()
+    } - before_ids
+    assert len(new_ids) <= 1, (
+        f"{len(new_ids)} persisted RDDs leaked from the LPA loop"
     )
 
 
