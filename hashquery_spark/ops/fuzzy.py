@@ -41,6 +41,46 @@ def _char_shingle_expr(norm_col: str, k: int) -> str:
     )
 
 
+def _char_shingle_code_expr(norm_col: str, k: int) -> str:
+    """Char k-grams of a ``normalize_text``-normalized column encoded as
+    LONGs (r10, guide §2.3 — shuffle narrower types): the normalized
+    alphabet is exactly ``[a-z0-9 ]`` (every char code < 128), so the
+    fixed-width base-128 value ``Σ ascii(c_j)·128^(k-1-j)`` is an
+    INJECTIVE encoding of the k-gram for k ≤ 9 (max value 128^9 − 1 =
+    LONG_MAX) — gram-set sizes and intersection sizes are therefore
+    bit-identical to the string form, and the code order equals the
+    byte-lexicographic gram order for equal-length ASCII strings, so any
+    (df, gram)-ordered prefix selection picks the SAME grams. 8-byte
+    array elements replace ~13-byte string elements in every verify
+    shuffle/intersect, and ``array_intersect`` hashes longs instead of
+    UTF8Strings (measured: containment_join sf1 ~39 s → ~28 s min
+    same-window interleaved; stable across external-load bursts where
+    the string form swung 39-64 s). Callers must fall back to
+    :func:`_char_shingle_expr` when k > 9."""
+    n = f"`{norm_col}`"
+    term = " + ".join(
+        f"(ascii(substring({n}, i + {j}, 1)) * {128 ** (k - 1 - j)}L)"
+        for j in range(k)
+    )
+    return (
+        f"CASE WHEN length({n}) >= {k} THEN "
+        f"transform(sequence(1, length({n}) - {k - 1}), i -> {term}) "
+        "ELSE CAST(array() AS array<bigint>) END"
+    )
+
+
+def _verify_shingle_expr(norm_col: str, k: int) -> str:
+    """Shingle expression for the VERIFY phase (exact Jaccard /
+    containment over full gram sets): the long encoding whenever it is
+    injective, strings otherwise. Safe wherever only set SIZES and
+    intersection sizes feed the output — never where gram VALUES are
+    hashed or emitted (MinHash signatures must keep hashing the gram
+    strings: the oracle mirrors those md5 buckets)."""
+    if k <= 9:
+        return _char_shingle_code_expr(norm_col, k)
+    return _char_shingle_expr(norm_col, k)
+
+
 # Candidate-id/size frames are broadcast only below this many candidate
 # PAIRS (a pair bounds each side's distinct ids): ~4M longs is a <50 MB
 # hash relation — safe everywhere we run — while max_bucket_size=None or
@@ -162,7 +202,12 @@ def fuzzy_join(
         ).repartition(out_id)
         return only.selectExpr(
             out_id,
-            f"array_distinct({_char_shingle_expr('__norm__', k)}) AS {alias}",
+            # verify-only long gram codes (r10): exact Jaccard needs set
+            # SIZES, not gram values — the injective base-128 encoding
+            # gives identical results with 8-byte array elements. The
+            # BLOCKING above must keep STRING grams (MinHash hashes
+            # them; the oracle mirrors those md5 buckets).
+            f"array_distinct({_verify_shingle_expr('__norm__', k)}) AS {alias}",
         )
 
     verified = (
@@ -216,6 +261,16 @@ def containment_join(
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
 
+    # long gram codes THROUGHOUT for k <= 9 (r10): containment's
+    # blocking is pure counting — df counts group by gram, and the
+    # rarest-first prefix ranks by (df ASC, gram ASC), where the base-128
+    # code order equals the byte-lexicographic gram order for equal-k
+    # ASCII strings — so the selected prefixes, the candidate pairs, and
+    # the verified sizes are all IDENTICAL to the string form (unlike
+    # fuzzy_join, nothing here md5-hashes gram values). Longs group,
+    # join, and intersect cheaper than UTF8Strings at every step.
+    shingle = _verify_shingle_expr
+
     def prep(df: DataFrame, text: str, idc: str, out_id: str):
         normed = (
             df.where(F.col(text).isNotNull())
@@ -227,7 +282,7 @@ def containment_join(
         )
         ex = ensure_parallelism(normed).selectExpr(
             out_id,
-            f"explode(array_distinct({_char_shingle_expr('__norm__', k)}))"
+            f"explode(array_distinct({shingle('__norm__', k)}))"
             " AS __s__",
         )
         return normed, ex
@@ -290,7 +345,7 @@ def containment_join(
         ).repartition(out_id)
         return only.selectExpr(
             out_id,
-            f"array_distinct({_char_shingle_expr('__norm__', k)}) AS {alias}",
+            f"array_distinct({shingle('__norm__', k)}) AS {alias}",
         )
 
     verified = (

@@ -2404,6 +2404,58 @@ def test_vocab_coverage_semantics(spark):
     assert out[1]["chars_per_token"] == 2.0
 
 
+def test_char_shingle_code_expr_is_injective_and_order_preserving(spark):
+    """r10: the base-128 long encoding of char k-grams used in the
+    fuzzy/containment VERIFY (and containment blocking) must be a
+    bijection from string grams over the normalize_text alphabet
+    ([a-z0-9 ]) and must preserve byte-lexicographic order — that is the
+    whole identical-results argument. Checked on the full alphabet plus
+    boundary shapes, and the k > 9 fallback to strings is pinned."""
+    from hashquery_spark.ops.fuzzy import (
+        _char_shingle_code_expr,
+        _char_shingle_expr,
+        _verify_shingle_expr,
+    )
+
+    assert _verify_shingle_expr("__n__", 9) == _char_shingle_code_expr(
+        "__n__", 9
+    )
+    assert _verify_shingle_expr("__n__", 10) == _char_shingle_expr(
+        "__n__", 10
+    )
+
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    texts = [
+        alphabet,
+        alphabet[::-1],
+        "aaaaa",
+        "a0 z9",
+        "abcd",  # shorter than k=5 -> empty array branch
+        "zzzzzzzzz",  # k=9 boundary: max code == LONG_MAX
+    ]
+    for k in (3, 5, 9):
+        df = spark.createDataFrame([(t,) for t in texts], "__n__ string")
+        rows = df.selectExpr(
+            "__n__",
+            f"{_char_shingle_expr('__n__', k)} AS s",
+            f"{_char_shingle_code_expr('__n__', k)} AS c",
+        ).collect()
+        for r in rows:
+            grams, codes = r["s"], r["c"]
+            assert len(grams) == len(codes)
+            expected = [
+                sum(ord(ch) * 128 ** (k - 1 - j) for j, ch in enumerate(g))
+                for g in grams
+            ]
+            assert codes == expected
+            # order preservation: string sort == code sort, element-wise
+            assert [g for g, _ in sorted(zip(grams, codes))] == [
+                g for _, g in sorted((c, g) for g, c in zip(grams, codes))
+            ]
+            # injectivity on this sample: distinct grams <-> distinct codes
+            assert len(set(grams)) == len(set(codes))
+
+
 def test_containment_join_prefix_filter_recall(spark):
     """A snippet fully inside a long doc is found (containment 1.0)
     despite tiny Jaccard — the case MinHash LSH goes blind on — and the
