@@ -655,7 +655,7 @@ def perplexity_buckets(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    lm_barrier: bool = True,
+    lm_barrier: bool = False,
     scored_barrier: bool = True,
 ) -> DataFrame:
     """(id, lang_pred, lm2_score, bucket) — CCNet-style head/middle/tail
@@ -692,8 +692,14 @@ def perplexity_buckets(
     # unmaterialized `scored` re-runs the whole bigram-LM pipeline for
     # each (the measured no-ReusedExchange trap; ~2x on this op).
     # ``lm_barrier``/``scored_barrier`` expose the two chained eager
-    # checkpoints for A/B (r9 verdict #5); the r10-measured winner is
-    # the default.
+    # checkpoints for A/B (r9 verdict #5). r10 MEASURED: lm_barrier=False
+    # + scored_barrier=True wins — the scored checkpoint already
+    # serializes the path, and the inner bigram-count barrier serialized
+    # the ctx/logp sibling stages behind an extra job (sf0.1 quiet:
+    # 3.24 s vs 4.59 with both barriers; sf1 interleaved min 14.4 vs
+    # 17.1 — the r9 cheap-duplicated-work-runs-parallel lesson). The
+    # standalone bigram_lm_score keeps ITS default barrier: without the
+    # scored checkpoint the count table really is consumed 4x live.
     scored = lm.join(lang, on=id_col)
     if scored_barrier:
         scored = scored.localCheckpoint(eager=True)
