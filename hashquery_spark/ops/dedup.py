@@ -83,6 +83,21 @@ NORMALIZE_SQL = (
 )
 
 
+def repartition_for_projection(df: DataFrame, *cols: str) -> DataFrame:
+    """``repartition(defaultParallelism, cols)`` — use this, never a bare
+    ``repartition(cols)``, when an EXPENSIVE projection (shingle HOFs,
+    UDFs) runs on the shuffle's output (r10, measured): a column-only
+    repartition is AQE-COALESCABLE, and on a small-at-this-scale frame
+    AQE collapses it to ~1 partition, serializing the interpreted HOF
+    onto one core (containment_join's coded-gram build: 9.2 s coalesced
+    vs 1.4 s at 32 partitions on identical data; the word-shingle verify
+    paths regressed the same way). An explicit partition count is
+    preserved by AQE; defaultParallelism scales with the cluster, so
+    this is not a local-mode constant."""
+    n = max(int(df.sparkSession.sparkContext.defaultParallelism), 1)
+    return df.repartition(n, *cols)
+
+
 def persisted_rdd_ids(sc):
     """Snapshot the set of persistent RDD ids (storage-hygiene tracking
     for iterative loops — r9 ADVICE: superseded per-round checkpoints
@@ -536,7 +551,7 @@ def ngram_jaccard_pairs(
         return (
             df.select(F.col(id_col).alias(out_id), F.col(text_col))
             .join(bcast(only), on=out_id)
-            .repartition(out_id)
+            .transform(lambda d: repartition_for_projection(d, out_id))
             .select(
                 out_id,
                 F.array_distinct(
@@ -1112,7 +1127,7 @@ class LshIndex:
                 F.col(self._source_text_col),
             )
             .join(only, on="__tid__")
-            .repartition("__tid__")
+            .transform(lambda d: repartition_for_projection(d, "__tid__"))
             .select(
                 "__tid__",
                 F.array_distinct(
@@ -1278,7 +1293,7 @@ def _leakage_report_against_index(
         .join(F.broadcast(cands.select("__eid__").distinct()), on="__eid__")
         # ship candidate TEXTS, build arrays post-shuffle (the r9
         # containment_join lesson — see LshIndex.shingle_sets_for)
-        .repartition("__eid__")
+        .transform(lambda d: repartition_for_projection(d, "__eid__"))
         .select(
             "__eid__",
             F.array_distinct(

@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import band_buckets, ensure_parallelism, km_signature, normalize_text
+from .dedup import (
+    band_buckets,
+    ensure_parallelism,
+    km_signature,
+    normalize_text,
+    repartition_for_projection,
+)
 
 
 def _char_shingle_expr(norm_col: str, k: int) -> str:
@@ -197,9 +203,10 @@ def fuzzy_join(
         # 2x containment_join at sf1). Repartitioning first ships only
         # the candidate TEXTS and the arrays are built post-shuffle,
         # already positioned for the verify join.
-        only = normed.join(
-            bcast(pruned.select(out_id).distinct()), on=out_id
-        ).repartition(out_id)
+        only = repartition_for_projection(
+            normed.join(bcast(pruned.select(out_id).distinct()), on=out_id),
+            out_id,
+        )
         return only.selectExpr(
             out_id,
             # verify-only long gram codes (r10): exact Jaccard needs set
@@ -340,9 +347,10 @@ def containment_join(
         # 2x containment_join at sf1). Repartitioning first ships only
         # the candidate TEXTS and the arrays are built post-shuffle,
         # already positioned for the verify join.
-        only = normed.join(
-            bcast(pruned.select(out_id).distinct()), on=out_id
-        ).repartition(out_id)
+        only = repartition_for_projection(
+            normed.join(bcast(pruned.select(out_id).distinct()), on=out_id),
+            out_id,
+        )
         return only.selectExpr(
             out_id,
             f"array_distinct({shingle('__norm__', k)}) AS {alias}",

@@ -98,6 +98,7 @@ def dedup_against_fuzzy(
         band_buckets,
         cap_bucket_size,
         minhash_signature,
+        repartition_for_projection,
         word_shingles,
     )
 
@@ -144,7 +145,7 @@ def dedup_against_fuzzy(
         return (
             df.select(F.col(id_col).alias(out_id), F.col(text_col))
             .join(bcast(only), on=out_id)
-            .repartition(out_id)
+            .transform(lambda d: repartition_for_projection(d, out_id))
             .select(
                 out_id,
                 F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias(alias),

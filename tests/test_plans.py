@@ -807,6 +807,29 @@ def test_round5_and_r6_scan_and_shuffle_budgets(spark, sf_dir):
             assert "SortMergeJoin" not in plan, name
 
 
+def test_verify_repartitions_are_not_aqe_coalescable(spark, sf_dir):
+    """r10 (measured): a bare .repartition(col) before the shingle HOF is
+    AQE-COALESCABLE — on a small-at-this-scale frame AQE collapsed it to
+    ~1 partition and the interpreted gram build ran single-core (9.2 s vs
+    1.4 s on identical sf0.1 data). Every verify-path repartition must be
+    the explicit-count form (REPARTITION_BY_NUM in the plan), which AQE
+    preserves."""
+    for name in (
+        "containment_join",
+        "fuzzy_join",
+        "dedup_against_fuzzy",
+        "leakage_report",
+        "leakage_index",
+        "dedup_jaccard" if "dedup_jaccard" in entry_mod.queries() else
+        "dedup_minhash",
+    ):
+        plan = _plan_of(spark, sf_dir, name)
+        assert "REPARTITION_BY_COL" not in plan, (
+            f"{name}: AQE-coalescable repartition before an expensive "
+            "projection — use ops.dedup.repartition_for_projection"
+        )
+
+
 def test_dedup_clusters_one_job_per_round(spark):
     """r10 (r9 verdict #3): the CC loop runs ONE job per round — the
     lazy per-round localCheckpoint is materialized by the convergence
