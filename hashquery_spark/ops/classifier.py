@@ -171,8 +171,17 @@ def classifier_fit(
     labels = df.select(
         F.col(id_col), F.col(label_col).cast("double").alias("__y__")
     )
-    # one shuffle up front; every iteration's groupBy(id) + id-join reuse it
-    feats = feats.join(labels, on=id_col).repartition(id_col).persist()
+    # one shuffle up front; every iteration's groupBy(id) + id-join reuse
+    # it. Explicit partition count (r10): a bare repartition(col) is
+    # AQE-coalescable — the persisted frame could collapse to ~1
+    # partition and every GD iteration's aggregates would run
+    # single-core. The fit is partitioning-independent (test-pinned), so
+    # the count only affects parallelism, never the weights.
+    from .dedup import repartition_for_projection
+
+    feats = repartition_for_projection(
+        feats.join(labels, on=id_col), id_col
+    ).persist()
     n_docs = labels.count()
     if n_docs == 0:
         raise ValueError("classifier_fit: empty input")
