@@ -316,11 +316,27 @@ def containment_join(
     # floor a float product both engines could round differently —
     # with t on the 1e-4 grid, ⌊(1−t)·m⌋ = (10000−t·10⁴)·m DIV 10000
     t4 = int(round(threshold * 10000))
-    prefix = ranked.where(
-        F.col("__rn__") <= F.expr(f"({10000 - t4}L * __m__) DIV 10000L") + 1
-    ).select("id_l", "__s__")
+    prefix = (
+        ranked.where(
+            F.col("__rn__") <= F.expr(f"({10000 - t4}L * __m__) DIV 10000L") + 1
+        )
+        .select("id_l", "__s__")
+        .localCheckpoint(eager=True)
+    )
+    # candidates = inverted-index probe with the PREFIX side as the
+    # broadcast build (r10, guide §3.1/§5.1): the prefix frame is the
+    # provably bounded side (≤ ⌊(1−t)·m⌋+1 grams per LEFT row — the
+    # snippet/query side of the asymmetric containment), while the
+    # right side is the full corpus gram explode. Catalyst's estimate
+    # under a Generate undercounts explode fan-out, so the unhinted
+    # join BROADCAST THE CORPUS EXPLODE at sf0.1 (driver collects every
+    # gram occurrence — an OOM at real scale) and fell to a SortMergeJoin
+    # at sf1 that shuffled+sorted the whole explode (~15 s of the 27 s
+    # query). Broadcasting the checkpointed prefix (gated on its
+    # materialized row count, the _gated_bcast contract) streams the
+    # corpus explode map-side: no shuffle, no sort, no driver collect.
     cands = (
-        prefix.join(rex, on="__s__")
+        rex.join(_gated_bcast(prefix)(prefix), on="__s__")
         .select("id_l", "id_r")
         .distinct()
         .localCheckpoint(eager=True)
